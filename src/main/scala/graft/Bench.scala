@@ -1,23 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":…,"queries":{…}}. Config mirrors the
+  * scale posture (AQE on, shuffle partitions = cores, explicit broadcast
+  * thresholds) — local[32] stands in for a multi-executor cluster.
+  */
 object Bench {
+  /** Headline set: the flagship join+agg, the heaviest scans, the dedup
+    * and similarity pipelines — the queries whose plans decide 100 TB
+    * behavior. (Cheap point-lookups excluded: they only measure overhead.)
+    */
+  val headline: Seq[String] = Seq(
+    "q01_standings", "q02_points_ladder", "q08_fact_dim_join",
+    "q09_dedup_first", "q18_rank_standings",
+    "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
+    "qd05_fingerprint", "qd07_minhash_sig", "qd08_simhash",
+    "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
+    "qs01_hourly_events")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = headline
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+      .flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

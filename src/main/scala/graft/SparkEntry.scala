@@ -1,13 +1,474 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.ops.F1Ops
+import graft.sources.Tables
+
+/** Driver contract — maps the SURVEY.md §2 operator inventory (plus the
+  * training-data extensions) onto the TPC-H-ish fixture tables, one named
+  * query per operator, each with a DuckDB-equivalent oracle in
+  * [[oracleSql]] (FIXTURES.md §C).
+  *
+  * Determinism rules used throughout (SURVEY.md §7.5): UTC session TZ;
+  * every query ends in an ORDER BY with a full tie-break; money/double
+  * aggregates are summed as decimal (order-independent) then surfaced as
+  * double; int sums are counts (both engines → int64); float vector math is
+  * double, sequential, and rounded before ordering.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Order-independent exact sum of a ≤4-decimal double expression. */
+  private def money(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** §3.2 flagship — supplier "championship standings" (J1+A1+A2+A3+P10+
+    * P11+O1): fact⋈dim broadcast left join, grouped revenue-points +
+    * conditional wins, win-rate vs the global distinct-order count, sorted
+    * with tie-break. One shuffle (group key); dim + scalar total broadcast.
+    */
+  private def standings(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val total = li.agg(countDistinct("l_orderkey").as("__total"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy("s_suppkey", "s_name")
+      .agg(
+        money(revenue).as("points"),
+        count(when(col("l_linenumber") === 1, lit(1))).as("wins"))
+      .crossJoin(broadcast(total))
+      .withColumn("win_rate", round(col("wins") / col("__total") * 100, 2))
+      .drop("__total")
+      .orderBy(col("points").desc, col("s_suppkey"))
+  }
+
+  private val standingsSql: String =
+    """SELECT s.s_suppkey, s.s_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS points,
+      |  COUNT(*) FILTER (WHERE l.l_linenumber = 1) AS wins,
+      |  ROUND(COUNT(*) FILTER (WHERE l.l_linenumber = 1)
+      |        / (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) * 100, 2) AS win_rate
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY points DESC, s.s_suppkey""".stripMargin
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    standings(spark, "/root/testdata/sf0.001")
+
+  /** DuckDB 2-word-shingle set, mirroring [[Dedup.wordShingles]](n=2). */
+  private val duckShingles2 =
+    """list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"""
+
+  private val duckCos =
+    "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+
+  // =====================================================================
+  // One entry per implemented operator from SURVEY.md §2 (+ extensions).
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: serving-layer analytics -------------------
+    "q01_standings" -> ((s, d) => standings(s, d)),
+
+    "q02_points_ladder" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          F1Ops.pointsLadder(col("l_linenumber")).as("points"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q03_points_standings" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(F1Ops.pointsLadder(col("l_linenumber"))).as("season_points"))
+        .orderBy(col("season_points").desc, col("l_suppkey"))),
+
+    "q04_wins" -> ((s, d) =>
+      F1Ops.wins(Tables.lineitem(s, d), key = "l_suppkey", position = "l_linenumber")
+        .orderBy(col("l_suppkey"))),
+
+    "q05_total_gps" -> ((s, d) =>
+      Tables.orders(s, d).agg(countDistinct("o_orderdate").as("total_gps"))),
+
+    "q06_distinct_flags" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag").isNotNull)
+        .select(col("l_returnflag").as("flag")).distinct().orderBy(col("flag"))),
+
+    "q07_lookup_default" -> ((s, d) =>
+      F1Ops.lookupWithDefault(
+        Tables.nation(s, d),
+        Tables.region(s, d).withColumnRenamed("r_regionkey", "n_regionkey")
+          .withColumnRenamed("r_name", "region_name"),
+        "n_regionkey", "region_name", lit("Inconnu"))
+        .select(col("n_nationkey"), col("n_name"), col("region_name"))
+        .orderBy(col("n_nationkey"))),
+
+    "q08_fact_dim_join" -> ((s, d) =>
+      F1Ops.enrichWithDim(
+        Tables.orders(s, d),
+        Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy(col("o_orderkey"))),
+
+    "q09_dedup_first" -> ((s, d) =>
+      F1Ops.firstWinsDedup(Tables.events(s, d), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))),
+
+    "q10_podium" -> ((s, d) => standings(s, d).limit(3)),
+
+    "q11_classification" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_suppkey") === 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_linenumber"), col("l_orderkey"))),
+
+    "q12_coalesce_na" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("N/A"))
+            .as("event_type_display"))
+        .orderBy(col("event_id"))),
+
+    "q13_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .orderBy(col("event_id"))),
+
+    "q14_json_encode" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+        .orderBy(col("event_id"))),
+
+    "q15_cast_roundtrip" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("okey_str"),
+          col("o_custkey").cast("string").cast("long").as("ckey_roundtrip"))
+        .orderBy(col("o_orderkey"))),
+
+    "q16_timestamp_parse" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+            .as("parsed_date"))
+        .orderBy(col("o_orderkey"))),
+
+    "q17_season_complete" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(countDistinct("o_orderdate").as("total_gps"))
+        .withColumn("season_status", F1Ops.seasonComplete(col("total_gps"), 22))
+        .select(col("season_status"), col("total_gps"))),
+
+    "q18_rank_standings" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(F1Ops.pointsLadder(col("l_linenumber"))).as("season_points"))
+        .withColumn("rnk", rank().over(Window.orderBy(col("season_points").desc)))
+        .orderBy(col("rnk"), col("l_suppkey"))),
+
+    "q19_wins_join_default" -> ((s, d) => {
+      val w = Tables.lineitem(s, d)
+        .filter(col("l_linenumber") === 1 && col("l_quantity") > 45)
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("wins"))
+      F1Ops.lookupWithDefault(Tables.supplier(s, d), w, "s_suppkey", "wins", lit(0L))
+        .select(col("s_suppkey"), col("s_name"), col("wins"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- extensions: text analysis ----------------------------------
+    "qd01_exact_dedup" -> ((s, d) =>
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+
+    "qd02_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens_est"))
+        .orderBy(col("doc_id"))),
+
+    "qd03_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.avgTokenLength(col("text")), 4).as("avg_token_len"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          (TextAnalysis.tokenCount(col("text")) < 40).as("short_doc"))
+        .orderBy(col("doc_id"))),
+
+    "qd04_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "qd05_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- extensions: near-dedup -------------------------------------
+    "qd06_ngram_jaccard_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 2).as("g"))
+      val a = docs.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = docs.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("ga"), col("gb")), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    "qd07_minhash_sig" -> ((s, d) => {
+      val sig = Dedup.withMinHash(Tables.documents(s, d), "text", k = 8,
+        shingleN = 2, portable = true)
+      sig.select(col("doc_id") +: (0 until 8).map(j => col(s"mh$j")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // rows-only (no portable SQL): xxhash64-based SimHash signatures
+    "qd08_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // rows-only: full MinHash-LSH near-dup pipeline (fast xxhash path)
+    "qd09_minhash_neardups" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 8, shingleN = 2, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- extensions: similarity search ------------------------------
+    "qe01_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.topKCosine(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", k = 10)
+    }),
+
+    "qe02_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // rows-only: LSH-bucketed approximate k-NN (the 100 TB scale path)
+    "qe03_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annLshJoin(emb.filter(col("vec_id") < 5), emb, "vec_id",
+        "embedding", k = 3, nPlanes = 4, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
+    // ---- extensions: event-stream batch view -------------------------
+    "qs01_hourly_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy(col("hour"), col("event_type"))),
+  )
+
+  // =====================================================================
+  // DuckDB oracles — same column names, same ordering, same rounding.
+  // Keys absent here (qd08, qd09, qe03) are rows-only checks by design:
+  // they depend on Spark-internal xxhash64/LSH planes with no DuckDB
+  // equivalent; their semantics are ScalaTest-verified instead.
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_standings" -> standingsSql,
+
+    "q02_points_ladder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_linenumber WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15 WHEN 4 THEN 12
+        |    WHEN 5 THEN 10 WHEN 6 THEN 8 WHEN 7 THEN 6 WHEN 8 THEN 4 WHEN 9 THEN 2
+        |    WHEN 10 THEN 1 ELSE 0 END AS points
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_points_standings" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CASE l_linenumber WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15
+        |    WHEN 4 THEN 12 WHEN 5 THEN 10 WHEN 6 THEN 8 WHEN 7 THEN 6 WHEN 8 THEN 4
+        |    WHEN 9 THEN 2 WHEN 10 THEN 1 ELSE 0 END) AS BIGINT) AS season_points
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY season_points DESC, l_suppkey""".stripMargin,
+
+    "q04_wins" ->
+      """SELECT l_suppkey, COUNT(*) AS wins FROM lineitem
+        |WHERE l_linenumber = 1 GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q05_total_gps" ->
+      "SELECT COUNT(DISTINCT o_orderdate) AS total_gps FROM orders",
+
+    "q06_distinct_flags" ->
+      """SELECT DISTINCT l_returnflag AS flag FROM lineitem
+        |WHERE l_returnflag IS NOT NULL ORDER BY flag""".stripMargin,
+
+    "q07_lookup_default" ->
+      """SELECT n.n_nationkey, n.n_name, COALESCE(r.r_name, 'Inconnu') AS region_name
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    "q08_fact_dim_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q09_dedup_first" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q10_podium" -> (standingsSql + " LIMIT 3"),
+
+    "q11_classification" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_suppkey = 3 ORDER BY l_linenumber, l_orderkey""".stripMargin,
+
+    "q12_coalesce_na" ->
+      """SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'N/A') AS event_type_display
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q14_json_encode" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q15_cast_roundtrip" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS okey_str,
+        |  CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS ckey_roundtrip
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_timestamp_parse" ->
+      """SELECT o_orderkey,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_season_complete" ->
+      """SELECT CASE WHEN COUNT(DISTINCT o_orderdate) >= 22 THEN 'complete'
+        |  ELSE 'in_progress' END AS season_status,
+        |  COUNT(DISTINCT o_orderdate) AS total_gps FROM orders""".stripMargin,
+
+    "q18_rank_standings" ->
+      """SELECT l_suppkey, season_points,
+        |  CAST(RANK() OVER (ORDER BY season_points DESC) AS INTEGER) AS rnk
+        |FROM (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CASE l_linenumber WHEN 1 THEN 25 WHEN 2 THEN 18 WHEN 3 THEN 15
+        |      WHEN 4 THEN 12 WHEN 5 THEN 10 WHEN 6 THEN 8 WHEN 7 THEN 6 WHEN 8 THEN 4
+        |      WHEN 9 THEN 2 WHEN 10 THEN 1 ELSE 0 END) AS BIGINT) AS season_points
+        |  FROM lineitem GROUP BY l_suppkey)
+        |ORDER BY rnk, l_suppkey""".stripMargin,
+
+    "q19_wins_join_default" ->
+      """SELECT s.s_suppkey, s.s_name, COALESCE(w.wins, 0) AS wins
+        |FROM supplier s LEFT JOIN (
+        |  SELECT l_suppkey, COUNT(*) AS wins FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_quantity > 45 GROUP BY l_suppkey) w
+        |ON s.s_suppkey = w.l_suppkey ORDER BY s.s_suppkey""".stripMargin,
+
+    "qd01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "qd02_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qd03_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  ROUND(length(regexp_replace(text, '\s+', '', 'g')) / GREATEST(len(w), 1), 4) AS avg_token_len,
+        |  ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+        |        / GREATEST(len(w), 1), 4) AS stopword_ratio,
+        |  len(w) < 40 AS short_doc
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "qd04_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the','and','of','to','is','with'))) AS en,
+        |  len(list_filter(w, x -> x IN ('le','la','les','et','des','une'))) AS fr,
+        |  len(list_filter(w, x -> x IN ('el','los','las','y','una','para'))) AS es,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ein'))) AS de
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN GREATEST(en, fr, es, de) = 0 THEN 'und'
+        |  WHEN en = GREATEST(en, fr, es, de) THEN 'en'
+        |  WHEN fr = GREATEST(en, fr, es, de) THEN 'fr'
+        |  WHEN es = GREATEST(en, fr, es, de) THEN 'es'
+        |  ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "qd05_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qd06_ngram_jaccard_topk" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $duckShingles2 AS g
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents WHERE doc_id < 60))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(len(list_intersect(a.g, b.g))
+         |        / GREATEST(len(list_distinct(list_concat(a.g, b.g))), 1), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "qd07_minhash_sig" -> {
+      val mhCols = (0 until 8)
+        .map(j => s"  list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+        .mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $duckShingles2 AS g
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents))
+         |SELECT doc_id,
+         |$mhCols
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    "qe01_cosine_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+         |SELECT c.vec_id, $duckCos AS cosine
+         |FROM c, q ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "qe02_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, $duckCos AS cosine
+         |       FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "qs01_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
 }

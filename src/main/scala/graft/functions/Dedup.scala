@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: signatures are computed per-row with higher-order array
+  * functions (narrow, no explode ⇒ no row blow-up before the shuffle); the
+  * only shuffles are the final groupBy/join on hash keys, which partition
+  * evenly because the keys are uniform hashes. Candidate generation joins
+  * on (band, bandHash) buckets — at 100 TB the bucket join replaces the
+  * O(n²) all-pairs compare with an equi-join Catalyst executes as a
+  * shuffled hash join over well-distributed keys.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup via content hash: one row per distinct normalized text,
+    * keeping the smallest id (deterministic, unlike `dropDuplicates`).
+    * Single shuffle on the hash key.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = TextAnalysis.fingerprint(col(textCol)).as("content_hash")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    df.withColumn("content_hash", h)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup group summary: hash → keeper id + copy count. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ shingles
+
+  /** Word n-gram shingles (distinct), computed per row via
+    * sequence+transform — no explode. Empty array when the doc is shorter
+    * than n (guard needed: Spark `sequence(0, -1)` counts DOWN).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** n-gram Jaccard similarity of two docs' shingle sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  // ------------------------------------------------------------ MinHash
+
+  /** MinHash signature as k columns `mh0..mh{k-1}`: per permutation j the
+    * signature is the min over shingles of hash(shingle ⊕ j). Narrow map
+    * stage; `portable=true` uses md5 (string min, engine-portable for
+    * oracles), `false` uses xxhash64 (fast path for production scale).
+    */
+  def withMinHash(df: DataFrame, textCol: String, k: Int, shingleN: Int,
+      portable: Boolean = false): DataFrame = {
+    val sh = wordShingles(col(textCol), shingleN)
+    val withSh = df.withColumn("__sh", sh)
+    val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
+      val hashed =
+        if (portable) transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))
+        else transform(col("__sh"), s => xxhash64(s, lit(j)))
+      acc.withColumn(s"mh$j", array_min(hashed))
+    }
+    sig.drop("__sh")
+  }
+
+  /** LSH banding: k signature columns → `bands` band-hash columns
+    * `band0..`, each an md5 of its signature slice. Docs sharing any band
+    * hash are candidate near-dups (standard banding estimate: P(candidate)
+    * = 1-(1-j^r)^b for Jaccard j, rows-per-band r).
+    */
+  def withLshBands(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    (0 until bands).foldLeft(df) { (acc, b) =>
+      val cols = (b * r until (b + 1) * r).map(j => col(s"mh$j").cast("string"))
+      acc.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+    }
+  }
+
+  /** Candidate pairs via the band bucket-join: unpivot bands (explode is k×
+    * row growth of *ids only*, not documents), self-join per (band, hash)
+    * bucket, id_a < id_b, distinct. This is the scale path: no O(n²).
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("bh")))
+    val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("e"))
+      .select(col(idCol), col("e.band"), col("e.bh"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs with exact Jaccard verification
+    * of candidates only (candidates ≪ all pairs).
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.7): DataFrame = {
+    val sig = withLshBands(withMinHash(df, textCol, k, shingleN), k, bands)
+    val pairs = lshCandidatePairs(sig, idCol, bands)
+    val docs = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(docs.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** 64-bit SimHash: per token take xxhash64 bits, sum ±1 per bit position
+    * across tokens, simhash bit = sign. Near-dups differ in few bits
+    * (Hamming distance). Built from higher-order functions via `expr` (the
+    * Scala `shiftright` helper only takes literal shifts). Narrow — one
+    * pass per row.
+    */
+  def simHash64(textCol: String): Column = {
+    val votes =
+      s"""aggregate(
+         |  split(trim($textCol), '\\\\s+'),
+         |  array_repeat(0L, 64),
+         |  (acc, t) -> zip_with(acc,
+         |    transform(sequence(0, 63),
+         |      i -> CASE WHEN (shiftright(xxhash64(t), i) & 1L) = 1L THEN 1L ELSE -1L END),
+         |    (a, b) -> a + b))""".stripMargin
+    val bits =
+      s"""aggregate(
+         |  zip_with($votes, sequence(0, 63),
+         |    (v, i) -> CASE WHEN v > 0L THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, x) -> acc | x)""".stripMargin
+    expr(bits)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the high `prefixBits` bits (cheap
+    * blocking; rotate-and-retry gives recall at scale), verify Hamming ≤
+    * maxHamming inside buckets.
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val sig = df.select(col(idCol), simHash64(textCol).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("hamming", hamming64(col("a.simhash"), col("b.simhash")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the query side so
+  * the corpus scan stays narrow). Scale path: signed-random-projection LSH
+  * — bucket the corpus once, probe only matching buckets, verify exact
+  * cosine inside buckets. All arithmetic is done in double via
+  * zip_with/aggregate (sequential, deterministic accumulation — float sums
+  * must not depend on partitioning).
+  */
+object Similarity {
+
+  /** Cast a float vector to double once, up front — all downstream math is
+    * then deterministic double IEEE ops.
+    */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product via zip_with + left-to-right aggregate (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0d, 0.0d).otherwise(d / n)
+  }
+
+  /** Brute-force exact top-k against a single query vector: broadcast the
+    * 1-row query, narrow map computes cosine, `orderBy+limit` plans
+    * TakeOrderedAndProject (per-partition top-k + driver merge — no global
+    * sort, no full shuffle). Cosine is rounded before ordering so the
+    * ordering itself is reproducible across engines/partitionings.
+    */
+  def topKCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(asDouble(col(queryVecCol)).as("__qv")))
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(q)
+      .select(col(idCol), round(cosine(col("__v"), col("__qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Brute-force k-NN join: every query row gets its top-k corpus
+    * neighbors. Queries are broadcast (the small side); ranking is a
+    * per-query-partition window. Exact — this is the correctness baseline
+    * the LSH path is measured against.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("__v"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic ±1 random hyperplanes for signed-random-projection LSH
+    * (splitmix64 over (plane, dim) — reproducible, no RNG state).
+    */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(nPlanes, dim)((p, d) =>
+      if ((splitmix(p.toLong * 1315423911L + d) & 1L) == 0L) -1.0 else 1.0)
+  }
+
+  /** Add an SRP-LSH bucket column: bit p = sign(v · plane_p), packed into a
+    * long. Cosine-similar vectors collide with probability
+    * (1 - θ/π)^nPlanes.
+    */
+  def withSrpBucket(df: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val v = asDouble(col(vecCol))
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      when(dot(v, lit(p)) > 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn(bucketCol, bits.reduce(_.bitwiseOR(_)))
+  }
+
+  /** LSH-bucketed approximate k-NN join: bucket corpus and queries with the
+    * same planes, equi-join on bucket (hash join on uniform keys — the 100
+    * TB path), exact cosine + window top-k inside buckets only. Recall is
+    * tuned by nPlanes (fewer planes → bigger buckets → higher recall,
+    * more compute).
+    */
+  def annLshJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val qb = withSrpBucket(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")),
+      "__qv", nPlanes, dim)
+    val cb = withSrpBucket(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v")),
+      "__v", nPlanes, dim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("__v"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs (dedup by embedding): SRP buckets →
+    * within-bucket pairs with cosine ≥ threshold. Approximate by design;
+    * exact variant is the knnJoin filtered by threshold.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val b = withSrpBucket(
+      df.select(col(idCol), asDouble(col(vecCol)).as("__v")), "__v", nPlanes, dim)
+    val l = b.select(col(idCol).as("id_a"), col("__v").as("va"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col("__v").as("vb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

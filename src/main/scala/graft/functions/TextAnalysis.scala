@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are built from codegen'd `org.apache.spark.sql.
+  * functions` / higher-order array functions — no UDFs — so they stay
+  * narrow (no shuffle) and scale linearly with input splits: at 100 TB each
+  * is a single map-stage over the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `trim` first so leading/trailing whitespace never
+    * yields empty edge tokens.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: the ~4-chars-per-token heuristic used to size
+    * LLM training corpora when an exact tokenizer is too costly inline.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0d).cast("long")
+
+  /** Count of tokens that appear in `words` (used for stopword ratios and
+    * language scoring). Higher-order `filter` — evaluated per row, no
+    * shuffle, no UDF.
+    */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val lits = words.map(lit)
+    size(filter(tokens(text), t => t.isin(lits: _*)))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Stopword ratio ∈ [0,1]: classic quality signal (natural prose has
+    * 0.2–0.5; keyword spam and boilerplate sit near 0).
+    */
+  def stopwordRatio(text: Column, stops: Seq[String] = EnglishStopwords): Column =
+    wordHits(text, stops).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Mean token length in characters (whitespace removed / token count). */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Ratio of non-alphanumeric, non-space characters — high values flag
+    * markup/code/garbled docs.
+    */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Marker-word tables for the n-gram/function-word language heuristic.
+    * Function words are the strongest cheap signal for closely related
+    * European languages; scoring = hit count per language, argmax wins.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una", "para"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein"),
+  )
+
+  /** Language-ID heuristic: argmax of marker-word hits, `und` when no
+    * marker fires. Ties break by the declared language order (en first) so
+    * the result is deterministic and oracle-checkable.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> wordHits(lower(text), ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+    when(best === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Quality-score bundle appended as flat columns (flat > nested struct so
+    * parquet stats / pushdown keep working on the outputs).
+    */
+  def withQualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("avg_token_len", round(avgTokenLength(t), 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("punct_ratio", round(punctRatio(t), 4))
+      .withColumn("bpe_tokens_est", bpeTokenEstimate(t))
+  }
+
+  /** Canonical whitespace-collapsed lowercase form — the normalization step
+    * shared by fingerprinting and exact dedup.
+    */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text. md5 (not xxhash64) so
+    * the value is portable across engines for oracle checks; swap
+    * [[fastFingerprint]] in when only intra-engine equality matters.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit xxhash fingerprint — cheaper at scale, Spark-internal. */
+  def fastFingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** Rolling hash over the token stream (order-sensitive, unlike the
+    * set-based MinHash): fold rotate-left(acc, 5) ⊕ xxhash64(token).
+    * Shift/xor (not multiply-add) so ANSI mode — Spark 4's default — never
+    * sees an overflow. Detects exact token-sequence reuse.
+    */
+  def rollingTokenHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.F1Ops
+
+/** The reference's Structured Streaming core (SURVEY.md §2.7; reference:
+  * spark_ingestion.py:80–136): Kafka-shaped source → cast → declared-schema
+  * JSON parse → points derivation → completeness filter → checkpointed
+  * `foreachBatch` append sink.
+  *
+  * The transform is source-agnostic (any DataFrame with a `value` column —
+  * Kafka, MemoryStream, file, rate) which is what makes it testable without
+  * a broker (SURVEY.md §7.5.4) and portable to Kinesis-style sources. The
+  * plan is narrow end-to-end: parse/derive/filter pipeline in one stage, no
+  * shuffle, so ingest scales with source partitions alone.
+  */
+object RaceIngest {
+
+  /** P1–P6 chain — pure, batch/stream agnostic. */
+  def transform(raw: DataFrame): DataFrame =
+    F1Ops.deriveRace(F1Ops.parseRaceJson(raw))
+
+  /** T1–T3: append-mode foreachBatch parquet sink with checkpoint.
+    *
+    * Unlike the reference — which ignores `batchId` and is therefore only
+    * at-least-once (spark_ingestion.py:116–125, SURVEY.md §4) — the batch id
+    * is recorded on every row, making replays identifiable and the sink
+    * idempotent-by-key downstream (dedup on (session_key, driver_number,
+    * batch_id) recovers exactly-once reads).
+    */
+  def startParquetSink(raw: DataFrame, outPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    transform(raw).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
+  /** Kafka source wiring (S1; reference: spark_ingestion.py:80–88). Not
+    * exercised in tests (no broker in the harness) but the full production
+    * entry point: earliest offsets + tolerate data loss, exactly as the
+    * reference configures it.
+    */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession, servers: String,
+      topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Kafka re-publish sink (S4/S6; reference: kafka_consumer.py:54–62,
+    * kafka_producer.py:145–151): key = driver_number, value = JSON of the
+    * full record.
+    */
+  def toKafkaRecords(df: DataFrame): DataFrame =
+    df.select(
+      col("driver_number").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Windowed event-time aggregation with watermark — the streaming-state
+    * generalization the reference lacks (SURVEY.md §2.7 T8): tumbling
+    * window counts/sums over an event stream.
+    */
+  def windowedEventAgg(events: DataFrame, tsCol: String, window_ : String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

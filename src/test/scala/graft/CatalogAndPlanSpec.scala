@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CatalogOps, F1Ops}
+import graft.sources.Tables
+
+/** Catalog surface (S8–S11) + physical-plan shape assertions: the scale
+  * properties (pushdown, pruning, broadcast) are part of correctness here.
+  */
+class CatalogAndPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S8/S9/S10: create → introspect → drop-all reset") {
+    CatalogOps.createReferenceTables(spark)
+    val listed = CatalogOps.listUserTables(spark)
+      .select("table_name").as[String].collect().toSet
+    assert(listed.contains("race_results") && listed.contains("drivers"))
+    val dropped = CatalogOps.dropAllUserTables(spark)
+    assert(dropped.toSet === listed)
+    assert(spark.catalog.listTables("default").collect().isEmpty)
+  }
+
+  test("S11: upsertDim = last-writer-wins merge by key") {
+    val existing = Seq(("1", "Old Name", "u1"), ("44", "Lewis", "u44"))
+      .toDF("driver_number", "driver_name", "headshot_url")
+    val updates = Seq(("1", "Max Verstappen", "u1v2"), ("16", "Charles", "u16"))
+      .toDF("driver_number", "driver_name", "headshot_url")
+    val merged = CatalogOps.upsertDim(existing, updates, "driver_number")
+      .orderBy("driver_number")
+      .select("driver_number", "driver_name").as[(String, String)].collect()
+    assert(merged.toSeq === Seq(
+      ("1", "Max Verstappen"), ("16", "Charles"), ("44", "Lewis")))
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs on sf0.001 and every oracle key exists") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // spot-run the cheap ones end-to-end (full set runs in Verify)
+    for (n <- Seq("q05_total_gps", "q17_season_complete"))
+      assert(SparkEntry.queries(n)(spark, sf0001).count() >= 1)
+  }
+
+  test("filter + projection push down to the parquet scan (P8/column pruning)") {
+    val plan = Tables.lineitem(spark, sf0001)
+      .filter(col("l_suppkey") === 3)
+      .select("l_orderkey", "l_linenumber")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,3)]"),
+      s"filter not pushed:\n$plan")
+    // pruned to exactly the projected + filter columns (3 of 11)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_linenumber:int>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("fact⋈dim plans a broadcast join, not a shuffle join (J1)") {
+    val plan = F1Ops.enrichWithDim(
+      Tables.lineitem(spark, sf0001),
+      Tables.supplier(spark, sf0001).withColumnRenamed("s_suppkey", "l_suppkey"),
+      "l_suppkey").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("flagship standings stays whole-stage-codegen'd up to the sort") {
+    val df = SparkEntry.queries("q01_standings")(spark, sf0001)
+    df.collect() // materialize so AQE settles on the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE's final plan renders whole-stage-codegen spans as "*(n)"
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen spans:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash agg:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"agg must be partial+final:\n$plan")
+  }
+}

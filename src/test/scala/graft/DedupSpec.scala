@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalysis}
+
+/** Dedup-family invariants on planted fixtures: exact dedup determinism,
+  * MinHash-LSH recall of near-identical docs, SimHash Hamming locality,
+  * shingle/jaccard correctness.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+  private val nearDup = base.replace("dawn", "dusk") // 1 token differs
+  private val distinct1 = "completely unrelated text about spark catalyst optimizer rules and codegen stages"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, base), // 3 = exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("wordShingles builds distinct n-grams; short docs yield empty") {
+    val sh = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+      .select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq.empty)
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val j = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(
+          Dedup.wordShingles(col("a.text"), 2),
+          Dedup.wordShingles(col("b.text"), 2)).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 3L)) === 1.0)
+    assert(j((0L, 2L)) === 0.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+  }
+
+  test("exactDedup keeps the smallest id per content hash") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 2L)) // 3 dropped (dup of 0)
+  }
+
+  test("MinHash-LSH finds the planted near-dup pair and the exact pair") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 2, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never
+  }
+
+  test("SimHash: identical docs equal, near-dups close, unrelated far") {
+    val sig = docs.select(col("doc_id"), Dedup.simHash64("text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) === sig(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
+    assert(ham(sig(0L), sig(1L)) <= 12)
+  }
+
+  test("simHashNearDups surfaces the exact-dup pair via bucketing") {
+    val got = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 3L)))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
+    val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"),
+        TextAnalysis.rollingTokenHash(col("text")).as("r"))
+      .as[(String, Long)].collect()
+    assert(fp(0)._1 === fp(1)._1) // normalization collapses case+whitespace
+    assert(fp(1)._1 !== fp(2)._1)
+    assert(fp(1)._2 !== fp(2)._2) // rolling hash sees token order
+  }
+}

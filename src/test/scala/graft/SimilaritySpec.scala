@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Similarity-search invariants: cosine math, brute-force top-k vs k-NN
+  * join agreement, SRP-LSH bucket collision for identical vectors.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(
+          Similarity.asDouble(col("a.embedding")),
+          Similarity.asDouble(col("b.embedding"))).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(c((0L, 4L)) - 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("topKCosine ranks identical > near > orthogonal > opposite") {
+    val got = Similarity.topKCosine(
+      vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "embedding", k = 4)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(4L, 1L, 2L, 3L))
+  }
+
+  test("knnJoin agrees with brute-force top-k for each query") {
+    val knn = Similarity.knnJoin(vecs.filter(col("vec_id") < 2), vecs,
+      "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(knn === Set((0L, 4L, 1), (0L, 1L, 2), (1L, 0L, 1), (1L, 4L, 2)))
+  }
+
+  test("SRP-LSH: identical vectors share a bucket; ANN finds the identical twin") {
+    val b = Similarity.withSrpBucket(vecs, "embedding", nPlanes = 8, dim = 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) === b(4L))
+    val ann = Similarity.annLshJoin(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 1, nPlanes = 8, dim = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(ann.toSeq === Seq(4L))
+  }
+
+  test("embeddingNearDups flags the identical pair at high threshold") {
+    val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      minCosine = 0.999, nPlanes = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 4L)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.RaceIngest
+
+/** Structured-Streaming pipeline tests (SURVEY.md §2.7, §5.4): MemoryStream
+  * of JSON records → full transform → foreachBatch parquet sink, exercising
+  * append mode, checkpoint resume, and the never-sink-null-position
+  * invariant (T9) — all without a Kafka broker (the transform is
+  * source-agnostic by design).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val msg1 =
+    """{"grand_prix":"Bahrain","date":"2023-03-05T15:00:00+00:00","driver_number":"1","position":1,"laps_completed":57,"dnf":false,"gap_to_leader":null,"meeting_key":"m1","session_key":"s1"}"""
+  private val msgLive =
+    """{"grand_prix":"Bahrain","date":"2023-03-05T15:00:00+00:00","driver_number":"16","position":null,"laps_completed":12,"dnf":false,"gap_to_leader":null,"meeting_key":"m1","session_key":"s1"}"""
+  private val msg2 =
+    """{"grand_prix":"Jeddah","date":"2023-03-19T17:00:00+00:00","driver_number":"11","position":2,"laps_completed":50,"dnf":false,"gap_to_leader":"+5.1","meeting_key":"m2","session_key":"s2"}"""
+
+  test("append sink persists scored rows, filters live rows, resumes from checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val out = tmpDir("stream-out")
+    val cp = tmpDir("stream-cp")
+
+    val ms = MemoryStream[String]
+    val raw = ms.toDF().withColumnRenamed("value", "value")
+
+    ms.addData(msg1, msgLive)
+    val q1 = RaceIngest.startParquetSink(raw, out, cp, Trigger.AvailableNow())
+    q1.awaitTermination()
+
+    val batch1 = spark.read.parquet(out)
+    assert(batch1.count() === 1) // live row never reaches the sink (T9)
+    assert(batch1.select("points").as[Int].head() === 25)
+
+    // new data + restart from the same checkpoint → only new rows appended
+    ms.addData(msg2)
+    val q2 = RaceIngest.startParquetSink(raw, out, cp, Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val all = spark.read.parquet(out)
+    assert(all.count() === 2)
+    assert(all.filter(col("driver_number") === "11").select("points").as[Int].head() === 18)
+    // batch ids recorded → replays identifiable (exactly-once upgrade hook)
+    assert(all.columns.contains("batch_id"))
+  }
+
+  test("windowed event-time aggregation with watermark (T8 generalization)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+
+    ms.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:06:00"), "view", 5.0))
+
+    val agg = RaceIngest.windowedEventAgg(events, "ts", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("winagg")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("total_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:05:00", "view", 1L, 5.0)))
+  }
+
+  test("kafka record shape: key = driver_number, value = JSON (S4/S6)") {
+    val df = Seq(("44", "Bahrain", 15)).toDF("driver_number", "grand_prix", "points")
+    val rec = RaceIngest.toKafkaRecords(df).as[(String, String)].head()
+    assert(rec._1 === "44")
+    assert(rec._2 === """{"driver_number":"44","grand_prix":"Bahrain","points":15}""")
+  }
+}
