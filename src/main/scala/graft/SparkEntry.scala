@@ -184,6 +184,86 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // ---- beyond-reference relational surface -------------------------
+    "q20_latest_first" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderdate").as("gp_date"))
+        .distinct().orderBy(col("gp_date").desc).limit(5)),
+
+    "q21_region_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(money(revenue).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))),
+
+    "q22_window_monthly" -> ((s, d) => {
+      // running sum stays DECIMAL inside the window (exact, order-independent
+      // — engines disagree on float accumulation order in window frames),
+      // surfaced as double at the end.
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"), date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(sum(revenue.cast(DecimalType(18, 4))).as("revenue_dec"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+      monthly
+        .withColumn("revenue", col("revenue_dec").cast("double"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("cum_revenue", sum(col("revenue_dec"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .drop("revenue_dec")
+        .orderBy(col("l_suppkey"), col("month"))
+    }),
+
+    "q23_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q24_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+        .distinct().orderBy(col("o_custkey"))
+    }),
+
+    "q25_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+        .except(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "qs02_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "qe04_norm_stats" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("label"),
+        Similarity.l2Norm(Similarity.asDouble(col("embedding")))
+          .cast(DecimalType(18, 6)).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("norm")).cast("double").as("total_norm"))
+        .withColumn("avg_norm", round(col("total_norm") / col("n"), 6))
+        .orderBy(col("label"))
+    }),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -382,6 +462,74 @@ object SparkEntry {
         |  SELECT l_suppkey, COUNT(*) AS wins FROM lineitem
         |  WHERE l_linenumber = 1 AND l_quantity > 45 GROUP BY l_suppkey) w
         |ON s.s_suppkey = w.l_suppkey ORDER BY s.s_suppkey""".stripMargin,
+
+    "q20_latest_first" ->
+      """SELECT DISTINCT o_orderdate AS gp_date FROM orders
+        |ORDER BY gp_date DESC LIMIT 5""".stripMargin,
+
+    "q21_region_rollup" ->
+      """SELECT r.r_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    "q22_window_monthly" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue_dec
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, month, CAST(revenue_dec AS DOUBLE) AS revenue,
+        |  lag(CAST(revenue_dec AS DOUBLE), 1) OVER (PARTITION BY l_suppkey ORDER BY month) AS prev_revenue,
+        |  CAST(SUM(revenue_dec) OVER (PARTITION BY l_suppkey ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM monthly ORDER BY l_suppkey, month""".stripMargin,
+
+    "q23_anti_join" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q24_union" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q25_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "qs02_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "qe04_norm_stats" ->
+      """WITH norms AS (
+        |  SELECT label,
+        |    CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6)) AS norm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, CAST(SUM(norm) AS DOUBLE) AS total_norm,
+        |  ROUND(CAST(SUM(norm) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
 
     "qd01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -67,6 +67,32 @@ object RaceIngest {
       col("driver_number").cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** S2 — JDBC append sink bridged through foreachBatch (reference:
+    * spark_ingestion.py:116–125). Same shape as the reference's
+    * `write_to_postgres`; executors open connections, the driver never
+    * funnels rows. Not exercised in tests (no database in the harness).
+    */
+  def startJdbcSink(raw: DataFrame, jdbcUrl: String, table: String,
+      props: java.util.Properties, checkpoint: String): StreamingQuery =
+    transform(raw).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").jdbc(jdbcUrl, table, props)
+        ()
+      }
+      .start()
+
+  /** S5 — the verification tap (reference: kafka_consumer.py:27–52 pretty-
+    * prints every record): console sink on the transformed stream.
+    */
+  def startConsoleTap(raw: DataFrame): StreamingQuery =
+    transform(raw).writeStream
+      .outputMode("append")
+      .format("console")
+      .option("truncate", "false")
+      .start()
+
   /** Windowed event-time aggregation with watermark — the streaming-state
     * generalization the reference lacks (SURVEY.md §2.7 T8): tumbling
     * window counts/sums over an event stream.
