@@ -15,10 +15,11 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_standings", "q02_points_ladder", "q08_fact_dim_join",
     "q09_dedup_first", "q18_rank_standings",
+    "q21_region_rollup", "q22_window_monthly",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
-    "qd05_fingerprint", "qd07_minhash_sig", "qd08_simhash",
+    "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
-    "qs01_hourly_events")
+    "qs01_hourly_events", "qs02_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -287,8 +287,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "qd04_langid" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withLangId(Tables.documents(s, d), "text", "lang_pred")
+        .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
     "qd05_fingerprint" -> ((s, d) =>
@@ -322,10 +322,13 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: full MinHash-LSH near-dup pipeline (fast xxhash path)
+    // rows-only: full MinHash-LSH near-dup pipeline (fast xxhash path).
+    // 3-shingles + 4 bands of 4 → LSH threshold (1/b)^(1/r) ≈ 0.71: tight
+    // enough that a common-vocabulary corpus doesn't flood the candidate
+    // join (bands=8/r=2 admitted ~1% of ALL pairs here).
     "qd09_minhash_neardups" -> ((s, d) =>
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        k = 16, bands = 8, shingleN = 2, minJaccard = 0.2)
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- extensions: similarity search ------------------------------

@@ -66,14 +66,22 @@ object Dedup {
   def withMinHash(df: DataFrame, textCol: String, k: Int, shingleN: Int,
       portable: Boolean = false): DataFrame = {
     val sh = wordShingles(col(textCol), shingleN)
-    val withSh = df.withColumn("__sh", sh)
-    val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
-      val hashed =
-        if (portable) transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))
-        else transform(col("__sh"), s => xxhash64(s, lit(j)))
-      acc.withColumn(s"mh$j", array_min(hashed))
+    if (portable) {
+      val withSh = df.withColumn("__sh", sh)
+      val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
+        acc.withColumn(s"mh$j",
+          array_min(transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))))
+      }
+      sig.drop("__sh")
+    } else {
+      // fast path: native one-pass k-permutation kernel
+      val withSig = df.withColumn("__sig",
+        NativeExpressions.minhashSig(col(textCol), k, shingleN))
+      val sig = (0 until k).foldLeft(withSig) { (acc, j) =>
+        acc.withColumn(s"mh$j", col("__sig").getItem(j))
+      }
+      sig.drop("__sig")
     }
-    sig.drop("__sh")
   }
 
   /** LSH banding: k signature columns → `bands` band-hash columns
@@ -114,11 +122,15 @@ object Dedup {
       minJaccard: Double = 0.7): DataFrame = {
     val sig = withLshBands(withMinHash(df, textCol, k, shingleN), k, bands)
     val pairs = lshCandidatePairs(sig, idCol, bands)
-    val docs = df.select(col(idCol), wordShingles(col(textCol), shingleN).as("__sh"))
+    // verification uses sorted shingle-hash arrays (8 B/shingle, linear-
+    // merge jaccard) — same hash chain as the signatures, so the exact
+    // check is consistent with the candidate generation
+    val docs = df.select(col(idCol),
+      NativeExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
     pairs
       .join(docs.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", NativeExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -127,11 +139,16 @@ object Dedup {
 
   /** 64-bit SimHash: per token take xxhash64 bits, sum ±1 per bit position
     * across tokens, simhash bit = sign. Near-dups differ in few bits
-    * (Hamming distance). Built from higher-order functions via `expr` (the
-    * Scala `shiftright` helper only takes literal shifts). Narrow — one
-    * pass per row.
+    * (Hamming distance). Native Catalyst expression — one tight loop per
+    * row (the HOF formulation below is >20× slower at 50k docs).
     */
-  def simHash64(textCol: String): Column = {
+  def simHash64(textCol: String): Column =
+    NativeExpressions.simhash64(col(textCol))
+
+  /** Reference HOF formulation of [[simHash64]] (semantically identical,
+    * kept as the executable spec the native kernel is tested against).
+    */
+  def simHash64HOF(textCol: String): Column = {
     val votes =
       s"""aggregate(
          |  split(trim($textCol), '\\\\s+'),

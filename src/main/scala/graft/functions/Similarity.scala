@@ -20,9 +20,11 @@ object Similarity {
     */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product via zip_with + left-to-right aggregate (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product — native tight-loop kernel, numerically identical to the
+    * zip_with + left-to-right aggregate formulation (sequential double
+    * adds) but without per-element interpreted eval.
+    */
+  def dot(a: Column, b: Column): Column = NativeExpressions.vecDot(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

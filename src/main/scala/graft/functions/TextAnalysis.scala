@@ -73,11 +73,32 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, ws) => lang -> wordHits(lower(text), ws) }
+    pickLang(scores)
+  }
+
+  private def pickLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best, lit(lang)).otherwise(acc)
     }
     when(best === 0, lit("und")).otherwise(pick)
+  }
+
+  /** Pipeline form of [[langId]]: tokens materialized once, one score
+    * column per language, argmax over plain attribute references. Staged
+    * narrow projections — no subtree duplication (the single-Column form
+    * re-references every score through greatest/when ~20×), so the
+    * generated code stays small at any scale.
+    */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toks = df.withColumn("__toks", tokens(lower(col(textCol))))
+    val scored = LangMarkers.foldLeft(toks) { case (acc, (lang, ws)) =>
+      val lits = ws.map(lit)
+      acc.withColumn(s"__s_$lang", size(filter(col("__toks"), t => t.isin(lits: _*))))
+    }
+    val scores = LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    scored.withColumn(outCol, pickLang(scores))
+      .drop("__toks" +: LangMarkers.map(m => s"__s_${m._1}"): _*)
   }
 
   /** Quality-score bundle appended as flat columns (flat > nested struct so

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, TextAnalysis}
+import graft.sources.Tables
 
 /** Dedup-family invariants on planted fixtures: exact dedup determinism,
   * MinHash-LSH recall of near-identical docs, SimHash Hamming locality,
@@ -60,6 +61,14 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
     assert(ham(sig(0L), sig(1L)) <= 12)
+  }
+
+  test("native simhash kernel matches the HOF executable spec exactly") {
+    val both = Tables.documents(spark, sf0001).limit(50)
+      .select(Dedup.simHash64("text").as("native"),
+        Dedup.simHash64HOF("text").as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (n, h) => n == h })
   }
 
   test("simHashNearDups surfaces the exact-dup pair via bucketing") {

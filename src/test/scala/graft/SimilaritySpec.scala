@@ -30,6 +30,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c((0L, 3L)) + 1.0) < 1e-12)
   }
 
+  test("native vecDot matches the zip_with+aggregate formulation exactly") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    val both = graft.sources.Tables.embeddings(spark, sf0001).limit(50)
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+      .select(
+        Similarity.dot(col("v"), col("v")).as("native"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.forall { case (n, h) => n == h })
+  }
+
   test("topKCosine ranks identical > near > orthogonal > opposite") {
     val got = Similarity.topKCosine(
       vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
