@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.NativeExpressions._
+
+/** SparkSessionExtensions entry point: registers graft's native kernels as
+  * SQL functions so `spark.sql("SELECT simhash64(text) …")` works — the
+  * standard way a Spark-native library ships custom expressions.
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(text, k, n) - k-permutation MinHash signature over word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        MinHashSigExpr(args.head, intArg(args(1), "k"), intArg(args(2), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => VecDotExpr(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - sorted distinct word n-gram shingle hashes"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args.head, intArg(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("sorted_jaccard"),
+      info("sorted_jaccard",
+        "sorted_jaccard(a, b) - Jaccard similarity of two sorted distinct long arrays"),
+      (args: Seq[Expression]) => SortedJaccardExpr(args.head, args(1))))
+  }
+}

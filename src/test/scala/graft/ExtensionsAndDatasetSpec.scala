@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.RaceResultMsg
+import graft.ops.F1Ops
+
+/** SQL-surface registration of the native kernels (GraftExtensions) and
+  * the typed Dataset API path (SURVEY.md §1.3: case-class Encoders for
+  * compile-time field checks).
+  */
+class ExtensionsAndDatasetSpec extends SparkSpec {
+
+  test("native kernels are callable from SQL via SparkSessionExtensions") {
+    // session already exists (shared across suites) → register through the
+    // same injection path on a derived session
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val row = ext.sql(
+      """SELECT simhash64('the quick brown fox') AS sh,
+        |       size(minhash_sig('a b c d e', 8, 2)) AS k,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       sorted_jaccard(shingle_hashes('a b c', 2),
+        |                      shingle_hashes('a b c', 2)) AS jac
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("sh") !== 0L)
+    assert(row.getAs[Int]("k") === 8)
+    assert(row.getAs[Double]("dot") === 11.0)
+    assert(row.getAs[Double]("jac") === 1.0)
+  }
+
+  test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
+    import spark.implicits._
+    val json =
+      """{"grand_prix":"Bahrain","date":"2023-03-05T15:00:00+00:00","driver_number":"1","position":1,"laps_completed":57,"dnf":false,"gap_to_leader":null,"meeting_key":"m1","session_key":"s1"}"""
+    val ds = F1Ops.parseRaceJson(Seq(json).toDF("value")).as[RaceResultMsg]
+    val msg = ds.head()
+    assert(msg.grand_prix === Some("Bahrain"))
+    assert(msg.position === Some(1))
+    assert(msg.gap_to_leader === None)
+    // typed transforms keep the Encoder
+    val scored = ds.map(m => m.driver_number.getOrElse("?") -> m.position.getOrElse(-1))
+    assert(scored.head() === (("1", 1)))
+  }
+}
