@@ -16,12 +16,30 @@ import graft.functions.NativeExpressions._
   *   // or: --conf spark.sql.extensions=graft.GraftExtensions
   * }}}
   */
+object GraftExtensions {
+  /** Register the same functions on an already-built session (extensions
+    * only apply at build time; this covers notebooks/REPLs).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.GraftBridge.registerTempFunction
+    val ext = new GraftExtensions
+    registerTempFunction(spark, "simhash64", args => SimHash64Expr(args.head))
+    registerTempFunction(spark, "minhash_sig", args =>
+      MinHashSigExpr(args.head, ext.intArg(args(1), "k"), ext.intArg(args(2), "n")))
+    registerTempFunction(spark, "vec_dot", args => VecDotExpr(args.head, args(1)))
+    registerTempFunction(spark, "shingle_hashes", args =>
+      ShingleHashesExpr(args.head, ext.intArg(args(1), "n")))
+    registerTempFunction(spark, "sorted_jaccard", args =>
+      SortedJaccardExpr(args.head, args(1)))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def intArg(e: Expression, what: String): Int = e match {
+  private[graft] def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")

@@ -11,15 +11,11 @@ import graft.ops.F1Ops
   */
 class ExtensionsAndDatasetSpec extends SparkSpec {
 
-  test("native kernels are callable from SQL via SparkSessionExtensions") {
-    // session already exists (shared across suites) → register through the
-    // same injection path on a derived session
-    val ext = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    val row = ext.sql(
+  test("native kernels are callable from SQL via GraftExtensions") {
+    // a shared session may already exist (withExtensions only applies at
+    // build time) → use the existing-session registration path
+    GraftExtensions.register(spark)
+    val row = spark.sql(
       """SELECT simhash64('the quick brown fox') AS sh,
         |       size(minhash_sig('a b c d e', 8, 2)) AS k,
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
