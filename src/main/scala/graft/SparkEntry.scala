@@ -346,6 +346,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // rows-only: embedding-cosine near-dup pairs via SRP-LSH buckets
+    "qe05_embedding_neardups" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id",
+        "embedding", minCosine = 0.95, nPlanes = 8, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // rows-only: LSH-bucketed approximate k-NN (the 100 TB scale path)
     "qe03_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * fuzziness: exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
   * bucket-join), SimHash, and n-gram Jaccard verification.
   *
+  * Algorithms per the published literature: MinHash resemblance (Broder,
+  * "On the resemblance and containment of documents", 1997), LSH banding
+  * (Indyk & Motwani 1998; Leskovec/Rajaraman/Ullman, "Mining of Massive
+  * Datasets" ch. 3), SimHash (Charikar, STOC 2002; Manku et al., WWW 2007
+  * for web-scale near-dup detection).
+  *
   * Scale design: signatures are computed per-row with higher-order array
   * functions (narrow, no explode ⇒ no row blow-up before the shuffle); the
   * only shuffles are the final groupBy/join on hash keys, which partition

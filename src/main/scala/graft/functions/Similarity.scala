@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over embedding columns (`array<float>`).
+/** Similarity search over embedding columns (`array<float>`). The
+  * approximate path uses signed-random-projection LSH for cosine
+  * (Charikar, STOC 2002: P[collision] = 1 − θ/π per hyperplane).
   *
   * Baseline: brute-force cosine top-k (exact; broadcast the query side so
   * the corpus scan stays narrow). Scale path: signed-random-projection LSH

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language ID, document
-  * fingerprinting. All are built from codegen'd `org.apache.spark.sql.
+  * fingerprinting — the heuristic-filter family used by public LLM corpus
+  * pipelines (C4: Raffel et al. 2020; Gopher/MassiveText: Rae et al.
+  * 2021). All are built from codegen'd `org.apache.spark.sql.
   * functions` / higher-order array functions — no UDFs — so they stay
   * narrow (no shuffle) and scale linearly with input splits: at 100 TB each
   * is a single map-stage over the parquet scan.

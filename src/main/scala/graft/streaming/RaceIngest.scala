@@ -44,6 +44,18 @@ object RaceIngest {
       }
       .start()
 
+  /** Exactly-once read view over the at-least-once sink: the reference
+    * ignores `batchId` and can duplicate rows on replay (spark_ingestion
+    * .py:116–125; SURVEY.md §4 "exactly-once: not achieved"). Because
+    * [[startParquetSink]] stamps every row with its batch id, replayed
+    * batches are identifiable and a keyed read-side dedup (keep the first
+    * batch per natural key) restores exactly-once semantics without
+    * coordinating writers.
+    */
+  def readExactlyOnce(spark: org.apache.spark.sql.SparkSession, path: String,
+      naturalKey: Seq[String] = Seq("session_key", "driver_number")): DataFrame =
+    F1Ops.firstWinsDedup(spark.read.parquet(path), naturalKey, Seq(col("batch_id")))
+
   /** Kafka source wiring (S1; reference: spark_ingestion.py:80–88). Not
     * exercised in tests (no broker in the harness) but the full production
     * entry point: earliest offsets + tolerate data loss, exactly as the
