@@ -264,6 +264,41 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    "q26_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(money(revenue).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q27_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(money(revenue))
+        .orderBy(col("l_returnflag"))),
+
+    "q28_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "q29_scalar_battery" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("pri_digit"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        abs(col("o_totalprice") - 200000.0d).as("price_dist"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"))
+        .orderBy(col("o_orderkey"))),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -539,6 +574,40 @@ object SparkEntry {
         |SELECT label, COUNT(*) AS n, CAST(SUM(norm) AS DOUBLE) AS total_norm,
         |  ROUND(CAST(SUM(norm) AS DOUBLE) / COUNT(*), 6) AS avg_norm
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
+
+    "q26_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_semi_join" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q29_scalar_battery" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  regexp_extract(o_orderpriority, '(\d+)', 1) AS pri_digit,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri,
+        |  abs(o_totalprice - 200000.0) AS price_dist,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "qd01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -60,4 +60,28 @@ object CatalogOps {
   /** Persist a dim snapshot (overwrite — the dim is tiny by design). */
   def saveDim(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Persist a fact table partitioned by a (low-cardinality, pruned-on)
+    * column — at 100 TB the partition column is what turns a full scan
+    * into partition pruning for date/session-scoped queries.
+    */
+  def saveFactPartitioned(df: DataFrame, table: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Persist bucketed by join key: two tables bucketed the same way join
+    * WITHOUT a shuffle (Exchange elided; asserted in tests). This is the
+    * co-located-join strategy for repeated large-table joins at scale —
+    * pay the shuffle once at write time, never at read time.
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

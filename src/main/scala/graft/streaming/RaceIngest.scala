@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.ops.F1Ops
 
@@ -104,6 +104,49 @@ object RaceIngest {
       .format("console")
       .option("truncate", "false")
       .start()
+
+  /** A driver's live championship state. */
+  case class DriverTotals(driver_number: String, points: Long, wins: Long, races: Long)
+
+  /** Custom stateful streaming (`mapGroupsWithState`): per-driver running
+    * championship totals maintained across micro-batches — the live
+    * version of the serving-layer standings (the reference recomputes them
+    * from Postgres on every page load; here state is incremental,
+    * partitioned by driver, and checkpointed by the engine). Update mode:
+    * each batch emits the new totals of drivers that scored.
+    */
+  def runningTotals(scored: Dataset[(String, Int)]): Dataset[DriverTotals] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_._1)
+      .mapGroupsWithState[DriverTotals, DriverTotals](GroupStateTimeout.NoTimeout) {
+        (driver: String, rows: Iterator[(String, Int)], state: GroupState[DriverTotals]) =>
+          val prev = state.getOption.getOrElse(DriverTotals(driver, 0L, 0L, 0L))
+          val batch = rows.toSeq
+          val next = DriverTotals(
+            driver,
+            prev.points + batch.map(_._2.toLong).sum,
+            prev.wins + batch.count(_._2 == 25),
+            prev.races + batch.size)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: full pipeline → running totals, started on a memory sink
+    * in update mode.
+    */
+  def startRunningTotals(raw: DataFrame, queryName: String): StreamingQuery = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val scored = transform(raw)
+      .select(col("driver_number"), col("points"))
+      .as[(String, Int)]
+    runningTotals(scored).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 
   /** Windowed event-time aggregation with watermark — the streaming-state
     * generalization the reference lacks (SURVEY.md §2.7 T8): tumbling

@@ -33,6 +33,43 @@ class CatalogAndPlanSpec extends SparkSpec {
       ("1", "Max Verstappen"), ("16", "Charles"), ("44", "Lewis")))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import graft.ops.CatalogOps
+    CatalogOps.saveBucketed(Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity"), "li_bucketed", "l_orderkey", 4)
+    CatalogOps.saveBucketed(Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "ord_bucketed", "l_orderkey", 4)
+    // disable broadcast so the join strategy is decided by the bucket
+    // layout (at real scale neither side would fit a broadcast anyway)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+  }
+
+  test("partitioned fact write enables partition pruning") {
+    import graft.ops.CatalogOps
+    CatalogOps.saveFactPartitioned(
+      Tables.lineitem(spark, sf0001)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .select("l_orderkey", "l_quantity", "ship_year"),
+      "li_part", "ship_year")
+    val q = spark.table("li_part").filter(col("ship_year") === 2000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"),
+      s"no partition pruning:\n$plan")
+    assert(q.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS li_part")
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00", "view", 1L, 5.0)))
   }
 
+  test("mapGroupsWithState maintains running championship totals across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = RaceIngest.startRunningTotals(ms.toDF(), "totals")
+
+    ms.addData(msg1) // driver 1 wins GP1: 25 pts
+    q.processAllAvailable()
+    val after1 = spark.table("totals")
+      .select("driver_number", "points", "wins", "races")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(after1 === Set(("1", 25L, 1L, 1L)))
+
+    // GP2: driver 11 P2 (18 pts); driver 1's state must persist untouched
+    ms.addData(msg2)
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("totals")
+      .groupBy("driver_number")
+      .agg(max("points").as("points"), max("wins").as("wins"), max("races").as("races"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(latest === Set(("1", 25L, 1L, 1L), ("11", 18L, 0L, 1L)))
+  }
+
   test("kafka record shape: key = driver_number, value = JSON (S4/S6)") {
     val df = Seq(("44", "Bahrain", 15)).toDF("driver_number", "grand_prix", "points")
     val rec = RaceIngest.toKafkaRecords(df).as[(String, String)].head()
