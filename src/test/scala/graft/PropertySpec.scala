@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{Dedup, NativeExpressions}
+import graft.ops.F1Ops
+
+/** Property-based invariants (SURVEY.md §5.3): the points function's
+  * codomain, permutation-invariance of standings aggregates, dedup
+  * idempotence, jaccard bounds/symmetry, simhash locality symmetry.
+  * ScalaCheck generators sampled driver-side, evaluated in Spark batches.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ValidPoints = Set(0, 1, 2, 4, 6, 8, 10, 12, 15, 18, 25)
+
+  test("pointsLadder codomain is exactly the F1 scoring set for ANY position") {
+    val positions = Gen.listOfN(200,
+      Gen.oneOf(Gen.choose(-5, 30), Gen.const(Int.MaxValue))).sample.get
+    val got = positions.toDF("position")
+      .select(F1Ops.pointsLadder(col("position")).as("p")).as[Int].collect()
+    assert(got.forall(ValidPoints.contains))
+  }
+
+  test("standings totals are invariant under row permutation") {
+    val rows = Gen.listOfN(120, for {
+      drv <- Gen.oneOf("1", "11", "44", "16", "55")
+      pos <- Gen.choose(1, 20)
+    } yield (drv, pos)).sample.get
+    def totals(rs: Seq[(String, Int)]) =
+      rs.toDF("driver_number", "position")
+        .withColumn("points", F1Ops.pointsLadder(col("position")))
+        .groupBy("driver_number").agg(sum("points").as("pts"))
+        .orderBy("driver_number").as[(String, Long)].collect().toSeq
+    val shuffled = scala.util.Random.shuffle(rows)
+    assert(totals(rows) === totals(shuffled))
+  }
+
+  test("firstWinsDedup is idempotent and keeps exactly one row per key") {
+    val rows = Gen.listOfN(150, for {
+      k <- Gen.choose(0, 20)
+      v <- Gen.choose(0, 1000)
+    } yield (k.toLong, v.toLong)).sample.get
+    val df = rows.toDF("k", "v")
+    val once = F1Ops.firstWinsDedup(df, Seq("k"), Seq(col("v"), col("k")))
+    val twice = F1Ops.firstWinsDedup(once, Seq("k"), Seq(col("v"), col("k")))
+    assert(once.count() === df.select("k").distinct().count())
+    assert(once.orderBy("k", "v").collect().toSeq ===
+      twice.orderBy("k", "v").collect().toSeq)
+  }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private val docGen: Gen[String] = Gen.chooseNum(4, 30)
+    .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("jaccard ∈ [0,1], symmetric, and 1 iff same shingle set") {
+    val docs = Gen.listOfN(12, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sh = docs.select(col("id"), Dedup.wordShingles(col("text"), 2).as("g"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .select(
+        Dedup.jaccard(col("a.g"), col("b.g")).as("jab"),
+        Dedup.jaccard(col("b.g"), col("a.g")).as("jba"),
+        (col("a.id") === col("b.id")).as("same"))
+      .as[(Double, Double, Boolean)].collect()
+    assert(pairs.forall { case (jab, _, _) => jab >= 0.0 && jab <= 1.0 })
+    assert(pairs.forall { case (jab, jba, _) => jab == jba })
+    assert(pairs.forall { case (jab, _, same) => !same || jab == 1.0 })
+  }
+
+  test("simhash hamming distance is a symmetric premetric bounded by 64") {
+    val docs = Gen.listOfN(10, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sig = docs.select(col("id"), Dedup.simHash64("text").as("s"))
+    val h = sig.as("a").crossJoin(sig.as("b"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.hamming64(col("a.s"), col("b.s")).as("h"),
+        Dedup.hamming64(col("b.s"), col("a.s")).as("h2"),
+        (col("a.id") === col("b.id")).as("same"))
+      .as[(Long, Long, Int, Int, Boolean)].collect()
+    assert(h.forall { case (_, _, d, d2, _) => d == d2 && d >= 0 && d <= 64 })
+    assert(h.forall { case (_, _, d, _, same) => !same || d == 0 })
+  }
+
+  test("minhash signature equality probability tracks jaccard (planted check)") {
+    // identical docs → identical signatures; disjoint docs → (overwhelmingly)
+    // different signatures
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "text")
+    val sig = df.select(col("id"),
+      NativeExpressions.minhashSig(col("text"), 16, 2).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(0L) === sig(1L))
+    assert(sig(0L) !== sig(2L))
+  }
+}
