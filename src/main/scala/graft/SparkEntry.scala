@@ -331,6 +331,23 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // end-to-end corpus-cleaning pipeline: quality gate → langid tag →
+    // exact dedup (keep smallest id per normalized fingerprint) → stats
+    // per predicted language. The composed training-data workload.
+    "qd10_corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = docs
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 20)
+      val tagged = TextAnalysis.withLangId(quality, "text", "lang_pred")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = F1Ops.firstWinsDedup(tagged, Seq("fp"), Seq(col("doc_id")))
+      deduped.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("lang_pred"))
+    }),
+
     // ---- extensions: near-dedup -------------------------------------
     "qd06_ngram_jaccard_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
@@ -392,6 +409,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshJoin(emb.filter(col("vec_id") < 5), emb, "vec_id",
         "embedding", k = 3, nPlanes = 4, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
+    // rows-only: IVF ANN (learned centroids; nProbe=2 of 8 cells)
+    "qe06_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 8)
+      Similarity.Ivf.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
+        "embedding", centroids, k = 3, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
@@ -650,6 +677,39 @@ object SparkEntry {
     "qd05_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qd10_corpus_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        |t AS (
+        |  SELECT doc_id, n_tokens,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id, n_tokens, fp,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','is','with'))) AS en,
+        |    len(list_filter(w, x -> x IN ('le','la','les','et','des','une'))) AS fr,
+        |    len(list_filter(w, x -> x IN ('el','los','las','y','una','para'))) AS es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','nicht','ein'))) AS de
+        |  FROM t),
+        |lang AS (
+        |  SELECT doc_id, n_tokens, fp, CASE
+        |    WHEN GREATEST(en, fr, es, de) = 0 THEN 'und'
+        |    WHEN en = GREATEST(en, fr, es, de) THEN 'en'
+        |    WHEN fr = GREATEST(en, fr, es, de) THEN 'fr'
+        |    WHEN es = GREATEST(en, fr, es, de) THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM s),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM lang) WHERE rn = 1)
+        |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM dedup GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
 
     "qd06_ngram_jaccard_topk" ->
       s"""WITH sh AS (

@@ -126,6 +126,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN index: k-means centroids partition the
+    * corpus into cells; a query probes only the `nProbe` nearest cells.
+    * Complements [[annLshJoin]]: IVF adapts to the data distribution
+    * (learned centroids) where SRP-LSH is data-oblivious. Centroids come
+    * from MLlib KMeans (seeded — deterministic); assignment and search are
+    * plain DataFrame ops, no UDFs.
+    *
+    * At 100 TB: `fit` runs on a sample, `assign` is a narrow map with the
+    * centroid matrix broadcast, and search is an equi-join on cell id —
+    * the corpus is re-read once per query batch, never per query.
+    */
+  object Ivf {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    /** Learned centroids as a small DataFrame (cell_id, centroid). */
+    def fit(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val feats = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+        .fit(feats)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell_id", "centroid")
+    }
+
+    /** Assign each row to its nearest centroid (broadcast argmin — narrow). */
+    def assign(df: DataFrame, vecCol: String, centroids: DataFrame,
+        out: String = "cell_id"): DataFrame = {
+      val w = Window.partitionBy(col("__rid")).orderBy(col("__dist"), col("cell_id"))
+      df.withColumn("__rid", monotonically_increasing_id())
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", -dot(asDouble(col(vecCol)), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn(out, col("cell_id"))
+        .drop(Seq("__rid", "__dist", "__rn", "centroid") ++
+          (if (out == "cell_id") Nil else Seq("cell_id")): _*)
+    }
+
+    /** Probe-and-rank: queries search only their `nProbe` nearest cells. */
+    def search(queries: DataFrame, corpus: DataFrame, idCol: String,
+        vecCol: String, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__dist"), col("cell_id"))
+      val probes = queries
+        .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__dist", -dot(col("__qv"), col("centroid")))
+        .withColumn("__rn", row_number().over(wProbe))
+        .filter(col("__rn") <= nProbe)
+        .select(col("query_id"), col("__qv"), col("cell_id"))
+      val cells = assign(
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v")),
+        "__v", centroids)
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cells.join(broadcast(probes), Seq("cell_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", round(cosine(col("__v"), col("__qv")), 6))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
+  }
+
   /** Embedding-cosine near-dup pairs (dedup by embedding): SRP buckets →
     * within-bucket pairs with cosine ≥ threshold. Approximate by design;
     * exact variant is the knnJoin filtered by threshold.

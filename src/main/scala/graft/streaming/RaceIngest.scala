@@ -105,6 +105,15 @@ object RaceIngest {
       .option("truncate", "false")
       .start()
 
+  /** Stream-static enrichment: join the live stream against the drivers
+    * dimension in-stream (the reference defers this join to serving time —
+    * streamlit-app.py:41; doing it in the stream makes the sink
+    * immediately queryable). Static side broadcast per micro-batch; the
+    * stream stays narrow.
+    */
+  def transformEnriched(raw: DataFrame, drivers: DataFrame): DataFrame =
+    F1Ops.enrichWithDim(transform(raw), drivers, "driver_number")
+
   /** A driver's live championship state. */
   case class DriverTotals(driver_number: String, points: Long, wins: Long, races: Long)
 

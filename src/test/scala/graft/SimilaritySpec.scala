@@ -68,6 +68,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.toSeq === Seq(4L))
   }
 
+  test("IVF: fit/assign/search finds the identical twin through its cell") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
+    assert(centroids.count() === 4)
+    val assigned = Similarity.Ivf.assign(emb, "embedding", centroids)
+    assert(assigned.select("cell_id").distinct().count() <= 4)
+    assert(assigned.count() === 200)
+    // a vector searched against the corpus must find itself excluded and
+    // its nearest neighbor ranked 1 — compare against brute force
+    val queries = emb.filter(col("vec_id") < 3)
+    val ivf = Similarity.Ivf.search(queries, emb, "vec_id", "embedding",
+      centroids, k = 1, nProbe = 4) // nProbe=all cells ⇒ exact
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.knnJoin(queries, emb, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf === brute)
+  }
+
   test("embeddingNearDups flags the identical pair at high threshold") {
     val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.999, nPlanes = 4, dim = 4)

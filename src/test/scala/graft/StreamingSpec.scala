@@ -74,6 +74,23 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:05:00", "view", 1L, 5.0)))
   }
 
+  test("stream-static join enriches in-stream with the drivers dim") {
+    implicit val ctx = spark.sqlContext
+    val drivers = Seq(("1", "Max Verstappen", "u1"))
+      .toDF("driver_number", "driver_name", "headshot_url")
+    val ms = MemoryStream[String]
+    ms.addData(msg1)
+    val q = RaceIngest.transformEnriched(ms.toDF(), drivers)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("enriched")
+      .select("driver_number", "driver_name", "points")
+      .as[(String, String, Int)].head()
+    assert(row === (("1", "Max Verstappen", 25)))
+  }
+
   test("mapGroupsWithState maintains running championship totals across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[String]
