@@ -299,6 +299,17 @@ object SparkEntry {
         dayofmonth(col("o_orderdate")).as("o_day"))
         .orderBy(col("o_orderkey"))),
 
+    "q30_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -635,6 +646,13 @@ object SparkEntry {
         |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  CAST(day(o_orderdate) AS INTEGER) AS o_day
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q30_percentiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "qd01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies

@@ -35,4 +35,16 @@ object Tables {
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so the whole surface is
+    * reachable from pure SQL (`spark.sql("SELECT … FROM lineitem")`).
+    */
+  def createTempViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, sfDir) else load(spark, sfDir, name)
+      df.createOrReplaceTempView(name)
+    }
 }

@@ -70,6 +70,16 @@ class CatalogAndPlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_part")
   }
 
+  test("temp views make the full surface reachable from pure SQL") {
+    import spark.implicits._
+    Tables.createTempViews(spark, sf0001)
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"""
+    ).as[Long].head()
+    assert(n === 6000L)
+    assert(spark.sql("SELECT date_trunc('hour', ts) FROM events LIMIT 1").count() === 1)
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
