@@ -394,6 +394,26 @@ object SparkEntry {
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // rows-only: multimodal plumbing — documents' bytes stand in for
+    // media payloads; stub decode → fixed-width features (deterministic)
+    "qm01_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("bytes"),
+          lit(640).as("width").cast("int"), lit(480).as("height").cast("int"))
+        .as[(Long, String, Array[Byte], Int, Int)]
+        .map { case (id, kind, bytes, w, h) =>
+          graft.multimodal.Multimodal.MediaRow(id, kind, bytes, Some(w), Some(h), None, None)
+        }
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("media_id"), col("decode_ok"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 2), 4).as("f1"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- extensions: similarity search ------------------------------
     "qe01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
