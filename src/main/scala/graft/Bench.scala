@@ -15,9 +15,11 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_standings", "q02_points_ladder", "q08_fact_dim_join",
     "q09_dedup_first", "q18_rank_standings",
-    "q21_region_rollup", "q22_window_monthly",
+    "q21_region_rollup", "q22_window_monthly", "q26_rollup",
+    "q31_topk_per_group",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
+    "qd10_corpus_pipeline",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qs01_hourly_events", "qs02_sessionize")
 

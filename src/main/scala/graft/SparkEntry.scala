@@ -299,6 +299,17 @@ object SparkEntry {
         dayofmonth(col("o_orderdate")).as("o_day"))
         .orderBy(col("o_orderkey"))),
 
+    // top-k per group — the per-GP podium generalized (window + limit-k)
+    "q31_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("l_suppkey"), col("rnk"), col("l_orderkey"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rnk"))
+    }),
+
     "q30_percentiles" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -666,6 +677,14 @@ object SparkEntry {
         |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  CAST(day(o_orderdate) AS INTEGER) AS o_day
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q31_topk_per_group" ->
+      """SELECT l_suppkey, rnk, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin,
 
     "q30_percentiles" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -114,6 +114,25 @@ class StreamingSpec extends SparkSpec {
     assert(latest === Set(("1", 25L, 1L, 1L), ("11", 18L, 0L, 1L)))
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark collapses replays in-stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = ms.toDF().toDF("ts", "driver_number")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("driver_number")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    ms.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "44"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "44"), // dup in window
+      (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), "1"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").select("driver_number")
+      .as[String].collect().sorted
+    assert(got.toSeq === Seq("1", "44"))
+  }
+
   test("kafka record shape: key = driver_number, value = JSON (S4/S6)") {
     val df = Seq(("44", "Bahrain", 15)).toDF("driver_number", "grand_prix", "points")
     val rec = RaceIngest.toKafkaRecords(df).as[(String, String)].head()
