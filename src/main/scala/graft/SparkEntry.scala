@@ -218,7 +218,9 @@ object SparkEntry {
 
     "q23_anti_join" -> ((s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
@@ -603,7 +605,8 @@ object SparkEntry {
 
     "q23_anti_join" ->
       """SELECT c.c_custkey, c.c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c.c_custkey""".stripMargin,
 
     "q24_union" ->
