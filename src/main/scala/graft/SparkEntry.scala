@@ -323,6 +323,13 @@ object SparkEntry {
           max(col("o_totalprice")).as("max_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // rows-only: HLL sketch distinct counts (engine-specific sketches —
+    // accuracy vs exact is ScalaTest-asserted instead of oracle-compared)
+    "qa01_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        approx_count_distinct("l_partkey").as("approx_parts"))),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
