@@ -19,7 +19,7 @@ object Bench {
     "q31_topk_per_group",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
-    "qd10_corpus_pipeline",
+    "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qs01_hourly_events", "qs02_sessionize")
 
@@ -36,10 +36,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // a failing query must NOT silently improve the total: record the name
+    // and report -1 for it instead of its (near-zero) elapsed time
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        failed += name
+        System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // two interleaved passes, min per query: the harness host shows
@@ -47,13 +54,16 @@ object Bench {
     // samples a full sweep apart keeps at least one outside a burst
     val names = headline.filter(n => filter.forall(_.findFirstIn(n).isDefined))
       .filter(SparkEntry.queries.contains)
-    val pass1 = names.map(n => n -> once(SparkEntry.queries(n)))
-    val pass2 = names.map(n => n -> once(SparkEntry.queries(n))).toMap
-    val results = pass1.map { case (n, t) => n -> math.min(t, pass2(n)) }
+    val pass1 = names.map(n => n -> once(n, SparkEntry.queries(n)))
+    val pass2 = names.map(n => n -> once(n, SparkEntry.queries(n))).toMap
+    val results = pass1.map { case (n, t) =>
+      n -> (if (failed(n)) -1.0 else math.min(t, pass2(n)))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

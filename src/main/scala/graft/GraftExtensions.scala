@@ -31,6 +31,8 @@ object GraftExtensions {
       ShingleHashesExpr(args.head, ext.intArg(args(1), "n")))
     registerTempFunction(spark, "sorted_jaccard", args =>
       SortedJaccardExpr(args.head, args(1)))
+    registerTempFunction(spark, "minhash_sig_md5", args =>
+      PortableMinHashExpr(args.head, ext.intArg(args(1), "k"), ext.intArg(args(2), "n")))
   }
 }
 
@@ -74,5 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_jaccard",
         "sorted_jaccard(a, b) - Jaccard similarity of two sorted distinct long arrays"),
       (args: Seq[Expression]) => SortedJaccardExpr(args.head, args(1))))
+
+    // NearestCellsExpr is deliberately NOT SQL-registered: its centroid
+    // matrix is runtime data (a fitted model), not a literal a SQL call
+    // site could express.
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_md5"),
+      info("minhash_sig_md5",
+        "minhash_sig_md5(text, k, n) - engine-portable md5 MinHash signature over word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        PortableMinHashExpr(args.head, intArg(args(1), "k"), intArg(args(2), "n"))))
   }
 }

@@ -65,6 +65,10 @@ object SparkEntry {
   private val duckShingles2 =
     """list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"""
 
+  /** DuckDB 3-word-shingle set, mirroring [[Dedup.wordShingles]](n=3). */
+  private val duckShingles3 =
+    """list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"""
+
   private val duckCos =
     "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 
@@ -167,11 +171,14 @@ object SparkEntry {
         .withColumn("season_status", F1Ops.seasonComplete(col("total_gps"), 22))
         .select(col("season_status"), col("total_gps"))),
 
+    // two-phase global rank (RankOps) — no single-partition WindowExec,
+    // so the standings rank survives at any supplier cardinality
     "q18_rank_standings" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey"))
-        .agg(sum(F1Ops.pointsLadder(col("l_linenumber"))).as("season_points"))
-        .withColumn("rnk", rank().over(Window.orderBy(col("season_points").desc)))
+      graft.ops.RankOps.globalRank(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(F1Ops.pointsLadder(col("l_linenumber"))).as("season_points")),
+        col("season_points").desc, out = "rnk")
         .orderBy(col("rnk"), col("l_suppkey"))),
 
     "q19_wins_join_default" -> ((s, d) => {
@@ -330,6 +337,19 @@ object SparkEntry {
         approx_count_distinct("l_orderkey").as("approx_orders"),
         approx_count_distinct("l_partkey").as("approx_parts"))),
 
+    // rows-only: KLL-sketch percentiles — the scale path beside q30's
+    // exact percentile (exact needs the full value multiset per group;
+    // the sketch is fixed-size, mergeable, one pass). Error bound vs
+    // exact is ScalaTest-asserted (PropertySpec accuracy contract).
+    "qa02_approx_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("med_approx"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"))
+        .orderBy(col("o_orderstatus"))),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -405,11 +425,21 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: full MinHash-LSH near-dup pipeline (fast xxhash path).
-    // 3-shingles + 4 bands of 4 → LSH threshold (1/b)^(1/r) ≈ 0.71: tight
-    // enough that a common-vocabulary corpus doesn't flood the candidate
-    // join (bands=8/r=2 admitted ~1% of ALL pairs here).
+    // full MinHash-LSH near-dup pipeline, oracle-checked end to end: the
+    // portable md5 signature path (native kernel == the DuckDB-expressible
+    // HOF form) so signatures, banding, candidate join AND verification
+    // all replay in SQL. 3-shingles + 4 bands of 4 → LSH threshold
+    // (1/b)^(1/r) ≈ 0.71: tight enough that a common-vocabulary corpus
+    // doesn't flood the candidate join (bands=8/r=2 admitted ~1% of ALL
+    // pairs here).
     "qd09_minhash_neardups" -> ((s, d) =>
+      Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // rows-only: same pipeline on the xxhash64 fast path (the production
+    // signature at scale — Spark-internal hashes, no SQL equivalent)
+    "qd11_minhash_neardups_fast" -> ((s, d) =>
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
@@ -418,19 +448,42 @@ object SparkEntry {
     // media payloads; stub decode → fixed-width features (deterministic)
     "qm01_media_features" -> ((s, d) => {
       import s.implicits._
+      // plain select into the MediaRow shape — no typed .map, so the
+      // payload never takes an extra encoder round-trip before the seam
       val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), lit("image").as("kind"),
           col("text").cast("binary").as("bytes"),
-          lit(640).as("width").cast("int"), lit(480).as("height").cast("int"))
-        .as[(Long, String, Array[Byte], Int, Int)]
-        .map { case (id, kind, bytes, w, h) =>
-          graft.multimodal.Multimodal.MediaRow(id, kind, bytes, Some(w), Some(h), None, None)
-        }
+          lit(640).cast("int").as("width"), lit(480).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames"))
+        .as[graft.multimodal.Multimodal.MediaRow]
       graft.multimodal.Multimodal.extractFeatures(media)
         .toDF()
         .select(col("media_id"), col("decode_ok"),
           round(element_at(col("feature"), 1), 4).as("f0"),
           round(element_at(col("feature"), 2), 4).as("f1"))
+        .orderBy(col("media_id"))
+    }),
+
+    // rows-only: REAL image decode through the multimodal seam — encode a
+    // deterministic PNG per doc, decode it with javax.imageio (an actual
+    // JDK codec, not the stub), surface raster dims + luminance-histogram
+    // features. Exact feature values are MultimodalSpec-asserted.
+    "qm02_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 64)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "image",
+            graft.multimodal.Multimodal.syntheticPng(id, 8 + (id % 8).toInt, 8),
+            None, None, None, None)
+        }
+      graft.multimodal.Multimodal.decodeImages(media)
+        .toDF()
+        .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 16), 4).as("f15"))
         .orderBy(col("media_id"))
     }),
 
@@ -449,11 +502,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // rows-only: embedding-cosine near-dup pairs via SRP-LSH buckets
-    "qe05_embedding_neardups" -> ((s, d) =>
-      Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id",
+    // rows-only: embedding-cosine near-dup pairs via SRP-LSH buckets.
+    // The raw fixture has no true near-dups at 0.95, so the query plants
+    // them: a jittered copy of vec_id<3 (per-element scale ±0.5%, cosine
+    // ≈ 0.99997 to the original) unioned in under offset ids — the entry
+    // must return the planted pairs, so an empty result is a failure, not
+    // a vacuous pass (recall vs exact pairs is SimilaritySpec-asserted).
+    "qe05_embedding_neardups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val jittered = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * 0.005d))
+            .as("embedding"))
+      Similarity.embeddingNearDups(emb.unionByName(jittered), "vec_id",
         "embedding", minCosine = 0.95, nPlanes = 8, dim = 64)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // rows-only: LSH-bucketed approximate k-NN (the 100 TB scale path)
     "qe03_ann_lsh" -> ((s, d) => {
@@ -485,8 +551,9 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd09, qe03) are rows-only checks by design:
-  // they depend on Spark-internal xxhash64/LSH planes with no DuckDB
+  // Keys absent here (qd08, qd11, qe03, qe05, qe06, qm01/qm02, qa01/qa02)
+  // are rows-only checks by design: they depend on Spark-internal
+  // xxhash64/LSH planes/sketches/learned centroids with no DuckDB
   // equivalent; their semantics are ScalaTest-verified instead.
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
@@ -547,9 +614,14 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // to_json both sides: DuckDB escapes like Spark; the CASE mirrors
+    // Spark's null-field omission (DuckDB keeps "event_type":null)
     "q14_json_encode" ->
       """SELECT event_id,
-        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS payload
+        |  CASE WHEN event_type IS NULL
+        |    THEN to_json(struct_pack(event_id := event_id))::VARCHAR
+        |    ELSE to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR
+        |  END AS payload
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q15_cast_roundtrip" ->
@@ -703,9 +775,13 @@ object SparkEntry {
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // fingerprint = md5 of lowercase whitespace-collapsed text — the same
+    // canonicalization exactDedup keys on
     "qd01_exact_dedup" ->
-      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "qd02_token_count" ->
       """SELECT doc_id,
@@ -799,6 +875,48 @@ object SparkEntry {
          |SELECT doc_id,
          |$mhCols
          |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    // the whole MinHash-LSH pipeline in SQL: portable md5 signatures →
+    // 4 bands of 4 → bucket self-join → exact-Jaccard verification.
+    // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
+    // minHashNearDups} stage for stage.
+    "qd09_minhash_neardups" -> {
+      val mhCols = (0 until 16)
+        .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+        .mkString(",\n")
+      val bandCols = (0 until 4)
+        .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+        .mkString(",\n")
+      val ebUnion = (0 until 4)
+        .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM bands")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $duckShingles3 AS g
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+         |sig AS (
+         |  SELECT doc_id,
+         |$mhCols
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id,
+         |$bandCols
+         |  FROM sig),
+         |eb AS (
+         |$ebUnion),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM eb a JOIN eb b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(sa.g, sb.g))
+         |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1) AS j
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM ver
+         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
     },
 
     "qe01_cosine_topk" ->

@@ -38,9 +38,13 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Exact-dup group summary: hash → keeper id + copy count. */
+  /** Exact-dup group summary: hash → keeper id + copy count. Uses the same
+    * normalized fingerprint as [[exactDedup]] (lowercase, whitespace-
+    * collapsed), so the group summary agrees with the dedup decision for
+    * copies differing only in case/whitespace.
+    */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   // ------------------------------------------------------------ shingles
@@ -71,23 +75,30 @@ object Dedup {
     */
   def withMinHash(df: DataFrame, textCol: String, k: Int, shingleN: Int,
       portable: Boolean = false): DataFrame = {
-    val sh = wordShingles(col(textCol), shingleN)
-    if (portable) {
-      val withSh = df.withColumn("__sh", sh)
-      val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
-        acc.withColumn(s"mh$j",
-          array_min(transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))))
-      }
-      sig.drop("__sh")
-    } else {
-      // fast path: native one-pass k-permutation kernel
-      val withSig = df.withColumn("__sig",
-        NativeExpressions.minhashSig(col(textCol), k, shingleN))
-      val sig = (0 until k).foldLeft(withSig) { (acc, j) =>
-        acc.withColumn(s"mh$j", col("__sig").getItem(j))
-      }
-      sig.drop("__sig")
+    val sig = if (portable)
+      NativeExpressions.portableMinhashSig(col(textCol), k, shingleN)
+    else
+      NativeExpressions.minhashSig(col(textCol), k, shingleN)
+    val withSig = df.withColumn("__sig", sig)
+    val named = (0 until k).foldLeft(withSig) { (acc, j) =>
+      acc.withColumn(s"mh$j", col("__sig").getItem(j))
     }
+    named.drop("__sig")
+  }
+
+  /** HOF executable spec of the `portable=true` path of [[withMinHash]]
+    * (md5 over word-shingle strings). DedupSpec asserts byte equality with
+    * the native kernel; kept because the HOF form IS the DuckDB oracle
+    * formulation, column for column.
+    */
+  def withMinHashPortableHOF(df: DataFrame, textCol: String, k: Int,
+      shingleN: Int): DataFrame = {
+    val withSh = df.withColumn("__sh", wordShingles(col(textCol), shingleN))
+    val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
+      acc.withColumn(s"mh$j",
+        array_min(transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))))
+    }
+    sig.drop("__sh")
   }
 
   /** LSH banding: k signature columns → `bands` band-hash columns
@@ -125,8 +136,8 @@ object Dedup {
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      minJaccard: Double = 0.7): DataFrame = {
-    val sig = withLshBands(withMinHash(df, textCol, k, shingleN), k, bands)
+      minJaccard: Double = 0.7, portable: Boolean = false): DataFrame = {
+    val sig = withLshBands(withMinHash(df, textCol, k, shingleN, portable), k, bands)
     val pairs = lshCandidatePairs(sig, idCol, bands)
     // verification uses sorted shingle-hash arrays (8 B/shingle, linear-
     // merge jaccard) — same hash chain as the signatures, so the exact
@@ -155,9 +166,12 @@ object Dedup {
     * kept as the executable spec the native kernel is tested against).
     */
   def simHash64HOF(textCol: String): Column = {
+    // filter(…, t -> t != '') drops the [''] that split returns for
+    // empty/whitespace-only input, matching the native kernel's
+    // no-tokens → 0L edge case (byte-level tokenizer yields no tokens).
     val votes =
       s"""aggregate(
-         |  split(trim($textCol), '\\\\s+'),
+         |  filter(split(trim($textCol), '\\\\s+'), t -> t != ''),
          |  array_repeat(0L, 64),
          |  (acc, t) -> zip_with(acc,
          |    transform(sequence(0, 63),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted evals (measured: 69 s / 105 s at sf0.1). These kernels do
   * one JVM-tight loop per row instead (measured: >20× faster), the
   * preference-order (b) path of the build rules: a custom `Expression`
-  * before a custom operator, a UDF never.
+  * before a custom operator, a UDF never. Each implements `doGenCode` (a
+  * call into its JVM kernel) rather than `CodegenFallback`, so surrounding
+  * projections stay inside one whole-stage-codegen span instead of being
+  * split around an interpreted island.
   *
   * Hashing matches `functions.xxhash64` exactly (XXH64, seed 42), so the
   * HOF and native paths are interchangeable.
@@ -57,16 +60,17 @@ object NativeExpressions {
 
   /** 64-bit SimHash of a whitespace-tokenized string: per token, vote ±1
     * on each bit of xxhash64(token); simhash bit = sign of the vote.
-    * Identical semantics to the HOF formulation in [[Dedup.simHash64HOF]].
+    * Identical semantics to the HOF formulation in [[Dedup.simHash64HOF]]
+    * (including the empty/whitespace-only edge: no tokens → 0L).
     */
   case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override protected def nullSafeEval(input: Any): Any = {
+    def compute(s: UTF8String): Long = {
       val votes = new Array[Int](64)
-      foreachToken(input.asInstanceOf[UTF8String]) { (base, off, len) =>
+      foreachToken(s) { (base, off, len) =>
         val h = XXH64.hashUnsafeBytes(base, off, len, Seed)
         var b = 0
         while (b < 64) {
@@ -78,6 +82,14 @@ object NativeExpressions {
       var b = 0
       while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
       out
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64Expr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -93,7 +105,7 @@ object NativeExpressions {
     * dedup — min over a multiset equals min over its set.
     */
   case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0 && shingleN > 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
@@ -101,11 +113,11 @@ object NativeExpressions {
     private lazy val as: Array[Long] = Array.tabulate(k)(j => splitmix(2L * j) | 1L)
     private lazy val bs: Array[Long] = Array.tabulate(k)(j => splitmix(2L * j + 1))
 
-    override protected def nullSafeEval(input: Any): Any = {
+    def compute(s: UTF8String): ArrayData = {
       // token hashes first (each token hashed once, reused across shingles)
       var tokenHashes = new Array[Long](16)
       var nTok = 0
-      foreachToken(input.asInstanceOf[UTF8String]) { (base, off, len) =>
+      foreachToken(s) { (base, off, len) =>
         if (nTok == tokenHashes.length)
           tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
         tokenHashes(nTok) = XXH64.hashUnsafeBytes(base, off, len, Seed)
@@ -128,6 +140,118 @@ object NativeExpressions {
       new GenericArrayData(mins)
     }
 
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSigExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Engine-portable MinHash signature: per permutation j the signature is
+    * the lexicographic min over word n-gram shingles of
+    * `md5(shingle || "#j")` as a lowercase-hex string — byte-for-byte the
+    * HOF formulation `array_min(transform(shingles, s → md5(concat(s,
+    * '#j'))))` over [[Dedup.wordShingles]], and expressible in DuckDB as
+    * `list_min(list_transform(g, x → md5(x || '#j')))`, which is what makes
+    * the MinHash-LSH pipeline oracle-checkable. Fewer than `shingleN`
+    * tokens → all-null signature (array_min of an empty array is null).
+    *
+    * The HOF form is the executable spec (DedupSpec asserts equality); this
+    * kernel exists because interpreted per-shingle concat+md5 was measured
+    * 20×+ slower at sf0.1.
+    */
+  case class PortableMinHashExpr(child: Expression, k: Int, shingleN: Int)
+      extends UnaryExpression {
+    require(k > 0 && shingleN > 0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "minhash_sig_md5"
+
+    @transient private lazy val suffixes: Array[Array[Byte]] =
+      Array.tabulate(k)(j => s"#$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    def compute(s: UTF8String): ArrayData = {
+      // materialize token byte slices once (shingles reuse them)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      foreachToken(s) { (base, off, len) =>
+        val b = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        toks += b
+      }
+      val out = new Array[UTF8String](k)
+      val nSh = toks.length - shingleN + 1
+      if (nSh <= 0) return new GenericArrayData(out) // all nulls
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = new Array[Array[Byte]](k)
+      var i = 0
+      while (i < nSh) {
+        // shingle bytes = tokens joined by a single space (concat_ws " ")
+        var len = shingleN - 1
+        var j = 0
+        while (j < shingleN) { len += toks(i + j).length; j += 1 }
+        val sh = new Array[Byte](len)
+        var pos = 0
+        j = 0
+        while (j < shingleN) {
+          if (j > 0) { sh(pos) = ' '; pos += 1 }
+          val t = toks(i + j)
+          System.arraycopy(t, 0, sh, pos, t.length)
+          pos += t.length
+          j += 1
+        }
+        var p = 0
+        while (p < k) {
+          md.reset()
+          md.update(sh)
+          md.update(suffixes(p))
+          val d = md.digest()
+          if (mins(p) == null || unsignedLess(d, mins(p))) mins(p) = d
+          p += 1
+        }
+        i += 1
+      }
+      var p = 0
+      while (p < k) { out(p) = UTF8String.fromString(hex(mins(p))); p += 1 }
+      new GenericArrayData(out)
+    }
+
+    // NB: duplicate shingles need no dedup (min over a multiset == min over
+    // its set), so wordShingles' array_distinct is immaterial here.
+    @inline private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length) {
+        val x = a(i) & 0xff
+        val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      false
+    }
+
+    private def hex(d: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pminhash", this, classOf[PortableMinHashExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -139,15 +263,15 @@ object NativeExpressions {
     * is a linear merge.
     */
   case class ShingleHashesExpr(child: Expression, shingleN: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(shingleN > 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
 
-    override protected def nullSafeEval(input: Any): Any = {
+    def compute(s: UTF8String): ArrayData = {
       var tokenHashes = new Array[Long](16)
       var nTok = 0
-      foreachToken(input.asInstanceOf[UTF8String]) { (base, off, len) =>
+      foreachToken(s) { (base, off, len) =>
         if (nTok == tokenHashes.length)
           tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
         tokenHashes(nTok) = XXH64.hashUnsafeBytes(base, off, len, Seed)
@@ -174,6 +298,14 @@ object NativeExpressions {
       new GenericArrayData(if (w == nSh) out else java.util.Arrays.copyOf(out, w))
     }
 
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleHashesExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -182,13 +314,13 @@ object NativeExpressions {
     * merge — the verification kernel for MinHash-LSH candidates.
     */
   case class SortedJaccardExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sorted_jaccard"
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val xs = a.asInstanceOf[ArrayData].toLongArray()
-      val ys = b.asInstanceOf[ArrayData].toLongArray()
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val xs = a.toLongArray()
+      val ys = b.toLongArray()
       var i = 0
       var j = 0
       var inter = 0
@@ -199,6 +331,14 @@ object NativeExpressions {
       }
       val union = xs.length + ys.length - inter
       if (union == 0) 0.0d else inter.toDouble / union.toDouble
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jaccard", this, classOf[SortedJaccardExpr].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -212,13 +352,13 @@ object NativeExpressions {
     * eval; numerically identical (sequential left-to-right double adds).
     */
   case class VecDotExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val xs = a.asInstanceOf[ArrayData].toDoubleArray()
-      val ys = b.asInstanceOf[ArrayData].toDoubleArray()
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val xs = a.toDoubleArray()
+      val ys = b.toDoubleArray()
       val n = math.min(xs.length, ys.length)
       var acc = 0.0d
       var i = 0
@@ -226,8 +366,83 @@ object NativeExpressions {
       acc
     }
 
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("vecdot", this, classOf[VecDotExpr].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
+  }
+
+  /** The `nProbe` nearest centroids of a double vector by squared Euclidean
+    * distance (matching how MLlib KMeans trains the centroids — ranking by
+    * dot product diverges from the learned Voronoi cells for unnormalized
+    * embeddings), ties broken toward the lower cell id. The centroid matrix
+    * rides inside the expression — serialized once per task with the plan,
+    * the broadcast-small-side pattern expressed as a narrow map: no join,
+    * no shuffle, no row growth, which is what lets IVF assignment survive
+    * 100 TB (the previous crossJoin+window formulation multiplied the
+    * corpus by nCells and shuffled it on a per-row key).
+    *
+    * `||v−c||² = ||v||² − 2v·c + ||c||²`; `||v||²` is constant per row, so
+    * the ranking score is `||c||² − 2v·c` with `||c||²` precomputed.
+    */
+  case class NearestCellsExpr(child: Expression, centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    require(centroids.nonEmpty && n > 0)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_cells"
+
+    @transient private lazy val cNorm2: Array[Double] =
+      centroids.map(c => c.map(x => x * x).sum)
+
+    def compute(v: ArrayData): ArrayData = {
+      val xs = v.toDoubleArray()
+      val m = centroids.length
+      val scores = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        val c = centroids(i)
+        val len = math.min(xs.length, c.length)
+        var dot = 0.0d
+        var j = 0
+        while (j < len) { dot += xs(j) * c(j); j += 1 }
+        scores(i) = cNorm2(i) - 2.0d * dot
+        i += 1
+      }
+      val nn = math.min(n, m)
+      val out = new Array[Int](nn)
+      val used = new Array[Boolean](m)
+      var r = 0
+      while (r < nn) {
+        var best = -1
+        var bestScore = Double.PositiveInfinity
+        i = 0
+        while (i < m) {
+          if (!used(i) && scores(i) < bestScore) { bestScore = scores(i); best = i }
+          i += 1
+        }
+        used(best) = true
+        out(r) = best
+        r += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cells", this, classOf[NearestCellsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   // -------------------------------------------------------------- Columns
@@ -247,4 +462,10 @@ object NativeExpressions {
 
   def sortedJaccard(a: Column, b: Column): Column =
     column(SortedJaccardExpr(expression(a), expression(b)))
+
+  def portableMinhashSig(c: Column, k: Int, shingleN: Int): Column =
+    column(PortableMinHashExpr(expression(c), k, shingleN))
+
+  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
+    column(NearestCellsExpr(expression(v), centroids, n))
 }

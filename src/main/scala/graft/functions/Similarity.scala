@@ -130,21 +130,28 @@ object Similarity {
     * corpus into cells; a query probes only the `nProbe` nearest cells.
     * Complements [[annLshJoin]]: IVF adapts to the data distribution
     * (learned centroids) where SRP-LSH is data-oblivious. Centroids come
-    * from MLlib KMeans (seeded — deterministic); assignment and search are
-    * plain DataFrame ops, no UDFs.
+    * from MLlib KMeans (seeded — deterministic).
     *
-    * At 100 TB: `fit` runs on a sample, `assign` is a narrow map with the
-    * centroid matrix broadcast, and search is an equi-join on cell id —
-    * the corpus is re-read once per query batch, never per query.
+    * Cell assignment ranks centroids by squared Euclidean distance — the
+    * metric KMeans trained with — so assignment reproduces the learned
+    * Voronoi partition (ranking by raw dot product would let a large-norm
+    * centroid swallow every row of an unnormalized embedding space).
+    * Candidate ranking inside probed cells stays cosine: that is the
+    * search contract.
+    *
+    * At 100 TB: `fit` runs on a sample; `assign` is a narrow map — the
+    * centroid matrix travels inside [[NativeExpressions.NearestCellsExpr]]
+    * (no join, no shuffle, no row growth); search is an equi-join on cell
+    * id — the corpus is re-read once per query batch, never per query.
     */
   object Ivf {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
     /** Learned centroids as a small DataFrame (cell_id, centroid). */
     def fit(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
+      import org.apache.spark.ml.functions.array_to_vector
       val feats = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
       val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
         .fit(feats)
@@ -153,34 +160,42 @@ object Similarity {
         .toDF("cell_id", "centroid")
     }
 
-    /** Assign each row to its nearest centroid (broadcast argmin — narrow). */
+    /** The tiny (cell_id, centroid) table as a driver-side matrix indexed
+      * by cell id — index metadata (nCells × dim doubles), not data: this
+      * is the one place a `collect` is correct, the same way a broadcast
+      * join collects its small side.
+      */
+    def centroidMatrix(centroids: DataFrame): Array[Array[Double]] =
+      centroids.select(col("cell_id"), col("centroid").cast("array<double>"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+
+    /** Assign each row to its nearest centroid — one narrow projection, no
+      * Exchange, no Window (plan-asserted in SimilaritySpec).
+      */
     def assign(df: DataFrame, vecCol: String, centroids: DataFrame,
         out: String = "cell_id"): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__dist"), col("cell_id"))
-      df.withColumn("__rid", monotonically_increasing_id())
-        .crossJoin(broadcast(centroids))
-        .withColumn("__dist", -dot(asDouble(col(vecCol)), col("centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .withColumn(out, col("cell_id"))
-        .drop(Seq("__rid", "__dist", "__rn", "centroid") ++
-          (if (out == "cell_id") Nil else Seq("cell_id")): _*)
+      val m = centroidMatrix(centroids)
+      df.withColumn(out,
+        element_at(NativeExpressions.nearestCells(asDouble(col(vecCol)), m, 1), 1))
     }
 
-    /** Probe-and-rank: queries search only their `nProbe` nearest cells. */
+    /** Probe-and-rank: queries search only their `nProbe` nearest cells.
+      * Probe-cell selection is the same narrow nearest-cells kernel
+      * (explode multiplies only the small query side, by nProbe).
+      */
     def search(queries: DataFrame, corpus: DataFrame, idCol: String,
         vecCol: String, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__dist"), col("cell_id"))
+      val m = centroidMatrix(centroids)
       val probes = queries
         .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("__dist", -dot(col("__qv"), col("centroid")))
-        .withColumn("__rn", row_number().over(wProbe))
-        .filter(col("__rn") <= nProbe)
-        .select(col("query_id"), col("__qv"), col("cell_id"))
-      val cells = assign(
-        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v")),
-        "__v", centroids)
+        .withColumn("cell_id",
+          explode(NativeExpressions.nearestCells(col("__qv"), m, nProbe)))
+      val cells = corpus
+        .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v"))
+        .withColumn("cell_id",
+          element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
       cells.join(broadcast(probes), Seq("cell_id"))

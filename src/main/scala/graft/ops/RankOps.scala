@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking. `rank().over(Window.orderBy(…))` with no
+  * partition key moves the whole input to ONE partition (Spark warns
+  * `WindowExec: No Partition Defined`): fine for a few hundred rows,
+  * the classic driver-straggler at millions. This is the two-phase
+  * formulation: range-repartition on the sort key, rank locally per
+  * partition, then add per-partition row-count offsets — the same shape
+  * `zipWithIndex` uses, expressed over DataFrames.
+  */
+object RankOps {
+
+  /** Global `rank()` over `sortCol` without a single-partition window.
+    *
+    * Phase 1: `repartitionByRange(numPartitions, sortCol)` — equal keys
+    * land in one partition (range boundaries are key thresholds), so ties
+    * never straddle partitions and a local `rank()` per partition is
+    * correct up to a constant offset. The explicit partition count keeps
+    * AQE from re-coalescing between the two jobs, and the range sampler
+    * seeds per partition index, so both jobs see identical boundaries.
+    *
+    * Phase 2: per-partition row counts (≤ numPartitions values — index
+    * metadata, like a broadcast join's small side) cumulated on the driver
+    * into offsets; global rank = local rank + offset of the partitions
+    * before it.
+    */
+  def globalRank(df: DataFrame, sortCol: Column, out: String = "rnk",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(n, sortCol)
+      .withColumn("__pid", spark_partition_id())
+    val counts = parts.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCol)
+    parts
+      .withColumn("__lr", rank().over(local))
+      .join(offDf, "__pid")
+      .withColumn(out, (col("__lr") + col("__offset")).cast("int"))
+      .drop("__pid", "__lr", "__offset")
+  }
+}

@@ -23,13 +23,16 @@ object RaceIngest {
   def transform(raw: DataFrame): DataFrame =
     F1Ops.deriveRace(F1Ops.parseRaceJson(raw))
 
-  /** T1–T3: append-mode foreachBatch parquet sink with checkpoint.
+  /** T1–T3: append-mode foreachBatch parquet sink with checkpoint —
+    * WRITE-SIDE exactly-once.
     *
-    * Unlike the reference — which ignores `batchId` and is therefore only
-    * at-least-once (spark_ingestion.py:116–125, SURVEY.md §4) — the batch id
-    * is recorded on every row, making replays identifiable and the sink
-    * idempotent-by-key downstream (dedup on (session_key, driver_number,
-    * batch_id) recovers exactly-once reads).
+    * The reference ignores `batchId` and blind-appends, so a replayed
+    * micro-batch duplicates rows (at-least-once; spark_ingestion.py:116–125,
+    * SURVEY.md §4). Here each batch writes its own `batch_id=N` partition
+    * with dynamic partition overwrite: a replay of batch N overwrites
+    * exactly partition N with identical content — idempotent at the sink,
+    * no read-side dedup required. (`readExactlyOnce` remains for sinks that
+    * cannot overwrite.)
     */
   def startParquetSink(raw: DataFrame, outPath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -39,7 +42,10 @@ object RaceIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
         ()
       }
       .start()
@@ -85,9 +91,11 @@ object RaceIngest {
     * funnels rows. Not exercised in tests (no database in the harness).
     */
   def startJdbcSink(raw: DataFrame, jdbcUrl: String, table: String,
-      props: java.util.Properties, checkpoint: String): StreamingQuery =
+      props: java.util.Properties, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     transform(raw).writeStream
       .outputMode("append")
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").jdbc(jdbcUrl, table, props)

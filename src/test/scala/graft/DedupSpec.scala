@@ -71,6 +71,43 @@ class DedupSpec extends SparkSpec {
     assert(both.forall { case (n, h) => n == h })
   }
 
+  test("simhash native/HOF parity holds on empty and whitespace-only docs") {
+    val both = Seq("", "   ", " \t\n ", "x").toDF("text")
+      .select(Dedup.simHash64("text").as("native"),
+        Dedup.simHash64HOF("text").as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (n, h) => n == h }, both.toSeq)
+    assert(both(0)._1 === 0L) // no tokens → no votes → 0
+  }
+
+  test("native portable minhash matches the md5 HOF executable spec exactly") {
+    val k = 8
+    val fixture = Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "  "), (9003L, "one two"),
+        (9004L, "one two three")).toDF("doc_id", "text"))
+    val native = Dedup.withMinHash(fixture, "text", k, shingleN = 3, portable = true)
+    val hof = Dedup.withMinHashPortableHOF(fixture, "text", k, shingleN = 3)
+    val cols = col("doc_id") +: (0 until k).map(j => col(s"mh$j"))
+    val n = native.select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    val h = hof.select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    assert(n.toSeq === h.toSeq)
+    // short docs (< shingleN tokens) → all-null signature on both paths
+    val short = n.find(_.head == 9003L).get
+    assert(short.drop(1).forall(_ == null))
+    // exactly shingleN tokens → one shingle → real signature
+    val oneShingle = n.find(_.head == 9004L).get
+    assert(oneShingle.drop(1).forall(_ != null))
+  }
+
+  test("exactDupGroups canonicalizes like exactDedup: case/whitespace variants collapse") {
+    val variants = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(variants, "doc_id", "text")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups === Set((0L, 2L), (2L, 1L))) // 0 and 1 share a fingerprint
+  }
+
   test("simHashNearDups surfaces the exact-dup pair via bucketing") {
     val got = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -28,6 +28,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).feature.toSeq === f2.feature.toSeq)
   }
 
+  test("real image decode via javax.imageio: dims + histogram from actual pixels") {
+    val png = Multimodal.syntheticPng(7L, 5, 4)
+    val rows = Seq(
+      MediaRow(10L, "image", png, None, None, None, None),
+      MediaRow(11L, "image", Array[Byte](1, 2, 3), None, None, None, None), // not an image
+      MediaRow(12L, "image", null, None, None, None, None),
+    ).toDS()
+    val got = Multimodal.decodeImages(rows).collect().map(r => r.media_id -> r).toMap
+    assert(got(10L).decode_ok)
+    assert(got(10L).width === 5 && got(10L).height === 4) // real raster dims
+    assert(math.abs(got(10L).feature.sum - 1.0f) < 1e-5) // histogram sums to 1
+    // exact parity with a direct local decode of the same bytes
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(got(10L).feature.toSeq === Multimodal.lumaHistogram(img).toSeq)
+    assert(!got(11L).decode_ok && !got(12L).decode_ok) // corrupt/null: no crash
+    assert(got(11L).feature.forall(_ == 0f))
+  }
+
   test("resize target preserves aspect ratio and never upscales") {
     val t = Multimodal.withResizeTarget(media.toDF(), maxSide = 1000)
       .filter(col("media_id") === 1)

@@ -86,6 +86,44 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF assign plans as a narrow map: no Exchange, no Window, no Join") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
+    val plan = Similarity.Ivf.assign(emb, "embedding", centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("IVF assigns by Euclidean distance, not dot product") {
+    // centroid 1 has a huge norm: by dot product it would swallow every
+    // vector; by L2 (the KMeans training metric) v=(1,0) belongs to cell 0
+    val centroids = Seq(
+      (0, Array(0.0d, 0.0d)),
+      (1, Array(10.0d, 10.0d))).toDF("cell_id", "centroid")
+    val df = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cell = Similarity.Ivf.assign(df, "embedding", centroids)
+      .select("cell_id").as[Int].head()
+    assert(cell === 0)
+  }
+
+  test("planted jittered near-dups are recovered (the qe05 shape is non-vacuous)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val jittered = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * 0.005d))
+          .as("embedding"))
+    val got = Similarity.embeddingNearDups(emb.unionByName(jittered), "vec_id",
+      "embedding", minCosine = 0.95, nPlanes = 8, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted pair is an exact near-dup (cosine ≈ 0.99997); SRP-LSH
+    // must recover them all here — plant-and-recover is the recall check
+    assert(Seq(0L, 1L, 2L).forall(i => got.contains((i, i + 1000000L))), got)
+  }
+
   test("embeddingNearDups flags the identical pair at high threshold") {
     val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.999, nPlanes = 4, dim = 4)

@@ -38,6 +38,7 @@ class SkewAndExactlyOnceSpec extends SparkSpec {
 
     // two sink runs with DIFFERENT checkpoints over the same source ≙ a
     // replay after checkpoint loss — the reference's duplicate scenario
+    // (blind append would double every row; spark_ingestion.py:116–125)
     for (i <- 1 to 2) {
       val ms = MemoryStream[String]
       ms.addData(msg)
@@ -45,9 +46,11 @@ class SkewAndExactlyOnceSpec extends SparkSpec {
         Trigger.AvailableNow())
       q.awaitTermination()
     }
-    assert(spark.read.parquet(out).count() === 2) // at-least-once: duplicated
+    // write-side exactly-once: the replayed batch overwrote its own
+    // batch_id partition, so the RAW sink already has no duplicates
+    assert(spark.read.parquet(out).count() === 1)
     val eo = RaceIngest.readExactlyOnce(spark, out)
-    assert(eo.count() === 1) // read view restores exactly-once
+    assert(eo.count() === 1) // read view agrees (kept for append-only sinks)
     assert(eo.select("points").as[Int].head() === 25)
   }
 }

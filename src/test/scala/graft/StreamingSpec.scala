@@ -133,6 +133,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq("1", "44"))
   }
 
+  test("JDBC sink roundtrips against embedded Derby; replay appends (S2 at-least-once)") {
+    implicit val ctx = spark.sqlContext
+    // Derby ships in /opt/spark/jars — a real in-JVM JDBC database, so the
+    // reference's write_to_postgres path (spark_ingestion.py:116–125) runs
+    // end to end: stream → foreachBatch → DataFrameWriter.jdbc → read back
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties()
+
+    val ms = MemoryStream[String]
+    ms.addData(msg1, msgLive)
+    val q = RaceIngest.startJdbcSink(ms.toDF(), url, "race_results", props,
+      tmpDir("jdbc-cp1"))
+    q.awaitTermination()
+
+    val back = spark.read.jdbc(url, "race_results", props)
+    assert(back.count() === 1) // T9: the null-position row never lands
+    assert(back.select("points").as[Int].head() === 25)
+
+    // replay with a fresh checkpoint: blind JDBC append duplicates — the
+    // reference's semantics, documented as at-least-once (the parquet sink
+    // upgrades this via per-batch partition overwrite; JDBC would need a
+    // keyed MERGE, which Derby-via-DataFrameWriter doesn't express)
+    val ms2 = MemoryStream[String]
+    ms2.addData(msg1)
+    val q2 = RaceIngest.startJdbcSink(ms2.toDF(), url, "race_results", props,
+      tmpDir("jdbc-cp2"))
+    q2.awaitTermination()
+    assert(spark.read.jdbc(url, "race_results", props).count() === 2)
+  }
+
   test("kafka record shape: key = driver_number, value = JSON (S4/S6)") {
     val df = Seq(("44", "Bahrain", 15)).toDF("driver_number", "grand_prix", "points")
     val rec = RaceIngest.toKafkaRecords(df).as[(String, String)].head()
