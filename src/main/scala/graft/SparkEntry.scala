@@ -72,6 +72,18 @@ object SparkEntry {
   private val duckCos =
     "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 
+  /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
+    * deterministic ([[Similarity.planes]]), so it embeds as literals and
+    * `list_dot_product` reproduces the sequential-double sign test bit for
+    * bit — which is what lets the LSH similarity queries be oracle-checked
+    * rather than rows-only.
+    */
+  private def duckSrpBucket(vExpr: String, nPlanes: Int, dim: Int): String =
+    Similarity.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      val lit = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   // =====================================================================
   // One entry per implemented operator from SURVEY.md §2 (+ extensions).
   // =====================================================================
@@ -444,6 +456,15 @@ object SparkEntry {
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // rows-only: SimHash near-dup pairs — 16-bit-prefix blocking then
+    // Hamming≤3 verification (Manku et al., WWW 2007). Non-vacuous on the
+    // fixture (the planted near-dup docs sit at Hamming 0–3); xxhash64-
+    // based so no SQL oracle; semantics are DedupSpec-tested.
+    "qd12_simhash_neardups" -> ((s, d) =>
+      Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, prefixBits = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // rows-only: multimodal plumbing — documents' bytes stand in for
     // media payloads; stub decode → fixed-width features (deterministic)
     "qm01_media_features" -> ((s, d) => {
@@ -502,7 +523,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // rows-only: embedding-cosine near-dup pairs via SRP-LSH buckets.
+    // oracle-checked: embedding-cosine near-dup pairs via SRP-LSH buckets
+    // (plane matrix is deterministic → replayed in DuckDB as literals).
     // The raw fixture has no true near-dups at 0.95, so the query plants
     // them: a jittered copy of vec_id<3 (per-element scale ±0.5%, cosine
     // ≈ 0.99997 to the original) unioned in under offset ids — the entry
@@ -521,7 +543,8 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // rows-only: LSH-bucketed approximate k-NN (the 100 TB scale path)
+    // oracle-checked: LSH-bucketed approximate k-NN (the 100 TB scale
+    // path; bucketing + ranking replayed in DuckDB via plane literals)
     "qe03_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.annLshJoin(emb.filter(col("vec_id") < 5), emb, "vec_id",
@@ -551,10 +574,12 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qe03, qe05, qe06, qm01/qm02, qa01/qa02)
-  // are rows-only checks by design: they depend on Spark-internal
-  // xxhash64/LSH planes/sketches/learned centroids with no DuckDB
-  // equivalent; their semantics are ScalaTest-verified instead.
+  // Keys absent here (qd08, qd11, qe06, qm01/qm02, qa01/qa02) are
+  // rows-only checks by design: they depend on Spark-internal xxhash64 /
+  // engine sketches / learned centroids with no DuckDB equivalent; their
+  // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/
+  // qe05 ARE oracle-checked — the deterministic plane matrix embeds as
+  // SQL literals.)
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
     "q01_standings" -> standingsSql,
@@ -941,5 +966,41 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // SRP-LSH ANN replayed end to end: plane literals → bucket equi-join →
+    // cosine ranking. Mirrors Similarity.annLshJoin(k=3, nPlanes=4, dim=64).
+    "qe03_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT vec_id, v, ${duckSrpBucket("v", 4, 64)} AS bucket FROM c),
+         |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, cb.vec_id AS neighbor_id, $duckCos AS cosine
+         |  FROM cb JOIN qb q ON cb.bucket = q.bucket AND cb.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
+
+    // embedding near-dups replayed end to end, planted jitter included:
+    // mirror of Similarity.embeddingNearDups(minCosine=0.95, nPlanes=8,
+    // dim=64) over base ∪ jittered(vec_id<3). DuckDB lists are 1-based, so
+    // the jitter index maps (i-1) ↔ Spark's 0-based transform index.
+    "qe05_embedding_neardups" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |jit AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[i] * (1.0 + CAST((i - 1) % 3 - 1 AS DOUBLE) * 0.005)) AS v
+         |  FROM base WHERE vec_id < 3),
+         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+         |b AS (SELECT vec_id, v, ${duckSrpBucket("v", 8, 64)} AS bucket FROM allv),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    ROUND(list_dot_product(a.v, b2.v)
+         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

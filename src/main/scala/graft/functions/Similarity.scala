@@ -75,9 +75,11 @@ object Similarity {
   }
 
   /** Deterministic ±1 random hyperplanes for signed-random-projection LSH
-    * (splitmix64 over (plane, dim) — reproducible, no RNG state).
+    * (splitmix64 over (plane, dim) — reproducible, no RNG state). Exposed
+    * within the package so oracle SQL can embed the matrix as literals and
+    * replay the bucketing in another engine.
     */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
