@@ -149,12 +149,22 @@ object Similarity {
   object Ivf {
     import org.apache.spark.ml.clustering.KMeans
 
-    /** Learned centroids as a small DataFrame (cell_id, centroid). */
-    def fit(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L): DataFrame = {
+    /** Learned centroids as a small DataFrame (cell_id, centroid).
+      * `sampleFraction < 1` trains on a seeded Bernoulli sample — at
+      * 100 TB the centroids only need a statistical sketch of the
+      * distribution, not every row; KMeans is iterative over its input,
+      * so fit cost scales with the sample, while assign/search always
+      * run over the full corpus.
+      */
+    def fit(corpus: DataFrame, vecCol: String, nCells: Int, seed: Long = 42L,
+        sampleFraction: Double = 1.0): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
       import org.apache.spark.ml.functions.array_to_vector
-      val feats = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+      val src = if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
+      val feats = src.select(array_to_vector(asDouble(col(vecCol))).as("features"))
       val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
         .fit(feats)
       model.clusterCenters.zipWithIndex

@@ -86,6 +86,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF fit on a sample still yields a usable full-coverage index") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4,
+      sampleFraction = 0.5)
+    assert(centroids.count() === 4)
+    // every corpus row still gets a cell from the sampled centroids
+    val assigned = Similarity.Ivf.assign(emb, "embedding", centroids)
+    assert(assigned.filter(col("cell_id").isNull).count() === 0)
+    assert(assigned.count() === emb.count())
+  }
+
   test("IVF assign plans as a narrow map: no Exchange, no Window, no Join") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
     val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
