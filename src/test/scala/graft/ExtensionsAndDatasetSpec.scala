@@ -20,12 +20,15 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
         |       size(minhash_sig('a b c d e', 8, 2)) AS k,
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         |       sorted_jaccard(shingle_hashes('a b c', 2),
-        |                      shingle_hashes('a b c', 2)) AS jac
+        |                      shingle_hashes('a b c', 2)) AS jac,
+        |       minhash_sig_md5('a b c', 4, 2) AS pm
         |""".stripMargin).head()
     assert(row.getAs[Long]("sh") !== 0L)
     assert(row.getAs[Int]("k") === 8)
     assert(row.getAs[Double]("dot") === 11.0)
     assert(row.getAs[Double]("jac") === 1.0)
+    val pm = row.getAs[scala.collection.Seq[String]]("pm")
+    assert(pm.length === 4 && pm.forall(s => s != null && s.length == 32))
   }
 
   test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
