@@ -39,7 +39,8 @@ object GraftExtensions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "scala_udf")
 
   private[graft] def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

@@ -174,6 +174,50 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A resized image: re-encoded payload + the dims it actually has. */
+  case class ResizedImage(
+      media_id: Long,
+      resize_ok: Boolean,
+      width: Int,
+      height: Int,
+      bytes: Array[Byte])
+
+  /** REAL image resize: decode (`javax.imageio`) → aspect-preserving
+    * downscale to fit `maxSide` (never upscales — same rule as
+    * [[withResizeTarget]]) → PNG re-encode. Bilinear interpolation via
+    * `Graphics2D`, all JDK. Undecodable payloads pass through untouched
+    * with `resize_ok = false`.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = if (r.bytes == null || r.bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+            catch { case _: Exception => null }
+        if (img == null) ResizedImage(r.media_id, resize_ok = false, -1, -1, r.bytes)
+        else {
+          val scale = math.min(1.0,
+            maxSide.toDouble / math.max(1, math.max(img.getWidth, img.getHeight)))
+          val tw = math.max(1, math.ceil(img.getWidth * scale).toInt)
+          val th = math.max(1, math.ceil(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(r.media_id, resize_ok = true, tw, th, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Resize plumbing: metadata transform (target dims recorded, payload
     * passthrough — the pixel op lives in the stubbed kernel).
     */
@@ -202,7 +246,7 @@ object Multimodal {
   def repartitionBySize(spark: SparkSession, df: DataFrame,
       bytesPerPartition: Long): DataFrame = {
     val totalBytes = df.agg(sum(coalesce(length(col("bytes")), lit(0))))
-      .head.getLong(0)
+      .head().getLong(0)
     val parts = math.max(1, (totalBytes / bytesPerPartition).toInt)
     df.repartition(parts)
   }

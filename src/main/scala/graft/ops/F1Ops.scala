@@ -129,6 +129,34 @@ object F1Ops {
     raw.select(from_json(col(valueCol).cast("string"), Schemas.raceResultMessage).as("data"))
       .select("data.*")
 
+  /** [[parseRaceJson]] with corrupt-record accounting. The plain parse
+    * silently degrades undecodable payloads (Spark's `from_json` returns
+    * an all-null struct for malformed JSON, indistinguishable from a
+    * legitimately empty record); this variant parses with PERMISSIVE mode
+    * and a `_corrupt_record` column — the engine's own malformed-input
+    * channel — so every row carries `parse_ok` plus its raw payload, and
+    * a production ingest can count failures and dead-letter them instead
+    * of losing data invisibly (at 100 TB a silent 0.1% drop is a
+    * gigabyte-scale hole). Still a narrow map.
+    */
+  def parseRaceJsonAudited(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val audited = Schemas.raceResultMessage
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    raw
+      .select(col(valueCol).cast("string").as("raw_payload"),
+        from_json(col(valueCol).cast("string"), audited,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("data"))
+      .withColumn("parse_ok", col("data._corrupt_record").isNull)
+      .select(col("parse_ok") +: col("raw_payload") +:
+        Schemas.raceResultMessage.fieldNames.toIndexedSeq.map(f => col(s"data.$f")): _*)
+  }
+
+  /** Split an audited parse into (clean rows, dead letters). */
+  def splitDeadLetters(audited: DataFrame): (DataFrame, DataFrame) = (
+    audited.filter(col("parse_ok")).drop("parse_ok", "raw_payload"),
+    audited.filter(!col("parse_ok")).select(col("raw_payload")))
+
   /** P4+P5+P6 — the derivation chain the streaming job applies per batch
     * (reference: spark_ingestion.py:95–113): points ladder, ISO-8601 →
     * timestamp (session TZ pinned UTC), completeness filter.

@@ -29,7 +29,7 @@ object SkewOps {
     // deterministic spread: hash of all columns mod salts (not rand() —
     // retries/speculative tasks must salt identically)
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)

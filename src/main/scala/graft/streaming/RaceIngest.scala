@@ -83,7 +83,7 @@ object RaceIngest {
   def toKafkaRecords(df: DataFrame): DataFrame =
     df.select(
       col("driver_number").cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** S2 — JDBC append sink bridged through foreachBatch (reference:
     * spark_ingestion.py:116–125). Same shape as the reference's

@@ -74,6 +74,21 @@ class F1OpsSpec extends SparkSpec {
     assert(r.getAs[Any]("laps_completed") === null)
   }
 
+  test("audited parse counts corrupt payloads and dead-letters them") {
+    val mixed = Seq(
+      """{"grand_prix":"X","driver_number":"7","position":5,"meeting_key":"m","session_key":"s"}""",
+      """not-json-at-all""",
+      """{"broken": """,
+    ).toDF("value")
+    val audited = F1Ops.parseRaceJsonAudited(mixed)
+    assert(audited.count() === 3) // nothing silently dropped
+    assert(audited.filter(col("parse_ok")).count() === 1)
+    val (clean, dead) = F1Ops.splitDeadLetters(audited)
+    assert(clean.columns.toSeq === graft.model.Schemas.raceResultMessage.fieldNames.toSeq)
+    assert(clean.count() === 1)
+    assert(dead.as[String].collect().toSet === Set("not-json-at-all", """{"broken": """))
+  }
+
   test("flagship standings match the hand-computed season") {
     val totalGps = season.select(countDistinct("grand_prix")).as[Long].head()
     assert(totalGps === 3)

@@ -46,6 +46,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(11L).feature.forall(_ == 0f))
   }
 
+  test("real image resize: aspect-preserving downscale, round-trips through decode") {
+    val rows = Seq(
+      MediaRow(20L, "image", Multimodal.syntheticPng(1L, 64, 32), None, None, None, None),
+      MediaRow(21L, "image", Multimodal.syntheticPng(2L, 8, 8), None, None, None, None),
+      MediaRow(22L, "image", Array[Byte](0, 1, 2), None, None, None, None),
+    ).toDS()
+    val got = Multimodal.resizeImages(rows, maxSide = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(20L).resize_ok && got(20L).width === 16 && got(20L).height === 8)
+    assert(got(21L).resize_ok && got(21L).width === 8 && got(21L).height === 8) // no upscale
+    assert(!got(22L).resize_ok) // undecodable: payload passthrough, flagged
+    assert(got(22L).bytes.toSeq === Seq[Byte](0, 1, 2))
+    // the re-encoded payload is itself a decodable image with the new dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(20L).bytes))
+    assert(back.getWidth === 16 && back.getHeight === 8)
+  }
+
   test("resize target preserves aspect ratio and never upscales") {
     val t = Multimodal.withResizeTarget(media.toDF(), maxSide = 1000)
       .filter(col("media_id") === 1)
