@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.ops.F1Ops
 
@@ -147,6 +147,50 @@ object RaceIngest {
           state.update(next)
           next
       }
+  }
+
+  /** [[runningTotals]] on the modern `transformWithState` API (Spark 4's
+    * arbitrary-state operator, successor to `mapGroupsWithState`): state
+    * lives in named, individually-evolvable `ValueState` handles backed by
+    * the RocksDB state store — at scale that means state spills to local
+    * disk per executor instead of living on the JVM heap, state schema can
+    * evolve without checkpoint invalidation, and TTL is first-class.
+    * Semantics are identical to [[runningTotals]] (StreamingSpec asserts
+    * both paths batch for batch).
+    */
+  class DriverTotalsProcessor
+      extends StatefulProcessor[String, (String, Int), DriverTotals] {
+    @transient private var state: ValueState[DriverTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DriverTotals](
+        "totals", Encoders.product[DriverTotals], TTLConfig.NONE)
+
+    override def handleInputRows(driver: String, rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[DriverTotals] = {
+      val prev = if (state.exists()) state.get()
+        else DriverTotals(driver, 0L, 0L, 0L)
+      val batch = rows.toSeq
+      val next = DriverTotals(
+        driver,
+        prev.points + batch.map(_._2.toLong).sum,
+        prev.wins + batch.count(_._2 == 25),
+        prev.races + batch.size)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningTotals]] via `transformWithState` (requires the RocksDB
+    * state store provider — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`).
+    */
+  def runningTotalsTws(scored: Dataset[(String, Int)]): Dataset[DriverTotals] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_._1)
+      .transformWithState(new DriverTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Convenience: full pipeline → running totals, started on a memory sink

@@ -114,6 +114,38 @@ class StreamingSpec extends SparkSpec {
     assert(latest === Set(("1", 25L, 1L, 1L), ("11", 18L, 0L, 1L)))
   }
 
+  test("transformWithState running totals match mapGroupsWithState semantics") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      val scored = RaceIngest.transform(ms.toDF())
+        .select(col("driver_number"), col("points"))
+        .as[(String, Int)]
+      val q = RaceIngest.runningTotalsTws(scored).writeStream
+        .outputMode("update").format("memory").queryName("totals_tws").start()
+
+      ms.addData(msg1) // driver 1 wins GP1: 25 pts
+      q.processAllAvailable()
+      val after1 = spark.table("totals_tws")
+        .select("driver_number", "points", "wins", "races")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(after1 === Set(("1", 25L, 1L, 1L)))
+
+      ms.addData(msg2) // GP2: driver 11 P2; driver 1's state persists
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("totals_tws")
+        .groupBy("driver_number")
+        .agg(max("points").as("points"), max("wins").as("wins"), max("races").as("races"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(latest === Set(("1", 25L, 1L, 1L), ("11", 18L, 0L, 1L)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses replays in-stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
