@@ -20,7 +20,7 @@ object Bench {
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
-    "qd12_simhash_neardups",
+    "qd12_simhash_neardups", "qd13_chunking", "qd14_neardup_clusters",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qs01_hourly_events", "qs02_sessionize")
 

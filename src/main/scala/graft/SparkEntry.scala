@@ -72,6 +72,47 @@ object SparkEntry {
   private val duckCos =
     "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 
+  /** The full MinHash-LSH near-dup pipeline in DuckDB SQL (qd09's oracle;
+    * qd14's cluster oracle builds on it as a CTE).
+    */
+  private lazy val qd09Sql: String = {
+    val mhCols = (0 until 16)
+      .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+      .mkString(",\n")
+    val ebUnion = (0 until 4)
+      .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM bands")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM sig),
+       |eb AS (
+       |$ebUnion),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM eb a JOIN eb b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT p.id_a, p.id_b,
+       |    len(list_intersect(sa.g, sb.g))
+       |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1) AS j
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.id_a
+       |  JOIN sh sb ON sb.doc_id = p.id_b)
+       |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM ver
+       |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
     * deterministic ([[Similarity.planes]]), so it embeds as literals and
     * `list_dot_product` reproduces the sequential-double sign test bit for
@@ -455,6 +496,22 @@ object SparkEntry {
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // token-window chunking with overlap — context-window segmentation,
+    // the row-growth step of a pre-training pipeline
+    "qd13_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // near-dup pair list → connected components → per-cluster keeper: the
+    // decision step of near-dedup, oracle-checked via a recursive CTE over
+    // the same (oracle-green) qd09 pair pipeline
+    "qd14_neardup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+      Dedup.nearDupComponents(pairs).orderBy(col("doc_id"))
+    }),
 
     // rows-only: SimHash near-dup pairs — 16-bit-prefix blocking then
     // Hamming≤3 verification (Manku et al., WWW 2007). Non-vacuous on the
@@ -906,43 +963,40 @@ object SparkEntry {
     // 4 bands of 4 → bucket self-join → exact-Jaccard verification.
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
-    "qd09_minhash_neardups" -> {
-      val mhCols = (0 until 16)
-        .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
-        .mkString(",\n")
-      val bandCols = (0 until 4)
-        .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
-        .mkString(",\n")
-      val ebUnion = (0 until 4)
-        .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM bands")
-        .mkString("\n  UNION ALL\n")
-      s"""WITH sh AS (
-         |  SELECT doc_id, $duckShingles3 AS g
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
-         |sig AS (
-         |  SELECT doc_id,
-         |$mhCols
-         |  FROM sh),
-         |bands AS (
-         |  SELECT doc_id,
-         |$bandCols
-         |  FROM sig),
-         |eb AS (
-         |$ebUnion),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM eb a JOIN eb b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |ver AS (
-         |  SELECT p.id_a, p.id_b,
-         |    len(list_intersect(sa.g, sb.g))
-         |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1) AS j
-         |  FROM pairs p
-         |  JOIN sh sa ON sa.doc_id = p.id_a
-         |  JOIN sh sb ON sb.doc_id = p.id_b)
-         |SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM ver
-         |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    },
+    "qd09_minhash_neardups" -> qd09Sql,
+
+    // chunk i covers tokens [i*56+1, i*56+64] (1-based list slicing);
+    // nChunks = max(1, ceil((n_tokens - overlap) / stride))
+    "qd13_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |n AS (
+        |  SELECT doc_id, w,
+        |    GREATEST(1, CAST(CEIL((len(w) - 8) / 56.0) AS INTEGER)) AS nc
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(w[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ') AS chunk_text,
+        |  CAST(len(w[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS INTEGER) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // connected components over the qd09 pairs via a recursive CTE:
+    // labels flow along (bidirectional) edges until every node has seen
+    // every label in its component; MIN label = cluster id = keeper
+    "qd14_neardup_clusters" ->
+      s"""WITH RECURSIVE prs AS ($qd09Sql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id,
+         |  (id = MIN(label)) AS is_keeper
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "qe01_cosine_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

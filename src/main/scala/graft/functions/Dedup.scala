@@ -152,6 +152,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns pair
+    * lists into dedup decisions (cluster id = smallest doc id in the
+    * component; that doc is the keeper). Hash-to-min label propagation:
+    * every node starts labeled with itself; each round pulls the min label
+    * across its edges; converges in O(component diameter) rounds —
+    * near-dup components are tiny and dense, so a handful. Each round is
+    * one equi-join + one groupBy on uniform ids (the standard large-graph
+    * CC shape — GraphX/Pregel's `connectedComponents` is this same loop);
+    * `localCheckpoint` truncates lineage so plans don't grow per round.
+    */
+  def nearDupComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val pulled = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(pulled)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash: per token take xxhash64 bits, sum ±1 per bit position

@@ -116,6 +116,30 @@ object TextAnalysis {
       .withColumn("bpe_tokens_est", bpeTokenEstimate(t))
   }
 
+  /** Fixed-size token-window chunking with overlap — the standard LLM
+    * pre-training segmentation (context-window-sized pieces, overlap so no
+    * boundary context is lost). One narrow map + an explode whose row
+    * growth IS the output (≈ n_tokens/stride rows per doc): no shuffle,
+    * scales linearly with the corpus. Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens), stride = chunkTokens − overlap;
+    * every doc yields ≥ 1 chunk.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    val nChunks = greatest(lit(1),
+      ceil((size(col("__w")) - overlap).cast("double") / stride).cast("int"))
+    df.withColumn("__w", tokens(col(textCol)))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkTokens))))
+      .withColumn("chunk_tokens",
+        size(slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkTokens))))
+      .select(col(idCol), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))
+  }
+
   /** Canonical whitespace-collapsed lowercase form — the normalization step
     * shared by fingerprinting and exact dedup.
     */

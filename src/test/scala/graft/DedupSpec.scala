@@ -114,6 +114,18 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 3L)))
   }
 
+  test("nearDupComponents: chains merge transitively, keeper is the min id") {
+    // component {1,2,3} via chain 1-2, 2-3 (1 and 3 never share an edge);
+    // separate component {7,9}; node 5 appears in no pair → absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupComponents(pairs)
+      .select("doc_id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

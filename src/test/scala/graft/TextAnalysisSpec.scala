@@ -38,6 +38,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1)._2 > 0.5)
   }
 
+  test("chunkDocs: full coverage with overlap, short docs yield one chunk") {
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text",
+      chunkTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // stride 30: chunks at 0,30,60 cover 1-40, 31-70, 61-100
+    assert(d1.length === 3)
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 === 40)
+    assert(d1(1)._3.startsWith("t31 ") && d1(1)._4 === 40)
+    assert(d1(2)._3.startsWith("t61 ") && d1(2)._3.endsWith(" t100") && d1(2)._4 === 40)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val c0 = d1(0)._3.split(" ")
+    val c1 = d1(1)._3.split(" ")
+    assert(c0.takeRight(10).toSeq === c1.take(10).toSeq)
+    // short and empty docs → exactly one chunk, never zero
+    assert(chunks.count(_._1 == 2L) === 1)
+    assert(chunks.filter(_._1 == 2L).head._3 === "a b c")
+    assert(chunks.count(_._1 == 3L) === 1)
+  }
+
   test("approx_count_distinct within HLL error of exact (qa01 contract)") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.agg(countDistinct("l_orderkey")).as[Long].head()
