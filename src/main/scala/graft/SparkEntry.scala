@@ -497,6 +497,23 @@ object SparkEntry {
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // training-mix curation: per-language cap (balanced sample — first-N
+    // under a total order, so it replays exactly in any engine)
+    "qd15_balanced_sample" -> ((s, d) =>
+      graft.functions.Curation.balancedSample(
+        Tables.documents(s, d), "lang", Seq(col("doc_id")), nPerGroup = 50)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // training-mix curation: greedy per-source prefix under a token
+    // budget (exact integer running sum — the data-mixing step)
+    "qd16_token_budget_mix" -> ((s, d) =>
+      graft.functions.Curation.tokenBudgetMix(
+        Tables.documents(s, d), "source", Seq(col("doc_id")),
+        TextAnalysis.tokenCount(col("text")), budget = 800L)
+        .select(col("source"), col("doc_id"), col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // token-window chunking with overlap — context-window segmentation,
     // the row-growth step of a pre-training pipeline
     "qd13_chunking" -> ((s, d) =>
@@ -964,6 +981,22 @@ object SparkEntry {
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
     "qd09_minhash_neardups" -> qd09Sql,
+
+    "qd15_balanced_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    "qd16_token_budget_mix" ->
+      """SELECT source, doc_id, cum_tokens FROM (
+        |  SELECT source, doc_id,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 800 ORDER BY source, doc_id""".stripMargin,
 
     // chunk i covers tokens [i*56+1, i*56+64] (1-based list slicing);
     // nChunks = max(1, ceil((n_tokens - overlap) / stride))

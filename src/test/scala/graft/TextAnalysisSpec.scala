@@ -60,6 +60,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.count(_._1 == 3L) === 1)
   }
 
+  test("curation: balanced sample caps per group, budget mix stops at the budget") {
+    import graft.functions.Curation
+    val df = Seq(
+      ("a", 1L, 60), ("a", 2L, 50), ("a", 3L, 40), // cum 60, 110, 150
+      ("b", 4L, 30)
+    ).toDF("grp", "doc_id", "n_tok")
+    val bal = Curation.balancedSample(df, "grp", Seq(col("doc_id")), nPerGroup = 2)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bal.toSeq === Seq(1L, 2L, 4L))
+    val mix = Curation.tokenBudgetMix(df, "grp", Seq(col("doc_id")),
+      col("n_tok"), budget = 110L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(mix === Map(1L -> 60L, 2L -> 110L, 4L -> 30L)) // doc 3 busts the budget
+  }
+
   test("approx_count_distinct within HLL error of exact (qa01 contract)") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.agg(countDistinct("l_orderkey")).as[Long].head()
