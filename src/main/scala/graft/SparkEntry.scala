@@ -314,6 +314,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // int8 quantize → dequantize round trip, quality surfaced as
+    // cosine(original, dequantized) — the 4×-compression path for a
+    // 100 TB embedding table, oracle-replayed in DuckDB list ops
+    "qe07_quantize_fidelity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+        .withColumn("q", Similarity.quantizeInt8(col("v")))
+        .withColumn("deq", Similarity.dequantizeInt8(col("q"), col("mn"), col("mx")))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("v"), col("deq")), 6).as("fidelity"))
+        .orderBy(col("vec_id"))
+    }),
+
     "qe04_norm_stats" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       emb.select(col("label"),
@@ -496,6 +511,23 @@ object SparkEntry {
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // repetition quality signal: top-token share per doc (Gopher-family
+    // repetition filter, relational formulation — no per-row O(n²))
+    "qd17_repetition" -> ((s, d) =>
+      TextAnalysis.topTokenFraction(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("top_count"), col("n_tokens"), col("top_token_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII redaction: every row gets planted PII appended so the masking
+    // is exercised on all 100% of rows, not just whatever the fixture has
+    "qd18_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user.name+tag@example.co.uk or https://example.com/a?b=1 end")))
+            .as("scrubbed"))
+        .orderBy(col("doc_id"))),
 
     // training-mix curation: per-language cap (balanced sample — first-N
     // under a total order, so it replays exactly in any engine)
@@ -981,6 +1013,44 @@ object SparkEntry {
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
     "qd09_minhash_neardups" -> qd09Sql,
+
+    "qd17_repetition" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2)
+        |SELECT doc_id, MAX(cnt) AS top_count, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 4) AS top_token_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 'g' flag: DuckDB replaces first match by default, Spark replaces all
+    "qd18_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || ' contact user.name+tag@example.co.uk or https://example.com/a?b=1 end',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "qe07_quantize_fidelity" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT vec_id, v, list_min(v) AS mn,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM b),
+        |q AS (SELECT vec_id, v, mn, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(round((x - mn) / scale) AS INTEGER) - 128)
+        |  END AS qv
+        |  FROM r),
+        |d AS (SELECT vec_id, v,
+        |  CASE WHEN scale = 0 THEN list_transform(qv, x -> mn)
+        |       ELSE list_transform(qv, x -> CAST(x + 128 AS DOUBLE) * scale + mn)
+        |  END AS deq
+        |  FROM q)
+        |SELECT vec_id,
+        |  ROUND(list_dot_product(v, deq)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))), 6) AS fidelity
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "qd15_balanced_sample" ->
       """SELECT lang, doc_id FROM (

@@ -219,6 +219,28 @@ object Similarity {
     }
   }
 
+  /** Int8 scalar quantization of an embedding (per-vector min/max range
+    * mapped onto [-128, 127]) and its dequantization — 4× storage and
+    * shuffle-bandwidth reduction for a 100 TB embedding table, with
+    * recall quality measured as cosine(original, dequantized). Pure
+    * higher-order array functions (narrow, engine-portable — the whole
+    * round trip replays in DuckDB for the oracle). Constant vectors
+    * (max == min) quantize to zeros and dequantize back exactly.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / 255.0d
+    when(scale === 0.0d, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round((x - mn) / scale).cast("int") - 128))
+  }
+
+  /** Inverse of [[quantizeInt8]] given the original vector's range. */
+  def dequantizeInt8(q: Column, mn: Column, mx: Column): Column = {
+    val scale = (mx - mn) / 255.0d
+    when(scale === 0.0d, transform(q, _ => mn))
+      .otherwise(transform(q, qi => (qi + 128).cast("double") * scale + mn))
+  }
+
   /** Embedding-cosine near-dup pairs (dedup by embedding): SRP buckets →
     * within-bucket pairs with cosine ≥ threshold. Approximate by design;
     * exact variant is the knnJoin filtered by threshold.

@@ -116,6 +116,32 @@ object TextAnalysis {
       .withColumn("bpe_tokens_est", bpeTokenEstimate(t))
   }
 
+  /** Per-doc repetition signal: share of the doc taken by its most
+    * frequent token (Gopher-family repetition filters — Rae et al. 2021
+    * §A1.1 use duplicate-line and top-n-gram fractions; the top-token
+    * share is the unigram member of that family). Relational formulation:
+    * explode → count per (doc, token) → max/total per doc — shuffles on
+    * (doc_id, token), a uniform composite key, so it scales like any
+    * grouped count; no per-row O(n²) scan.
+    */
+  def topTokenFraction(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cnt")).as("top_count"),
+        sum(col("__cnt")).cast("long").as("n_tokens"))
+      .withColumn("top_token_frac",
+        round(col("top_count").cast("double") / col("n_tokens"), 4))
+
+  /** Mask emails and URLs — the redaction pass of a training-data
+    * pipeline. Narrow regexp_replace chain (codegen'd, no UDF); patterns
+    * kept RE2-compatible so the same masking replays in other engines.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "https?://[^\\s]+", "<URL>")
+
   /** Fixed-size token-window chunking with overlap — the standard LLM
     * pre-training segmentation (context-window-sized pieces, overlap so no
     * boundary context is lost). One narrow map + an explode whose row

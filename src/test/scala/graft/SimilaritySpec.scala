@@ -135,6 +135,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(i => got.contains((i, i + 1000000L))), got)
   }
 
+  test("int8 quantization round trip: high cosine fidelity, constant vectors exact") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val fid = emb
+      .withColumn("deq", Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("v")), col("mn"), col("mx")))
+      .select(Similarity.cosine(col("v"), col("deq")).as("f"))
+      .as[Double].collect()
+    assert(fid.nonEmpty && fid.forall(_ > 0.999)) // 8-bit range loss only
+    // constant vector: scale 0 → quantizes to zeros, dequantizes exactly
+    val const = Seq((0L, Array(2.5d, 2.5d, 2.5d))).toDF("vec_id", "v")
+      .withColumn("q", Similarity.quantizeInt8(col("v")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("q"), lit(2.5d), lit(2.5d)))
+      .select(col("q"), col("deq")).as[(Seq[Int], Seq[Double])].head()
+    assert(const._1 === Seq(0, 0, 0))
+    assert(const._2 === Seq(2.5d, 2.5d, 2.5d))
+  }
+
   test("embeddingNearDups flags the identical pair at high threshold") {
     val nd = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
       minCosine = 0.999, nPlanes = 4, dim = 4)

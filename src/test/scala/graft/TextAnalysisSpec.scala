@@ -60,6 +60,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.count(_._1 == 3L) === 1)
   }
 
+  test("topTokenFraction flags repetitive docs; scrubPii masks emails and URLs") {
+    val df = Seq(
+      (1L, "spam spam spam spam other"),  // 4/5 repetition
+      (2L, "all tokens here are unique")) // 1/5
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.topTokenFraction(df, "doc_id", "text")
+      .select("doc_id", "top_token_frac").as[(Long, Double)].collect().toMap
+    assert(rep(1L) === 0.8)
+    assert(rep(2L) === 0.2)
+    val scrubbed = Seq("mail a.b+c@x.co.uk and http://a.io/x?q=1 or https://b.com done")
+      .toDF("text").select(TextAnalysis.scrubPii(col("text"))).as[String].head()
+    assert(scrubbed === "mail <EMAIL> and <URL> or <URL> done")
+  }
+
   test("curation: balanced sample caps per group, budget mix stops at the budget") {
     import graft.functions.Curation
     val df = Seq(
