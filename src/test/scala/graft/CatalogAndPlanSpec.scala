@@ -112,6 +112,35 @@ class CatalogAndPlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("new training-data operators plan narrow where they should") {
+    import graft.functions.{Similarity, TextAnalysis}
+    // chunking: map + explode, zero Exchange
+    val chunkPlan = TextAnalysis.chunkDocs(
+      Tables.documents(spark, sf0001), "doc_id", "text", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunking shuffled:\n$chunkPlan")
+    // quantize round trip: pure per-row math, zero Exchange
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val qPlan = emb
+      .withColumn("deq", Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("v")), array_min(col("v")), array_max(col("v"))))
+      .queryExecution.executedPlan.toString
+    assert(!qPlan.contains("Exchange"), s"quantization shuffled:\n$qPlan")
+    // PII scrub: narrow regexp chain, zero Exchange
+    val piiPlan = Tables.documents(spark, sf0001)
+      .select(TextAnalysis.scrubPii(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"scrub shuffled:\n$piiPlan")
+    // budget mix: exactly one Exchange — the window's group partitioning
+    val mixPlan = graft.functions.Curation.tokenBudgetMix(
+      Tables.documents(spark, sf0001), "source", Seq(col("doc_id")),
+      TextAnalysis.tokenCount(col("text")), 800L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(mixPlan).length === 1,
+      s"budget mix should shuffle exactly once:\n$mixPlan")
+  }
+
   test("flagship standings stays whole-stage-codegen'd up to the sort") {
     val df = SparkEntry.queries("q01_standings")(spark, sf0001)
     df.collect() // materialize so AQE settles on the final plan
