@@ -467,6 +467,24 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    // the complete pre-training data pipeline, end to end: quality gate →
+    // PII scrub → exact dedup on the scrubbed fingerprint → context-window
+    // chunking → per-source corpus stats. Every stage is individually
+    // oracle-proven; this entry proves the COMPOSITION is too.
+    "qd19_pretraining_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+        .withColumn("text", TextAnalysis.scrubPii(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val deduped = F1Ops.firstWinsDedup(gated, Seq("fp"), Seq(col("doc_id")))
+      TextAnalysis.chunkDocs(deduped, "doc_id", "text", chunkTokens = 64,
+        overlap = 8, keepCols = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- extensions: near-dedup -------------------------------------
     "qd06_ngram_jaccard_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
@@ -1013,6 +1031,34 @@ object SparkEntry {
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
     "qd09_minhash_neardups" -> qd09Sql,
+
+    "qd19_pretraining_pipeline" ->
+      """WITH gated AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g') AS text
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        |f AS (
+        |  SELECT *, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM gated),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM f) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM deduped),
+        |n AS (
+        |  SELECT doc_id, source, w,
+        |    GREATEST(1, CAST(CEIL((len(w) - 8) / 56.0) AS INTEGER)) AS nc
+        |  FROM t),
+        |ch AS (SELECT doc_id, source, w, unnest(range(0, nc)) AS ci FROM n)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  CAST(SUM(len(w[ci * 56 + 1 : ci * 56 + 64])) AS BIGINT) AS total_chunk_tokens
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
 
     "qd17_repetition" ->
       """WITH e AS (

@@ -151,7 +151,7 @@ object TextAnalysis {
     * every doc yields ≥ 1 chunk.
     */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlap: Int): DataFrame = {
+      chunkTokens: Int, overlap: Int, keepCols: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
     val stride = chunkTokens - overlap
@@ -163,7 +163,8 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkTokens))))
       .withColumn("chunk_tokens",
         size(slice(col("__w"), col("chunk_id") * stride + 1, lit(chunkTokens))))
-      .select(col(idCol), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("chunk_id") :+ col("chunk_text") :+ col("chunk_tokens"): _*)
   }
 
   /** Canonical whitespace-collapsed lowercase form — the normalization step
