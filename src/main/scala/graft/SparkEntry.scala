@@ -387,6 +387,45 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("rnk"))
     }),
 
+    // window-function census over a partitioned window (lead/lag/ntile/
+    // percent_rank/cume_dist/first/last — §2.6 breadth, all partitioned:
+    // no single-partition WindowExec anywhere)
+    "q32_window_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
+    // string-function census: pad/translate/reverse/repeat/split-element/
+    // levenshtein (fuzzy matching at the scalar level)
+    "q33_string_battery" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        lpad(col("o_orderstatus"), 3, "_").as("st_lpad"),
+        rpad(col("o_orderstatus"), 3, "*").as("st_rpad"),
+        translate(col("o_orderpriority"), "-", " ").as("pri_spaced"),
+        reverse(col("o_orderstatus")).as("st_rev"),
+        repeat(col("o_orderstatus"), 2).as("st_twice"),
+        element_at(split(col("o_orderpriority"), "-"), 1).as("pri_head"),
+        levenshtein(col("o_orderstatus"), lit("OF")).as("lev_of"))
+        .orderBy(col("o_orderkey"))),
+
+    // cube: all 4 grouping combinations in one pass (q26's rollup sibling)
+    "q34_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(money(revenue).as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     "q30_percentiles" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -916,6 +955,38 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin,
+
+    "q32_window_battery" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+
+    "q33_string_battery" ->
+      """SELECT o_orderkey,
+        |  lpad(o_orderstatus, 3, '_') AS st_lpad,
+        |  rpad(o_orderstatus, 3, '*') AS st_rpad,
+        |  translate(o_orderpriority, '-', ' ') AS pri_spaced,
+        |  reverse(o_orderstatus) AS st_rev,
+        |  repeat(o_orderstatus, 2) AS st_twice,
+        |  split_part(o_orderpriority, '-', 1) AS pri_head,
+        |  CAST(levenshtein(o_orderstatus, 'OF') AS INTEGER) AS lev_of
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q34_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q30_percentiles" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
