@@ -387,6 +387,35 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("rnk"))
     }),
 
+    // aggregate census beyond sum/count: conditional count, avg/stddev
+    // (rounded — float accumulation order differs across engines),
+    // min_by/max_by keyed on a UNIQUE column (ties would be
+    // nondeterministic), correlation
+    "q35_agg_battery" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          round(stddev(col("o_totalprice")), 2).as("sd_price"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("pri_of_min_key"),
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("pri_of_max_key"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 6).as("price_cust_corr"))
+        .orderBy(col("o_orderstatus"))),
+
+    // date-arithmetic census: day/month offsets (month arithmetic clamps
+    // end-of-month identically in both engines), day diffs, month ends
+    "q36_date_battery" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        date_sub(col("o_orderdate"), 7).as("minus7"),
+        add_months(col("o_orderdate"), 2).as("plus2mo"),
+        datediff(lit(java.sql.Date.valueOf("2025-01-01")), col("o_orderdate")).as("days_to_2025"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"))
+        .orderBy(col("o_orderkey"))),
+
     // window-function census over a partitioned window (lead/lag/ntile/
     // percent_rank/cume_dist/first/last — §2.6 breadth, all partitioned:
     // no single-partition WindowExec anywhere)
@@ -955,6 +984,28 @@ object SparkEntry {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin,
+
+    "q35_agg_battery" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  ROUND(AVG(o_totalprice), 2) AS avg_price,
+        |  ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+        |  min_by(o_orderpriority, o_orderkey) AS pri_of_min_key,
+        |  max_by(o_orderpriority, o_orderkey) AS pri_of_max_key,
+        |  ROUND(corr(o_totalprice, o_custkey), 6) AS price_cust_corr
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the parquet date surfaces as TIMESTAMP in DuckDB → cast to DATE once
+    "q36_date_battery" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |  d + 30 AS plus30,
+        |  d - 7 AS minus7,
+        |  CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |  CAST(date_diff('day', d, DATE '2025-01-01') AS INTEGER) AS days_to_2025,
+        |  last_day(d) AS month_end,
+        |  CAST(quarter(d) AS INTEGER) AS qtr
+        |FROM o ORDER BY o_orderkey""".stripMargin,
 
     "q32_window_battery" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
