@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Fixture-table loaders (TESTDATA.md). One parquet file per table under
   * `sfDir`. Kept as a single seam so queries never hard-code paths and the
@@ -14,6 +15,35 @@ import org.apache.spark.sql.functions._
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** CSV batch source with a DECLARED schema — inference is never used
+    * (it costs an extra full scan and can drift between runs; a 100 TB
+    * ingest cannot afford either). Malformed lines land in
+    * `_corrupt_record` (PERMISSIVE) instead of failing the scan or
+    * silently disappearing — the same accounting contract as the
+    * streaming JSON parse. NB: Spark refuses queries that touch ONLY the
+    * corrupt column over raw files — `cache()` (or write out) before
+    * filtering on it alone.
+    */
+  def loadCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** JSON-lines batch source, declared schema + corrupt-record column —
+    * one narrow scan, no inference pass.
+    */
+  def loadJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

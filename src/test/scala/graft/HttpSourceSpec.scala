@@ -8,6 +8,39 @@ import graft.sources.HttpSource
 class HttpSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CSV and JSONL batch sources: declared schema, corrupt lines accounted") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val dir = tmpDir("src-fmt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,name\n1,alpha\n2,beta\nnot-a-number,gamma\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.jsonl"),
+      """{"id":1,"name":"alpha"}
+        |{"id":2,"name":"beta"}
+        |{broken
+        |""".stripMargin)
+
+    // Spark refuses corrupt-record-only queries over raw files — cache
+    // first (the documented pattern; see loadCsv's scaladoc)
+    val csv = graft.sources.Tables.loadCsv(spark, s"$dir/t.csv", schema).cache()
+    assert(csv.count() === 3) // bad line kept, not dropped
+    assert(csv.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(csv.filter(col("_corrupt_record").isNull)
+      .select("id", "name").as[(Long, String)].collect().toSet ===
+      Set((1L, "alpha"), (2L, "beta")))
+
+    val jsonl = graft.sources.Tables.loadJsonl(spark, s"$dir/t.jsonl", schema).cache()
+    assert(jsonl.count() === 3)
+    assert(jsonl.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(jsonl.filter(col("_corrupt_record").isNull)
+      .select("id", "name").as[(Long, String)].collect().toSet ===
+      Set((1L, "alpha"), (2L, "beta")))
+  }
+
   private val body =
     """[{"driver_number":"1","driver_name":"Max Verstappen","headshot_url":"u1"},
       |{"driver_number":"44","driver_name":"Lewis Hamilton","headshot_url":"u44"},
