@@ -16,6 +16,49 @@ class PropertySpec extends SparkSpec {
 
   private val ValidPoints = Set(0, 1, 2, 4, 6, 8, 10, 12, 15, 18, 25)
 
+  test("portable minhash native/HOF parity holds on arbitrary unicode docs") {
+    // unicode matters: the native kernel tokenizes at the byte level
+    // (ASCII whitespace bytes never occur inside multi-byte UTF-8) while
+    // the HOF spec splits with the \s+ regex — parity must survive
+    // non-ASCII text, exotic whitespace neighbors, and empty docs
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("héllo", "日本語", "Ωmega", "naïve", "🙂", "a b", "x,y."))
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(120, doc).sample.get
+    val k = 6
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val cols = col("doc_id") +: (0 until k).map(j => col(s"mh$j"))
+    val native = Dedup.withMinHash(df, "text", k, shingleN = 2, portable = true)
+      .select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    val hof = Dedup.withMinHashPortableHOF(df, "text", k, shingleN = 2)
+      .select(cols: _*).orderBy("doc_id").collect().map(_.toSeq)
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("chunkDocs covers every token exactly: strided prefixes + overlap reconstruct") {
+    import graft.functions.TextAnalysis
+    val doc = Gen.choose(1, 150)
+      .map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Gen.listOfN(40, doc).sample.get
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (ct, ov) = (16, 4)
+    val chunks = TextAnalysis.chunkDocs(df, "doc_id", "text", ct, ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    docs.zipWithIndex.foreach { case (text, i) =>
+      val toks = text.split(" ")
+      val got = chunks(i.toLong)
+      // dropping each chunk's leading `overlap` tokens (except the first)
+      // and concatenating reconstructs the doc exactly — no token lost,
+      // none duplicated beyond the declared overlap
+      val rebuilt = got.head.split(" ").toSeq ++
+        got.tail.flatMap(_.split(" ").drop(ov).toSeq)
+      assert(rebuilt === toks.toSeq, s"doc $i")
+    }
+  }
+
   test("pointsLadder codomain is exactly the F1 scoring set for ANY position") {
     val positions = Gen.listOfN(200,
       Gen.oneOf(Gen.choose(-5, 30), Gen.const(Int.MaxValue))).sample.get
