@@ -648,6 +648,13 @@ object SparkEntry {
       Dedup.nearDupComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: engine-portable SimHash signatures (md5-vote
+    // variant — qd08's xxhash path stays the production default)
+    "qd20_simhash_portable" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simHash64Portable("text").as("simhash_hex"))
+        .orderBy(col("doc_id"))),
+
     // rows-only: SimHash near-dup pairs — 16-bit-prefix blocking then
     // Hamming≤3 verification (Manku et al., WWW 2007). Non-vacuous on the
     // fixture (the planted near-dup docs sit at Hamming 0–3); xxhash64-
@@ -1181,6 +1188,35 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS n_chunks,
         |  CAST(SUM(len(w[ci * 56 + 1 : ci * 56 + 64])) AS BIGINT) AS total_chunk_tokens
         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-bit majority vote over md5_number_lower(token) — DuckDB's view
+    // of the same 64 bits the native kernel votes with; hi/lo 32-bit
+    // halves keep every sum inside signed-int64 territory
+    "qd20_simhash_portable" -> {
+      val voteCols = (0 until 64)
+        .map(b => s"    SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << ${b - 32} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM e),
+         |v AS (
+         |  SELECT doc_id,
+         |$voteCols
+         |  FROM h GROUP BY doc_id),
+         |x AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM v)
+         |SELECT d.doc_id,
+         |  COALESCE(printf('%08x%08x', x.hi, x.lo), '0000000000000000') AS simhash_hex
+         |FROM documents d LEFT JOIN x ON d.doc_id = x.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "qd17_repetition" ->
       """WITH e AS (

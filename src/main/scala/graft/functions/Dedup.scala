@@ -224,6 +224,13 @@ object Dedup {
     expr(bits)
   }
 
+  /** Engine-portable SimHash as a 16-hex-char string (md5-derived votes —
+    * see [[NativeExpressions.PortableSimHashExpr]]); the xxhash
+    * [[simHash64]] is the production fast path.
+    */
+  def simHash64Portable(textCol: String): Column =
+    NativeExpressions.portableSimhash(col(textCol))
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

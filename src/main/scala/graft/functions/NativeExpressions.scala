@@ -96,6 +96,56 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Engine-portable SimHash: votes come from the 64-bit value DuckDB's
+    * `md5_number_lower(token)` exposes — the little-endian uint64 of md5
+    * digest bytes 8..15 — so the signature replays exactly in SQL. Output
+    * is a 16-char lowercase-hex string (dodges int64 sign pitfalls when
+    * bit 63 is set, in both engines). No tokens → all votes 0 → all bits
+    * 0 → "0000000000000000".
+    */
+  case class PortableSimHashExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "simhash_md5"
+
+    def compute(s: UTF8String): UTF8String = {
+      val votes = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      foreachToken(s) { (base, off, len) =>
+        val b = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        md.reset()
+        val d = md.digest(b)
+        var h = 0L
+        var i = 0
+        while (i < 8) { h |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      var hi = 0L
+      var lo = 0L
+      var b = 0
+      while (b < 32) { if (votes(b) > 0) lo |= (1L << b); b += 1 }
+      while (b < 64) { if (votes(b) > 0) hi |= (1L << (b - 32)); b += 1 }
+      UTF8String.fromString(f"$hi%08x$lo%08x")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("psimhash", this, classOf[PortableSimHashExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** k-permutation MinHash signature over word n-gram shingles, one pass:
@@ -465,6 +515,9 @@ object NativeExpressions {
 
   def portableMinhashSig(c: Column, k: Int, shingleN: Int): Column =
     column(PortableMinHashExpr(expression(c), k, shingleN))
+
+  def portableSimhash(c: Column): Column =
+    column(PortableSimHashExpr(expression(c)))
 
   def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
     column(NearestCellsExpr(expression(v), centroids, n))

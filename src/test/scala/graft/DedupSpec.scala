@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(both.forall { case (n, h) => n == h })
   }
 
+  test("portable simhash: hand-computed single-token signature, empty doc → zeros") {
+    val got = Seq((0L, ""), (1L, "hello"), (2L, "hello")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simHash64Portable("text").as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) === "0000000000000000")
+    assert(got(1L) === got(2L) && got(1L).length === 16)
+    // one token → signature IS that token's 64 md5-derived bits
+    // (little-endian uint64 of md5 digest bytes 8..15, hand-computed here)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8"))
+    var h = 0L
+    for (i <- 0 until 8) h |= (d(8 + i) & 0xffL) << (8 * i)
+    assert(got(1L) === f"${h >>> 32}%08x${h & 0xffffffffL}%08x")
+  }
+
   test("simhash native/HOF parity holds on empty and whitespace-only docs") {
     val both = Seq("", "   ", " \t\n ", "x").toDF("text")
       .select(Dedup.simHash64("text").as("native"),
