@@ -125,6 +125,37 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($vExpr, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB CTE chain computing the portable simhash's hi/lo 32-bit
+    * halves per doc — per-bit majority vote over `md5_number_lower(token)`,
+    * DuckDB's view of the same 64 bits [[NativeExpressions
+    * .PortableSimHashExpr]] votes with; the halves keep every vote sum and
+    * bit OR inside signed-int64 territory. Ends with `x(doc_id, hi, lo)`;
+    * docs with no tokens have no row in `x` (callers LEFT JOIN +
+    * COALESCE). Shared by the qd20 signature oracle and the qd21 near-dup
+    * oracle.
+    */
+  private lazy val duckSimhashHiLoCte: String = {
+    val voteCols = (0 until 64)
+      .map(b => s"    SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n")
+    val lo = (0 until 32)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
+      .mkString(" + ")
+    val hi = (32 until 64)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << ${b - 32} ELSE 0 END")
+      .mkString(" + ")
+    s"""e AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM e),
+       |v AS (
+       |  SELECT doc_id,
+       |$voteCols
+       |  FROM h GROUP BY doc_id),
+       |x AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM v)""".stripMargin
+  }
+
   // =====================================================================
   // One entry per implemented operator from SURVEY.md §2 (+ extensions).
   // =====================================================================
@@ -655,13 +686,25 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simHash64Portable("text").as("simhash_hex"))
         .orderBy(col("doc_id"))),
 
-    // rows-only: SimHash near-dup pairs — 16-bit-prefix blocking then
-    // Hamming≤3 verification (Manku et al., WWW 2007). Non-vacuous on the
-    // fixture (the planted near-dup docs sit at Hamming 0–3); xxhash64-
-    // based so no SQL oracle; semantics are DedupSpec-tested.
+    // rows-only: SimHash near-dup pairs — Manku multi-table blocking
+    // (exact recall at Hamming≤3 by pigeonhole) then Hamming verification.
+    // Non-vacuous on the fixture (the planted near-dup docs sit at
+    // Hamming 0–3); xxhash64-based so no SQL oracle; semantics are
+    // DedupSpec-tested and qd21 oracle-checks the identical blocking on
+    // the portable signature.
     "qd12_simhash_neardups" -> ((s, d) =>
       Dedup.simHashNearDups(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3, prefixBits = 16)
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // oracle-checked SimHash near-dups: the md5-portable signature (qd20)
+    // + the SAME exact-recall blocking as qd12. Because recall at the
+    // radius is exact, the blocked result must equal DuckDB's all-pairs
+    // bit_count(xor) filter — the oracle both checks the values and
+    // machine-verifies the pigeonhole recall argument.
+    "qd21_simhash_neardups_portable" -> ((s, d) =>
+      Dedup.simHashNearDupsPortable(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // rows-only: multimodal plumbing — documents' bytes stand in for
@@ -1189,34 +1232,27 @@ object SparkEntry {
         |  CAST(SUM(len(w[ci * 56 + 1 : ci * 56 + 64])) AS BIGINT) AS total_chunk_tokens
         |FROM ch GROUP BY source ORDER BY source""".stripMargin,
 
-    // per-bit majority vote over md5_number_lower(token) — DuckDB's view
-    // of the same 64 bits the native kernel votes with; hi/lo 32-bit
-    // halves keep every sum inside signed-int64 territory
-    "qd20_simhash_portable" -> {
-      val voteCols = (0 until 64)
-        .map(b => s"    SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(",\n")
-      val lo = (0 until 32)
-        .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END")
-        .mkString(" + ")
-      val hi = (32 until 64)
-        .map(b => s"CASE WHEN v$b > 0 THEN CAST(1 AS BIGINT) << ${b - 32} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT doc_id,
-         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM e),
-         |v AS (
-         |  SELECT doc_id,
-         |$voteCols
-         |  FROM h GROUP BY doc_id),
-         |x AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM v)
+    "qd20_simhash_portable" ->
+      s"""WITH $duckSimhashHiLoCte
          |SELECT d.doc_id,
          |  COALESCE(printf('%08x%08x', x.hi, x.lo), '0000000000000000') AS simhash_hex
          |FROM documents d LEFT JOIN x ON d.doc_id = x.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // all-pairs Hamming ≤ 3 over the portable signature: the Spark side
+    // runs Manku multi-table blocking, which is EXACT at the radius, so
+    // a green hash here is also a machine proof of the blocking's recall
+    // (any missed pair would surface as an oracle mismatch)
+    "qd21_simhash_neardups_portable" ->
+      s"""WITH $duckSimhashHiLoCte,
+         |sgn AS (
+         |  SELECT d.doc_id, COALESCE(x.hi, 0) AS hi, COALESCE(x.lo, 0) AS lo
+         |  FROM documents d LEFT JOIN x ON d.doc_id = x.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+         |FROM sgn a JOIN sgn b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "qd17_repetition" ->
       """WITH e AS (

@@ -170,6 +170,23 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // Convergence check: labels only ever decrease (min over a growing
+    // neighborhood), so round n == round n-1 iff the multiset of (id,
+    // label) pairs is unchanged — compared via a single order-independent
+    // sum(xxhash64) checksum agg per round (one job, no join; the previous
+    // join+filter+limit formulation re-derived both sides each round and
+    // roughly doubled per-round cost). An equal checksum on UNequal label
+    // sets needs a 64-bit hash-sum collision on labelings that differ —
+    // vanishingly unlikely, and strictly safer than a fixed round count.
+    // (Decimal sum: a raw long sum of xxhash64 values overflows under
+    // ANSI mode.)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(
+          sum(xxhash64(col("id"), col("label"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
+    var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -179,14 +196,17 @@ object Dedup {
       val next = labels.union(pulled)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old"))
-        .limit(1).count()
+      val nextSum = checksum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupComponents: label propagation did NOT converge after " +
+          s"$maxIter rounds (component diameter > $maxIter) — cluster " +
+          "labels may be truncated; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
@@ -235,19 +255,74 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the high `prefixBits` bits (cheap
-    * blocking; rotate-and-retry gives recall at scale), verify Hamming ≤
-    * maxHamming inside buckets.
+  /** The `maxHamming + 1` blocking keys of a 64-bit simhash: contiguous
+    * bit-blocks splitting the word as evenly as possible. Pigeonhole: a
+    * pair at Hamming ≤ maxHamming has ≤ maxHamming differing bits across
+    * maxHamming+1 blocks, so at least one FULL block matches — blocking
+    * on every block (a multi-table union, Manku et al. WWW 2007 §3) has
+    * 100% recall for the Hamming radius, unlike single-prefix blocking
+    * (which silently missed any pair whose differing bit fell inside the
+    * prefix).
+    */
+  private def simhashBlocks(simhash: Column, maxHamming: Int): Seq[Column] = {
+    val nBlocks = maxHamming + 1
+    (0 until nBlocks).map { b =>
+      val lo = b * 64 / nBlocks
+      val hi = (b + 1) * 64 / nBlocks
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(simhash, lo).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Near-dup pairs from a precomputed 64-bit-long signature column:
+    * explode ids over the `maxHamming + 1` blocking tables (row growth on
+    * (id, simhash) only — 16 B/doc/table, never the documents), equi-join
+    * per (table, key) — at 100 TB a shuffled hash join on uniform keys —
+    * distinct, verify exact Hamming. Exact recall at the radius by the
+    * pigeonhole argument on [[simhashBlocks]].
+    */
+  def simHashNearDupPairs(sig: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val tables = simhashBlocks(col(simhashCol), maxHamming).zipWithIndex
+      .map { case (k, t) => struct(lit(t).as("t"), k.as("k")) }
+    val exploded = sig
+      .select(col(idCol), col(simhashCol), explode(array(tables: _*)).as("e"))
+      .select(col(idCol), col(simhashCol), col("e.t"), col("e.k"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.t") === col("b.t") && col("a.k") === col("b.k") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$simhashCol").as("__sa"), col(s"b.$simhashCol").as("__sb"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs over text: xxhash64 signatures (production
+    * fast path) + exact-recall multi-table blocking.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
-    val sig = df.select(col(idCol), simHash64(textCol).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("hamming", hamming64(col("a.simhash"), col("b.simhash")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("hamming"))
+      maxHamming: Int = 3): DataFrame =
+    simHashNearDupPairs(
+      df.select(col(idCol), simHash64(textCol).as("simhash")),
+      idCol, "simhash", maxHamming)
+
+  /** [[simHashNearDups]] on the engine-portable md5 signature
+    * ([[simHash64Portable]]'s 16-hex-char string, reassembled into the
+    * 64-bit long from its two 32-bit hex halves) — same multi-table
+    * blocking, and because the recall is EXACT at the radius, the result
+    * equals the all-pairs Hamming filter a SQL oracle can state directly:
+    * the oracle needs no blocking replay, and a green hash doubles as a
+    * machine check of the pigeonhole recall guarantee.
+    */
+  def simHashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hex = simHash64Portable(textCol)
+    val asLong = shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    simHashNearDupPairs(
+      df.select(col(idCol), asLong.as("simhash")), idCol, "simhash", maxHamming)
   }
 }

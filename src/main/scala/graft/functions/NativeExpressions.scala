@@ -476,6 +476,13 @@ object NativeExpressions {
           if (!used(i) && scores(i) < bestScore) { bestScore = scores(i); best = i }
           i += 1
         }
+        // NaN in the vector makes every score NaN and every comparison
+        // false — fall back to the lowest unused cell instead of letting
+        // one corrupt embedding kill the task (used(-1) would throw)
+        if (best < 0) {
+          i = 0
+          while (best < 0 && i < m) { if (!used(i)) best = i; i += 1 }
+        }
         used(best) = true
         out(r) = best
         r += 1

@@ -147,7 +147,11 @@ object F1Ops {
         from_json(col(valueCol).cast("string"), audited,
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")).as("data"))
-      .withColumn("parse_ok", col("data._corrupt_record").isNull)
+      // a null payload makes from_json return a null struct (so
+      // _corrupt_record is null too) — require a non-null payload or the
+      // tombstone lands in the clean split as an all-null row
+      .withColumn("parse_ok",
+        col("raw_payload").isNotNull && col("data._corrupt_record").isNull)
       .select(col("parse_ok") +: col("raw_payload") +:
         Schemas.raceResultMessage.fieldNames.toIndexedSeq.map(f => col(s"data.$f")): _*)
   }

@@ -19,9 +19,13 @@ object RankOps {
     * Phase 1: `repartitionByRange(numPartitions, sortCol)` — equal keys
     * land in one partition (range boundaries are key thresholds), so ties
     * never straddle partitions and a local `rank()` per partition is
-    * correct up to a constant offset. The explicit partition count keeps
-    * AQE from re-coalescing between the two jobs, and the range sampler
-    * seeds per partition index, so both jobs see identical boundaries.
+    * correct up to a constant offset. The repartitioned frame is
+    * `localCheckpoint`ed (eager) so the counts job and the rank job read
+    * ONE materialization: the input is scanned once (asserted in
+    * RankAndSketchSpec via a scan-counting accumulator), and correctness
+    * no longer leans on the range sampler re-seeding identically across
+    * two executions — nondeterministic upstream (rand(), sample()) is
+    * safe here.
     *
     * Phase 2: per-partition row counts (≤ numPartitions values — index
     * metadata, like a broadcast join's small side) cumulated on the driver
@@ -35,6 +39,7 @@ object RankOps {
       else spark.sessionState.conf.numShufflePartitions
     val parts = df.repartitionByRange(n, sortCol)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = parts.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L

@@ -129,6 +129,39 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 3L)))
   }
 
+  test("simhash blocking recall is exact at the radius — incl. bits inside the old prefix") {
+    // the round-2 single-prefix blocking missed any pair whose differing
+    // bit fell in the high 16 bits; the pigeonhole multi-table blocking
+    // must find it
+    val sigs = Seq(
+      (0L, 0L),                  // base
+      (1L, 1L << 63),            // Hamming 1 — differing bit IN the old prefix
+      (2L, 7L),                  // Hamming 3 vs base, all in one low block
+      (3L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)), // Hamming 4
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simHashNearDupPairs(sigs, "doc_id", "simhash", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)), "pair differing inside the old prefix must be found")
+    assert(got.contains((0L, 2L)))
+    assert(!got.contains((0L, 3L)), "Hamming 4 is beyond the radius")
+  }
+
+  test("portable simhash near-dups equal the brute-force Hamming filter (recall proof)") {
+    val fixture = Tables.documents(spark, sf0001)
+    val got = Dedup.simHashNearDupsPortable(fixture, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sigs = fixture
+      .select(col("doc_id"), Dedup.simHash64Portable("text").as("h"))
+      .as[(Long, String)].collect()
+      .map { case (id, h) => id -> java.lang.Long.parseUnsignedLong(h, 16) }
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "fixture must contain planted simhash near-dups")
+    assert(got === brute)
+  }
+
   test("nearDupComponents: chains merge transitively, keeper is the min id") {
     // component {1,2,3} via chain 1-2, 2-3 (1 and 3 never share an edge);
     // separate component {7,9}; node 5 appears in no pair → absent

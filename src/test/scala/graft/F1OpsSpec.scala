@@ -89,6 +89,21 @@ class F1OpsSpec extends SparkSpec {
     assert(dead.as[String].collect().toSet === Set("not-json-at-all", """{"broken": """))
   }
 
+  test("null payloads (tombstones) are dead-lettered, not surfaced as all-null clean rows") {
+    // from_json(null) returns a null struct whose _corrupt_record is also
+    // null — parse_ok must not mistake that for a successful parse
+    val mixed = Seq(
+      Some("""{"grand_prix":"X","driver_number":"7","position":5,"meeting_key":"m","session_key":"s"}"""),
+      None,
+    ).toDF("value")
+    val audited = F1Ops.parseRaceJsonAudited(mixed)
+    assert(audited.count() === 2)
+    val (clean, dead) = F1Ops.splitDeadLetters(audited)
+    assert(clean.count() === 1)
+    assert(dead.count() === 1)
+    assert(dead.as[String].collect().toSeq === Seq(null))
+  }
+
   test("flagship standings match the hand-computed season") {
     val totalGps = season.select(countDistinct("grand_prix")).as[Long].head()
     assert(totalGps === 3)

@@ -47,6 +47,34 @@ class RankAndSketchSpec extends SparkSpec {
     assert(raw === Map(1 -> 20L, 21 -> 20L, 41 -> 20L, 61 -> 20L, 81 -> 20L))
   }
 
+  test("globalRank materializes the shuffle once — downstream jobs add zero input scans") {
+    // a scan-counting accumulator in the source RDD. Two passes are
+    // inherent to repartitionByRange (the range sampler reads the input,
+    // then the checkpointed shuffle map does): acc lands at exactly 2n.
+    // What the eager localCheckpoint buys: the counts job and the rank
+    // job both read the materialized blocks and contribute ZERO further
+    // scans — before the round-3 fix each action re-derived sampler +
+    // shuffle (4n), and offset correctness leaned on the sampler
+    // re-seeding identically across the two executions.
+    val acc = spark.sparkContext.longAccumulator("source-scans")
+    val rdd = spark.sparkContext.parallelize(1 to 1000, 4).map { i =>
+      acc.add(1); org.apache.spark.sql.Row(i.toDouble)
+    }
+    val df = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val out = RankOps.globalRank(df, col("v"), numPartitions = 8)
+    assert(out.count() === 1000L)
+    val afterFirst = acc.value
+    assert(afterFirst === 2000L,
+      s"input scanned ${afterFirst / 1000.0}x (sampler + checkpoint expected)")
+    // a second action over the SAME returned frame re-reads the
+    // checkpoint, not the source
+    assert(out.agg(max("rnk")).head().getInt(0) === 1000)
+    assert(acc.value === afterFirst, "second action must not rescan the input")
+  }
+
   test("approx_percentile stays within 2% of the exact percentile (qa02 contract)") {
     val rows = Tables.orders(spark, sf0001)
       .groupBy(col("o_orderstatus"))

@@ -119,6 +119,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cell === 0)
   }
 
+  test("a NaN embedding falls back to a cell instead of killing the task") {
+    // NaN scores make every comparison false — best stays -1 and the old
+    // kernel threw ArrayIndexOutOfBounds; one corrupt embedding must not
+    // fail a 10k-task stage
+    val centroids = Seq(
+      (0, Array(0.0d, 0.0d)),
+      (1, Array(10.0d, 10.0d))).toDF("cell_id", "centroid")
+    val df = Seq(
+      (0L, Array(Float.NaN, 1.0f)),
+      (1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cells = Similarity.Ivf.assign(df, "embedding", centroids)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    assert(cells(0L) === 0) // deterministic fallback: lowest unused cell
+    assert(cells(1L) === 0) // sane rows unaffected
+  }
+
   test("planted jittered near-dups are recovered (the qe05 shape is non-vacuous)") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
