@@ -750,6 +750,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // rows-only: REAL audio decode through the multimodal seam — encode a
+    // deterministic 16-bit PCM WAV per doc, decode it with
+    // javax.sound.sampled (an actual JDK codec, not the stub), surface
+    // format metadata + waveform features (RMS / zero-crossings / peak).
+    // All features are integer-derived → exactly reproducible; exact
+    // values are MultimodalSpec-asserted. Only video remains stubbed.
+    "qm03_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 64)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "audio",
+            graft.multimodal.Multimodal.syntheticWav(
+              id, 8000 + (id % 4).toInt * 4000, 800 + (id % 5).toInt * 200),
+            None, None, None, None)
+        }
+      graft.multimodal.Multimodal.decodeAudio(media)
+        .toDF()
+        .select(col("media_id"), col("decode_ok"), col("sample_rate"),
+          col("n_samples"), round(col("duration_sec"), 6).as("duration_sec"),
+          round(col("rms"), 4).as("rms"), col("zero_crossings"), col("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- extensions: similarity search ------------------------------
     "qe01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -816,7 +841,7 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qe06, qm01/qm02, qa01/qa02) are
+  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03, qa01/qa02) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their
   // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample plumbing.
   *
   * The image leg decodes REAL bytes via the JDK's `javax.imageio`
-  * ([[decodeImages]]); audio/video codecs are NOT in this container, so
-  * those decode kernels are STUBBED with a deterministic fake (clearly
-  * marked below).
+  * ([[decodeImages]]); the audio leg decodes REAL WAV/PCM bytes via the
+  * JDK's `javax.sound.sampled` ([[decodeAudio]]); video codecs are NOT
+  * in the JDK or this container, so that one decode kernel is STUBBED
+  * with a deterministic fake (clearly marked below).
   * Everything Spark-side is real and tested: the schema, the partitioning
   * (media rows are large → size partitions by bytes, not rows), the
   * per-partition batch shape (`mapPartitions` over an iterator so one
@@ -53,12 +54,14 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** ========================= STUB =========================
-    * Deterministic fake decode: a real implementation binds an image/audio
-    * codec (e.g. via JNI) here and returns pixel/waveform-derived features.
-    * The fake derives a reproducible feature vector from a rolling hash of
-    * the payload so tests can assert exact values end-to-end. Everything
-    * outside this function is production-shaped.
+  /** ========================= STUB (video only) =====================
+    * Deterministic fake decode: a real implementation binds a video codec
+    * (e.g. via JNI/FFI) here and returns frame-derived features. Image
+    * ([[decodeImages]]) and audio ([[decodeAudio]]) decode REAL bytes via
+    * JDK codecs; video has no pure-JVM codec, so the fake derives a
+    * reproducible feature vector from a rolling hash of the payload so
+    * tests can assert exact values end-to-end. Everything outside this
+    * function is production-shaped.
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null) return Array.fill(FeatureDim)(0f)
@@ -171,6 +174,118 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Audio decode result: real format metadata + waveform-derived
+    * features.
+    */
+  case class AudioDecoded(
+      media_id: Long,
+      decode_ok: Boolean,
+      sample_rate: Int,
+      n_samples: Long,
+      duration_sec: Double,
+      rms: Double,
+      zero_crossings: Long,
+      peak: Int)
+
+  /** REAL audio decode — not a stub. `javax.sound.sampled.AudioSystem`
+    * is part of the JDK (pure-JVM WAV/AIFF/AU PCM codecs), the same move
+    * that made the image leg real: sample rate and count come from the
+    * decoded stream and the features (RMS, zero-crossing count, peak) are
+    * computed from the actual 16-bit samples — all integer-derived double
+    * math, so values are exactly reproducible. Scope is 16-bit mono PCM
+    * (the training-corpus normal form); other formats and corrupt
+    * payloads surface `decode_ok = false` with zeroed features — never a
+    * task failure (one bad blob must not kill a 10k-task stage).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // AudioSystem holds per-JVM provider registries; per-partition
+      // iterator keeps the reader lookup out of the per-row path
+      rows.map { r =>
+        val failed = AudioDecoded(r.media_id, decode_ok = false, -1, -1L,
+          0.0, 0.0, -1L, 0)
+        if (r.bytes == null || r.bytes.isEmpty) failed
+        else
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.bytes))
+            try {
+              val fmt = ais.getFormat
+              val pcmSigned =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              if (!pcmSigned || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+                failed
+              else {
+                val data = ais.readAllBytes()
+                val bigEndian = fmt.isBigEndian
+                val n = data.length / 2
+                var sumSq = 0.0d
+                var zc = 0L
+                var peak = 0
+                var prevSign = 0
+                var i = 0
+                while (i < n) {
+                  val b0 = data(2 * i)
+                  val b1 = data(2 * i + 1)
+                  val s = if (bigEndian) (b0.toInt << 8) | (b1 & 0xff)
+                    else (b1.toInt << 8) | (b0 & 0xff)
+                  sumSq += s.toDouble * s.toDouble
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  val sign = Integer.signum(s)
+                  if (sign != 0) {
+                    if (prevSign != 0 && sign != prevSign) zc += 1
+                    prevSign = sign
+                  }
+                  i += 1
+                }
+                val rate = fmt.getSampleRate.toInt
+                AudioDecoded(r.media_id, decode_ok = true, rate, n.toLong,
+                  n.toDouble / rate, math.sqrt(sumSq / math.max(1, n)), zc, peak)
+              }
+            } finally ais.close()
+          } catch { case _: Exception => failed }
+      }
+    }
+  }
+
+  /** The deterministic waveform behind [[syntheticWav]]: a square wave
+    * whose half-period and amplitude derive from the id — hand-computable
+    * features (RMS = amplitude exactly; zero crossings = block count − 1)
+    * so tests assert exact decoded values.
+    */
+  private[graft] def syntheticSamples(id: Long, n: Int): Array[Short] = {
+    val half = 4 + (id % 13).toInt
+    val amp = (1000 + (id % 7) * 1000).toShort
+    Array.tabulate(n)(i =>
+      if ((i / half) % 2 == 0) amp else (-amp).toShort)
+  }
+
+  /** Deterministic synthetic WAV (16-bit mono signed PCM, little-endian)
+    * — real encoded audio bytes via the JDK's own WAVE writer, for
+    * exercising the real decode path where the fixtures carry only text
+    * payloads (the audio analogue of [[syntheticPng]]).
+    */
+  def syntheticWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val samples = syntheticSamples(id, nSamples)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 

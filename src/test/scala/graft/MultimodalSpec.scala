@@ -46,6 +46,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(11L).feature.forall(_ == 0f))
   }
 
+  test("real audio decode via javax.sound.sampled: format + exact waveform features") {
+    // id=0 square wave: half-period 4, amplitude 1000 → RMS is exactly
+    // 1000 (every sample is ±1000), 800 samples / half 4 = 200 blocks =
+    // 199 sign transitions, peak 1000, duration 800/8000 = 0.1 s
+    val wav = Multimodal.syntheticWav(0L, sampleRate = 8000, nSamples = 800)
+    val rows = Seq(
+      MediaRow(30L, "audio", wav, None, None, None, None),
+      MediaRow(31L, "audio", Array[Byte](1, 2, 3), None, None, None, None), // not audio
+      MediaRow(32L, "audio", null, None, None, None, None),
+    ).toDS()
+    val got = Multimodal.decodeAudio(rows).collect().map(r => r.media_id -> r).toMap
+    assert(got(30L).decode_ok)
+    assert(got(30L).sample_rate === 8000)
+    assert(got(30L).n_samples === 800L)
+    assert(got(30L).duration_sec === 0.1d)
+    assert(got(30L).rms === 1000.0d)
+    assert(got(30L).zero_crossings === 199L)
+    assert(got(30L).peak === 1000)
+    assert(!got(31L).decode_ok && !got(32L).decode_ok) // corrupt/null: no crash
+  }
+
+  test("synthetic WAV round-trips sample-exact through the JDK codec") {
+    val id = 5L
+    val wav = Multimodal.syntheticWav(id, sampleRate = 16000, nSamples = 333)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val data = ais.readAllBytes()
+    ais.close()
+    val decoded = Array.tabulate(data.length / 2)(i =>
+      (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff))).toShort)
+    assert(decoded.toSeq === Multimodal.syntheticSamples(id, 333).toSeq)
+  }
+
   test("real image resize: aspect-preserving downscale, round-trips through decode") {
     val rows = Seq(
       MediaRow(20L, "image", Multimodal.syntheticPng(1L, 64, 32), None, None, None, None),
