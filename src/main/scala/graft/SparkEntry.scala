@@ -830,6 +830,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
+    // oracle-checked IVF: same assign/search machinery as qe06 (the
+    // narrow NearestCellsExpr kernel, cell equi-join, cosine top-k) but
+    // with DETERMINISTIC centroids — the 8 lowest-vec_id vectors — which
+    // a SQL oracle can rebuild from the same table and replay as an
+    // explicit (score, cell_id) argmin. Proves the whole IVF pipeline's
+    // values; qe06 keeps the learned-centroid production path.
+    "qe08_ivf_ann_oracle" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Similarity.Ivf.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
+        "embedding", centroids, k = 3, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -1398,6 +1415,42 @@ object SparkEntry {
          |sc AS (
          |  SELECT q.query_id, cb.vec_id AS neighbor_id, $duckCos AS cosine
          |  FROM cb JOIN qb q ON cb.bucket = q.bucket AND cb.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
+
+    // IVF replayed end to end with deterministic centroids (vec_id < 8):
+    // cell assignment is the same `||c||² − 2·v·c` squared-L2 argmin the
+    // NearestCellsExpr kernel computes (sequential double dot products on
+    // both engines; ties to the lower cell id), queries probe their 2
+    // nearest cells, cosine top-3 inside probed cells
+    "qe08_ivf_ann_oracle" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+         |corpus_cells AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT c.vec_id, c.v, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell_id FROM (
+         |    SELECT c.vec_id AS query_id, c.v AS qv, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent WHERE c.vec_id < 5)
+         |  WHERE rn <= 2),
+         |sc AS (
+         |  SELECT p.query_id, cc.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(cc.v, p.qv)
+         |      / (sqrt(list_dot_product(cc.v, cc.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+         |  FROM corpus_cells cc JOIN probes p
+         |    ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
          |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
          |      FROM sc)
