@@ -209,6 +209,33 @@ object RaceIngest {
       .start()
   }
 
+  /** Stream-stream inner join with watermarks on BOTH sides — the one
+    * Structured Streaming operator class the reference never touches
+    * (its dimension join is static/serving-time; streamlit-app.py:41).
+    * Score events join driver-profile UPDATE events (also a stream) on
+    * driver plus a time-range condition: the profile must be at most
+    * `maxAge` older than the score. The range bound is what makes the
+    * join viable at scale — it lets the engine expire both sides' state
+    * once the watermark passes (unbounded stream-stream state is the
+    * classic production OOM), and rows arriving below the watermark are
+    * dropped rather than joined.
+    *
+    * Expected schemas: scores(score_ts timestamp, driver_number string,
+    * points int); profiles(profile_ts timestamp, profile_driver string,
+    * team string).
+    */
+  def joinWithProfileUpdates(scores: DataFrame, profiles: DataFrame,
+      watermark: String = "10 minutes",
+      maxAge: String = "15 minutes"): DataFrame =
+    scores.withWatermark("score_ts", watermark)
+      .join(
+        profiles.withWatermark("profile_ts", watermark),
+        expr(s"""driver_number = profile_driver
+                |AND profile_ts <= score_ts
+                |AND profile_ts >= score_ts - INTERVAL $maxAge""".stripMargin))
+      .select(col("driver_number"), col("score_ts"), col("points"),
+        col("profile_ts"), col("team"))
+
   /** Windowed event-time aggregation with watermark — the streaming-state
     * generalization the reference lacks (SURVEY.md §2.7 T8): tumbling
     * window counts/sums over an event stream.

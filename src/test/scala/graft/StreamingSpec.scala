@@ -165,6 +165,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq("1", "44"))
   }
 
+  test("stream-stream watermarked join: cross-batch matches join, sub-watermark rows drop") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val scoreMs = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val profMs = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = RaceIngest.joinWithProfileUpdates(
+        scoreMs.toDF().toDF("score_ts", "driver_number", "points"),
+        profMs.toDF().toDF("profile_ts", "profile_driver", "team"),
+        watermark = "10 minutes", maxAge = "15 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+
+    // batch 1: same-batch match
+    scoreMs.addData((ts("2024-01-01 00:01:00"), "1", 25))
+    profMs.addData((ts("2024-01-01 00:00:00"), "1", "Red Bull"))
+    q.processAllAvailable()
+
+    // batch 2: scores for 99 and 77 arrive with no profile yet; both
+    // sides' max event time moves to 01:10 → watermark becomes 01:00
+    scoreMs.addData(
+      (ts("2024-01-01 01:10:00"), "99", 18),
+      (ts("2024-01-01 01:10:00"), "77", 15))
+    profMs.addData((ts("2024-01-01 01:10:00"), "pad", "Pad FC"))
+    q.processAllAvailable()
+
+    // batch 3: 99's profile arrives LATE but above the watermark and in
+    // the 15-minute range → must join against the buffered batch-2 score
+    profMs.addData((ts("2024-01-01 01:05:00"), "99", "McLaren"))
+    q.processAllAvailable()
+
+    // batch 4: 77's profile is in range too (00:58 ∈ [00:55, 01:10]) but
+    // BELOW the 01:00 watermark → dropped, never joins
+    profMs.addData((ts("2024-01-01 00:58:00"), "77", "Ghost FC"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ss_join")
+      .select("driver_number", "points", "team")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(("1", 25, "Red Bull"), ("99", 18, "McLaren")),
+      s"expected the in-time matches only, got $got")
+  }
+
   test("JDBC sink roundtrips against embedded Derby; replay appends (S2 at-least-once)") {
     implicit val ctx = spark.sqlContext
     // Derby ships in /opt/spark/jars — a real in-JVM JDBC database, so the
