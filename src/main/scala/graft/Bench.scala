@@ -21,8 +21,9 @@ object Bench {
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
     "qd12_simhash_neardups", "qd13_chunking", "qd14_neardup_clusters",
-    "qd19_pretraining_pipeline",
+    "qd19_pretraining_pipeline", "qd21_simhash_neardups_portable",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
+    "qe08_ivf_ann_oracle", "qm03_audio_decode",
     "qs01_hourly_events", "qs02_sessionize")
 
   def main(args: Array[String]): Unit = {
