@@ -447,6 +447,65 @@ object SparkEntry {
         quarter(col("o_orderdate")).as("qtr"))
         .orderBy(col("o_orderkey"))),
 
+    // as-of join (pandas merge_asof / DuckDB ASOF JOIN / kdb aj —
+    // missing from Spark): each purchase gets the latest prior click of
+    // the same user. Union-tag-window formulation: ONE shuffle on the
+    // key, no range cross product (TimeSeriesOps scaladoc + plan assert
+    // in AsOfAndPruneSpec). Time key = epoch micros on both engines (the
+    // raw parquet ts is ns; Spark reads µs — comparing raw would tie-
+    // break differently at sub-µs precision); right side deduped per
+    // (user, µs) keeping the max event_id so the tie winner is defined.
+    "q37_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("user_id"), col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      val wTie = Window.partitionBy(col("user_id"), col("tus"))
+        .orderBy(col("event_id").desc)
+      val clicks = e.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(wTie)).filter(col("__rn") === 1)
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      graft.ops.TimeSeriesOps.asOfJoin(purchases, clicks, Seq("user_id"),
+          "tus", "tus", rightPayload = Seq("event_id", "tus", "value"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("asof_event_id"), col("asof_tus"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // sliding (hopping) windows in BATCH: 10-minute windows every 5
+    // minutes — each event lands in exactly 2 windows. Spark's window()
+    // generates the slots as an array internally (narrow), the only
+    // shuffle is the final group-by; the oracle replays the slot algebra
+    // with an explicit 2-element unnest. Window starts surface as epoch
+    // seconds (grid-aligned, integer-exact in both engines).
+    "q38_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_sec"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start_sec"), col("event_type"))),
+
+    // bloom-pruned semi join: the fact side is filtered by a bloom of
+    // the (selective) dim keys BEFORE its shuffle; the exact semi join
+    // removes false positives, so the oracle is the PLAIN semi join —
+    // a green hash proves the pruning is answer-preserving. The pruning
+    // itself (most fact rows dropped map-side) is AsOfAndPruneSpec-
+    // asserted.
+    "q39_bloom_semi_join" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0d)
+      graft.ops.SkewOps.bloomSemiJoin(
+          Tables.lineitem(s, d), "l_orderkey", hot, "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("total_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // window-function census over a partitioned window (lead/lag/ntile/
     // percent_rank/cume_dist/first/last — §2.6 breadth, all partitioned:
     // no single-partition WindowExec anywhere)
@@ -1098,6 +1157,42 @@ object SparkEntry {
         |  last_day(d) AS month_end,
         |  CAST(quarter(d) AS INTEGER) AS qtr
         |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's native ASOF JOIN replays the operator exactly; both
+    // engines compare epoch-µs longs so ns-vs-µs precision can't skew
+    // the inequality, and the right side is tie-deduped identically
+    "q37_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'click'
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, tus ORDER BY event_id DESC) = 1)
+        |SELECT l.event_id, l.user_id, l.tus,
+        |  r.event_id AS asof_event_id, r.tus AS asof_tus, r.value AS asof_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+        |ORDER BY l.event_id""".stripMargin,
+
+    // slot algebra of window(ts, 10 min, 5 min): an event at t belongs
+    // to starts {floor(t/300)*300, floor(t/300)*300 - 300} (seconds)
+    "q38_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |slots AS (
+        |  SELECT unnest([(tus // 300000000) * 300, (tus // 300000000) * 300 - 300]) AS win_start_sec,
+        |    event_type, value
+        |  FROM e)
+        |SELECT win_start_sec, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM slots GROUP BY 1, 2
+        |ORDER BY win_start_sec, event_type""".stripMargin,
+
+    // the oracle is the PLAIN semi join: the Spark side's bloom is a
+    // pre-filter whose false positives the exact join removes, so any
+    // answer drift would surface as a hash mismatch here
+    "q39_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q32_window_battery" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -502,6 +502,40 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // -------------------------------------------------------------- sketches
+
+  /** Membership probe against a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` riding inside the expression (the broadcast-small-side
+    * pattern, like [[NearestCellsExpr]]'s centroid matrix): the filter is
+    * serialized once with the plan, deserialized once per task, and the
+    * per-row probe is a few hash ops — no join, no shuffle. False
+    * positives only (never false negatives), so a bloom PRE-filter before
+    * an exact join preserves the join's answer while dropping most
+    * non-matching rows before the exchange.
+    */
+  case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    def compute(v: Long): Boolean = bloom.mightContainLong(v)
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", this, classOf[BloomMightContainExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- Columns
 
   import GraftBridge.{column, expression}
@@ -528,4 +562,7 @@ object NativeExpressions {
 
   def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
     column(NearestCellsExpr(expression(v), centroids, n))
+
+  def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
+    column(BloomMightContainExpr(expression(c), bloomBytes))
 }

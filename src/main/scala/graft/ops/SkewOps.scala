@@ -42,4 +42,28 @@ object SkewOps {
     saltedAgg(df, keys, salts,
       partials = Seq(count(lit(1)).as("__pc")),
       combine = Seq(sum("__pc").as("count")))
+
+  /** Bloom-pruned semi join for a dim too big to broadcast: build a
+    * bloom filter over the small side's (long) keys with one aggregation
+    * job (the sketch is a few hundred KB — mergeable, driver-safe the
+    * same way a broadcast join's small side is), ship it inside a narrow
+    * filter expression, and drop non-matching rows from the large side
+    * BEFORE its shuffle. The exact left-semi join then removes the bloom's
+    * false positives, so the ANSWER is identical to a plain semi join —
+    * what changes at 100 TB is the exchange volume: a selective dim prunes
+    * most of the fact scan at the map side instead of shuffling it.
+    * (Spark's own runtime row-level filtering applies the same idea; this
+    * form makes it explicit, tunable, and usable on any plan shape.)
+    */
+  def bloomSemiJoin(large: DataFrame, largeKey: String,
+      small: DataFrame, smallKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val pruned = large.filter(
+      graft.functions.NativeExpressions.bloomMightContain(col(largeKey), bos.toByteArray))
+    pruned.join(small.select(col(smallKey).as(largeKey)).distinct(),
+      Seq(largeKey), "left_semi")
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Time-series joins Spark lacks natively. The headline operator is the
+  * as-of join — "the state of X as of the time of Y" — which pandas
+  * (`merge_asof`), DuckDB (`ASOF JOIN`), and kdb all ship but Spark does
+  * not.
+  *
+  * The naive formulations both die at scale: a range join
+  * (`l.ts >= r.ts`) plans as BroadcastNestedLoop/cartesian and multiplies
+  * row counts before the per-left top-1 window prunes them. This is the
+  * union-tag-window formulation instead: tag both sides, union (cheap —
+  * no row multiplication, ever), and one window pass per key ordered by
+  * time carries the latest right payload forward into each left row.
+  * Cost = ONE shuffle on the key + a per-partition sort — the same
+  * exchange a sort-merge equi-join would pay, with state per task
+  * bounded by one payload struct. That is the 100 TB shape.
+  */
+object TimeSeriesOps {
+
+  /** As-of join: for each `left` row, the single most recent `right` row
+    * with `right.rightTs <= left.leftTs` on the same `keys` (inclusive —
+    * an equal timestamp matches). `rightPayload` columns are attached
+    * with `prefix`; `inner = true` drops left rows with no match (DuckDB
+    * `ASOF JOIN` semantics), `false` keeps them with null payload
+    * (`merge_asof` semantics).
+    *
+    * Determinism: among right rows tied on (keys, ts) the greatest
+    * payload struct wins (field-by-field struct ordering) — callers
+    * wanting a specific winner should order `rightPayload` accordingly
+    * or pre-dedup ties.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      prefix: String = "asof_", inner: Boolean = true): DataFrame = {
+    val payType = StructType(right.select(rightPayload.map(col): _*).schema)
+    val leftType = StructType(left.schema)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightPayload.map(col): _*).as("__pay"),
+        lit(null).cast(leftType).as("__lrow")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(payType).as("__pay"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow")): _*)
+    // side sorts right rows before left rows at equal ts → inclusive
+    // match; __pay as the final sort key makes the tie winner among
+    // equal-ts right rows deterministic
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__pay").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = if (inner) carried.filter(col("__asof").isNotNull) else carried
+    matched.select(
+      col("__lrow.*") +:
+        rightPayload.map(f => col(s"__asof.$f").as(prefix + f)): _*)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+import graft.ops.{SkewOps, TimeSeriesOps}
+import graft.sources.Tables
+
+/** The as-of join (hand-computed semantics + the no-cross-product plan
+  * contract) and the bloom-pruned semi join (answer preservation + real
+  * map-side pruning).
+  */
+class AsOfAndPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // right side: quotes per symbol; two quotes tie at ts=5 for A
+  private def quotes = Seq(
+    ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 5L, 12.0), ("B", 3L, 20.0),
+  ).toDF("sym", "qts", "px")
+
+  // left side: trades; one before any quote, one at an equal ts, one with
+  // no right rows at all for its key
+  private def trades = Seq(
+    ("A", 0L, 100L), ("A", 5L, 200L), ("A", 9L, 300L),
+    ("B", 2L, 400L), ("C", 7L, 500L),
+  ).toDF("sym", "tts", "qty")
+
+  test("asOfJoin: latest right row at or before each left ts, per key") {
+    val got = TimeSeriesOps.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        rightPayload = Seq("qts", "px"), prefix = "q_")
+      .select("sym", "tts", "qty", "q_qts", "q_px")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    // equal ts matches (inclusive); the ts-5 tie resolves to the greater
+    // payload struct (5, 12.0); trades before any quote and keys with no
+    // quotes are dropped (inner semantics = DuckDB ASOF JOIN)
+    assert(got === Set(
+      ("A", 5L, 200L, 5L, 12.0),
+      ("A", 9L, 300L, 5L, 12.0)))
+  }
+
+  test("asOfJoin left variant keeps unmatched rows with null payload") {
+    val got = TimeSeriesOps.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        rightPayload = Seq("qts", "px"), prefix = "q_", inner = false)
+      .select("sym", "tts", "q_qts")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("A", 0L, None), ("A", 5L, Some(5L)), ("A", 9L, Some(5L)),
+      ("B", 2L, None), ("C", 7L, None)))
+  }
+
+  test("asOfJoin plans without any join operator — union + one keyed window") {
+    val plan = TimeSeriesOps.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        rightPayload = Seq("qts", "px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("bloomSemiJoin equals the plain semi join and prunes before the shuffle") {
+    val li = Tables.lineitem(spark, sf0001)
+    val hot = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000.0d)
+    val viaBloom = SkewOps.bloomSemiJoin(li, "l_orderkey", hot, "o_orderkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .select("l_orderkey", "l_linenumber").as[(Long, Long)].collect().toSet
+    val plain = li.join(
+        hot.select(col("o_orderkey").as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").as[(Long, Long)].collect().toSet
+    assert(viaBloom === plain) // false positives removed by the exact join
+    assert(plain.nonEmpty, "selective dim must still match something")
+
+    // the bloom itself must prune most of the fact side map-side
+    val bloom = hot.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val total = li.count()
+    val pass = li.filter(
+      NativeExpressions.bloomMightContain(col("l_orderkey"), bos.toByteArray)).count()
+    assert(pass < total / 2,
+      s"bloom should drop most rows before the exchange ($pass of $total passed)")
+    // no false negatives: every true key survives the bloom
+    assert(pass >= plain.size)
+  }
+}
