@@ -489,6 +489,24 @@ object SparkEntry {
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("win_start_sec"), col("event_type"))),
 
+    // interval join without an equi key (lineitems shipped inside any
+    // hot order's 7-day window): chunk-bucketed equi-join + exact
+    // containment filter instead of the nested-loop range join
+    // (TimeSeriesOps.pointInInterval scaladoc; plan assert in
+    // AsOfAndPruneSpec)
+    "q40_range_join" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("w_start"),
+          date_add(col("o_orderdate").cast("date"), 7).as("w_end"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
+      graft.ops.TimeSeriesOps.pointInInterval(pts, hot, "ship",
+          "w_start", "w_end", chunkDays = 7)
+        .groupBy(col("o_orderkey"), col("w_start"))
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // bloom-pruned semi join: the fact side is filtered by a bloom of
     // the (selective) dim keys BEFORE its shuffle; the exact semi join
     // removes false positives, so the oracle is the PLAIN semi join —
@@ -766,6 +784,29 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // benchmark decontamination (GPT-3 App. C / C4 §2.3): per corpus doc,
+    // distinct 3-grams shared with a held-out benchmark set (docs with
+    // doc_id % 50 == 0 stand in for the eval set). Benchmark grams
+    // broadcast; corpus explodes (id, gram) only. 257 docs contaminated
+    // at sf0.01 — non-vacuous.
+    "qd22_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split: portable md5 bucket of the id
+    // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
+    // split depends only on its id: stable across runs, engines, and
+    // corpus growth, unlike rand(seed) under repartitioning.
+    "qd23_split_assign" -> ((s, d) =>
+      graft.functions.Curation.withSplit(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+
     // rows-only: multimodal plumbing — documents' bytes stand in for
     // media payloads; stub decode → fixed-width features (deterministic)
     "qm01_media_features" -> ((s, d) => {
@@ -913,6 +954,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
         .orderBy(col("hour"), col("event_type"))),
+
+    // Spark's built-in session_window in batch mode (qs02 is the manual
+    // lag/cumsum formulation — this covers the native operator; both
+    // sessionize on epoch-µs so the ns parquet source can't skew gap
+    // comparisons). Boundary semantics (StreamingSpec-pinned): an event
+    // at EXACTLY last + gap merges into the session; a new session needs
+    // strictly more — hence the oracle's > comparison.
+    "qs03_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          unix_micros(col("w.end")).as("sess_end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_us"))),
   )
 
   // =====================================================================
@@ -1183,6 +1238,67 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM slots GROUP BY 1, 2
         |ORDER BY win_start_sec, event_type""".stripMargin,
+
+    // plain BETWEEN join — the Spark side's chunk bucketing must be
+    // containment-exact, so any chunk-boundary bug hashes red here
+    "q40_range_join" ->
+      """WITH hot AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
+        |         CAST(o_orderdate AS DATE) + 7 AS w_end
+        |  FROM orders WHERE o_totalprice > 450000),
+        |pts AS (SELECT CAST(l_shipdate AS DATE) AS ship FROM lineitem)
+        |SELECT h.o_orderkey, h.w_start, COUNT(*) AS n_shipped
+        |FROM hot h JOIN pts p ON p.ship BETWEEN h.w_start AND h.w_end
+        |GROUP BY h.o_orderkey, h.w_start
+        |ORDER BY h.o_orderkey""".stripMargin,
+
+    "qd22_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS gs FROM d),
+         |bg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated_grams,
+         |  COALESCE(h.n, 0) > 0 AS contaminated
+         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // md5_number_lower(id) % 100 is bit-identical to the Md5BucketExpr
+    // kernel (LE uint64 of digest bytes 8..15, unsigned mod)
+    "qd23_split_assign" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, CASE WHEN bucket < 90 THEN 'train'
+        |                    WHEN bucket < 95 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, lang, COUNT(*) AS n FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // gap boundary is strictly > (StreamingSpec-pinned: Spark merges an
+    // event at exactly last + gap into the session)
+    "qs03_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus, 1) OVER w IS NULL
+        |      OR tus - lag(tus, 1) OVER w > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MIN(tus) AS sess_start_us,
+        |  MAX(tus) + 1800 * 1000000 AS sess_end_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     // the oracle is the PLAIN semi join: the Spark side's bloom is a
     // pre-filter whose false positives the exact join removes, so any

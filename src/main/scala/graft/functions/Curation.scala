@@ -41,4 +41,23 @@ object Curation {
     df.withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic train/val/test assignment by a portable content-free
+    * hash of the id: bucket ∈ [0, 100) = `md5_bucket(id)` (DuckDB:
+    * `md5_number_lower(id) % 100` — same 64 bits, same unsigned mod), the
+    * first `trainPct` buckets are train, the next `valPct` val, the rest
+    * test. The property a training pipeline needs and `rand(seed)` does
+    * NOT give: a doc's split is a pure function of its id — stable across
+    * runs, engines, partitionings, and corpus growth (new docs never move
+    * old ones between splits). Narrow map, no shuffle.
+    */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int = 90,
+      valPct: Int = 5, outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val bucket = NativeExpressions.md5Bucket(col(idCol).cast("string"), 100)
+    df.withColumn(outCol,
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

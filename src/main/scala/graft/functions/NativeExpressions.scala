@@ -502,6 +502,40 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Engine-portable hash bucket: `remainderUnsigned(h, buckets)` where
+    * `h` is the little-endian uint64 of md5 digest bytes 8..15 — the
+    * exact value DuckDB's `md5_number_lower(s)` exposes, so
+    * `md5_number_lower(s) % N` replays it in SQL. The deterministic
+    * train/val/test splitter's kernel: a doc's split must depend only on
+    * its id — never on partitioning, run, or engine.
+    */
+  case class Md5BucketExpr(child: Expression, buckets: Int)
+      extends UnaryExpression {
+    require(buckets > 0)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "md5_bucket"
+
+    def compute(s: UTF8String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+      java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5bucket", this, classOf[Md5BucketExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- sketches
 
   /** Membership probe against a serialized `org.apache.spark.util.sketch
@@ -565,4 +599,7 @@ object NativeExpressions {
 
   def bloomMightContain(c: Column, bloomBytes: Array[Byte]): Column =
     column(BloomMightContainExpr(expression(c), bloomBytes))
+
+  def md5Bucket(c: Column, buckets: Int): Column =
+    column(Md5BucketExpr(expression(c), buckets))
 }

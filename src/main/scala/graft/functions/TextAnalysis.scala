@@ -167,6 +167,37 @@ object TextAnalysis {
         col("chunk_id") :+ col("chunk_text") :+ col("chunk_tokens"): _*)
   }
 
+  /** Benchmark decontamination: per corpus doc, the count of distinct
+    * word n-grams it shares with an evaluation/benchmark set — the
+    * GPT-3/C4-style overlap check (Brown et al. 2020 App. C flag 13-gram
+    * collisions; Raffel et al. 2020 §2.3 drop benchmark sentence
+    * matches). The benchmark side is tiny relative to the corpus, so its
+    * distinct n-grams BROADCAST; the corpus side explodes to (id,
+    * gram) — row growth of two small columns, not documents — and the
+    * hit count comes from the broadcast hash join + one grouped count.
+    * At 100 TB: one narrow explode over the corpus scan, one broadcast
+    * join, one shuffle on doc id for the count. Docs sharing nothing get
+    * `n_contaminated_grams = 0`, `contaminated = false`.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    // wordShingles is per-doc distinct, so the exploded (id, gram) pairs
+    // are distinct too: the join hit count IS the distinct shared-gram count
+    val hits = docs
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
   /** Canonical whitespace-collapsed lowercase form — the normalization step
     * shared by fingerprinting and exact dedup.
     */

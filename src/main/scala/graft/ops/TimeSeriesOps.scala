@@ -65,4 +65,31 @@ object TimeSeriesOps {
       col("__lrow.*") +:
         rightPayload.map(f => col(s"__asof.$f").as(prefix + f)): _*)
   }
+
+  /** Interval (range) join without an equi key: each point row matches
+    * every interval containing it (`start <= point <= end`, both date
+    * columns, inclusive). A raw range predicate plans as a nested-loop
+    * cross product — |points|×|intervals| comparisons; this formulation
+    * buckets time into `chunkDays`-day chunks instead: an interval
+    * explodes to the chunks it covers (interval length / chunkDays rows
+    * of interval METADATA, not data), a point maps to exactly one chunk,
+    * and the match becomes an equi-join on the chunk key followed by the
+    * exact containment filter. Cost at 100 TB: one narrow map per side +
+    * one hash join on a uniform time key — pick `chunkDays` near the
+    * typical interval length so intervals explode to O(1) chunks.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      chunkDays: Int): DataFrame = {
+    require(chunkDays > 0)
+    val pTagged = points.withColumn("__chunk",
+      floor(unix_date(col(pointCol)) / chunkDays))
+    val iTagged = intervals.withColumn("__chunk",
+      explode(sequence(
+        floor(unix_date(col(startCol)) / chunkDays),
+        floor(unix_date(col(endCol)) / chunkDays))))
+    pTagged.join(iTagged, Seq("__chunk"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__chunk")
+  }
 }

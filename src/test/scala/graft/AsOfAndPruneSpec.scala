@@ -57,6 +57,28 @@ class AsOfAndPruneSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("pointInInterval: inclusive bounds, multi-chunk intervals, no nested loop") {
+    val intervals = Seq(
+      (1L, "2024-01-01", "2024-01-20"), // spans multiple 7-day chunks
+      (2L, "2024-02-01", "2024-02-03"),
+    ).toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = Seq(
+      (10L, "2024-01-01"), // == start → in
+      (11L, "2024-01-20"), // == end → in (inclusive)
+      (12L, "2024-01-21"), // one day past → out
+      (13L, "2024-02-02"), // inside interval 2
+      (14L, "2023-12-31"), // before everything → out
+    ).toDF("pid", "p").select(col("pid"), col("p").cast("date").as("p"))
+    val q = TimeSeriesOps.pointInInterval(points, intervals, "p", "s", "e",
+      chunkDays = 7)
+    val got = q.select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L), (11L, 1L), (13L, 2L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes before the shuffle") {
     val li = Tables.lineitem(spark, sf0001)
     val hot = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000.0d)

@@ -238,6 +238,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "race_results", props).count() === 2)
   }
 
+  test("session_window: an event at exactly the gap boundary MERGES into the session") {
+    // pins the boundary semantics the qs03 oracle mirrors with its
+    // strictly-> gap comparison: Spark merges when t <= last + gap
+    // (empirically verified here — a new session needs t > last + gap)
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:29:59"), 1L), // inside gap
+      (java.sql.Timestamp.valueOf("2024-01-01 00:59:59"), 1L), // == last + 30 min
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L), // > gap → new
+    ).toDF("ts", "user_id")
+    val got = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00", 3L),
+      ("2024-01-01 02:00:00", 1L)))
+  }
+
   test("kafka record shape: key = driver_number, value = JSON (S4/S6)") {
     val df = Seq(("44", "Bahrain", 15)).toDF("driver_number", "grand_prix", "points")
     val rec = RaceIngest.toKafkaRecords(df).as[(String, String)].head()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{Curation, TextAnalysis}
 import graft.sources.Tables
 
 /** Text-analysis semantics: the two langId forms agree, quality metrics
@@ -87,6 +87,36 @@ class TextAnalysisSpec extends SparkSpec {
       col("n_tok"), budget = 110L)
       .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
     assert(mix === Map(1L -> 60L, 2L -> 110L, 4L -> 30L)) // doc 3 busts the budget
+  }
+
+  test("decontaminate counts distinct shared n-grams; clean docs flag false") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // bench 3-grams: "alpha beta gamma", "beta gamma delta"
+    val corpus = Seq(
+      (1L, "x alpha beta gamma y"),       // shares the first gram only
+      (2L, "alpha beta gamma delta end"), // shares both
+      (3L, "nothing in common here at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((0L, false))))
+  }
+
+  test("withSplit is a pure function of the id — stable across partitionings") {
+    val docs = Tables.documents(spark, sf0001)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Curation.withSplit(df, "doc_id")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = splits(docs)
+    val b = splits(docs.repartition(13))
+    assert(a === b) // a doc's split never depends on execution layout
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 target: train share must dominate (hash noise allowed)
+    assert(a.values.count(_ == "train").toDouble / a.size > 0.8)
   }
 
   test("approx_count_distinct within HLL error of exact (qa01 contract)") {
