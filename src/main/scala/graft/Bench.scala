@@ -16,15 +16,17 @@ object Bench {
     "q01_standings", "q02_points_ladder", "q08_fact_dim_join",
     "q09_dedup_first", "q18_rank_standings",
     "q21_region_rollup", "q22_window_monthly", "q26_rollup",
-    "q31_topk_per_group",
+    "q31_topk_per_group", "q37_asof_join", "q38_sliding_window",
+    "q40_range_join",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
     "qd12_simhash_neardups", "qd13_chunking", "qd14_neardup_clusters",
     "qd19_pretraining_pipeline", "qd21_simhash_neardups_portable",
+    "qd22_decontaminate",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qm03_audio_decode",
-    "qs01_hourly_events", "qs02_sessionize")
+    "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
