@@ -33,6 +33,10 @@ object GraftExtensions {
       SortedJaccardExpr(args.head, args(1)))
     registerTempFunction(spark, "minhash_sig_md5", args =>
       PortableMinHashExpr(args.head, ext.intArg(args(1), "k"), ext.intArg(args(2), "n")))
+    registerTempFunction(spark, "simhash_md5", args =>
+      PortableSimHashExpr(args.head))
+    registerTempFunction(spark, "md5_bucket", args =>
+      Md5BucketExpr(args.head, ext.intArg(args(1), "buckets")))
   }
 }
 
@@ -78,14 +82,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_jaccard(a, b) - Jaccard similarity of two sorted distinct long arrays"),
       (args: Seq[Expression]) => SortedJaccardExpr(args.head, args(1))))
 
-    // NearestCellsExpr is deliberately NOT SQL-registered: its centroid
-    // matrix is runtime data (a fitted model), not a literal a SQL call
-    // site could express.
+    // NearestCellsExpr and BloomMightContainExpr are deliberately NOT
+    // SQL-registered: their payloads (centroid matrix, serialized bloom)
+    // are runtime data, not literals a SQL call site could express.
     ext.injectFunction((
       FunctionIdentifier("minhash_sig_md5"),
       info("minhash_sig_md5",
         "minhash_sig_md5(text, k, n) - engine-portable md5 MinHash signature over word n-gram shingles"),
       (args: Seq[Expression]) =>
         PortableMinHashExpr(args.head, intArg(args(1), "k"), intArg(args(2), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      info("simhash_md5",
+        "simhash_md5(text) - engine-portable md5-vote SimHash as a 16-hex-char string"),
+      (args: Seq[Expression]) => PortableSimHashExpr(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("md5_bucket"),
+      info("md5_bucket",
+        "md5_bucket(s, buckets) - portable hash bucket (DuckDB md5_number_lower(s) % buckets)"),
+      (args: Seq[Expression]) => Md5BucketExpr(args.head, intArg(args(1), "buckets"))))
   }
 }

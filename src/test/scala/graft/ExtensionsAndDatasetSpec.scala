@@ -21,7 +21,9 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
         |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         |       sorted_jaccard(shingle_hashes('a b c', 2),
         |                      shingle_hashes('a b c', 2)) AS jac,
-        |       minhash_sig_md5('a b c', 4, 2) AS pm
+        |       minhash_sig_md5('a b c', 4, 2) AS pm,
+        |       simhash_md5('hello world') AS psh,
+        |       md5_bucket('42', 100) AS bkt
         |""".stripMargin).head()
     assert(row.getAs[Long]("sh") !== 0L)
     assert(row.getAs[Int]("k") === 8)
@@ -29,6 +31,9 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     assert(row.getAs[Double]("jac") === 1.0)
     val pm = row.getAs[scala.collection.Seq[String]]("pm")
     assert(pm.length === 4 && pm.forall(s => s != null && s.length == 32))
+    assert(row.getAs[String]("psh").length === 16)
+    val b = row.getAs[Int]("bkt")
+    assert(b >= 0 && b < 100)
   }
 
   test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
