@@ -418,6 +418,34 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("rnk"))
     }),
 
+    // the same top-3-per-supplier as q31, computed by the bounded-state
+    // typed Aggregator instead of the window: ≤ k entries of state per
+    // group with map-side partial aggregation (a 10⁹-row group ships k
+    // entries per map task, not 10⁹ rows to one reducer partition).
+    // Same oracle SQL as q31 — equality of the two formulations is
+    // machine-checked every round.
+    "q41_topk_aggregator" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAgg.TopK(3).toColumn.name("top")
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Double, Long, Long)]
+        .map { case (sk, price, ok, ln) =>
+          sk -> graft.functions.TopKAgg.Item(price, ok, ln)
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .flatMap { case (sk, buf) =>
+          buf.items.zipWithIndex.map { case (r, i) =>
+            (sk, i + 1, r.orderkey, r.price)
+          }
+        }
+        .toDF("l_suppkey", "rnk", "l_orderkey", "l_extendedprice")
+        .orderBy(col("l_suppkey"), col("rnk"))
+    }),
+
     // aggregate census beyond sum/count: conditional count, avg/stddev
     // (rounded — float accumulation order differs across engines),
     // min_by/max_by keyed on a UNIQUE column (ties would be
@@ -1184,6 +1212,16 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q31_topk_per_group" ->
+      """SELECT l_suppkey, rnk, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 3 ORDER BY l_suppkey, rnk""".stripMargin,
+
+    // identical SQL to q31 by construction: the Aggregator and the
+    // window formulation must agree row for row
+    "q41_topk_aggregator" ->
       """SELECT l_suppkey, rnk, l_orderkey, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_extendedprice,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey

@@ -79,6 +79,32 @@ class AsOfAndPruneSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("TopK aggregator equals the window top-k and plans with partial aggregation") {
+    import graft.functions.TopKAgg
+    val li = Tables.lineitem(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = li.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("l_suppkey", "rnk", "l_orderkey")
+      .as[(Long, Int, Long)].collect().toSet
+    val ds = li
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .as[(Long, Double, Long, Long)]
+      .map { case (sk, p, ok, ln) => sk -> TopKAgg.Item(p, ok, ln) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAgg.TopK(3).toColumn.name("top"))
+    val viaAgg = ds.flatMap { case (sk, buf) =>
+        buf.items.zipWithIndex.map { case (r, i) => (sk, i + 1, r.orderkey) }
+      }.collect().toSet
+    assert(viaAgg === viaWindow)
+    // bounded-state scale contract: partial + final object hash agg, so
+    // heavy groups combine map-side instead of sorting in one reducer
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("partial_topk|ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("bloomSemiJoin equals the plain semi join and prunes before the shuffle") {
     val li = Tables.lineitem(spark, sf0001)
     val hot = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 400000.0d)
