@@ -236,6 +236,26 @@ object RaceIngest {
       .select(col("driver_number"), col("score_ts"), col("points"),
         col("profile_ts"), col("team"))
 
+  /** [[joinWithProfileUpdates]] with LEFT OUTER semantics: score rows
+    * with no in-range profile are still emitted, null-padded — but only
+    * once the watermark proves no matching profile can arrive (outer
+    * stream-stream results are withheld until event time passes the
+    * range bound; that is what makes the null decision final rather than
+    * racy).
+    */
+  def joinWithProfileUpdatesOuter(scores: DataFrame, profiles: DataFrame,
+      watermark: String = "10 minutes",
+      maxAge: String = "15 minutes"): DataFrame =
+    scores.withWatermark("score_ts", watermark)
+      .join(
+        profiles.withWatermark("profile_ts", watermark),
+        expr(s"""driver_number = profile_driver
+                |AND profile_ts <= score_ts
+                |AND profile_ts >= score_ts - INTERVAL $maxAge""".stripMargin),
+        "left_outer")
+      .select(col("driver_number"), col("score_ts"), col("points"),
+        col("profile_ts"), col("team"))
+
   /** Windowed event-time aggregation with watermark — the streaming-state
     * generalization the reference lacks (SURVEY.md §2.7 T8): tumbling
     * window counts/sums over an event stream.
@@ -246,4 +266,17 @@ object RaceIngest {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Session-window aggregation in the STREAM (the stateful sibling of
+    * the batch qs03): sessions stay open in the state store while events
+    * keep arriving within the gap, and a session emits (append mode)
+    * once the watermark passes its end — the engine merges windows and
+    * expires state, no custom state code.
+    */
+  def sessionizedEventAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
 }

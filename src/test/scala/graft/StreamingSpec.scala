@@ -238,6 +238,75 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "race_results", props).count() === 2)
   }
 
+  test("stream-stream LEFT OUTER join: null-padded rows emit once the watermark is final") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val scoreMs = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val profMs = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = RaceIngest.joinWithProfileUpdatesOuter(
+        scoreMs.toDF().toDF("score_ts", "driver_number", "points"),
+        profMs.toDF().toDF("profile_ts", "profile_driver", "team"),
+        watermark = "10 minutes", maxAge = "15 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_outer").start()
+
+    // batch 1: "1" matches; "77" has no profile — its null row must NOT
+    // emit yet (a profile could still arrive within the range)
+    scoreMs.addData(
+      (ts("2024-01-01 00:01:00"), "1", 25),
+      (ts("2024-01-01 00:02:00"), "77", 15))
+    profMs.addData((ts("2024-01-01 00:00:30"), "1", "Red Bull"))
+    q.processAllAvailable()
+    val early = spark.table("ss_outer")
+      .filter(col("driver_number") === "77").count()
+    assert(early === 0L, "outer null must wait for the watermark")
+
+    // batches 2-3: watermark moves far past 77's range bound → the
+    // engine can prove no match will come and emits the null-padded row
+    scoreMs.addData((ts("2024-01-01 03:00:00"), "pad", 1))
+    profMs.addData((ts("2024-01-01 03:00:00"), "padp", "Pad FC"))
+    q.processAllAvailable()
+    scoreMs.addData((ts("2024-01-01 03:00:01"), "pad2", 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ss_outer")
+      .select("driver_number", "points", "team")
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(got.contains(("1", 25, Some("Red Bull"))))
+    assert(got.contains(("77", 15, None)), s"null-padded row missing: $got")
+  }
+
+  test("streaming session_window: session emits after the watermark passes its end") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = RaceIngest.sessionizedEventAgg(
+        ms.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        gap = "5 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+
+    // one session for user 1 (00:00, 00:02 — merged by the 5-min gap)
+    ms.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:02:00"), 1L))
+    q.processAllAvailable()
+    assert(spark.table("sess_stream").count() === 0L) // still open
+
+    // far-future event → watermark 00:50 > session end 00:07 → emit
+    ms.addData((ts("2024-01-01 01:00:00"), 2L))
+    q.processAllAvailable()
+    ms.addData((ts("2024-01-01 01:00:01"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_stream")
+      .select(col("user_id"), col("w.start").cast("string"),
+        col("w.end").cast("string"), col("n"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:07:00", 2L)))
+  }
+
   test("session_window: an event at exactly the gap boundary MERGES into the session") {
     // pins the boundary semantics the qs03 oracle mirrors with its
     // strictly-> gap comparison: Spark merges when t <= last + gap
