@@ -128,6 +128,49 @@ class PropertySpec extends SparkSpec {
     assert(h.forall { case (_, _, d, _, same) => !same || d == 0 })
   }
 
+  test("asOfJoin equals driver-side brute force on random series") {
+    val gen = for {
+      key <- Gen.oneOf("A", "B", "C")
+      ts <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0L, 999L)
+    } yield (key, ts, v)
+    val rights = Gen.listOfN(60, gen).sample.get
+      // dedup (key, ts) so the tie winner is unambiguous on both paths
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val lefts = Gen.listOfN(40, gen).sample.get
+    val got = graft.ops.TimeSeriesOps.asOfJoin(
+        lefts.toDF("k", "lts", "lv"), rights.toDF("k", "rts", "rv"),
+        Seq("k"), "lts", "rts", rightPayload = Seq("rts", "rv"))
+      .select("k", "lts", "lv", "asof_rts", "asof_rv")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2, r._3)).view.mapValues(_.map(x => (x._4, x._5)).toSet).toMap
+    val brute = lefts.flatMap { case (k, lts, lv) =>
+      rights.filter(r => r._1 == k && r._2 <= lts)
+        .sortBy(r => (r._2, r._3)).lastOption
+        .map(r => (k, lts, lv) -> (r._2, r._3))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got === brute)
+  }
+
+  test("TopK aggregator result is invariant under input permutation and partitioning") {
+    import graft.functions.TopKAgg
+    val rows = Gen.listOfN(200, for {
+      sk <- Gen.choose(0L, 5L)
+      p <- Gen.choose(0, 100).map(_.toDouble)
+      ok <- Gen.choose(0L, 10000L)
+    } yield (sk, p, ok, 1L)).sample.get
+    def run(rs: Seq[(Long, Double, Long, Long)], parts: Int) =
+      rs.toDF("sk", "p", "ok", "ln").repartition(parts)
+        .as[(Long, Double, Long, Long)]
+        .map { case (sk, p, ok, ln) => sk -> TopKAgg.Item(p, ok, ln) }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new TopKAgg.TopK(3).toColumn.name("top"))
+        .collect().map { case (sk, buf) => sk -> buf.items }.toMap
+    val a = run(rows, 1)
+    val b = run(scala.util.Random.shuffle(rows), 7)
+    assert(a === b)
+  }
+
   test("minhash signature equality probability tracks jaccard (planted check)") {
     // identical docs → identical signatures; disjoint docs → (overwhelmingly)
     // different signatures
