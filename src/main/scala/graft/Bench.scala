@@ -17,7 +17,7 @@ object Bench {
     "q09_dedup_first", "q18_rank_standings",
     "q21_region_rollup", "q22_window_monthly", "q26_rollup",
     "q31_topk_per_group", "q37_asof_join", "q38_sliding_window",
-    "q40_range_join",
+    "q40_range_join", "q41_topk_aggregator",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
