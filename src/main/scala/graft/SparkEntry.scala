@@ -812,6 +812,27 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // greedy context-window packing (the step between chunking and batch
+    // assembly): consecutive docs per source packed into ≤512-token
+    // bins. One shuffle + in-partition sort + a streaming O(1)-state
+    // scan; the oracle replays the sequential walk as a recursive CTE.
+    "qd24_sequence_packing" -> ((s, d) =>
+      graft.functions.Curation.packSequences(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", budget = 512L)
+        .orderBy(col("source"), col("doc_id"))),
+
+    // per-source sampling weights (Pile/LLaMA mixture recipes) via the
+    // portable md5 bucket — reproducible across engines and runs
+    "qd25_weighted_sample" -> ((s, d) =>
+      graft.functions.Curation.weightedSample(Tables.documents(s, d),
+          "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
+
     // benchmark decontamination (GPT-3 App. C / C4 §2.3): per corpus doc,
     // distinct 3-grams shared with a held-out benchmark set (docs with
     // doc_id % 50 == 0 stand in for the eval set). Benchmark grams
@@ -1289,6 +1310,40 @@ object SparkEntry {
         |FROM hot h JOIN pts p ON p.ship BETWEEN h.w_start AND h.w_end
         |GROUP BY h.o_orderkey, h.w_start
         |ORDER BY h.o_orderkey""".stripMargin,
+
+    // the greedy pack replayed as a recursive walk: row rn joins row
+    // rn+1 carrying (bin, used) state — the sequential semantics the
+    // Spark side computes in one streaming partition pass
+    "qd24_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |walk(source, rn, doc_id, n_tok, bin_id, used) AS (
+        |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
+        |    CASE WHEN w.used + t.n_tok > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
+        |    CASE WHEN w.used + t.n_tok > 512 THEN t.n_tok ELSE w.used + t.n_tok END
+        |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
+        |SELECT source, doc_id, n_tok, bin_id
+        |FROM walk ORDER BY source, doc_id""".stripMargin,
+
+    "qd25_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS bucket
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source FROM b
+        |  WHERE bucket < CASE source WHEN 'src0' THEN 5000
+        |                             WHEN 'src1' THEN 2500
+        |                             WHEN 'src2' THEN 0
+        |                             ELSE 10000 END)
+        |SELECT source, COUNT(*) AS n_kept FROM kept
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "qd22_decontaminate" ->
       s"""WITH d AS (

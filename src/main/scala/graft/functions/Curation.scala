@@ -60,4 +60,57 @@ object Curation {
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Per-group weighted Bernoulli sampling with the same portable hash
+    * as [[withSplit]] — the "sampling weights per source" step of
+    * training-mix recipes (The Pile / LLaMA per-source epochs < 1),
+    * reproducible by construction: a row survives iff
+    * `md5_bucket(id, 10000) < weight(group) · 10000`. Groups absent
+    * from `weights` keep everything (weight 1.0). Narrow map.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0))
+    val bucket = NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000)
+    val threshold = weights.foldLeft(lit(10000)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(math.round(w * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Greedy sequence packing: walk each group in `orderCol` order and
+    * pack consecutive rows into bins of at most `budget` tokens (a row
+    * larger than the budget gets a bin of its own) — the
+    * context-window packing step between chunking and batch assembly in
+    * an LLM pre-training pipeline. Inherently a sequential scan per
+    * group, which the naive form does with a per-group collect; this
+    * form does ONE shuffle (`repartition(group)`) + an in-partition
+    * sort, then a streaming `mapPartitions` pass with O(1) state that
+    * resets at group boundaries — no group is ever materialized, so a
+    * source with 10⁹ docs packs in one pass. Deterministic given the
+    * total (group, order) order.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(orderCol).cast("long"),
+        col(tokensCol).cast("long"))
+      .as[(String, Long, Long)]
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+      .mapPartitions { rows =>
+        var curGroup: String = null
+        var used = 0L
+        var bin = 0L
+        rows.map { case (g, o, t) =>
+          if (g != curGroup) { curGroup = g; bin = 0L; used = 0L }
+          if (used > 0 && used + t > budget) { bin += 1; used = 0L }
+          used += t
+          (g, o, t, bin)
+        }
+      }
+      .toDF(groupCol, orderCol, tokensCol, "bin_id")
+  }
 }

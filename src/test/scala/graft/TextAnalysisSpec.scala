@@ -119,6 +119,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.values.count(_ == "train").toDouble / a.size > 0.8)
   }
 
+  test("packSequences: greedy bins respect the budget; oversized rows get own bins") {
+    val df = Seq(
+      // group A: 300+200 fit (500 ≤ 512), +100 busts → bin 1; 600 > 512
+      // alone → bin 2; 512 exact-fits a fresh bin 3
+      ("A", 1L, 300L), ("A", 2L, 200L), ("A", 3L, 100L),
+      ("A", 4L, 600L), ("A", 5L, 512L),
+      ("B", 1L, 10L), // independent group restarts at bin 0
+    ).toDF("source", "doc_id", "n_tok")
+    val got = Curation.packSequences(df, "source", "doc_id", "n_tok", 512L)
+      .select("source", "doc_id", "bin_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L),
+      ("A", 4L, 2L), ("A", 5L, 3L),
+      ("B", 1L, 0L)))
+  }
+
+  test("weightedSample: weight 0 drops a group, 1.0 keeps it, draws are id-stable") {
+    val docs = Tables.documents(spark, sf0001)
+    val w = Map("src0" -> 0.0, "src1" -> 1.0)
+    val kept = Curation.weightedSample(docs, "source", "doc_id", w)
+    assert(kept.filter(col("source") === "src0").count() === 0L)
+    assert(kept.filter(col("source") === "src1").count() ===
+      docs.filter(col("source") === "src1").count())
+    // half-weight draw is a pure function of the id: same rows both runs
+    val half = Map("src2" -> 0.5)
+    val a = Curation.weightedSample(docs, "source", "doc_id", half)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.weightedSample(docs.repartition(7), "source", "doc_id", half)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("approx_count_distinct within HLL error of exact (qa01 contract)") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.agg(countDistinct("l_orderkey")).as[Long].head()
