@@ -812,6 +812,28 @@ object SparkEntry {
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // incremental dedup: docs arriving as a "new batch" (doc_id ≥ 250)
+    // deduped within the batch AND against the already-ingested corpus
+    // (doc_id < 250) by content fingerprint — the per-batch production
+    // shape (the corpus is touched only via its pruned fingerprint
+    // column, never rescanned in full). The raw fixture has no exact
+    // dups, so the batch PLANTS both kinds: re-ingested copies of 5
+    // corpus docs (cross-corpus drops) and a duplicated batch doc
+    // (within-batch drop) — kept count < batch size is load-bearing.
+    "qd26_incremental_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.filter(col("doc_id") < 250)
+      val fresh = base.filter(col("doc_id") >= 250)
+      val batch = fresh
+        .unionByName(corpus.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 8000L).as("doc_id"), col("text")))
+        .unionByName(fresh.filter(col("doc_id") === 250)
+          .select(lit(9000L).as("doc_id"), col("text")))
+      Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // greedy context-window packing (the step between chunking and batch
     // assembly): consecutive docs per source packed into ≤512-token
     // bins. One shuffle + in-partition sort + a streaming O(1)-state
@@ -1310,6 +1332,27 @@ object SparkEntry {
         |FROM hot h JOIN pts p ON p.ship BETWEEN h.w_start AND h.w_end
         |GROUP BY h.o_orderkey, h.w_start
         |ORDER BY h.o_orderkey""".stripMargin,
+
+    "qd26_incremental_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 8000, text FROM base WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT 9000, text FROM base WHERE doc_id = 250),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM batch),
+        |fresh AS (
+        |  SELECT doc_id, content_hash FROM f
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1)
+        |SELECT doc_id, content_hash FROM fresh
+        |WHERE content_hash NOT IN (
+        |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  FROM base WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
 
     // the greedy pack replayed as a recursive walk: row rn joins row
     // rn+1 carrying (bin, used) state — the sequential semantics the

@@ -38,6 +38,22 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental exact dedup: dedupe a NEW batch against itself and
+    * against an already-ingested corpus — the production shape at 100 TB
+    * (re-deduping the whole corpus per batch is quadratic in corpus
+    * size; this touches the corpus only through its fingerprint column,
+    * which prunes to a single-column scan). Within-batch: keep the
+    * smallest id per fingerprint; cross-corpus: left-anti join on the
+    * fingerprint. Both shuffles key on the uniform hash.
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fresh = exactDedup(newBatch, idCol, textCol)
+    val seen = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("content_hash"))
+      .distinct()
+    fresh.join(seen, Seq("content_hash"), "left_anti")
+  }
+
   /** Exact-dup group summary: hash → keeper id + copy count. Uses the same
     * normalized fingerprint as [[exactDedup]] (lowercase, whitespace-
     * collapsed), so the group summary agrees with the dedup decision for

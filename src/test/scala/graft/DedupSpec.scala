@@ -162,6 +162,19 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("incrementalDedup: within-batch dups collapse, corpus-known content drops") {
+    val corpus = Seq((1L, "already ingested text"), (2L, "other old text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "brand new text"),
+      (11L, "brand new text"),        // within-batch dup of 10
+      (12L, "Already  Ingested TEXT"), // corpus dup modulo normalization
+      (13L, "another fresh one"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(10L, 13L))
+  }
+
   test("nearDupComponents: chains merge transitively, keeper is the min id") {
     // component {1,2,3} via chain 1-2, 2-3 (1 and 3 never share an edge);
     // separate component {7,9}; node 5 appears in no pair → absent

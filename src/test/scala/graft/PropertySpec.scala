@@ -171,6 +171,35 @@ class PropertySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("packSequences invariants: bins under budget or singleton, ids consecutive") {
+    import graft.functions.Curation
+    val rows = Gen.listOfN(120, for {
+      g <- Gen.oneOf("a", "b", "c")
+      o <- Gen.choose(0L, 10000L)
+      t <- Gen.choose(1L, 700L)
+    } yield (g, o, t)).sample.get
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (group, order)
+    val budget = 512L
+    val got = Curation.packSequences(rows.toDF("g", "o", "t"), "g", "o", "t", budget)
+      .select("g", "o", "t", "bin_id")
+      .as[(String, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val byBin = rs.groupBy(_._4)
+      byBin.foreach { case (bin, members) =>
+        val total = members.map(_._3).sum
+        assert(total <= budget || members.length == 1,
+          s"group $g bin $bin over budget with ${members.length} members")
+      }
+      // bin ids are 0..maxBin with no gaps, and non-decreasing in order
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(x, y) => y == x || y == x + 1
+        case _ => true
+      }, s"group $g bins not consecutive")
+      assert(sorted.head._4 === 0L)
+    }
+  }
+
   test("minhash signature equality probability tracks jaccard (planted check)") {
     // identical docs → identical signatures; disjoint docs → (overwhelmingly)
     // different signatures
