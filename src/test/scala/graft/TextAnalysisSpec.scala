@@ -152,6 +152,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("plan contracts: decontaminate broadcasts the benchmark; packing shuffles once") {
+    val docs = Tables.documents(spark, sf0001)
+    val decon = TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text", n = 3)
+      .queryExecution.executedPlan.toString
+    // the benchmark gram set must travel as a broadcast, never shuffle
+    // the corpus side for candidate generation
+    assert(decon.contains("BroadcastHashJoin"), decon)
+    val pack = graft.functions.Curation.packSequences(
+        docs.select(col("source"), col("doc_id"), lit(10L).as("t")),
+        "source", "doc_id", "t", 100L)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on the group key; the scan itself is narrow
+    assert("Exchange hashpartitioning".r.findAllIn(pack).size === 1, pack)
+    assert(!pack.contains("Window"), pack) // streaming scan, not a window
+  }
+
   test("approx_count_distinct within HLL error of exact (qa01 contract)") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = li.agg(countDistinct("l_orderkey")).as[Long].head()
