@@ -878,6 +878,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
 
+    // the round-3 capstone composition — a full training-mix assembly:
+    // train split (portable hash) → per-source sampling weights →
+    // benchmark decontamination gate → greedy context-window packing →
+    // per-source mix stats. Every stage is individually oracle-proven
+    // (qd23, qd25, qd22, qd24); this proves the COMPOSITION end to end,
+    // the qd19 pattern applied to the new operator set.
+    "qd27_mix_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val train = graft.functions.Curation.withSplit(corpus, "doc_id")
+        .filter(col("split") === "train")
+      val sampled = graft.functions.Curation.weightedSample(train,
+        "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25))
+      val contaminated = TextAnalysis.decontaminate(
+          sampled, "doc_id", "text", bench, "text", n = 3)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = sampled.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.functions.Curation.packSequences(
+          clean.select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", budget = 512L)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("bin_id")).as("n_bins"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // rows-only: multimodal plumbing — documents' bytes stand in for
     // media payloads; stub decode → fixed-width features (deterministic)
     "qm01_media_features" -> ((s, d) => {
@@ -1332,6 +1361,43 @@ object SparkEntry {
         |FROM hot h JOIN pts p ON p.ship BETWEEN h.w_start AND h.w_end
         |GROUP BY h.o_orderkey, h.w_start
         |ORDER BY h.o_orderkey""".stripMargin,
+
+    // every stage replayed: hash split, weighted draw, n-gram gate,
+    // recursive packing walk, mix stats
+    "qd27_mix_pipeline" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |bench AS (SELECT doc_id, w FROM d WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0),
+         |train AS (
+         |  SELECT * FROM corpus
+         |  WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) < 90),
+         |sampled AS (
+         |  SELECT * FROM train
+         |  WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER)
+         |    < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 10000 END),
+         |bg AS (SELECT DISTINCT unnest($duckShingles3) AS g FROM bench),
+         |cg AS (SELECT doc_id, unnest($duckShingles3) AS g FROM sampled),
+         |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+         |clean AS (
+         |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM sampled
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |t AS (
+         |  SELECT source, doc_id, n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM clean),
+         |walk(source, rn, doc_id, n_tok, bin_id, used) AS (
+         |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
+         |    CASE WHEN w.used + t.n_tok > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
+         |    CASE WHEN w.used + t.n_tok > 512 THEN t.n_tok ELSE w.used + t.n_tok END
+         |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
+         |SELECT source, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |FROM walk GROUP BY source ORDER BY source""".stripMargin,
 
     "qd26_incremental_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
