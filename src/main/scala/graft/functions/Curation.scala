@@ -89,6 +89,13 @@ object Curation {
     * resets at group boundaries — no group is ever materialized, so a
     * source with 10⁹ docs packs in one pass. Deterministic given the
     * total (group, order) order.
+    *
+    * Parallelism caveat (inherent to greedy packing, not this
+    * implementation): one task scans each group sequentially, so
+    * parallelism = number of groups. For intra-group parallelism,
+    * pre-split the order key into segments and pack per (group,
+    * segment) — the cost is at most one under-filled bin per segment
+    * boundary, usually negligible against a 10⁹-doc group.
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: String, budget: Long): DataFrame = {
