@@ -156,6 +156,33 @@ object SparkEntry {
        |x AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM v)""".stripMargin
   }
 
+  /** Sampling-weight maps shared between the Spark queries and their
+    * oracles — one source of truth so a weight edit cannot drift.
+    */
+  private val qd25Weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0)
+  private val qd27Weights = Map("src0" -> 0.5, "src1" -> 0.25)
+
+  /** The DuckDB threshold CASE (buckets of 10000) for a weight map. */
+  private def duckWeightCase(weights: Map[String, Double]): String =
+    weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN ${math.round(w * 10000)}" }
+      .mkString("CASE source ", " ", " ELSE 10000 END")
+
+  /** The recursive greedy-packing walk over a CTE `t(source, doc_id,
+    * n_tok, rn)` (rn = per-source ROW_NUMBER by doc_id) — shared by the
+    * qd24 packing oracle and the qd27 composition oracle so a packing-
+    * semantics edit cannot silently drift between them.
+    */
+  private def duckPackWalk(budget: Int): String =
+    s"""walk(source, rn, doc_id, n_tok, bin_id, used) AS (
+       |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
+       |    CASE WHEN w.used + t.n_tok > $budget THEN w.bin_id + 1 ELSE w.bin_id END,
+       |    CASE WHEN w.used + t.n_tok > $budget THEN t.n_tok ELSE w.used + t.n_tok END
+       |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)""".stripMargin
+
   // =====================================================================
   // One entry per implemented operator from SURVEY.md §2 (+ extensions).
   // =====================================================================
@@ -850,8 +877,7 @@ object SparkEntry {
     // portable md5 bucket — reproducible across engines and runs
     "qd25_weighted_sample" -> ((s, d) =>
       graft.functions.Curation.weightedSample(Tables.documents(s, d),
-          "source", "doc_id",
-          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+          "source", "doc_id", qd25Weights)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
 
@@ -891,7 +917,7 @@ object SparkEntry {
       val train = graft.functions.Curation.withSplit(corpus, "doc_id")
         .filter(col("split") === "train")
       val sampled = graft.functions.Curation.weightedSample(train,
-        "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25))
+        "source", "doc_id", qd27Weights)
       val contaminated = TextAnalysis.decontaminate(
           sampled, "doc_id", "text", bench, "text", n = 3)
         .filter(col("contaminated")).select("doc_id")
@@ -1376,7 +1402,7 @@ object SparkEntry {
          |sampled AS (
          |  SELECT * FROM train
          |  WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER)
-         |    < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 10000 END),
+         |    < ${duckWeightCase(qd27Weights)}),
          |bg AS (SELECT DISTINCT unnest($duckShingles3) AS g FROM bench),
          |cg AS (SELECT doc_id, unnest($duckShingles3) AS g FROM sampled),
          |contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
@@ -1387,14 +1413,7 @@ object SparkEntry {
          |  SELECT source, doc_id, n_tok,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
          |  FROM clean),
-         |walk(source, rn, doc_id, n_tok, bin_id, used) AS (
-         |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
-         |  FROM t WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
-         |    CASE WHEN w.used + t.n_tok > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
-         |    CASE WHEN w.used + t.n_tok > 512 THEN t.n_tok ELSE w.used + t.n_tok END
-         |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
+         |${duckPackWalk(512)}
          |SELECT source, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
          |FROM walk GROUP BY source ORDER BY source""".stripMargin,
@@ -1424,35 +1443,23 @@ object SparkEntry {
     // rn+1 carrying (bin, used) state — the sequential semantics the
     // Spark side computes in one streaming partition pass
     "qd24_sequence_packing" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
-        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |  FROM documents),
-        |walk(source, rn, doc_id, n_tok, bin_id, used) AS (
-        |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
-        |  FROM t WHERE rn = 1
-        |  UNION ALL
-        |  SELECT t.source, t.rn, t.doc_id, t.n_tok,
-        |    CASE WHEN w.used + t.n_tok > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
-        |    CASE WHEN w.used + t.n_tok > 512 THEN t.n_tok ELSE w.used + t.n_tok END
-        |  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1)
-        |SELECT source, doc_id, n_tok, bin_id
-        |FROM walk ORDER BY source, doc_id""".stripMargin,
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |${duckPackWalk(512)}
+         |SELECT source, doc_id, n_tok, bin_id
+         |FROM walk ORDER BY source, doc_id""".stripMargin,
 
     "qd25_weighted_sample" ->
-      """WITH b AS (
-        |  SELECT source,
-        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS bucket
-        |  FROM documents),
-        |kept AS (
-        |  SELECT source FROM b
-        |  WHERE bucket < CASE source WHEN 'src0' THEN 5000
-        |                             WHEN 'src1' THEN 2500
-        |                             WHEN 'src2' THEN 0
-        |                             ELSE 10000 END)
-        |SELECT source, COUNT(*) AS n_kept FROM kept
-        |GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS bucket
+         |  FROM documents),
+         |kept AS (SELECT source FROM b WHERE bucket < ${duckWeightCase(qd25Weights)})
+         |SELECT source, COUNT(*) AS n_kept FROM kept
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "qd22_decontaminate" ->
       s"""WITH d AS (

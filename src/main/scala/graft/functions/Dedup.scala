@@ -281,6 +281,10 @@ object Dedup {
     * prefix).
     */
   private def simhashBlocks(simhash: Column, maxHamming: Int): Seq[Column] = {
+    // >= 64 would yield zero-width blocks whose constant key degenerates
+    // the equi-join to all-pairs; negative would silently return nothing
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val nBlocks = maxHamming + 1
     (0 until nBlocks).map { b =>
       val lo = b * 64 / nBlocks

@@ -510,8 +510,14 @@ object NativeExpressions {
     * its id — never on partitioning, run, or engine.
     */
   case class Md5BucketExpr(child: Expression, buckets: Int)
-      extends UnaryExpression {
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(buckets > 0)
+    // analysis-time contract (never a mid-stage ClassCast); numeric ids
+    // implicitly cast to their string form — the same cast withSplit
+    // applies and the DuckDB oracle's CAST(id AS VARCHAR) mirrors
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "md5_bucket"
 
@@ -548,7 +554,12 @@ object NativeExpressions {
     * non-matching rows before the exchange.
     */
   case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
-      extends UnaryExpression {
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    // int keys widen to long at analysis; wrong types fail there, never
+    // as a mid-stage ClassCast (the probe is mightContainLong)
+    override def inputTypes: Seq[DataType] =
+      Seq(LongType)
     override def dataType: DataType = BooleanType
     override def prettyName: String = "bloom_might_contain"
 

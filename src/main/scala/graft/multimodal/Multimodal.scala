@@ -197,8 +197,10 @@ object Multimodal {
     * computed from the actual 16-bit samples — all integer-derived double
     * math, so values are exactly reproducible. Scope is 16-bit mono PCM
     * (the training-corpus normal form); other formats and corrupt
-    * payloads surface `decode_ok = false` with zeroed features — never a
-    * task failure (one bad blob must not kill a 10k-task stage).
+    * payloads surface `decode_ok = false` with sentinel values (-1 for
+    * sample_rate / n_samples / zero_crossings, 0 elsewhere) — never a
+    * task failure (one bad blob must not kill a 10k-task stage). Gate
+    * on `decode_ok` before aggregating features.
     */
   def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
     import media.sparkSession.implicits._

@@ -31,6 +31,13 @@ object RankOps {
     * metadata, like a broadcast join's small side) cumulated on the driver
     * into offsets; global rank = local rank + offset of the partitions
     * before it.
+    *
+    * Trade-off of the eager checkpoint: the returned frame's lineage is
+    * truncated, so its blocks are NOT recomputable — an executor lost
+    * after the checkpoint fails later actions on this frame instead of
+    * recomputing (acceptable for rank's read-compute-discard usage; a
+    * long-lived result should be written out promptly), and the blocks
+    * stay pinned until the frame is garbage-collected.
     */
   def globalRank(df: DataFrame, sortCol: Column, out: String = "rnk",
       numPartitions: Int = 0): DataFrame = {

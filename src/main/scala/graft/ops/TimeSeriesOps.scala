@@ -39,7 +39,13 @@ object TimeSeriesOps {
       prefix: String = "asof_", inner: Boolean = true): DataFrame = {
     val payType = StructType(right.select(rightPayload.map(col): _*).schema)
     val leftType = StructType(left.schema)
-    val rTagged = right.select(
+    // SQL equi-join semantics: NULL keys never match. Dropping null-key
+    // RIGHT rows is sufficient — a null-key left row then shares its
+    // window partition with no right rows, so it carries no payload
+    // (dropped under inner, null-padded under left), exactly DuckDB
+    // ASOF / merge_asof behavior.
+    val rightNonNull = keys.foldLeft(right)((df, k) => df.filter(col(k).isNotNull))
+    val rTagged = rightNonNull.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),
