@@ -48,6 +48,24 @@ class AsOfAndPruneSpec extends SparkSpec {
       ("B", 2L, None), ("C", 7L, None)))
   }
 
+  test("asOfJoin: NULL keys never match (SQL equi-join semantics)") {
+    val rights = Seq((Some("A"), 1L, 10.0), (None, 1L, 99.0))
+      .toDF("sym", "qts", "px")
+    val lefts = Seq((Some("A"), 5L, 1L), (None, 5L, 2L))
+      .toDF("sym", "tts", "qty")
+    val inner = TimeSeriesOps.asOfJoin(lefts, rights, Seq("sym"), "tts", "qts",
+        rightPayload = Seq("px"), prefix = "q_")
+      .select("sym", "qty", "q_px").as[(Option[String], Long, Double)]
+      .collect().toSet
+    // the null-key left row is dropped; the null-key right row matches
+    // nothing (DuckDB ASOF JOIN ON l.k = r.k behaves identically)
+    assert(inner === Set((Some("A"), 1L, 10.0)))
+    val outer = TimeSeriesOps.asOfJoin(lefts, rights, Seq("sym"), "tts", "qts",
+        rightPayload = Seq("px"), prefix = "q_", inner = false)
+      .select("qty", "q_px").as[(Long, Option[Double])].collect().toSet
+    assert(outer === Set((1L, Some(10.0)), (2L, None))) // merge_asof: null-padded
+  }
+
   test("asOfJoin plans without any join operator — union + one keyed window") {
     val plan = TimeSeriesOps.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
         rightPayload = Seq("qts", "px"))
