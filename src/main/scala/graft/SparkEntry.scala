@@ -636,6 +636,18 @@ object SparkEntry {
         approx_count_distinct("l_orderkey").as("approx_orders"),
         approx_count_distinct("l_partkey").as("approx_parts"))),
 
+    // rows-only: the GROUPED sketch family — per-group HLL distincts and
+    // KLL percentiles in one partial-aggregating pass (the per-group
+    // sketches merge map-side, the 100 TB shape; exact per-group
+    // accuracy contract in RankAndSketchSpec)
+    "qa03_sketches_by_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct("l_orderkey").as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_median"))
+        .orderBy(col("l_returnflag"))),
+
     // rows-only: KLL-sketch percentiles — the scale path beside q30's
     // exact percentile (exact needs the full value multiset per group;
     // the sketch is fixed-size, mergeable, one pass). Error bound vs
@@ -1098,7 +1110,8 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03, qa01/qa02) are
+  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03,
+  // qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their
   // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/

@@ -92,6 +92,23 @@ class RankAndSketchSpec extends SparkSpec {
     }
   }
 
+  test("grouped sketches stay within error of per-group exacts (qa03 contract)") {
+    val li = Tables.lineitem(spark, sf0001)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct("l_orderkey").as("exact_d"),
+        approx_count_distinct("l_orderkey").as("approx_d"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_med"))
+      .select("exact_d", "approx_d", "exact_med", "approx_med")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (ed, ad, em, am) =>
+      assert(math.abs(ad - ed).toDouble / ed < 0.06, s"distinct $ad vs $ed") // 3σ at rsd default
+      assert(math.abs(am - em) / em < 0.02, s"median $am vs $em")
+    }
+  }
+
   test("native kernels generate code inside whole-stage codegen (no fallback island)") {
     import org.apache.spark.sql.execution.debug.codegenString
     val df = Tables.documents(spark, sf0001).limit(10)
