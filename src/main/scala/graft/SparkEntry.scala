@@ -1013,6 +1013,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // rows-only: the multimodal→similarity composition — real image
+    // decode feeds luminance-histogram features into the SRP-LSH
+    // embedding near-dup operator. Ids 40–47 re-encode the SAME pixels
+    // as ids 0–7, so the planted pairs (i, i+40) MUST surface at
+    // cosine 1 (MultimodalSpec asserts the full plant recovery).
+    "qm04_image_neardups" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 48)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val srcId = if (id >= 40) id - 40 else id
+          graft.multimodal.Multimodal.MediaRow(
+            id, "image", graft.multimodal.Multimodal.syntheticPng(srcId, 8, 8),
+            None, None, None, None)
+        }
+      val feats = graft.multimodal.Multimodal.decodeImages(media).toDF()
+        .filter(col("decode_ok"))
+        .select(col("media_id"), col("feature").cast("array<double>").as("embedding"))
+      Similarity.embeddingNearDups(feats, "media_id", "embedding",
+          minCosine = 0.999, nPlanes = 4, dim = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- extensions: similarity search ------------------------------
     "qe01_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1056,6 +1079,29 @@ object SparkEntry {
         "embedding", k = 3, nPlanes = 4, dim = 64)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
+    // EXACT cosine-threshold self-join over qe05's exact inputs (base
+    // vec_id < 60 plus the same jittered plants) — the all-pairs
+    // correctness baseline the SRP-LSH path trades against: qe05's
+    // bucketed result must be a subset of this, and here the planted
+    // pairs (cosine ≈ 0.99997) guarantee a non-vacuous answer. All-pairs
+    // deliberately capped to 63 vectors (the scale path IS qe05).
+    "qe09_exact_threshold_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val jittered = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"),
+            (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * 0.005d)).as("v"))
+      val all = emb.unionByName(jittered)
+      val a = all.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = all.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // rows-only: IVF ANN (learned centroids; nProbe=2 of 8 cells)
@@ -1853,6 +1899,24 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
          |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
+
+    "qe09_exact_threshold_join" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 60),
+         |jit AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[i] * (1.0 + CAST((i - 1) % 3 - 1 AS DOUBLE) * 0.005)) AS v
+         |  FROM base WHERE vec_id < 3),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM jit)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         |FROM c a JOIN c b ON a.vec_id < b.vec_id
+         |WHERE ROUND(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // IVF replayed end to end with deterministic centroids (vec_id < 8):
     // cell assignment is the same `||c||² − 2·v·c` squared-L2 argmin the

@@ -116,6 +116,23 @@ class MultimodalSpec extends SparkSpec {
     assert(s(1L) === Seq.empty)
   }
 
+  test("image near-dups: identical pixels re-encoded are recovered via decode+LSH (qm04)") {
+    import graft.functions.Similarity
+    import org.apache.spark.sql.functions.col
+    val media = (0L until 48L).map { id =>
+      val srcId = if (id >= 40) id - 40 else id
+      MediaRow(id, "image", Multimodal.syntheticPng(srcId, 8, 8), None, None, None, None)
+    }.toDS()
+    val feats = Multimodal.decodeImages(media).toDF()
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("feature").cast("array<double>").as("embedding"))
+    val pairs = Similarity.embeddingNearDups(feats, "media_id", "embedding",
+        minCosine = 0.999, nPlanes = 4, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 8L).foreach(i =>
+      assert(pairs.contains((i, i + 40L)), s"planted identical-image pair $i missing"))
+  }
+
   test("size-based repartitioning yields ≥1 partition and preserves rows") {
     val rep = Multimodal.repartitionBySize(spark, media.toDF(), bytesPerPartition = 2L)
     assert(rep.count() === 4)
