@@ -1156,7 +1156,7 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03,
+  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03/qm04,
   // qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their
