@@ -893,6 +893,18 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
 
+    // vocabulary building (tokenizer-training prep): corpus-wide token
+    // frequencies, top-100 by (freq desc, token). Explode → grouped
+    // count (map-side partials on the uniform token key) → top-k via
+    // orderBy+limit, which plans TakeOrderedAndProject — per-partition
+    // top-k + driver merge, no global sort at any corpus size.
+    "qd28_vocab" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
     // benchmark decontamination (GPT-3 App. C / C4 §2.3): per corpus doc,
     // distinct 3-grams shared with a held-out benchmark set (docs with
     // doc_id % 50 == 0 stand in for the eval set). Benchmark grams
@@ -1476,6 +1488,12 @@ object SparkEntry {
          |SELECT source, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
          |FROM walk GROUP BY source ORDER BY source""".stripMargin,
+
+    "qd28_vocab" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "qd26_incremental_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
