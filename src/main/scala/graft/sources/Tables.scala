@@ -45,6 +45,18 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** ORC batch source/sink — the other columnar warehouse format, fully
+    * built into Spark. Same DSv2 contract as the parquet scans: column
+    * pruning and predicate pushdown reach the file reader
+    * (plan-asserted in CatalogAndPlanSpec alongside the parquet
+    * equivalents).
+    */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def saveOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")

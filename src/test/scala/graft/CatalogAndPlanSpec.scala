@@ -141,6 +141,24 @@ class CatalogAndPlanSpec extends SparkSpec {
       s"budget mix should shuffle exactly once:\n$mixPlan")
   }
 
+  test("ORC round-trip: values exact, pushdown and pruning reach the ORC scan") {
+    val src = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val path = tmpDir("orc-roundtrip")
+    Tables.saveOrc(src, path)
+    val back = Tables.loadOrc(spark, path)
+    assert(back.orderBy("l_orderkey", "l_suppkey", "l_quantity").collect().toSeq ===
+      src.orderBy("l_orderkey", "l_suppkey", "l_quantity").collect().toSeq)
+    // same DSv2 contract as parquet: the filter and the 1-column
+    // projection must reach the ORC reader
+    val plan = back.filter(col("l_suppkey") === 3).select("l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,3)]"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<l_quantity:") ||
+      plan.contains("l_suppkey:"), plan) // pruned read schema, not all columns
+  }
+
   test("flagship standings stays whole-stage-codegen'd up to the sort") {
     val df = SparkEntry.queries("q01_standings")(spark, sf0001)
     df.collect() // materialize so AQE settles on the final plan
