@@ -238,6 +238,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "race_results", props).count() === 2)
   }
 
+  test("stream-stream join state survives a checkpoint restart") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cp = tmpDir("ssj-cp")
+    val out = tmpDir("ssj-out")
+    val scoreMs = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val profMs = MemoryStream[(java.sql.Timestamp, String, String)]
+    def run(): Unit = {
+      val q = RaceIngest.joinWithProfileUpdates(
+          scoreMs.toDF().toDF("score_ts", "driver_number", "points"),
+          profMs.toDF().toDF("profile_ts", "profile_driver", "team"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: a score with no matching profile yet — it must enter join
+    // state; nothing reaches the sink
+    scoreMs.addData((ts("2024-01-01 00:05:00"), "77", 15))
+    profMs.addData((ts("2024-01-01 00:00:00"), "pad", "Pad FC"))
+    run()
+
+    // run 2 (fresh query, SAME checkpoint): the in-range profile arrives.
+    // The match can only be produced if the buffered batch-1 score was
+    // recovered from the checkpointed state store.
+    profMs.addData((ts("2024-01-01 00:04:00"), "77", "Williams"))
+    run()
+    val got = spark.read.parquet(out)
+      .select("driver_number", "points", "team")
+      .as[(String, Int, String)].collect().toSet
+    assert(got === Set(("77", 15, "Williams")))
+  }
+
   test("stream-stream LEFT OUTER join: null-padded rows emit once the watermark is final") {
     implicit val ctx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
