@@ -24,7 +24,7 @@ object Bench {
     "qd12_simhash_neardups", "qd13_chunking", "qd14_neardup_clusters",
     "qd19_pretraining_pipeline", "qd21_simhash_neardups_portable",
     "qd22_decontaminate", "qd24_sequence_packing", "qd26_incremental_dedup",
-    "qd27_mix_pipeline",
+    "qd27_mix_pipeline", "qd28_vocab",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qm03_audio_decode",
     "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
