@@ -24,10 +24,10 @@ object Bench {
     "qd12_simhash_neardups", "qd13_chunking", "qd14_neardup_clusters",
     "qd19_pretraining_pipeline", "qd21_simhash_neardups_portable",
     "qd22_decontaminate", "qd24_sequence_packing", "qd26_incremental_dedup",
-    "qd27_mix_pipeline", "qd28_vocab",
+    "qd27_mix_pipeline", "qd28_vocab", "qd29_unigram_logprob", "qd30_dsir",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
-    "qe08_ivf_ann_oracle", "qm03_audio_decode",
-    "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
+    "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qm03_audio_decode",
+    "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 
   /** Cumulative host steal ticks (8th field of /proc/stat's cpu line) —
     * recorded around the run so the artifact itself shows whether its

@@ -23,6 +23,12 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.GraftBridge.registerTempFunction
     val ext = new GraftExtensions
+    // injectOptimizerRule only applies at session build; existing sessions
+    // take the public experimental hook (idempotent — the rule itself is
+    // conf-gated and off by default)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
     registerTempFunction(spark, "simhash64", args => SimHash64Expr(args.head))
     registerTempFunction(spark, "minhash_sig", args =>
       MinHashSigExpr(args.head, ext.intArg(args(1), "k"), ext.intArg(args(2), "n")))
@@ -53,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in exact→approx COUNT(DISTINCT) rewrite (off unless
+    // spark.graft.approxCountDistinct.enabled=true)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),

@@ -156,6 +156,15 @@ object SparkEntry {
        |x AS (SELECT doc_id, $hi AS hi, $lo AS lo FROM v)""".stripMargin
   }
 
+  /** The Morton interleave of `a`/`b` (low `bits` bits each) as a DuckDB
+    * bit-arithmetic expression — mirrors [[graft.ops.LayoutOps.zValue]]
+    * term for term.
+    */
+  private def duckZValue(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
+
   /** Sampling-weight maps shared between the Spark queries and their
     * oracles — one source of truth so a weight edit cannot drift.
     */
@@ -1143,6 +1152,59 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
+    // oracle-checked: semantic dedup (SemDeDup, Abbas et al. 2023) —
+    // deterministic centroids (vec_id < 8, the qe08 pattern), jittered
+    // near-dup plants (the qe05 pattern), within-cluster cosine ≥ 0.95
+    // drops the higher id of every pair. kept=false rows are the planted
+    // dups — an all-true result would be vacuous and is spec-rejected.
+    "qe10_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val jittered = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * 0.005d))
+            .as("embedding"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+      Similarity.semanticDedup(emb.unionByName(jittered), "vec_id", "embedding",
+          centroids, minCosine = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
+    // oracle-checked: unigram-LM quality score (the engine-portable
+    // member of the CCNet perplexity-filter family) — corpus token
+    // frequencies ARE the model; score = mean ln P(token) per doc
+    "qd29_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // oracle-checked: DSIR importance weights (Xie et al. 2023) — every
+    // doc scored by the hashed-bigram log ratio of target (lang='en')
+    // vs raw corpus distributions; the selection knob of data curation
+    "qd30_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.Curation.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    // oracle-checked: Z-order (Morton) layout — interleave the low 8
+    // bits of (l_partkey%256, l_suppkey%256); a z-bucket (top 4 bits of
+    // each dim) must span ≤ 16 values in BOTH dims, which is exactly the
+    // file-stats locality a zOrderLayout write gives a parquet reader
+    // (ZOrderSpec asserts the bound and the write-side layout).
+    "q42_zorder" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 256).as("pa"), (col("l_suppkey") % 256).as("sb"))
+        .withColumn("zval", graft.ops.LayoutOps.zValue(col("pa"), col("sb"), 8))
+        .withColumn("zbucket", shiftrightunsigned(col("zval"), 8))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pa")).as("min_a"), max(col("pa")).as("max_a"),
+          min(col("sb")).as("min_b"), max(col("sb")).as("max_b"))
+        .orderBy(col("zbucket"))),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -1992,5 +2054,92 @@ object SparkEntry {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup replayed end to end: the qe08 deterministic-centroid
+    // argmin assignment + the qe05 jitter plants, within-cell pair
+    // cosine ≥ 0.95, drop = higher id of any qualifying pair
+    "qe10_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |jit AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(range(1, len(v) + 1),
+         |      i -> v[i] * (1.0 + CAST((i - 1) % 3 - 1 AS DOUBLE) * 0.005)) AS v
+         |  FROM base WHERE vec_id < 3),
+         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM base WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT a.vec_id, a.v, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(a.v, cent.cv), cent.cell_id) AS rn
+         |    FROM allv a, cent)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95)
+         |SELECT a.vec_id, a.cell_id,
+         |  a.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM assigned a ORDER BY a.vec_id""".stripMargin,
+
+    // per-token ln(freq) rounded to 6 dp and summed as DECIMAL — order-
+    // independent, so the only cross-engine risk is a 1-ulp ln() landing
+    // exactly on a rounding boundary (see TextAnalysis.unigramLogProb)
+    "qd29_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n FROM vocab),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    CAST(ROUND(ln(CAST(v.freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM toks t JOIN vocab v USING (tok)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(lp) AS slp FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  ROUND(CAST(slp AS DOUBLE) / n_tok - ln((SELECT n FROM total)), 4) AS avg_logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // DSIR replayed end to end: hashed-bigram buckets via the portable
+    // md5 bucket, add-1 smoothed log ratio per bucket rounded to 6 dp as
+    // DECIMAL, per-doc Σ count·lr — bit-equal to Curation.dsirWeights
+    "qd30_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang, CAST(md5_number_lower(g) % 1024 AS INTEGER) AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |        FROM w)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS cr_total,
+        |               (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgt) AS ct_total),
+        |lr AS (
+        |  SELECT raw.b,
+        |    CAST(ROUND(ln(CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0) - ln(tot.ct_total + 1024)
+        |             - ln(CAST(raw.cr AS DOUBLE) + 1.0) + ln(tot.cr_total + 1024), 6)
+        |      AS DECIMAL(18,6)) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+        |perdoc AS (
+        |  SELECT f.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feat, SUM(cnt * lr.lr) AS wsum
+        |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM feat GROUP BY doc_id, b) f
+        |  JOIN lr ON f.b = lr.b GROUP BY f.doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
+        |  ROUND(COALESCE(CAST(p.wsum AS DOUBLE), 0.0), 4) AS dsir_logratio
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Morton interleave mirrored term for term (duckZValue); the bucket
+    // min/max IS the locality claim: ≤ 16 distinct values per dim
+    "q42_zorder" ->
+      s"""WITH p AS (SELECT l_partkey % 256 AS pa, l_suppkey % 256 AS sb FROM lineitem),
+         |z AS (SELECT pa, sb, ${duckZValue("pa", "sb", 8)} AS zval FROM p)
+         |SELECT zval >> 8 AS zbucket, COUNT(*) AS n,
+         |  MIN(pa) AS min_a, MAX(pa) AS max_a, MIN(sb) AS min_b, MAX(sb) AS max_b
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators: composing a training mix out of a cleaned
   * corpus. Public pipelines do this as "sampling weights" over sources /
@@ -76,6 +77,63 @@ object Curation {
       when(col(groupCol) === g, lit(math.round(w * 10000).toInt)).otherwise(acc)
     }
     df.filter(bucket < threshold)
+  }
+
+  /** DSIR data-selection weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw doc by how target-like it is, as the log importance
+    * ratio under two hashed-bigram bag models —
+    * `Σ_b count_b(doc) · (ln p_target(b) − ln p_raw(b))` with add-1
+    * smoothing over `buckets` hash buckets. High scores = docs that look
+    * like the curated target distribution; sampling ∝ exp(weight) is the
+    * paper's selection step (the caller composes that with
+    * [[weightedSample]] / top-k).
+    *
+    * Shape at 100 TB: both featurize passes are narrow explodes feeding
+    * grouped counts on the uniform hash-bucket key (map-side partials);
+    * the log-ratio table has exactly `buckets` rows and BROADCASTS into
+    * the per-doc join; nothing all-pairs, nothing driver-side. Hash is
+    * the portable md5 bucket, and per-bucket log ratios are rounded to
+    * 6 dp and summed as DECIMAL, so the whole score replays bit-equal in
+    * another engine ([[TextAnalysis.unigramLogProb]] has the determinism
+    * rationale).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0)
+    val docFeat = docs
+      .select(col(idCol), explode(TextAnalysis.bigrams(col(textCol))).as("__g"))
+      .withColumn("__b", NativeExpressions.md5Bucket(col("__g"), buckets))
+    val rawCounts = docFeat.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtCounts = target
+      .select(explode(TextAnalysis.bigrams(col(targetTextCol))).as("__g"))
+      .withColumn("__b", NativeExpressions.md5Bucket(col("__g"), buckets))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    // full outer so target-only buckets still count toward the target
+    // total; absent sides take the add-1 floor. The distribution totals
+    // are global window sums over this frame — which has at most
+    // `buckets` rows, so the single-partition window is metadata-sized
+    // at any corpus scale.
+    val wAll = Window.partitionBy(lit(1))
+    val lr = rawCounts.join(tgtCounts, Seq("__b"), "full")
+      .withColumn("__crf", coalesce(col("__cr"), lit(0L)))
+      .withColumn("__ctf", coalesce(col("__ct"), lit(0L)))
+      .withColumn("__tot_r", sum(col("__crf")).over(wAll).cast("double"))
+      .withColumn("__tot_t", sum(col("__ctf")).over(wAll).cast("double"))
+      .withColumn("__lr",
+        round(log(col("__ctf").cast("double") + 1.0d) - log(col("__tot_t") + buckets)
+          - log(col("__crf").cast("double") + 1.0d) + log(col("__tot_r") + buckets), 6)
+          .cast(DecimalType(18, 6)))
+      .select(col("__b"), col("__lr"))
+    val perDoc = docFeat.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(lr), "__b")
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_feat"),
+        sum(col("__cnt") * col("__lr")).as("__w"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .withColumn("n_feat", coalesce(col("n_feat"), lit(0L)))
+      .withColumn("dsir_logratio",
+        round(coalesce(col("__w").cast("double"), lit(0.0d)), 4))
+      .select(col(idCol), col("n_feat"), col("dsir_logratio"))
   }
 
   /** Greedy sequence packing: walk each group in `orderCol` order and

@@ -581,6 +581,72 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Greedy longest-match vocabulary segmentation ("tokenizer
+    * application") — the WordPiece-family inference step (Wu et al. 2016
+    * §4.1) over an arbitrary vocab: each whitespace word is consumed left
+    * to right, always taking the LONGEST vocab entry matching at the
+    * cursor, or one character as an unknown piece when nothing matches.
+    * Returns the total piece count; n_pieces / n_words is tokenizer
+    * "fertility", the standard vocab-fit metric. The vocab travels inside
+    * the expression like NearestCellsExpr's centroid matrix — index
+    * metadata, not data — so the scan stays a narrow map.
+    */
+  case class WordpieceCountExpr(child: Expression, vocab: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "wordpiece_count"
+
+    @transient private lazy val vocabSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, vocab.size * 2))
+      vocab.foreach(s.add)
+      s
+    }
+    @transient private lazy val maxLen: Int =
+      if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+
+    // ASCII \s — the class Spark's split("\\s+") and the oracle's RE2
+    // '\s' agree on over this corpus
+    @inline private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+    def compute(s: UTF8String): Long = {
+      val str = s.toString
+      val n = str.length
+      var pieces = 0L
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(str.charAt(i))) i += 1
+        var end = i
+        while (end < n && !isWs(str.charAt(end))) end += 1
+        var pos = i
+        while (pos < end) {
+          var l = math.min(maxLen, end - pos)
+          var step = 1
+          var found = false
+          while (l >= 1 && !found) {
+            if (vocabSet.contains(str.substring(pos, pos + l))) { found = true; step = l }
+            l -= 1
+          }
+          pieces += 1L
+          pos += step
+        }
+        i = end
+      }
+      pieces
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordpiece", this, classOf[WordpieceCountExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- Columns
 
   import GraftBridge.{column, expression}
@@ -613,4 +679,7 @@ object NativeExpressions {
 
   def md5Bucket(c: Column, buckets: Int): Column =
     column(Md5BucketExpr(expression(c), buckets))
+
+  def wordpieceCount(c: Column, vocab: Seq[String]): Column =
+    column(WordpieceCountExpr(expression(c), vocab))
 }

@@ -241,6 +241,41 @@ object Similarity {
       .otherwise(transform(q, qi => (qi + 128).cast("double") * scale + mn))
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    * within a cluster, and drop all but one representative of every
+    * near-duplicate pair. Complements [[embeddingNearDups]] (SRP buckets
+    * are data-oblivious; clusters adapt to the data) and reuses the IVF
+    * assignment kernel — a narrow broadcast-centroid argmin, no shuffle.
+    *
+    * Keep rule (deterministic, the paper's "keep one per group" made
+    * reproducible): a row is dropped iff it is the HIGHER id of some
+    * within-cluster pair with cosine ≥ `minCosine` — so the lowest id of
+    * every duplicate chain survives.
+    *
+    * At 100 TB: candidate generation is an equi-join on `cell_id`; with
+    * k ≈ √n clusters the within-cluster pair work is n^1.5/k per cell on
+    * average, and a skewed giant cell can be additionally split by an
+    * SRP bucket inside the cell. The dropped-id set joins back by id —
+    * a plain equi-join, no broadcast assumption.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, minCosine: Double): DataFrame = {
+    val assigned = Ivf.assign(
+      df.select(col(idCol), asDouble(col(vecCol)).as("__v")), "__v", centroids)
+    val l = assigned.select(col(idCol).as("id_a"), col("__v").as("va"), col("cell_id"))
+    val r = assigned.select(col(idCol).as("id_b"), col("__v").as("vb"), col("cell_id"))
+    val dropped = l.join(r, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .withColumn("kept", col("__dup").isNull)
+      .select(col(idCol), col("cell_id"), col("kept"))
+  }
+
   /** Embedding-cosine near-dup pairs (dedup by embedding): SRP buckets →
     * within-bucket pairs with cosine ≥ threshold. Approximate by design;
     * exact variant is the knnJoin filtered by threshold.

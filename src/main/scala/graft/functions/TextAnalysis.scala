@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language ID, document
@@ -133,6 +134,52 @@ object TextAnalysis {
       .withColumn("top_token_frac",
         round(col("top_count").cast("double") / col("n_tokens"), 4))
 
+  /** Word bigrams WITH multiplicity (unlike [[Dedup.wordShingles]], which
+    * is per-doc distinct for set semantics) — the feature unit for
+    * count-based scoring like [[Curation.dsirWeights]]. Narrow map; a
+    * 1-token doc yields an empty list.
+    */
+  def bigrams(text: Column): Column = {
+    val w = tokens(text)
+    // guard: sequence(1, 0) DESCENDS in Spark, so a <2-token doc must
+    // short-circuit to an empty list instead of indexing w[0]
+    when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+  }
+
+  /** Unigram language-model log-probability quality score — the
+    * engine-portable member of the CCNet perplexity-filter family
+    * (Wenzek et al. 2020 rank docs by LM perplexity; a unigram LM needs
+    * no trained artifact: the corpus itself is the model). Score =
+    * mean over the doc's tokens of ln P(token) under the corpus unigram
+    * distribution = (Σ ln freq(t)) / n − ln N. Near-zero scores mean
+    * common-word prose; very negative means rare-token soup (OCR junk,
+    * codes) — the low tail is the filter target.
+    *
+    * Determinism across engines: ln is the one non-IEEE-exact step, so
+    * each token's ln(freq) is rounded to 6 dp and summed as DECIMAL —
+    * the sum is then order-independent (float summation order is not)
+    * and engine differences would need a 1-ulp ln discrepancy to land
+    * exactly on a rounding boundary. At 100 TB the vocab join is a plain
+    * equi-join on the token (the vocab side is grouped first — skew on
+    * stopwords is bounded by the grouped count's map-side partials).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+    val total = vocab.agg(sum(col("__freq")).cast("double").as("__total"))
+    toks.join(vocab, "__tok")
+      .withColumn("__lp",
+        round(log(col("__freq").cast("double")), 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lp")).as("__sum_lp"))
+      .crossJoin(broadcast(total))
+      .withColumn("avg_logprob",
+        round(col("__sum_lp").cast("double") / col("n_tok") - log(col("__total")), 4))
+      .select(col(idCol), col("n_tok"), col("avg_logprob"))
+  }
+
   /** Mask emails and URLs — the redaction pass of a training-data
     * pipeline. Narrow regexp_replace chain (codegen'd, no UDF); patterns
     * kept RE2-compatible so the same masking replays in other engines.
@@ -197,6 +244,35 @@ object TextAnalysis {
         coalesce(col("n_contaminated_grams"), lit(0L)))
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
+
+  /** Top-k corpus vocabulary by (frequency desc, token) — the qd28 query
+    * as a reusable step. The `collect` is a k-row metadata action (the
+    * vocab IS the model artifact, like the IVF centroid matrix), reached
+    * via map-side partial counts + TakeOrderedAndProject.
+    */
+  def topVocab(df: DataFrame, textCol: String, k: Int): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(k)
+      .select("token").as[String].collect().toSeq
+  }
+
+  /** Tokenizer-fertility profile: per doc, whitespace word count vs the
+    * greedy longest-match piece count under `vocab`
+    * ([[NativeExpressions.WordpieceCountExpr]]) — fertility = pieces per
+    * word, the standard metric for how well a vocab fits a corpus
+    * (tokenizer-training evaluation). Narrow map over the scan.
+    */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_words"),
+        NativeExpressions.wordpieceCount(col(textCol), vocab).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 4))
 
   /** Canonical whitespace-collapsed lowercase form — the normalization step
     * shared by fingerprinting and exact dedup.

@@ -36,6 +36,26 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     assert(b >= 0 && b < 100)
   }
 
+  test("opt-in optimizer rule rewrites exact COUNT(DISTINCT) to HLL++") {
+    import graft.plans.ApproxDistinctRewrite
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (0 until 20000).map(_ % 1337).toDF("x").createOrReplaceTempView("__approx_t")
+    val sql = "SELECT count(DISTINCT x) AS n FROM __approx_t"
+    assert(spark.sql(sql).head().getLong(0) === 1337L) // rule off: exact
+    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      val q = spark.sql(sql)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("approx_count_distinct"), opt)
+      assert(!q.queryExecution.executedPlan.toString.contains("Expand"))
+      val approx = q.head().getLong(0)
+      assert(math.abs(approx - 1337L) <= 1337 * 0.15, s"approx=$approx")
+    } finally spark.conf.unset(ApproxDistinctRewrite.ConfKey)
+    // conf back off: exact again, same session
+    assert(spark.sql(sql).head().getLong(0) === 1337L)
+  }
+
   test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
     import spark.implicits._
     val json =

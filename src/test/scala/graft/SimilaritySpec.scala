@@ -177,4 +177,26 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nd.contains((0L, 4L)))
   }
+
+  test("semanticDedup keeps one representative per within-cluster dup pair") {
+    val centroids = Seq(
+      (0, Array(1.0d, 0.0d, 0.0d)),
+      (1, Array(0.0d, 1.0d, 0.0d))).toDF("cell_id", "centroid")
+    val df = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)),  // cell 0
+      (1L, Array(1.0f, 0.012f, 0.0f)), // cell 0, near-dup of 0 → dropped
+      (2L, Array(0.9f, 0.4f, 0.0f)),   // cell 0, cosine ≈ 0.918 → kept
+      (3L, Array(0.0f, 1.0f, 0.1f)),   // cell 1
+      (4L, Array(0.0f, 1.0f, 0.1f)))   // cell 1, exact dup of 3 → dropped
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", centroids,
+        minCosine = 0.999)
+      .select("vec_id", "cell_id", "kept").as[(Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) === ((0, true)))   // lowest id of the chain survives
+    assert(out(1L) === ((0, false)))
+    assert(out(2L) === ((0, true)))   // below threshold: untouched
+    assert(out(3L) === ((1, true)))
+    assert(out(4L) === ((1, false)))
+  }
 }

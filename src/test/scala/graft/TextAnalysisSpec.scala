@@ -177,4 +177,41 @@ class TextAnalysisSpec extends SparkSpec {
     val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.02)).as[Long].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.06)
   }
+
+  test("bigrams keep multiplicity; <2-token docs yield an empty list") {
+    val bg = Seq("a b a b", "solo", "").toDF("t")
+      .select(TextAnalysis.bigrams(col("t")).as("g")).as[Seq[String]].collect()
+    assert(bg(0) === Seq("a b", "b a", "a b"))
+    assert(bg(1) === Nil)
+    assert(bg(2) === Nil)
+  }
+
+  test("unigramLogProb matches the hand-computed unigram model") {
+    // corpus: doc0 = "a a b", doc1 = "b c" → N=5, freq a=2 b=2 c=1;
+    // doc0 score = ln 2 − ln 5, doc1 = (ln 2)/2 − ln 5 (6 dp per-token)
+    val df = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) === ((3L, -0.9163)))
+    assert(out(1L) === ((2L, -1.2629)))
+  }
+
+  test("dsirWeights separate target-like from off-target docs") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en"),
+      (1L, "the dog sat on the rug", "en"),
+      (2L, "der hund sitzt auf dem teppich", "de"),
+      (3L, "die katze sitzt auf der matte", "de"),
+      (4L, "x", "de")).toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // target members score above every off-target doc
+    assert(w(0L)._2 > w(2L)._2 && w(0L)._2 > w(3L)._2)
+    assert(w(1L)._2 > w(2L)._2 && w(1L)._2 > w(3L)._2)
+    // a 1-token doc has no bigram features: weight 0, n_feat 0
+    assert(w(4L) === ((0L, 0.0)))
+  }
 }
