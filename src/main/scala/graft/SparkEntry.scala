@@ -1205,6 +1205,22 @@ object SparkEntry {
           min(col("sb")).as("min_b"), max(col("sb")).as("max_b"))
         .orderBy(col("zbucket"))),
 
+    // oracle-checked: tokenizer application — greedy longest-match
+    // segmentation under a top-10 corpus vocab (WordPiece-family
+    // inference); fertility = pieces/word measures vocab fit. k=10 of
+    // the corpus's ~31 token types, so out-of-vocab words really get
+    // char-segmented (fertility > 1 — a full-coverage vocab would make
+    // the query vacuously all-1.0). The vocab collect is a 10-row
+    // metadata action (the vocab IS the model, like IVF centroids);
+    // segmentation is a narrow native-kernel map. The oracle replays the
+    // greedy walk as a per-word recursive CTE.
+    "qd31_wordpiece" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = TextAnalysis.topVocab(docs, "text", 10)
+      TextAnalysis.tokenizerFertility(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -2132,6 +2148,35 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(p.wsum AS DOUBLE), 0.0), 4) AS dsir_logratio
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the greedy longest-match walk replayed per word: each recursion
+    // step consumes the longest vocab entry matching at the cursor (or
+    // one UNK char); MAX(pieces) per word = its terminal piece count
+    "qd31_wordpiece" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok AS token FROM toks GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 10),
+        |words AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS wid, tok FROM toks),
+        |walk(wid, doc_id, tok, pos, pieces) AS (
+        |  SELECT wid, doc_id, tok, 1, 0 FROM words
+        |  UNION ALL
+        |  SELECT w.wid, w.doc_id, w.tok,
+        |    w.pos + GREATEST(COALESCE((SELECT MAX(len(v.token)) FROM vocab v
+        |      WHERE v.token = substr(w.tok, w.pos, len(v.token))), 1), 1),
+        |    w.pieces + 1
+        |  FROM walk w WHERE w.pos <= len(w.tok)),
+        |fin AS (SELECT doc_id, wid, MAX(pieces) AS p FROM walk GROUP BY doc_id, wid),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(p) AS BIGINT) AS n_pieces
+        |  FROM fin GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_pieces,
+        |  ROUND(CAST(n_pieces AS DOUBLE) / GREATEST(n_words, 1), 4) AS fertility
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // Morton interleave mirrored term for term (duckZValue); the bucket
     // min/max IS the locality claim: ≤ 16 distinct values per dim

@@ -197,6 +197,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === ((2L, -1.2629)))
   }
 
+  test("wordpieceCount: greedy longest-match with UNK fallback") {
+    import graft.functions.NativeExpressions
+    val vocab = Seq("ab", "abc", "d", "xyz")
+    val n = Seq("abcd abx", "", "zz").toDF("t")
+      .select(NativeExpressions.wordpieceCount(col("t"), vocab).as("n"))
+      .as[Long].collect().toSeq
+    // "abcd" → abc+d = 2; "abx" → ab+UNK = 2; "" → 0; "zz" → UNK+UNK = 2
+    assert(n === Seq(4L, 0L, 2L))
+  }
+
   test("dsirWeights separate target-like from off-target docs") {
     val docs = Seq(
       (0L, "the cat sat on the mat", "en"),
