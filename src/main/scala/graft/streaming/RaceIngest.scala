@@ -193,6 +193,43 @@ object RaceIngest {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** A driver's last seen position, carried across micro-batches. */
+  case class LastPosition(driver: String, position: Int)
+
+  /** A position-change alert (emitted 0..n times per driver per batch). */
+  case class PositionChange(driver_number: String, from_position: Int, to_position: Int)
+
+  /** Custom stateful streaming with a VARIABLE number of outputs per
+    * group per batch (`flatMapGroupsWithState` — the 0..n-row sibling of
+    * [[runningTotals]]'s mapGroupsWithState): emit an alert row for every
+    * position change a driver's events show against the last state, and
+    * nothing when a batch only repeats the known position. The first
+    * sighting of a driver sets state silently — an alert always has a
+    * real `from_position`. State is one small record per driver,
+    * partitioned by key and engine-checkpointed, so alert fan-out scales
+    * with change rate, not stream rate.
+    */
+  def positionChangeAlerts(
+      positions: Dataset[(String, Int)]): Dataset[PositionChange] = {
+    import positions.sparkSession.implicits._
+    positions.groupByKey(_._1)
+      .flatMapGroupsWithState[LastPosition, PositionChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (driver: String, rows: Iterator[(String, Int)],
+            state: GroupState[LastPosition]) =>
+          var last = state.getOption.map(_.position).getOrElse(Int.MinValue)
+          val out = Seq.newBuilder[PositionChange]
+          rows.foreach { case (_, p) =>
+            if (p != last) {
+              if (last != Int.MinValue) out += PositionChange(driver, last, p)
+              last = p
+            }
+          }
+          state.update(LastPosition(driver, last))
+          out.result().iterator
+      }
+  }
+
   /** Convenience: full pipeline → running totals, started on a memory sink
     * in update mode.
     */

@@ -146,6 +146,29 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("flatMapGroupsWithState emits alerts only on position changes") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    val q = RaceIngest.positionChangeAlerts(ms.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pos_alerts").start()
+
+    ms.addData(("1", 3)) // first sighting: state set silently, no alert
+    q.processAllAvailable()
+    assert(spark.table("pos_alerts").count() === 0)
+
+    ms.addData(("1", 1), ("2", 5)) // 1 changes 3→1; 2 is first-seen
+    q.processAllAvailable()
+    val a2 = spark.table("pos_alerts").as[(String, Int, Int)].collect().toSet
+    assert(a2 === Set(("1", 3, 1)))
+
+    ms.addData(("1", 1), ("2", 4)) // 1 unchanged → silent; 2 drops 5→4
+    q.processAllAvailable()
+    q.stop()
+    val a3 = spark.table("pos_alerts").as[(String, Int, Int)].collect().toSet
+    assert(a3 === Set(("1", 3, 1), ("2", 5, 4)))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses replays in-stream") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
