@@ -69,6 +69,12 @@ object SparkEntry {
   private val duckShingles3 =
     """list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"""
 
+  /** DuckDB n-word-shingle set for any n, mirroring [[Dedup.wordShingles]]. */
+  private def duckShinglesN(n: Int): String = {
+    val concat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(w) - ${n - 2}), i -> $concat))"
+  }
+
   private val duckCos =
     "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
 
@@ -1221,6 +1227,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: cross-document duplicated-passage profile (the
+    // exact-substring dedup family, Lee et al. 2021) — a 5-token span is
+    // duplicated iff it appears in ≥ 2 distinct docs; per doc, the
+    // duplicated fraction of its spans (avg ≈ 9% on the fixture, with
+    // fully-duplicated docs hitting 1.0 — non-vacuous spread)
+    "qd32_dup_passages" -> ((s, d) =>
+      Dedup.dupPassageProfile(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -2148,6 +2163,22 @@ object SparkEntry {
         |  ROUND(COALESCE(CAST(p.wsum AS DOUBLE), 0.0), 4) AS dsir_logratio
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // duplicated-passage detection replayed relationally: span → docs
+    // holding it → spans held by ≥2 docs → per-doc duplicated fraction
+    "qd32_dup_passages" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id, ${duckShinglesN(5)} AS gs FROM d),
+         |spans AS (SELECT doc_id, unnest(gs) AS g FROM g),
+         |shared AS (SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM spans JOIN shared USING (g) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(t.n, 0) AS n_spans,
+         |  COALESCE(du.n_dup, 0) AS n_dup_spans,
+         |  ROUND(COALESCE(du.n_dup, 0) / GREATEST(COALESCE(t.n, 0), 1), 4) AS dup_frac
+         |FROM d LEFT JOIN tot t USING (doc_id) LEFT JOIN dup du USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the greedy longest-match walk replayed per word: each recursion
     // step consumes the longest vocab entry matching at the cursor (or

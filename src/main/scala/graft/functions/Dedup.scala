@@ -77,6 +77,40 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array()))
   }
 
+  /** Cross-document duplicated-passage profile — the exact-substring
+    * dedup family (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", use suffix arrays to drop verbatim spans
+    * repeated across documents; the relational form of the detection
+    * step is: an n-token span is duplicated iff it occurs in ≥ 2 distinct
+    * docs). Per doc: its distinct span count, how many of those spans
+    * also appear elsewhere, and the duplicated fraction — the signal a
+    * pipeline thresholds to drop boilerplate-heavy docs or route them to
+    * span-level scrubbing.
+    *
+    * Scale shape: one narrow explode to (doc, span), a grouped
+    * count-distinct on the uniform span key (map-side partials), and
+    * equi-joins back — the same shuffle profile as any grouped count at
+    * 100 TB; nothing is all-pairs and no side must fit in memory.
+    */
+  def dupPassageProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+    val shared = spans.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("__g"))
+    val dup = spans.join(shared, "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    val total = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    df.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_frac", round(col("n_dup_spans").cast("double") /
+        greatest(col("n_spans"), lit(1L)).cast("double"), 4))
+  }
+
   /** n-gram Jaccard similarity of two docs' shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -187,6 +187,26 @@ class DedupSpec extends SparkSpec {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("dupPassageProfile counts spans shared across distinct docs") {
+    // n=2 spans: doc0 {a b, b c}, doc1 {b c, c d}, doc2 {x y}, doc3 "a"
+    // shared (≥2 docs): {b c} → doc0 1/2, doc1 1/2, doc2 0/1, doc3 0/0
+    val docs = Seq(
+      (0L, "a b c"), (1L, "b c d"), (2L, "x y"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupPassageProfile(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === ((2L, 1L, 0.5)))
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0))) // sub-n doc: no spans, no division blowup
+    // a doc repeating a span INTERNALLY only is not cross-doc duplicated
+    val solo = Seq((0L, "p q p q"), (1L, "r s")).toDF("doc_id", "text")
+    val soloOut = Dedup.dupPassageProfile(solo, "doc_id", "text", n = 2)
+      .filter(col("doc_id") === 0).select("n_dup_spans").as[Long].head()
+    assert(soloOut === 0L)
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

@@ -178,6 +178,18 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.contains((0L, 4L)))
   }
 
+  test("semanticDedup plans equi-joins only: no cartesian, no nested loop") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding", centroids,
+        minCosine = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("semanticDedup keeps one representative per within-cluster dup pair") {
     val centroids = Seq(
       (0, Array(1.0d, 0.0d, 0.0d)),

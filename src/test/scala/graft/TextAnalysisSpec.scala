@@ -197,6 +197,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) === ((2L, -1.2629)))
   }
 
+  test("unigramLogProb and dsirWeights plan without cartesian blowups") {
+    val docs = Tables.documents(spark, sf0001)
+    val lpPlan = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the 1-row totals broadcast
+    assert(!lpPlan.contains("CartesianProduct"), lpPlan)
+    val dsirPlan = Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!dsirPlan.contains("CartesianProduct"), dsirPlan)
+    // the ≤buckets-row log-ratio table must reach the per-doc join as a
+    // broadcast, never a shuffle of the doc-feature side
+    assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
+  }
+
   test("wordpieceCount: greedy longest-match with UNK fallback") {
     import graft.functions.NativeExpressions
     val vocab = Seq("ab", "abc", "d", "xyz")
