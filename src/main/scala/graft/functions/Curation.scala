@@ -100,13 +100,23 @@ object Curation {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0)
+    // featurize the raw corpus ONCE: per-doc bucket counts, materialized
+    // with localCheckpoint (the globalRank precedent) because three plan
+    // branches need them — the raw distribution, the per-doc scoring
+    // join, and the doc list; without the checkpoint Spark recomputes
+    // the explode + md5 pass per branch (measured 3× the featurize cost
+    // at sf0.1). Size is ≤ docs × per-doc distinct buckets — the grouped
+    // form, far smaller than the raw (doc, bigram) explode.
     val docFeat = docs
-      .select(col(idCol), explode(TextAnalysis.bigrams(col(textCol))).as("__g"))
-      .withColumn("__b", NativeExpressions.md5Bucket(col("__g"), buckets))
-    val rawCounts = docFeat.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+      .select(col(idCol),
+        explode(NativeExpressions.md5BucketBigrams(col(textCol), buckets)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val rawCounts = docFeat.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).cast("long").as("__cr"))
     val tgtCounts = target
-      .select(explode(TextAnalysis.bigrams(col(targetTextCol))).as("__g"))
-      .withColumn("__b", NativeExpressions.md5Bucket(col("__g"), buckets))
+      .select(explode(
+        NativeExpressions.md5BucketBigrams(col(targetTextCol), buckets)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     // full outer so target-only buckets still count toward the target
     // total; absent sides take the add-1 floor. The distribution totals
@@ -124,7 +134,7 @@ object Curation {
           - log(col("__crf").cast("double") + 1.0d) + log(col("__tot_r") + buckets), 6)
           .cast(DecimalType(18, 6)))
       .select(col("__b"), col("__lr"))
-    val perDoc = docFeat.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = docFeat
       .join(broadcast(lr), "__b")
       .groupBy(col(idCol))
       .agg(sum(col("__cnt")).cast("long").as("n_feat"),

@@ -542,6 +542,64 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** [[Md5BucketExpr]] applied to every word BIGRAM of a text in one
+    * tight loop: returns the md5 bucket of `"tok_i tok_i+1"` for each
+    * adjacent token pair, with multiplicity (the DSIR featurize step).
+    * Bit-identical to `md5_bucket(concat_ws(' ', w[i], w[i+1]))` over
+    * the HOF-built bigram list — which evaluates several interpreted
+    * Catalyst nodes per element and measured ~4 s of pure bigram-
+    * assembly overhead at sf0.1; this kernel hashes straight from the
+    * token byte slices. Fewer than 2 tokens → empty array.
+    */
+  case class Md5BucketBigramsExpr(child: Expression, buckets: Int)
+      extends UnaryExpression {
+    require(buckets > 0)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "md5_bucket_bigrams"
+
+    def compute(s: UTF8String): ArrayData = {
+      // token byte slices (copied once — md5 needs contiguous input)
+      var toks = new Array[Array[Byte]](16)
+      var n = 0
+      foreachToken(s) { (base, off, len) =>
+        if (n == toks.length) toks = java.util.Arrays.copyOf(toks, n * 2)
+        val b = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        toks(n) = b
+        n += 1
+      }
+      if (n < 2) return new GenericArrayData(Array.empty[Int])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Int](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        md.reset()
+        md.update(toks(i))
+        md.update(' '.toByte)
+        md.update(toks(i + 1))
+        val d = md.digest()
+        var h = 0L
+        var j = 0
+        while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+        out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5bigrams", this, classOf[Md5BucketBigramsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- sketches
 
   /** Membership probe against a serialized `org.apache.spark.util.sketch
@@ -682,4 +740,7 @@ object NativeExpressions {
 
   def wordpieceCount(c: Column, vocab: Seq[String]): Column =
     column(WordpieceCountExpr(expression(c), vocab))
+
+  def md5BucketBigrams(c: Column, buckets: Int): Column =
+    column(Md5BucketBigramsExpr(expression(c), buckets))
 }

@@ -212,6 +212,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
   }
 
+  test("md5BucketBigrams kernel matches the HOF bigram + md5Bucket path") {
+    import graft.functions.NativeExpressions
+    val docs = Tables.documents(spark, sf0001).limit(100)
+      .unionByName(Seq((9001L, "solo"), (9002L, "")).toDF("doc_id", "text"),
+        allowMissingColumns = true)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("doc_id", "b").count()
+    val hof = counts(docs
+      .select(col("doc_id"), explode(TextAnalysis.bigrams(col("text"))).as("g"))
+      .select(col("doc_id"), NativeExpressions.md5Bucket(col("g"), 1024).as("b")))
+    val nat = counts(docs.select(col("doc_id"),
+      explode(NativeExpressions.md5BucketBigrams(col("text"), 1024)).as("b")))
+    assert(hof.exceptAll(nat).count() === 0)
+    assert(nat.exceptAll(hof).count() === 0)
+  }
+
   test("wordpieceCount: greedy longest-match with UNK fallback") {
     import graft.functions.NativeExpressions
     val vocab = Seq("ab", "abc", "d", "xyz")
