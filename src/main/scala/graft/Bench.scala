@@ -25,7 +25,7 @@ object Bench {
     "qd19_pretraining_pipeline", "qd21_simhash_neardups_portable",
     "qd22_decontaminate", "qd24_sequence_packing", "qd26_incremental_dedup",
     "qd27_mix_pipeline", "qd28_vocab", "qd29_unigram_logprob", "qd30_dsir",
-    "qd31_wordpiece", "qd32_dup_passages",
+    "qd31_wordpiece", "qd32_dup_passages", "qd33_curation_pipeline",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")

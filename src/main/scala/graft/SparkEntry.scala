@@ -171,6 +171,70 @@ object SparkEntry {
       s"((($a >> $i) & 1) << ${2 * i})",
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
 
+  /** The unigram-LM CTE chain over `documents`, ending in
+    * `lm(doc_id, n_tok, avg_logprob)` — shared by the qd29 oracle and the
+    * qd33 pipeline oracle so the model semantics cannot drift.
+    */
+  private lazy val duckUnigramLmCte: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      |total AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n FROM vocab),
+      |lp AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(ln(CAST(v.freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM toks t JOIN vocab v USING (tok)),
+      |lmagg AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(lp) AS slp FROM lp GROUP BY doc_id),
+      |lm AS (
+      |  SELECT doc_id, n_tok,
+      |    ROUND(CAST(slp AS DOUBLE) / n_tok - ln((SELECT n FROM total)), 4) AS avg_logprob
+      |  FROM lmagg)""".stripMargin
+
+  /** The DSIR CTE chain over relation `src(doc_id, lang, text, …)` with
+    * target = `src` rows where lang = 'en', ending in
+    * `perdoc(doc_id, n_feat, wsum)` — shared by qd30 and qd33.
+    */
+  private def duckDsirCtes(src: String): String =
+    s"""feat AS (
+       |  SELECT doc_id, lang, CAST(md5_number_lower(g) % 1024 AS INTEGER) AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+       |        FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+       |              FROM $src))),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS cr_total,
+       |               (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgt) AS ct_total),
+       |lr AS (
+       |  SELECT raw.b,
+       |    CAST(ROUND(ln(CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0) - ln(tot.ct_total + 1024)
+       |             - ln(CAST(raw.cr AS DOUBLE) + 1.0) + ln(tot.cr_total + 1024), 6)
+       |      AS DECIMAL(18,6)) AS lr
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+       |perdoc AS (
+       |  SELECT f.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feat, SUM(cnt * lr.lr) AS wsum
+       |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM feat GROUP BY doc_id, b) f
+       |  JOIN lr ON f.b = lr.b GROUP BY f.doc_id)""".stripMargin
+
+  /** The duplicated-passage CTE chain over relation `src(doc_id, text)`,
+    * ending in `dupf(doc_id, n_spans, n_dup_spans, dup_frac)` — shared by
+    * qd32 and qd33.
+    */
+  private def duckDupPassageCtes(src: String): String =
+    s"""dpd AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM $src),
+       |dpg AS (SELECT doc_id, ${duckShinglesN(5)} AS gs FROM dpd),
+       |spans AS (SELECT doc_id, unnest(gs) AS g FROM dpg),
+       |shared AS (SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dupc AS (SELECT doc_id, COUNT(*) AS n_dup FROM spans JOIN shared USING (g) GROUP BY doc_id),
+       |totc AS (SELECT doc_id, COUNT(*) AS n FROM spans GROUP BY doc_id),
+       |dupf AS (
+       |  SELECT dpd.doc_id, COALESCE(t.n, 0) AS n_spans,
+       |    COALESCE(du.n_dup, 0) AS n_dup_spans,
+       |    ROUND(COALESCE(du.n_dup, 0) / GREATEST(COALESCE(t.n, 0), 1), 4) AS dup_frac
+       |  FROM dpd LEFT JOIN totc t USING (doc_id) LEFT JOIN dupc du USING (doc_id))""".stripMargin
+
   /** Sampling-weight maps shared between the Spark queries and their
     * oracles — one source of truth so a weight edit cannot drift.
     */
@@ -1236,6 +1300,37 @@ object SparkEntry {
       Dedup.dupPassageProfile(Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // the round-4 capstone composition — a modern curation pipeline
+    // over the round's new operators, each stage individually
+    // oracle-proven (qd29, qd32, qd30): unigram-LM quality gate (drops
+    // the rare-token tail, 500→450 at sf0.01) → duplicated-passage gate
+    // (drops boilerplate-heavy docs, −40+) → DSIR target-likeness
+    // selection (raw = survivors, target = their English subset, →~80)
+    // → per-language mix stats. Dedup-before-selection is the
+    // conventional order, and every stage both drops and keeps rows at
+    // sf0.01 — no vacuous link in the chain.
+    "qd33_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      val s1 = docs.join(
+        lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
+      val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
+      val s2 = s1.join(
+        dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
+      val dsir = graft.functions.Curation.dsirWeights(s2, "doc_id", "text",
+        s2.filter(col("lang") === "en"), "text", buckets = 1024)
+      val s3 = s2.join(
+        dsir.filter(col("dsir_logratio") > 0).select("doc_id"), "doc_id")
+      s3.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          sum(col("dup_frac").cast(DecimalType(18, 4))).as("__s"))
+        .withColumn("avg_dup_frac",
+          round(col("__s").cast("double") / col("n_docs"), 4))
+        .drop("__s")
+        .orderBy(col("lang"))
+    }),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -2119,66 +2214,52 @@ object SparkEntry {
     // independent, so the only cross-engine risk is a 1-ulp ln() landing
     // exactly on a rounding boundary (see TextAnalysis.unigramLogProb)
     "qd29_unigram_logprob" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-        |  FROM documents),
-        |vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
-        |total AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n FROM vocab),
-        |lp AS (
-        |  SELECT t.doc_id,
-        |    CAST(ROUND(ln(CAST(v.freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
-        |  FROM toks t JOIN vocab v USING (tok)),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_tok, SUM(lp) AS slp FROM lp GROUP BY doc_id)
-        |SELECT doc_id, n_tok,
-        |  ROUND(CAST(slp AS DOUBLE) / n_tok - ln((SELECT n FROM total)), 4) AS avg_logprob
-        |FROM agg ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckUnigramLmCte
+         |SELECT doc_id, n_tok, avg_logprob FROM lm ORDER BY doc_id""".stripMargin,
 
     // DSIR replayed end to end: hashed-bigram buckets via the portable
     // md5 bucket, add-1 smoothed log ratio per bucket rounded to 6 dp as
     // DECIMAL, per-doc Σ count·lr — bit-equal to Curation.dsirWeights
+    // ROUND the decimal wsum BEFORE casting to double (half-boundary
+    // sums round differently across engines after the cast)
     "qd30_dsir" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents),
-        |feat AS (
-        |  SELECT doc_id, lang, CAST(md5_number_lower(g) % 1024 AS INTEGER) AS b
-        |  FROM (SELECT doc_id, lang,
-        |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
-        |        FROM w)),
-        |raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
-        |tgt AS (SELECT b, COUNT(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b),
-        |tot AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS cr_total,
-        |               (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgt) AS ct_total),
-        |lr AS (
-        |  SELECT raw.b,
-        |    CAST(ROUND(ln(CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0) - ln(tot.ct_total + 1024)
-        |             - ln(CAST(raw.cr AS DOUBLE) + 1.0) + ln(tot.cr_total + 1024), 6)
-        |      AS DECIMAL(18,6)) AS lr
-        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
-        |perdoc AS (
-        |  SELECT f.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feat, SUM(cnt * lr.lr) AS wsum
-        |  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM feat GROUP BY doc_id, b) f
-        |  JOIN lr ON f.b = lr.b GROUP BY f.doc_id)
-        |SELECT d.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
-        |  ROUND(COALESCE(CAST(p.wsum AS DOUBLE), 0.0), 4) AS dsir_logratio
-        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH ${duckDsirCtes("documents")}
+         |SELECT d.doc_id, COALESCE(p.n_feat, 0) AS n_feat,
+         |  COALESCE(CAST(ROUND(p.wsum, 4) AS DOUBLE), 0.0) AS dsir_logratio
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // duplicated-passage detection replayed relationally: span → docs
     // holding it → spans held by ≥2 docs → per-doc duplicated fraction
     "qd32_dup_passages" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-         |g AS (SELECT doc_id, ${duckShinglesN(5)} AS gs FROM d),
-         |spans AS (SELECT doc_id, unnest(gs) AS g FROM g),
-         |shared AS (SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
-         |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM spans JOIN shared USING (g) GROUP BY doc_id),
-         |tot AS (SELECT doc_id, COUNT(*) AS n FROM spans GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(t.n, 0) AS n_spans,
-         |  COALESCE(du.n_dup, 0) AS n_dup_spans,
-         |  ROUND(COALESCE(du.n_dup, 0) / GREATEST(COALESCE(t.n, 0), 1), 4) AS dup_frac
-         |FROM d LEFT JOIN tot t USING (doc_id) LEFT JOIN dup du USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH ${duckDupPassageCtes("documents")}
+         |SELECT doc_id, n_spans, n_dup_spans, dup_frac
+         |FROM dupf ORDER BY doc_id""".stripMargin,
+
+    // the capstone replayed stage by stage on the SHARED CTE chains
+    // (duckUnigramLmCte / duckDsirCtes / duckDupPassageCtes — the same
+    // SQL the standalone qd29/qd30/qd32 oracles prove), each stage
+    // re-fit on its surviving input exactly as the Spark side does
+    "qd33_curation_pipeline" ->
+      s"""WITH $duckUnigramLmCte,
+         |s1 AS (
+         |  SELECT d.doc_id, d.lang, d.text, l.n_tok
+         |  FROM documents d JOIN lm l USING (doc_id)
+         |  WHERE l.avg_logprob >= -3.41),
+         |${duckDupPassageCtes("s1")},
+         |s2 AS (
+         |  SELECT s1.*, f.dup_frac
+         |  FROM s1 JOIN dupf f USING (doc_id) WHERE f.dup_frac <= 0.5),
+         |${duckDsirCtes("s2")},
+         |dsir AS (
+         |  SELECT s2.doc_id, COALESCE(CAST(ROUND(p.wsum, 4) AS DOUBLE), 0.0) AS w
+         |  FROM s2 LEFT JOIN perdoc p USING (doc_id)),
+         |s3 AS (
+         |  SELECT s2.lang, s2.n_tok, s2.dup_frac
+         |  FROM s2 JOIN dsir USING (doc_id) WHERE dsir.w > 0)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(CAST(dup_frac AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_dup_frac
+         |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the greedy longest-match walk replayed per word: each recursion
     // step consumes the longest vocab entry matching at the cursor (or

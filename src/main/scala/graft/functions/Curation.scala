@@ -139,10 +139,15 @@ object Curation {
       .groupBy(col(idCol))
       .agg(sum(col("__cnt")).cast("long").as("n_feat"),
         sum(col("__cnt") * col("__lr")).as("__w"))
+    // round the EXACT decimal sum to 4 dp, THEN cast to double: rounding
+    // after the double cast diverges across engines when the sum lands
+    // exactly on a half boundary (Spark rounds the shortest decimal
+    // rendering, C-family engines round the binary value — measured: 2
+    // rows at sf0.1)
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .withColumn("n_feat", coalesce(col("n_feat"), lit(0L)))
       .withColumn("dsir_logratio",
-        round(coalesce(col("__w").cast("double"), lit(0.0d)), 4))
+        coalesce(round(col("__w"), 4).cast("double"), lit(0.0d)))
       .select(col(idCol), col("n_feat"), col("dsir_logratio"))
   }
 
