@@ -27,7 +27,8 @@ object Bench {
     "qd27_mix_pipeline", "qd28_vocab", "qd29_unigram_logprob", "qd30_dsir",
     "qd31_wordpiece", "qd32_dup_passages", "qd33_curation_pipeline",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
-    "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qm03_audio_decode",
+    "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qe11_quantized_ivf",
+    "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 
   /** Cumulative host steal ticks (8th field of /proc/stat's cpu line) —

@@ -1331,6 +1331,28 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // oracle-checked: IVF search over an int8-QUANTIZED index — the
+    // memory-resident ANN pattern (4× smaller vectors; qe07 proves the
+    // round trip, qe08 the IVF machinery; this composes them: the index,
+    // centroids and all, lives in dequantized int8 space). Exact values
+    // replay in SQL because quantization and search are both
+    // deterministic.
+    "qe11_quantized_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+      val deq = emb.select(col("vec_id"),
+        Similarity.dequantizeInt8(
+          Similarity.quantizeInt8(col("v")), col("mn"), col("mx")).as("embedding"))
+      val centroids = deq.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+      Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",
+        "embedding", centroids, k = 3, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>
       Tables.events(s, d)
@@ -2018,6 +2040,51 @@ object SparkEntry {
         |  ROUND(list_dot_product(v, deq)
         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))), 6) AS fidelity
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // qe07's quantize/dequant CTEs feeding qe08's assign/probe/search —
+    // the whole quantized index replayed value-exactly
+    "qe11_quantized_ivf" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+         |qr AS (SELECT vec_id, v0, list_min(v0) AS mn,
+         |         (list_max(v0) - list_min(v0)) / 255.0 AS scale FROM b),
+         |qz AS (SELECT vec_id, mn, scale,
+         |  CASE WHEN scale = 0 THEN list_transform(v0, x -> 0)
+         |       ELSE list_transform(v0, x -> CAST(round((x - mn) / scale) AS INTEGER) - 128)
+         |  END AS qv
+         |  FROM qr),
+         |c AS (SELECT vec_id,
+         |  CASE WHEN scale = 0 THEN list_transform(qv, x -> mn)
+         |       ELSE list_transform(qv, x -> CAST(x + 128 AS DOUBLE) * scale + mn)
+         |  END AS v
+         |  FROM qz),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+         |corpus_cells AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT c.vec_id, c.v, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv2, cell_id FROM (
+         |    SELECT c.vec_id AS query_id, c.v AS qv2, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent WHERE c.vec_id < 5)
+         |  WHERE rn <= 2),
+         |sc AS (
+         |  SELECT p.query_id, cc.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(cc.v, p.qv2)
+         |      / (sqrt(list_dot_product(cc.v, cc.v)) * sqrt(list_dot_product(p.qv2, p.qv2))), 6) AS cosine
+         |  FROM corpus_cells cc JOIN probes p
+         |    ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |       FROM sc)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM rk WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
 
     "qd15_balanced_sample" ->
       """SELECT lang, doc_id FROM (
