@@ -56,6 +56,22 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     assert(spark.sql(sql).head().getLong(0) === 1337L)
   }
 
+  test("approx rewrite scope: multi-column COUNT(DISTINCT) stays exact") {
+    import graft.plans.ApproxDistinctRewrite
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (0 until 5000).map(i => (i % 40, i % 25)).toDF("x", "y")
+      .createOrReplaceTempView("__approx_t2")
+    spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+    try {
+      // 40×25 = 1000 distinct pairs — must stay EXACT (multi-column
+      // distinct sets are out of the rewrite's declared scope)
+      val q = spark.sql("SELECT count(DISTINCT x, y) AS n FROM __approx_t2")
+      assert(q.head().getLong(0) === 1000L)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally spark.conf.unset(ApproxDistinctRewrite.ConfKey)
+  }
+
   test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
     import spark.implicits._
     val json =

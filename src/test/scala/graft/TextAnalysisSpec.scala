@@ -212,6 +212,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
   }
 
+  test("dsirWeights are invariant under input partitioning") {
+    // guards the localCheckpoint + global-window formulation: a doc's
+    // weight must be a pure function of the data, never of layout
+    val docs = Tables.documents(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirWeights(df, "doc_id", "text",
+          df.filter(col("lang") === "en"), "text")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(docs) === run(docs.repartition(7, col("lang"))))
+  }
+
   test("md5BucketBigrams kernel matches the HOF bigram + md5Bucket path") {
     import graft.functions.NativeExpressions
     val docs = Tables.documents(spark, sf0001).limit(100)
