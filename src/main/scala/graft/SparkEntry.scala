@@ -1325,14 +1325,23 @@ object SparkEntry {
     // → per-language mix stats. Dedup-before-selection is the
     // conventional order, and every stage both drops and keeps rows at
     // sf0.01 — no vacuous link in the chain.
+    //
+    // Stage boundaries are localCheckpoint(eager)ed: each downstream
+    // stage function references its input 3–4× internally (token
+    // explode + vocab join + totals), so an un-materialized lineage
+    // multiplies into repeated full-corpus re-scans — at 100 TB every
+    // re-derivation is a fresh corpus pass. Materializing s1/s2 keeps
+    // the composition at the sum of its stage costs.
     "qd33_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
       val s1 = docs.join(
         lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
+        .localCheckpoint(true)
       val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
       val s2 = s1.join(
         dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
+        .localCheckpoint(true)
       val dsir = graft.functions.Curation.dsirWeights(s2, "doc_id", "text",
         s2.filter(col("lang") === "en"), "text", buckets = 1024)
       val s3 = s2.join(
@@ -1358,9 +1367,14 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
+      // The dequantized index feeds three branches (queries, corpus,
+      // centroids); materialize it once so the quantize→dequantize pass
+      // runs a single time — at scale the persisted quantized frame IS
+      // the point of the operator.
       val deq = emb.select(col("vec_id"),
         Similarity.dequantizeInt8(
           Similarity.quantizeInt8(col("v")), col("mn"), col("mx")).as("embedding"))
+        .localCheckpoint(true)
       val centroids = deq.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
       Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",

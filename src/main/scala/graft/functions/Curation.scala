@@ -119,16 +119,21 @@ object Curation {
         NativeExpressions.md5BucketBigrams(col(targetTextCol), buckets)).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     // full outer so target-only buckets still count toward the target
-    // total; absent sides take the add-1 floor. The distribution totals
-    // are global window sums over this frame — which has at most
-    // `buckets` rows, so the single-partition window is metadata-sized
-    // at any corpus scale.
-    val wAll = Window.partitionBy(lit(1))
-    val lr = rawCounts.join(tgtCounts, Seq("__b"), "full")
+    // total; absent sides take the add-1 floor. The joined frame has at
+    // most `buckets` rows; it is checkpointed because BOTH the global
+    // totals and the per-bucket ratios read it (otherwise the second
+    // consumer re-runs the target-corpus explode), and the totals come
+    // from agg + broadcast crossJoin — the q01 denominator pattern —
+    // rather than an unpartitioned window (which plans a
+    // single-partition WindowExec and logs a perf warning).
+    val joined = rawCounts.join(tgtCounts, Seq("__b"), "full")
       .withColumn("__crf", coalesce(col("__cr"), lit(0L)))
       .withColumn("__ctf", coalesce(col("__ct"), lit(0L)))
-      .withColumn("__tot_r", sum(col("__crf")).over(wAll).cast("double"))
-      .withColumn("__tot_t", sum(col("__ctf")).over(wAll).cast("double"))
+      .localCheckpoint()
+    val totals = joined.agg(
+      sum(col("__crf")).cast("double").as("__tot_r"),
+      sum(col("__ctf")).cast("double").as("__tot_t"))
+    val lr = joined.crossJoin(broadcast(totals))
       .withColumn("__lr",
         round(log(col("__ctf").cast("double") + 1.0d) - log(col("__tot_t") + buckets)
           - log(col("__crf").cast("double") + 1.0d) + log(col("__tot_r") + buckets), 6)

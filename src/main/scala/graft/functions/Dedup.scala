@@ -87,16 +87,24 @@ object Dedup {
     * pipeline thresholds to drop boilerplate-heavy docs or route them to
     * span-level scrubbing.
     *
-    * Scale shape: one narrow explode to (doc, span), a grouped
-    * count-distinct on the uniform span key (map-side partials), and
-    * equi-joins back — the same shuffle profile as any grouped count at
-    * 100 TB; nothing is all-pairs and no side must fit in memory.
+    * Scale shape: ONE narrow explode to (doc, span) — materialized
+    * eagerly, because three aggregations (shared spans, per-doc dup
+    * counts, per-doc totals) consume it; an un-materialized lineage
+    * would re-run the full-corpus token explode per consumer. The
+    * exploded frame is already the grouped (doc, span) form
+    * (wordShingles distincts per doc), so each downstream agg is a
+    * plain grouped count on a uniform key (map-side partials), then
+    * equi-joins back — the same shuffle profile as any grouped count
+    * at 100 TB; nothing is all-pairs and no side must fit in memory.
     */
   def dupPassageProfile(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // (doc, span) pairs are distinct by construction (array_distinct in
+    // wordShingles) — so count(1) ≡ countDistinct(doc) per span below.
     val spans = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+      .localCheckpoint(true)
     val shared = spans.groupBy(col("__g"))
-      .agg(countDistinct(col(idCol)).as("__docs"))
+      .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
       .select(col("__g"))
     val dup = spans.join(shared, "__g")

@@ -60,7 +60,7 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     import graft.plans.ApproxDistinctRewrite
     GraftExtensions.register(spark)
     import spark.implicits._
-    (0 until 5000).map(i => (i % 40, i % 25)).toDF("x", "y")
+    (0 until 5000).map(i => ((i / 25) % 40, i % 25)).toDF("x", "y")
       .createOrReplaceTempView("__approx_t2")
     spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
     try {
