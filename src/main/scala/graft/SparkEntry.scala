@@ -1326,27 +1326,31 @@ object SparkEntry {
     // conventional order, and every stage both drops and keeps rows at
     // sf0.01 — no vacuous link in the chain.
     //
-    // Stage boundaries are localCheckpoint(eager)ed: each downstream
-    // stage function references its input 3–4× internally (token
-    // explode + vocab join + totals), so an un-materialized lineage
-    // multiplies into repeated full-corpus re-scans — at 100 TB every
-    // re-derivation is a fresh corpus pass. Materializing s1/s2 keeps
-    // the composition at the sum of its stage costs.
+    // Stage boundaries are persisted (MEMORY_AND_DISK — lineage kept
+    // for fault recovery): each downstream stage function references
+    // its input 3–4× internally (token explode + vocab join + totals),
+    // so an un-materialized lineage multiplies into repeated
+    // full-corpus re-scans — at 100 TB every re-derivation is a fresh
+    // corpus pass. Materializing s1/s2 keeps the composition at the sum
+    // of its stage costs; the eager stage operators (dupPassageProfile,
+    // dsirWeights) populate the caches as they run, and both stages are
+    // unpersisted once the 3-row summary is checkpointed, so the query
+    // leaves no corpus-sized storage residue behind.
     "qd33_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
       val s1 = docs.join(
         lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
       val s2 = s1.join(
         dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dsir = graft.functions.Curation.dsirWeights(s2, "doc_id", "text",
         s2.filter(col("lang") === "en"), "text", buckets = 1024)
       val s3 = s2.join(
         dsir.filter(col("dsir_logratio") > 0).select("doc_id"), "doc_id")
-      s3.groupBy(col("lang"))
+      val result = s3.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast("long").as("total_tokens"),
           sum(col("dup_frac").cast(DecimalType(18, 4))).as("__s"))
@@ -1354,6 +1358,10 @@ object SparkEntry {
           round(col("__s").cast("double") / col("n_docs"), 4))
         .drop("__s")
         .orderBy(col("lang"))
+        .localCheckpoint(true)
+      s1.unpersist(false)
+      s2.unpersist(false)
+      result
     }),
 
     // oracle-checked: IVF search over an int8-QUANTIZED index — the
@@ -1368,19 +1376,23 @@ object SparkEntry {
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
       // The dequantized index feeds three branches (queries, corpus,
-      // centroids); materialize it once so the quantize→dequantize pass
+      // centroids); persist it once so the quantize→dequantize pass
       // runs a single time — at scale the persisted quantized frame IS
-      // the point of the operator.
+      // the point of the operator. Unpersisted once the k-row result is
+      // checkpointed (no index-sized residue across bench queries).
       val deq = emb.select(col("vec_id"),
         Similarity.dequantizeInt8(
           Similarity.quantizeInt8(col("v")), col("mn"), col("mx")).as("embedding"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centroids = deq.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
-      Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",
+      val result = Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",
         "embedding", centroids, k = 3, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+        .localCheckpoint(true)
+      deq.unpersist(false)
+      result
     }),
 
     // ---- extensions: event-stream batch view -------------------------

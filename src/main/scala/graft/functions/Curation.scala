@@ -99,19 +99,40 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
+    val (out0, docFeat, joined) =
+      dsirWeightsPlan(docs, idCol, textCol, target, targetTextCol, buckets)
+    // eager (a batch analytics op): checkpoint the doc-sized result,
+    // then free the two intermediates — repeated calls in one session
+    // leave O(docs) residue, not the corpus-sized featurize frame
+    val out = out0.localCheckpoint(true)
+    docFeat.unpersist(false)
+    joined.unpersist(false)
+    out
+  }
+
+  /** The lazy plan behind [[dsirWeights]], exposed for plan-shape tests
+    * (the public operator checkpoints its result, hiding the join
+    * strategy from `explain`). Returns (result, docFeat, joined) — the
+    * caller owns unpersisting the two intermediates.
+    */
+  private[graft] def dsirWeightsPlan(docs: DataFrame, idCol: String,
+      textCol: String, target: DataFrame, targetTextCol: String,
+      buckets: Int): (DataFrame, DataFrame, DataFrame) = {
     require(buckets > 0)
-    // featurize the raw corpus ONCE: per-doc bucket counts, materialized
-    // with localCheckpoint (the globalRank precedent) because three plan
-    // branches need them — the raw distribution, the per-doc scoring
-    // join, and the doc list; without the checkpoint Spark recomputes
-    // the explode + md5 pass per branch (measured 3× the featurize cost
-    // at sf0.1). Size is ≤ docs × per-doc distinct buckets — the grouped
-    // form, far smaller than the raw (doc, bigram) explode.
+    // featurize the raw corpus ONCE: per-doc bucket counts, persisted
+    // (MEMORY_AND_DISK — lineage kept, so executor loss recomputes
+    // rather than failing) because three plan branches need them — the
+    // raw distribution, the per-doc scoring join, and the doc list;
+    // without materialization Spark recomputes the explode + md5 pass
+    // per branch (measured 3× the featurize cost at sf0.1). Size is
+    // ≤ docs × per-doc distinct buckets — the grouped form, far smaller
+    // than the raw (doc, bigram) explode. The caller (dsirWeights)
+    // unpersists it once the result is materialized.
     val docFeat = docs
       .select(col(idCol),
         explode(NativeExpressions.md5BucketBigrams(col(textCol), buckets)).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = docFeat.groupBy(col("__b"))
       .agg(sum(col("__cnt")).cast("long").as("__cr"))
     val tgtCounts = target
@@ -120,7 +141,8 @@ object Curation {
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     // full outer so target-only buckets still count toward the target
     // total; absent sides take the add-1 floor. The joined frame has at
-    // most `buckets` rows; it is checkpointed because BOTH the global
+    // most `buckets` rows; it is cached (plain memory persist — it is
+    // metadata-sized, and unpersisted below) because BOTH the global
     // totals and the per-bucket ratios read it (otherwise the second
     // consumer re-runs the target-corpus explode), and the totals come
     // from agg + broadcast crossJoin — the q01 denominator pattern —
@@ -129,7 +151,7 @@ object Curation {
     val joined = rawCounts.join(tgtCounts, Seq("__b"), "full")
       .withColumn("__crf", coalesce(col("__cr"), lit(0L)))
       .withColumn("__ctf", coalesce(col("__ct"), lit(0L)))
-      .localCheckpoint()
+      .persist()
     val totals = joined.agg(
       sum(col("__crf")).cast("double").as("__tot_r"),
       sum(col("__ctf")).cast("double").as("__tot_t"))
@@ -149,11 +171,12 @@ object Curation {
     // exactly on a half boundary (Spark rounds the shortest decimal
     // rendering, C-family engines round the binary value — measured: 2
     // rows at sf0.1)
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .withColumn("n_feat", coalesce(col("n_feat"), lit(0L)))
       .withColumn("dsir_logratio",
         coalesce(round(col("__w"), 4).cast("double"), lit(0.0d)))
       .select(col(idCol), col("n_feat"), col("dsir_logratio"))
+    (out, docFeat, joined)
   }
 
   /** Greedy sequence packing: walk each group in `orderCol` order and

@@ -87,22 +87,52 @@ object Dedup {
     * pipeline thresholds to drop boilerplate-heavy docs or route them to
     * span-level scrubbing.
     *
-    * Scale shape: ONE narrow explode to (doc, span) — materialized
-    * eagerly, because three aggregations (shared spans, per-doc dup
-    * counts, per-doc totals) consume it; an un-materialized lineage
-    * would re-run the full-corpus token explode per consumer. The
-    * exploded frame is already the grouped (doc, span) form
-    * (wordShingles distincts per doc), so each downstream agg is a
-    * plain grouped count on a uniform key (map-side partials), then
-    * equi-joins back — the same shuffle profile as any grouped count
-    * at 100 TB; nothing is all-pairs and no side must fit in memory.
+    * PRECONDITION: `idCol` must be unique per input row (it is the doc
+    * key the profile is keyed by — duplicate ids would double-count
+    * their spans in every aggregate below AND yield duplicate output
+    * rows through the final joins). All dedup operators in this file
+    * share this contract; run [[exactDedup]] first if unsure.
+    *
+    * Span keys are DUAL-PATH (the qd09/qd11 minhash precedent):
+    * `portable = false` (production) keys spans by the native
+    * 64-bit shingle hash ([[NativeExpressions.shingleHashes]]) — the
+    * biggest shuffle in the profile ships 8-byte longs instead of
+    * ~n-word text keys, and no span string is ever materialized. A
+    * 64-bit collision (two different spans, same key, P ≈ m²/2⁶⁵ for
+    * m distinct spans — negligible below ~10⁹ spans) can only merge
+    * two span groups, slightly OVER-counting duplication; the
+    * `portable = true` path keys by the raw span string — exact at any
+    * scale and the form the SQL oracle replays (DedupSpec asserts the
+    * two paths agree end-to-end).
+    *
+    * Scale shape: ONE narrow explode to (doc, span) — persisted
+    * (MEMORY_AND_DISK: lineage kept, so executor loss recomputes
+    * instead of failing the job), because three aggregations (shared
+    * spans, per-doc dup counts, per-doc totals) consume it; an
+    * un-materialized lineage would re-run the full-corpus token explode
+    * per consumer. The exploded frame is already the grouped (doc,
+    * span) form (both span kernels distinct per doc), so each
+    * downstream agg is a plain grouped count on a uniform key
+    * (map-side partials), then equi-joins back — the same shuffle
+    * profile as any grouped count at 100 TB; nothing is all-pairs and
+    * no side must fit in memory.
+    *
+    * The operator executes EAGERLY (a batch analytics op, not valid on
+    * streaming inputs): the doc-sized result is locally checkpointed
+    * and the corpus-explode-sized span frame is unpersisted before
+    * returning, so repeated calls in one session leave only
+    * O(docs)-sized residue, not O(corpus × spans).
     */
   def dupPassageProfile(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    // (doc, span) pairs are distinct by construction (array_distinct in
-    // wordShingles) — so count(1) ≡ countDistinct(doc) per span below.
-    val spans = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
-      .localCheckpoint(true)
+      n: Int, portable: Boolean = false): DataFrame = {
+    val spanCol =
+      if (portable) explode(wordShingles(col(textCol), n))
+      else explode(NativeExpressions.shingleHashes(col(textCol), n))
+    val spans = df.select(col(idCol), spanCol.as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (doc, span) pairs are distinct by construction (both span kernels
+    // distinct per doc) and ids are unique per the contract above — so
+    // count(1) ≡ countDistinct(doc) per span below.
     val shared = spans.groupBy(col("__g"))
       .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") >= 2)
@@ -110,13 +140,16 @@ object Dedup {
     val dup = spans.join(shared, "__g")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
     val total = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
-    df.select(col(idCol))
+    val out = df.select(col(idCol))
       .join(total, Seq(idCol), "left")
       .join(dup, Seq(idCol), "left")
       .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("dup_frac", round(col("n_dup_spans").cast("double") /
         greatest(col("n_spans"), lit(1L)).cast("double"), 4))
+      .localCheckpoint(true)
+    spans.unpersist(false)
+    out
   }
 
   /** n-gram Jaccard similarity of two docs' shingle sets. */

@@ -207,6 +207,21 @@ class DedupSpec extends SparkSpec {
     assert(soloOut === 0L)
   }
 
+  test("dupPassageProfile: xxhash64 fast path ≡ portable string-span path") {
+    // the fast path keys the profile's shuffles by 8-byte shingle
+    // hashes instead of raw span strings — same counts row for row
+    // (collisions would need two different spans hashing equal in 64
+    // bits); the portable path IS the oracle formulation qd32 replays
+    val corpus = Tables.documents(spark, sf0001)
+    val fast = Dedup.dupPassageProfile(corpus, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val portable = Dedup.dupPassageProfile(corpus, "doc_id", "text", n = 5,
+      portable = true)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(fast.length === portable.length)
+    assert(fast === portable)
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

@@ -203,9 +203,14 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the only nested-loop allowed is the 1-row totals broadcast
     assert(!lpPlan.contains("CartesianProduct"), lpPlan)
-    val dsirPlan = Curation.dsirWeights(docs, "doc_id", "text",
-        docs.filter(col("lang") === "en"), "text")
-      .queryExecution.executedPlan.toString
+    // plan-shape asserts go through the lazy builder: the public
+    // operator checkpoints its result, which collapses explain to a
+    // Scan ExistingRDD and would hide the join strategy
+    val (dsirOut, docFeat, joined) = Curation.dsirWeightsPlan(docs,
+      "doc_id", "text", docs.filter(col("lang") === "en"), "text", 1024)
+    val dsirPlan = dsirOut.queryExecution.executedPlan.toString
+    docFeat.unpersist(false)
+    joined.unpersist(false)
     assert(!dsirPlan.contains("CartesianProduct"), dsirPlan)
     // the ≤buckets-row log-ratio table must reach the per-doc join as a
     // broadcast, never a shuffle of the doc-feature side
