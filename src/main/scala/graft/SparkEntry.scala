@@ -791,37 +791,15 @@ object SparkEntry {
     // end-to-end corpus-cleaning pipeline: quality gate → langid tag →
     // exact dedup (keep smallest id per normalized fingerprint) → stats
     // per predicted language. The composed training-data workload.
-    "qd10_corpus_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val quality = docs
-        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-        .filter(col("n_tokens") >= 20)
-      val tagged = TextAnalysis.withLangId(quality, "text", "lang_pred")
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      val deduped = F1Ops.firstWinsDedup(tagged, Seq("fp"), Seq(col("doc_id")))
-      deduped.groupBy(col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).cast("long").as("total_tokens"))
-        .orderBy(col("lang_pred"))
-    }),
+    "qd10_corpus_pipeline" -> ((s, d) =>
+      graft.ops.Pipelines.corpusPipeline(Tables.documents(s, d))),
 
     // the complete pre-training data pipeline, end to end: quality gate →
     // PII scrub → exact dedup on the scrubbed fingerprint → context-window
     // chunking → per-source corpus stats. Every stage is individually
     // oracle-proven; this entry proves the COMPOSITION is too.
-    "qd19_pretraining_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
-        .withColumn("text", TextAnalysis.scrubPii(col("text")))
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      val deduped = F1Ops.firstWinsDedup(gated, Seq("fp"), Seq(col("doc_id")))
-      TextAnalysis.chunkDocs(deduped, "doc_id", "text", chunkTokens = 64,
-        overlap = 8, keepCols = Seq("source"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
-        .orderBy(col("source"))
-    }),
+    "qd19_pretraining_pipeline" -> ((s, d) =>
+      graft.ops.Pipelines.pretrainingPipeline(Tables.documents(s, d))),
 
     // ---- extensions: near-dedup -------------------------------------
     "qd06_ngram_jaccard_topk" -> ((s, d) => {
@@ -1029,28 +1007,8 @@ object SparkEntry {
     // per-source mix stats. Every stage is individually oracle-proven
     // (qd23, qd25, qd22, qd24); this proves the COMPOSITION end to end,
     // the qd19 pattern applied to the new operator set.
-    "qd27_mix_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 50 === 0)
-      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-      val train = graft.functions.Curation.withSplit(corpus, "doc_id")
-        .filter(col("split") === "train")
-      val sampled = graft.functions.Curation.weightedSample(train,
-        "source", "doc_id", qd27Weights)
-      val contaminated = TextAnalysis.decontaminate(
-          sampled, "doc_id", "text", bench, "text", n = 3)
-        .filter(col("contaminated")).select("doc_id")
-      val clean = sampled.join(contaminated, Seq("doc_id"), "left_anti")
-      graft.functions.Curation.packSequences(
-          clean.select(col("source"), col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
-          "source", "doc_id", "n_tok", budget = 512L)
-        .groupBy(col("source"))
-        .agg(countDistinct(col("bin_id")).as("n_bins"),
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).cast("long").as("total_tokens"))
-        .orderBy(col("source"))
-    }),
+    "qd27_mix_pipeline" -> ((s, d) =>
+      graft.ops.Pipelines.mixPipeline(Tables.documents(s, d), qd27Weights)),
 
     // rows-only: multimodal plumbing — documents' bytes stand in for
     // media payloads; stub decode → fixed-width features (deterministic)
@@ -1326,43 +1284,10 @@ object SparkEntry {
     // conventional order, and every stage both drops and keeps rows at
     // sf0.01 — no vacuous link in the chain.
     //
-    // Stage boundaries are persisted (MEMORY_AND_DISK — lineage kept
-    // for fault recovery): each downstream stage function references
-    // its input 3–4× internally (token explode + vocab join + totals),
-    // so an un-materialized lineage multiplies into repeated
-    // full-corpus re-scans — at 100 TB every re-derivation is a fresh
-    // corpus pass. Materializing s1/s2 keeps the composition at the sum
-    // of its stage costs; the eager stage operators (dupPassageProfile,
-    // dsirWeights) populate the caches as they run, and both stages are
-    // unpersisted once the 3-row summary is checkpointed, so the query
-    // leaves no corpus-sized storage residue behind.
-    "qd33_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
-      val s1 = docs.join(
-        lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
-      val s2 = s1.join(
-        dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dsir = graft.functions.Curation.dsirWeights(s2, "doc_id", "text",
-        s2.filter(col("lang") === "en"), "text", buckets = 1024)
-      val s3 = s2.join(
-        dsir.filter(col("dsir_logratio") > 0).select("doc_id"), "doc_id")
-      val result = s3.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).cast("long").as("total_tokens"),
-          sum(col("dup_frac").cast(DecimalType(18, 4))).as("__s"))
-        .withColumn("avg_dup_frac",
-          round(col("__s").cast("double") / col("n_docs"), 4))
-        .drop("__s")
-        .orderBy(col("lang"))
-        .localCheckpoint(true)
-      s1.unpersist(false)
-      s2.unpersist(false)
-      result
-    }),
+    // Stage-boundary persistence + scan budget documented (and
+    // regression-tested) at [[graft.ops.Pipelines.curationPipeline]].
+    "qd33_curation_pipeline" -> ((s, d) =>
+      graft.ops.Pipelines.curationPipeline(Tables.documents(s, d))),
 
     // oracle-checked: IVF search over an int8-QUANTIZED index — the
     // memory-resident ANN pattern (4× smaller vectors; qe07 proves the
@@ -1370,30 +1295,8 @@ object SparkEntry {
     // centroids and all, lives in dequantized int8 space). Exact values
     // replay in SQL because quantization and search are both
     // deterministic.
-    "qe11_quantized_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("mn", array_min(col("v")))
-        .withColumn("mx", array_max(col("v")))
-      // The dequantized index feeds three branches (queries, corpus,
-      // centroids); persist it once so the quantize→dequantize pass
-      // runs a single time — at scale the persisted quantized frame IS
-      // the point of the operator. Unpersisted once the k-row result is
-      // checkpointed (no index-sized residue across bench queries).
-      val deq = emb.select(col("vec_id"),
-        Similarity.dequantizeInt8(
-          Similarity.quantizeInt8(col("v")), col("mn"), col("mx")).as("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val centroids = deq.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
-      val result = Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",
-        "embedding", centroids, k = 3, nProbe = 2)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
-        .localCheckpoint(true)
-      deq.unpersist(false)
-      result
-    }),
+    "qe11_quantized_ivf" -> ((s, d) =>
+      graft.ops.Pipelines.quantizedIvf(Tables.embeddings(s, d))),
 
     // ---- extensions: event-stream batch view -------------------------
     "qs01_hourly_events" -> ((s, d) =>

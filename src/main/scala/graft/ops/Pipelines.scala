@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.{Curation, Dedup, Similarity, TextAnalysis}
+
+/** The composed training-data pipelines behind the `qd10`/`qd19`/`qd27`/
+  * `qd33`/`qe11` query entries, extracted to functions of their source
+  * DataFrames so (a) SparkEntry stays declarative and (b) tests can
+  * inject an accumulator-instrumented source and assert HOW MANY TIMES
+  * the corpus is scanned end to end (ScanCountSpec) — the round-5
+  * lesson: a dropped stage-boundary materialization re-derives shared
+  * subframes multiplicatively (a measured 27× blow-up at sf0.1), and
+  * only a scan-count assert turns that into a red test instead of a
+  * quiet bench regression.
+  *
+  * Each function documents its scan budget: the number of full passes
+  * over the input a correct plan performs. The budgets are what the
+  * ScanCountSpec asserts (with the exact counts pinned there).
+  */
+object Pipelines {
+
+  /** qd10 — corpus cleaning: quality gate → langid tag → exact dedup →
+    * per-language stats. Single linear lineage, every stage narrow until
+    * the dedup window + final agg: ONE scan of `docs`.
+    */
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val quality = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .filter(col("n_tokens") >= 20)
+    val tagged = TextAnalysis.withLangId(quality, "text", "lang_pred")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val deduped = F1Ops.firstWinsDedup(tagged, Seq("fp"), Seq(col("doc_id")))
+    deduped.groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .orderBy(col("lang_pred"))
+  }
+
+  /** qd19 — pre-training prep: quality gate → PII scrub → exact dedup →
+    * chunking → per-source stats. Linear lineage: ONE scan of `docs`.
+    */
+  def pretrainingPipeline(docs: DataFrame): DataFrame = {
+    val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      .withColumn("text", TextAnalysis.scrubPii(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val deduped = F1Ops.firstWinsDedup(gated, Seq("fp"), Seq(col("doc_id")))
+    TextAnalysis.chunkDocs(deduped, "doc_id", "text", chunkTokens = 64,
+      overlap = 8, keepCols = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("total_chunk_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** qd27 — training-mix assembly: bench/corpus split → deterministic
+    * train split → weighted sample → decontaminate vs the bench slice →
+    * pack → per-source stats.
+    *
+    * Scan budget: the `sampled` frame is consumed twice (decontamination
+    * probe + the anti-join keep side) and each derives from `docs`, plus
+    * the bench slice is its own pass — a handful of scans of a corpus
+    * that narrows by ~50× in the first two filters, NOT multiplicative
+    * in pipeline depth. ScanCountSpec pins the exact count so a future
+    * edit that re-derives `sampled` per consumer turns red.
+    */
+  def mixPipeline(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val train = Curation.withSplit(corpus, "doc_id")
+      .filter(col("split") === "train")
+    val sampled = Curation.weightedSample(train, "source", "doc_id", weights)
+    val contaminated = TextAnalysis.decontaminate(
+        sampled, "doc_id", "text", bench, "text", n = 3)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = sampled.join(contaminated, Seq("doc_id"), "left_anti")
+    Curation.packSequences(
+        clean.select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 512L)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("bin_id")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** qd33 — the curation capstone: unigram-LM quality gate →
+    * duplicated-passage gate → DSIR target-likeness selection →
+    * per-language mix stats.
+    *
+    * Stage boundaries are persisted (MEMORY_AND_DISK — lineage kept for
+    * fault recovery): each downstream stage function references its
+    * input 3–4× internally (token explode + vocab join + totals), so an
+    * un-materialized lineage multiplies into repeated full-corpus
+    * re-scans — at 100 TB every re-derivation is a fresh corpus pass.
+    * Materializing s1/s2 keeps the composition at the sum of its stage
+    * costs; the eager stage operators (dupPassageProfile, dsirWeights)
+    * populate the caches as they run, and both stages are unpersisted
+    * once the 3-row summary is checkpointed, so the query leaves no
+    * corpus-sized storage residue behind. ScanCountSpec pins the scan
+    * count of `docs`; deleting either persist turns it red.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    val s1 = docs.join(
+      lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
+    val s2 = s1.join(
+      dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dsir = Curation.dsirWeights(s2, "doc_id", "text",
+      s2.filter(col("lang") === "en"), "text", buckets = 1024)
+    val s3 = s2.join(
+      dsir.filter(col("dsir_logratio") > 0).select("doc_id"), "doc_id")
+    val result = s3.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        sum(col("dup_frac").cast(DecimalType(18, 4))).as("__s"))
+      .withColumn("avg_dup_frac",
+        round(col("__s").cast("double") / col("n_docs"), 4))
+      .drop("__s")
+      .orderBy(col("lang"))
+      .localCheckpoint(true)
+    s1.unpersist(false)
+    s2.unpersist(false)
+    result
+  }
+
+  /** qe11 — IVF search over an int8-quantized index. The dequantized
+    * index feeds three branches (queries, corpus, centroids); persist it
+    * once so the quantize→dequantize pass runs a single time — at scale
+    * the persisted quantized frame IS the point of the operator.
+    * Unpersisted once the k-row result is checkpointed. ScanCountSpec
+    * pins the scan count of `emb`; deleting the persist turns it red.
+    */
+  def quantizedIvf(emb: DataFrame): DataFrame = {
+    val prepared = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val deq = prepared.select(col("vec_id"),
+      Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("v")), col("mn"), col("mx")).as("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = deq.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("centroid"))
+    val result = Similarity.Ivf.search(deq.filter(col("vec_id") < 5), deq, "vec_id",
+      "embedding", centroids, k = 3, nProbe = 2)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+      .localCheckpoint(true)
+    deq.unpersist(false)
+    result
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.functions.Curation
+import graft.ops.Pipelines
+import graft.sources.Tables
+
+/** Scan-count regression guards for the composition pipelines (the
+  * RankAndSketchSpec accumulator pattern, applied end-to-end): each
+  * pipeline's source is an RDD-backed frame that counts every row it
+  * emits, so `acc.value / nRows` IS the number of full passes the
+  * executed plan made over the corpus. The round-5 lesson these tests
+  * encode: stage-boundary materialization is load-bearing — removing a
+  * `persist` from qd33 re-derived shared subframes multiplicatively (a
+  * measured 27× wall-clock blow-up at sf0.1) while every hash stayed
+  * green, so only a scan-count assert turns that mistake into a red
+  * test instead of a quiet bench regression.
+  *
+  * The budgets are pinned at the MEASURED pass counts of the current
+  * plans (qd10/qd19: 1, qd32: 2, qd33/dsir: 3, qd27: 4, qe11: 1) —
+  * any dropped materialization at least doubles its pipeline's count,
+  * so the asserts have no slack to hide behind.
+  */
+class ScanCountSpec extends SparkSpec {
+
+  /** (instrumented frame, scans accumulator, row count): every physical
+    * pass over the frame adds `n` to the accumulator (the counting map
+    * sits under any filter, so partial consumption still counts full
+    * passes).
+    */
+  private def instrumented(src: DataFrame): (DataFrame, LongAccumulator, Long) = {
+    val rows = src.collect()
+    val acc = spark.sparkContext.longAccumulator("source-scans")
+    val rdd = spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
+      .map { r => acc.add(1); r }
+    (spark.createDataFrame(rdd, src.schema), acc, rows.length.toLong)
+  }
+
+  private def docsSource(): (DataFrame, LongAccumulator, Long) =
+    instrumented(Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source"))
+
+  /** Force a lazy pipeline result and return scans-per-row, rounded up. */
+  private def scansOf(out: DataFrame, acc: LongAccumulator, n: Long): Long = {
+    assert(out.count() >= 1)
+    (acc.value + n - 1) / n
+  }
+
+  test("qd10 corpusPipeline: single linear lineage — exactly 1 corpus scan") {
+    val (docs, acc, n) = docsSource()
+    assert(scansOf(Pipelines.corpusPipeline(docs), acc, n) <= 1)
+  }
+
+  test("qd19 pretrainingPipeline: single linear lineage — exactly 1 corpus scan") {
+    val (docs, acc, n) = docsSource()
+    assert(scansOf(Pipelines.pretrainingPipeline(docs), acc, n) <= 1)
+  }
+
+  test("qd27 mixPipeline: corpus scans bounded (sampled frame not re-derived per consumer)") {
+    val (docs, acc, n) = docsSource()
+    val scans = scansOf(
+      Pipelines.mixPipeline(docs, Map("src0" -> 0.5, "src1" -> 0.25)), acc, n)
+    assert(scans <= 4, s"mixPipeline made $scans corpus passes")
+  }
+
+  test("qd33 curationPipeline: stage-boundary persists hold — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: unigramLogProb's internal passes + the s1 build scan; all
+    // later stages must read the s1/s2 caches, never the source again.
+    // Dropping s1.persist re-runs lm + the join per consumer (measured
+    // ≥ 3× this count at sf0.001; 27× wall-clock at sf0.1).
+    val scans = scansOf(Pipelines.curationPipeline(docs), acc, n)
+    assert(scans <= 3, s"curationPipeline made $scans corpus passes")
+  }
+
+  test("dsirWeights: featurize runs once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    val out = Curation.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", buckets = 256)
+    // budget: docFeat build + the target pass + the id-list join = 3;
+    // dropping the internal docFeat persist re-runs the explode+md5
+    // featurize for the raw-distribution and scoring branches.
+    val scans = scansOf(out, acc, n)
+    assert(scans <= 3, s"dsirWeights made $scans corpus passes")
+  }
+
+  test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    // budget: one pass building the persisted dequantized index (the
+    // centroid/query/corpus branches all read the cache). IVF cell
+    // assignment + search add no source scans.
+    val scans = scansOf(Pipelines.quantizedIvf(emb), acc, n)
+    assert(scans <= 1, s"quantizedIvf made $scans embedding passes")
+  }
+
+  test("qd32 dupPassageProfile: span explode materialized once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: the (doc, span) explode + the id-list join = 2; dropping
+    // the spans persist re-runs the full-corpus token explode for each
+    // of the three consuming aggregations.
+    val scans = scansOf(
+      graft.functions.Dedup.dupPassageProfile(docs, "doc_id", "text", n = 5),
+      acc, n)
+    assert(scans <= 2, s"dupPassageProfile made $scans corpus passes")
+  }
+}
