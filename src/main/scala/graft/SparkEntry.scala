@@ -1078,6 +1078,39 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // rows-only: REAL video container-metadata parse through the
+    // multimodal seam — encode a deterministic AVI (even ids) or MP4
+    // (odd ids) header per doc, parse width/height/fps/frame-count back
+    // out of the actual RIFF `avih` / ISO-BMFF `mvhd`+`tkhd`+`stsz`
+    // bytes (pure JVM — no codec needed for metadata). Exact values are
+    // MultimodalSpec-asserted; only frame-pixel decode remains stubbed.
+    "qm05_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 64)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 320 + (id % 4).toInt * 160
+          val h = 240 + (id % 4).toInt * 120
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.Multimodal.syntheticAvi(
+                w, h, fps = 24 + (id % 3).toInt * 6, nFrames = 100 + (id % 7).toInt * 50)
+            else
+              graft.multimodal.Multimodal.syntheticMp4(
+                w, h, timescale = 600, duration = 600L * (2 + (id % 5)),
+                nFrames = 48 * (2 + (id % 5)))
+          graft.multimodal.Multimodal.MediaRow(
+            id, "video", bytes, None, None, None, None)
+        }
+      graft.multimodal.Multimodal.decodeVideoMeta(media)
+        .toDF()
+        .select(col("media_id"), col("parse_ok"), col("container"),
+          col("width"), col("height"), col("n_frames"),
+          round(col("fps"), 4).as("fps"),
+          round(col("duration_sec"), 4).as("duration_sec"))
+        .orderBy(col("media_id"))
+    }),
+
     // rows-only: the multimodal→similarity composition — real image
     // decode feeds luminance-histogram features into the SRP-LSH
     // embedding near-dup operator. Ids 40–47 re-encode the SAME pixels

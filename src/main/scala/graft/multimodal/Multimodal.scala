@@ -54,14 +54,16 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** ========================= STUB (video only) =====================
+  /** ===================== STUB (video FRAME PIXELS only) ============
     * Deterministic fake decode: a real implementation binds a video codec
     * (e.g. via JNI/FFI) here and returns frame-derived features. Image
     * ([[decodeImages]]) and audio ([[decodeAudio]]) decode REAL bytes via
-    * JDK codecs; video has no pure-JVM codec, so the fake derives a
-    * reproducible feature vector from a rolling hash of the payload so
-    * tests can assert exact values end-to-end. Everything outside this
-    * function is production-shaped.
+    * JDK codecs, and video CONTAINER METADATA (width/height/fps/frames)
+    * is REALLY parsed pure-JVM by [[decodeVideoMeta]] — only the frame
+    * PIXEL decode has no JVM codec, so this fake derives a reproducible
+    * feature vector from a rolling hash of the payload so tests can
+    * assert exact values end-to-end. Everything outside this function is
+    * production-shaped.
     */
   private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null) return Array.fill(FeatureDim)(0f)
@@ -289,6 +291,232 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Video container metadata, parsed from REAL header bytes (no codec
+    * needed — see [[decodeVideoMeta]]).
+    */
+  case class VideoMeta(
+      media_id: Long,
+      parse_ok: Boolean,
+      container: String,
+      width: Int,
+      height: Int,
+      n_frames: Long,
+      fps: Double,
+      duration_sec: Double)
+
+  private val videoMetaFailed =
+    VideoMeta(-1L, parse_ok = false, "unknown", -1, -1, -1L, 0.0, 0.0)
+
+  /** REAL video metadata decode — not a stub. No JVM video CODEC exists,
+    * but the CONTAINERS are plain structured bytes: RIFF/AVI's `avih`
+    * main header (width/height/µs-per-frame/total-frames —
+    * MainAVIHeader, little-endian) and ISO BMFF/MP4's `mvhd`
+    * (timescale/duration), `tkhd` (16.16 fixed-point track dims) and
+    * `stsz` (sample count) boxes (big-endian), all parseable pure-JVM.
+    * This de-stubs the metadata half of the video leg the way
+    * imageio/javax.sound did for images/audio; only frame-pixel decode
+    * remains behind [[decodeStub]]. Truncated or non-video payloads
+    * surface `parse_ok = false` with sentinel values — never a task
+    * failure (one bad blob must not kill a 10k-task stage).
+    */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.bytes == null || r.bytes.length < 12) videoMetaFailed.copy(media_id = r.media_id)
+        else
+          try parseVideoMeta(r.bytes).copy(media_id = r.media_id)
+          catch { case _: Exception => videoMetaFailed.copy(media_id = r.media_id) }
+      }
+    }
+  }
+
+  /** Container sniff + parse: "RIFF…AVI " → [[parseAviMeta]]; a leading
+    * ISO box whose type is `ftyp` → [[parseMp4Meta]]; else unknown.
+    */
+  private[graft] def parseVideoMeta(bytes: Array[Byte]): VideoMeta = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      parseAviMeta(bytes)
+    else if (bytes.length >= 12 && fourcc(4) == "ftyp")
+      parseMp4Meta(bytes)
+    else videoMetaFailed
+  }
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Walk RIFF chunks (fourcc + LE size + payload, even-padded),
+    * descending into LIST chunks, until the `avih` MainAVIHeader:
+    * dwMicroSecPerFrame @0, dwTotalFrames @16, dwWidth @32, dwHeight
+    * @36 (offsets per the public AVI spec / Windows `AVIMAINHEADER`).
+    */
+  private[graft] def parseAviMeta(bytes: Array[Byte]): VideoMeta = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int): Option[Int] = {
+      var off = start
+      while (off + 8 <= end) {
+        val cc = fourcc(off)
+        val size = u32le(bytes, off + 4).toInt
+        val payload = off + 8
+        if (cc == "avih") return Some(payload)
+        if (cc == "LIST" && payload + 4 <= end) {
+          val found = walk(payload + 4, math.min(end, payload + size))
+          if (found.isDefined) return found
+        }
+        off = payload + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+    walk(12, bytes.length) match {
+      case Some(p) if p + 40 <= bytes.length =>
+        val usPerFrame = u32le(bytes, p)
+        val nFrames = u32le(bytes, p + 16)
+        val w = u32le(bytes, p + 32).toInt
+        val h = u32le(bytes, p + 36).toInt
+        val fps = if (usPerFrame > 0) 1.0e6 / usPerFrame else 0.0
+        VideoMeta(-1L, parse_ok = true, "avi", w, h, nFrames,
+          math.rint(fps * 1e6) / 1e6,
+          math.rint(nFrames * usPerFrame / 1e6 * 1e6) / 1e6)
+      case _ => videoMetaFailed
+    }
+  }
+
+  /** Recursive descent over ISO BMFF boxes (BE u32 size + type):
+    * `mvhd` v0/v1 → (timescale, duration), first `tkhd` with nonzero
+    * dims → (width, height) from 16.16 fixed-point, max `stsz`
+    * sample_count across traks → n_frames (the video trak holds the
+    * frames). fps = n_frames / (duration / timescale).
+    */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): VideoMeta = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0; var nFrames = 0L
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32be(bytes, off).toInt
+        if (size < 8) return // malformed/64-bit sizes: stop, keep findings
+        val cc = fourcc(off + 4)
+        val p = off + 8
+        cc match {
+          case c if containers(c) => walk(p, math.min(end, off + size))
+          case "mvhd" if p + 4 <= end =>
+            val v = bytes(p) & 0xff
+            if (v == 1 && p + 32 <= end) {
+              timescale = u32be(bytes, p + 20)
+              duration = (u32be(bytes, p + 24) << 32) | u32be(bytes, p + 28)
+            } else if (p + 20 <= end) {
+              timescale = u32be(bytes, p + 12)
+              duration = u32be(bytes, p + 16)
+            }
+          case "tkhd" if w == 0 =>
+            val v = bytes(p) & 0xff
+            // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
+            //     + 8 layer/alt/vol/rsvd + 36 matrix = 76; v1: times and
+            //     duration are 64-bit → +12
+            val dimOff = p + (if (v == 1) 88 else 76)
+            if (dimOff + 8 <= end) {
+              val tw = (u32be(bytes, dimOff) >> 16).toInt
+              val th = (u32be(bytes, dimOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case "stsz" if p + 12 <= end =>
+            nFrames = math.max(nFrames, u32be(bytes, p + 8))
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, bytes.length)
+    if (timescale <= 0 || w <= 0) videoMetaFailed
+    else {
+      val durSec = duration.toDouble / timescale
+      val fps = if (durSec > 0) nFrames / durSec else 0.0
+      VideoMeta(-1L, parse_ok = true, "mp4", w, h, nFrames,
+        math.rint(fps * 1e6) / 1e6, math.rint(durSec * 1e6) / 1e6)
+    }
+  }
+
+  /** Deterministic synthetic AVI: a real RIFF container with a real
+    * `avih` MainAVIHeader (and an empty `movi` list — header-only, no
+    * frames), the video analogue of [[syntheticPng]]/[[syntheticWav]]:
+    * real encoded container bytes for exercising the real metadata
+    * parse where fixtures carry only text.
+    */
+  def syntheticAvi(width: Int, height: Int, fps: Int, nFrames: Int): Array[Byte] = {
+    require(fps > 0)
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 56 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(out.capacity - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + 56)
+      .put("hdrl".getBytes("US-ASCII"))
+    out.put("avih".getBytes("US-ASCII")).putInt(56)
+    out.putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, AVIF_HASINDEX
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufSize
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    out.put("LIST".getBytes("US-ASCII")).putInt(4).put("movi".getBytes("US-ASCII"))
+    out.array()
+  }
+
+  /** Deterministic synthetic MP4: real ISO BMFF boxes — `ftyp`, `moov`
+    * with v0 `mvhd` (timescale/duration), one `trak` with v0 `tkhd`
+    * (16.16 dims) and a `stbl`/`stsz` carrying the sample count; empty
+    * `mdat`. Header-only, no encoded frames.
+    */
+  def syntheticMp4(width: Int, height: Int, timescale: Int, duration: Long,
+      nFrames: Long): Array[Byte] = {
+    def box(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(cc.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+        .putLong(0) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2) // next_track_ID
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7) // version 0, flags = enabled|in_movie|in_preview
+        .putInt(0).putInt(0).putInt(1).putInt(0) // creation, mod, track_ID, rsvd
+        .putInt(duration.toInt).putLong(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, rsvd
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0).putInt(0).putInt(nFrames.toInt) // v/flags, sample_size=0, count
+      b.array()
+    }
+    val stbl = box("stbl", box("stsz", stsz))
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    val mdat = box("mdat", Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
   }
 
   /** A resized image: re-encoded payload + the dims it actually has. */

@@ -138,4 +138,47 @@ class MultimodalSpec extends SparkSpec {
     assert(rep.count() === 4)
     assert(rep.rdd.getNumPartitions >= 1)
   }
+
+  test("real AVI metadata parse: avih header values recovered exactly (qm05)") {
+    val avi = Multimodal.syntheticAvi(width = 640, height = 480, fps = 25, nFrames = 250)
+    val m = Multimodal.parseVideoMeta(avi)
+    assert(m.parse_ok)
+    assert(m.container === "avi")
+    assert(m.width === 640)
+    assert(m.height === 480)
+    assert(m.n_frames === 250L)
+    assert(m.fps === 25.0)
+    assert(m.duration_sec === 10.0)
+  }
+
+  test("real MP4 metadata parse: mvhd/tkhd/stsz box values recovered exactly (qm05)") {
+    // timescale 600, duration 1800 → 3 s; 72 samples → 24 fps
+    val mp4 = Multimodal.syntheticMp4(width = 1280, height = 720,
+      timescale = 600, duration = 1800L, nFrames = 72L)
+    val m = Multimodal.parseVideoMeta(mp4)
+    assert(m.parse_ok)
+    assert(m.container === "mp4")
+    assert(m.width === 1280)
+    assert(m.height === 720)
+    assert(m.n_frames === 72L)
+    assert(m.fps === 24.0)
+    assert(m.duration_sec === 3.0)
+  }
+
+  test("video metadata decode through the Dataset seam; garbage is parse_ok=false") {
+    val rows = Seq(
+      MediaRow(0L, "video", Multimodal.syntheticAvi(320, 240, 30, 90), None, None, None, None),
+      MediaRow(1L, "video", Multimodal.syntheticMp4(640, 360, 1000, 5000L, 120L), None, None, None, None),
+      MediaRow(2L, "video", Array[Byte](1, 2, 3), None, None, None, None),
+      MediaRow(3L, "video", null, None, None, None, None),
+      // a RIFF that is NOT an AVI (WAVE) must not parse as video
+      MediaRow(4L, "video", Multimodal.syntheticWav(4L, 8000, 100), None, None, None, None),
+    ).toDS()
+    val out = Multimodal.decodeVideoMeta(rows).collect().map(m => m.media_id -> m).toMap
+    assert(out(0L).parse_ok && out(0L).container === "avi" && out(0L).n_frames === 90L)
+    assert(out(1L).parse_ok && out(1L).container === "mp4" && out(1L).width === 640)
+    assert(!out(2L).parse_ok)
+    assert(!out(3L).parse_ok)
+    assert(!out(4L).parse_ok)
+  }
 }
