@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Named fetcher registry — the DSv2 form of [[HttpSource]]'s injected
+  * `String => String` seam. DSv2 options are string maps, so the
+  * function itself can't ride in the plan; instead readers look the
+  * fetcher up by name at execution time. Tests register hermetic
+  * fetchers (no network); the `jdk-http` default binds the JDK's
+  * `HttpClient` for production. JVM-local: in `local[*]` (and tests)
+  * driver and executors share the registry; on a real cluster custom
+  * fetchers must be registered executor-side (e.g. from a Spark plugin
+  * init) — the default needs no registration anywhere.
+  */
+object HttpFetchers {
+  val DefaultName = "jdk-http"
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, String => String]()
+
+  def register(name: String, fetch: String => String): Unit =
+    registry.put(name, fetch)
+
+  def lookup(name: String): String => String =
+    if (name == DefaultName) jdkFetch
+    else Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-http: no fetcher registered under '$name' " +
+          "(HttpFetchers.register it on every JVM that runs tasks)"))
+
+  /** Production default: plain JDK HttpClient GET (Java 11+, no extra
+    * dependency). Never exercised in tests — they inject by name.
+    */
+  private lazy val jdkFetch: String => String = { url =>
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+}
+
+/** DataSource V2 batch read over HTTP JSON-array endpoints —
+  * `spark.read.format("graft-http")` (S3 of SURVEY §2.1 "if
+  * productized"; reference acquisition: kafka_producer.py:29–31).
+  *
+  * Contract: a DECLARED schema is required (`.schema(...)` — fixed,
+  * never inferred, SURVEY §1.2), flat JSON objects of
+  * string/long/int/double/boolean fields (the reference's payload
+  * shape), missing fields → null, unknown fields dropped.
+  *
+  * Scale shape: `urls` takes a comma-separated endpoint list and plans
+  * ONE InputPartition per URL, so a paginated API fans out across
+  * executors instead of serializing through the driver (the
+  * `HttpSource.fetchJson` driver-side seam stays for KB-sized dims).
+  * Column pruning is pushed down ([[HttpScanBuilder.pruneColumns]]):
+  * a 2-column projection parses only those 2 fields per record.
+  */
+class HttpDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-http"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-http requires a declared schema: spark.read.format(\"graft-http\")" +
+        ".schema(...) — schemas are fixed, never inferred (SURVEY §1.2)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new HttpTable(schema, properties.asScala.toMap)
+}
+
+private[sources] class HttpTable(declared: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-http(${props.getOrElse("url", props.getOrElse("urls", "?"))})"
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpScanBuilder(declared, options.asScala.toMap)
+}
+
+private[sources] class HttpScanBuilder(full: StructType, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val urls = options.get("urls").orElse(options.get("url")).getOrElse(
+      throw new IllegalArgumentException("graft-http: missing 'url' (or 'urls') option"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val fetcher = options.getOrElse("fetcher", HttpFetchers.DefaultName)
+    HttpScan(required, urls.toIndexedSeq, fetcher)
+  }
+}
+
+private[sources] case class HttpUrlPartition(url: String) extends InputPartition
+
+private[sources] case class HttpScan(required: StructType, urls: Seq[String],
+    fetcherName: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-http ${urls.mkString(",")} -> ${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    urls.map(HttpUrlPartition(_): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    HttpReaderFactory(required, fetcherName)
+}
+
+private[sources] case class HttpReaderFactory(required: StructType,
+    fetcherName: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val url = partition.asInstanceOf[HttpUrlPartition].url
+    new PartitionReader[InternalRow] {
+      // fetch + parse lazily on first next() so construction is cheap
+      private var it: Iterator[InternalRow] = _
+      private var row: InternalRow = _
+
+      private def ensure(): Unit = if (it == null) {
+        val body = HttpFetchers.lookup(fetcherName)(url)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(body)
+        require(root.isArray, s"graft-http: expected a JSON array from $url")
+        it = root.elements().asScala.map(toRow)
+      }
+
+      private def toRow(node: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
+        val values = required.fields.map { f =>
+          val v = node.get(f.name)
+          if (v == null || v.isNull) null
+          else f.dataType match {
+            case StringType =>
+              UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+            case LongType => java.lang.Long.valueOf(v.asLong())
+            case IntegerType => java.lang.Integer.valueOf(v.asInt())
+            case DoubleType => java.lang.Double.valueOf(v.asDouble())
+            case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+            case other => throw new IllegalArgumentException(
+              s"graft-http: unsupported field type $other for '${f.name}' " +
+                "(flat string/long/int/double/boolean payloads only)")
+          }
+        }
+        new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      }
+
+      override def next(): Boolean = {
+        ensure()
+        if (it.hasNext) { row = it.next(); true } else false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -47,6 +47,58 @@ class HttpSourceSpec extends SparkSpec {
       |{"driver_number":"1","driver_name":"Duplicate Max","headshot_url":"dup"},
       |{"driver_number":"16","driver_name":"Charles Leclerc","extra_unknown_field":1}]""".stripMargin
 
+  test("DSv2 graft-http: declared-schema round-trip, one partition per url") {
+    import org.apache.spark.sql.functions.col
+    graft.sources.HttpFetchers.register("spec-pages", {
+      case u if u.endsWith("page=1") =>
+        """[{"driver_number":"1","driver_name":"Max Verstappen","headshot_url":"u1"}]"""
+      case u if u.endsWith("page=2") =>
+        """[{"driver_number":"44","driver_name":"Lewis Hamilton","headshot_url":"u44"},
+          |{"driver_number":"16","driver_name":null,"extra_unknown_field":9}]""".stripMargin
+      case u => fail(s"unexpected url $u")
+    })
+    val df = spark.read.format("graft-http")
+      .schema(graft.model.Schemas.drivers)
+      .option("urls", "https://example.invalid/v1/drivers?page=1, https://example.invalid/v1/drivers?page=2")
+      .option("fetcher", "spec-pages")
+      .load()
+    assert(df.rdd.getNumPartitions === 2) // one InputPartition per endpoint page
+    val rows = df.orderBy("driver_number")
+      .select("driver_number", "driver_name").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq(
+      ("1", Some("Max Verstappen")), ("16", None), ("44", Some("Lewis Hamilton"))))
+    // unknown payload fields are dropped by the declared schema
+    assert(df.columns.toSeq === Seq("driver_number", "driver_name", "headshot_url"))
+    // an unregistered fetcher name fails loudly, not with an empty frame
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-http").schema(graft.model.Schemas.drivers)
+        .option("url", "https://example.invalid/x")
+        .option("fetcher", "never-registered").load().count()
+    }
+    assert(err.getMessage.contains("never-registered")
+      || Option(err.getCause).exists(_.getMessage.contains("never-registered")))
+  }
+
+  test("DSv2 graft-http: column prune reaches the scan (pushed-down projection)") {
+    graft.sources.HttpFetchers.register("spec-prune", _ => body)
+    val df = spark.read.format("graft-http")
+      .schema(graft.model.Schemas.drivers)
+      .option("url", "https://example.invalid/v1/drivers")
+      .option("fetcher", "spec-prune")
+      .load()
+      .select("driver_name")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    // the scan itself must read ONLY the projected column — proof the
+    // prune was pushed into the source, not applied after a full parse
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("driver_name"))
+    assert(df.as[String].collect().sorted.toSeq ===
+      Seq("Charles Leclerc", "Duplicate Max", "Lewis Hamilton", "Max Verstappen"))
+  }
+
   test("drivers dim load: declared schema, unknown fields dropped, first-wins dedup") {
     val fetched = new java.util.concurrent.atomic.AtomicReference[String]()
     val dim = HttpSource.loadDriversDim(spark,
