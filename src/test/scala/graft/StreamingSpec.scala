@@ -394,4 +394,54 @@ class StreamingSpec extends SparkSpec {
     assert(rec._1 === "44")
     assert(rec._2 === """{"driver_number":"44","grand_prix":"Bahrain","points":15}""")
   }
+
+  test("streaming incremental dedup: cross-batch keepers exactly-once across restart and replay") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("corpus-out")
+    val cp = tmpDir("corpus-cp")
+    val ms = MemoryStream[(Long, String)]
+    def run(checkpoint: String = cp): Unit = {
+      val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, checkpoint, minTokens = 3)
+      q.awaitTermination()
+    }
+    def corpusState(): Set[(Long, Long)] =
+      spark.read.parquet(corpus).select("doc_id", "batch_id")
+        .as[(Long, Long)].collect().toSet
+
+    val docA = "alpha bravo charlie delta"
+    val docB = "echo foxtrot golf hotel"
+    val docD = "india juliet kilo lima"
+    val docE = "mike november oscar papa"
+
+    // batch 0: within-batch dup (11 dups 10 → keep smallest id) + a row
+    // under the token gate
+    ms.addData((10L, docB), (11L, docB), (12L, docA), (13L, "too short"))
+    run()
+    assert(corpusState() === Set((10L, 0L), (12L, 0L)))
+
+    // batch 1 (fresh query, SAME checkpoint — a restart): cross-batch
+    // dup of A must be dropped via the corpus's stored hash column
+    ms.addData((20L, docD), (21L, docA))
+    run()
+    assert(corpusState() === Set((10L, 0L), (12L, 0L), (20L, 1L)))
+
+    // batch 2 (restart again): dups of both earlier batches
+    ms.addData((30L, docE), (31L, docD), (32L, docB))
+    run()
+    val afterThree = Set((10L, 0L), (12L, 0L), (20L, 1L), (30L, 2L))
+    assert(corpusState() === afterThree)
+
+    // replay: batch 0's data re-processed as batch 0 under a FRESH
+    // checkpoint (sink committed, checkpoint lost — the reference's
+    // duplicate scenario). The anti-join excludes the replaying batch's
+    // own partition, so partition 0 is overwritten with its original
+    // keeper set — corpus unchanged, no duplicate and no lost keepers.
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((10L, docB), (11L, docB), (12L, docA), (13L, "too short"))
+    val q2 = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms2.toDF().toDF("doc_id", "text"), corpus, tmpDir("corpus-cp2"), minTokens = 3)
+    q2.awaitTermination()
+    assert(corpusState() === afterThree)
+  }
 }
