@@ -288,6 +288,9 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       val nextSum = checksum(next)
+      // free the superseded round's checkpoint blocks — without this a
+      // deep component chain leaves O(rounds) label frames resident
+      labels.unpersist(false)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -298,6 +301,9 @@ object Dedup {
         s"nearDupComponents: label propagation did NOT converge after " +
           s"$maxIter rounds (component diameter > $maxIter) — cluster " +
           "labels may be truncated; raise maxIter")
+    // the loop is done with the edge list; only the final labels frame
+    // (which the returned plan reads) stays resident
+    edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
