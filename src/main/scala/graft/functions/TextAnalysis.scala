@@ -225,16 +225,31 @@ object TextAnalysis {
     * At 100 TB: one narrow explode over the corpus scan, one broadcast
     * join, one shuffle on doc id for the count. Docs sharing nothing get
     * `n_contaminated_grams = 0`, `contaminated = false`.
+    *
+    * Gram keys are DUAL-PATH (the qd32/qd09 precedent): the default
+    * production path keys grams by the native 8-byte shingle hash
+    * ([[NativeExpressions.shingleHashes]]) — the corpus-side explode
+    * carries longs instead of n-word strings, the broadcast map probes
+    * longs, and no gram string is ever materialized. A 64-bit collision
+    * can only inflate a doc's hit count (never misses real overlap);
+    * `portable = true` keys by the raw gram string — exact at any scale
+    * and the form the SQL oracle replays (TextAnalysisSpec asserts the
+    * two paths agree end-to-end).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      portable: Boolean = false): DataFrame = {
+    def grams(c: Column): Column =
+      if (portable) explode(Dedup.wordShingles(c, n))
+      else explode(NativeExpressions.shingleHashes(c, n))
     val benchGrams = benchmark
-      .select(explode(Dedup.wordShingles(col(benchTextCol), n)).as("__g"))
+      .select(grams(col(benchTextCol)).as("__g"))
       .distinct()
-    // wordShingles is per-doc distinct, so the exploded (id, gram) pairs
-    // are distinct too: the join hit count IS the distinct shared-gram count
+    // both gram kernels are per-doc distinct, so the exploded (id, gram)
+    // pairs are distinct too: the join hit count IS the distinct
+    // shared-gram count
     val hits = docs
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), grams(col(textCol)).as("__g"))
       .join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated_grams"))

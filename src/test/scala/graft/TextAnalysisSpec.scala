@@ -106,6 +106,21 @@ class TextAnalysisSpec extends SparkSpec {
       1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((0L, false))))
   }
 
+  test("decontaminate: xxhash64 fast path ≡ portable string-gram path") {
+    // the fast path probes the broadcast map with 8-byte shingle hashes
+    // instead of gram strings — same hit counts row for row; the
+    // portable path IS the oracle formulation qd22 replays
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    def run(portable: Boolean) =
+      TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "text",
+          n = 3, portable = portable)
+        .select("doc_id", "n_contaminated_grams", "contaminated")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(run(portable = false) === run(portable = true))
+  }
+
   test("withSplit is a pure function of the id — stable across partitionings") {
     val docs = Tables.documents(spark, sf0001)
     def splits(df: org.apache.spark.sql.DataFrame) =
