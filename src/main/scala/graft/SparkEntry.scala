@@ -1307,6 +1307,15 @@ object SparkEntry {
       Dedup.dupPassageProfile(Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: the REMOVAL counterpart of qd32 (Lee et al.
+    // 2021's actual dedup step) — every token covered by a cross-doc
+    // duplicated 5-token span is scrubbed; clean_text plus removal
+    // accounting per doc. Positional span keys (the unsorted sibling
+    // of the qd32 kernel); the oracle replays positions relationally.
+    "qd34_scrub_spans" -> ((s, d) =>
+      Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // the round-4 capstone composition — a modern curation pipeline
     // over the round's new operators, each stage individually
     // oracle-proven (qd29, qd32, qd30): unigram-LM quality gate (drops
@@ -2290,6 +2299,41 @@ object SparkEntry {
       s"""WITH ${duckDupPassageCtes("documents")}
          |SELECT doc_id, n_spans, n_dup_spans, dup_frac
          |FROM dupf ORDER BY doc_id""".stripMargin,
+
+    // span scrubbing replayed relationally with POSITIONAL spans:
+    // duplicated span starts → covered token positions (start + 0..n−1)
+    // → anti-join tokens on position → ordered re-aggregation
+    "qd34_scrub_spans" -> {
+      val n = 5
+      val concat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH dpd AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |pos1 AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i FROM dpd),
+         |pspans AS (SELECT doc_id, i - 1 AS pos, $concat AS g FROM pos1),
+         |shared AS (
+         |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM pspans)
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |cov1 AS (SELECT doc_id, pos FROM pspans JOIN shared USING (g)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS cpos
+         |  FROM (SELECT doc_id, pos, unnest(range(0, $n)) AS j FROM cov1)),
+         |tok1 AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM dpd),
+         |tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS tk FROM tok1),
+         |keep AS (
+         |  SELECT t.doc_id, t.pos, t.tk
+         |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+         |  WHERE c.cpos IS NULL),
+         |clean AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS ct
+         |  FROM keep GROUP BY doc_id),
+         |rem AS (SELECT doc_id, COUNT(*) AS nr FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(c.ct, '') AS clean_text,
+         |  len(d.w) AS n_tokens, COALESCE(r.nr, 0) AS n_removed_tokens
+         |FROM dpd d LEFT JOIN clean c USING (doc_id) LEFT JOIN rem r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // the capstone replayed stage by stage on the SHARED CTE chains
     // (duckUnigramLmCte / duckDsirCtes / duckDupPassageCtes — the same

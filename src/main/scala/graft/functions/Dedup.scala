@@ -152,6 +152,72 @@ object Dedup {
     out
   }
 
+  /** Cross-document duplicated-span SCRUB — the REMOVAL step of the
+    * exact-substring dedup family (Lee et al. 2021 drop verbatim spans
+    * repeated across documents; [[dupPassageProfile]] is the matching
+    * detection/profiling step): every token covered by at least one
+    * n-token span occurring in ≥ 2 distinct docs is dropped, and the
+    * survivors are re-joined into `clean_text` (whitespace-normalized —
+    * single spaces, like [[TextAnalysis.fingerprint]]'s token view).
+    * Returns (id, clean_text, n_tokens, n_removed_tokens).
+    *
+    * PRECONDITION: `idCol` unique per row (file contract — see
+    * [[dupPassageProfile]]).
+    *
+    * Span keys are DUAL-PATH like [[dupPassageProfile]]:
+    * `portable = false` keys spans by the POSITIONAL native shingle
+    * hash ([[NativeExpressions.PositionalShingleHashesExpr]] — same
+    * XXH64 chain as the profile's keys, unsorted because position
+    * matters here); `portable = true` uses the raw span strings the
+    * SQL oracle replays. DedupSpec asserts the paths agree.
+    *
+    * Scale shape: one narrow positional-span explode (the SAME row
+    * growth as the profile's), a distinct + grouped count on the
+    * uniform span key, one join back on the span key, one per-doc
+    * `collect_set` of covered start positions (bounded by the doc's
+    * own token count — never cross-doc state), then a NARROW map does
+    * the actual scrub with array functions (coverage expansion +
+    * indexed filter) — re-assembly never shuffles token rows.
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, portable: Boolean = false): DataFrame = {
+    require(n > 0)
+    val spanArr: Column =
+      if (portable) {
+        val w = TextAnalysis.tokens(col(textCol))
+        val grams = transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))
+        when(size(w) >= n, grams).otherwise(array())
+      } else
+        NativeExpressions.positionalShingleHashes(col(textCol), n)
+    val spansPos = df.select(col(idCol),
+        posexplode(spanArr).as(Seq("pos", "__g")))
+    // a span repeating WITHIN one doc must count once per doc — distinct
+    // (id, span) before the cross-doc count (cf. dupPassageProfile,
+    // where the span kernel is already per-doc distinct)
+    val dupSpans = spansPos.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("__g"))
+    val coveredStarts = spansPos.join(dupSpans, "__g")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__starts"))
+    df.join(coveredStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__covered", array_distinct(flatten(
+        transform(col("__starts"), s => sequence(s, s + n - 1)))))
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("clean_text", concat_ws(" ",
+        filter(col("__toks"), (t, i) => !array_contains(col("__covered"), i))))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      // every covered position is a valid token index (starts ≤ m − n)
+      .withColumn("n_removed_tokens", size(col("__covered")).cast("long"))
+      .select(col(idCol), col("clean_text"), col("n_tokens"),
+        col("n_removed_tokens"))
+  }
+
   /** n-gram Jaccard similarity of two docs' shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

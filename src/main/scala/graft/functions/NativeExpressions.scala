@@ -360,6 +360,54 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** POSITIONAL word n-gram shingle hashes: element i is the hash of
+    * the span starting at token i — same tokenizer and XXH64 chain as
+    * [[ShingleHashesExpr]] (so values agree), but NOT sorted and NOT
+    * distinct, because span-scrubbing needs to know WHERE each span
+    * sits ([[Dedup.scrubDuplicatedSpans]] covers token positions
+    * [i, i+n-1] for every duplicated span at i).
+    */
+  case class PositionalShingleHashesExpr(child: Expression, shingleN: Int)
+      extends UnaryExpression {
+    require(shingleN > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "positional_shingle_hashes"
+
+    def compute(s: UTF8String): ArrayData = {
+      var tokenHashes = new Array[Long](16)
+      var nTok = 0
+      foreachToken(s) { (base, off, len) =>
+        if (nTok == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        tokenHashes(nTok) = XXH64.hashUnsafeBytes(base, off, len, Seed)
+        nTok += 1
+      }
+      val nSh = math.max(0, nTok - shingleN + 1)
+      val out = new Array[Long](nSh)
+      var i = 0
+      while (i < nSh) {
+        var h = Seed
+        var j = 0
+        while (j < shingleN) { h = XXH64.hashLong(tokenHashes(i + j), h); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pshingles", this,
+        classOf[PositionalShingleHashesExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Jaccard similarity of two sorted distinct long arrays via linear
     * merge — the verification kernel for MinHash-LSH candidates.
     */
@@ -719,6 +767,9 @@ object NativeExpressions {
 
   def shingleHashes(c: Column, shingleN: Int): Column =
     column(ShingleHashesExpr(expression(c), shingleN))
+
+  def positionalShingleHashes(c: Column, shingleN: Int): Column =
+    column(PositionalShingleHashesExpr(expression(c), shingleN))
 
   def sortedJaccard(a: Column, b: Column): Column =
     column(SortedJaccardExpr(expression(a), expression(b)))

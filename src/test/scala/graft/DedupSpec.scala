@@ -207,6 +207,55 @@ class DedupSpec extends SparkSpec {
     assert(soloOut === 0L)
   }
 
+  test("scrubDuplicatedSpans removes exactly the cross-doc duplicated spans") {
+    // n=2: docs 0/1 share "b c" → in doc 0 ("a b c d") positions 1..2
+    // are covered, keeping "a d"; doc 1 ("b c e") covers 0..1, keeping
+    // "e". Doc 2 shares nothing → untouched. Doc 3 is sub-n → untouched.
+    // Doc 4 repeats "p q" internally only (one doc) → NOT duplicated.
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "b c e"), (2L, "x y z"), (3L, "a"),
+      (4L, "p q p q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === (("a d", 4L, 2L)))
+    assert(out(1L) === (("e", 3L, 2L)))
+    assert(out(2L) === (("x y z", 3L, 0L)))
+    assert(out(3L) === (("a", 1L, 0L)))
+    assert(out(4L) === (("p q p q", 4L, 0L)))
+    // a fully-duplicated doc scrubs to the empty string
+    val full = Seq((0L, "m n o"), (1L, "m n o")).toDF("doc_id", "text")
+    val fullOut = Dedup.scrubDuplicatedSpans(full, "doc_id", "text", n = 3)
+      .select("clean_text", "n_removed_tokens").as[(String, Long)].collect()
+    assert(fullOut.toSet === Set(("", 3L)))
+    // overlapping duplicated spans cover the union, not double-count:
+    // docs share "a b" and "b c" → doc 0 covers 0..2 (3 tokens), not 4
+    val ovl = Seq((0L, "a b c x"), (1L, "a b q"), (2L, "r b c"))
+      .toDF("doc_id", "text")
+    val ovlOut = Dedup.scrubDuplicatedSpans(ovl, "doc_id", "text", n = 2)
+      .filter(col("doc_id") === 0)
+      .select("clean_text", "n_removed_tokens").as[(String, Long)].head()
+    assert(ovlOut === (("x", 3L)))
+  }
+
+  test("scrubDuplicatedSpans: positional-hash fast path ≡ portable string path") {
+    val corpus = Tables.documents(spark, sf0001)
+    def run(portable: Boolean) =
+      Dedup.scrubDuplicatedSpans(corpus, "doc_id", "text", n = 5, portable)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val fast = run(portable = false)
+    val port = run(portable = true)
+    assert(fast === port)
+    // scrub agrees with the qd32 profile: zero dup_frac ⇔ zero removals
+    val prof = Dedup.dupPassageProfile(corpus, "doc_id", "text", n = 5)
+      .select("doc_id", "n_dup_spans").as[(Long, Long)].collect().toMap
+    fast.foreach { case (id, _, _, removed) =>
+      assert((prof(id) > 0) === (removed > 0),
+        s"doc $id: profile n_dup_spans=${prof(id)} but scrub removed=$removed")
+    }
+  }
+
   test("dupPassageProfile: xxhash64 fast path ≡ portable string-span path") {
     // the fast path keys the profile's shuffles by 8-byte shingle
     // hashes instead of raw span strings — same counts row for row
