@@ -1316,6 +1316,14 @@ object SparkEntry {
       Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: Gopher-family intra-doc repetition signal (Rae
+    // et al. 2021 duplicate-n-gram fraction) — fraction of each doc's
+    // tokens covered by a 3-gram repeating within the doc (n=3 gives a
+    // non-vacuous spread on the fixture's small-vocab docs)
+    "qd35_dup_ngram_frac" -> ((s, d) =>
+      Dedup.intraDocDupNgramFraction(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
     // the round-4 capstone composition — a modern curation pipeline
     // over the round's new operators, each stage individually
     // oracle-proven (qd29, qd32, qd30): unigram-LM quality gate (drops
@@ -2299,6 +2307,32 @@ object SparkEntry {
       s"""WITH ${duckDupPassageCtes("documents")}
          |SELECT doc_id, n_spans, n_dup_spans, dup_frac
          |FROM dupf ORDER BY doc_id""".stripMargin,
+
+    // intra-doc duplicate n-gram coverage replayed with the same
+    // positional-span machinery, grouped per (doc, gram) instead of
+    // cross-doc
+    "qd35_dup_ngram_frac" -> {
+      val n = 3
+      val concat = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH dpd AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |pos1 AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i FROM dpd),
+         |pspans AS (SELECT doc_id, i - 1 AS pos, $concat AS g FROM pos1),
+         |rep AS (
+         |  SELECT doc_id, g FROM pspans GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS cpos
+         |  FROM (SELECT p.doc_id, p.pos, unnest(range(0, $n)) AS j
+         |        FROM pspans p JOIN rep USING (doc_id, g))),
+         |covn AS (SELECT doc_id, COUNT(*) AS nc FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, len(d.w) AS n_tokens,
+         |  COALESCE(c.nc, 0) AS n_dup_covered,
+         |  ROUND(COALESCE(c.nc, 0) / GREATEST(len(d.w), 1), 4) AS dup_ngram_frac
+         |FROM dpd d LEFT JOIN covn c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // span scrubbing replayed relationally with POSITIONAL spans:
     // duplicated span starts → covered token positions (start + 0..n−1)

@@ -218,6 +218,57 @@ object Dedup {
         col("n_removed_tokens"))
   }
 
+  /** Intra-document duplicate n-gram fraction — the Gopher repetition
+    * filter family (Rae et al. 2021, app. A1.1 threshold docs by their
+    * duplicate n-gram fractions; [[TextAnalysis.topTokenFraction]] is
+    * the companion top-token signal): the fraction of a doc's tokens
+    * covered by an n-gram that occurs ≥ 2 times WITHIN the doc.
+    * Returns (id, n_tokens, n_dup_covered, dup_ngram_frac).
+    *
+    * Scale shape: positional-span explode → grouped count on the
+    * UNIFORM (id, span) key → join back for the repeated spans'
+    * positions → per-doc `collect_set` (bounded by the doc's own
+    * length) → narrow coverage-union map. A per-row HOF could do this
+    * with no shuffle but O(m²) per doc — quadratic in the 100k-token
+    * tail; the relational form stays O(m log m)-ish per doc and
+    * partitions evenly. Span keys: positional xxhash64 (production) or
+    * raw strings (`portable = true`, the oracle form).
+    */
+  def intraDocDupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int, portable: Boolean = false): DataFrame = {
+    require(n > 0)
+    val spanArr: Column =
+      if (portable) {
+        val w = TextAnalysis.tokens(col(textCol))
+        val grams = transform(
+          sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))
+        when(size(w) >= n, grams).otherwise(array())
+      } else
+        NativeExpressions.positionalShingleHashes(col(textCol), n)
+    val spans = df.select(col(idCol), posexplode(spanArr).as(Seq("pos", "__g")))
+    val repeated = spans.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), col("__g"))
+    val starts = spans.join(repeated, Seq(idCol, "__g"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__covered", array_distinct(flatten(
+        transform(col("__starts"), s => sequence(s, s + n - 1)))))
+      .withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("n_dup_covered", size(col("__covered")).cast("long"))
+      .withColumn("dup_ngram_frac",
+        round(col("n_dup_covered").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      .select(col(idCol), col("n_tokens"), col("n_dup_covered"),
+        col("dup_ngram_frac"))
+  }
+
   /** n-gram Jaccard similarity of two docs' shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -256,6 +256,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("intraDocDupNgramFraction covers tokens of within-doc repeated n-grams") {
+    // n=2: "p q p q" → "p q" occurs at 0 and 2 ("q p" once) → covered
+    // {0,1,2,3} = 4/4; "a b c" has no repeats → 0; "x x x" → "x x" at
+    // 0,1 → covered {0,1,2} = 3/3
+    val docs = Seq((0L, "p q p q"), (1L, "a b c"), (2L, "x x x"))
+      .toDF("doc_id", "text")
+    val out = Dedup.intraDocDupNgramFraction(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === ((4L, 4L, 1.0)))
+    assert(out(1L) === ((3L, 0L, 0.0)))
+    assert(out(2L) === ((3L, 3L, 1.0)))
+    // fast ≡ portable on the fixture corpus
+    val corpus = Tables.documents(spark, sf0001)
+    def run(portable: Boolean) =
+      Dedup.intraDocDupNgramFraction(corpus, "doc_id", "text", n = 3, portable)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(portable = false) === run(portable = true))
+  }
+
   test("dupPassageProfile: xxhash64 fast path ≡ portable string-span path") {
     // the fast path keys the profile's shuffles by 8-byte shingle
     // hashes instead of raw span strings — same counts row for row
