@@ -172,27 +172,23 @@ object Dedup {
     * SQL oracle replays. DedupSpec asserts the paths agree.
     *
     * Scale shape: one narrow positional-span explode (the SAME row
-    * growth as the profile's), a distinct + grouped count on the
-    * uniform span key, one join back on the span key, one per-doc
-    * `collect_set` of covered start positions (bounded by the doc's
-    * own token count — never cross-doc state), then a NARROW map does
-    * the actual scrub with array functions (coverage expansion +
-    * indexed filter) — re-assembly never shuffles token rows.
+    * growth as the profile's) — persisted, because both the dup-span
+    * count and the coverage join consume it (dupPassageProfile's
+    * pattern; without it the full-corpus explode runs twice) — a
+    * distinct + grouped count on the uniform span key, one join back
+    * on the span key, one per-doc `collect_set` of covered start
+    * positions (bounded by the doc's own token count — never cross-doc
+    * state), then a NARROW map does the actual scrub with array
+    * functions (coverage expansion + indexed filter) — re-assembly
+    * never shuffles token rows. Eager like the profile: the doc-sized
+    * result is checkpointed, the span frame unpersisted on return.
     */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, portable: Boolean = false): DataFrame = {
     require(n > 0)
-    val spanArr: Column =
-      if (portable) {
-        val w = TextAnalysis.tokens(col(textCol))
-        val grams = transform(
-          sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))
-        when(size(w) >= n, grams).otherwise(array())
-      } else
-        NativeExpressions.positionalShingleHashes(col(textCol), n)
     val spansPos = df.select(col(idCol),
-        posexplode(spanArr).as(Seq("pos", "__g")))
+        posexplode(positionalSpans(col(textCol), n, portable)).as(Seq("pos", "__g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a span repeating WITHIN one doc must count once per doc — distinct
     // (id, span) before the cross-doc count (cf. dupPassageProfile,
     // where the span kernel is already per-doc distinct)
@@ -203,7 +199,7 @@ object Dedup {
     val coveredStarts = spansPos.join(dupSpans, "__g")
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("__starts"))
-    df.join(coveredStarts, Seq(idCol), "left")
+    val out = df.join(coveredStarts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__covered", array_distinct(flatten(
@@ -216,7 +212,24 @@ object Dedup {
       .withColumn("n_removed_tokens", size(col("__covered")).cast("long"))
       .select(col(idCol), col("clean_text"), col("n_tokens"),
         col("n_removed_tokens"))
+      .localCheckpoint(true)
+    spansPos.unpersist(false)
+    out
   }
+
+  /** Positional n-gram span keys: hashed (production) or raw strings
+    * (oracle-portable) — the shared kernel choice of
+    * [[scrubDuplicatedSpans]] and [[intraDocDupNgramFraction]].
+    */
+  private def positionalSpans(text: Column, n: Int, portable: Boolean): Column =
+    if (portable) {
+      val w = TextAnalysis.tokens(text)
+      val grams = transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))
+      when(size(w) >= n, grams).otherwise(array())
+    } else
+      NativeExpressions.positionalShingleHashes(text, n)
 
   /** Intra-document duplicate n-gram fraction — the Gopher repetition
     * filter family (Rae et al. 2021, app. A1.1 threshold docs by their
@@ -237,16 +250,11 @@ object Dedup {
   def intraDocDupNgramFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int, portable: Boolean = false): DataFrame = {
     require(n > 0)
-    val spanArr: Column =
-      if (portable) {
-        val w = TextAnalysis.tokens(col(textCol))
-        val grams = transform(
-          sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))
-        when(size(w) >= n, grams).otherwise(array())
-      } else
-        NativeExpressions.positionalShingleHashes(col(textCol), n)
-    val spans = df.select(col(idCol), posexplode(spanArr).as(Seq("pos", "__g")))
+    // persisted for its two consumers (repeat count + coverage join),
+    // eager + unpersist-on-return like scrubDuplicatedSpans
+    val spans = df.select(col(idCol),
+        posexplode(positionalSpans(col(textCol), n, portable)).as(Seq("pos", "__g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repeated = spans.groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
@@ -254,7 +262,7 @@ object Dedup {
     val starts = spans.join(repeated, Seq(idCol, "__g"))
       .groupBy(col(idCol))
       .agg(collect_set(col("pos")).as("__starts"))
-    df.join(starts, Seq(idCol), "left")
+    val out = df.join(starts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__covered", array_distinct(flatten(
@@ -267,6 +275,9 @@ object Dedup {
           greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
       .select(col(idCol), col("n_tokens"), col("n_dup_covered"),
         col("dup_ngram_frac"))
+      .localCheckpoint(true)
+    spans.unpersist(false)
+    out
   }
 
   /** n-gram Jaccard similarity of two docs' shingle sets. */

@@ -97,6 +97,25 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 1, s"quantizedIvf made $scans embedding passes")
   }
 
+  test("qd34 scrubDuplicatedSpans: positional explode materialized once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: the positional-span explode + the final doc join = 2;
+    // dropping the spans persist re-runs the explode for the dup-count
+    // and coverage consumers
+    val scans = scansOf(
+      graft.functions.Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 5),
+      acc, n)
+    assert(scans <= 2, s"scrubDuplicatedSpans made $scans corpus passes")
+  }
+
+  test("qd35 intraDocDupNgramFraction: positional explode materialized once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    val scans = scansOf(
+      graft.functions.Dedup.intraDocDupNgramFraction(docs, "doc_id", "text", n = 3),
+      acc, n)
+    assert(scans <= 2, s"intraDocDupNgramFraction made $scans corpus passes")
+  }
+
   test("qd32 dupPassageProfile: span explode materialized once — corpus scans bounded") {
     val (docs, acc, n) = docsSource()
     // budget: the (doc, span) explode + the id-list join = 2; dropping
