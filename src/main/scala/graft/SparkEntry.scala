@@ -1316,6 +1316,19 @@ object SparkEntry {
       Dedup.scrubDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // rows-only: DSIR on the xxhash64 featurize — the production fast
+    // path at scale (the qd11 precedent: Spark-internal hash, no SQL
+    // equivalent). Scores differ from qd30's md5 bucketing (any fixed
+    // hash is a valid DSIR featurization); n_feat is hash-invariant
+    // and CurationSpec asserts it matches the portable path row-for-row
+    "qd36_dsir_fast" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", buckets = 1024,
+        portable = false)
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: Gopher-family intra-doc repetition signal (Rae
     // et al. 2021 duplicate-n-gram fraction) — fraction of each doc's
     // tokens covered by a 3-gram repeating within the doc (n=3 gives a

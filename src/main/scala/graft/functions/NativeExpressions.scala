@@ -599,6 +599,54 @@ object NativeExpressions {
     * assembly overhead at sf0.1; this kernel hashes straight from the
     * token byte slices. Fewer than 2 tokens → empty array.
     */
+  /** xxhash64 sibling of [[Md5BucketBigramsExpr]] — the production
+    * DSIR featurize at scale: same adjacent-token bigram walk, but the
+    * bucket comes from the XXH64 token-hash chain ([[ShingleHashesExpr]]
+    * with n = 2) instead of md5 over re-assembled bytes — no per-token
+    * byte copies, no MessageDigest, ~an order of magnitude less hash
+    * work. NOT oracle-portable: a different hash is a different
+    * bucketing, so DSIR scores built on it differ from the md5 path
+    * (both are equally valid featurizations — Xie et al. 2023 only
+    * require A fixed hash); use the md5 path when replaying in SQL.
+    */
+  case class XxBucketBigramsExpr(child: Expression, buckets: Int)
+      extends UnaryExpression {
+    require(buckets > 0)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "xx_bucket_bigrams"
+
+    def compute(s: UTF8String): ArrayData = {
+      var tokenHashes = new Array[Long](16)
+      var n = 0
+      foreachToken(s) { (base, off, len) =>
+        if (n == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, n * 2)
+        tokenHashes(n) = XXH64.hashUnsafeBytes(base, off, len, Seed)
+        n += 1
+      }
+      if (n < 2) return new GenericArrayData(Array.empty[Int])
+      val out = new Array[Int](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        val h = XXH64.hashLong(tokenHashes(i + 1), XXH64.hashLong(tokenHashes(i), Seed))
+        out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("xxbigrams", this, classOf[XxBucketBigramsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class Md5BucketBigramsExpr(child: Expression, buckets: Int)
       extends UnaryExpression {
     require(buckets > 0)
@@ -794,4 +842,7 @@ object NativeExpressions {
 
   def md5BucketBigrams(c: Column, buckets: Int): Column =
     column(Md5BucketBigramsExpr(expression(c), buckets))
+
+  def xxBucketBigrams(c: Column, buckets: Int): Column =
+    column(XxBucketBigramsExpr(expression(c), buckets))
 }

@@ -121,6 +121,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(portable = false) === run(portable = true))
   }
 
+  test("dsirWeights fast featurize: n_feat hash-invariant, scores well-formed (qd36)") {
+    val docs = Tables.documents(spark, sf0001)
+    def run(portable: Boolean) =
+      Curation.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", buckets = 256,
+          portable = portable)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val md5 = run(portable = true)
+    val xx = run(portable = false)
+    // n_feat = the doc's total bigram count — independent of WHICH hash
+    // buckets the bigrams land in
+    assert(md5.map(r => (r._1, r._2)) === xx.map(r => (r._1, r._2)))
+    // both featurizations must separate the same target slice: English
+    // docs (the target) should average higher than non-English in both
+    val en = docs.filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    def gap(rows: Seq[(Long, Long, Double)]): Double = {
+      val (t, o) = rows.partition(r => en(r._1))
+      t.map(_._3).sum / t.size - o.map(_._3).sum / o.size
+    }
+    assert(gap(md5) > 0, "md5 path must separate the target slice")
+    assert(gap(xx) > 0, "xx path must separate the target slice")
+  }
+
   test("withSplit is a pure function of the id — stable across partitionings") {
     val docs = Tables.documents(spark, sf0001)
     def splits(df: org.apache.spark.sql.DataFrame) =
