@@ -43,6 +43,12 @@ object GraftExtensions {
       PortableSimHashExpr(args.head))
     registerTempFunction(spark, "md5_bucket", args =>
       Md5BucketExpr(args.head, ext.intArg(args(1), "buckets")))
+    registerTempFunction(spark, "positional_shingle_hashes", args =>
+      PositionalShingleHashesExpr(args.head, ext.intArg(args(1), "n")))
+    registerTempFunction(spark, "md5_bucket_bigrams", args =>
+      Md5BucketBigramsExpr(args.head, ext.intArg(args(1), "buckets")))
+    registerTempFunction(spark, "xx_bucket_bigrams", args =>
+      XxBucketBigramsExpr(args.head, ext.intArg(args(1), "buckets")))
   }
 }
 
@@ -113,5 +119,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_bucket",
         "md5_bucket(s, buckets) - portable hash bucket (DuckDB md5_number_lower(s) % buckets)"),
       (args: Seq[Expression]) => Md5BucketExpr(args.head, intArg(args(1), "buckets"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("positional_shingle_hashes"),
+      info("positional_shingle_hashes",
+        "positional_shingle_hashes(text, n) - word n-gram shingle hashes in token order (element i = span at token i)"),
+      (args: Seq[Expression]) =>
+        PositionalShingleHashesExpr(args.head, intArg(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("md5_bucket_bigrams"),
+      info("md5_bucket_bigrams",
+        "md5_bucket_bigrams(text, buckets) - portable md5 hash bucket per adjacent token bigram (DSIR featurize)"),
+      (args: Seq[Expression]) =>
+        Md5BucketBigramsExpr(args.head, intArg(args(1), "buckets"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("xx_bucket_bigrams"),
+      info("xx_bucket_bigrams",
+        "xx_bucket_bigrams(text, buckets) - xxhash64 bucket per adjacent token bigram (fast DSIR featurize)"),
+      (args: Seq[Expression]) =>
+        XxBucketBigramsExpr(args.head, intArg(args(1), "buckets"))))
   }
 }

@@ -23,7 +23,10 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
         |                      shingle_hashes('a b c', 2)) AS jac,
         |       minhash_sig_md5('a b c', 4, 2) AS pm,
         |       simhash_md5('hello world') AS psh,
-        |       md5_bucket('42', 100) AS bkt
+        |       md5_bucket('42', 100) AS bkt,
+        |       positional_shingle_hashes('a b a b', 2) AS psp,
+        |       size(md5_bucket_bigrams('a b c', 64)) AS mbb,
+        |       size(xx_bucket_bigrams('a b c', 64)) AS xbb
         |""".stripMargin).head()
     assert(row.getAs[Long]("sh") !== 0L)
     assert(row.getAs[Int]("k") === 8)
@@ -34,6 +37,13 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     assert(row.getAs[String]("psh").length === 16)
     val b = row.getAs[Int]("bkt")
     assert(b >= 0 && b < 100)
+    // positional: "a b" at 0 and 2 hash equal; "b a" at 1 differs
+    val psp = row.getAs[scala.collection.Seq[Long]]("psp")
+    assert(psp.length === 3)
+    assert(psp(0) === psp(2))
+    assert(psp(0) !== psp(1))
+    assert(row.getAs[Int]("mbb") === 2)
+    assert(row.getAs[Int]("xbb") === 2)
   }
 
   test("opt-in optimizer rule rewrites exact COUNT(DISTINCT) to HLL++") {
