@@ -200,6 +200,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scrubDuplicatedSpans invariants on random corpora: subset, accounting, distinct-identity") {
+    // random docs over a small vocab so cross-doc span collisions occur;
+    // ≥1 token because the empty doc tokenizes to [""] (size 1 — the
+    // qd02-pinned convention) which this test's independent token
+    // accounting would mis-model (DedupSpec pins that edge exactly)
+    val token = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.choose(1, 14).flatMap(m => Gen.listOfN(m, token))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(60, doc).sample.get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val orig = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, w) => id -> w.filter(_.nonEmpty) }.toMap
+    Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect().foreach {
+        case (id, clean, nTok, nRemoved) =>
+          val cleanToks = clean.split("\\s+").filter(_.nonEmpty)
+          assert(nTok === orig(id).length.toLong)
+          // accounting: removed + kept = all
+          assert(nRemoved + cleanToks.length === nTok)
+          // kept tokens are a subsequence of the original token stream
+          val it = orig(id).iterator
+          assert(cleanToks.forall(t => it.contains(t)),
+            s"doc $id: '$clean' is not a subsequence of ${orig(id)}")
+      }
+    // corpus of globally UNIQUE docs (disjoint vocab per doc) → identity
+    val uniq = (0 until 10).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d")).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(uniq, "doc_id", "text", n = 2)
+      .select("n_removed_tokens").as[Long].collect()
+    assert(out.forall(_ === 0L))
+  }
+
+  test("intraDocDupNgramFraction ∈ [0,1]; verbatim self-repeat saturates to 1") {
+    val token = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(0, 12).flatMap(m => Gen.listOfN(m, token))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(60, doc).sample.get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Dedup.intraDocDupNgramFraction(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().foreach {
+        case (id, nTok, covered, frac) =>
+          assert(covered <= nTok, s"doc $id covers more than its tokens")
+          assert(frac >= 0.0 && frac <= 1.0)
+      }
+    // "X X" (doc repeated verbatim): every n-gram of X occurs twice
+    // for n ≤ |X|, so every token is covered
+    val selfRep = Seq((0L, "p q r s p q r s")).toDF("doc_id", "text")
+    val f = Dedup.intraDocDupNgramFraction(selfRep, "doc_id", "text", n = 3)
+      .select("dup_ngram_frac").as[Double].head()
+    assert(f === 1.0)
+  }
+
   test("minhash signature equality probability tracks jaccard (planted check)") {
     // identical docs → identical signatures; disjoint docs → (overwhelmingly)
     // different signatures
