@@ -1320,7 +1320,7 @@ object SparkEntry {
     // path at scale (the qd11 precedent: Spark-internal hash, no SQL
     // equivalent). Scores differ from qd30's md5 bucketing (any fixed
     // hash is a valid DSIR featurization); n_feat is hash-invariant
-    // and CurationSpec asserts it matches the portable path row-for-row
+    // and TextAnalysisSpec asserts it matches the portable path row-for-row
     "qd36_dsir_fast" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.functions.Curation.dsirWeights(docs, "doc_id", "text",

@@ -383,6 +383,17 @@ object Dedup {
     */
   def nearDupComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // localCheckpoint persistence lives on the UNDERLYING RDD (registered
+    // at RDD level, not in the CacheManager), so Dataset.unpersist is a
+    // no-op on it; freeing a superseded round's blocks needs the RDD
+    // handle out of the checkpoint's LogicalRDD leaf. Without this a deep
+    // component chain leaves O(rounds) label frames resident until GC.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(true)
@@ -416,9 +427,7 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       val nextSum = checksum(next)
-      // free the superseded round's checkpoint blocks — without this a
-      // deep component chain leaves O(rounds) label frames resident
-      labels.unpersist(false)
+      freeCheckpoint(labels) // superseded round's blocks
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -431,7 +440,7 @@ object Dedup {
           "labels may be truncated; raise maxIter")
     // the loop is done with the edge list; only the final labels frame
     // (which the returned plan reads) stays resident
-    edges.unpersist(false)
+    freeCheckpoint(edges)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }

@@ -364,14 +364,20 @@ object Multimodal {
       var off = start
       while (off + 8 <= end) {
         val cc = fourcc(off)
-        val size = u32le(bytes, off + 4).toInt
-        val payload = off + 8
-        if (cc == "avih") return Some(payload)
+        // Long, not Int: a declared u32 size >= 2^31 must not wrap negative
+        // (0xFFFFFFF8 as Int is -8, which would stop the offset advancing —
+        // an infinite loop on one corrupt blob). Mirror parseMp4Meta's
+        // malformed-size bail-out: stop the walk, keep nothing.
+        val size = u32le(bytes, off + 4)
+        val payload = off + 8L
+        if (cc == "avih") return Some(payload.toInt)
         if (cc == "LIST" && payload + 4 <= end) {
-          val found = walk(payload + 4, math.min(end, payload + size))
+          val found = walk((payload + 4).toInt, math.min(end.toLong, payload + size).toInt)
           if (found.isDefined) return found
         }
-        off = payload + size + (size & 1) // chunks are word-aligned
+        val next = payload + size + (size & 1L) // chunks are word-aligned
+        if (next <= off || next > end) return None // truncated/malformed: must strictly advance
+        off = next.toInt
       }
       None
     }
@@ -390,16 +396,53 @@ object Multimodal {
   }
 
   /** Recursive descent over ISO BMFF boxes (BE u32 size + type):
-    * `mvhd` v0/v1 → (timescale, duration), first `tkhd` with nonzero
-    * dims → (width, height) from 16.16 fixed-point, max `stsz`
-    * sample_count across traks → n_frames (the video trak holds the
-    * frames). fps = n_frames / (duration / timescale).
+    * `mvhd` v0/v1 → (timescale, duration); per `trak`, the `tkhd`
+    * 16.16 fixed-point dims and the `stsz` sample_count are collected
+    * TOGETHER, and only a trak with nonzero dims (a video trak — audio
+    * traks carry 0×0) contributes (width, height, n_frames). Real MP4s
+    * almost always have an audio trak whose sample count exceeds the
+    * video frame count (AAC ~47 packets/s vs 24–30 fps), so a global
+    * max-stsz would report audio packets as frames.
+    * fps = n_frames / (duration / timescale).
     */
   private[graft] def parseMp4Meta(bytes: Array[Byte]): VideoMeta = {
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    val containers = Set("moov", "mdia", "minf", "stbl")
     var timescale = 0L; var duration = 0L
     var w = 0; var h = 0; var nFrames = 0L
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    // Walk one trak subtree, returning (width, height, stsz sample_count)
+    // scoped to that trak alone.
+    def walkTrak(start: Int, end: Int): (Int, Int, Long) = {
+      var tw = 0; var th = 0; var samples = 0L
+      def go(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val size = u32be(bytes, off).toInt
+          if (size < 8) return
+          val cc = fourcc(off + 4)
+          val p = off + 8
+          cc match {
+            case c if containers(c) => go(p, math.min(end, off + size))
+            case "tkhd" if tw == 0 =>
+              val v = bytes(p) & 0xff
+              // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
+              //     + 8 layer/alt/vol/rsvd + 36 matrix = 76; v1: times and
+              //     duration are 64-bit → +12
+              val dimOff = p + (if (v == 1) 88 else 76)
+              if (dimOff + 8 <= end) {
+                tw = (u32be(bytes, dimOff) >> 16).toInt
+                th = (u32be(bytes, dimOff + 4) >> 16).toInt
+              }
+            case "stsz" if p + 12 <= end =>
+              samples = math.max(samples, u32be(bytes, p + 8))
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      go(start, end)
+      (tw, th, samples)
+    }
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
@@ -409,6 +452,11 @@ object Multimodal {
         val p = off + 8
         cc match {
           case c if containers(c) => walk(p, math.min(end, off + size))
+          case "trak" =>
+            val (tw, th, samples) = walkTrak(p, math.min(end, off + size))
+            if (tw > 0 && th > 0 && w == 0) { // first video trak wins
+              w = tw; h = th; nFrames = samples
+            }
           case "mvhd" if p + 4 <= end =>
             val v = bytes(p) & 0xff
             if (v == 1 && p + 32 <= end) {
@@ -418,19 +466,6 @@ object Multimodal {
               timescale = u32be(bytes, p + 12)
               duration = u32be(bytes, p + 16)
             }
-          case "tkhd" if w == 0 =>
-            val v = bytes(p) & 0xff
-            // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
-            //     + 8 layer/alt/vol/rsvd + 36 matrix = 76; v1: times and
-            //     duration are 64-bit → +12
-            val dimOff = p + (if (v == 1) 88 else 76)
-            if (dimOff + 8 <= end) {
-              val tw = (u32be(bytes, dimOff) >> 16).toInt
-              val th = (u32be(bytes, dimOff + 4) >> 16).toInt
-              if (tw > 0 && th > 0) { w = tw; h = th }
-            }
-          case "stsz" if p + 12 <= end =>
-            nFrames = math.max(nFrames, u32be(bytes, p + 8))
           case _ => ()
         }
         off += size
@@ -495,10 +530,27 @@ object Multimodal {
       b.putInt(2) // next_track_ID
       b.array()
     }
+    val trak = mp4Trak(width, height, trackId = 1, duration, nFrames)
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    val mdat = box("mdat", Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  private def isoBox(cc: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length).put(cc.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  /** One `trak` subtree: v0 `tkhd` with 16.16 dims (0×0 for non-video
+    * traks, per spec) and a `stbl`/`stsz` carrying the sample count.
+    */
+  private[graft] def mp4Trak(width: Int, height: Int, trackId: Int,
+      duration: Long, nSamples: Long): Array[Byte] = {
     val tkhd = {
       val b = java.nio.ByteBuffer.allocate(84)
       b.putInt(7) // version 0, flags = enabled|in_movie|in_preview
-        .putInt(0).putInt(0).putInt(1).putInt(0) // creation, mod, track_ID, rsvd
+        .putInt(0).putInt(0).putInt(trackId).putInt(0) // creation, mod, track_ID, rsvd
         .putInt(duration.toInt).putLong(0)
         .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, rsvd
       Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
@@ -507,16 +559,37 @@ object Multimodal {
     }
     val stsz = {
       val b = java.nio.ByteBuffer.allocate(12)
-      b.putInt(0).putInt(0).putInt(nFrames.toInt) // v/flags, sample_size=0, count
+      b.putInt(0).putInt(0).putInt(nSamples.toInt) // v/flags, sample_size=0, count
       b.array()
     }
-    val stbl = box("stbl", box("stsz", stsz))
-    val minf = box("minf", stbl)
-    val mdia = box("mdia", minf)
-    val trak = box("trak", box("tkhd", tkhd) ++ mdia)
-    val moov = box("moov", box("mvhd", mvhd) ++ trak)
-    val mdat = box("mdat", Array.emptyByteArray)
-    ftyp ++ moov ++ mdat
+    val stbl = isoBox("stbl", isoBox("stsz", stsz))
+    isoBox("trak", isoBox("tkhd", tkhd) ++ isoBox("mdia", isoBox("minf", stbl)))
+  }
+
+  /** Synthetic MP4 with BOTH a video trak and an audio trak (0×0 tkhd
+    * dims, its own — typically larger — stsz sample count), mirroring
+    * real files where AAC packet counts exceed video frame counts. The
+    * audio trak comes FIRST, the layout that breaks a naive global
+    * max-stsz n_frames.
+    */
+  def syntheticMp4WithAudio(width: Int, height: Int, timescale: Int,
+      duration: Long, nFrames: Long, nAudioSamples: Long): Array[Byte] = {
+    val ftyp = isoBox("ftyp", "isomisom".getBytes("US-ASCII"))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0))
+      b.putInt(3) // next_track_ID
+      b.array()
+    }
+    val audio = mp4Trak(0, 0, trackId = 1, duration, nAudioSamples)
+    val video = mp4Trak(width, height, trackId = 2, duration, nFrames)
+    val moov = isoBox("moov", isoBox("mvhd", mvhd) ++ audio ++ video)
+    ftyp ++ moov ++ isoBox("mdat", Array.emptyByteArray)
   }
 
   /** A resized image: re-encoded payload + the dims it actually has. */

@@ -40,12 +40,29 @@ object HttpFetchers {
           "(HttpFetchers.register it on every JVM that runs tasks)"))
 
   /** Production default: plain JDK HttpClient GET (Java 11+, no extra
-    * dependency). Never exercised in tests — they inject by name.
+    * dependency). Non-2xx responses FAIL loudly with status + URL (an
+    * error body must never reach the JSON parser — a 500 page parsing
+    * as "expected a JSON array" is a misleading failure, and one that
+    * happens to BE a JSON array would silently corrupt the read), and
+    * both connect and request timeouts are bounded (JDK HttpClient has
+    * NO default request timeout — a stalled endpoint would otherwise
+    * block the partition reader forever). Exercised hermetically in
+    * tests via a loopback `com.sun.net.httpserver` server.
     */
-  private lazy val jdkFetch: String => String = { url =>
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-    client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  private lazy val jdkClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
+
+  private[sources] lazy val jdkFetch: String => String = { url =>
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60))
+      .GET().build()
+    val resp = jdkClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val status = resp.statusCode()
+    if (status < 200 || status >= 300)
+      throw new java.io.IOException(
+        s"graft-http: HTTP $status from $url (body ${resp.body().take(200)})")
+    resp.body()
   }
 }
 
@@ -104,14 +121,35 @@ private[sources] class HttpScanBuilder(full: StructType, options: Map[String, St
       throw new IllegalArgumentException("graft-http: missing 'url' (or 'urls') option"))
       .split(",").map(_.trim).filter(_.nonEmpty)
     val fetcher = options.getOrElse("fetcher", HttpFetchers.DefaultName)
-    HttpScan(required, urls.toIndexedSeq, fetcher)
+    val conf = HttpReadConf(
+      // JSON Pointer (RFC 6901, Jackson `at()`) to the record array inside
+      // the response; "" = the response IS the array
+      recordPointer = options.getOrElse("recordpointer", ""),
+      // JSON Pointer to the next-page URL field; present → each partition
+      // walks its pagination chain (reference pattern: per-session pages,
+      // kafka_producer.py:99–104)
+      nextPagePointer = options.get("nextpagepointer").filter(_.nonEmpty),
+      maxPages = options.getOrElse("maxpages", "1000").toInt,
+      maxRetries = options.getOrElse("maxretries", "2").toInt,
+      retryBackoffMs = options.getOrElse("retrybackoffms", "250").toLong)
+    HttpScan(required, urls.toIndexedSeq, fetcher, conf)
   }
 }
+
+/** Reader-side knobs, all plumbed from DSv2 options (lower-cased keys —
+  * `CaseInsensitiveStringMap` folds case).
+  */
+private[sources] case class HttpReadConf(
+    recordPointer: String,
+    nextPagePointer: Option[String],
+    maxPages: Int,
+    maxRetries: Int,
+    retryBackoffMs: Long)
 
 private[sources] case class HttpUrlPartition(url: String) extends InputPartition
 
 private[sources] case class HttpScan(required: StructType, urls: Seq[String],
-    fetcherName: String) extends Scan with Batch {
+    fetcherName: String, conf: HttpReadConf) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -121,25 +159,84 @@ private[sources] case class HttpScan(required: StructType, urls: Seq[String],
     urls.map(HttpUrlPartition(_): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    HttpReaderFactory(required, fetcherName)
+    HttpReaderFactory(required, fetcherName, conf)
 }
 
 private[sources] case class HttpReaderFactory(required: StructType,
-    fetcherName: String) extends PartitionReaderFactory {
+    fetcherName: String, conf: HttpReadConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val url = partition.asInstanceOf[HttpUrlPartition].url
     new PartitionReader[InternalRow] {
       // fetch + parse lazily on first next() so construction is cheap
       private var it: Iterator[InternalRow] = _
       private var row: InternalRow = _
+      private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-      private def ensure(): Unit = if (it == null) {
-        val body = HttpFetchers.lookup(fetcherName)(url)
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = mapper.readTree(body)
-        require(root.isArray, s"graft-http: expected a JSON array from $url")
-        it = root.elements().asScala.map(toRow)
+      /** Bounded retry with exponential backoff around ONE page fetch —
+        * transient 5xx/timeouts on one page must not fail a whole
+        * partition (and with it the stage) on the first try.
+        */
+      private def fetchWithRetry(u: String): String = {
+        val fetch = HttpFetchers.lookup(fetcherName)
+        var attempt = 0
+        while (true) {
+          try return fetch(u)
+          catch {
+            case _: Exception if attempt < conf.maxRetries =>
+              Thread.sleep(conf.retryBackoffMs << attempt) // 250, 500, 1000…
+              attempt += 1
+            case e: Exception =>
+              throw new java.io.IOException(
+                s"graft-http: fetch failed after ${attempt + 1} attempt(s): $u", e)
+          }
+        }
+        throw new IllegalStateException("unreachable")
       }
+
+      /** Parse one page body → (record iterator, next-page URL if any). */
+      private def parsePage(u: String, body: String):
+          (Iterator[InternalRow], Option[String]) = {
+        val root = mapper.readTree(body)
+        val arr = if (conf.recordPointer.isEmpty) root else root.at(conf.recordPointer)
+        require(arr.isArray,
+          s"graft-http: expected a JSON array at " +
+            s"'${if (conf.recordPointer.isEmpty) "/" else conf.recordPointer}' from $u")
+        val nextUrl = conf.nextPagePointer.flatMap { p =>
+          val n = root.at(p)
+          if (n.isMissingNode || n.isNull) None
+          else Some(if (n.isTextual) n.asText() else n.toString)
+        }.filter(_.nonEmpty)
+        (arr.elements().asScala.map(toRow), nextUrl)
+      }
+
+      /** Lazily walks the pagination chain: page n+1 is fetched only
+        * when page n's records are exhausted, so memory is one page.
+        * Exceeding maxPages FAILS (no silent truncation — a capped read
+        * that looks complete is worse than an error telling you to
+        * raise `maxPages`).
+        */
+      private def pageIterator(firstUrl: String): Iterator[InternalRow] =
+        new Iterator[InternalRow] {
+          private var nextUrl: Option[String] = Some(firstUrl)
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          private var pages = 0
+          private def advance(): Unit =
+            while (!cur.hasNext && nextUrl.isDefined) {
+              if (pages >= conf.maxPages)
+                throw new IllegalStateException(
+                  s"graft-http: pagination exceeded maxPages=${conf.maxPages} " +
+                    s"starting from $firstUrl — raise the 'maxPages' option")
+              val u = nextUrl.get
+              val (rows, next) = parsePage(u, fetchWithRetry(u))
+              cur = rows
+              nextUrl = next
+              pages += 1
+            }
+          override def hasNext: Boolean = { advance(); cur.hasNext }
+          override def next(): InternalRow = { advance(); cur.next() }
+        }
+
+      private def ensure(): Unit = if (it == null) it = pageIterator(url)
 
       private def toRow(node: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
         val values = required.fields.map { f =>

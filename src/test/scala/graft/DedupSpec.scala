@@ -187,6 +187,23 @@ class DedupSpec extends SparkSpec {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("nearDupComponents frees superseded round checkpoint blocks (≤1 RDD resident after)") {
+    // localCheckpoint persistence is RDD-level, not CacheManager-level —
+    // Dataset.unpersist was a silent no-op on it. The fix unpersists via
+    // the LogicalRDD handle; after the run, only the FINAL labels frame
+    // (which the returned plan reads) may remain, regardless of how many
+    // propagation rounds the component diameter forced.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a 12-node chain → many propagation rounds → many per-round checkpoints
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupComponents(pairs)
+    assert(got.select("cluster_id").distinct().count() === 1L)
+    val leftover = sc.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1,
+      s"expected ≤1 resident checkpoint RDD (the final labels), got ${leftover.size}")
+  }
+
   test("dupPassageProfile counts spans shared across distinct docs") {
     // n=2 spans: doc0 {a b, b c}, doc1 {b c, c d}, doc2 {x y}, doc3 "a"
     // shared (≥2 docs): {b c} → doc0 1/2, doc1 1/2, doc2 0/1, doc3 0/0

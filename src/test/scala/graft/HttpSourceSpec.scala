@@ -99,6 +99,115 @@ class HttpSourceSpec extends SparkSpec {
       Seq("Charles Leclerc", "Duplicate Max", "Lewis Hamilton", "Max Verstappen"))
   }
 
+  test("DSv2 graft-http: bounded retry recovers from transient failures; exhausted retries fail loudly") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.sources.HttpFetchers.register("spec-flaky", { _ =>
+      if (calls.incrementAndGet() <= 2) throw new java.io.IOException("transient 503")
+      body
+    })
+    val df = spark.read.format("graft-http")
+      .schema(graft.model.Schemas.drivers)
+      .option("url", "https://example.invalid/v1/drivers")
+      .option("fetcher", "spec-flaky")
+      .option("maxRetries", "2")
+      .option("retryBackoffMs", "1")
+      .load()
+    assert(df.count() === 4)
+    assert(calls.get() === 3, "expected 2 failures + 1 success")
+
+    // with retries exhausted the partition fails with the attempt count
+    calls.set(-1000) // next 1000+ calls all throw
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-http").schema(graft.model.Schemas.drivers)
+        .option("url", "https://example.invalid/v1/drivers")
+        .option("fetcher", "spec-flaky")
+        .option("maxRetries", "1").option("retryBackoffMs", "1")
+        .load().count()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("after 2 attempt(s)"), msgs)
+  }
+
+  test("DSv2 graft-http: recordPointer reads a nested array; pagination follows nextPagePointer") {
+    // three-page chain: each response nests records under /data/items and
+    // names its successor under /data/next (null on the last page)
+    graft.sources.HttpFetchers.register("spec-paged", {
+      case u if u.endsWith("/start") =>
+        """{"data":{"items":[{"driver_number":"1","driver_name":"A","headshot_url":"h"}],
+          |"next":"https://example.invalid/p2"}}""".stripMargin
+      case u if u.endsWith("/p2") =>
+        """{"data":{"items":[{"driver_number":"2","driver_name":"B","headshot_url":"h"},
+          |{"driver_number":"3","driver_name":"C","headshot_url":"h"}],
+          |"next":"https://example.invalid/p3"}}""".stripMargin
+      case u if u.endsWith("/p3") =>
+        """{"data":{"items":[{"driver_number":"4","driver_name":"D","headshot_url":"h"}],
+          |"next":null}}""".stripMargin
+      case u => fail(s"unexpected url $u")
+    })
+    val df = spark.read.format("graft-http")
+      .schema(graft.model.Schemas.drivers)
+      .option("url", "https://example.invalid/start")
+      .option("fetcher", "spec-paged")
+      .option("recordPointer", "/data/items")
+      .option("nextPagePointer", "/data/next")
+      .load()
+    assert(df.select("driver_number").as[String].collect().sorted.toSeq ===
+      Seq("1", "2", "3", "4"))
+    // the whole chain is ONE partition (one seed URL): pages stream
+    // sequentially within it, memory stays one page
+    assert(df.rdd.getNumPartitions === 1)
+
+    // a chain longer than maxPages fails LOUDLY (silent truncation would
+    // read as "covered everything")
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-http").schema(graft.model.Schemas.drivers)
+        .option("url", "https://example.invalid/start")
+        .option("fetcher", "spec-paged")
+        .option("recordPointer", "/data/items")
+        .option("nextPagePointer", "/data/next")
+        .option("maxPages", "2")
+        .load().count()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("maxPages=2"), msgs)
+  }
+
+  test("jdk-http default fetcher: 2xx body returned; non-2xx fails with status+url (loopback)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, b: String): Unit = {
+      val bytes = b.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok", ex => respond(ex, 200, body))
+    // an error body that IS a JSON array — without the status check this
+    // would silently parse as data
+    server.createContext("/err", ex => respond(ex, 500, """["internal","error"]"""))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = spark.read.format("graft-http")
+        .schema(graft.model.Schemas.drivers)
+        .option("url", s"http://127.0.0.1:$port/ok")
+        .load() // no fetcher option → the real jdk-http default
+      assert(df.count() === 4)
+
+      val err = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft-http").schema(graft.model.Schemas.drivers)
+          .option("url", s"http://127.0.0.1:$port/err")
+          .option("maxRetries", "0")
+          .load().count()
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("HTTP 500") && msgs.contains("/err"), msgs)
+    } finally server.stop(0)
+  }
+
   test("drivers dim load: declared schema, unknown fields dropped, first-wins dedup") {
     val fetched = new java.util.concurrent.atomic.AtomicReference[String]()
     val dim = HttpSource.loadDriversDim(spark,

@@ -165,6 +165,43 @@ class MultimodalSpec extends SparkSpec {
     assert(m.duration_sec === 3.0)
   }
 
+  test("malformed AVI chunk size >= 2^31 terminates (no infinite loop), parse_ok=false") {
+    // RIFF/AVI header followed by one chunk whose declared u32 size is
+    // 0xFFFFFFF8 — as a wrapped Int that is -8, which froze the old walker
+    // (offset stopped advancing). Must return failed, promptly.
+    val b = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(28).put("AVI ".getBytes("US-ASCII"))
+    b.put("JUNK".getBytes("US-ASCII")).putInt(0xFFFFFFF8) // size wraps negative as Int
+    b.put(Array.fill[Byte](16)(0))
+    val m = Multimodal.parseVideoMeta(b.array())
+    assert(!m.parse_ok)
+
+    // Same class of bug inside a LIST: a huge child size must not recurse
+    // or stall either.
+    val l = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    l.put("RIFF".getBytes("US-ASCII")).putInt(32).put("AVI ".getBytes("US-ASCII"))
+    l.put("LIST".getBytes("US-ASCII")).putInt(20).put("hdrl".getBytes("US-ASCII"))
+    l.put("JUNK".getBytes("US-ASCII")).putInt(0x80000000) // 2^31
+    l.put(Array.fill[Byte](8)(0))
+    assert(!Multimodal.parseVideoMeta(l.array()).parse_ok)
+  }
+
+  test("MP4 n_frames comes from the VIDEO trak, not a larger audio trak") {
+    // 3 s @ timescale 600; 72 video frames (24 fps) but 141 AAC packets —
+    // the audio trak (0×0 dims) comes first and must NOT win n_frames.
+    val mp4 = Multimodal.syntheticMp4WithAudio(width = 1280, height = 720,
+      timescale = 600, duration = 1800L, nFrames = 72L, nAudioSamples = 141L)
+    val m = Multimodal.parseVideoMeta(mp4)
+    assert(m.parse_ok)
+    assert(m.container === "mp4")
+    assert(m.width === 1280)
+    assert(m.height === 720)
+    assert(m.n_frames === 72L, "audio trak sample count leaked into n_frames")
+    assert(m.fps === 24.0)
+  }
+
   test("video metadata decode through the Dataset seam; garbage is parse_ok=false") {
     val rows = Seq(
       MediaRow(0L, "video", Multimodal.syntheticAvi(320, 240, 30, 90), None, None, None, None),
