@@ -179,8 +179,9 @@ object Dedup {
     * on the span key, one per-doc `collect_set` of covered start
     * positions (bounded by the doc's own token count — never cross-doc
     * state), then a NARROW map does the actual scrub with array
-    * functions (coverage expansion + indexed filter) — re-assembly
-    * never shuffles token rows. Eager like the profile: the doc-sized
+    * functions (coverage expansion + hash-set index subtraction +
+    * indexed gather, linear in doc length) — re-assembly never
+    * shuffles token rows. Eager like the profile: the doc-sized
     * result is checkpointed, the span frame unpersisted on return.
     */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -205,8 +206,19 @@ object Dedup {
       .withColumn("__covered", array_distinct(flatten(
         transform(col("__starts"), s => sequence(s, s + n - 1)))))
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      // LINEAR re-assembly: survivors = (all indices) ∖ (covered indices),
+      // then an indexed gather. array_except evaluates through a hash set
+      // for primitive element types and preserves left-side order, so this
+      // is O(m + c) per doc — the earlier per-token
+      // `array_contains(__covered, i)` filter re-scanned the covered array
+      // for every token, O(m·c), quadratic on the 100k-token tail.
+      .withColumn("__keep",
+        when(size(col("__toks")) > 0,
+          array_except(
+            sequence(lit(0), size(col("__toks")) - 1), col("__covered")))
+          .otherwise(array().cast("array<int>")))
       .withColumn("clean_text", concat_ws(" ",
-        filter(col("__toks"), (t, i) => !array_contains(col("__covered"), i))))
+        transform(col("__keep"), i => element_at(col("__toks"), i + 1))))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       // every covered position is a valid token index (starts ≤ m − n)
       .withColumn("n_removed_tokens", size(col("__covered")).cast("long"))

@@ -273,6 +273,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("scrubDuplicatedSpans: 50k-token docs scrub exactly the shared block (linear re-assembly)") {
+    // Two long docs, unique except for one 500-token block planted in the
+    // middle of each. With n=5, only spans wholly inside the block repeat
+    // cross-doc (boundary spans mix in unique tokens), so covered indices
+    // are exactly the block: 500 removals per doc. Exercises the
+    // 100k-token tail the old per-token array_contains re-assembly paid
+    // O(m·c) on — this completes in seconds, not minutes, when linear.
+    val block = (0 until 500).map(i => s"s$i").mkString(" ")
+    def doc(prefix: String): String = {
+      val head = (0 until 25000).map(i => s"$prefix$i").mkString(" ")
+      val tail = (25000 until 49500).map(i => s"$prefix$i").mkString(" ")
+      s"$head $block $tail"
+    }
+    val docs = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (id, clean, nTok, removed) =>
+      assert(nTok === 50000L, s"doc $id token count")
+      assert(removed === 500L, s"doc $id removals")
+      val cleanToks = clean.split(" ")
+      assert(cleanToks.length === 49500, s"doc $id survivor count")
+      assert(!cleanToks.exists(_.startsWith("s")), s"doc $id block survived")
+    }
+    // survivors keep their original ORDER (indexed gather, not a set op)
+    val aClean = out.find(_._1 == 1L).get._2.split(" ")
+    assert(aClean.take(3).toSeq === Seq("a0", "a1", "a2"))
+    assert(aClean.last === "a49499")
+    assert(aClean(25000) === "a25000") // token right after the scrubbed block
+  }
+
   test("intraDocDupNgramFraction covers tokens of within-doc repeated n-grams") {
     // n=2: "p q p q" → "p q" occurs at 0 and 2 ("q p" once) → covered
     // {0,1,2,3} = 4/4; "a b c" has no repeats → 0; "x x x" → "x x" at
