@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.functions.{Dedup, TextAnalysis}
 
@@ -13,48 +13,133 @@ import graft.functions.{Dedup, TextAnalysis}
   * [[Dedup.incrementalDedup]] shape, qd02's token gate, RaceIngest's
   * batch_id-partition exactly-once sink) into the production
   * incremental path: at 100 TB you never re-dedupe the corpus —
-  * each micro-batch dedupes within itself and anti-joins the hash
-  * column of what's already on disk.
+  * and you never re-SCAN it per batch either.
   *
   * Scale + exactly-once design:
-  *  - the corpus side is touched ONLY through its stored
-  *    `content_hash` column — a single-column parquet scan (no text
-  *    re-fingerprinting, no full-width corpus read per batch);
+  *  - the seen-hash set lives in STREAMING STATE (`transformWithState`
+  *    ValueState keyed by `content_hash`, RocksDB-backed — per-executor
+  *    local disk, not JVM heap), so each micro-batch costs O(batch):
+  *    state lookups for the batch's own hashes, NO corpus re-scan. The
+  *    previous formulation anti-joined the corpus's `content_hash`
+  *    column every batch — a single-column but WHOLE-corpus read, i.e.
+  *    O(batches × corpus) cumulative at 100 TB with frequent triggers;
+  *  - the corpus's stored `content_hash` column is read ONCE, as
+  *    `transformWithState` INITIAL STATE, and only when the query
+  *    starts with a FRESH checkpoint (an existing checkpoint restores
+  *    the seen-set from state; Spark applies initial state solely on
+  *    the first batch of a state-less query). This is what lets a new
+  *    query adopt a pre-existing corpus without per-batch scans;
   *  - within-batch keeper choice is deterministic (smallest id per
-  *    hash — [[Dedup.exactDedup]]);
+  *    hash, [[Dedup.exactDedup]]'s rule);
   *  - each batch writes its own `batch_id=N` partition with dynamic
-  *    partition overwrite, and the anti-join EXCLUDES the current
-  *    batch's own partition — so a replayed batch (sink committed,
-  *    checkpoint lost) re-derives exactly its original keeper set and
-  *    overwrites partition N with identical content: idempotent, no
-  *    duplicate keepers, no lost keepers.
+  *    partition overwrite. A replayed batch (sink committed, checkpoint
+  *    lost) re-bootstraps from the corpus — which already contains its
+  *    own keepers — so it emits NOTHING and the dynamic overwrite
+  *    touches no partition: the corpus is byte-identical, no duplicate
+  *    and no lost keepers. (A replay with the checkpoint INTACT never
+  *    re-fires the batch at all — foreachBatch idempotence via the
+  *    batch_id partition, as in RaceIngest.)
   */
 object CorpusIngest {
+
+  /** One corpus row (pre-`batch_id`): the stream's (doc_id, text) plus
+    * the exact-dedup fingerprint ([[TextAnalysis.fingerprint]], the
+    * md5-of-normalized-text `content_hash` every dedup op here keys on).
+    */
+  case class CorpusDoc(doc_id: Long, text: String, content_hash: String)
+
+  /** Initial-state row: a hash already in the on-disk corpus. */
+  case class SeenHash(content_hash: String)
+
+  /** Keyed by `content_hash`: first batch to present a hash emits its
+    * smallest-id doc and marks the hash seen; every later occurrence
+    * (same batch handled by the grouped iterator, later batches by the
+    * state probe) emits nothing. Initial state marks corpus-resident
+    * hashes seen without emitting.
+    */
+  class SeenHashProcessor
+      extends StatefulProcessorWithInitialState[String, CorpusDoc, CorpusDoc, SeenHash] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(hash: String, rows: Iterator[CorpusDoc],
+        timerValues: TimerValues): Iterator[CorpusDoc] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.minBy(_.doc_id))
+      }
+
+    override def handleInitialState(hash: String, s: SeenHash,
+        timerValues: TimerValues): Unit =
+      seen.update(true)
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** `transformWithState` runs only on the RocksDB state store. The
+    * engine DEFAULT (HDFS-backed — `getOption` surfaces defaults too)
+    * counts as "no choice": default RocksDB in. Refuse loudly on a
+    * deliberately-chosen third-party provider (silently flipping a
+    * session-wide conf under other running queries would be worse).
+    */
+  private def ensureRocksDb(spark: SparkSession): Unit =
+    spark.conf.getOption(ProviderKey) match {
+      case None => spark.conf.set(ProviderKey, RocksDbProvider)
+      case Some(v) if v.contains("RocksDB") => ()
+      case Some(v) if v.endsWith("HDFSBackedStateStoreProvider") =>
+        spark.conf.set(ProviderKey, RocksDbProvider)
+      case Some(v) => throw new IllegalStateException(
+        s"CorpusIngest needs the RocksDB state store for transformWithState " +
+          s"(seen-hash ValueState); session has $ProviderKey=$v — unset it or " +
+          s"set it to $RocksDbProvider")
+    }
+
+  /** The one-time bootstrap read: the corpus's stored hash column (a
+    * single-column pruned parquet scan), or empty when no corpus exists
+    * yet. Executed once per FRESH-checkpoint query start, never per
+    * batch.
+    */
+  private def initialSeen(spark: SparkSession,
+      corpusPath: String): KeyValueGroupedDataset[String, SeenHash] = {
+    import spark.implicits._
+    val seen =
+      try spark.read.parquet(corpusPath)
+        .select(col("content_hash")).distinct().as[SeenHash]
+      catch { case _: org.apache.spark.sql.AnalysisException => // first ever start
+        spark.emptyDataset[SeenHash]
+      }
+    seen.groupByKey(_.content_hash)
+  }
 
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
     * `text`; rows under `minTokens` are dropped by the quality gate.
     */
   def startDedupedCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    docs.writeStream
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    ensureRocksDb(spark)
+    val gated = docs
+      .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"))
+      .as[CorpusDoc]
+    val keepers = gated.groupByKey(_.content_hash)
+      .transformWithState(new SeenHashProcessor,
+        TimeMode.None(), OutputMode.Append(), initialSeen(spark, corpusPath))
+    keepers.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val gated = batch.filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
-        val fresh = Dedup.exactDedup(gated, "doc_id", "text")
-        val seen =
-          try Some(spark.read.parquet(corpusPath)
-              .filter(col("batch_id") =!= lit(batchId))
-              .select(col("content_hash")).distinct())
-          catch {
-            // first batch: no corpus yet
-            case _: org.apache.spark.sql.AnalysisException => None
-          }
-        val keepers = seen.fold(fresh)(s => fresh.join(s, Seq("content_hash"), "left_anti"))
-        keepers.withColumn("batch_id", lit(batchId))
+      .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
@@ -62,4 +147,5 @@ object CorpusIngest {
         ()
       }
       .start()
+  }
 }

@@ -444,4 +444,77 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(corpusState() === afterThree)
   }
+
+  test("corpus sink: per-batch cost is O(batch) — zero corpus file reads after bootstrap") {
+    // The seen-hash set lives in transformWithState ValueState; the corpus
+    // hash column is read ONCE as initial state on a fresh checkpoint.
+    // Proof, scan-count style: sum executor file-input bytes (MemoryStream
+    // and state-store traffic report none) across (a) post-bootstrap
+    // batches of a continuous query and (b) a checkpointed RESTART — both
+    // must be ZERO regardless of how many partitions the corpus has
+    // accumulated. The pre-fix formulation anti-joined the whole corpus
+    // hash column every batch, O(batches × corpus) cumulative.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("corpus-scan")
+    val cp = tmpDir("corpus-scan-cp")
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    // poll until the async listener bus has drained (event count stable)
+    def drained(): Unit = {
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData((1L, "doc one"), (2L, "doc two"))
+      q.processAllAvailable() // batch 0: bootstrap (empty — no corpus yet) + write
+      spark.sparkContext.addSparkListener(listener)
+      for (i <- 2 to 6) {
+        // each batch: one fresh doc + a dup of batch 0's keeper — the dup
+        // must be dropped via STATE, with no corpus read to consult
+        ms.addData((i * 10L, s"fresh doc number $i"), (100L + i, "doc one"))
+        q.processAllAvailable()
+      }
+      drained()
+      assert(bytesRead.get() === 0L,
+        s"corpus files were read during post-bootstrap batches (${bytesRead.get()} bytes)")
+      val docs = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(docs === Set(1L, 2L, 20L, 30L, 40L, 50L, 60L), s"got $docs")
+    } finally {
+      q.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // restart with the SAME checkpoint: state restores from the
+    // checkpoint — initial state is NOT re-applied, so the (now
+    // multi-partition) corpus is not re-scanned either
+    bytesRead.set(0)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ms.addData((200L, "restart era doc"), (201L, "doc one")) // dup again
+      val q2 = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+      q2.awaitTermination()
+      drained()
+      assert(bytesRead.get() === 0L,
+        s"corpus files were read on checkpointed restart (${bytesRead.get()} bytes)")
+      val docs = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      assert(docs.contains(200L) && !docs.contains(201L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
