@@ -27,6 +27,7 @@ object Bench {
     "qd27_mix_pipeline", "qd28_vocab", "qd29_unigram_logprob", "qd30_dsir",
     "qd31_wordpiece", "qd32_dup_passages", "qd33_curation_pipeline",
     "qd34_scrub_spans", "qd35_dup_ngram_frac", "qd36_dsir_fast",
+    "qd37_incremental_neardup",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qe11_quantized_ivf",
     "qm03_audio_decode",
@@ -102,7 +103,20 @@ object Bench {
     // steal observed DURING this run — timings taken while this is large
     // measure the neighbors, not the engine (SCALE.md "Measured")
     val steal = stealTicks() - steal0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"sf":"$sfDir"}"""
+    // full-precision artifact (incl. per-query steal windows) → a file,
+    // because the harness keeps only the LAST ~2000 chars of stdout: at
+    // 50+ queries the full line overflows that window and parses as
+    // nothing. The line printed LAST is a compact (3-decimal, no
+    // per-query steal) form that always fits the window.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case e: Exception => System.err.println(s"bench: could not write $outPath: $e") }
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs3 = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -119,6 +119,69 @@ object SparkEntry {
        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** qd37's oracle: the incremental near-dup probe in DuckDB — portable
+    * md5 minhash signatures + LSH bands for corpus AND batch, the
+    * band-bucket hit against the corpus, and the within-batch
+    * smaller-id-sharer rule, mirroring [[Dedup.incrementalNearDup]]
+    * stage for stage.
+    */
+  private lazy val qd37Sql: String = {
+    val mhCols = (0 until 16)
+      .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+      .mkString(",\n")
+    def eb(src: String) = (0 until 4)
+      .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM $src")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |batch AS (
+       |  SELECT doc_id, text FROM base WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 8000, text || ' neardup tail' FROM base WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT 9000, text || ' coda' FROM base WHERE doc_id = 250),
+       |csh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM base WHERE doc_id < 250)),
+       |bsh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM batch)),
+       |csig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM csh),
+       |bsig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM bsh),
+       |cbands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM csig),
+       |bbands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM bsig),
+       |ceb AS (
+       |${eb("cbands")}),
+       |beb AS (
+       |${eb("bbands")}),
+       |crosshit AS (
+       |  SELECT DISTINCT b.doc_id FROM beb b
+       |  JOIN ceb c ON b.band = c.band AND b.bh = c.bh),
+       |withinhit AS (
+       |  SELECT DISTINCT b2.doc_id FROM beb b1 JOIN beb b2
+       |    ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id)
+       |SELECT doc_id, band0, band1, band2, band3 FROM bbands
+       |WHERE doc_id NOT IN (SELECT doc_id FROM crosshit)
+       |  AND doc_id NOT IN (SELECT doc_id FROM withinhit)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
     * deterministic ([[Similarity.planes]]), so it embeds as literals and
     * `list_dot_product` reproduces the sequential-double sign test bit for
@@ -1337,6 +1400,35 @@ object SparkEntry {
       Dedup.intraDocDupNgramFraction(Tables.documents(s, d), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: incremental NEAR-dup dedup — qd26's fuzzy sibling
+    // and the batch form of the streaming near-dup sink's probe
+    // (CorpusIngest.startNearDupCorpusSink): the batch is deduped
+    // against the corpus's STORED LSH band columns only. Planted: 5
+    // near-copies of corpus docs (one appended token — cross-corpus
+    // band hits, NOT exact dups) and a within-batch near-dup of doc
+    // 250. Portable md5 minhash path, so DuckDB replays the whole
+    // probe: signatures, bands, semi-join, smaller-id-sharer rule.
+    "qd37_incremental_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.filter(col("doc_id") < 250)
+      val batch = base.filter(col("doc_id") >= 250)
+        .unionByName(corpus.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 8000L).as("doc_id"),
+            concat(col("text"), lit(" neardup tail")).as("text")))
+        .unionByName(base.filter(col("doc_id") === 250)
+          .select(lit(9000L).as("doc_id"),
+            concat(col("text"), lit(" coda")).as("text")))
+      val corpusBands = Dedup.withLshBands(
+        Dedup.withMinHash(corpus, "text", k = 16, shingleN = 3, portable = true),
+        k = 16, bands = 4)
+        .select("band0", "band1", "band2", "band3")
+      Dedup.incrementalNearDup(batch, corpusBands, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, portable = true)
+        .select(col("doc_id"), col("band0"), col("band1"), col("band2"),
+          col("band3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the round-4 capstone composition — a modern curation pipeline
     // over the round's new operators, each stage individually
     // oracle-proven (qd29, qd32, qd30): unigram-LM quality gate (drops
@@ -1970,6 +2062,8 @@ object SparkEntry {
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
     "qd09_minhash_neardups" -> qd09Sql,
+
+    "qd37_incremental_neardup" -> qd37Sql,
 
     "qd19_pretraining_pipeline" ->
       """WITH gated AS (

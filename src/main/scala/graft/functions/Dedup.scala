@@ -383,6 +383,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Unpivot `band0..band{bands-1}` to long form (`keep` columns, band
+    * index, band hash) — explode of BAND VALUES only (bands× row growth
+    * of ids+hashes, never of document text).
+    */
+  private def bandsLong(df: DataFrame, bands: Int, keep: Seq[String]): DataFrame = {
+    val arr = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
+    df.select(keep.map(col) :+ explode(arr).as("__e"): _*)
+      .select(keep.map(col) :+ col("__e.band").as("band") :+ col("__e.bh").as("bh"): _*)
+  }
+
+  /** Incremental NEAR-dup dedup — [[incrementalDedup]]'s fuzzy sibling,
+    * the production shape for a corpus that grows batch by batch: a new
+    * batch is deduped against the corpus WITHOUT re-fingerprinting it,
+    * probing only the corpus's STORED LSH band-hash columns
+    * (`band0..band{bands-1}`, [[withLshBands]]'s layout — write them at
+    * ingest, read 4 pruned columns at probe time).
+    *
+    * Semantics (aggressive + order-free, both decided on the FULL batch
+    * so the result is deterministic under any execution order):
+    *  - cross-corpus: a batch doc sharing ANY (band, hash) bucket with
+    *    the corpus is dropped (the standard banding candidate rule —
+    *    identical docs always collide, near-dups with Jaccard j collide
+    *    with P = 1-(1-j^r)^b);
+    *  - within-batch: a batch doc sharing any bucket with a SMALLER-ID
+    *    batch doc is dropped (one-pass smaller-id-sharer rule — the
+    *    streaming-friendly form; full transitive clustering is
+    *    [[nearDupComponents]]' batch job).
+    *
+    * Returns the surviving rows with their band columns — exactly what
+    * a corpus sink stores for the next batch's probe.
+    *
+    * Scale shape: the corpus side is a LEFT SEMI probe from the
+    * exploded batch bands (no distinct over the corpus's bands, no
+    * corpus row multiplication); the batch side is micro-batch-sized,
+    * so AQE broadcasts it against a 100 TB corpus. The within-batch
+    * self-join is batch×batch on uniform md5 bucket keys.
+    */
+  def incrementalNearDup(newBatch: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val sig = withLshBands(withMinHash(newBatch, textCol, k, shingleN, portable),
+        k, bands)
+      .drop((0 until k).map(j => s"mh$j"): _*)
+    val batchBands = bandsLong(sig, bands, Seq(idCol))
+    val corpusLong = bandsLong(corpusBands, bands, Nil)
+    val crossHit = batchBands
+      .join(corpusLong, Seq("band", "bh"), "left_semi")
+      .select(col(idCol)).distinct()
+    val withinHit = batchBands.select(col(idCol).as("__ia"), col("band"), col("bh"))
+      .join(batchBands.select(col(idCol).as("__ib"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ib").as(idCol)).distinct()
+    sig.join(crossHit, Seq(idCol), "left_anti")
+      .join(withinHit, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pairs — the step that turns pair
     * lists into dedup decisions (cluster id = smallest doc id in the
     * component; that doc is the keeper). Hash-to-min label propagation:

@@ -117,6 +117,67 @@ object CorpusIngest {
     seen.groupByKey(_.content_hash)
   }
 
+  /** Start the NEAR-dup-deduped corpus sink — the fuzzy form of
+    * [[startDedupedCorpusSink]]: a batch doc is dropped when it LSH
+    * band-matches the already-ingested corpus (near-dups arriving in
+    * later micro-batches are caught, not just exact copies) or a
+    * smaller-id doc of its own batch. Composes
+    * [[Dedup.incrementalNearDup]] (the oracle-checked batch probe) with
+    * the batch_id-partition exactly-once sink; the corpus stores each
+    * keeper's `band0..band{bands-1}` columns, so the per-batch probe
+    * reads ONLY those (a `bands`-column pruned scan, never the text).
+    *
+    * Replay (sink committed, checkpoint lost): the probe EXCLUDES the
+    * replaying batch's own partition, so the batch re-derives exactly
+    * its original keeper set and dynamic overwrite rewrites partition N
+    * with identical content — idempotent, like the exact sink's
+    * original formulation.
+    *
+    * Scale note: unlike the exact sink's ValueState seen-set, the probe
+    * re-reads the corpus's band columns each batch — the band-set
+    * membership a drop decision needs spans `bands` state keys per doc,
+    * which `transformWithState`'s per-key visit can't aggregate without
+    * also poisoning state with dropped docs' bands. Pruned to `bands`
+    * hash columns the scan is narrow, but it does grow with the corpus;
+    * a bucketed-by-band-prefix corpus layout is the next step if this
+    * becomes the bottleneck.
+    */
+  def startNearDupCorpusSink(docs: DataFrame, corpusPath: String,
+      checkpoint: String, minTokens: Int = 1, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val gated = batch
+          .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val corpusBands =
+          try spark.read.parquet(corpusPath)
+            .filter(col("batch_id") =!= lit(batchId))
+            .select((0 until bands).map(b => col(s"band$b")): _*)
+          catch { // first batch: no corpus yet → empty probe side
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType((0 until bands).map(b =>
+                  org.apache.spark.sql.types.StructField(
+                    s"band$b", org.apache.spark.sql.types.StringType))))
+          }
+        Dedup.incrementalNearDup(gated, corpusBands, "doc_id", "text",
+            k = k, bands = bands, shingleN = shingleN)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusPath)
+        ()
+      }
+      .start()
+
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
     * `text`; rows under `minTokens` are dropped by the quality gate.
     */

@@ -187,6 +187,39 @@ class DedupSpec extends SparkSpec {
       (7L, 7L, true), (9L, 7L, false)))
   }
 
+  test("incrementalNearDup: probes stored band columns, drops cross-corpus and within-batch near-dups") {
+    // corpus: two long docs, stored as their LSH band columns only
+    val tA = (0 until 60).map(i => s"alpha$i").mkString(" ")
+    val tB = (0 until 60).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val corpusBands = Dedup.withLshBands(
+      Dedup.withMinHash(corpus, "text", k = 16, shingleN = 3), k = 16, bands = 4)
+      .select("band0", "band1", "band2", "band3")
+    // batch: a NEAR-dup of corpus doc A (one appended word, not an exact
+    // copy), a fresh doc, and a within-batch near-dup pair (smaller id wins)
+    val tC = (0 until 60).map(i => s"gamma$i").mkString(" ")
+    val batch = Seq(
+      (10L, tA + " extra"),  // near-dup of corpus A → dropped
+      (11L, tC),             // fresh → kept
+      (12L, tC + " coda"),   // near-dup of 11 within batch → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDup(batch, corpusBands, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    // survivors carry their band columns (what the corpus sink stores)
+    val cols = Dedup.incrementalNearDup(batch, corpusBands, "doc_id", "text").columns.toSet
+    assert(Set("band0", "band1", "band2", "band3").subsetOf(cols))
+    // portable (md5 minhash) path agrees on the keep decision — the form
+    // the qd37 oracle replays
+    val corpusBandsP = Dedup.withLshBands(
+      Dedup.withMinHash(corpus, "text", k = 16, shingleN = 3, portable = true),
+      k = 16, bands = 4).select("band0", "band1", "band2", "band3")
+    val keptP = Dedup.incrementalNearDup(batch, corpusBandsP, "doc_id", "text",
+        portable = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptP === Set(11L))
+  }
+
   test("nearDupComponents frees superseded round checkpoint blocks (≤1 RDD resident after)") {
     // localCheckpoint persistence is RDD-level, not CacheManager-level —
     // Dataset.unpersist was a silent no-op on it. The fix unpersists via

@@ -30,6 +30,70 @@ class SkewAndExactlyOnceSpec extends SparkSpec {
     assert(counted === 900L)
   }
 
+  test("AQE skew-join: a planted hot join key is split at runtime (isSkewJoin in the final plan)") {
+    // SCALE.md's join-skew posture is "AQE skew-join is on" — this pins
+    // that the mechanism actually FIRES on a planted hot key, the same
+    // way ScanCountSpec pins scan budgets: a join whose left side sends
+    // ~80% of its bytes to one key must come out of adaptive planning
+    // with the skewed partition split (SortMergeJoinExec.isSkewJoin —
+    // AQE rewrites the skewed side into PartialReducerPartitionSpec
+    // chunks, each joined against a duplicate of the other side's
+    // partition). Thresholds are lowered to test scale because the
+    // defaults (256 MB) target real clusters; factor/advisory semantics
+    // are unchanged.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffled join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hot key 7: 25k rows with incompressible ~64 B payloads (md5 hex —
+      // shuffle sizes are post-compression, a repetitive pad would
+      // deflate under the threshold); 50 cold keys share the remaining 5k
+      val left = spark.range(0, 30000).select(
+        when(col("id") < 25000, lit(7L)).otherwise(col("id") % 50).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("payload"))
+      val right = spark.range(0, 50).select(
+        col("id").as("k"), md5(col("id").cast("string")).as("rv"))
+      val joined = left.join(right, "k")
+      assert(joined.count() === 30000)
+      joined.collect() // finalize THIS df's adaptive plan
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // QueryStageExec nodes are LEAVES to TreeNode.collect — expand their
+      // materialized subplans by hand or the join is invisible
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val nested = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            allNodes(q.plan)
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            allNodes(w.child)
+          case _ => p.children.flatMap(allNodes)
+        }
+        p +: nested
+      }
+      val skewJoins = allNodes(finalPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec if j.isSkewJoin => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec if j.isSkewJoin => j
+      }
+      assert(skewJoins.nonEmpty,
+        s"AQE did not mark the join skew-optimized; final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("readExactlyOnce collapses duplicate rows from a replayed batch") {
     implicit val ctx = spark.sqlContext
     val out = tmpDir("eo-out")

@@ -445,6 +445,49 @@ class StreamingSpec extends SparkSpec {
     assert(corpusState() === afterThree)
   }
 
+  test("streaming NEAR-dup ingest: fuzzy cross-batch dups dropped across restart and replay") {
+    // the fuzzy sibling of the exact-dedup capstone: batch-1 docs that
+    // are NEAR (not exact) copies of batch-0 keepers must be dropped via
+    // the corpus's STORED band columns, across a checkpoint restart
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("nd-corpus")
+    val cp = tmpDir("nd-cp")
+    def corpusState(): Set[(Long, Long)] =
+      spark.read.parquet(corpus).select("doc_id", "batch_id")
+        .as[(Long, Long)].collect().toSet
+
+    val tA = (0 until 60).map(i => s"alpha$i").mkString(" ")
+    val tB = (0 until 60).map(i => s"beta$i").mkString(" ")
+    val tC = (0 until 60).map(i => s"gamma$i").mkString(" ")
+
+    val ms = MemoryStream[(Long, String)]
+    def run(checkpoint: String, stream: MemoryStream[(Long, String)]): Unit = {
+      val q = graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        stream.toDF().toDF("doc_id", "text"), corpus, checkpoint, minTokens = 3)
+      q.awaitTermination()
+    }
+
+    // batch 0: two keepers + a within-batch near-dup of A (appended word)
+    ms.addData((10L, tA), (11L, tB), (12L, tA + " extra"))
+    run(cp, ms)
+    assert(corpusState() === Set((10L, 0L), (11L, 0L)))
+
+    // batch 1 (fresh query, SAME checkpoint — a restart): a near-dup of A
+    // that is NOT an exact copy (different words appended) must still be
+    // dropped, via band probe only; fresh doc C is kept
+    ms.addData((20L, tA + " tail word"), (21L, tC))
+    run(cp, ms)
+    assert(corpusState() === Set((10L, 0L), (11L, 0L), (21L, 1L)))
+
+    // replay: batch 0's data as batch 0 under a FRESH checkpoint (sink
+    // committed, checkpoint lost). The probe excludes the replaying
+    // batch's own partition, so partition 0 is re-derived identically.
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((10L, tA), (11L, tB), (12L, tA + " extra"))
+    run(tmpDir("nd-cp2"), ms2)
+    assert(corpusState() === Set((10L, 0L), (11L, 0L), (21L, 1L)))
+  }
+
   test("corpus sink: per-batch cost is O(batch) — zero corpus file reads after bootstrap") {
     // The seen-hash set lives in transformWithState ValueState; the corpus
     // hash column is read ONCE as initial state on a fresh checkpoint.
