@@ -113,7 +113,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Exception => System.err.println(s"bench: could not write $outPath: $e") }
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de/fr/…)
+    // would print 1,234 and corrupt the JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs3 = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"sf":"$sfDir"}""")

@@ -413,7 +413,9 @@ object Dedup {
     *    [[nearDupComponents]]' batch job).
     *
     * Returns the surviving rows with their band columns — exactly what
-    * a corpus sink stores for the next batch's probe.
+    * a corpus sink stores for the next batch's probe. Executes EAGERLY
+    * (a batch op, like [[dupPassageProfile]]): the batch-sized result is
+    * checkpointed and the signature frame's blocks are freed on return.
     *
     * Scale shape: the corpus side is a LEFT SEMI probe from the
     * exploded batch bands (no distinct over the corpus's bands, no
@@ -424,9 +426,15 @@ object Dedup {
   def incrementalNearDup(newBatch: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    // the signature frame feeds FOUR plan branches (anti-join left side,
+    // corpus probe, both sides of the within-batch self-join) — persist
+    // it or the minhash-over-text computation runs 4× per action.
+    // dupPassageProfile's eager pattern: persist, one checkpointing job
+    // over the batch-sized result, signature blocks freed on return.
     val sig = withLshBands(withMinHash(newBatch, textCol, k, shingleN, portable),
         k, bands)
       .drop((0 until k).map(j => s"mh$j"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = bandsLong(sig, bands, Seq(idCol))
     val corpusLong = bandsLong(corpusBands, bands, Nil)
     val crossHit = batchBands
@@ -437,8 +445,11 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("__ia") < col("__ib"))
       .select(col("__ib").as(idCol)).distinct()
-    sig.join(crossHit, Seq(idCol), "left_anti")
+    val out = sig.join(crossHit, Seq(idCol), "left_anti")
       .join(withinHit, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    out
   }
 
   /** Connected components over near-dup pairs — the step that turns pair

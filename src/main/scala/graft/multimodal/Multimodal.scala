@@ -512,33 +512,32 @@ object Multimodal {
     */
   def syntheticMp4(width: Int, height: Int, timescale: Int, duration: Long,
       nFrames: Long): Array[Byte] = {
-    def box(cc: String, payload: Array[Byte]): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
-      b.putInt(8 + payload.length).put(cc.getBytes("US-ASCII")).put(payload)
-      b.array()
-    }
-    val ftyp = box("ftyp", "isomisom".getBytes("US-ASCII"))
-    val mvhd = {
-      val b = java.nio.ByteBuffer.allocate(100)
-      b.putInt(0) // version 0 + flags
-        .putInt(0).putInt(0) // creation, modification
-        .putInt(timescale).putInt(duration.toInt)
-        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
-        .putLong(0) // reserved
-      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
-      (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
-      b.putInt(2) // next_track_ID
-      b.array()
-    }
     val trak = mp4Trak(width, height, trackId = 1, duration, nFrames)
-    val moov = box("moov", box("mvhd", mvhd) ++ trak)
-    val mdat = box("mdat", Array.emptyByteArray)
-    ftyp ++ moov ++ mdat
+    val moov = isoBox("moov",
+      isoBox("mvhd", mvhdV0(timescale, duration, nextTrackId = 2)) ++ trak)
+    isoBox("ftyp", "isomisom".getBytes("US-ASCII")) ++ moov ++
+      isoBox("mdat", Array.emptyByteArray)
   }
 
   private def isoBox(cc: String, payload: Array[Byte]): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(8 + payload.length)
     b.putInt(8 + payload.length).put(cc.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  /** v0 `mvhd` payload (100 bytes): the offset-sensitive layout lives in
+    * exactly one place, shared by both synthetic writers.
+    */
+  private def mvhdV0(timescale: Int, duration: Long, nextTrackId: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(100)
+    b.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+      .putLong(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+    (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+    b.putInt(nextTrackId)
     b.array()
   }
 
@@ -574,22 +573,12 @@ object Multimodal {
     */
   def syntheticMp4WithAudio(width: Int, height: Int, timescale: Int,
       duration: Long, nFrames: Long, nAudioSamples: Long): Array[Byte] = {
-    val ftyp = isoBox("ftyp", "isomisom".getBytes("US-ASCII"))
-    val mvhd = {
-      val b = java.nio.ByteBuffer.allocate(100)
-      b.putInt(0).putInt(0).putInt(0)
-        .putInt(timescale).putInt(duration.toInt)
-        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
-        .putLong(0)
-      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
-      (1 to 6).foreach(_ => b.putInt(0))
-      b.putInt(3) // next_track_ID
-      b.array()
-    }
     val audio = mp4Trak(0, 0, trackId = 1, duration, nAudioSamples)
     val video = mp4Trak(width, height, trackId = 2, duration, nFrames)
-    val moov = isoBox("moov", isoBox("mvhd", mvhd) ++ audio ++ video)
-    ftyp ++ moov ++ isoBox("mdat", Array.emptyByteArray)
+    val moov = isoBox("moov",
+      isoBox("mvhd", mvhdV0(timescale, duration, nextTrackId = 3)) ++ audio ++ video)
+    isoBox("ftyp", "isomisom".getBytes("US-ASCII")) ++ moov ++
+      isoBox("mdat", Array.emptyByteArray)
   }
 
   /** A resized image: re-encoded payload + the dims it actually has. */

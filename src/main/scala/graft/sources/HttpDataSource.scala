@@ -182,10 +182,14 @@ private[sources] case class HttpReaderFactory(required: StructType,
         while (true) {
           try return fetch(u)
           catch {
-            case _: Exception if attempt < conf.maxRetries =>
+            // task kill/cancel interrupts the reader thread — propagate
+            // immediately (re-flagged), never sleep-and-retry through it
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); throw e
+            case scala.util.control.NonFatal(_) if attempt < conf.maxRetries =>
               Thread.sleep(conf.retryBackoffMs << attempt) // 250, 500, 1000…
               attempt += 1
-            case e: Exception =>
+            case scala.util.control.NonFatal(e) =>
               throw new java.io.IOException(
                 s"graft-http: fetch failed after ${attempt + 1} attempt(s): $u", e)
           }

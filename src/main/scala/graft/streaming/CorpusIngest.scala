@@ -117,6 +117,58 @@ object CorpusIngest {
     seen.groupByKey(_.content_hash)
   }
 
+  /** Per-checkpoint partition-id base ("epoch"): batch N writes corpus
+    * partition `base + N`. The base is pinned in `<checkpoint>/graft-epoch`
+    * at first start (max existing corpus `batch_id` + 1; 0 with no
+    * corpus), via the checkpoint's Hadoop filesystem, so:
+    *  - a RESTART of the same checkpoint re-reads its pinned base —
+    *    batch N keeps mapping to the same partition, preserving the
+    *    replay idempotence of the dynamic-partition-overwrite sink;
+    *  - a FRESH checkpoint over an EXISTING corpus (adoption, or replay
+    *    after checkpoint loss) starts ABOVE the existing partitions —
+    *    without this, the new query's batch 0 dynamically overwrote the
+    *    pre-existing `batch_id=0` partition and silently DELETED its
+    *    keepers whenever the new batch carried any novel doc.
+    */
+  private def epochBase(spark: SparkSession, corpusPath: String,
+      checkpoint: String): Long = {
+    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(cp, "graft-epoch")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else {
+      val base =
+        try {
+          // partition discovery types batch_id as int — normalize to long
+          val r = spark.read.parquet(corpusPath)
+            .agg(max(col("batch_id").cast("long"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+        } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      fs.mkdirs(cp)
+      val out = fs.create(marker, true)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      base
+    }
+  }
+
+  /** Both sinks persist a FIXED corpus schema (`doc_id: long`, `text`,
+    * plus their dedup columns and `batch_id`) — extra input columns are
+    * NOT carried (join sidecar columns back by `doc_id` downstream), and
+    * a non-integral `doc_id` is refused loudly here instead of failing
+    * deep inside an encoder or casting to null.
+    */
+  private def requireDocSchema(docs: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"corpus sink input needs doc_id and text columns; got ${docs.columns.mkString(", ")}")
+    val idType = docs.schema("doc_id").dataType
+    require(Seq[DataType](LongType, IntegerType, ShortType, ByteType).contains(idType),
+      s"corpus sink doc_id must be an integral type (got $idType) — string ids " +
+        "would cast to null; map them to longs upstream")
+  }
+
   /** Start the NEAR-dup-deduped corpus sink — the fuzzy form of
     * [[startDedupedCorpusSink]]: a batch doc is dropped when it LSH
     * band-matches the already-ingested corpus (near-dups arriving in
@@ -127,11 +179,15 @@ object CorpusIngest {
     * keeper's `band0..band{bands-1}` columns, so the per-batch probe
     * reads ONLY those (a `bands`-column pruned scan, never the text).
     *
-    * Replay (sink committed, checkpoint lost): the probe EXCLUDES the
-    * replaying batch's own partition, so the batch re-derives exactly
-    * its original keeper set and dynamic overwrite rewrites partition N
-    * with identical content — idempotent, like the exact sink's
-    * original formulation.
+    * Replay: with the checkpoint INTACT (foreachBatch re-fired after a
+    * sink-committed crash) the pinned [[epochBase]] maps the batch to
+    * its original partition, the probe excludes that partition, and the
+    * dynamic overwrite rewrites it with identical content. With the
+    * checkpoint LOST, the fresh epoch starts above all existing
+    * partitions, so the replayed docs band-match their own originals in
+    * the probe and the batch writes nothing — either way the corpus is
+    * byte-identical, and a fresh-checkpoint query over an existing
+    * corpus can never clobber its partitions.
     *
     * Scale note: unlike the exact sink's ValueState seen-set, the probe
     * re-reads the corpus's band columns each batch — the band-set
@@ -145,19 +201,22 @@ object CorpusIngest {
   def startNearDupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    requireDocSchema(docs)
+    val base = epochBase(docs.sparkSession, corpusPath, checkpoint)
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val partitionId = base + batchId
         val gated = batch
           .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         val corpusBands =
           try spark.read.parquet(corpusPath)
-            .filter(col("batch_id") =!= lit(batchId))
+            .filter(col("batch_id") =!= lit(partitionId))
             .select((0 until bands).map(b => col(s"band$b")): _*)
           catch { // first batch: no corpus yet → empty probe side
             case _: org.apache.spark.sql.AnalysisException =>
@@ -169,7 +228,7 @@ object CorpusIngest {
           }
         Dedup.incrementalNearDup(gated, corpusBands, "doc_id", "text",
             k = k, bands = bands, shingleN = shingleN)
-          .withColumn("batch_id", lit(batchId))
+          .withColumn("batch_id", lit(partitionId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
@@ -177,6 +236,7 @@ object CorpusIngest {
         ()
       }
       .start()
+  }
 
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
     * `text`; rows under `minTokens` are dropped by the quality gate.
@@ -186,7 +246,8 @@ object CorpusIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
-    ensureRocksDb(spark)
+    requireDocSchema(docs)
+    val base = epochBase(spark, corpusPath, checkpoint)
     val gated = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
@@ -195,18 +256,29 @@ object CorpusIngest {
     val keepers = gated.groupByKey(_.content_hash)
       .transformWithState(new SeenHashProcessor,
         TimeMode.None(), OutputMode.Append(), initialSeen(spark, corpusPath))
-    keepers.writeStream
-      .outputMode("append")
-      .trigger(trigger)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(corpusPath)
-        ()
-      }
-      .start()
+    // The provider conf must read RocksDB when THIS query starts; the
+    // stream captures its own cloned session then, so the session-wide
+    // value is restored right after — other queries (and their existing
+    // HDFS-format state checkpoints) never see the flip.
+    val prior = spark.conf.getOption(ProviderKey)
+    ensureRocksDb(spark)
+    try {
+      keepers.writeStream
+        .outputMode("append")
+        .trigger(trigger)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+          batch.withColumn("batch_id", lit(base + batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpusPath)
+          ()
+        }
+        .start()
+    } finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
   }
 }

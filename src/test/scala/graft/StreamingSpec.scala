@@ -488,6 +488,72 @@ class StreamingSpec extends SparkSpec {
     assert(corpusState() === Set((10L, 0L), (11L, 0L), (21L, 1L)))
   }
 
+  test("corpus sinks: fresh-checkpoint adoption writes ABOVE existing partitions (no clobber)") {
+    // A new query adopting an existing corpus restarts foreachBatch ids
+    // at 0 — before the epoch fix its first batch dynamically overwrote
+    // the pre-existing batch_id=0 partition, silently deleting keepers.
+    // The epoch base (pinned per checkpoint) must place new batches
+    // above all existing partitions, with old rows intact.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("adopt-corpus")
+    def state(): Set[(Long, Long)] =
+      spark.read.parquet(corpus).select("doc_id", "batch_id")
+        .as[(Long, Long)].collect().toSet
+
+    // first query, checkpoint cp1: two batches → partitions 0 and 1
+    val ms1 = MemoryStream[(Long, String)]
+    val cp1 = tmpDir("adopt-cp1")
+    def run(ms: MemoryStream[(Long, String)], cp: String): Unit = {
+      val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+      q.awaitTermination()
+    }
+    ms1.addData((1L, "doc alpha content"), (2L, "doc beta content"))
+    run(ms1, cp1)
+    ms1.addData((3L, "doc gamma content"))
+    run(ms1, cp1)
+    assert(state() === Set((1L, 0L), (2L, 0L), (3L, 1L)))
+
+    // second query, FRESH checkpoint: a novel doc plus a dup of doc 1.
+    // The dup is dropped via bootstrap; the novel doc must land in
+    // partition 2, and partitions 0/1 must be byte-identical.
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((10L, "doc delta content"), (11L, "doc alpha content"))
+    run(ms2, tmpDir("adopt-cp2"))
+    assert(state() === Set((1L, 0L), (2L, 0L), (3L, 1L), (10L, 2L)))
+
+    // third query: the near-dup sink adopting the same layout must also
+    // write above (its own corpus: run it against a fresh dir first to
+    // build band columns, then adopt)
+    val ndCorpus = tmpDir("adopt-nd-corpus")
+    val tA = (0 until 60).map(i => s"adopt$i").mkString(" ")
+    val ms3 = MemoryStream[(Long, String)]
+    def runNd(ms: MemoryStream[(Long, String)], cp: String): Unit = {
+      val q = graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), ndCorpus, cp, minTokens = 1)
+      q.awaitTermination()
+    }
+    ms3.addData((1L, tA))
+    runNd(ms3, tmpDir("adopt-nd-cp1"))
+    val ms4 = MemoryStream[(Long, String)]
+    ms4.addData((2L, tA + " extra"), (3L, "totally fresh other words"))
+    runNd(ms4, tmpDir("adopt-nd-cp2"))
+    val nd = spark.read.parquet(ndCorpus).select("doc_id", "batch_id")
+      .as[(Long, Long)].collect().toSet
+    assert(nd === Set((1L, 0L), (3L, 1L))) // near-dup dropped; fresh doc ABOVE partition 0
+  }
+
+  test("corpus sinks refuse non-integral doc_id loudly") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"),
+        tmpDir("strid-corpus"), tmpDir("strid-cp"))
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("corpus sink: per-batch cost is O(batch) — zero corpus file reads after bootstrap") {
     // The seen-hash set lives in transformWithState ValueState; the corpus
     // hash column is read ONCE as initial state on a fresh checkpoint.
