@@ -27,7 +27,7 @@ object Bench {
     "qd27_mix_pipeline", "qd28_vocab", "qd29_unigram_logprob", "qd30_dsir",
     "qd31_wordpiece", "qd32_dup_passages", "qd33_curation_pipeline",
     "qd34_scrub_spans", "qd35_dup_ngram_frac", "qd36_dsir_fast",
-    "qd37_incremental_neardup",
+    "qd37_incremental_neardup", "qd38_contamination_report",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qe11_quantized_ivf",
     "qm03_audio_decode",

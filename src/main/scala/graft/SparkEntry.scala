@@ -1054,6 +1054,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: per-doc benchmark-contamination REPORT — qd22's
+    // audit-report sibling (n_grams, overlapped grams, fraction; the
+    // statistic contamination reports publish and pipelines threshold).
+    // Same benchmark split as qd22; denominator is a narrow size() over
+    // the per-doc gram array, no second explode.
+    "qd38_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and
@@ -1860,6 +1873,21 @@ object SparkEntry {
          |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    "qd38_contamination_report" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |g AS (SELECT doc_id, $duckShingles3 AS gs FROM d),
+         |bg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n FROM cg JOIN bg USING (g) GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+         |  COALESCE(h.n, 0) AS n_contaminated_grams,
+         |  ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE)
+         |    / GREATEST(len(g.gs), 1), 4) AS contamination_frac
+         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+         |WHERE g.doc_id % 50 <> 0
+         |ORDER BY g.doc_id""".stripMargin,
 
     // md5_number_lower(id) % 100 is bit-identical to the Md5BucketExpr
     // kernel (LE uint64 of digest bytes 8..15, unsigned mod)

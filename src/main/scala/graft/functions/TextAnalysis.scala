@@ -260,6 +260,43 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
 
+  /** Per-doc benchmark-contamination REPORT — the audit-report sibling
+    * of [[decontaminate]]'s binary gate (the overlap statistics LLM
+    * releases publish: per training doc, how many of its n-grams appear
+    * in an eval benchmark, and what fraction of the doc that is; teams
+    * threshold the FRACTION — a 10k-gram doc sharing 3 grams is noise, a
+    * 20-gram doc sharing 15 is a leaked eval row). Returns (id, n_grams,
+    * n_contaminated_grams, contamination_frac).
+    *
+    * Scale shape: the denominator is a NARROW `size()` over the per-doc
+    * distinct gram array (no explode); the numerator is [[decontaminate]]'s
+    * explode → broadcast-benchmark join → grouped count. Same dual-path
+    * gram keys (xxhash64 production / raw strings for the SQL oracle —
+    * counts agree absent 64-bit collisions, the qd22 precedent).
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      portable: Boolean = false): DataFrame = {
+    def gramArr(c: Column): Column =
+      if (portable) Dedup.wordShingles(c, n)
+      else NativeExpressions.shingleHashes(c, n)
+    val benchGrams = benchmark
+      .select(explode(gramArr(col(benchTextCol))).as("__g"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol), explode(gramArr(col(textCol))).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+    docs.select(col(idCol), size(gramArr(col(textCol))).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contamination_frac",
+        round(col("n_contaminated_grams").cast("double") /
+          greatest(col("n_grams"), lit(1L)).cast("double"), 4))
+  }
+
   /** Top-k corpus vocabulary by (frequency desc, token) — the qd28 query
     * as a reusable step. The `collect` is a k-row metadata action (the
     * vocab IS the model artifact, like the IVF centroid matrix), reached

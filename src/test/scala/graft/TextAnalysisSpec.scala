@@ -106,6 +106,33 @@ class TextAnalysisSpec extends SparkSpec {
       1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((0L, false))))
   }
 
+  test("contaminationReport: per-doc gram totals and overlap fraction (qd38)") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // bench 3-grams: "alpha beta gamma", "beta gamma delta"
+    val corpus = Seq(
+      (1L, "x alpha beta gamma y"),       // 3 grams, 1 shared → 0.3333
+      (2L, "alpha beta gamma delta"),     // 2 grams, 2 shared → 1.0 (a leaked eval row)
+      (3L, "nothing in common here"),     // 2 grams, 0 shared
+      (4L, "ab"),                         // sub-n doc: 0 grams, frac 0 (no div blowup)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 0.3333)), 2L -> ((2L, 2L, 1.0)),
+      3L -> ((2L, 0L, 0.0)), 4L -> ((0L, 0L, 0.0))))
+    // fast ≡ portable on the fixture corpus (the portable form IS the
+    // qd38 oracle)
+    val docs = Tables.documents(spark, sf0001)
+    def run(portable: Boolean) =
+      TextAnalysis.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text", n = 3, portable)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(portable = false) === run(portable = true))
+  }
+
   test("decontaminate: xxhash64 fast path ≡ portable string-gram path") {
     // the fast path probes the broadcast map with 8-byte shingle hashes
     // instead of gram strings — same hit counts row for row; the
