@@ -116,6 +116,22 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 2, s"intraDocDupNgramFraction made $scans corpus passes")
   }
 
+  test("qd37 incrementalNearDup: signature frame materialized once — batch scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: ONE pass building the persisted signature frame (it feeds
+    // the anti-join left side, the corpus probe, and both sides of the
+    // within-batch self-join — 4 plan branches). Dropping the sig
+    // persist re-runs minhash-over-text per branch (measured 4 passes).
+    val corpusBands = graft.functions.Dedup.withLshBands(
+      graft.functions.Dedup.withMinHash(
+        Tables.documents(spark, sf0001).limit(50), "text", k = 16, shingleN = 3),
+      k = 16, bands = 4).select("band0", "band1", "band2", "band3")
+    val scans = scansOf(
+      graft.functions.Dedup.incrementalNearDup(docs, corpusBands, "doc_id", "text"),
+      acc, n)
+    assert(scans <= 1, s"incrementalNearDup made $scans batch passes")
+  }
+
   test("qd32 dupPassageProfile: span explode materialized once — corpus scans bounded") {
     val (docs, acc, n) = docsSource()
     // budget: the (doc, span) explode + the id-list join = 2; dropping
