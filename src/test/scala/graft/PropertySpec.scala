@@ -267,4 +267,44 @@ class PropertySpec extends SparkSpec {
     assert(sig(0L) === sig(1L))
     assert(sig(0L) !== sig(2L))
   }
+
+  test("video metadata parse terminates fast and never throws on arbitrary bytes") {
+    // the AVI ≥2³¹-chunk-size hang showed byte-walkers need a fuzz net,
+    // not just the one planted regression case: random payloads — raw,
+    // RIFF/AVI-headed, ftyp-headed (so both walkers actually engage),
+    // and truncated real containers — must all return promptly, never
+    // loop or escape the decode seam's exception contract
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic run
+    def randBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val avi = Multimodal.syntheticAvi(320, 240, 30, 90)
+    val mp4 = Multimodal.syntheticMp4(640, 360, 1000, 5000L, 120L)
+    val cases: Seq[Array[Byte]] =
+      (0 until 200).map(_ => randBytes(rnd.nextInt(256))) ++
+      (0 until 200).map { _ => // valid magic + random guts
+        val b = randBytes(64 + rnd.nextInt(192))
+        if (b.length >= 12) {
+          System.arraycopy("RIFF".getBytes("US-ASCII"), 0, b, 0, 4)
+          System.arraycopy("AVI ".getBytes("US-ASCII"), 0, b, 8, 4)
+        }
+        b
+      } ++
+      (0 until 200).map { _ =>
+        val b = randBytes(64 + rnd.nextInt(192))
+        System.arraycopy(mp4, 0, b, 0, math.min(12, b.length)) // ftyp magic
+        b
+      } ++
+      (1 until avi.length).map(avi.take) ++ // every truncation of real containers
+      (1 until mp4.length).map(mp4.take)
+    val t0 = System.nanoTime()
+    cases.foreach { bytes =>
+      val m = try Multimodal.parseVideoMeta(bytes)
+        catch { case _: Exception => Multimodal.parseVideoMeta(Array[Byte]()) }
+      assert(m != null)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a walker is looping")
+  }
 }
