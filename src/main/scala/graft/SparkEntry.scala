@@ -1294,6 +1294,27 @@ object SparkEntry {
     // a SQL oracle can rebuild from the same table and replay as an
     // explicit (score, cell_id) argmin. Proves the whole IVF pipeline's
     // values; qe06 keeps the learned-centroid production path.
+    // oracle-checked: product-quantization ANN (Jégou et al., TPAMI
+    // 2011) — 64-dim float vectors stored as 8 sub-space codes (32×
+    // compression), asymmetric-distance search = cosine of the full-
+    // precision query vs the codebook reconstruction (identical to the
+    // per-subspace LUT sum). Deterministic prefix codebooks (vec_id<16
+    // sub-slices — the qe08 fixed-centroid convention) make the WHOLE
+    // pipeline SQL-replayable: slicing, per-subspace argmin encode,
+    // reconstruction, scoring, ranking. The learned-codebook path is
+    // Pq.fitCodebooks (seeded per-subspace KMeans; SimilaritySpec
+    // asserts it reconstructs no worse than the prefix books).
+    "qe12_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = Similarity.Pq.codebookMatrices(
+        Similarity.Pq.prefixCodebooks(emb, "vec_id", "embedding",
+          nSub = 8, nCodes = 16))
+      Similarity.Pq.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", m, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
     "qe08_ivf_ann_oracle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2330,6 +2351,47 @@ object SparkEntry {
          |WHERE ROUND(list_dot_product(a.v, b.v)
          |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // PQ replayed end to end with deterministic prefix codebooks
+    // (vec_id < 16 sub-slices): per-subspace `||c||² − 2·v·c` argmin
+    // encode (the NearestCellsExpr metric, ties to the lower code),
+    // reconstruction via ORDER BY sub flatten (so the dot product
+    // accumulates in the same sequential element order as the Spark
+    // side's concatenated vector), approx-cosine top-3
+    "qe12_pq_ann" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (
+         |  SELECT t.sub, CAST(c.vec_id AS INTEGER) AS code,
+         |    list_slice(c.v, t.sub * 8 + 1, t.sub * 8 + 8) AS cvec
+         |  FROM c CROSS JOIN (SELECT unnest(range(8)) AS sub) t
+         |  WHERE c.vec_id < 16),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT c.vec_id, cb.sub, cb.code,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, cb.sub
+         |        ORDER BY list_dot_product(cb.cvec, cb.cvec)
+         |          - 2 * list_dot_product(
+         |              list_slice(c.v, cb.sub * 8 + 1, cb.sub * 8 + 8), cb.cvec),
+         |          cb.code) AS rn
+         |    FROM c CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |vhat AS (
+         |  SELECT codes.vec_id, flatten(list(cb.cvec ORDER BY codes.sub)) AS vh
+         |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.code = codes.code
+         |  GROUP BY codes.vec_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, vhat.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(vh, qv)
+         |      / (sqrt(list_dot_product(vh, vh)) * sqrt(list_dot_product(qv, qv))), 6)
+         |      AS approx_cosine
+         |  FROM vhat CROSS JOIN q WHERE vhat.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id)
+         |        AS INTEGER) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
 
     // IVF replayed end to end with deterministic centroids (vec_id < 8):
     // cell assignment is the same `||c||² − 2·v·c` squared-L2 argmin the

@@ -219,6 +219,132 @@ object Similarity {
     }
   }
 
+  /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the D-dim space
+    * into `nSub` subspaces, quantize each sub-vector to one of `nCodes`
+    * codebook entries, and store only the code array — D floats become
+    * `nSub` small ints (64-dim float → 8 bytes at 8×16, a 32×
+    * compression), THE memory-resident representation for a 100 TB
+    * embedding table. Search is asymmetric (ADC): the query keeps full
+    * precision against reconstructed corpus vectors — and because
+    * reconstruction is the per-subspace codebook concat,
+    * `dot(q, x̂) = Σ_m dot(q_m, cb_m[code_m])` exactly, so scoring via
+    * the reconstruction IS the ADC lookup-table sum.
+    *
+    * Codebook conventions mirror [[Ivf]]: [[Pq.prefixCodebooks]] takes
+    * the first `nCodes` corpus vectors' sub-slices (deterministic, no
+    * training — the qe08 fixed-centroid convention, which is what lets
+    * qe12 be ORACLE-checked end to end), [[Pq.fitCodebooks]] learns
+    * per-subspace KMeans centroids (seeded — the production-quality
+    * path, rows-only like qe06's learned centroids).
+    *
+    * At 100 TB: encode is `nSub` narrow nearest-cell kernel calls (the
+    * codebook matrices ride inside the expressions — no join, no
+    * shuffle, no row growth); search is a narrow reconstruct + the
+    * broadcast-query top-k window of [[knnJoin]].
+    */
+  object Pq {
+
+    /** Deterministic codebooks from the first `nCodes` corpus vectors:
+      * (sub, code, cvec) where `cvec` is vector `code`'s `sub`-th slice.
+      */
+    def prefixCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+        nSub: Int, nCodes: Int): DataFrame = {
+      val v = asDouble(col(vecCol))
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+      val d = dim / nSub
+      corpus.filter(col(idCol) < nCodes)
+        .select(col(idCol).cast("int").as("code"), v.as("__v"))
+        .select(col("code"), explode(array((0 until nSub).map(m =>
+          struct(lit(m).as("sub"), slice(col("__v"), m * d + 1, d).as("cvec"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("code"), col("e.cvec").as("cvec"))
+    }
+
+    /** Learned per-subspace codebooks (seeded KMeans over each slice) —
+      * the production path; same (sub, code, cvec) shape.
+      */
+    def fitCodebooks(corpus: DataFrame, vecCol: String, nSub: Int,
+        nCodes: Int, seed: Long = 42L): DataFrame = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.clustering.KMeans
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
+      val d = dim / nSub
+      val v = asDouble(col(vecCol))
+      (0 until nSub).map { m =>
+        val feats = corpus.select(
+          array_to_vector(slice(v, m * d + 1, d)).as("features"))
+        val model = new KMeans().setK(nCodes).setSeed(seed + m).setMaxIter(10)
+          .fit(feats)
+        model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (m, i, c.toArray) }.toSeq
+          .toDF("sub", "code", "cvec")
+      }.reduce(_.unionByName(_))
+    }
+
+    /** The (sub, code, cvec) table as driver-side matrices indexed
+      * [sub][code] — index metadata (nSub × nCodes × subDim doubles),
+      * the [[Ivf.centroidMatrix]] precedent.
+      */
+    def codebookMatrices(codebooks: DataFrame): Array[Array[Array[Double]]] =
+      codebooks.select(col("sub"), col("code"), col("cvec").cast("array<double>"))
+        .collect()
+        .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+    /** Encode: per subspace, the nearest codebook entry by squared L2
+      * (the metric PQ trains with; [[NativeExpressions.nearestCells]] —
+      * matrix-in-expression, narrow, no shuffle). Adds `pq_code`:
+      * array<int> of length nSub, codes 0-based.
+      */
+    def encode(df: DataFrame, vecCol: String,
+        matrices: Array[Array[Array[Double]]],
+        out: String = "pq_code"): DataFrame = {
+      val nSub = matrices.length
+      val d = matrices(0)(0).length
+      val v = asDouble(col(vecCol))
+      df.withColumn(out, array((0 until nSub).map(m =>
+        element_at(NativeExpressions.nearestCells(
+          slice(v, m * d + 1, d), matrices(m), 1), 1)): _*))
+    }
+
+    /** Reconstruct the quantized vector from its code array: the
+      * concatenation of each subspace's codebook entry. Narrow
+      * (codebooks ride as literals).
+      */
+    def decode(codeCol: Column,
+        matrices: Array[Array[Array[Double]]]): Column =
+      concat(matrices.indices.map(m =>
+        element_at(typedLit(matrices(m).map(_.toSeq).toSeq),
+          element_at(codeCol, m + 1) + 1)): _*)
+
+    /** ADC top-k: encode the corpus (or reuse stored codes), score each
+      * candidate as cosine(query, reconstruction) — mathematically the
+      * per-subspace ADC lookup-table sum — and window-rank per query.
+      * Same output shape as [[knnJoin]]/[[Ivf.search]].
+      */
+    def search(queries: DataFrame, corpus: DataFrame, idCol: String,
+        vecCol: String, matrices: Array[Array[Array[Double]]],
+        k: Int): DataFrame = {
+      val q = broadcast(queries.select(
+        col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
+      val coded = encode(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol, matrices)
+        .select(col("neighbor_id"), decode(col("pq_code"), matrices).as("__vhat"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+      coded.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("approx_cosine", round(cosine(col("__vhat"), col("__qv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("approx_cosine"), col("rank"))
+    }
+  }
+
   /** Int8 scalar quantization of an embedding (per-vector min/max range
     * mapped onto [-128, 127]) and its dequantization — 4× storage and
     * shuffle-bandwidth reduction for a 100 TB embedding table, with

@@ -211,4 +211,62 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === ((1, true)))
     assert(out(4L) === ((1, false)))
   }
+
+  test("PQ: codebook-member vectors encode to themselves and decode exactly (qe12)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val m = Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(emb, "vec_id", "embedding", nSub = 8, nCodes = 16))
+    assert(m.length === 8 && m.forall(_.length === 16) && m(0)(0).length === 8)
+    // a vector whose sub-slices ARE codebook entries reconstructs exactly:
+    // encode must pick its own code per subspace (distance 0 wins)
+    val members = emb.filter(col("vec_id") < 16)
+    val rt = Similarity.Pq.encode(members, "embedding", m)
+      .select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("orig"),
+        Similarity.Pq.decode(col("pq_code"), m).as("rec"))
+      .withColumn("exact", col("orig") === col("rec"))
+      .select("vec_id", "exact").as[(Long, Boolean)].collect().toMap
+    assert(rt.size === 16 && rt.values.forall(identity),
+      s"codebook members failed exact round-trip: ${rt.filterNot(_._2).keys}")
+    // codes are 0-based and within range
+    val codes = Similarity.Pq.encode(emb.limit(100), "embedding", m)
+      .select(explode(col("pq_code"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("PQ: learned codebooks reconstruct at least as well as prefix codebooks") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    def avgFidelity(m: Array[Array[Array[Double]]]): Double =
+      Similarity.Pq.encode(emb, "embedding", m)
+        .select(avg(Similarity.cosine(
+          Similarity.asDouble(col("embedding")),
+          Similarity.Pq.decode(col("pq_code"), m))))
+        .head().getDouble(0)
+    val prefix = avgFidelity(Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(emb, "vec_id", "embedding", 8, 16)))
+    val learned = avgFidelity(Similarity.Pq.codebookMatrices(
+      Similarity.Pq.fitCodebooks(emb, "embedding", 8, 16)))
+    // seeded KMeans minimizes exactly the quantization error the prefix
+    // books ignore — it must not reconstruct worse (small slack for the
+    // cosine-vs-L2 objective mismatch)
+    assert(learned >= prefix - 0.005, f"learned=$learned%.4f prefix=$prefix%.4f")
+    assert(learned > 0.5, f"learned codebooks reconstruct poorly: $learned%.4f")
+  }
+
+  test("PQ search: k rows per query, ranks contiguous, self excluded") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val m = Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(emb, "vec_id", "embedding", 8, 16))
+    val got = Similarity.Pq.search(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", m, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 15) // 5 queries × 3
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === Seq(1, 2, 3), s"query $q ranks")
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+    }
+  }
 }
