@@ -255,6 +255,19 @@ class SimilaritySpec extends SparkSpec {
     assert(learned > 0.5, f"learned codebooks reconstruct poorly: $learned%.4f")
   }
 
+  test("PQ encode plans as a narrow map: no Exchange, no Window, no Join") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
+    val m = Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(
+        graft.sources.Tables.embeddings(spark, sf0001), "vec_id", "embedding", 8, 16))
+    val plan = Similarity.Pq.encode(emb, "embedding", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("PQ search: k rows per query, ranks contiguous, self excluded") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
