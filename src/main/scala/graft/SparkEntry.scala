@@ -1315,6 +1315,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
+    // oracle-checked: IVF-PQ (the FAISS IVFPQ architecture) — coarse
+    // prefix centroids + product-quantized RESIDUALS; search probes 2
+    // cells scoring the query against centroid + decoded residual.
+    // Composition of the qe08 and qe12 machinery, scan budget pinned
+    // (ScanCountSpec: 1 embedding pass).
+    "qe13_ivfpq_ann" -> ((s, d) =>
+      graft.ops.Pipelines.ivfPq(Tables.embeddings(s, d))),
+
     "qe08_ivf_ann_oracle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2386,6 +2394,63 @@ object SparkEntry {
          |      / (sqrt(list_dot_product(vh, vh)) * sqrt(list_dot_product(qv, qv))), 6)
          |      AS approx_cosine
          |  FROM vhat CROSS JOIN q WHERE vhat.vec_id <> q.query_id),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id)
+         |        AS INTEGER) AS rnk
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, approx_cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
+
+    // IVF-PQ replayed end to end: qe08's cell assignment + qe12's
+    // codebook machinery applied to RESIDUALS (list_transform index
+    // arithmetic keeps element order identical to the Spark zip_with)
+    "qe13_ivfpq_ann" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+         |asg AS (
+         |  SELECT vec_id, v, cell_id, cv FROM (
+         |    SELECT c.vec_id, c.v, cent.cell_id, cent.cv,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |          - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent) WHERE rn = 1),
+         |res AS (SELECT vec_id, cell_id, cv,
+         |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+         |rcb AS (
+         |  SELECT t.sub, CAST(res.vec_id AS INTEGER) AS code,
+         |    list_slice(res.r, t.sub * 8 + 1, t.sub * 8 + 8) AS cvec
+         |  FROM res CROSS JOIN (SELECT unnest(range(8)) AS sub) t
+         |  WHERE res.vec_id < 16),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT res.vec_id, rcb.sub, rcb.code,
+         |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, rcb.sub
+         |        ORDER BY list_dot_product(rcb.cvec, rcb.cvec)
+         |          - 2 * list_dot_product(
+         |              list_slice(res.r, rcb.sub * 8 + 1, rcb.sub * 8 + 8), rcb.cvec),
+         |          rcb.code) AS rn
+         |    FROM res CROSS JOIN rcb) WHERE rn = 1),
+         |rhat AS (
+         |  SELECT codes.vec_id, flatten(list(rcb.cvec ORDER BY codes.sub)) AS rh
+         |  FROM codes JOIN rcb ON rcb.sub = codes.sub AND rcb.code = codes.code
+         |  GROUP BY codes.vec_id),
+         |xhat AS (
+         |  SELECT res.vec_id, res.cell_id,
+         |    list_transform(range(1, 65), i -> res.cv[i] + rhat.rh[i]) AS xh
+         |  FROM res JOIN rhat ON res.vec_id = rhat.vec_id),
+         |probes AS (
+         |  SELECT query_id, qv, cell_id FROM (
+         |    SELECT c.vec_id AS query_id, c.v AS qv, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |          - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent WHERE c.vec_id < 5) WHERE rn <= 2),
+         |sc AS (
+         |  SELECT p.query_id, x.vec_id AS neighbor_id,
+         |    ROUND(list_dot_product(x.xh, p.qv)
+         |      / (sqrt(list_dot_product(x.xh, x.xh)) * sqrt(list_dot_product(p.qv, p.qv))), 6)
+         |      AS approx_cosine
+         |  FROM xhat x JOIN probes p ON x.cell_id = p.cell_id AND x.vec_id <> p.query_id),
          |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
          |        PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id)
          |        AS INTEGER) AS rnk

@@ -138,6 +138,65 @@ object Pipelines {
     * Unpersisted once the k-row result is checkpointed. ScanCountSpec
     * pins the scan count of `emb`; deleting the persist turns it red.
     */
+  /** qe13 — IVF-PQ (Jégou et al. 2011 §IV, the FAISS IVFPQ
+    * architecture): coarse centroids partition the space, each vector's
+    * RESIDUAL (v − its centroid) is product-quantized, and search
+    * probes `nProbe` cells scoring the full-precision query against
+    * `centroid + decode(residual code)` — the memory-resident ANN shape
+    * for a 100 TB embedding table (coarse structure from IVF, 32×
+    * storage from PQ, and residuals quantize tighter than raw vectors
+    * because each cell's residual cloud is centered).
+    *
+    * Deterministic throughout (prefix centroids vec_id<8, prefix
+    * residual codebooks vec_id<16 — the qe08/qe12 conventions), so the
+    * entire pipeline replays in SQL. Scan budget: ONE pass over `emb`
+    * (base is persisted; assignment, residual codebooks, the encoded
+    * index and the probes all derive from it — pinned in ScanCountSpec).
+    */
+  def ivfPq(emb: DataFrame): DataFrame = {
+    import graft.functions.NativeExpressions
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"), col("v").as("centroid"))
+    val cm = Similarity.Ivf.centroidMatrix(centroids)
+    val cmLit = typedLit(cm.map(_.toSeq).toSeq)
+    val assigned = base
+      .withColumn("cell_id",
+        element_at(NativeExpressions.nearestCells(col("v"), cm, 1), 1))
+      .withColumn("centroid", element_at(cmLit, col("cell_id") + 1))
+      .withColumn("residual", zip_with(col("v"), col("centroid"), (a, b) => a - b))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(
+        assigned.select(col("vec_id"), col("residual")), "vec_id", "residual",
+        nSub = 8, nCodes = 16))
+    val index = Similarity.Pq.encode(assigned, "residual", cb)
+      .withColumn("vhat",
+        zip_with(col("centroid"), Similarity.Pq.decode(col("pq_code"), cb),
+          (a, b) => a + b))
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"), col("vhat"))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("__qv"))
+      .withColumn("cell_id",
+        explode(NativeExpressions.nearestCells(col("__qv"), cm, 2)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val result = index.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_cosine",
+        round(Similarity.cosine(col("vhat"), col("__qv")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    base.unpersist(false)
+    result
+  }
+
   def quantizedIvf(emb: DataFrame): DataFrame = {
     val prepared = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

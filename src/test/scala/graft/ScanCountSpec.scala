@@ -116,6 +116,16 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 2, s"intraDocDupNgramFraction made $scans corpus passes")
   }
 
+  test("qe13 ivfPq: base persisted — exactly 1 embedding scan") {
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    // budget: one pass filling the base cache; centroids, assignment,
+    // residual codebooks, the encoded index and the probes all derive
+    // from the caches, never the source
+    val scans = scansOf(Pipelines.ivfPq(emb), acc, n)
+    assert(scans <= 1, s"ivfPq made $scans embedding passes")
+  }
+
   test("qd37 incrementalNearDup: signature frame materialized once — batch scans bounded") {
     val (docs, acc, n) = docsSource()
     // budget: ONE pass building the persisted signature frame (it feeds
