@@ -283,18 +283,28 @@ object TextAnalysis {
     val benchGrams = benchmark
       .select(explode(gramArr(col(benchTextCol))).as("__g"))
       .distinct()
-    val hits = docs
-      .select(col(idCol), explode(gramArr(col(textCol))).as("__g"))
+    // the per-doc gram arrays feed BOTH the numerator (explode + probe)
+    // and the denominator (size) — persist once or the full-corpus
+    // shingle kernel runs twice per action (dupPassageProfile's eager
+    // pattern: checkpoint the doc-sized result, free the gram blocks)
+    val docGrams = docs.select(col(idCol), gramArr(col(textCol)).as("__gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = docGrams
+      .select(col(idCol), explode(col("__gs")).as("__g"))
       .join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contaminated_grams"))
-    docs.select(col(idCol), size(gramArr(col(textCol))).cast("long").as("n_grams"))
+    val out = docGrams
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .withColumn("n_contaminated_grams",
         coalesce(col("n_contaminated_grams"), lit(0L)))
       .withColumn("contamination_frac",
         round(col("n_contaminated_grams").cast("double") /
           greatest(col("n_grams"), lit(1L)).cast("double"), 4))
+      .localCheckpoint(true)
+    docGrams.unpersist(false)
+    out
   }
 
   /** Top-k corpus vocabulary by (frequency desc, token) — the qd28 query

@@ -423,7 +423,7 @@ object Multimodal {
           val p = off + 8
           cc match {
             case c if containers(c) => go(p, math.min(end, off + size))
-            case "tkhd" if tw == 0 =>
+            case "tkhd" if tw == 0 && p + 4 <= end => // guard the version read
               val v = bytes(p) & 0xff
               // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
               //     + 8 layer/alt/vol/rsvd + 36 matrix = 76; v1: times and

@@ -131,13 +131,6 @@ object Pipelines {
     result
   }
 
-  /** qe11 — IVF search over an int8-quantized index. The dequantized
-    * index feeds three branches (queries, corpus, centroids); persist it
-    * once so the quantize→dequantize pass runs a single time — at scale
-    * the persisted quantized frame IS the point of the operator.
-    * Unpersisted once the k-row result is checkpointed. ScanCountSpec
-    * pins the scan count of `emb`; deleting the persist turns it red.
-    */
   /** qe13 — IVF-PQ (Jégou et al. 2011 §IV, the FAISS IVFPQ
     * architecture): coarse centroids partition the space, each vector's
     * RESIDUAL (v − its centroid) is product-quantized, and search
@@ -197,6 +190,13 @@ object Pipelines {
     result
   }
 
+  /** qe11 — IVF search over an int8-quantized index. The dequantized
+    * index feeds three branches (queries, corpus, centroids); persist it
+    * once so the quantize→dequantize pass runs a single time — at scale
+    * the persisted quantized frame IS the point of the operator.
+    * Unpersisted once the k-row result is checkpointed. ScanCountSpec
+    * pins the scan count of `emb`; deleting the persist turns it red.
+    */
   def quantizedIvf(emb: DataFrame): DataFrame = {
     val prepared = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -31,14 +31,16 @@ import graft.functions.{Dedup, TextAnalysis}
   *    query adopt a pre-existing corpus without per-batch scans;
   *  - within-batch keeper choice is deterministic (smallest id per
   *    hash, [[Dedup.exactDedup]]'s rule);
-  *  - each batch writes its own `batch_id=N` partition with dynamic
-  *    partition overwrite. A replayed batch (sink committed, checkpoint
-  *    lost) re-bootstraps from the corpus — which already contains its
-  *    own keepers — so it emits NOTHING and the dynamic overwrite
-  *    touches no partition: the corpus is byte-identical, no duplicate
-  *    and no lost keepers. (A replay with the checkpoint INTACT never
-  *    re-fires the batch at all — foreachBatch idempotence via the
-  *    batch_id partition, as in RaceIngest.)
+  *  - each batch writes its own (`epoch`, `batch_id`) partition with
+  *    dynamic partition overwrite — the epoch is pinned per checkpoint
+  *    ([[CorpusIngest.queryEpoch]]), so a query can only ever overwrite
+  *    partitions it wrote itself. A replayed batch (sink committed,
+  *    checkpoint lost) re-bootstraps from the corpus — which already
+  *    contains its own keepers — so it emits NOTHING and the dynamic
+  *    overwrite touches no partition: the corpus is byte-identical, no
+  *    duplicate and no lost keepers. (A replay with the checkpoint
+  *    INTACT never re-fires the batch at all — foreachBatch idempotence
+  *    via the partition key, as in RaceIngest.)
   */
 object CorpusIngest {
 
@@ -117,44 +119,56 @@ object CorpusIngest {
     seen.groupByKey(_.content_hash)
   }
 
-  /** Per-checkpoint partition-id base ("epoch"): batch N writes corpus
-    * partition `base + N`. The base is pinned in `<checkpoint>/graft-epoch`
-    * at first start (max existing corpus `batch_id` + 1; 0 with no
-    * corpus), via the checkpoint's Hadoop filesystem, so:
-    *  - a RESTART of the same checkpoint re-reads its pinned base —
+  /** Per-checkpoint EPOCH: the corpus is partitioned by
+    * (`epoch`, `batch_id`) and a query only ever overwrites partitions
+    * under its OWN epoch, so no sequence of checkpoints — fresh
+    * adoptions, lost-checkpoint replays, or an OLD checkpoint resumed
+    * after a newer query has grown the corpus — can dynamically
+    * overwrite another query's keepers. (A single-level `base+batchId`
+    * scheme still collided when an old checkpoint resumed with new
+    * batches beyond its original range.) The epoch is pinned in
+    * `<checkpoint>/graft-epoch` at first start (max existing corpus
+    * epoch + 1; 0 with no corpus), via the checkpoint's Hadoop
+    * filesystem:
+    *  - a RESTART of the same checkpoint re-reads its pinned epoch —
     *    batch N keeps mapping to the same partition, preserving the
     *    replay idempotence of the dynamic-partition-overwrite sink;
-    *  - a FRESH checkpoint over an EXISTING corpus (adoption, or replay
-    *    after checkpoint loss) starts ABOVE the existing partitions —
-    *    without this, the new query's batch 0 dynamically overwrote the
-    *    pre-existing `batch_id=0` partition and silently DELETED its
-    *    keepers whenever the new batch carried any novel doc.
+    *  - an empty/unreadable marker (crash between create and write) is
+    *    treated as ABSENT and re-derived — never a bricked checkpoint;
+    *  - the one remaining collision window is two queries pinning
+    *    CONCURRENTLY against the same corpus (both read the same max
+    *    epoch); serialize first starts if running multiple writers.
     */
-  private def epochBase(spark: SparkSession, corpusPath: String,
+  private def queryEpoch(spark: SparkSession, corpusPath: String,
       checkpoint: String): Long = {
     val cp = new org.apache.hadoop.fs.Path(checkpoint)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(cp, "graft-epoch")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
-    } else {
-      val base =
+    val pinned: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        txt.toLongOption // empty/garbled marker == absent, re-derive below
+      }
+    pinned.getOrElse {
+      val epoch =
         try {
-          // partition discovery types batch_id as int — normalize to long
+          // partition discovery types partition cols as int — normalize
           val r = spark.read.parquet(corpusPath)
-            .agg(max(col("batch_id").cast("long"))).head()
+            .agg(max(col("epoch").cast("long"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
         } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       fs.mkdirs(cp)
       val out = fs.create(marker, true)
-      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
-      base
+      try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+      epoch
     }
   }
 
   /** Both sinks persist a FIXED corpus schema (`doc_id: long`, `text`,
-    * plus their dedup columns and `batch_id`) — extra input columns are
+    * plus their dedup columns and the (`epoch`, `batch_id`) partition
+    * keys) — extra input columns are
     * NOT carried (join sidecar columns back by `doc_id` downstream), and
     * a non-integral `doc_id` is refused loudly here instead of failing
     * deep inside an encoder or casting to null.
@@ -180,14 +194,14 @@ object CorpusIngest {
     * reads ONLY those (a `bands`-column pruned scan, never the text).
     *
     * Replay: with the checkpoint INTACT (foreachBatch re-fired after a
-    * sink-committed crash) the pinned [[epochBase]] maps the batch to
-    * its original partition, the probe excludes that partition, and the
-    * dynamic overwrite rewrites it with identical content. With the
-    * checkpoint LOST, the fresh epoch starts above all existing
-    * partitions, so the replayed docs band-match their own originals in
-    * the probe and the batch writes nothing — either way the corpus is
-    * byte-identical, and a fresh-checkpoint query over an existing
-    * corpus can never clobber its partitions.
+    * sink-committed crash) the pinned [[queryEpoch]] maps the batch to
+    * its original (epoch, batch_id) partition, the probe excludes that
+    * partition, and the dynamic overwrite rewrites it with identical
+    * content. With the checkpoint LOST, the fresh epoch owns a new
+    * partition subtree, so the replayed docs band-match their own
+    * originals in the probe and the batch writes nothing — either way
+    * the corpus is byte-identical, and no query can overwrite another
+    * epoch's partitions.
     *
     * Scale note: unlike the exact sink's ValueState seen-set, the probe
     * re-reads the corpus's band columns each batch — the band-set
@@ -203,20 +217,19 @@ object CorpusIngest {
       shingleN: Int = 3,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
-    val base = epochBase(docs.sparkSession, corpusPath, checkpoint)
+    val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val partitionId = base + batchId
         val gated = batch
           .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         val corpusBands =
           try spark.read.parquet(corpusPath)
-            .filter(col("batch_id") =!= lit(partitionId))
+            .filter(!(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
             .select((0 until bands).map(b => col(s"band$b")): _*)
           catch { // first batch: no corpus yet → empty probe side
             case _: org.apache.spark.sql.AnalysisException =>
@@ -228,10 +241,11 @@ object CorpusIngest {
           }
         Dedup.incrementalNearDup(gated, corpusBands, "doc_id", "text",
             k = k, bands = bands, shingleN = shingleN)
-          .withColumn("batch_id", lit(partitionId))
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
+          .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
         ()
       }
@@ -247,7 +261,7 @@ object CorpusIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     requireDocSchema(docs)
-    val base = epochBase(spark, corpusPath, checkpoint)
+    val epoch = queryEpoch(spark, corpusPath, checkpoint)
     val gated = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
@@ -268,10 +282,11 @@ object CorpusIngest {
         .trigger(trigger)
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-          batch.withColumn("batch_id", lit(base + batchId))
+          batch.withColumn("epoch", lit(epoch))
+            .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("epoch", "batch_id")
             .parquet(corpusPath)
           ()
         }

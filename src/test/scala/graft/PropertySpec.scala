@@ -299,12 +299,16 @@ class PropertySpec extends SparkSpec {
       (1 until avi.length).map(avi.take) ++ // every truncation of real containers
       (1 until mp4.length).map(mp4.take)
     val t0 = System.nanoTime()
+    var threw = 0
     cases.foreach { bytes =>
-      val m = try Multimodal.parseVideoMeta(bytes)
-        catch { case _: Exception => Multimodal.parseVideoMeta(Array[Byte]()) }
-      assert(m != null)
+      try assert(Multimodal.parseVideoMeta(bytes) != null)
+      catch { case _: Exception => threw += 1 }
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    assert(threw === 0,
+      s"$threw/${cases.length} fuzz cases threw — bounds guards regressed " +
+        "(the decode seam would absorb these per-row, but the walkers' " +
+        "contract is return-failed, not throw)")
     assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a walker is looping")
   }
 }

@@ -116,6 +116,18 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 2, s"intraDocDupNgramFraction made $scans corpus passes")
   }
 
+  test("qd38 contaminationReport: gram arrays materialized once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: the doc-gram frame build + the benchmark-side gram pass
+    // (a separate frame in the qd38 split) = 2; dropping the docGrams
+    // persist re-runs the shingle kernel for the size() denominator
+    val out = graft.functions.TextAnalysis.contaminationReport(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+    val scans = scansOf(out, acc, n)
+    assert(scans <= 2, s"contaminationReport made $scans corpus passes")
+  }
+
   test("qe13 ivfPq: base persisted — exactly 1 embedding scan") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))

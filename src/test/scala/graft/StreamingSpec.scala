@@ -488,19 +488,22 @@ class StreamingSpec extends SparkSpec {
     assert(corpusState() === Set((10L, 0L), (11L, 0L), (21L, 1L)))
   }
 
-  test("corpus sinks: fresh-checkpoint adoption writes ABOVE existing partitions (no clobber)") {
+  test("corpus sinks: epochs isolate checkpoints — adoption AND old-checkpoint resume never clobber") {
     // A new query adopting an existing corpus restarts foreachBatch ids
-    // at 0 — before the epoch fix its first batch dynamically overwrote
-    // the pre-existing batch_id=0 partition, silently deleting keepers.
-    // The epoch base (pinned per checkpoint) must place new batches
-    // above all existing partitions, with old rows intact.
+    // at 0 — without per-checkpoint epochs its first batch dynamically
+    // overwrote the pre-existing partition, silently deleting keepers;
+    // and a single-level base+batchId scheme STILL collided when an old
+    // checkpoint resumed with batches beyond its original range. The
+    // (epoch, batch_id) layout gives each checkpoint its own partition
+    // subtree.
     implicit val ctx = spark.sqlContext
     val corpus = tmpDir("adopt-corpus")
-    def state(): Set[(Long, Long)] =
-      spark.read.parquet(corpus).select("doc_id", "batch_id")
-        .as[(Long, Long)].collect().toSet
+    def state(): Set[(Long, Long, Long)] =
+      spark.read.parquet(corpus)
+        .select(col("doc_id"), col("epoch").cast("long"), col("batch_id").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
 
-    // first query, checkpoint cp1: two batches → partitions 0 and 1
+    // first query, checkpoint cp1 (epoch 0): two batches
     val ms1 = MemoryStream[(Long, String)]
     val cp1 = tmpDir("adopt-cp1")
     def run(ms: MemoryStream[(Long, String)], cp: String): Unit = {
@@ -512,19 +515,26 @@ class StreamingSpec extends SparkSpec {
     run(ms1, cp1)
     ms1.addData((3L, "doc gamma content"))
     run(ms1, cp1)
-    assert(state() === Set((1L, 0L), (2L, 0L), (3L, 1L)))
+    assert(state() === Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L)))
 
-    // second query, FRESH checkpoint: a novel doc plus a dup of doc 1.
-    // The dup is dropped via bootstrap; the novel doc must land in
-    // partition 2, and partitions 0/1 must be byte-identical.
+    // second query, FRESH checkpoint (epoch 1): a novel doc plus a dup
+    // of doc 1 — the dup drops via bootstrap; the novel doc lands under
+    // epoch 1, and epoch 0's partitions stay byte-identical
     val ms2 = MemoryStream[(Long, String)]
     ms2.addData((10L, "doc delta content"), (11L, "doc alpha content"))
     run(ms2, tmpDir("adopt-cp2"))
-    assert(state() === Set((1L, 0L), (2L, 0L), (3L, 1L), (10L, 2L)))
+    assert(state() === Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L), (10L, 1L, 0L)))
 
-    // third query: the near-dup sink adopting the same layout must also
-    // write above (its own corpus: run it against a fresh dir first to
-    // build band columns, then adopt)
+    // the residual single-level-scheme hole: resume the OLD checkpoint
+    // cp1 AFTER epoch 1 exists. Its next batch id (2) must write under
+    // ITS epoch (0,2) — with base+batchId it would have overwritten the
+    // adopting query's partition
+    ms1.addData((20L, "doc epsilon content"))
+    run(ms1, cp1)
+    assert(state() === Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L),
+      (10L, 1L, 0L), (20L, 0L, 2L)))
+
+    // the near-dup sink: same epoch isolation on adoption
     val ndCorpus = tmpDir("adopt-nd-corpus")
     val tA = (0 until 60).map(i => s"adopt$i").mkString(" ")
     val ms3 = MemoryStream[(Long, String)]
@@ -538,9 +548,10 @@ class StreamingSpec extends SparkSpec {
     val ms4 = MemoryStream[(Long, String)]
     ms4.addData((2L, tA + " extra"), (3L, "totally fresh other words"))
     runNd(ms4, tmpDir("adopt-nd-cp2"))
-    val nd = spark.read.parquet(ndCorpus).select("doc_id", "batch_id")
-      .as[(Long, Long)].collect().toSet
-    assert(nd === Set((1L, 0L), (3L, 1L))) // near-dup dropped; fresh doc ABOVE partition 0
+    val nd = spark.read.parquet(ndCorpus)
+      .select(col("doc_id"), col("epoch").cast("long"), col("batch_id").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(nd === Set((1L, 0L, 0L), (3L, 1L, 0L))) // near-dup dropped; fresh doc in its own epoch
   }
 
   test("corpus sinks refuse non-integral doc_id loudly") {
