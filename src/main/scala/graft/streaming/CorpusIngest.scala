@@ -41,6 +41,19 @@ import graft.functions.{Dedup, TextAnalysis}
   *    duplicate and no lost keepers. (A replay with the checkpoint
   *    INTACT never re-fires the batch at all — foreachBatch idempotence
   *    via the partition key, as in RaceIngest.)
+  *
+  * Dedup SCOPE (exact sink): the no-duplicate invariant covers one
+  * checkpoint LINEAGE — everything ingested through this checkpoint
+  * plus whatever the corpus held when it first started. A checkpoint
+  * RESUMED after a different checkpoint has grown the corpus does not
+  * learn the other epoch's hashes (initial state applies only to fresh
+  * checkpoints), so interleaving multiple writer checkpoints can admit
+  * cross-epoch duplicates — epoch isolation guarantees they never LOSE
+  * data, not that they dedupe against each other. Single-writer (or
+  * sequential fresh-checkpoint adoption) is the designed topology;
+  * interleaved writers should be followed by a batch [[Dedup.exactDedup]]
+  * compaction. (The NEAR-dup sink re-probes all epochs per batch and
+  * does not have this gap.)
   */
 object CorpusIngest {
 
@@ -154,15 +167,32 @@ object CorpusIngest {
     pinned.getOrElse {
       val epoch =
         try {
+          val schema = spark.read.parquet(corpusPath).schema
+          // a corpus from the pre-epoch single-level layout must be
+          // refused LOUDLY: silently pinning epoch 0 would write a
+          // conflicting two-level tree into the same directory and
+          // break partition discovery for every subsequent reader
+          require(schema.fieldNames.contains("epoch"),
+            s"corpus at $corpusPath uses the legacy batch_id-only layout; " +
+              "migrate each batch_id=N directory to epoch=0/batch_id=N " +
+              "before pointing an epoch-aware sink at it")
           // partition discovery types partition cols as int — normalize
           val r = spark.read.parquet(corpusPath)
             .agg(max(col("epoch").cast("long"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
         } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       fs.mkdirs(cp)
-      val out = fs.create(marker, true)
+      // write-then-rename: a crash mid-write must not leave a parseable
+      // PREFIX (e.g. "1" of "12") that pins a wrong — possibly another
+      // checkpoint's — epoch; rename is atomic on HDFS and local FS
+      val tmp = new org.apache.hadoop.fs.Path(cp, s"graft-epoch.tmp")
+      val out = fs.create(tmp, true)
       try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
-      epoch
+      if (fs.rename(tmp, marker)) epoch
+      else { // lost a concurrent pin race — adopt whatever won
+        fs.delete(tmp, false)
+        queryEpoch(spark, corpusPath, checkpoint)
+      }
     }
   }
 

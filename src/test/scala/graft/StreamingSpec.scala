@@ -432,11 +432,12 @@ class StreamingSpec extends SparkSpec {
     val afterThree = Set((10L, 0L), (12L, 0L), (20L, 1L), (30L, 2L))
     assert(corpusState() === afterThree)
 
-    // replay: batch 0's data re-processed as batch 0 under a FRESH
-    // checkpoint (sink committed, checkpoint lost — the reference's
-    // duplicate scenario). The anti-join excludes the replaying batch's
-    // own partition, so partition 0 is overwritten with its original
-    // keeper set — corpus unchanged, no duplicate and no lost keepers.
+    // replay: batch 0's data re-processed under a FRESH checkpoint
+    // (sink committed, checkpoint lost — the reference's duplicate
+    // scenario). The fresh epoch bootstraps the seen-set from the
+    // corpus — which already holds these keepers — so the batch emits
+    // NOTHING and no partition is touched: corpus unchanged, no
+    // duplicate and no lost keepers.
     val ms2 = MemoryStream[(Long, String)]
     ms2.addData((10L, docB), (11L, docB), (12L, docA), (13L, "too short"))
     val q2 = graft.streaming.CorpusIngest.startDedupedCorpusSink(
@@ -479,9 +480,11 @@ class StreamingSpec extends SparkSpec {
     run(cp, ms)
     assert(corpusState() === Set((10L, 0L), (11L, 0L), (21L, 1L)))
 
-    // replay: batch 0's data as batch 0 under a FRESH checkpoint (sink
-    // committed, checkpoint lost). The probe excludes the replaying
-    // batch's own partition, so partition 0 is re-derived identically.
+    // replay: batch 0's data under a FRESH checkpoint (sink committed,
+    // checkpoint lost). The fresh epoch's probe sees ALL existing
+    // partitions (its own (epoch,0) doesn't exist yet), so every
+    // replayed doc band-matches its original keeper and the batch
+    // writes nothing — corpus unchanged.
     val ms2 = MemoryStream[(Long, String)]
     ms2.addData((10L, tA), (11L, tB), (12L, tA + " extra"))
     run(tmpDir("nd-cp2"), ms2)
