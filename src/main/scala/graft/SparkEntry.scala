@@ -1067,6 +1067,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: the composed Gopher rule battery (Rae et al.
+    // 2021 A1.1) — token-count/word-length bounds, stopword-ratio
+    // minimum, top-token-share and dup-3-gram maxima, each signal
+    // individually oracle-proven (qd03/qd17/qd35), plus the final
+    // keep decision; non-vacuous at sf0.01 (multiple rules bind)
+    "qd39_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and
@@ -1917,6 +1926,44 @@ object SparkEntry {
          |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
          |WHERE g.doc_id % 50 <> 0
          |ORDER BY g.doc_id""".stripMargin,
+
+    // the Gopher battery: qd03's signal forms + qd17's top-token CTE +
+    // qd35's positional-span dup fraction, thresholded identically on
+    // the same 4-dp rounded values
+    "qd39_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    ROUND(length(regexp_replace(text, '\s+', '', 'g')) / GREATEST(len(w), 1), 4) AS avg_token_len,
+        |    ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+        |          / GREATEST(len(w), 1), 4) AS stopword_ratio
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |ttf AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 4) AS top_token_frac
+        |        FROM cnt GROUP BY doc_id),
+        |pos1 AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+        |pspans AS (SELECT doc_id, i - 1 AS pos, w[i+0] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM pos1),
+        |rep AS (SELECT doc_id, g FROM pspans GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+        |        FROM (SELECT p.doc_id, p.pos, unnest(range(0, 3)) AS j
+        |              FROM pspans p JOIN rep USING (doc_id, g))),
+        |covn AS (SELECT doc_id, COUNT(*) AS nc FROM cov GROUP BY doc_id),
+        |dupf AS (SELECT t.doc_id, ROUND(COALESCE(c.nc, 0) / GREATEST(len(t.w), 1), 4) AS dup_ngram_frac
+        |         FROM t LEFT JOIN covn c USING (doc_id))
+        |SELECT s.doc_id, s.n_tokens, s.avg_token_len, s.stopword_ratio,
+        |  COALESCE(f.top_token_frac, 0.0) AS top_token_frac,
+        |  COALESCE(d.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+        |  (s.n_tokens >= 30 AND s.n_tokens <= 100000
+        |   AND s.avg_token_len >= 3.0 AND s.avg_token_len <= 10.0
+        |   AND s.stopword_ratio >= 0.02
+        |   AND COALESCE(f.top_token_frac, 0.0) <= 0.15
+        |   AND COALESCE(d.dup_ngram_frac, 0.0) <= 0.8) AS keep
+        |FROM sig s
+        |LEFT JOIN ttf f USING (doc_id)
+        |LEFT JOIN dupf d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     // md5_number_lower(id) % 100 is bit-identical to the Md5BucketExpr
     // kernel (LE uint64 of digest bytes 8..15, unsigned mod)

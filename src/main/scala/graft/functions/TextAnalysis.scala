@@ -134,6 +134,48 @@ object TextAnalysis {
       .withColumn("top_token_frac",
         round(col("top_count").cast("double") / col("n_tokens"), 4))
 
+  /** The Gopher rule battery (Rae et al. 2021, app. A1.1) — the
+    * composed keep/drop quality filter production pipelines actually
+    * apply, assembled from this file's individually-proven signals:
+    * token-count bounds, mean-word-length bounds, a minimum stopword
+    * ratio (gibberish/code gate), a maximum top-token share
+    * ([[topTokenFraction]]) and a maximum duplicate-n-gram fraction
+    * ([[Dedup.intraDocDupNgramFraction]]). Returns every signal plus
+    * the final `keep` so a pipeline can audit WHY a doc dropped.
+    *
+    * All comparisons are on the 4-dp ROUNDED signals (the same values
+    * the per-signal oracles replay), so the keep decision is
+    * engine-portable. Scale shape = the constituents': two narrow
+    * signal projections + two grouped-count signals joined back by doc
+    * id — every shuffle keys on ids or (id, token).
+    */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      minStopwordRatio: Double = 0.02, maxTopTokenFrac: Double = 0.15,
+      maxDupNgramFrac: Double = 0.8, dupN: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      round(avgTokenLength(col(textCol)), 4).as("avg_token_len"),
+      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"))
+    val ttf = topTokenFraction(docs, idCol, textCol)
+      .select(col(idCol), col("top_token_frac"))
+    val dup = Dedup.intraDocDupNgramFraction(docs, idCol, textCol, dupN)
+      .select(col(idCol), col("dup_ngram_frac"))
+    sig
+      .join(ttf, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .withColumn("top_token_frac", coalesce(col("top_token_frac"), lit(0.0)))
+      .withColumn("dup_ngram_frac", coalesce(col("dup_ngram_frac"), lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("avg_token_len") >= minAvgTokenLen &&
+          col("avg_token_len") <= maxAvgTokenLen &&
+          col("stopword_ratio") >= minStopwordRatio &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_ngram_frac") <= maxDupNgramFrac)
+  }
+
   /** Word bigrams WITH multiplicity (unlike [[Dedup.wordShingles]], which
     * is per-doc distinct for set semantics) — the feature unit for
     * count-based scoring like [[Curation.dsirWeights]]. Narrow map; a

@@ -133,6 +133,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(portable = false) === run(portable = true))
   }
 
+  test("gopherFilter: each rule binds on a doc built to trip exactly it (qd39)") {
+    val stop = "the of and to in" // 5 stopwords keep the ratio healthy
+    val good = s"$stop " + (0 until 40).map(i => s"word$i").mkString(" ") // 45 tokens
+    val docs = Seq(
+      (0L, good),                                        // passes everything
+      (1L, "too short entirely"),                        // < 30 tokens
+      (2L, s"$stop " + (0 until 40).map(i => s"w$i").mkString(" ")), // avg len < 3
+      (3L, (0 until 45).map(i => s"word$i").mkString(" ")),          // no stopwords
+      (4L, s"$stop " + Seq.fill(40)("word0").mkString(" ")),         // top-token 40/45
+      (5L, s"$stop " + Seq.fill(10)("alpha beta gamma deltaaa").mkString(" ")), // dup 3-grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(0L), "the healthy doc must pass")
+    (1L to 5L).foreach(i => assert(!out(i), s"doc $i should trip its rule"))
+    // fixture split is non-vacuous: both keeps and drops at sf0.001
+    val fix = TextAnalysis.gopherFilter(Tables.documents(spark, sf0001), "doc_id", "text")
+      .groupBy("keep").count().as[(Boolean, Long)].collect().toMap
+    assert(fix.getOrElse(true, 0L) > 0 && fix.getOrElse(false, 0L) > 0, fix.toString)
+  }
+
   test("decontaminate: xxhash64 fast path ≡ portable string-gram path") {
     // the fast path probes the broadcast map with 8-byte shingle hashes
     // instead of gram strings — same hit counts row for row; the
