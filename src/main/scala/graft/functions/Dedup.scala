@@ -387,7 +387,7 @@ object Dedup {
     * index, band hash) — explode of BAND VALUES only (bands× row growth
     * of ids+hashes, never of document text).
     */
-  private def bandsLong(df: DataFrame, bands: Int, keep: Seq[String]): DataFrame = {
+  private[graft] def bandsLong(df: DataFrame, bands: Int, keep: Seq[String]): DataFrame = {
     val arr = array((0 until bands).map(b =>
       struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)
     df.select(keep.map(col) :+ explode(arr).as("__e"): _*)
@@ -425,18 +425,38 @@ object Dedup {
     */
   def incrementalNearDup(newBatch: DataFrame, corpusBands: DataFrame,
       idCol: String, textCol: String, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+      shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    incrementalNearDupFromSig(
+      lshSignature(newBatch, textCol, k, bands, shingleN, portable),
+      bandsLong(corpusBands, bands, Nil), idCol, bands)
+
+  /** The signature stage of [[incrementalNearDup]], PERSISTED: the batch
+    * rows plus their `band0..band{bands-1}` columns. Exposed so a caller
+    * that needs the bands BEFORE the probe (the bucketed corpus sink
+    * collects the batch's band-hash prefixes to prune the probe scan)
+    * computes them exactly once; hand the result to
+    * [[incrementalNearDupFromSig]], which unpersists it.
+    */
+  def lshSignature(df: DataFrame, textCol: String, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3, portable: Boolean = false): DataFrame =
+    withLshBands(withMinHash(df, textCol, k, shingleN, portable), k, bands)
+      .drop((0 until k).map(j => s"mh$j"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[incrementalNearDup]]'s core over a pre-built signature frame and a
+    * LONG-form probe side (`band`, `bh` — [[bandsLong]]'s layout). The
+    * probe side may be partition-pruned by the caller (the bucketed sink
+    * reads only the index buckets matching the batch's band prefixes).
+    * `sig` must be persisted ([[lshSignature]]); it is unpersisted here.
+    */
+  def incrementalNearDupFromSig(sig: DataFrame, corpusLong: DataFrame,
+      idCol: String, bands: Int): DataFrame = {
     // the signature frame feeds FOUR plan branches (anti-join left side,
     // corpus probe, both sides of the within-batch self-join) — persist
     // it or the minhash-over-text computation runs 4× per action.
     // dupPassageProfile's eager pattern: persist, one checkpointing job
     // over the batch-sized result, signature blocks freed on return.
-    val sig = withLshBands(withMinHash(newBatch, textCol, k, shingleN, portable),
-        k, bands)
-      .drop((0 until k).map(j => s"mh$j"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = bandsLong(sig, bands, Seq(idCol))
-    val corpusLong = bandsLong(corpusBands, bands, Nil)
     val crossHit = batchBands
       .join(corpusLong, Seq("band", "bh"), "left_semi")
       .select(col(idCol)).distinct()

@@ -1,8 +1,11 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.{Dedup, TextAnalysis}
 
@@ -97,39 +100,113 @@ object CorpusIngest {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** `transformWithState` runs only on the RocksDB state store. The
-    * engine DEFAULT (HDFS-backed — `getOption` surfaces defaults too)
-    * counts as "no choice": default RocksDB in. Refuse loudly on a
-    * deliberately-chosen third-party provider (silently flipping a
-    * session-wide conf under other running queries would be worse).
+  /** `transformWithState` runs only on the RocksDB state store. An
+    * EXPLICITLY-set non-RocksDB provider (including a deliberate
+    * HDFS-backed choice — `conf.getAll` lists only explicitly-set
+    * entries, unlike `getOption`, which surfaces built-in defaults) is
+    * refused loudly: silently flipping it under a user who chose it
+    * would break their other queries' existing state checkpoints. The
+    * engine DEFAULT counts as "no choice": default RocksDB in.
     */
   private def ensureRocksDb(spark: SparkSession): Unit =
-    spark.conf.getOption(ProviderKey) match {
+    spark.conf.getAll.get(ProviderKey) match {
       case None => spark.conf.set(ProviderKey, RocksDbProvider)
       case Some(v) if v.contains("RocksDB") => ()
-      case Some(v) if v.endsWith("HDFSBackedStateStoreProvider") =>
-        spark.conf.set(ProviderKey, RocksDbProvider)
       case Some(v) => throw new IllegalStateException(
         s"CorpusIngest needs the RocksDB state store for transformWithState " +
-          s"(seen-hash ValueState); session has $ProviderKey=$v — unset it or " +
-          s"set it to $RocksDbProvider")
+          s"(seen-hash ValueState); session has $ProviderKey=$v explicitly " +
+          s"set — unset it or set it to $RocksDbProvider")
+    }
+
+  /** Set-provider → start → restore windows of concurrent
+    * [[startDedupedCorpusSink]] calls must not interleave (the started
+    * stream captures the session conf as of `start()`). Serialized on
+    * this JVM-wide lock; see the scaladoc note on `startDedupedCorpusSink`
+    * for the residual caveat about NON-graft queries started in the
+    * window (a per-query conf needs `cloneSession`, which Spark does not
+    * expose publicly).
+    */
+  private val providerFlipLock = new Object
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** True when `dir` holds actual table content — at least one
+    * non-hidden entry. The corpus directory can pre-exist EMPTY of data
+    * (epoch-claim and band-index bookkeeping live in `_graft_*`
+    * subdirectories, which parquet readers and this check both ignore),
+    * so bare `fs.exists` is not "a corpus exists"; and catching
+    * `AnalysisException` around a read is too wide — it also swallows
+    * unresolved-COLUMN errors, silently disabling dedup against a
+    * mismatched-schema corpus. Existence checks here, column errors
+    * propagate loudly.
+    */
+  private def hasData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
     }
 
   /** The one-time bootstrap read: the corpus's stored hash column (a
-    * single-column pruned parquet scan), or empty when no corpus exists
-    * yet. Executed once per FRESH-checkpoint query start, never per
-    * batch.
+    * single-column pruned parquet scan), or empty when no corpus data
+    * exists yet. Executed once per FRESH-checkpoint query start, never
+    * per batch. Pointing the sink at an existing corpus WITHOUT a
+    * `content_hash` column (e.g. a near-dup corpus) fails loudly here
+    * instead of silently bootstrapping an empty seen-set.
     */
   private def initialSeen(spark: SparkSession,
       corpusPath: String): KeyValueGroupedDataset[String, SeenHash] = {
     import spark.implicits._
+    val (fs, dir) = fsFor(spark, corpusPath)
     val seen =
-      try spark.read.parquet(corpusPath)
+      if (!hasData(fs, dir)) spark.emptyDataset[SeenHash] // first ever start
+      else spark.read.parquet(corpusPath)
         .select(col("content_hash")).distinct().as[SeenHash]
-      catch { case _: org.apache.spark.sql.AnalysisException => // first ever start
-        spark.emptyDataset[SeenHash]
-      }
     seen.groupByKey(_.content_hash)
+  }
+
+  // ------------------------------------------------------ epoch claims
+
+  /** Bookkeeping directory under the corpus: one zero-byte claim file
+    * per epoch ever pinned. Underscore-prefixed, so parquet partition
+    * discovery never sees it.
+    */
+  private val ClaimsDir = "_graft_epochs"
+
+  private def claimedEpochs(fs: FileSystem, claims: Path): Seq[Long] =
+    if (!fs.exists(claims)) Nil
+    else fs.listStatus(claims).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("epoch-")) n.stripPrefix("epoch-").toLongOption else None
+    }
+
+  /** Atomically claim the first free epoch ≥ `floor` by creating
+    * `<corpus>/_graft_epochs/epoch-N` with overwrite=false — the
+    * create-exclusive is the arbitration, so two queries pinning
+    * CONCURRENTLY against the same corpus get DISTINCT epochs (the
+    * round-7 design derived the epoch from the corpus max alone, and two
+    * fresh starts racing before either wrote data could both pin the
+    * same value). A crash after the claim but before the checkpoint
+    * marker orphans the claim — a harmless gap in the epoch sequence.
+    */
+  private def claimEpoch(fs: FileSystem, corpusDir: Path, floor: Long): Long = {
+    val claims = new Path(corpusDir, ClaimsDir)
+    fs.mkdirs(claims)
+    var cand = math.max(floor, claimedEpochs(fs, claims).foldLeft(-1L)(math.max) + 1L)
+    while (true) {
+      val f = new Path(claims, s"epoch-$cand")
+      try {
+        fs.create(f, false).close()
+        return cand
+      } catch {
+        case e: java.io.IOException =>
+          if (fs.exists(f)) cand += 1L // lost the race for this value — bump
+          else throw e                 // a real FS failure, not contention
+      }
+    }
+    -1L // unreachable
   }
 
   /** Per-checkpoint EPOCH: the corpus is partitioned by
@@ -140,23 +217,22 @@ object CorpusIngest {
     * overwrite another query's keepers. (A single-level `base+batchId`
     * scheme still collided when an old checkpoint resumed with new
     * batches beyond its original range.) The epoch is pinned in
-    * `<checkpoint>/graft-epoch` at first start (max existing corpus
-    * epoch + 1; 0 with no corpus), via the checkpoint's Hadoop
-    * filesystem:
+    * `<checkpoint>/graft-epoch` at first start, via the checkpoint's
+    * Hadoop filesystem:
+    *  - the value is CLAIMED in the corpus directory first
+    *    ([[claimEpoch]]'s atomic create-exclusive), so concurrent fresh
+    *    starts against one corpus pin distinct epochs;
     *  - a RESTART of the same checkpoint re-reads its pinned epoch —
     *    batch N keeps mapping to the same partition, preserving the
     *    replay idempotence of the dynamic-partition-overwrite sink;
     *  - an empty/unreadable marker (crash between create and write) is
-    *    treated as ABSENT and re-derived — never a bricked checkpoint;
-    *  - the one remaining collision window is two queries pinning
-    *    CONCURRENTLY against the same corpus (both read the same max
-    *    epoch); serialize first starts if running multiple writers.
+    *    treated as ABSENT and re-derived — never a bricked checkpoint.
     */
   private def queryEpoch(spark: SparkSession, corpusPath: String,
       checkpoint: String): Long = {
-    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val cp = new Path(checkpoint)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(cp, "graft-epoch")
+    val marker = new Path(cp, "graft-epoch")
     val pinned: Option[Long] =
       if (!fs.exists(marker)) None
       else {
@@ -165,8 +241,10 @@ object CorpusIngest {
         txt.toLongOption // empty/garbled marker == absent, re-derive below
       }
     pinned.getOrElse {
-      val epoch =
-        try {
+      val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
+      val floor =
+        if (!hasData(corpusFs, corpusDir)) 0L
+        else {
           val schema = spark.read.parquet(corpusPath).schema
           // a corpus from the pre-epoch single-level layout must be
           // refused LOUDLY: silently pinning epoch 0 would write a
@@ -180,17 +258,18 @@ object CorpusIngest {
           val r = spark.read.parquet(corpusPath)
             .agg(max(col("epoch").cast("long"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
-        } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        }
+      val epoch = claimEpoch(corpusFs, corpusDir, floor)
       fs.mkdirs(cp)
       // write-then-rename: a crash mid-write must not leave a parseable
       // PREFIX (e.g. "1" of "12") that pins a wrong — possibly another
       // checkpoint's — epoch; rename is atomic on HDFS and local FS
-      val tmp = new org.apache.hadoop.fs.Path(cp, s"graft-epoch.tmp")
+      val tmp = new Path(cp, s"graft-epoch.tmp")
       val out = fs.create(tmp, true)
       try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
       if (fs.rename(tmp, marker)) epoch
-      else { // lost a concurrent pin race — adopt whatever won
-        fs.delete(tmp, false)
+      else { // lost a concurrent pin race on the CHECKPOINT — adopt the
+        fs.delete(tmp, false) // winner; our claim stays as a gap
         queryEpoch(spark, corpusPath, checkpoint)
       }
     }
@@ -213,70 +292,185 @@ object CorpusIngest {
         "would cast to null; map them to longs upstream")
   }
 
+  // ------------------------------------------------- bucketed band index
+
+  /** The near-dup sink's probe index: a sidecar parquet table under
+    * `<corpus>/_graft_bands` (hidden from the corpus's own readers) with
+    * one row per keeper band value, laid out
+    * `pfx=<prefix>/epoch=N/batch_id=M/` where `pfx` is the band hash's
+    * first `prefixLen` hex chars. A micro-batch's probe prunes to the
+    * buckets its OWN band prefixes hit, so probe bytes-read per batch is
+    * O(matching buckets), NOT O(corpus) — the same fix the exact sink
+    * got via ValueState, expressed as partition pruning because a band
+    * MEMBERSHIP probe (does any stored band equal any of this doc's
+    * `bands` hashes?) spans keys and can't be a per-key state lookup.
+    */
+  private val BandsDir = "_graft_bands"
+  private val BandsMetaFile = "_graft_meta"
+
+  private def bandsMeta(k: Int, bands: Int, shingleN: Int, prefixLen: Int): String =
+    s"k=$k bands=$bands shingleN=$shingleN prefixLen=$prefixLen"
+
+  private def bandIndexSchema(): StructType = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh", StringType),
+    StructField("pfx", StringType), StructField("epoch", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Ensure `<corpus>/_graft_bands` exists and matches this sink's LSH
+    * parameters; called once at query start.
+    *  - no corpus yet → create the index dir and pin the parameters;
+    *  - corpus data but no index (a round-7-layout corpus being adopted)
+    *    → ONE-TIME backfill from the corpus's stored band columns,
+    *    written to `_graft_bands.tmp` then atomically renamed so a crash
+    *    mid-backfill can never leave a partial index that later batches
+    *    would trust (a partial probe side silently re-admits near-dups);
+    *  - index present with DIFFERENT parameters → refuse loudly (probing
+    *    bands built under another k/bands/shingleN is silent semantic
+    *    drift, not an error Spark would surface).
+    */
+  private def ensureBandIndex(spark: SparkSession, corpusPath: String,
+      k: Int, bands: Int, shingleN: Int, prefixLen: Int): Unit = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, BandsDir)
+    val expected = bandsMeta(k, bands, shingleN, prefixLen)
+    def readMeta(at: Path): Option[String] = {
+      val f = new Path(at, BandsMetaFile)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      }
+    }
+    def writeMeta(at: Path): Unit = {
+      val out = fs.create(new Path(at, BandsMetaFile), true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(idx)) {
+      val got = readMeta(idx)
+      require(got.contains(expected),
+        s"band index at $idx was built with ${got.getOrElse("unknown parameters")} " +
+          s"but this sink uses $expected — use matching k/bands/shingleN/prefixLen " +
+          "or rebuild the index (delete the directory to trigger a backfill)")
+    } else if (hasData(fs, corpusDir)) {
+      // adoption backfill: explode the stored band columns ONCE. A corpus
+      // without band columns (e.g. an exact-dedup corpus at this path)
+      // fails loudly right here on column resolution.
+      val tmp = new Path(corpusDir, BandsDir + ".tmp")
+      fs.delete(tmp, true)
+      Dedup.bandsLong(
+          spark.read.parquet(corpusPath)
+            .select((0 until bands).map(b => col(s"band$b")) :+
+              col("epoch").cast("long").as("epoch") :+
+              col("batch_id").cast("long").as("batch_id"): _*),
+          bands, Seq("epoch", "batch_id"))
+        .withColumn("pfx", substring(col("bh"), 1, prefixLen))
+        .select("band", "bh", "pfx", "epoch", "batch_id")
+        .write.mode("overwrite")
+        .partitionBy("pfx", "epoch", "batch_id")
+        .parquet(tmp.toString)
+      writeMeta(tmp)
+      if (!fs.rename(tmp, idx)) {
+        // lost a concurrent-adoption race; the winner's index must match
+        fs.delete(tmp, true)
+        require(readMeta(idx).contains(expected),
+          s"concurrent band-index build at $idx finished with different parameters")
+      }
+    } else {
+      fs.mkdirs(idx)
+      writeMeta(idx)
+    }
+  }
+
+  /** The per-batch probe side: stored band rows from buckets matching
+    * the batch's own prefixes, minus the batch's own (epoch, batch_id)
+    * partition (an intact-checkpoint REPLAY must not probe against the
+    * partition it is about to rewrite). `pfx`/`epoch`/`batch_id` are
+    * partition columns, so these filters prune DIRECTORIES — the scan
+    * never touches non-matching buckets, and feeding it an explicit
+    * schema keeps an empty index (fresh corpus) a plain empty relation.
+    */
+  private[streaming] def probeBands(spark: SparkSession, corpusPath: String,
+      epoch: Long, batchId: Long, pfxs: Seq[String]): DataFrame =
+    spark.read.schema(bandIndexSchema())
+      .parquet(new Path(new Path(corpusPath), BandsDir).toString)
+      .filter(col("pfx").isin(pfxs: _*) &&
+        !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
+      .select(col("band"), col("bh"))
+
   /** Start the NEAR-dup-deduped corpus sink — the fuzzy form of
     * [[startDedupedCorpusSink]]: a batch doc is dropped when it LSH
     * band-matches the already-ingested corpus (near-dups arriving in
     * later micro-batches are caught, not just exact copies) or a
     * smaller-id doc of its own batch. Composes
-    * [[Dedup.incrementalNearDup]] (the oracle-checked batch probe) with
-    * the batch_id-partition exactly-once sink; the corpus stores each
-    * keeper's `band0..band{bands-1}` columns, so the per-batch probe
-    * reads ONLY those (a `bands`-column pruned scan, never the text).
+    * [[Dedup.incrementalNearDupFromSig]] (the oracle-checked batch
+    * probe, qd37) with the batch_id-partition exactly-once sink; each
+    * batch's keepers land in the corpus (with their `band0..` columns)
+    * AND in the bucketed [[BandsDir]] probe index.
     *
     * Replay: with the checkpoint INTACT (foreachBatch re-fired after a
     * sink-committed crash) the pinned [[queryEpoch]] maps the batch to
     * its original (epoch, batch_id) partition, the probe excludes that
-    * partition, and the dynamic overwrite rewrites it with identical
-    * content. With the checkpoint LOST, the fresh epoch owns a new
-    * partition subtree, so the replayed docs band-match their own
-    * originals in the probe and the batch writes nothing — either way
-    * the corpus is byte-identical, and no query can overwrite another
-    * epoch's partitions.
+    * partition, and the dynamic overwrite rewrites corpus AND index
+    * partitions with identical content. With the checkpoint LOST, the
+    * fresh epoch owns a new partition subtree, so the replayed docs
+    * band-match their own originals in the probe and the batch writes
+    * nothing — either way the corpus is byte-identical, and no query can
+    * overwrite another epoch's partitions. A crash BETWEEN the corpus
+    * write and the index write re-fires the batch (the checkpoint offset
+    * commits only after foreachBatch returns), which rewrites both
+    * partitions identically — the index can never stay behind the corpus.
     *
-    * Scale note: unlike the exact sink's ValueState seen-set, the probe
-    * re-reads the corpus's band columns each batch — the band-set
-    * membership a drop decision needs spans `bands` state keys per doc,
-    * which `transformWithState`'s per-key visit can't aggregate without
-    * also poisoning state with dropped docs' bands. Pruned to `bands`
-    * hash columns the scan is narrow, but it does grow with the corpus;
-    * a bucketed-by-band-prefix corpus layout is the next step if this
-    * becomes the bottleneck.
+    * Scale note: the probe reads only the index buckets matching the
+    * batch's own band prefixes — per-batch probe bytes are
+    * O(matching buckets), independent of how many OTHER buckets the
+    * corpus has grown (StreamingSpec pins this with a bytes-read
+    * listener). Bucket fan-out is 16^prefixLen; raise `prefixLen` to 2
+    * (256 buckets) when corpus band rows per bucket get large enough
+    * that a trickle batch's probe still reads too much.
     */
   def startNearDupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1, k: Int = 16, bands: Int = 4,
-      shingleN: Int = 3,
+      shingleN: Int = 3, prefixLen: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8], got $prefixLen")
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
+    ensureBandIndex(docs.sparkSession, corpusPath, k, bands, shingleN, prefixLen)
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val gated = batch
           .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        val corpusBands =
-          try spark.read.parquet(corpusPath)
-            .filter(!(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
-            .select((0 until bands).map(b => col(s"band$b")): _*)
-          catch { // first batch: no corpus yet → empty probe side
-            case _: org.apache.spark.sql.AnalysisException =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                org.apache.spark.sql.types.StructType((0 until bands).map(b =>
-                  org.apache.spark.sql.types.StructField(
-                    s"band$b", org.apache.spark.sql.types.StringType))))
-          }
-        Dedup.incrementalNearDup(gated, corpusBands, "doc_id", "text",
-            k = k, bands = bands, shingleN = shingleN)
+        // signatures once (persisted), THEN the prefix set — ≤16^prefixLen
+        // distinct single-chunk strings, a metadata-sized driver collect
+        val sig = Dedup.lshSignature(gated, "text", k, bands, shingleN)
+        val pfxs = sig.select(explode(array((0 until bands).map(b =>
+            substring(col(s"band$b"), 1, prefixLen)): _*)).as("p"))
+          .distinct().as[String].collect().toSeq
+        val keepers = Dedup.incrementalNearDupFromSig(sig,
+            probeBands(spark, corpusPath, epoch, batchId, pfxs),
+            "doc_id", bands)
+        keepers
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
+        Dedup.bandsLong(keepers, bands, Nil)
+          .withColumn("pfx", substring(col("bh"), 1, prefixLen))
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
+          .select("band", "bh", "pfx", "epoch", "batch_id")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pfx", "epoch", "batch_id")
+          .parquet(new Path(new Path(corpusPath), BandsDir).toString)
         ()
       }
       .start()
@@ -284,6 +478,16 @@ object CorpusIngest {
 
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
     * `text`; rows under `minTokens` are dropped by the quality gate.
+    *
+    * Conf-flip caveat: the RocksDB provider conf must read RocksDB when
+    * THIS query starts (the stream captures its own session-conf copy at
+    * `start()`), so the session value is set before and restored right
+    * after, under [[providerFlipLock]] — concurrent corpus-sink starts
+    * serialize and never see each other's flip. A NON-graft streaming
+    * query started concurrently inside that window from another thread
+    * still captures the flipped value (Spark exposes no public per-query
+    * conf or `cloneSession`); if that query carries an HDFS-format state
+    * checkpoint, start it outside a corpus-sink start window.
     */
   def startDedupedCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1,
@@ -300,30 +504,28 @@ object CorpusIngest {
     val keepers = gated.groupByKey(_.content_hash)
       .transformWithState(new SeenHashProcessor,
         TimeMode.None(), OutputMode.Append(), initialSeen(spark, corpusPath))
-    // The provider conf must read RocksDB when THIS query starts; the
-    // stream captures its own cloned session then, so the session-wide
-    // value is restored right after — other queries (and their existing
-    // HDFS-format state checkpoints) never see the flip.
-    val prior = spark.conf.getOption(ProviderKey)
-    ensureRocksDb(spark)
-    try {
-      keepers.writeStream
-        .outputMode("append")
-        .trigger(trigger)
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-          batch.withColumn("epoch", lit(epoch))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "batch_id")
-            .parquet(corpusPath)
-          ()
-        }
-        .start()
-    } finally prior match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
+    providerFlipLock.synchronized {
+      val prior = spark.conf.getAll.get(ProviderKey)
+      ensureRocksDb(spark)
+      try {
+        keepers.writeStream
+          .outputMode("append")
+          .trigger(trigger)
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
+            batch.withColumn("epoch", lit(epoch))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("epoch", "batch_id")
+              .parquet(corpusPath)
+            ()
+          }
+          .start()
+      } finally prior match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
     }
   }
 }

@@ -557,6 +557,169 @@ class StreamingSpec extends SparkSpec {
     assert(nd === Set((1L, 0L, 0L), (3L, 1L, 0L))) // near-dup dropped; fresh doc in its own epoch
   }
 
+  test("near-dup sink probe is bucket-pruned: probe bytes do NOT grow with corpus partitions in other buckets") {
+    // The round-7 formulation re-read EVERY epoch's full band columns per
+    // batch — O(batches × corpus) cumulative. The bucketed _graft_bands
+    // index prunes the probe to the batch's own band-hash prefixes; proof:
+    // probe a near-dup, grow the corpus with docs whose band prefixes are
+    // DISJOINT from the probe's buckets, probe the same text again — the
+    // second probe's executor file-input bytes must be EXACTLY the first's
+    // (its buckets are byte-identical; the growth all landed elsewhere).
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Dedup
+    val corpus = tmpDir("bkt-corpus")
+    val cp = tmpDir("bkt-cp")
+
+    def mkDoc(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+    val tA = mkDoc("alpha")
+    val probeText = tA + " tail word" // near-dup of tA (shares ≥1 LSH band)
+
+    // one job: band-hash prefixes of the probe text and of filler candidates
+    val cands = ((-1L, probeText) +: (0 until 200).map(i => (i.toLong, mkDoc(s"fill${i}x")))).toDF("doc_id", "text")
+    val pfxOf = Dedup.withLshBands(Dedup.withMinHash(cands, "text", 16, 3), 16, 4)
+      .select(col("doc_id"), array((0 until 4).map(b => substring(col(s"band$b"), 1, 1)): _*).as("p"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val probePfxs = pfxOf(-1L)
+    val fillers = (0 until 200).filter(i => pfxOf(i.toLong).intersect(probePfxs).isEmpty).take(6)
+    assert(fillers.size === 6, s"test fixture: need 6 prefix-disjoint fillers, found ${fillers.size}")
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+      q.awaitTermination()
+    }
+    def measuredRun(): Long = {
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try { run(); drained() } finally spark.sparkContext.removeSparkListener(listener)
+      bytesRead.get()
+    }
+
+    ms.addData((10L, tA)) // batch 0: the keeper whose buckets the probe hits
+    run()
+    ms.addData((20L, probeText)) // batch 1: near-dup → dropped via index probe
+    val b1 = measuredRun()
+    assert(b1 > 0L, "probe read nothing — the near-dup was not checked against the index")
+
+    // grow the corpus: 3 batches of prefix-disjoint fillers (all kept)
+    fillers.grouped(2).foreach { pair =>
+      pair.foreach(i => ms.addData((100L + i, mkDoc(s"fill${i}x"))))
+      run()
+    }
+    ms.addData((90L, probeText)) // same probe text, new id → same buckets
+    val b2 = measuredRun()
+    assert(b2 === b1,
+      s"probe bytes grew with corpus partitions in OTHER buckets ($b1 → $b2) — bucket pruning is broken")
+
+    val docs = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(docs === (Set(10L) ++ fillers.map(i => 100L + i)), s"got $docs")
+    // and the growth really landed outside the probe's buckets
+    val idx = new java.io.File(corpus, "_graft_bands")
+    val otherBuckets = idx.listFiles().filter(f =>
+      f.getName.startsWith("pfx=") && !probePfxs.contains(f.getName.stripPrefix("pfx=")))
+    assert(otherBuckets.nonEmpty, "fixture degenerate: fillers created no non-probe buckets")
+  }
+
+  test("concurrent fresh checkpoints claim DISTINCT epochs before either writes data") {
+    // Round 7's epoch was derived from the corpus max alone, so two fresh
+    // queries starting against the same (still-empty) corpus both pinned
+    // epoch 0 and could dynamically overwrite each other's partitions. The
+    // claim files under _graft_epochs arbitrate via atomic create-exclusive:
+    // start BOTH queries before feeding either (neither has corpus data to
+    // derive from — the exact race), then feed and assert distinct epochs.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("claim-corpus")
+    val msA = MemoryStream[(Long, String)]
+    val msB = MemoryStream[(Long, String)]
+    val cpA = tmpDir("claim-cpA")
+    val cpB = tmpDir("claim-cpB")
+    def start(ms: MemoryStream[(Long, String)], cp: String) =
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+
+    // both queries pin their epoch at start — no data written yet
+    start(msA, cpA).awaitTermination()
+    start(msB, cpB).awaitTermination()
+    val claims = new java.io.File(corpus, "_graft_epochs").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(claims === Set("epoch-0", "epoch-1"), s"got $claims")
+
+    msA.addData((1L, "doc from writer a"))
+    start(msA, cpA).awaitTermination()
+    msB.addData((2L, "doc from writer b"))
+    start(msB, cpB).awaitTermination()
+    val state = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("epoch").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(state.map(_._1) === Set(1L, 2L))
+    assert(state.map(_._2).size === 2, s"writers shared an epoch: $state")
+  }
+
+  test("corpus sinks fail LOUDLY on a mismatched-schema corpus instead of silently disabling dedup") {
+    // The round-7 bootstrap/probe caught ALL AnalysisExceptions as "no
+    // corpus yet" — pointing the exact sink at a near-dup corpus (no
+    // content_hash) or vice versa silently yielded an empty seen-set
+    // every batch. Existence is now a FileSystem check; column-resolution
+    // errors propagate.
+    implicit val ctx = spark.sqlContext
+    val tA = (0 until 60).map(i => s"mix$i").mkString(" ")
+
+    // a NEAR-dup corpus (band columns, no content_hash)…
+    val ndCorpus = tmpDir("mix-nd-corpus")
+    val ms1 = MemoryStream[(Long, String)]
+    ms1.addData((1L, tA))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms1.toDF().toDF("doc_id", "text"), ndCorpus, tmpDir("mix-nd-cp"),
+      minTokens = 1).awaitTermination()
+    // …refused by the EXACT sink (unresolved content_hash, at start)
+    val ms2 = MemoryStream[(Long, String)]
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms2.toDF().toDF("doc_id", "text"), ndCorpus, tmpDir("mix-ex-cp"))
+    }
+
+    // an EXACT corpus (content_hash, no band columns)…
+    val exCorpus = tmpDir("mix-ex-corpus")
+    val ms3 = MemoryStream[(Long, String)]
+    ms3.addData((1L, tA))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms3.toDF().toDF("doc_id", "text"), exCorpus, tmpDir("mix-ex-cp2"),
+      minTokens = 1).awaitTermination()
+    // …refused by the NEAR-dup sink (band-index backfill can't resolve band0)
+    val ms4 = MemoryStream[(Long, String)]
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        ms4.toDF().toDF("doc_id", "text"), exCorpus, tmpDir("mix-nd-cp2"))
+    }
+
+    // and a parameter-mismatched band index is refused, not silently probed
+    val ms5 = MemoryStream[(Long, String)]
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        ms5.toDF().toDF("doc_id", "text"), ndCorpus, tmpDir("mix-nd-cp3"),
+        bands = 2)
+    }
+    assert(err.getMessage.contains("band index"))
+  }
+
   test("corpus sinks refuse non-integral doc_id loudly") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, String)]
