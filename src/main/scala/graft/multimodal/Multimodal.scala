@@ -417,12 +417,16 @@ object Multimodal {
       def go(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
-          val size = u32be(bytes, off).toInt
+          // Long, not Int: a declared u32 size in [2^31-off, 2^31) passes
+          // the size->=-8 guard but wraps `off + size` negative as Int —
+          // the next header read would throw instead of returning failed
+          // (the AVI walker's strict-advance contract, PropertySpec)
+          val size = u32be(bytes, off)
           if (size < 8) return
           val cc = fourcc(off + 4)
           val p = off + 8
           cc match {
-            case c if containers(c) => go(p, math.min(end, off + size))
+            case c if containers(c) => go(p, math.min(end.toLong, off + size).toInt)
             case "tkhd" if tw == 0 && p + 4 <= end => // guard the version read
               val v = bytes(p) & 0xff
               // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
@@ -437,7 +441,9 @@ object Multimodal {
               samples = math.max(samples, u32be(bytes, p + 8))
             case _ => ()
           }
-          off += size
+          val next = off + size // Long: cannot wrap
+          if (next <= off || next > end) return // malformed: must strictly advance
+          off = next.toInt
         }
       }
       go(start, end)
@@ -446,14 +452,14 @@ object Multimodal {
     def walk(start: Int, end: Int): Unit = {
       var off = start
       while (off + 8 <= end) {
-        val size = u32be(bytes, off).toInt
+        val size = u32be(bytes, off) // Long — see walkTrak's overflow note
         if (size < 8) return // malformed/64-bit sizes: stop, keep findings
         val cc = fourcc(off + 4)
         val p = off + 8
         cc match {
-          case c if containers(c) => walk(p, math.min(end, off + size))
+          case c if containers(c) => walk(p, math.min(end.toLong, off + size).toInt)
           case "trak" =>
-            val (tw, th, samples) = walkTrak(p, math.min(end, off + size))
+            val (tw, th, samples) = walkTrak(p, math.min(end.toLong, off + size).toInt)
             if (tw > 0 && th > 0 && w == 0) { // first video trak wins
               w = tw; h = th; nFrames = samples
             }
@@ -468,7 +474,9 @@ object Multimodal {
             }
           case _ => ()
         }
-        off += size
+        val next = off + size // Long: cannot wrap
+        if (next <= off || next > end) return // malformed: must strictly advance
+        off = next.toInt
       }
     }
     walk(0, bytes.length)

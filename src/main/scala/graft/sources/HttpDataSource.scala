@@ -187,7 +187,11 @@ private[sources] case class HttpReaderFactory(required: StructType,
             case e: InterruptedException =>
               Thread.currentThread().interrupt(); throw e
             case scala.util.control.NonFatal(_) if attempt < conf.maxRetries =>
-              Thread.sleep(conf.retryBackoffMs << attempt) // 250, 500, 1000…
+              try Thread.sleep(conf.retryBackoffMs << attempt) // 250, 500, 1000…
+              catch { // a task kill during backoff must keep the flag set too
+                case e: InterruptedException =>
+                  Thread.currentThread().interrupt(); throw e
+              }
               attempt += 1
             case scala.util.control.NonFatal(e) =>
               throw new java.io.IOException(
@@ -210,6 +214,17 @@ private[sources] case class HttpReaderFactory(required: StructType,
           if (n.isMissingNode || n.isNull) None
           else Some(if (n.isTextual) n.asText() else n.toString)
         }.filter(_.nonEmpty)
+          // real APIs commonly return RELATIVE next-page URLs — resolve
+          // against the page they came from (absolute next URLs pass
+          // through unchanged; an unparseable value still fails loudly,
+          // naming the URL, not with an opaque builder error downstream)
+          .map { n =>
+            try new java.net.URI(u).resolve(n).toString
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"graft-http: cannot resolve next-page URL '$n' against $u", e)
+            }
+          }
         (arr.elements().asScala.map(toRow), nextUrl)
       }
 

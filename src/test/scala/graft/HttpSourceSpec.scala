@@ -174,6 +174,33 @@ class HttpSourceSpec extends SparkSpec {
     assert(msgs.contains("maxPages=2"), msgs)
   }
 
+  test("DSv2 graft-http: RELATIVE next-page URLs resolve against the current page") {
+    // real APIs commonly return "/v1/drivers?page=2" — it must resolve
+    // against the page it came from, not reach the HTTP client raw (which
+    // failed with an opaque non-absolute-URI error)
+    graft.sources.HttpFetchers.register("spec-relative", {
+      case "https://example.invalid/v1/start" =>
+        """{"items":[{"driver_number":"1","driver_name":"A","headshot_url":"h"}],
+          |"next":"/v1/page2"}""".stripMargin // absolute-path relative
+      case "https://example.invalid/v1/page2" =>
+        """{"items":[{"driver_number":"2","driver_name":"B","headshot_url":"h"}],
+          |"next":"page3"}""".stripMargin // sibling relative
+      case "https://example.invalid/v1/page3" =>
+        """{"items":[{"driver_number":"3","driver_name":"C","headshot_url":"h"}],
+          |"next":null}""".stripMargin
+      case u => fail(s"relative next-page URL not resolved: $u")
+    })
+    val df = spark.read.format("graft-http")
+      .schema(graft.model.Schemas.drivers)
+      .option("url", "https://example.invalid/v1/start")
+      .option("fetcher", "spec-relative")
+      .option("recordPointer", "/items")
+      .option("nextPagePointer", "/next")
+      .load()
+    assert(df.select("driver_number").as[String].collect().sorted.toSeq ===
+      Seq("1", "2", "3"))
+  }
+
   test("jdk-http default fetcher: 2xx body returned; non-2xx fails with status+url (loopback)") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)

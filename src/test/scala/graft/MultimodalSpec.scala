@@ -188,6 +188,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.parseVideoMeta(l.array()).parse_ok)
   }
 
+  test("malformed MP4 box size near 2^31 terminates (no throw), parse_ok=false") {
+    // A declared u32 box size in [2^31-off, 2^31) passes the `size < 8`
+    // guard but wrapped `off + size` negative as Int — the next header
+    // read then threw ArrayIndexOutOfBounds instead of returning failed
+    // (the walkers' contract). Offsets are now Long with a strict-advance
+    // bail-out, mirroring the AVI fix.
+    def be(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    val b = java.nio.ByteBuffer.allocate(12 + 8 + 16)
+    b.put(be(12)).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+    b.put(be(0x7FFFFFFF)).put("free".getBytes("US-ASCII")) // off+size wraps Int
+    b.put(Array.fill[Byte](16)(0))
+    assert(!Multimodal.parseVideoMeta(b.array()).parse_ok)
+
+    // the same overflow inside a trak subtree (the scoped trak walker)
+    val t = java.nio.ByteBuffer.allocate(12 + 8 + 8 + 8 + 16)
+    t.put(be(12)).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+    t.put(be(40)).put("moov".getBytes("US-ASCII"))
+    t.put(be(32)).put("trak".getBytes("US-ASCII"))
+    t.put(be(0x7FFFFFFF)).put("stbl".getBytes("US-ASCII"))
+    t.put(Array.fill[Byte](16)(0))
+    assert(!Multimodal.parseVideoMeta(t.array()).parse_ok)
+  }
+
   test("MP4 n_frames comes from the VIDEO trak, not a larger audio trak") {
     // 3 s @ timescale 600; 72 video frames (24 fps) but 141 AAC packets —
     // the audio trak (0×0 dims) comes first and must NOT win n_frames.

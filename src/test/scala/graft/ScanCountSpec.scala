@@ -87,6 +87,17 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 3, s"dsirWeights made $scans corpus passes")
   }
 
+  test("qd39 gopherFilter: one shared tokenization — exactly 1 corpus scan") {
+    val (docs, acc, n) = docsSource()
+    // the round-7 formulation made 3 passes (signal projection,
+    // top-token explode, dup-n-gram spans) plus the coverage join-back;
+    // the shared persisted (id, text, tokens) base collapses them to ONE
+    // materializing scan — every signal reads the cache.
+    val scans = scansOf(
+      graft.functions.TextAnalysis.gopherFilter(docs, "doc_id", "text"), acc, n)
+    assert(scans <= 1, s"gopherFilter made $scans corpus passes")
+  }
+
   test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))

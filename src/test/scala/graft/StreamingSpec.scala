@@ -720,6 +720,28 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("band index"))
   }
 
+  test("exact sink refuses an EXPLICITLY-set non-RocksDB state store provider (defaults flip silently)") {
+    // conf.getOption surfaces built-in defaults, so it cannot tell "user
+    // chose HDFS" from "engine default"; conf.getAll lists only
+    // explicitly-set entries. An explicit choice — even the HDFS default's
+    // own class name — must refuse, not silently flip (the user's other
+    // queries may carry HDFS-format state checkpoints).
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val hdfs = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    assert(!spark.conf.getAll.contains(key), "fixture: provider unexpectedly set")
+    spark.conf.set(key, hdfs)
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val err = intercept[IllegalStateException] {
+        graft.streaming.CorpusIngest.startDedupedCorpusSink(
+          ms.toDF().toDF("doc_id", "text"),
+          tmpDir("prov-corpus"), tmpDir("prov-cp"))
+      }
+      assert(err.getMessage.contains("explicitly"))
+    } finally spark.conf.unset(key)
+  }
+
   test("corpus sinks refuse non-integral doc_id loudly") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, String)]
