@@ -1332,6 +1332,22 @@ object SparkEntry {
     "qe13_ivfpq_ann" -> ((s, d) =>
       graft.ops.Pipelines.ivfPq(Tables.embeddings(s, d))),
 
+    // rows-only: qe12's PRODUCTION path — per-subspace seeded-KMeans
+    // codebooks (Pq.fitCodebooks, the qe06 learned-centroid convention;
+    // no DuckDB equivalent for the KMeans fit). Same encode/ADC-search
+    // machinery as the oracle-checked qe12; SimilaritySpec pins a
+    // recall@k contract vs the qe09-style exact baseline showing the
+    // learned books retrieve AT LEAST as well as qe12's prefix books.
+    "qe14_pq_ann_learned" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val m = Similarity.Pq.codebookMatrices(
+        Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16))
+      Similarity.Pq.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", m, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
     "qe08_ivf_ann_oracle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
@@ -1529,7 +1545,7 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qd12, qe06, qm01/qm02/qm03/qm04,
+  // Keys absent here (qd08, qd11, qd12, qe06, qe14, qm01/qm02/qm03/qm04,
   // qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their

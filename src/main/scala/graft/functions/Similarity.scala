@@ -263,9 +263,14 @@ object Similarity {
 
     /** Learned per-subspace codebooks (seeded KMeans over each slice) —
       * the production path; same (sub, code, cvec) shape.
+      * `sampleFraction < 1` trains each subspace on ONE shared seeded
+      * Bernoulli sample ([[Ivf.fit]]'s convention): at 100 TB the
+      * codebooks need a sketch of each subspace's distribution, not
+      * every row — fit cost scales with the sample while encode always
+      * runs over the full corpus.
       */
     def fitCodebooks(corpus: DataFrame, vecCol: String, nSub: Int,
-        nCodes: Int, seed: Long = 42L): DataFrame = {
+        nCodes: Int, seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
       import org.apache.spark.ml.functions.array_to_vector
@@ -274,8 +279,11 @@ object Similarity {
       require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
       val d = dim / nSub
       val v = asDouble(col(vecCol))
+      val src = if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus
       (0 until nSub).map { m =>
-        val feats = corpus.select(
+        val feats = src.select(
           array_to_vector(slice(v, m * d + 1, d)).as("features"))
         val model = new KMeans().setK(nCodes).setSeed(seed + m).setMaxIter(10)
           .fit(feats)

@@ -255,6 +255,44 @@ class SimilaritySpec extends SparkSpec {
     assert(learned > 0.5, f"learned codebooks reconstruct poorly: $learned%.4f")
   }
 
+  test("PQ recall@k (qe14): learned codebooks retrieve at least as well as prefix codebooks vs the exact baseline") {
+    // the qe14 contract: ADC search with fitCodebooks (seeded per-subspace
+    // KMeans, the production path) must match or beat the oracle-checked
+    // prefix-codebook search (qe12) on recall@k against the EXACT
+    // brute-force cosine top-k (the qe09-family baseline, knnJoin)
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    def topSets(res: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.knnJoin(queries, emb, "vec_id", "embedding", k))
+    def recall(m: Array[Array[Array[Double]]]): Double = {
+      val approx = topSets(Similarity.Pq.search(queries, emb, "vec_id", "embedding", m, k))
+      val hits = exact.map { case (q, ex) =>
+        approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      hits.sum / hits.size
+    }
+    val prefixRecall = recall(Similarity.Pq.codebookMatrices(
+      Similarity.Pq.prefixCodebooks(emb, "vec_id", "embedding", 8, 16)))
+    val learnedRecall = recall(Similarity.Pq.codebookMatrices(
+      Similarity.Pq.fitCodebooks(emb, "embedding", 8, 16)))
+    assert(learnedRecall >= prefixRecall,
+      f"learned=$learnedRecall%.3f < prefix=$prefixRecall%.3f")
+    assert(learnedRecall > 0.2,
+      f"learned-codebook recall@$k degenerate: $learnedRecall%.3f")
+    // sampled fit (the 100 TB path): on sf0.001's ~1k-vector fixture a
+    // 50% sample leaves few rows per code, so only a non-degeneracy
+    // bound is honest here — half the full-fit's recall floor
+    val sampledRecall = recall(Similarity.Pq.codebookMatrices(
+      Similarity.Pq.fitCodebooks(emb, "embedding", 8, 16, sampleFraction = 0.5)))
+    assert(sampledRecall > 0.1,
+      f"sampled-fit recall@$k degenerate: $sampledRecall%.3f " +
+        f"(learned=$learnedRecall%.3f prefix=$prefixRecall%.3f)")
+  }
+
   test("PQ encode plans as a narrow map: no Exchange, no Window, no Join") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
