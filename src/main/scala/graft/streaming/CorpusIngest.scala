@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.{Dedup, NativeExpressions, TextAnalysis}
 
 /** Streaming capstone for the LLM-data pipeline: a stream of new
   * documents → quality gate → incremental exact dedup against the
@@ -381,6 +381,39 @@ object CorpusIngest {
     }
   }
 
+  /** The per-batch benchmark-contamination gate (qd22's
+    * [[TextAnalysis.decontaminate]] as a sink stage): a batch doc
+    * sharing ANY token `n`-gram with the benchmark set is dropped
+    * before it can reach the corpus — the STREAMING form of the
+    * batch-only qd38 report (which can only tell you AFTER the fact
+    * that an eval row leaked into training data). The gram set is built
+    * once at query start (eval benchmarks are tiny) and persisted; each
+    * batch pays one batch-sized gram explode + a broadcast semi-probe —
+    * the corpus is never touched, nothing shuffles but batch ids.
+    */
+  private def contaminationGate(docs: DataFrame,
+      benchGrams: Option[DataFrame], n: Int): DataFrame =
+    benchGrams.fold(docs) { bg =>
+      val hit = docs.select(col("doc_id"),
+          explode(NativeExpressions.shingleHashes(col("text"), n)).as("__g"))
+        .join(broadcast(bg), "__g")
+        .select(col("doc_id")).distinct()
+      docs.join(hit, Seq("doc_id"), "left_anti")
+    }
+
+  /** Distinct benchmark gram hashes, persisted for the life of the
+    * query (re-shingling the benchmark every micro-batch would re-read
+    * its source every trigger).
+    */
+  private def benchGramSet(benchmark: Option[DataFrame],
+      benchTextCol: String, n: Int): Option[DataFrame] =
+    benchmark.map { b =>
+      b.select(explode(
+          NativeExpressions.shingleHashes(col(benchTextCol), n)).as("__g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The per-batch probe side: stored band rows from buckets matching
     * the batch's own prefixes, minus the batch's own (epoch, batch_id)
     * partition (an intact-checkpoint REPLAY must not probe against the
@@ -431,11 +464,14 @@ object CorpusIngest {
   def startNearDupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, prefixLen: Int = 1,
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      benchGramN: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8], got $prefixLen")
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     ensureBandIndex(docs.sparkSession, corpusPath, k, bands, shingleN, prefixLen)
+    val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -443,9 +479,11 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val gated = batch
-          .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val gated = contaminationGate(
+          batch
+            .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          benchGrams, benchGramN)
         // signatures once (persisted), THEN the prefix set — ≤16^prefixLen
         // distinct single-chunk strings, a metadata-sized driver collect
         val sig = Dedup.lshSignature(gated, "text", k, bands, shingleN)
@@ -491,11 +529,20 @@ object CorpusIngest {
     */
   def startDedupedCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1,
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      benchGramN: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireDocSchema(docs)
     val epoch = queryEpoch(spark, corpusPath, checkpoint)
+    // the contamination gate runs in foreachBatch (AFTER the state
+    // probe): a contaminated doc claims its hash in state but never
+    // lands in the corpus — any later doc with the same hash is a
+    // duplicate of a contaminated doc (same normalized text, so the
+    // same grams up to case/whitespace) and dropping it too is the
+    // gate's intent, not a loss
+    val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
     val gated = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
@@ -513,7 +560,8 @@ object CorpusIngest {
           .trigger(trigger)
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-            batch.withColumn("epoch", lit(epoch))
+            contaminationGate(batch.toDF(), benchGrams, benchGramN)
+              .withColumn("epoch", lit(epoch))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")

@@ -720,6 +720,55 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("band index"))
   }
 
+  test("corpus sinks: streaming contamination gate — benchmark-overlapping docs never reach the corpus") {
+    // qd38's contamination report is batch-only (it tells you AFTER an
+    // eval row leaked); the sinks' optional benchmark probe drops
+    // contaminated docs per batch, before they land. Plant docs embedding
+    // a benchmark 8-gram across several batches of BOTH sinks; assert
+    // they never appear, clean docs are untouched, and a lost-checkpoint
+    // replay stays byte-identical.
+    implicit val ctx = spark.sqlContext
+    val evalText = "which river is the longest river on the african continent answer the nile"
+    val bench = Seq(Tuple1(evalText)).toDF("text")
+    def contaminated(stem: String): String =
+      (0 until 30).map(i => s"$stem$i").mkString(" ") + " " + evalText
+    def clean(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+
+    // exact sink
+    val corpus = tmpDir("contam-corpus")
+    val cp = tmpDir("contam-cp")
+    val ms = MemoryStream[(Long, String)]
+    def run(checkpoint: String, stream: MemoryStream[(Long, String)]): Unit =
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        stream.toDF().toDF("doc_id", "text"), corpus, checkpoint,
+        minTokens = 3, benchmark = Some(bench)).awaitTermination()
+    def state(): Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+
+    ms.addData((10L, clean("ok")), (11L, contaminated("bad")))
+    run(cp, ms)
+    assert(state() === Set(10L), "batch-0 contaminated doc leaked into the corpus")
+    ms.addData((20L, contaminated("worse")), (21L, clean("fine")))
+    run(cp, ms) // restart, same checkpoint
+    assert(state() === Set(10L, 21L), "batch-1 contaminated doc leaked")
+
+    // lost-checkpoint replay of batch 0: corpus must stay byte-identical
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((10L, clean("ok")), (11L, contaminated("bad")))
+    run(tmpDir("contam-cp2"), ms2)
+    assert(state() === Set(10L, 21L), "replay changed the corpus")
+
+    // near-dup sink: same gate in front of the band probe
+    val ndCorpus = tmpDir("contam-nd-corpus")
+    val ms3 = MemoryStream[(Long, String)]
+    ms3.addData((1L, clean("prose")), (2L, contaminated("leaky")))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms3.toDF().toDF("doc_id", "text"), ndCorpus, tmpDir("contam-nd-cp"),
+      minTokens = 3, benchmark = Some(bench)).awaitTermination()
+    val nd = spark.read.parquet(ndCorpus).select("doc_id").as[Long].collect().toSet
+    assert(nd === Set(1L), "near-dup sink let a contaminated doc through")
+  }
+
   test("exact sink refuses an EXPLICITLY-set non-RocksDB state store provider (defaults flip silently)") {
     // conf.getOption surfaces built-in defaults, so it cannot tell "user
     // chose HDFS" from "engine default"; conf.getAll lists only
@@ -751,6 +800,37 @@ class StreamingSpec extends SparkSpec {
         tmpDir("strid-corpus"), tmpDir("strid-cp"))
     }
     assert(err.getMessage.contains("integral"))
+  }
+
+  test("exact sink state evidence: seen-set rows live in the RocksDB store and grow with distinct hashes") {
+    // The scale claim on the sink ("seen-set in transformWithState
+    // ValueState, RocksDB-backed — per-executor local disk, not JVM
+    // heap") pinned by the query's own state-operator metrics: state
+    // rows == distinct hashes ever admitted (growing across batches,
+    // dups adding nothing), reported by a store whose custom metrics
+    // are RocksDB's.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), tmpDir("state-corpus"),
+      tmpDir("state-cp"), minTokens = 1,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData((0 until 50).map(i => (i.toLong, s"unique doc number $i")): _*)
+      q.processAllAvailable()
+      val p1 = q.lastProgress.stateOperators.head
+      assert(p1.operatorName.toLowerCase.contains("transformwithstate"), p1.operatorName)
+      assert(p1.numRowsTotal === 50L, s"state rows ${p1.numRowsTotal}")
+      // 30 fresh + 20 dups: exactly 30 new state rows
+      ms.addData((50 until 80).map(i => (i.toLong, s"unique doc number $i")) ++
+        (0 until 20).map(i => (1000L + i, s"unique doc number $i")): _*)
+      q.processAllAvailable()
+      val p2 = q.lastProgress.stateOperators.head
+      assert(p2.numRowsTotal === 80L, s"state rows ${p2.numRowsTotal}")
+      val metricKeys = p2.customMetrics.keySet().toArray.map(_.toString)
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state store reports no RocksDB metrics: ${metricKeys.take(10).mkString(", ")}")
+    } finally q.stop()
   }
 
   test("corpus sink: per-batch cost is O(batch) — zero corpus file reads after bootstrap") {
