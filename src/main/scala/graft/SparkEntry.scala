@@ -1076,6 +1076,15 @@ object SparkEntry {
       TextAnalysis.gopherFilter(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: per-source corpus datacard (the dataset-card
+    // rollup corpus releases publish) — doc/token volume, mean length,
+    // mean stopword ratio (DECIMAL-summed 4-dp values: order-free),
+    // English fraction (qd04's argmax rule), exact-dup fraction
+    // (qd01's fingerprint) — one grouped aggregation, every term
+    // deterministic so the whole card replays in SQL
+    "qd40_corpus_datacard" -> ((s, d) =>
+      TextAnalysis.corpusDatacard(Tables.documents(s, d), "text", "source")),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and
@@ -1340,10 +1349,27 @@ object SparkEntry {
     // learned books retrieve AT LEAST as well as qe12's prefix books.
     "qe14_pq_ann_learned" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // fit on a 25% sample — the production posture (codebooks need a
+      // sketch of each subspace's distribution, not every row; encode
+      // and search still run over the full corpus)
       val m = Similarity.Pq.codebookMatrices(
-        Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16))
+        Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16,
+          sampleFraction = 0.25))
       Similarity.Pq.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
           "embedding", m, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
+
+    // oracle-checked: Matryoshka truncated-rerank ANN (Kusupati et al.
+    // 2022) — stage 1 ranks by cosine over the first 16 of 64 dims
+    // (1/4 the scoring cost per pair), keeps 3×4 candidates; stage 2
+    // re-scores only those at full dimension. Both stages' rounding and
+    // tie-breaks replay in SQL.
+    "qe15_mrl_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mrlSearch(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", dPrefix = 16, k = 3, rerankFactor = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
@@ -1981,6 +2007,35 @@ object SparkEntry {
         |LEFT JOIN dupf d USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
 
+    // the datacard rollup: qd03's stopword signal (DECIMAL-summed),
+    // qd04's language argmax (en wins ties, all-zero = und), qd01's
+    // normalization fingerprint for the dup fraction
+    "qd40_corpus_datacard" ->
+      """WITH b AS (SELECT source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lw
+        |  FROM documents),
+        |t AS (SELECT source,
+        |    CAST(len(w) AS BIGINT) AS nt,
+        |    CAST(ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+        |      / GREATEST(len(w), 1), 4) AS DECIMAL(18,4)) AS sw,
+        |    len(list_filter(lw, x -> x IN ('the','and','of','to','is','with'))) AS en,
+        |    len(list_filter(lw, x -> x IN ('le','la','les','et','des','une'))) AS fr,
+        |    len(list_filter(lw, x -> x IN ('el','los','las','y','una','para'))) AS es,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','nicht','ein'))) AS de,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM b)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) AS avg_doc_tokens,
+        |  ROUND(CAST(SUM(sw) AS DOUBLE) / COUNT(*), 4) AS mean_stopword_ratio,
+        |  ROUND(CAST(SUM(CASE WHEN GREATEST(en, fr, es, de) > 0
+        |      AND en = GREATEST(en, fr, es, de) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS en_frac,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     // md5_number_lower(id) % 100 is bit-identical to the Md5BucketExpr
     // kernel (LE uint64 of digest bytes 8..15, unsigned mod)
     "qd23_split_assign" ->
@@ -2389,6 +2444,32 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // the MRL funnel replayed stage by stage: truncated-slice cosine
+    // (v[1:16] — DuckDB slices are 1-based inclusive, = Spark's
+    // slice(v,1,16)), coarse row_number window, candidate cut, full
+    // cosine, final window. Single list_dot_product per score keeps
+    // sequential-double parity with VecDot.
+    "qe15_mrl_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id, v, qv,
+         |    ROUND(list_dot_product(v[1:16], qv[1:16])
+         |      / (sqrt(list_dot_product(v[1:16], v[1:16]))
+         |         * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6) AS coarse_cosine
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY coarse_cosine DESC, neighbor_id) AS crank
+         |    FROM coarse) WHERE crank <= 12),
+         |rescored AS (SELECT query_id, neighbor_id, $duckCos AS cosine FROM cand),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |      FROM rescored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
 
     // SRP-LSH ANN replayed end to end: plane literals → bucket equi-join →
     // cosine ranking. Mirrors Similarity.annLshJoin(k=3, nPlanes=4, dim=64).

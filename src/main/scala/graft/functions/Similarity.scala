@@ -54,6 +54,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-truncation two-stage ANN (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): MRL-trained embeddings pack
+    * coarse semantics into their PREFIX dimensions, so stage 1 scores
+    * candidates by cosine over only the first `dPrefix` dims — paying
+    * dPrefix/D of full scoring per pair — and keeps `k × rerankFactor`
+    * per query; stage 2 re-scores ONLY those candidates at full
+    * dimension. The funnel-retrieval pattern production vector stores
+    * run on MRL/truncatable embeddings (coarse metric for candidate
+    * generation, exact metric for the short rerank list).
+    *
+    * Both cosines are rounded to 6 dp BEFORE their windows and ties
+    * break on neighbor id, so both stages are deterministic and the
+    * whole funnel replays in SQL (qe15's oracle). Scale shape: queries
+    * broadcast; stage-1 is a narrow slice-dot map + per-query window;
+    * stage-2 touches k×rerankFactor rows per query. Composable with the
+    * IVF family when even truncated brute-force is too much — the
+    * rerank stage is metric-agnostic.
+    */
+  def mrlSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dPrefix: Int, k: Int, rerankFactor: Int = 4): DataFrame = {
+    require(dPrefix > 0, s"dPrefix must be positive, got $dPrefix")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_cosine").desc, col("neighbor_id"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse_cosine", round(cosine(
+        slice(col("__v"), 1, dPrefix), slice(col("__qv"), 1, dPrefix)), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * rerankFactor)
+      .withColumn("cosine", round(cosine(col("__v"), col("__qv")), 6))
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Brute-force k-NN join: every query row gets its top-k corpus
     * neighbors. Queries are broadcast (the small side); ranking is a
     * per-query-partition window. Exact — this is the correctness baseline

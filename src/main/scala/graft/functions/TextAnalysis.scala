@@ -208,6 +208,45 @@ object TextAnalysis {
     out
   }
 
+  /** Per-source corpus DATACARD — the dataset-card rollup corpus
+    * releases publish (The Pile, C4, RefinedWeb all ship per-source
+    * tables of exactly this shape): document count, token volume,
+    * mean document length, mean stopword ratio (quality), English
+    * fraction (language mix) and exact-duplicate fraction. Composes
+    * this file's per-doc signals ([[tokenCount]], [[stopwordRatio]],
+    * [[langId]], [[fingerprint]]) into ONE grouped aggregation.
+    *
+    * Determinism for the oracle: the only float mean over unbounded
+    * rows (stopword ratio) sums the per-doc 4-dp ROUNDED values as
+    * DECIMAL — order-independent, so the rollup replays exactly in SQL;
+    * token totals are integer sums, fractions are exact count ratios.
+    * Scale shape: one corpus scan → partial+final hash aggregation on
+    * `source` (map-side combine; the distinct-hash term shuffles
+    * (source, hash) pairs — 16 B each, uniform md5 keys).
+    */
+  def corpusDatacard(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(sourceCol).as("source"),
+        tokenCount(t).cast("long").as("__nt"),
+        round(stopwordRatio(t), 4).cast(DecimalType(18, 4)).as("__sw"),
+        langId(t).as("__lang"),
+        fingerprint(t).as("__fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        round(sum(col("__nt")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_doc_tokens"),
+        round(sum(col("__sw")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_stopword_ratio"),
+        round(sum(when(col("__lang") === "en", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("en_frac"),
+        round(lit(1.0d) - countDistinct(col("__fp")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Word bigrams WITH multiplicity (unlike [[Dedup.wordShingles]], which
     * is per-doc distinct for set semantics) — the feature unit for
     * count-based scoring like [[Curation.dsirWeights]]. Narrow map; a

@@ -341,6 +341,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n === Seq(4L, 0L, 2L))
   }
 
+  test("corpusDatacard (qd40): per-source rollup matches hand computation") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "webA"),
+      (2L, "the cat sat on the mat", "webA"), // exact dup of 1
+      (3L, "le chat et la souris des une", "webA"), // fr, no en stopwords
+      (4L, "alpha beta gamma", "webB")) // und
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusDatacard(docs, "text", "source")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.length === 2)
+    val (a, b) = (got(0), got(1))
+    // webA: 3 docs, 6+6+7 tokens; stopword ratios 2/6, 2/6, 0 → mean
+    // 0.2222 (of the 4-dp rounded values); en/en/fr → en_frac 2/3;
+    // 2 distinct hashes of 3 docs → dup_frac 1/3
+    assert(a === (("webA", 3L, 19L, 6.3333, 0.2222, 0.6667, 0.3333)), s"got $a")
+    assert(b === (("webB", 1L, 3L, 3.0, 0.0, 0.0, 0.0)), s"got $b")
+  }
+
   test("dsirWeights separate target-like from off-target docs") {
     val docs = Seq(
       (0L, "the cat sat on the mat", "en"),
