@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Retrieval, Similarity, TextAnalysis}
 import graft.ops.F1Ops
 import graft.sources.Tables
 
@@ -77,6 +77,40 @@ object SparkEntry {
 
   private val duckCos =
     "ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)"
+
+  /** BM25 scored+ranked CTE chain (qr01's oracle; qe16 reuses it as the
+    * sparse leg). Mirrors Retrieval.bm25Search(k1=1.2, b=0.75, Lucene +1
+    * idf) term by term: same token analyzer, same arithmetic order, 6-dp
+    * DECIMAL partials. `brk` ends ranked (rnk unbounded — consumers cut).
+    */
+  private lazy val duckBm25Cte: String = {
+    val vals = bm25Queries.map { case (q, t) => s"($q,'$t')" }.mkString(",")
+    s"""qt(query_id, term) AS (VALUES $vals),
+       |btok AS (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |bp AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM btok
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, dl, term),
+       |bpd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM bp),
+       |bst AS (SELECT COUNT(*) AS n,
+       |    CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS DOUBLE)
+       |      / COUNT(*) AS avgdl
+       |  FROM documents),
+       |bsc AS (SELECT query_id, doc_id,
+       |    CAST(ROUND(ln(1 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |        / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.2
+       |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+       |      6) AS DECIMAL(18,6)) AS part
+       |  FROM bpd JOIN qt USING (term) CROSS JOIN bst),
+       |bag AS (SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
+       |  FROM bsc GROUP BY query_id, doc_id),
+       |brk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM bag)""".stripMargin
+  }
 
   /** The full MinHash-LSH near-dup pipeline in DuckDB SQL (qd09's oracle;
     * qd14's cluster oracle builds on it as a CTE).
@@ -301,6 +335,12 @@ object SparkEntry {
   /** Sampling-weight maps shared between the Spark queries and their
     * oracles — one source of truth so a weight edit cannot drift.
     */
+  // qr01/qe16 fixture: three topic queries over the documents vocabulary
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "stream", 1 -> "window",
+    2 -> "hash", 2 -> "join", 2 -> "merge",
+    3 -> "customer", 3 -> "order", 3 -> "value")
+
   private val qd25Weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0)
   private val qd27Weights = Map("src0" -> 0.5, "src1" -> 0.25)
 
@@ -1084,6 +1124,45 @@ object SparkEntry {
     // deterministic so the whole card replays in SQL
     "qd40_corpus_datacard" -> ((s, d) =>
       TextAnalysis.corpusDatacard(Tables.documents(s, d), "text", "source")),
+
+    // oracle-checked: BM25 top-k keyword retrieval (Robertson & Zaragoza
+    // 2009, Lucene +1 idf) — the sparse leg of the retrieval stack.
+    // Three fixed topic queries; the explode is semi-joined against the
+    // broadcast term set BEFORE any shuffle, df is a window count on
+    // the restricted postings, partials 6-dp DECIMAL-summed: the whole
+    // ranking replays in SQL.
+    "qr01_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.bm25Search(Tables.documents(s, d), "doc_id", "text",
+          bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // oracle-checked: hybrid retrieval — reciprocal-rank fusion (Cormack
+    // et al. 2009, k=60) of the BM25 leg over documents and the dense
+    // cosine leg over the matching embeddings (doc_id = vec_id at this
+    // SF). Rank-only fusion: both legs' score scales are irrelevant;
+    // 1/(60+rank) contributions are 6-dp DECIMAL-summed, ties on doc.
+    "qe16_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val sparse = Retrieval.bm25Search(docs, "doc_id", "text",
+        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      // dense leg: one probe vector per BM25 query id (vec_id 100+qid —
+      // fixed probes; knnJoin's self-exclusion drops the probe itself),
+      // remapped to the BM25 query ids after ranking
+      val dense = Similarity.knnJoin(
+          emb.filter(col("vec_id").isin(101L, 102L, 103L)),
+          emb, "vec_id", "embedding", k = 10)
+        .select((col("query_id") - 100L).cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse.select(col("query_id"), col("doc_id"),
+          col("rank")), dense), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
 
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
@@ -2035,6 +2114,42 @@ object SparkEntry {
         |    / COUNT(*), 4) AS en_frac,
         |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // BM25 replayed end to end: restricted postings, window df, scalar
+    // (N, avgdl), 6-dp DECIMAL partial sum, ranked cut
+    "qr01_bm25_topk" ->
+      s"""WITH $duckBm25Cte
+         |SELECT query_id, doc_id, score, rnk FROM brk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // hybrid RRF: the BM25 chain (top-10) + a dense cosine top-10 leg
+    // (probes vec_id 101..103 remapped to query ids), each row
+    // contributing ROUND(1/(60+rank), 6) as DECIMAL, grouped sum, final
+    // ranked cut — rank arithmetic only, both legs' scores discarded
+    "qe16_hybrid_rrf" ->
+      s"""WITH $duckBm25Cte,
+         |sp AS (SELECT query_id, doc_id,
+         |    CAST(ROUND(1.0 / (60 + CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS part
+         |  FROM brk WHERE rnk <= 10),
+         |dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id IN (101, 102, 103)),
+         |dc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dsc AS (SELECT query_id, neighbor_id, $duckCos AS cosine
+         |  FROM dc, dq WHERE neighbor_id <> query_id),
+         |drk AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM dsc),
+         |dn AS (SELECT CAST(query_id - 100 AS INTEGER) AS query_id,
+         |    neighbor_id AS doc_id,
+         |    CAST(ROUND(1.0 / (60 + CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS part
+         |  FROM drk WHERE rnk <= 10),
+         |un AS (SELECT * FROM sp UNION ALL SELECT * FROM dn),
+         |fag AS (SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
+         |  FROM un GROUP BY query_id, doc_id),
+         |frk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM fag)
+         |SELECT query_id, doc_id, score, rnk FROM frk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
 
     // md5_number_lower(id) % 100 is bit-identical to the Md5BucketExpr
     // kernel (LE uint64 of digest bytes 8..15, unsigned mod)
