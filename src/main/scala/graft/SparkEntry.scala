@@ -1453,6 +1453,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
+    // oracle-checked: cluster-capped diversity sampling — assign to the
+    // qe08 fixed cells, keep the `cap` most prototypical vectors per
+    // cell (closest to centroid, full L2² rounded 6 dp, tie on id).
+    // Bounds any dense region's contribution to the kept set.
+    "qe17_cluster_cap_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Similarity.Ivf.clusterCapSample(emb, "vec_id", "embedding",
+          centroids, cap = 25)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("cell_id"), col("rnk"))
+    }),
+
     "qe08_ivf_ann_oracle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2722,6 +2737,29 @@ object SparkEntry {
     // NearestCellsExpr kernel computes (sequential double dot products on
     // both engines; ties to the lower cell id), queries probe their 2
     // nearest cells, cosine top-3 inside probed cells
+    // cluster-cap sampling replayed: qe08's cell assignment (‖c‖²−2v·c
+    // ranking, tie on cell), centroid re-join, full L2² within-cell
+    // window, cap cut
+    "qe17_cluster_cap_sample" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+         |cc AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT c.vec_id, c.v, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent)
+         |  WHERE rn = 1),
+         |d AS (SELECT cc.cell_id, cc.vec_id,
+         |    ROUND(list_dot_product(cc.v, cc.v) - 2 * list_dot_product(cc.v, cent.cv)
+         |      + list_dot_product(cent.cv, cent.cv), 6) AS dist2
+         |  FROM cc JOIN cent USING (cell_id)),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY cell_id ORDER BY dist2, vec_id) AS INTEGER) AS rnk FROM d)
+         |SELECT cell_id, vec_id, dist2, rnk FROM r WHERE rnk <= 25
+         |ORDER BY cell_id, rnk""".stripMargin,
+
     "qe08_ivf_ann_oracle" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),

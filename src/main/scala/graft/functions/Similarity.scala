@@ -233,6 +233,43 @@ object Similarity {
         element_at(NativeExpressions.nearestCells(asDouble(col(vecCol)), m, 1), 1))
     }
 
+    /** Cluster-capped diversity sampling — the cluster-balanced selection
+      * step of curation pipelines like DataComp and SemDeDup-style
+      * pruning: assign every vector to its nearest cell, keep at most
+      * `cap` per cell, preferring vectors CLOSEST to their centroid
+      * (most prototypical; the same ordering convention either way —
+      * flip to `.desc` for edge-seeking selection). Caps any one dense
+      * region's contribution so the kept set spreads over the space
+      * instead of mirroring the density profile.
+      *
+      * Determinism: within-cell ranking uses the full squared L2 to the
+      * centroid (`v·v − 2·v·c + c·c` — the v·v term matters here, unlike
+      * in assignment where it is constant per row), rounded to 6 dp,
+      * ties on id. Scale shape: narrow assignment kernel (no Exchange),
+      * broadcast centroid join, then ONE shuffle — the per-cell window.
+      * A skewed giant cell serializes its window partition; at 100 TB
+      * pick nCells so cells stay executor-sized (cap·nCells bounds the
+      * OUTPUT exactly either way).
+      */
+    def clusterCapSample(corpus: DataFrame, idCol: String, vecCol: String,
+        centroids: DataFrame, cap: Int): DataFrame = {
+      val m = centroidMatrix(centroids)
+      val cent = broadcast(centroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cv")))
+      val w = Window.partitionBy(col("cell_id"))
+        .orderBy(col("dist2"), col("vec_id"))
+      corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v"))
+        .withColumn("cell_id",
+          element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
+        .join(cent, "cell_id")
+        .withColumn("dist2", round(
+          dot(col("__v"), col("__v")) - lit(2.0d) * dot(col("__v"), col("__cv"))
+            + dot(col("__cv"), col("__cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= cap)
+        .select(col("cell_id"), col("vec_id"), col("dist2"), col("rank"))
+    }
+
     /** Probe-and-rank: queries search only their `nProbe` nearest cells.
       * Probe-cell selection is the same narrow nearest-cells kernel
       * (explode multiplies only the small query side, by nProbe).

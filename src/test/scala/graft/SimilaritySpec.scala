@@ -330,6 +330,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, f"funnel recall@3 degenerate: $recall%.3f")
   }
 
+  test("clusterCapSample (qe17): caps per cell, keeps closest-to-centroid, full cap = identity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2-D fixture: two well-separated clusters around (0,0) and (10,10)
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.2f, 0.0f)), (3L, Seq(1.0f, 1.0f)),
+      (4L, Seq(10.0f, 10.1f)), (5L, Seq(10.2f, 10.0f)), (6L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 10.0)))
+      .toDF("cell_id", "centroid")
+    val got = Similarity.Ivf.clusterCapSample(corpus, "vec_id", "embedding", cents, cap = 2)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    // cell 0 holds {1,2,3}: closest two are 1 (0.01) and 2 (0.04); 3 (2.0) cut
+    // cell 1 holds {4,5,6}: closest two are 4 and 5; 6 cut
+    assert(got.map(r => (r._1, r._2, r._4)).toSeq ===
+      Seq((0, 1L, 1), (0, 2L, 2), (1, 4L, 1), (1, 5L, 2)))
+    assert(got.map(_._3).toSeq === Seq(0.01, 0.04, 0.01, 0.04))
+    // cap >= cell size keeps everything, ranks contiguous
+    val all = Similarity.Ivf.clusterCapSample(corpus, "vec_id", "embedding", cents, cap = 10)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(all.length === 6)
+    all.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).toSeq))
+  }
+
   test("PQ encode plans as a narrow map: no Exchange, no Window, no Join") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
