@@ -1164,6 +1164,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // oracle-checked: source-overlap matrix — distinct 3-gram Jaccard
+    // between every pair of sources sharing at least one gram (the
+    // "which crawl duplicates which" forensics rollup). Portable path:
+    // raw shingle strings, replayed verbatim in SQL.
+    "qd41_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3,
+          portable = true)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and
@@ -2129,6 +2138,23 @@ object SparkEntry {
         |    / COUNT(*), 4) AS en_frac,
         |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // the overlap matrix replayed: distinct (source, gram) set, sizes,
+    // gram equi-join pair counts, Jaccard
+    "qd41_source_overlap" ->
+      s"""WITH sg AS (SELECT DISTINCT source AS s, g FROM (
+         |    SELECT source, unnest($duckShingles3) AS g
+         |    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+         |          FROM documents))),
+         |sz AS (SELECT s, COUNT(*) AS n FROM sg GROUP BY s),
+         |pr AS (SELECT a.s AS source_a, b.s AS source_b, COUNT(*) AS n_shared_grams
+         |       FROM sg a JOIN sg b USING (g) WHERE a.s < b.s GROUP BY a.s, b.s)
+         |SELECT source_a, source_b, za.n AS n_grams_a, zb.n AS n_grams_b,
+         |  n_shared_grams,
+         |  ROUND(CAST(n_shared_grams AS DOUBLE)
+         |    / CAST(za.n + zb.n - n_shared_grams AS DOUBLE), 6) AS jaccard
+         |FROM pr JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // BM25 replayed end to end: restricted postings, window df, scalar
     // (N, avgdl), 6-dp DECIMAL partial sum, ranked cut

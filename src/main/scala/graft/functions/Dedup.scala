@@ -297,6 +297,54 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
+  /** SOURCE-level overlap matrix — the corpus-forensics rollup behind
+    * "how much does source A duplicate source B" decisions (which crawls
+    * to drop, whether a new source adds anything): for every pair of
+    * sources sharing at least one n-gram, the distinct-shingle Jaccard
+    * between their gram SETS, plus the raw intersection count and both
+    * set sizes. Pairs sharing nothing are omitted (their Jaccard is 0;
+    * emitting the full S² matrix would be a cross join for no signal).
+    *
+    * Scale shape: one corpus explode to distinct (source, gram) —
+    * persisted, because three grouped counts consume it (per-source
+    * sizes, and both sides of the pair join); the pair join is an
+    * equi-join ON THE GRAM whose fan-out per gram is C(k,2) for the k ≤
+    * |sources| sources containing it — bounded by the source count, the
+    * same not-all-pairs discipline as the LSH family. Eager like
+    * [[dupPassageProfile]]: the pair-sized result is checkpointed and
+    * the gram frame unpersisted on return. `portable=true` keys grams
+    * by raw shingle strings (the SQL-oracle form); production uses
+    * xxhash64 keys (8-byte shuffle keys; collisions only ever merge two
+    * grams, P ≈ m²/2⁶⁵).
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int, portable: Boolean = false): DataFrame = {
+    val gramCol =
+      if (portable) explode(wordShingles(col(textCol), n))
+      else explode(NativeExpressions.shingleHashes(col(textCol), n))
+    val sg = df.select(col(sourceCol).as("__s"), gramCol.as("__g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sg.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val inter = sg.select(col("__s").as("source_a"), col("__g"))
+      .join(sg.select(col("__s").as("source_b"), col("__g")), "__g")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val out = inter
+      .join(broadcast(sizes.select(col("__s").as("source_a"), col("__n").as("n_grams_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("__s").as("source_b"), col("__n").as("n_grams_b"))),
+        "source_b")
+      .withColumn("jaccard", round(col("n_shared_grams").cast("double") /
+        (col("n_grams_a") + col("n_grams_b") - col("n_shared_grams")).cast("double"), 6))
+      .select(col("source_a"), col("source_b"), col("n_grams_a"), col("n_grams_b"),
+        col("n_shared_grams"), col("jaccard"))
+      .localCheckpoint(true)
+    sg.unpersist(false)
+    out
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** MinHash signature as k columns `mh0..mh{k-1}`: per permutation j the

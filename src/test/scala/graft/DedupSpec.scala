@@ -371,6 +371,31 @@ class DedupSpec extends SparkSpec {
     assert(fast === portable)
   }
 
+  test("sourceOverlap (qd41): hand-computed pair matrix; zero-overlap pairs omitted") {
+    val docs = Seq(
+      (1L, "a b c d", "srcA"), (2L, "a b c", "srcA"),   // A = {a b c, b c d}
+      (3L, "b c d e", "srcB"),                          // B = {b c d, c d e}
+      (4L, "x y z w", "srcC"))                          // C disjoint
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, "source", "text", n = 3, portable = true)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only A-B share a gram ({b c d}): J = 1/(2+2-1) = 1/3
+    assert(got.toSeq === Seq(("srcA", "srcB", 2L, 2L, 1L, 0.333333)))
+  }
+
+  test("sourceOverlap: xxhash64 fast path agrees with the portable path") {
+    val corpus = Tables.documents(spark, sf0001)
+    val fast = Dedup.sourceOverlap(corpus, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    val portable = Dedup.sourceOverlap(corpus, "source", "text", n = 3,
+        portable = true)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(fast.length === portable.length)
+    assert(fast === portable)
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

@@ -175,4 +175,29 @@ class ScanCountSpec extends SparkSpec {
       acc, n)
     assert(scans <= 2, s"dupPassageProfile made $scans corpus passes")
   }
+
+  test("qr01 bm25Search: postings pass + scalar-stats pass — corpus scans bounded") {
+    import spark.implicits._
+    val (docs, acc, n) = docsSource()
+    val q = Seq((1, "spark"), (2, "hash")).toDF("query_id", "term")
+    // budget: the semi-joined postings pass + the (N, avgdl) scalar
+    // pass = 2 by design; anything above means the posting subtree got
+    // re-derived (e.g. df recomputed from source instead of the window).
+    val scans = scansOf(
+      graft.functions.Retrieval.bm25Search(docs, "doc_id", "text",
+        q, "query_id", "term", k = 5),
+      acc, n)
+    assert(scans <= 2, s"bm25Search made $scans corpus passes")
+  }
+
+  test("qd41 sourceOverlap: gram set materialized once — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: one explode+distinct pass building the persisted
+    // (source, gram) set; sizes and both sides of the pair join must
+    // read the cache, never the source again.
+    val scans = scansOf(
+      graft.functions.Dedup.sourceOverlap(docs, "source", "text", n = 3),
+      acc, n)
+    assert(scans <= 1, s"sourceOverlap made $scans corpus passes")
+  }
 }
