@@ -338,36 +338,61 @@ object Similarity {
         .select(col("e.sub").as("sub"), col("code"), col("e.cvec").as("cvec"))
     }
 
-    /** Learned per-subspace codebooks (seeded KMeans over each slice) —
-      * the production path; same (sub, code, cvec) shape.
-      * `sampleFraction < 1` trains each subspace on ONE shared seeded
-      * Bernoulli sample ([[Ivf.fit]]'s convention): at 100 TB the
-      * codebooks need a sketch of each subspace's distribution, not
-      * every row — fit cost scales with the sample while encode always
-      * runs over the full corpus.
+    /** Learned per-subspace codebooks — the production path; same
+      * (sub, code, cvec) shape as [[Pq.prefixCodebooks]].
+      *
+      * Training follows the FAISS `train()` posture: codebooks are fit
+      * on a BOUNDED in-memory sketch, never the corpus — one seeded
+      * Bernoulli sample (`sampleFraction`, [[Ivf.fit]]'s convention)
+      * capped at `maxFitRows` rows, collected to the driver (bounded
+      * like [[Ivf.centroidMatrix]]'s collect — training metadata, not
+      * data) and canonically ordered so the fit is independent of
+      * partitioning. Each subspace then runs seeded k-means|| over its
+      * slice of ONE cached 2-partition in-memory frame — previously
+      * every subspace re-sampled and re-scanned the corpus for its own
+      * distributed fit, and those scans dominated the whole qe14
+      * pipeline. Encode and search always run over the full corpus,
+      * distributed.
       */
     def fitCodebooks(corpus: DataFrame, vecCol: String, nSub: Int,
-        nCodes: Int, seed: Long = 42L, sampleFraction: Double = 1.0): DataFrame = {
+        nCodes: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
+        maxFitRows: Int = 65536): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.clustering.KMeans
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
       val d = dim / nSub
-      val v = asDouble(col(vecCol))
       val src = if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, seed)
       else corpus
-      (0 until nSub).map { m =>
-        val feats = src.select(
-          array_to_vector(slice(v, m * d + 1, d)).as("features"))
-        val model = new KMeans().setK(nCodes).setSeed(seed + m).setMaxIter(10)
-          .fit(feats)
-        model.clusterCenters.zipWithIndex
-          .map { case (c, i) => (m, i, c.toArray) }.toSeq
-          .toDF("sub", "code", "cvec")
-      }.reduce(_.unionByName(_))
+      // canonical order: partition layout must not change the fit
+      import scala.math.Ordering.Implicits.seqOrdering
+      val sketch: Array[Array[Double]] = src
+        .select(asDouble(col(vecCol))).limit(maxFitRows)
+        .collect().map(_.getSeq[Double](0).toArray)
+        .sortBy(_.toIndexedSeq)
+      require(sketch.nonEmpty, "fitCodebooks: empty training sample")
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.clustering.KMeans
+      // one tiny cached frame feeds all nSub fits: the k-means|| jobs
+      // run over 2 in-memory partitions instead of re-sampling and
+      // re-scanning the corpus per subspace
+      val local = spark.createDataset(sketch.map(_.toSeq).toIndexedSeq)
+        .repartition(2)
+        .toDF("__v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until nSub).map { m =>
+          val feats = local.select(
+            array_to_vector(slice(col("__v"), m * d + 1, d)).as("features"))
+          val model = new KMeans().setK(nCodes).setSeed(seed + m).setMaxIter(10)
+            .fit(feats)
+          model.clusterCenters.zipWithIndex
+            .map { case (c, i) => (m, i, c.toArray.toSeq) }.toSeq
+            .toDF("sub", "code", "cvec")
+        }.reduce(_.unionByName(_))
+          .localCheckpoint(true)
+      } finally local.unpersist(false)
     }
 
     /** The (sub, code, cvec) table as driver-side matrices indexed
