@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
-import graft.functions.{Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.functions.{Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 import graft.ops.F1Ops
 import graft.sources.Tables
 
@@ -1183,6 +1183,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
 
+    // oracle-checked: curriculum / difficulty buckets — per-source
+    // quartiles of the qd29 unigram-LM quality score (ntile over the
+    // (score, id) total order), rolled up to (source, bucket) counts and
+    // order-free DECIMAL mean scores. The quantile-binning step of
+    // difficulty-ordered training schedules.
+    "qd42_curriculum_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      Curation.curriculumBuckets(
+        docs.select(col("doc_id"), col("source")).join(lp, "doc_id"),
+        "source", "doc_id", "avg_logprob", nBuckets = 4)
+    }),
+
     // the round-3 capstone composition — a full training-mix assembly:
     // train split (portable hash) → per-source sampling weights →
     // benchmark decontamination gate → greedy context-window packing →
@@ -2138,6 +2151,20 @@ object SparkEntry {
         |    / COUNT(*), 4) AS en_frac,
         |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // the curriculum binning replayed: qd29's LM CTE, source join,
+    // per-source ntile over the same total order, decimal-mean rollup
+    "qd42_curriculum_buckets" ->
+      s"""WITH $duckUnigramLmCte,
+         |sc AS (SELECT d.source, l.doc_id, l.avg_logprob
+         |       FROM lm l JOIN documents d USING (doc_id)),
+         |b AS (SELECT source, avg_logprob, CAST(NTILE(4) OVER (
+         |    PARTITION BY source ORDER BY avg_logprob, doc_id) AS INTEGER) AS bucket
+         |  FROM sc)
+         |SELECT source, bucket, COUNT(*) AS n_docs,
+         |  ROUND(CAST(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,4))) * 10000 AS BIGINT)
+         |      AS DOUBLE) / COUNT(*), 0) / 10000 AS mean_score
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // the overlap matrix replayed: distinct (source, gram) set, sizes,
     // gram equi-join pair counts, Jaccard

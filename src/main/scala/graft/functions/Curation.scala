@@ -52,6 +52,42 @@ object Curation {
     * runs, engines, partitionings, and corpus growth (new docs never move
     * old ones between splits). Narrow map, no shuffle.
     */
+  /** Curriculum / difficulty bucketing — the quantile-binning step of
+    * difficulty-ordered training mixes (curriculum learning schedules
+    * feed "easy" quantiles first; quality-stratified mixes sample per
+    * quantile): `ntile(nBuckets)` per group over a scored frame, plus
+    * the per-(group, bucket) rollup (doc count, mean score). The score
+    * column must be bounded-precision (a 4-dp rounded signal like
+    * [[graft.functions.TextAnalysis.unigramLogProb]]'s `avg_logprob`) so
+    * the DECIMAL mean is order-free and the whole binning replays in
+    * SQL.
+    *
+    * Scale shape: ntile is a per-GROUP window — the shuffle key is the
+    * group column and skew is bounded by the largest group, the same
+    * profile as every per-source window here; the rollup reuses the
+    * same partitioning (no second shuffle of doc rows). Ties inside a
+    * group break on `idCol`, so bucket boundaries are deterministic.
+    */
+  def curriculumBuckets(scored: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, nBuckets: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    // the mean stays INTEGRAL until the last step: exact e4-scaled sum,
+    // integer/integer division (bit-identical double in any IEEE
+    // engine), round at 0 dp — a double division before the 4-dp round
+    // can land 1 ulp across the boundary and flip the last digit
+    // between engines (observed at sf0.001)
+    scored
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (round((sum(col(scoreCol).cast(DecimalType(18, 4))) * 10000)
+            .cast("long").cast("double") / count(lit(1)).cast("double"), 0) /
+          lit(10000.0d)).as("mean_score"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 90,
       valPct: Int = 5, outCol: String = "split"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)

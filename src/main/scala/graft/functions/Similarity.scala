@@ -347,12 +347,12 @@ object Similarity {
       * capped at `maxFitRows` rows, collected to the driver (bounded
       * like [[Ivf.centroidMatrix]]'s collect — training metadata, not
       * data) and canonically ordered so the fit is independent of
-      * partitioning. Each subspace then runs seeded k-means|| over its
-      * slice of ONE cached 2-partition in-memory frame — previously
-      * every subspace re-sampled and re-scanned the corpus for its own
-      * distributed fit, and those scans dominated the whole qe14
-      * pipeline. Encode and search always run over the full corpus,
-      * distributed.
+      * partitioning. Each subspace then runs seeded in-memory k-means
+      * (k-means++, best of 10 restarts by SSE, Lloyd's to convergence)
+      * over its slice of the sketch — milliseconds at the cap, vs. one
+      * distributed ML job per subspace whose scheduling overhead
+      * dominated the whole qe14 pipeline. Encode and search always run
+      * over the full corpus, distributed.
       */
     def fitCodebooks(corpus: DataFrame, vecCol: String, nSub: Int,
         nCodes: Int, seed: Long = 42L, sampleFraction: Double = 1.0,
@@ -372,27 +372,94 @@ object Similarity {
         .collect().map(_.getSeq[Double](0).toArray)
         .sortBy(_.toIndexedSeq)
       require(sketch.nonEmpty, "fitCodebooks: empty training sample")
-      import org.apache.spark.ml.functions.array_to_vector
-      import org.apache.spark.ml.clustering.KMeans
-      // one tiny cached frame feeds all nSub fits: the k-means|| jobs
-      // run over 2 in-memory partitions instead of re-sampling and
-      // re-scanning the corpus per subspace
-      val local = spark.createDataset(sketch.map(_.toSeq).toIndexedSeq)
-        .repartition(2)
-        .toDF("__v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        (0 until nSub).map { m =>
-          val feats = local.select(
-            array_to_vector(slice(col("__v"), m * d + 1, d)).as("features"))
-          val model = new KMeans().setK(nCodes).setSeed(seed + m).setMaxIter(10)
-            .fit(feats)
-          model.clusterCenters.zipWithIndex
-            .map { case (c, i) => (m, i, c.toArray.toSeq) }.toSeq
-            .toDF("sub", "code", "cvec")
-        }.reduce(_.unionByName(_))
-          .localCheckpoint(true)
-      } finally local.unpersist(false)
+      (0 until nSub).flatMap { m =>
+        val pts = sketch.map(v => java.util.Arrays.copyOfRange(v, m * d, m * d + d))
+        // best of 10 seeded k-means++ restarts by quantization SSE — the
+        // in-memory substitute for k-means||'s oversampled init; beats
+        // the prefix books on SSE (the contract SimilaritySpec pins)
+        (0 until 10).map(r => lloyds(pts, nCodes, seed + m * 31 + r, iters = 50))
+          .minBy(cs => pts.map(p => cs.map(c => sqDist(p, c)).min).sum)
+          .zipWithIndex.map { case (c, i) => (m, i, c.toSeq) }
+      }.toDF("sub", "code", "cvec")
+    }
+
+    private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+
+    /** Seeded in-memory Lloyd's k-means with k-means++ initialization
+      * (Arthur & Vassilvitskii, SODA 2007). Deterministic for a fixed
+      * (points order, k, seed); empty clusters keep their previous
+      * center; stops early once assignments stop changing. Sized for
+      * codebook training sketches (≤ ~100k points).
+      */
+    private def lloyds(pts: Array[Array[Double]], k: Int, seed: Long,
+        iters: Int): Array[Array[Double]] = {
+      val n = pts.length
+      val d = pts(0).length
+      val rnd = new scala.util.Random(seed)
+      // k-means++: first center uniform, next ∝ squared distance
+      val centers = Array.ofDim[Array[Double]](k)
+      centers(0) = pts(rnd.nextInt(n)).clone()
+      val minD2 = pts.map(sqDist(_, centers(0)))
+      var c = 1
+      while (c < k) {
+        val total = minD2.sum
+        val pick =
+          if (total > 0) {
+            var target = rnd.nextDouble() * total
+            var i = 0
+            while (i < n - 1 && target >= minD2(i)) { target -= minD2(i); i += 1 }
+            i
+          } else rnd.nextInt(n)
+        centers(c) = pts(pick).clone()
+        var i = 0
+        while (i < n) {
+          val dd = sqDist(pts(i), centers(c))
+          if (dd < minD2(i)) minD2(i) = dd
+          i += 1
+        }
+        c += 1
+      }
+      val assign = new Array[Int](n)
+      var it = 0
+      var changed = true
+      while (it < iters && changed) {
+        changed = false
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue; var j = 0
+          while (j < k) {
+            val dd = sqDist(pts(i), centers(j))
+            if (dd < bestD) { bestD = dd; best = j }
+            j += 1
+          }
+          if (assign(i) != best || it == 0) { changed = true; assign(i) = best }
+          i += 1
+        }
+        val sums = Array.fill(k)(new Array[Double](d))
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val a = assign(i); counts(a) += 1
+          var j = 0
+          while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            var t = 0
+            while (t < d) { sums(j)(t) /= counts(j); t += 1 }
+            centers(j) = sums(j)
+          } // empty cluster: keep previous center
+          j += 1
+        }
+        it += 1
+      }
+      centers
     }
 
     /** The (sub, code, cvec) table as driver-side matrices indexed

@@ -359,6 +359,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b === (("webB", 1L, 3L, 3.0, 0.0, 0.0, 0.0)), s"got $b")
   }
 
+  test("curriculumBuckets (qd42): hand-computed quartiles, ntile sizing, order-free means") {
+    // 8 docs in one source with scores 1..8 (4-dp precision) → ntile(4)
+    // puts exactly 2 per bucket in score order; means are midpoints
+    val docs = (1L to 8L).map(i => (i, "s0", i.toDouble)).toDF("doc_id", "source", "score")
+    val got = Curation.curriculumBuckets(docs, "source", "doc_id", "score", nBuckets = 4)
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.toSeq === Seq(
+      ("s0", 1, 2L, 1.5), ("s0", 2, 2L, 3.5), ("s0", 3, 2L, 5.5), ("s0", 4, 2L, 7.5)))
+    // non-divisible group: ntile fronts the larger buckets (5 docs → 2,1,1,1)
+    val odd = (1L to 5L).map(i => (i, "s1", i.toDouble)).toDF("doc_id", "source", "score")
+    val sizes = Curation.curriculumBuckets(odd, "source", "doc_id", "score", nBuckets = 4)
+      .as[(String, Int, Long, Double)].collect().map(r => (r._2, r._3)).toSeq
+    assert(sizes === Seq((1, 2L), (2, 1L), (3, 1L), (4, 1L)))
+  }
+
   test("dsirWeights separate target-like from off-target docs") {
     val docs = Seq(
       (0L, "the cat sat on the mat", "en"),
