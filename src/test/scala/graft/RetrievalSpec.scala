@@ -44,6 +44,29 @@ class RetrievalSpec extends SparkSpec {
       s"term restriction not broadcast:\n$plan")
   }
 
+  test("bm25Search properties: tf monotone, rare terms outweigh common, long docs penalized") {
+    val q = Seq((1, "rare")).toDF("query_id", "term")
+    def score(docs: Seq[(Long, String)]): Map[Long, Double] =
+      Retrieval.bm25Search(docs.toDF("doc_id", "text"), "doc_id", "text",
+          q, "query_id", "term", k = 10)
+        .as[(Int, Long, Double, Int)].collect().map(r => r._2 -> r._3).toMap
+    // tf monotonicity: same-length docs, more hits → strictly higher score
+    val tf = score(Seq((1L, "rare x y z"), (2L, "rare rare y z"), (3L, "w x y z")))
+    assert(tf(2L) > tf(1L))
+    assert(!tf.contains(3L)) // no query term → absent
+    // length normalization: same tf, longer doc → strictly lower score
+    val len = score(Seq((1L, "rare x"), (2L, "rare x y z w v u t")))
+    assert(len(1L) > len(2L))
+    // idf: a doc matching only the corpus-rare term beats one matching
+    // only the corpus-common term (same tf, same dl)
+    val q2 = Seq((1, "rare"), (1, "common")).toDF("query_id", "term")
+    val docs = Seq((1L, "rare a"), (2L, "common a"), (3L, "common b"),
+      (4L, "common c"), (5L, "common d")).toDF("doc_id", "text")
+    val idf = Retrieval.bm25Search(docs, "doc_id", "text", q2, "query_id", "term", k = 10)
+      .as[(Int, Long, Double, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(idf(1L) > idf(2L))
+  }
+
   test("rrfFuse (qe16): hand-computed fusion, absent-leg docs still rank") {
     val leg1 = Seq((1, 10L, 1), (1, 20L, 2)).toDF("query_id", "doc_id", "rank")
     val leg2 = Seq((1, 20L, 1), (1, 30L, 2)).toDF("query_id", "doc_id", "rank")

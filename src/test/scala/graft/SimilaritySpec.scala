@@ -379,6 +379,25 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).toSeq))
   }
 
+  test("clusterCapSample plan: broadcast centroid join, exactly one shuffle (the per-cell window)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val res = Similarity.Ivf.clusterCapSample(emb, "vec_id", "embedding", cents, cap = 5)
+    res.collect()
+    // the AdaptiveSparkPlan toString appends the pre-AQE "Initial Plan"
+    // — count Exchanges only in the final section
+    val plan = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffled join:\n$plan")
+    // the corpus side must shuffle once — for the window — and only once
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"$exchanges corpus shuffles (want 1, the window):\n$plan")
+  }
+
   test("PQ encode plans as a narrow map: no Exchange, no Window, no Join") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
