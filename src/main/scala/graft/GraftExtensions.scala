@@ -29,6 +29,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxPercentileRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxPercentileRewrite
     registerTempFunction(spark, "simhash64", args => SimHash64Expr(args.head))
     registerTempFunction(spark, "minhash_sig", args =>
       MinHashSigExpr(args.head, ext.intArg(args(1), "k"), ext.intArg(args(2), "n")))
@@ -65,9 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // opt-in exact→approx COUNT(DISTINCT) rewrite (off unless
-    // spark.graft.approxCountDistinct.enabled=true)
+    // opt-in exact→approx COUNT(DISTINCT) / percentile rewrites (off
+    // unless their spark.graft.*.enabled confs are set)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
 
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

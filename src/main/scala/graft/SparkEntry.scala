@@ -859,6 +859,48 @@ object SparkEntry {
           round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"))
         .orderBy(col("o_orderstatus"))),
 
+    // oracle-checked: exact per-source heavy tokens — the ground truth
+    // the qa05 sketch is contracted against (explode → grouped count →
+    // per-source top-10 window, full tie-break)
+    "qa04_heavy_tokens_exact" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    // rows-only: the same heavy-token report from the Misra-Gries
+    // sketch aggregator — bounded state per group over an unbounded
+    // vocabulary (k counters vs the exact path's full distinct-token
+    // shuffle). With k=64 ≥ this corpus's vocabulary the counts are
+    // exact (RankAndSketchSpec pins equality with qa04; the eviction
+    // guarantee is pinned separately on a planted skewed stream).
+    "qa05_heavy_tokens_sketch" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.HeavyHittersAgg.MisraGries(64)
+        .toColumn.name("hits")
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg)
+        .flatMap { case (src, hits) =>
+          hits.take(10).zipWithIndex.map { case (h, i) =>
+            (src, h.token, h.est, i + 1)
+          }
+        }
+        .toDF("source", "tok", "cnt", "rnk")
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // ---- extensions: text analysis ----------------------------------
     "qd01_exact_dedup" -> ((s, d) =>
       Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
@@ -2151,6 +2193,18 @@ object SparkEntry {
         |    / COUNT(*), 4) AS en_frac,
         |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact heavy tokens replayed: explode, grouped count, per-source
+    // ranked cut
+    "qa04_heavy_tokens_exact" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |g AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY source, tok),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, tok) AS INTEGER) AS rnk FROM g)
+        |SELECT source, tok, cnt, rnk FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
 
     // the curriculum binning replayed: qd29's LM CTE, source join,
     // per-source ntile over the same total order, decimal-mean rollup

@@ -82,6 +82,30 @@ class ExtensionsAndDatasetSpec extends SparkSpec {
     } finally spark.conf.unset(ApproxDistinctRewrite.ConfKey)
   }
 
+  test("opt-in optimizer rule rewrites exact percentile to approx_percentile (doubles only)") {
+    import graft.plans.ApproxPercentileRewrite
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (1 to 10000).map(_.toDouble).toDF("x").createOrReplaceTempView("__pct_t")
+    val sql = "SELECT percentile(x, 0.5) AS p FROM __pct_t"
+    assert(spark.sql(sql).head().getDouble(0) === 5000.5) // rule off: exact
+    spark.conf.set(ApproxPercentileRewrite.ConfKey, "true")
+    try {
+      val q = spark.sql(sql)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("percentile_approx") || opt.contains("approx_percentile"), opt)
+      // accuracy 10000 on 10k rows: rank error ≤ ~1 → value within a hair
+      assert(math.abs(q.head().getDouble(0) - 5000.5) <= 10.0)
+      // scope: an integral column must stay exact (approx_percentile
+      // would change the result type out from under the attribute)
+      (1 to 100).toDF("i").createOrReplaceTempView("__pct_int")
+      val qi = spark.sql("SELECT percentile(i, 0.5) AS p FROM __pct_int")
+      assert(!qi.queryExecution.optimizedPlan.toString.contains("approx"))
+      assert(qi.head().getDouble(0) === 50.5)
+    } finally spark.conf.unset(ApproxPercentileRewrite.ConfKey)
+    assert(spark.sql(sql).head().getDouble(0) === 5000.5) // off again: exact
+  }
+
   test("typed Dataset[RaceResultMsg] round-trips the parse pipeline") {
     import spark.implicits._
     val json =

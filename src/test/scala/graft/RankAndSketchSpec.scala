@@ -127,4 +127,42 @@ class RankAndSketchSpec extends SparkSpec {
     // and the codegen'd result is right
     assert(df.select("d").as[Double].head() === 11.0d)
   }
+
+  test("Misra-Gries sketch (qa05): exact when k >= vocab, and the MG guarantee under eviction") {
+    import graft.functions.HeavyHittersAgg
+    import spark.implicits._
+    // equality contract: at k=64 >= the fixture vocabulary nothing is
+    // ever evicted — the qa05 sketch report must EQUAL the qa04 exact
+    // report, row for row
+    val exact = SparkEntry.queries("qa04_heavy_tokens_exact")(spark, sf0001)
+      .as[(String, String, Long, Int)].collect()
+    val sketch = SparkEntry.queries("qa05_heavy_tokens_sketch")(spark, sf0001)
+      .as[(String, String, Long, Int)].collect()
+    assert(sketch.nonEmpty)
+    assert(sketch === exact)
+    // guarantee contract: a planted zipf-ish stream with k FAR below the
+    // vocabulary — every token with true frequency > n/(k+1) must
+    // survive eviction, and estimates never overcount / undercount by
+    // more than n/(k+1)
+    val tokens =
+      Seq.fill(400)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(100)("gamma") ++
+        (0 until 300).map(i => s"noise${i % 150}")
+    val n = tokens.length
+    val k = 5
+    val truth = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val agg = new HeavyHittersAgg.MisraGries(k).toColumn.name("hits")
+    val got = tokens.zipWithIndex.toDF("tok", "i").as[(String, Long)]
+      .map { case (t, _) => ("g", t) }
+      .groupByKey(_._1).mapValues(_._2).agg(agg)
+      .head()._2.map(h => h.token -> h.est).toMap
+    val bound = n.toDouble / (k + 1)
+    truth.filter(_._2 > bound).keys.foreach { heavy =>
+      assert(got.contains(heavy), s"heavy hitter $heavy (${truth(heavy)} > $bound) evicted")
+    }
+    got.foreach { case (t, est) =>
+      val tr = truth(t)
+      assert(est <= tr, s"$t overcounted: est=$est true=$tr")
+      assert(tr - est <= bound + 1, s"$t undercounted past the bound: est=$est true=$tr")
+    }
+  }
 }
