@@ -24,44 +24,46 @@ object HeavyHittersAgg {
   case class MgBuf(counters: Map[String, Long])
   case class Hit(token: String, est: Long)
 
+  /** One MG update: hit → +1; miss with room → insert; miss at capacity
+    * → decrement every counter, dropping zeros.
+    */
+  def reduceToken(c: Map[String, Long], tok: String, k: Int): Map[String, Long] =
+    c.get(tok) match {
+      case Some(n) => c.updated(tok, n + 1)
+      case None if c.size < k => c.updated(tok, 1L)
+      case None => c.flatMap { case (t, n) => if (n > 1) Some(t -> (n - 1)) else None }
+    }
+
+  /** Mergeable-summaries merge: sum counters pairwise; if over capacity,
+    * subtract the (k+1)-th largest value from all and drop the
+    * non-positive — the summed-then-shifted counters keep the n/(k+1)
+    * undercount bound.
+    */
+  def mergeCounters(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val summed = b.foldLeft(a) { case (acc, (t, n)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + n)
+    }
+    if (summed.size <= k) summed
+    else {
+      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      summed.flatMap { case (t, n) => if (n - cut > 0) Some(t -> (n - cut)) else None }
+    }
+  }
+
+  /** Counters as a report: sorted (est desc, token). */
+  def toHits(c: Map[String, Long]): Seq[Hit] =
+    c.toSeq.map { case (t, n) => Hit(t, n) }.sortBy(h => (-h.est, h.token))
+
   /** At most `k` counters; `finish` returns hits sorted (est desc, token). */
   class MisraGries(k: Int) extends Aggregator[String, MgBuf, Seq[Hit]] {
     require(k > 0)
-
     override def zero: MgBuf = MgBuf(Map.empty)
-
-    override def reduce(b: MgBuf, tok: String): MgBuf = {
-      val c = b.counters
-      c.get(tok) match {
-        case Some(n) => MgBuf(c.updated(tok, n + 1))
-        case None if c.size < k => MgBuf(c.updated(tok, 1L))
-        case None =>
-          // the MG step: a miss at capacity decrements every counter
-          MgBuf(c.flatMap { case (t, n) => if (n > 1) Some(t -> (n - 1)) else None })
-      }
-    }
-
-    /** Mergeable-summaries merge: sum counters pairwise; if over
-      * capacity, subtract the (k+1)-th largest value from all and drop
-      * the non-positive — the summed-then-shifted counters keep the
-      * n/(k+1) undercount bound.
-      */
-    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
-      val summed = b.counters.foldLeft(a.counters) { case (acc, (t, n)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + n)
-      }
-      if (summed.size <= k) MgBuf(summed)
-      else {
-        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        MgBuf(summed.flatMap { case (t, n) =>
-          if (n - cut > 0) Some(t -> (n - cut)) else None
-        })
-      }
-    }
-
-    override def finish(r: MgBuf): Seq[Hit] =
-      r.counters.toSeq.map { case (t, n) => Hit(t, n) }
-        .sortBy(h => (-h.est, h.token))
+    override def reduce(b: MgBuf, tok: String): MgBuf =
+      MgBuf(reduceToken(b.counters, tok, k))
+    override def merge(a: MgBuf, b: MgBuf): MgBuf =
+      MgBuf(mergeCounters(a.counters, b.counters, k))
+    override def finish(r: MgBuf): Seq[Hit] = toHits(r.counters)
 
     override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
     override def outputEncoder: Encoder[Seq[Hit]] =

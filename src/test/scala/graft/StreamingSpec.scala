@@ -905,4 +905,38 @@ class StreamingSpec extends SparkSpec {
       assert(docs.contains(200L) && !docs.contains(201L))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("streaming heavy tokens: per-source MG state accumulates across batches, matches exact counts") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.TokenStats.heavyTokensStream(
+          ms.toDF().toDF("source", "text"), "source", "text", k = 32, top = 3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("heavy_toks").start()
+
+      ms.addData(("webA", "the cat the dog"), ("webB", "x y"))
+      q.processAllAvailable()
+      val b1 = spark.table("heavy_toks")
+        .as[(String, String, Long, Int)].collect().toSet
+      // webA: the=2, cat=1, dog=1 (ties on token); webB: x=1, y=1
+      assert(b1 === Set(
+        ("webA", "the", 2L, 1), ("webA", "cat", 1L, 2), ("webA", "dog", 1L, 3),
+        ("webB", "x", 1L, 1), ("webB", "y", 1L, 2)))
+
+      // batch 2 only touches webA — its counters must carry over batch 1
+      ms.addData(("webA", "cat cat cat"))
+      q.processAllAvailable()
+      q.stop()
+      // update-mode memory sink appends each emission; the final webA
+      // total is the max estimate ever reported for the token
+      val webA = spark.table("heavy_toks")
+        .as[(String, String, Long, Int)].collect()
+        .filter(r => r._1 == "webA" && r._2 == "cat").map(_._3).max
+      assert(webA === 4L, s"cat should total 1+3 across batches, got $webA")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
