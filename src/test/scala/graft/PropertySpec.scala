@@ -311,4 +311,45 @@ class PropertySpec extends SparkSpec {
         "contract is return-failed, not throw)")
     assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a walker is looping")
   }
+
+  test("Misra-Gries bound survives arbitrary stream splits and merge orders (seeded fuzz)") {
+    import graft.functions.HeavyHittersAgg._
+    // the mergeable-summaries claim (Agarwal et al. 2012): however the
+    // stream is partitioned and however the partial summaries are
+    // merged, the combined sketch undercounts by at most n/(k+1) and
+    // never overcounts — the exact property Spark's partial aggregation
+    // and the streaming processor rely on
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val vocab = 1 + rnd.nextInt(40)
+      val n = 50 + rnd.nextInt(500)
+      // zipf-ish skew: token id ~ floor(vocab * u^3)
+      val stream = Seq.fill(n) {
+        val u = rnd.nextDouble()
+        s"t${(vocab * u * u * u).toInt}"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // random split into 1..8 segments, each folded independently
+      val nSeg = 1 + rnd.nextInt(8)
+      val segs = stream.grouped(math.max(1, n / nSeg)).toIndexedSeq
+      val partials = segs.map(_.foldLeft(Map.empty[String, Long])(
+        (c, t) => reduceToken(c, t, k)))
+      // merge in a random order
+      val merged = rnd.shuffle(partials)
+        .reduce((a, b) => mergeCounters(a, b, k))
+      assert(merged.size <= k, s"trial $trial: ${merged.size} counters > k=$k")
+      val bound = n.toDouble / (k + 1)
+      merged.foreach { case (t, est) =>
+        val tr = truth(t)
+        assert(est <= tr, s"trial $trial: $t overcounted est=$est true=$tr")
+        assert(tr - est <= bound + 1e-9,
+          s"trial $trial: $t undercounted past n/(k+1)=$bound est=$est true=$tr")
+      }
+      truth.filter(_._2 > bound).keys.foreach { heavy =>
+        assert(merged.contains(heavy),
+          s"trial $trial: heavy $heavy (${truth(heavy)} > $bound) missing (k=$k, n=$n)")
+      }
+    }
+  }
 }
