@@ -190,6 +190,28 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 2, s"bm25Search made $scans corpus passes")
   }
 
+  test("qd40 corpusDatacard: one grouped aggregation — exactly 1 corpus scan") {
+    val (docs, acc, n) = docsSource()
+    val scans = scansOf(
+      graft.functions.TextAnalysis.corpusDatacard(docs, "text", "source"), acc, n)
+    assert(scans <= 1, s"corpusDatacard made $scans corpus passes")
+  }
+
+  test("qd42 curriculumBuckets over the LM score: corpus scans bounded") {
+    import spark.implicits._
+    val (docs, acc, n) = docsSource()
+    // budget: unigramLogProb's token explode feeds the vocab build and
+    // the score join (2 passes) + the (doc_id, source) projection for
+    // the bucket rollup = 3; more means the LM subtree got re-derived.
+    val lp = graft.functions.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    val scans = scansOf(
+      graft.functions.Curation.curriculumBuckets(
+        docs.select(col("doc_id"), col("source")).join(lp, "doc_id"),
+        "source", "doc_id", "avg_logprob", nBuckets = 4),
+      acc, n)
+    assert(scans <= 3, s"curriculumBuckets made $scans corpus passes")
+  }
+
   test("qd41 sourceOverlap: gram set materialized once — corpus scans bounded") {
     val (docs, acc, n) = docsSource()
     // budget: one explode+distinct pass building the persisted
