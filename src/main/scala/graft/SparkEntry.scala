@@ -1532,6 +1532,14 @@ object SparkEntry {
         .orderBy(col("cell_id"), col("rnk"))
     }),
 
+    // oracle-checked: the composed production ANN funnel — IVF cell
+    // probing (qe08's fixed cells) for candidate generation, MRL
+    // truncated-prefix coarse rank (qe15 stage 1) inside the probed
+    // cells, exact full-dimension rerank (stage 2). Every stage
+    // deterministic; the whole funnel replays in SQL.
+    "qe18_ivf_mrl_funnel" -> ((s, d) =>
+      graft.ops.Pipelines.ivfMrlFunnel(Tables.embeddings(s, d))),
+
     "qe08_ivf_ann_oracle" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2844,6 +2852,45 @@ object SparkEntry {
     // NearestCellsExpr kernel computes (sequential double dot products on
     // both engines; ties to the lower cell id), queries probe their 2
     // nearest cells, cosine top-3 inside probed cells
+    // the composed funnel replayed stage by stage: qe08's assignment +
+    // probes, qe15's truncated coarse rank + cut + full rerank
+    "qe18_ivf_mrl_funnel" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+         |cc AS (
+         |  SELECT vec_id, v, cell_id FROM (
+         |    SELECT c.vec_id, c.v, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cell_id FROM (
+         |    SELECT c.vec_id AS query_id, c.v AS qv, cent.cell_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(cent.cv, cent.cv)
+         |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+         |    FROM c, cent WHERE c.vec_id < 5)
+         |  WHERE rn <= 2),
+         |coarse AS (
+         |  SELECT p.query_id, cc.vec_id AS neighbor_id, cc.v, p.qv,
+         |    ROUND(list_dot_product(cc.v[1:16], p.qv[1:16])
+         |      / (sqrt(list_dot_product(cc.v[1:16], cc.v[1:16]))
+         |         * sqrt(list_dot_product(p.qv[1:16], p.qv[1:16]))), 6) AS coarse_cosine
+         |  FROM cc JOIN probes p
+         |    ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY coarse_cosine DESC, neighbor_id) AS crank
+         |    FROM coarse) WHERE crank <= 12),
+         |rescored AS (SELECT query_id, neighbor_id, $duckCos AS cosine FROM cand),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |      FROM rescored)
+         |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
+
     // cluster-cap sampling replayed: qe08's cell assignment (‖c‖²−2v·c
     // ranking, tie on cell), centroid re-join, full L2² within-cell
     // window, cap cut

@@ -190,6 +190,60 @@ object Pipelines {
     result
   }
 
+  /** qe18 — the full production ANN funnel, composed end to end from
+    * oracle-proven stages: IVF cell probing for candidate generation
+    * (qe08's fixed prefix centroids — probe `nProbe` cells, never the
+    * whole corpus), an MRL truncated-prefix coarse rank inside the
+    * probed cells (qe15's stage 1 — dPrefix/D of full scoring per
+    * candidate), and an exact full-dimension rerank of the short list
+    * (qe15's stage 2). This is the shape a 100 TB vector store actually
+    * serves: cells bound the candidate set, the cheap metric bounds the
+    * scoring cost, the exact metric fixes the final order — and every
+    * stage here is deterministic (rounded pre-window, ties on id), so
+    * the WHOLE funnel replays in SQL.
+    *
+    * Scan budget: ONE pass over `emb` (the cast base is persisted;
+    * centroids, probes, and the assigned corpus all derive from it).
+    */
+  def ivfMrlFunnel(emb: DataFrame, dPrefix: Int = 16, k: Int = 3,
+      nProbe: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.NativeExpressions
+    val base = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"), col("v").as("centroid"))
+    val cm = Similarity.Ivf.centroidMatrix(centroids)
+    val cells = base
+      .select(col("vec_id").as("neighbor_id"), col("v").as("__v"))
+      .withColumn("cell_id",
+        element_at(NativeExpressions.nearestCells(col("__v"), cm, 1), 1))
+    val probes = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("__qv"))
+      .withColumn("cell_id",
+        explode(NativeExpressions.nearestCells(col("__qv"), cm, nProbe)))
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("coarse_cosine").desc, col("neighbor_id"))
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val result = cells.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse_cosine", round(Similarity.cosine(
+        slice(col("__v"), 1, dPrefix), slice(col("__qv"), 1, dPrefix)), 6))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * rerankFactor)
+      .withColumn("cosine", round(Similarity.cosine(col("__v"), col("__qv")), 6))
+      .withColumn("rnk", row_number().over(wFull))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    result
+  }
+
   /** qe11 — IVF search over an int8-quantized index. The dequantized
     * index feeds three branches (queries, corpus, centroids); persist it
     * once so the quantize→dequantize pass runs a single time — at scale

@@ -165,6 +165,15 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 1, s"incrementalNearDup made $scans batch passes")
   }
 
+  test("qe18 ivfMrlFunnel: base persisted — exactly 1 embedding scan") {
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    // centroids, probes, and the assigned corpus all derive from the
+    // persisted base — the funnel must not re-read the source per stage
+    val scans = scansOf(Pipelines.ivfMrlFunnel(emb), acc, n)
+    assert(scans <= 1, s"ivfMrlFunnel made $scans embedding passes")
+  }
+
   test("qd32 dupPassageProfile: span explode materialized once — corpus scans bounded") {
     val (docs, acc, n) = docsSource()
     // budget: the (doc, span) explode + the id-list join = 2; dropping
