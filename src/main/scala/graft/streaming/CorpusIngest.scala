@@ -5,9 +5,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
-import graft.functions.{Dedup, NativeExpressions, TextAnalysis}
+import graft.functions.{Dedup, NativeExpressions, Similarity, TextAnalysis}
 
 /** Streaming capstone for the LLM-data pipeline: a stream of new
   * documents → quality gate → incremental exact dedup against the
@@ -509,6 +509,188 @@ object CorpusIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("pfx", "epoch", "batch_id")
           .parquet(new Path(new Path(corpusPath), BandsDir).toString)
+        ()
+      }
+      .start()
+  }
+
+  // ---------------------------------------------- semantic (SemDeDup) sink
+
+  /** The semantic sink's probe index: `<corpus>/_graft_cells`, one row
+    * per keeper (doc_id, emb, cell) laid out `cell=N/epoch/batch_id` —
+    * the [[BandsDir]] bucketing discipline with IVF cells as the
+    * buckets: SemDeDup only ever compares vectors sharing a cell
+    * (qe10's equi-join rule), so a batch's probe prunes to the cell
+    * DIRECTORIES its own docs land in.
+    */
+  private val CellsDir = "_graft_cells"
+
+  /** Cell assignment is only stable under the SAME centroids — pin
+    * their exact bytes, not just the shape.
+    */
+  private def centroidFingerprint(cm: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cm.foreach(_.foreach { d =>
+      bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(bb.array())
+    })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def cellsMeta(cm: Array[Array[Double]]): String =
+    s"nCells=${cm.length} dim=${cm.headOption.map(_.length).getOrElse(0)} " +
+      s"centroids=${centroidFingerprint(cm)}"
+
+  private def cellIndexSchema(): StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("emb", ArrayType(DoubleType)),
+    StructField("cell", IntegerType), StructField("epoch", LongType),
+    StructField("batch_id", LongType)))
+
+  /** [[ensureBandIndex]] for the cell index: create-and-pin on a fresh
+    * corpus, ONE atomic backfill when adopting a corpus that already
+    * holds (embedding, cell) columns, loud refusal when the pinned
+    * centroids differ from this sink's (probing cells assigned under
+    * other centroids silently misses near-dups).
+    */
+  private def ensureCellIndex(spark: SparkSession, corpusPath: String,
+      cm: Array[Array[Double]]): Unit = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, CellsDir)
+    val expected = cellsMeta(cm)
+    def readMeta(at: Path): Option[String] = {
+      val f = new Path(at, BandsMetaFile)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      }
+    }
+    def writeMeta(at: Path): Unit = {
+      val out = fs.create(new Path(at, BandsMetaFile), true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(idx)) {
+      require(readMeta(idx).contains(expected),
+        s"cell index at $idx was built under different centroids/shape " +
+          s"(${readMeta(idx).getOrElse("unknown")} vs $expected) — use the " +
+          "original centroids or delete the index to trigger a backfill")
+    } else if (hasData(fs, corpusDir)) {
+      val tmp = new Path(corpusDir, CellsDir + ".tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(corpusPath)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("embedding").cast("array<double>").as("emb"),
+          col("cell").cast("int").as("cell"),
+          col("epoch").cast("long").as("epoch"),
+          col("batch_id").cast("long").as("batch_id"))
+        .write.mode("overwrite")
+        .partitionBy("cell", "epoch", "batch_id")
+        .parquet(tmp.toString)
+      writeMeta(tmp)
+      if (!fs.rename(tmp, idx)) {
+        fs.delete(tmp, true)
+        require(readMeta(idx).contains(expected),
+          s"concurrent cell-index build at $idx finished with different centroids")
+      }
+    } else {
+      fs.mkdirs(idx)
+      writeMeta(idx)
+    }
+  }
+
+  /** Stored same-cell vectors, minus the batch's own partition (replay
+    * must not probe what it is about to rewrite). `cell`/`epoch`/
+    * `batch_id` prune directories.
+    */
+  private[streaming] def probeCells(spark: SparkSession, corpusPath: String,
+      epoch: Long, batchId: Long, cells: Seq[Int]): DataFrame =
+    spark.read.schema(cellIndexSchema())
+      .parquet(new Path(new Path(corpusPath), CellsDir).toString)
+      .filter(col("cell").isin(cells: _*) &&
+        !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
+      .select(col("cell"), col("emb").as("__corpus_emb"))
+
+  /** Start the SEMANTIC-dedup corpus sink — SemDeDup (Abbas et al.
+    * 2023) as an incremental stream: a batch doc is dropped when some
+    * SAME-CELL vector already in the corpus, or a smaller-id same-cell
+    * doc of its own batch, has cosine ≥ `threshold` with it. Completes
+    * the sink family: exact (state-backed hashes), lexical near-dup
+    * (LSH bands), semantic (embedding cells).
+    *
+    * `centroids` is the qe08-shaped (cell_id, centroid) table — fit
+    * offline ([[Similarity.Ivf.fit]]) and FIXED for the life of the
+    * corpus; the index pins their exact bytes and refuses drift.
+    *
+    * Scale shape: cell assignment is the narrow kernel; the batch's
+    * distinct cell ids are a metadata-sized driver collect (≤ nCells);
+    * the probe reads ONLY those cell directories minus the batch's own
+    * partition; candidate pairs are cell equi-joins (never all-pairs,
+    * the qe10 rule). Replay: intact checkpoint → same (epoch,
+    * batch_id) partition rewritten identically (probe excludes it);
+    * lost checkpoint → fresh epoch, replayed docs cosine-match their
+    * originals in the probe and write nothing. A crash between the
+    * corpus and index writes re-fires the batch and rewrites both.
+    */
+  def startSemanticDedupCorpusSink(docs: DataFrame, corpusPath: String,
+      checkpoint: String, centroids: DataFrame, threshold: Double = 0.9,
+      minTokens: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    requireDocSchema(docs)
+    require(docs.columns.contains("embedding"),
+      s"semantic sink input needs an embedding column; got ${docs.columns.mkString(", ")}")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
+    val cm = Similarity.Ivf.centroidMatrix(centroids)
+    ensureCellIndex(docs.sparkSession, corpusPath, cm)
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val assigned = batch
+          .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("cell",
+            element_at(NativeExpressions.nearestCells(col("emb"), cm, 1), 1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cellsHit = assigned.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val vsCorpus = assigned
+          .join(probeCells(spark, corpusPath, epoch, batchId, cellsHit), "cell")
+          .filter(round(Similarity.cosine(col("emb"), col("__corpus_emb")), 6)
+            >= threshold)
+          .select(col("doc_id"))
+        val vsBatch = assigned.select(col("doc_id"), col("cell"), col("emb"))
+          .join(assigned.select(col("doc_id").as("__b_id"), col("cell"),
+            col("emb").as("__b_emb")), "cell")
+          .filter(col("__b_id") < col("doc_id") &&
+            round(Similarity.cosine(col("emb"), col("__b_emb")), 6) >= threshold)
+          .select(col("doc_id"))
+        val keepers = assigned
+          .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"), col("emb").as("embedding"),
+            col("cell"))
+        keepers
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
+        keepers
+          .select(col("doc_id"), col("embedding").as("emb"), col("cell"))
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell", "epoch", "batch_id")
+          .parquet(new Path(new Path(corpusPath), CellsDir).toString)
+        assigned.unpersist(false)
         ()
       }
       .start()

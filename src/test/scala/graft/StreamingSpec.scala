@@ -906,6 +906,63 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("semantic sink: cross-batch SemDeDup through the cell index; lost-checkpoint replay writes nothing") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("sem-corpus")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val cp1 = tmpDir("sem-cp")
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    def run(cp: String,
+        stream: MemoryStream[(Long, String, Seq[Float])] = ms): Unit = {
+      val q = graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        stream.toDF().toDF("doc_id", "text", "embedding"), corpus, cp,
+        cents, threshold = 0.9)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 0: A in cell 0; B in cell 1; C ≈ A (same cell, cosine ~1) →
+    // dropped WITHIN the batch by the smaller id
+    ms.addData(
+      (1L, "doc a", Seq(1.0f, 0.05f, 0f, 0f)),
+      (2L, "doc b", Seq(0f, 1.0f, 0f, 0f)),
+      (3L, "doc c near a", Seq(0.99f, 0.06f, 0f, 0f)))
+    run(cp1)
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids() === Set(1L, 2L))
+    // batch 1 (same checkpoint lineage): D ≈ A must be caught via the
+    // CORPUS cell probe (cross-batch); E shares B's cell but cosine
+    // ≈ 0.7 < 0.9 → kept
+    ms.addData(
+      (4L, "doc d near a", Seq(0.98f, 0.04f, 0f, 0f)),
+      (5L, "doc e novel", Seq(0f, 0.7f, 0.7f, 0f)))
+    run(cp1)
+    assert(ids() === Set(1L, 2L, 5L))
+    // lost checkpoint: a FRESH query replays the same docs — every one
+    // cosine-matches its original through the index and the corpus stays
+    // byte-identical
+    val before = spark.read.parquet(corpus)
+      .select("doc_id", "text", "cell").as[(Long, String, Int)].collect().toSet
+    val ms2 = MemoryStream[(Long, String, Seq[Float])]
+    ms2.addData(
+      (1L, "doc a", Seq(1.0f, 0.05f, 0f, 0f)),
+      (5L, "doc e novel", Seq(0f, 0.7f, 0.7f, 0f)))
+    run(tmpDir("sem-cp2"), ms2)
+    val after = spark.read.parquet(corpus)
+      .select("doc_id", "text", "cell").as[(Long, String, Int)].collect().toSet
+    assert(after === before, "lost-checkpoint replay changed the corpus")
+    // drifted centroids are refused loudly, not silently mis-probed
+    val drifted = Seq((0, Seq(0.5, 0.5, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        MemoryStream[(Long, String, Seq[Float])].toDF()
+          .toDF("doc_id", "text", "embedding"),
+        corpus, tmpDir("sem-cp3"), drifted)
+    }
+    assert(e.getMessage.contains("centroids"))
+  }
+
   test("streaming heavy tokens: per-source MG state accumulates across batches, matches exact counts") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
