@@ -1215,6 +1215,14 @@ object SparkEntry {
           portable = true)
         .orderBy(col("source_a"), col("source_b"))),
 
+    // rows-only: qd41's production form — xxhash64 gram keys (8-byte
+    // shuffle keys vs the oracle path's raw shingle strings; DedupSpec
+    // pins the two paths equal row-for-row on the fixture corpus, the
+    // qd11/qd36 fast-twin convention)
+    "qd43_source_overlap_fast" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and

@@ -963,6 +963,75 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("centroids"))
   }
 
+  test("semantic sink probe is cell-pruned: probe bytes do NOT grow with corpus in other cells") {
+    // the band-index proof applied to the cell index: probe a near-dup,
+    // grow the corpus only in OTHER cells, probe the same vector again —
+    // the second probe's executor input bytes must be exactly the first's
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("sembkt-corpus")
+    val cp = tmpDir("sembkt-cp")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents)
+      q.processAllAvailable(); q.stop()
+    }
+    def measuredRun(): Long = {
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try { run(); drained() } finally spark.sparkContext.removeSparkListener(listener)
+      bytesRead.get()
+    }
+    val vA = Seq(1.0f, 0.02f, 0f, 0f) // cell 0
+    ms.addData((10L, "keeper a", vA))
+    run()
+    ms.addData((20L, "near dup of a", Seq(0.99f, 0.03f, 0f, 0f)))
+    val b1 = measuredRun()
+    assert(b1 > 0L, "probe read nothing — the near-dup was not checked against the cell index")
+    assert(ids(corpus) === Set(10L))
+    // grow the corpus with cell-1 docs only (3 batches; mutually
+    // dissimilar — pairwise cosine ≤ 0.6 — so each one is kept), with
+    // ~35 KB of incompressible text each so an unpruned probe would
+    // read ~100 KB more
+    val fillers = Seq(
+      Seq(0f, 1.0f, 0f, 0f), Seq(0f, 0.6f, 0.8f, 0f), Seq(0f, 0.6f, -0.8f, 0f))
+    val heavy = (0 until 2000).map(i =>
+      java.util.UUID.nameUUIDFromBytes(Array(i.toByte, (i >> 8).toByte))).mkString(" ")
+    fillers.zipWithIndex.foreach { case (v, i) =>
+      ms.addData((100L + i, s"cell1 filler $i $heavy", v))
+      run()
+    }
+    ms.addData((30L, "near dup of a again", Seq(0.98f, 0.01f, 0f, 0f)))
+    val b2 = measuredRun()
+    // exact equality modulo bounded per-batch METADATA (offset-log /
+    // footer reads, measured ≈ 144 B per run): the ~100 KB of cell-1
+    // data must not be read
+    assert(b2 - b1 <= 2048,
+      s"probe bytes grew with corpus partitions in OTHER cells ($b1 → $b2) — cell pruning is broken")
+    assert(ids(corpus) === Set(10L, 100L, 101L, 102L))
+  }
+
+  private def ids(corpus: String): Set[Long] =
+    spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+
   test("streaming heavy tokens: per-source MG state accumulates across batches, matches exact counts") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
