@@ -2202,12 +2202,14 @@ object SparkEntry {
         |SELECT source,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) AS avg_doc_tokens,
-        |  ROUND(CAST(SUM(sw) AS DOUBLE) / COUNT(*), 4) AS mean_stopword_ratio,
+        |  ROUND(CAST(SUM(nt) * 10000 AS DOUBLE) / COUNT(*), 0) / 10000 AS avg_doc_tokens,
+        |  ROUND(CAST(CAST(SUM(sw) * 10000 AS BIGINT) AS DOUBLE) / COUNT(*), 0)
+        |    / 10000 AS mean_stopword_ratio,
         |  ROUND(CAST(SUM(CASE WHEN GREATEST(en, fr, es, de) > 0
-        |      AND en = GREATEST(en, fr, es, de) THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 4) AS en_frac,
-        |  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS dup_frac
+        |      AND en = GREATEST(en, fr, es, de) THEN 1 ELSE 0 END) * 10000 AS DOUBLE)
+        |    / COUNT(*), 0) / 10000 AS en_frac,
+        |  ROUND(CAST((COUNT(*) - COUNT(DISTINCT fp)) * 10000 AS DOUBLE)
+        |    / COUNT(*), 0) / 10000 AS dup_frac
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // exact heavy tokens replayed: explode, grouped count, per-source

@@ -52,8 +52,10 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // distinct enforces the one-row-per-(query, term) contract — a
+    // duplicated input row would otherwise double that term's partial
     val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(termCol).as("term")))
+      col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct())
     val qTerms = broadcast(q.select(col("term")).distinct())
     // postings restricted to query terms before the shuffle; dl (total
     // token count, with multiplicity) rides along as a grouping key

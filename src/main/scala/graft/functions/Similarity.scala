@@ -342,12 +342,13 @@ object Similarity {
       * (sub, code, cvec) shape as [[Pq.prefixCodebooks]].
       *
       * Training follows the FAISS `train()` posture: codebooks are fit
-      * on a BOUNDED in-memory sketch, never the corpus — one seeded
-      * Bernoulli sample (`sampleFraction`, [[Ivf.fit]]'s convention)
-      * capped at `maxFitRows` rows, collected to the driver (bounded
-      * like [[Ivf.centroidMatrix]]'s collect — training metadata, not
-      * data) and canonically ordered so the fit is independent of
-      * partitioning. Each subspace then runs seeded in-memory k-means
+      * on a BOUNDED in-memory sketch, never the corpus — membership is
+      * a per-row hash bucket (`sampleFraction` of hash space) and the
+      * `maxFitRows` cap keeps the smallest hashes (TakeOrdered), so the
+      * SELECTED ROWS, not just their order, are independent of the
+      * corpus's partition layout; the capped set is collected to the
+      * driver (bounded like [[Ivf.centroidMatrix]]'s collect — training
+      * metadata, not data) and canonically sorted. Each subspace then runs seeded in-memory k-means
       * (k-means++, best of 10 restarts by SSE, Lloyd's to convergence)
       * over its slice of the sketch — milliseconds at the cap, vs. one
       * distributed ML job per subspace whose scheduling overhead
@@ -362,13 +363,20 @@ object Similarity {
       val dim = corpus.select(size(col(vecCol))).head().getInt(0)
       require(dim % nSub == 0, s"dim=$dim not divisible by nSub=$nSub")
       val d = dim / nSub
-      val src = if (sampleFraction < 1.0)
-        corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus
-      // canonical order: partition layout must not change the fit
+      // deterministic SELECTION, not just order: Bernoulli sample() seeds
+      // per partition and limit() takes rows in partition order, so both
+      // would pick a different subset under a repartition — select by a
+      // per-ROW hash instead (membership = hash bucket, cap = smallest
+      // hashes), which depends only on the vector values
+      val h = xxhash64(col("__v"), lit(seed))
+      val picked = corpus.select(asDouble(col(vecCol)).as("__v"))
+        .withColumn("__h", pmod(h, lit(1000000L)))
+        .filter(col("__h") < (lit(1000000L) * lit(sampleFraction)).cast("long"))
+        .orderBy(col("__h"), col("__v"))
+        .limit(maxFitRows)
       import scala.math.Ordering.Implicits.seqOrdering
-      val sketch: Array[Array[Double]] = src
-        .select(asDouble(col(vecCol))).limit(maxFitRows)
+      val sketch: Array[Array[Double]] = picked
+        .select(col("__v"))
         .collect().map(_.getSeq[Double](0).toArray)
         .sortBy(_.toIndexedSeq)
       require(sketch.nonEmpty, "fitCodebooks: empty training sample")

@@ -218,8 +218,12 @@ object TextAnalysis {
     *
     * Determinism for the oracle: the only float mean over unbounded
     * rows (stopword ratio) sums the per-doc 4-dp ROUNDED values as
-    * DECIMAL — order-independent, so the rollup replays exactly in SQL;
-    * token totals are integer sums, fractions are exact count ratios.
+    * DECIMAL — order-independent — and EVERY ratio column stays
+    * integral until the final step (e4-scaled integer numerator ÷
+    * count, rounded at 0 dp, ÷ 10000): rounding a double division at
+    * 4 dp can land 1 ulp across the boundary and flip the last digit
+    * between engines (the qd42 lesson; this op's original direct form
+    * survived only by luck of values).
     * Scale shape: one corpus scan → partial+final hash aggregation on
     * `source` (map-side combine; the distinct-hash term shuffles
     * (source, hash) pairs — 16 B each, uniform md5 keys).
@@ -236,14 +240,16 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
-        round(sum(col("__nt")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("avg_doc_tokens"),
-        round(sum(col("__sw")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("mean_stopword_ratio"),
-        round(sum(when(col("__lang") === "en", 1L).otherwise(0L)).cast("double") /
-          count(lit(1)).cast("double"), 4).as("en_frac"),
-        round(lit(1.0d) - countDistinct(col("__fp")).cast("double") /
-          count(lit(1)).cast("double"), 4).as("dup_frac"))
+        (round((sum(col("__nt")) * 10000).cast("double") /
+          count(lit(1)).cast("double"), 0) / lit(10000.0d)).as("avg_doc_tokens"),
+        (round((sum(col("__sw")) * 10000).cast("long").cast("double") /
+          count(lit(1)).cast("double"), 0) / lit(10000.0d)).as("mean_stopword_ratio"),
+        (round((sum(when(col("__lang") === "en", 1L).otherwise(0L)) * 10000)
+          .cast("double") /
+          count(lit(1)).cast("double"), 0) / lit(10000.0d)).as("en_frac"),
+        (round(((count(lit(1)) - countDistinct(col("__fp"))) * 10000)
+          .cast("double") /
+          count(lit(1)).cast("double"), 0) / lit(10000.0d)).as("dup_frac"))
       .orderBy(col("source"))
   }
 

@@ -37,7 +37,10 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
           agg.transformExpressions {
             case ae @ AggregateExpression(p: Percentile, _, false, _, _)
                 if p.child.dataType == DoubleType &&
-                  p.frequencyExpression == Literal(1L) =>
+                  p.frequencyExpression == Literal(1L) && !p.reverse =>
+              // !reverse: percentile_cont(p ORDER BY x DESC) lowers to
+              // Percentile(reverse=true) — an ascending approx sketch
+              // would silently return the (1−p) quantile
               ae.copy(aggregateFunction = new ApproximatePercentile(
                 p.child, p.percentageExpression, Literal(acc)))
           }

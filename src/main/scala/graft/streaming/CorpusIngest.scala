@@ -403,7 +403,11 @@ object CorpusIngest {
 
   /** Distinct benchmark gram hashes, persisted for the life of the
     * query (re-shingling the benchmark every micro-batch would re-read
-    * its source every trigger).
+    * its source every trigger). Lifetime: the cache entry is
+    * benchmark-sized (KBs–MBs) and lives until session end — the
+    * CacheManager holds it past query stop, which is deliberate (a
+    * restarted sink reuses it) and bounded (one entry per gated sink
+    * start, not per batch).
     */
   private def benchGramSet(benchmark: Option[DataFrame],
       benchTextCol: String, n: Int): Option[DataFrame] =
@@ -671,10 +675,15 @@ object CorpusIngest {
           .filter(col("__b_id") < col("doc_id") &&
             round(Similarity.cosine(col("emb"), col("__b_emb")), 6) >= threshold)
           .select(col("doc_id"))
+        // persisted: BOTH writes below consume keepers — unmaterialized,
+        // each would re-run the probe read, both cosine joins, and the
+        // anti-join (the near-dup sink gets the same effect from
+        // incrementalNearDupFromSig's eager checkpoint)
         val keepers = assigned
           .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"), col("emb").as("embedding"),
             col("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         keepers
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
@@ -690,6 +699,7 @@ object CorpusIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cell", "epoch", "batch_id")
           .parquet(new Path(new Path(corpusPath), CellsDir).toString)
+        keepers.unpersist(false)
         assigned.unpersist(false)
         ()
       }
@@ -724,7 +734,6 @@ object CorpusIngest {
     // duplicate of a contaminated doc (same normalized text, so the
     // same grams up to case/whitespace) and dropping it too is the
     // gate's intent, not a loss
-    val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
     val gated = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
@@ -736,6 +745,9 @@ object CorpusIngest {
     providerFlipLock.synchronized {
       val prior = spark.conf.getAll.get(ProviderKey)
       ensureRocksDb(spark)
+      // built AFTER the provider check — a refused start must not leave
+      // a persisted gram set behind
+      val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
       try {
         keepers.writeStream
           .outputMode("append")
