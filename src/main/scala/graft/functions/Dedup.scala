@@ -497,6 +497,21 @@ object Dedup {
     * reads only the index buckets matching the batch's band prefixes).
     * `sig` must be persisted ([[lshSignature]]); it is unpersisted here.
     */
+  /** Free a `localCheckpoint`ed frame's blocks. They live on the
+    * UNDERLYING RDD (registered at RDD level, not in the CacheManager),
+    * so `Dataset.unpersist` is a no-op on them — the handle comes out
+    * of the checkpoint's LogicalRDD leaf. Callers that consume a
+    * checkpointed result inside a bounded scope (a streaming batch, a
+    * compaction) should free it on the way out or each invocation
+    * leaks one resident RDD until session end.
+    */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def incrementalNearDupFromSig(sig: DataFrame, corpusLong: DataFrame,
       idCol: String, bands: Int): DataFrame = {
     // the signature frame feeds FOUR plan branches (anti-join left side,

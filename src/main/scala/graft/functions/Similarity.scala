@@ -75,6 +75,15 @@ object Similarity {
   def mrlSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dPrefix: Int, k: Int, rerankFactor: Int = 4): DataFrame = {
     require(dPrefix > 0, s"dPrefix must be positive, got $dPrefix")
+    // slice() silently CLAMPS an oversized prefix, which keeps results
+    // correct but makes stage 1 the full-dimension cosine — the whole
+    // advertised dPrefix/D cost saving gone with no error. Probe the
+    // corpus dimension (fitCodebooks' discipline) and refuse instead.
+    corpus.select(size(col(vecCol))).head(1).foreach { r =>
+      require(dPrefix <= r.getInt(0),
+        s"dPrefix=$dPrefix exceeds the corpus vector dimension ${r.getInt(0)} — " +
+          "stage 1 would silently degrade to full-dimension scoring")
+    }
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v"))

@@ -45,18 +45,21 @@ import graft.functions.{Dedup, NativeExpressions, Similarity, TextAnalysis}
   *    INTACT never re-fires the batch at all — foreachBatch idempotence
   *    via the partition key, as in RaceIngest.)
   *
-  * Dedup SCOPE (exact sink): the no-duplicate invariant covers one
-  * checkpoint LINEAGE — everything ingested through this checkpoint
-  * plus whatever the corpus held when it first started. A checkpoint
-  * RESUMED after a different checkpoint has grown the corpus does not
-  * learn the other epoch's hashes (initial state applies only to fresh
-  * checkpoints), so interleaving multiple writer checkpoints can admit
-  * cross-epoch duplicates — epoch isolation guarantees they never LOSE
-  * data, not that they dedupe against each other. Single-writer (or
-  * sequential fresh-checkpoint adoption) is the designed topology;
-  * interleaved writers should be followed by a batch [[Dedup.exactDedup]]
-  * compaction. (The NEAR-dup sink re-probes all epochs per batch and
-  * does not have this gap.)
+  * Dedup SCOPE (exact sink): the no-duplicate invariant covers every
+  * epoch's data as of each query START — a fresh checkpoint bootstraps
+  * ALL corpus hashes via initial state, and a RESUMED checkpoint folds
+  * the epochs other writers grew while it was down
+  * ([[foreignEpochHashes]]: a one-time epoch-pruned read of just those
+  * epochs' `content_hash` column, anti-joined per batch). So
+  * SEQUENTIALLY interleaved writer checkpoints (stop A, run B, resume
+  * A) admit no cross-epoch duplicates. The one residual is writers
+  * running CONCURRENTLY — an epoch growing WHILE this query runs is
+  * folded only up to the start-time read; follow true live
+  * interleaving with [[compactCorpus]], which removes any admitted
+  * cross-epoch duplicates deterministically and rewrites only the
+  * partitions that held them. (The NEAR-dup and semantic sinks
+  * re-probe all epochs' index buckets per batch and never had this
+  * gap.)
   */
 object CorpusIngest {
 
@@ -182,29 +185,54 @@ object CorpusIngest {
       if (n.startsWith("epoch-")) n.stripPrefix("epoch-").toLongOption else None
     }
 
+  /** ATOMIC zero-byte create-exclusive, per filesystem:
+    *  - HDFS: `fs.create(f, overwrite=false)` — the NameNode arbitrates,
+    *    exactly one concurrent creator wins;
+    *  - local FS: Hadoop's Raw/ChecksumFileSystem `create(overwrite=
+    *    false)` is CHECK-THEN-ACT (an exists() test followed by a plain
+    *    `FileOutputStream` open, which happily truncates a file another
+    *    racer just created) — so go straight to NIO `Files.createFile`,
+    *    which is `open(O_CREAT|O_EXCL)`: kernel-arbitrated, exactly one
+    *    winner;
+    *  - object stores (S3A): neither path is atomic (S3 has no
+    *    create-exclusive primitive); concurrent claims there need an
+    *    external arbiter — see the [[claimEpoch]] scaladoc.
+    * Returns true iff THIS call created the file.
+    */
+  private[graft] def createExclusive(fs: FileSystem, f: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(f.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      try { fs.create(f, false).close(); true }
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(f)) false // lost the race for this value
+          else throw e            // a real FS failure, not contention
+      }
+  }
+
   /** Atomically claim the first free epoch ≥ `floor` by creating
-    * `<corpus>/_graft_epochs/epoch-N` with overwrite=false — the
-    * create-exclusive is the arbitration, so two queries pinning
-    * CONCURRENTLY against the same corpus get DISTINCT epochs (the
-    * round-7 design derived the epoch from the corpus max alone, and two
-    * fresh starts racing before either wrote data could both pin the
-    * same value). A crash after the claim but before the checkpoint
-    * marker orphans the claim — a harmless gap in the epoch sequence.
+    * `<corpus>/_graft_epochs/epoch-N` exclusively ([[createExclusive]] —
+    * NameNode-arbitrated on HDFS, O_EXCL on local FS), so two queries
+    * pinning CONCURRENTLY against the same corpus get DISTINCT epochs
+    * (the round-7 design derived the epoch from the corpus max alone,
+    * and two fresh starts racing before either wrote data could both pin
+    * the same value). On object stores (S3A) no create is exclusive —
+    * concurrent fresh starts there must be serialized externally (the
+    * same caveat every S3 writer-coordination scheme carries). A crash
+    * after the claim but before the checkpoint marker orphans the
+    * claim — a harmless gap in the epoch sequence.
     */
   private def claimEpoch(fs: FileSystem, corpusDir: Path, floor: Long): Long = {
     val claims = new Path(corpusDir, ClaimsDir)
     fs.mkdirs(claims)
     var cand = math.max(floor, claimedEpochs(fs, claims).foldLeft(-1L)(math.max) + 1L)
     while (true) {
-      val f = new Path(claims, s"epoch-$cand")
-      try {
-        fs.create(f, false).close()
-        return cand
-      } catch {
-        case e: java.io.IOException =>
-          if (fs.exists(f)) cand += 1L // lost the race for this value — bump
-          else throw e                 // a real FS failure, not contention
-      }
+      if (createExclusive(fs, new Path(claims, s"epoch-$cand"))) return cand
+      cand += 1L
     }
     -1L // unreachable
   }
@@ -228,19 +256,26 @@ object CorpusIngest {
     *  - an empty/unreadable marker (crash between create and write) is
     *    treated as ABSENT and re-derived — never a bricked checkpoint.
     */
+  /** The checkpoint's pinned epoch, or None for a fresh checkpoint
+    * (empty/garbled marker == absent — crash between create and write
+    * must re-derive, never brick).
+    */
+  private def pinnedEpoch(fs: FileSystem, cp: Path): Option[Long] = {
+    val marker = new Path(cp, "graft-epoch")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      txt.toLongOption
+    }
+  }
+
   private def queryEpoch(spark: SparkSession, corpusPath: String,
       checkpoint: String): Long = {
     val cp = new Path(checkpoint)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(cp, "graft-epoch")
-    val pinned: Option[Long] =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-        txt.toLongOption // empty/garbled marker == absent, re-derive below
-      }
-    pinned.getOrElse {
+    pinnedEpoch(fs, cp).getOrElse {
       val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
       val floor =
         if (!hasData(corpusFs, corpusDir)) 0L
@@ -273,6 +308,129 @@ object CorpusIngest {
         queryEpoch(spark, corpusPath, checkpoint)
       }
     }
+  }
+
+  // ------------------------------------------- cross-epoch hash folding
+
+  private val AbsorbedMarker = "graft-absorbed-epochs"
+
+  /** The corpus (epoch, batch_id) partitions this CHECKPOINT's
+    * seen-state already covers via the fresh-start initial-state
+    * bootstrap — pinned in `<checkpoint>/graft-absorbed-epochs` when
+    * the epoch itself is pinned (write-then-rename, same discipline as
+    * the epoch marker; empty/garbled == absent == conservatively
+    * nothing absorbed, which only costs redundant idempotent folding,
+    * never a missed hash). Batch granularity, not epoch: an epoch
+    * absorbed at fresh start can GROW afterwards when its own
+    * checkpoint resumes and writes more batches — those new batches
+    * are exactly as foreign as a new epoch.
+    */
+  private def readAbsorbed(fs: FileSystem, cp: Path): Set[(Long, Long)] = {
+    val marker = new Path(cp, AbsorbedMarker)
+    if (!fs.exists(marker)) Set.empty
+    else {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      txt.split("\n").toSeq.flatMap { line =>
+        line.split(",") match {
+          case Array(e, b) =>
+            for (ee <- e.trim.toLongOption; bb <- b.trim.toLongOption) yield (ee, bb)
+          case _ => None
+        }
+      }.toSet
+    }
+  }
+
+  private def writeAbsorbed(fs: FileSystem, cp: Path,
+      parts: Set[(Long, Long)]): Unit = {
+    fs.mkdirs(cp)
+    val tmp = new Path(cp, AbsorbedMarker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(parts.toSeq.sorted.map { case (e, b) => s"$e,$b" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(cp, AbsorbedMarker))) fs.delete(tmp, false)
+  }
+
+  /** Close the exact sink's cross-epoch dedup gap (the last
+    * convention-guarded invariant of the sink family through round 8):
+    * a RESUMED checkpoint restores its seen-state from the checkpoint —
+    * `transformWithState` applies initial state only on a FRESH start —
+    * so hashes ingested by OTHER writers while this checkpoint was down
+    * were invisible, and interleaved writer checkpoints could admit
+    * cross-epoch duplicates.
+    *
+    * Fix, per query START (not per batch): diff the corpus's actual
+    * (epoch, batch_id) partitions (a two-level directory glob) against
+    * what this checkpoint's state covers — the fresh-start bootstrap
+    * set pinned in [[AbsorbedMarker]], plus every partition of its own
+    * epoch (which it wrote itself, state intact) — and read JUST the
+    * unseen partitions' `content_hash` column (a partition-pruned,
+    * single-column scan), deduped and persisted for the life of the
+    * query. Each micro-batch then anti-joins its state-approved keepers
+    * against this set before writing. A doc dropped this way still
+    * claims its hash in streaming state — exactly right: the hash IS in
+    * the corpus (under the foreign partition), so later arrivals must
+    * keep dropping even after the foreign set is unpersisted at
+    * termination.
+    *
+    * Bounds: the scan is one-time per START and covers only partitions
+    * this checkpoint's state has never seen — O(foreign keepers), not
+    * O(corpus). Residual (documented, not silent): a partition written
+    * CONCURRENTLY while this query runs is folded only up to the
+    * start-time read — true live interleaving should be followed by
+    * [[compactCorpus]].
+    */
+  private def foreignEpochHashes(spark: SparkSession, corpusPath: String,
+      checkpoint: String, ownEpoch: Long): Option[DataFrame] = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val cp = new Path(checkpoint)
+    val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foreign = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*")
+      .filter(_._1 != ownEpoch) -- readAbsorbed(cpFs, cp)
+    if (foreign.isEmpty) None
+    else {
+      val hit = foreign.groupBy(_._1).toSeq.map { case (e, bs) =>
+        col("epoch").cast("long") === lit(e) &&
+          col("batch_id").cast("long").isin(bs.map(_._2).toSeq: _*)
+      }.reduce(_ || _)
+      Some(spark.read.parquet(corpusPath).filter(hit)
+        .select(col("content_hash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
+  /** Unpersist query-lifetime caches when THIS query terminates (by id),
+    * then deregister. Closes the round-8 nit: the benchmark-gram set —
+    * and now the foreign-epoch hash set — were the only caches in the
+    * engine without an unpersist path (bounded, but unbounded across
+    * many sink starts in one long-lived session). Registered right
+    * after `start()`, so a fast AvailableNow query can terminate — and
+    * post its event — BEFORE registration; the isActive re-check after
+    * registering closes that race (at worst both paths fire, and a
+    * second unpersist on an uncached Dataset is a no-op).
+    */
+  private def unpersistOnTermination(spark: SparkSession,
+      query: StreamingQuery, cached: Seq[DataFrame]): StreamingQuery = {
+    if (cached.nonEmpty) {
+      val qid = query.id
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            cached.foreach(_.unpersist(false))
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+      if (!query.isActive) {
+        cached.foreach(_.unpersist(false))
+        spark.streams.removeListener(listener)
+      }
+    }
+    query
   }
 
   /** Both sinks persist a FIXED corpus schema (`doc_id: long`, `text`,
@@ -316,6 +474,68 @@ object CorpusIngest {
     StructField("pfx", StringType), StructField("epoch", LongType),
     StructField("batch_id", LongType)))
 
+  /** The (epoch, batch_id) pairs whose partition directories exist
+    * under `root`, matched by `glob` (metadata-only: two directory
+    * levels listed, no file reads). For the sidecar indexes the glob
+    * has a leading bucket level (`pfx=*` / `cell=*`); the pair is
+    * always the trailing `epoch=`/`batch_id=` components.
+    */
+  private def epochBatchDirs(fs: FileSystem, root: Path, glob: String): Set[(Long, Long)] =
+    Option(fs.globStatus(new Path(root, glob))).fold(Set.empty[(Long, Long)]) {
+      _.flatMap { st =>
+        for {
+          b <- st.getPath.getName.stripPrefix("batch_id=").toLongOption
+          e <- st.getPath.getParent.getName.stripPrefix("epoch=").toLongOption
+        } yield (e, b)
+      }.toSet
+    }
+
+  /** Corpus batches the index is missing entirely. The sink writes
+    * corpus THEN index, so after a crash between the two (plus
+    * checkpoint loss, so the batch never re-fires) the corpus partition
+    * exists with no index partition — the double-failure window
+    * ROUND 8 documented as "the index can never stay behind" only while
+    * the checkpoint survives. Reconciled at every query start by
+    * [[reconcileIndex]]; residual: a TORN index write (some bucket
+    * leaf directories committed, some not, within one batch) under the
+    * same double failure still passes this existence diff — strictly
+    * narrower than the whole-batch gap, and the checkpoint replay
+    * covers it in every single-failure scenario.
+    */
+  private def missingIndexBatches(fs: FileSystem, corpusDir: Path,
+      idx: Path, bucketGlob: String): Set[(Long, Long)] =
+    epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*") --
+      epochBatchDirs(fs, idx, s"$bucketGlob/epoch=*/batch_id=*")
+
+  /** Backfill `missing` corpus batches into a sidecar index: read just
+    * those (epoch, batch_id) partitions (directory-pruned), derive the
+    * index rows, and dynamic-overwrite — which touches only the bucket
+    * leaves present in the derived rows, so an interrupted reconcile is
+    * re-runnable and never disturbs other batches' index partitions.
+    */
+  private def backfillIndex(spark: SparkSession, corpusPath: String,
+      missing: Set[(Long, Long)], idx: Path,
+      rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
+    val hit = missing.toSeq.map { case (e, b) =>
+      col("epoch").cast("long") === lit(e) && col("batch_id").cast("long") === lit(b)
+    }.reduce(_ || _)
+    rows(spark.read.parquet(corpusPath).filter(hit))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(idx.toString)
+  }
+
+  /** Band-index rows from corpus rows carrying `band0..` columns. */
+  private def bandIndexRows(corpus: DataFrame, bands: Int, prefixLen: Int): DataFrame =
+    Dedup.bandsLong(
+        corpus.select((0 until bands).map(b => col(s"band$b")) :+
+          col("epoch").cast("long").as("epoch") :+
+          col("batch_id").cast("long").as("batch_id"): _*),
+        bands, Seq("epoch", "batch_id"))
+      .withColumn("pfx", substring(col("bh"), 1, prefixLen))
+      .select("band", "bh", "pfx", "epoch", "batch_id")
+
   /** Ensure `<corpus>/_graft_bands` exists and matches this sink's LSH
     * parameters; called once at query start.
     *  - no corpus yet → create the index dir and pin the parameters;
@@ -326,7 +546,10 @@ object CorpusIngest {
     *    would trust (a partial probe side silently re-admits near-dups);
     *  - index present with DIFFERENT parameters → refuse loudly (probing
     *    bands built under another k/bands/shingleN is silent semantic
-    *    drift, not an error Spark would surface).
+    *    drift, not an error Spark would surface);
+    *  - index present and matching → reconcile: backfill any corpus
+    *    batch the index is missing ([[missingIndexBatches]] — the
+    *    crash-between-writes-plus-checkpoint-loss window).
     */
   private def ensureBandIndex(spark: SparkSession, corpusPath: String,
       k: Int, bands: Int, shingleN: Int, prefixLen: Int): Unit = {
@@ -351,20 +574,17 @@ object CorpusIngest {
         s"band index at $idx was built with ${got.getOrElse("unknown parameters")} " +
           s"but this sink uses $expected — use matching k/bands/shingleN/prefixLen " +
           "or rebuild the index (delete the directory to trigger a backfill)")
+      val missing = missingIndexBatches(fs, corpusDir, idx, "pfx=*")
+      if (missing.nonEmpty)
+        backfillIndex(spark, corpusPath, missing, idx,
+          bandIndexRows(_, bands, prefixLen), Seq("pfx", "epoch", "batch_id"))
     } else if (hasData(fs, corpusDir)) {
       // adoption backfill: explode the stored band columns ONCE. A corpus
       // without band columns (e.g. an exact-dedup corpus at this path)
       // fails loudly right here on column resolution.
       val tmp = new Path(corpusDir, BandsDir + ".tmp")
       fs.delete(tmp, true)
-      Dedup.bandsLong(
-          spark.read.parquet(corpusPath)
-            .select((0 until bands).map(b => col(s"band$b")) :+
-              col("epoch").cast("long").as("epoch") :+
-              col("batch_id").cast("long").as("batch_id"): _*),
-          bands, Seq("epoch", "batch_id"))
-        .withColumn("pfx", substring(col("bh"), 1, prefixLen))
-        .select("band", "bh", "pfx", "epoch", "batch_id")
+      bandIndexRows(spark.read.parquet(corpusPath), bands, prefixLen)
         .write.mode("overwrite")
         .partitionBy("pfx", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -403,11 +623,11 @@ object CorpusIngest {
 
   /** Distinct benchmark gram hashes, persisted for the life of the
     * query (re-shingling the benchmark every micro-batch would re-read
-    * its source every trigger). Lifetime: the cache entry is
-    * benchmark-sized (KBs–MBs) and lives until session end — the
-    * CacheManager holds it past query stop, which is deliberate (a
-    * restarted sink reuses it) and bounded (one entry per gated sink
-    * start, not per batch).
+    * its source every trigger). Lifetime: benchmark-sized (KBs–MBs),
+    * unpersisted when the owning query terminates
+    * ([[unpersistOnTermination]]) — a restarted sink rebuilds it at
+    * start, so long-lived sessions cycling many gated sinks no longer
+    * accumulate dead gram sets.
     */
   private def benchGramSet(benchmark: Option[DataFrame],
       benchTextCol: String, n: Int): Option[DataFrame] =
@@ -476,7 +696,7 @@ object CorpusIngest {
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     ensureBandIndex(docs.sparkSession, corpusPath, k, bands, shingleN, prefixLen)
     val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
-    docs.writeStream
+    val q = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -513,9 +733,14 @@ object CorpusIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("pfx", "epoch", "batch_id")
           .parquet(new Path(new Path(corpusPath), BandsDir).toString)
+        // keepers is localCheckpoint'ed (incrementalNearDupFromSig's
+        // eager materialization); both writes are done — free its
+        // blocks or every batch leaks one resident RDD
+        Dedup.freeLocalCheckpoint(keepers)
         ()
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, q, benchGrams.toSeq)
   }
 
   // ---------------------------------------------- semantic (SemDeDup) sink
@@ -552,11 +777,20 @@ object CorpusIngest {
     StructField("cell", IntegerType), StructField("epoch", LongType),
     StructField("batch_id", LongType)))
 
+  /** Cell-index rows from corpus rows carrying (embedding, cell). */
+  private def cellIndexRows(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id").cast("long").as("doc_id"),
+      col("embedding").cast("array<double>").as("emb"),
+      col("cell").cast("int").as("cell"),
+      col("epoch").cast("long").as("epoch"),
+      col("batch_id").cast("long").as("batch_id"))
+
   /** [[ensureBandIndex]] for the cell index: create-and-pin on a fresh
     * corpus, ONE atomic backfill when adopting a corpus that already
     * holds (embedding, cell) columns, loud refusal when the pinned
     * centroids differ from this sink's (probing cells assigned under
-    * other centroids silently misses near-dups).
+    * other centroids silently misses near-dups), and the same
+    * missing-batch reconcile at every start.
     */
   private def ensureCellIndex(spark: SparkSession, corpusPath: String,
       cm: Array[Array[Double]]): Unit = {
@@ -580,15 +814,14 @@ object CorpusIngest {
         s"cell index at $idx was built under different centroids/shape " +
           s"(${readMeta(idx).getOrElse("unknown")} vs $expected) — use the " +
           "original centroids or delete the index to trigger a backfill")
+      val missing = missingIndexBatches(fs, corpusDir, idx, "cell=*")
+      if (missing.nonEmpty)
+        backfillIndex(spark, corpusPath, missing, idx,
+          cellIndexRows, Seq("cell", "epoch", "batch_id"))
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, CellsDir + ".tmp")
       fs.delete(tmp, true)
-      spark.read.parquet(corpusPath)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("embedding").cast("array<double>").as("emb"),
-          col("cell").cast("int").as("cell"),
-          col("epoch").cast("long").as("epoch"),
-          col("batch_id").cast("long").as("batch_id"))
+      cellIndexRows(spark.read.parquet(corpusPath))
         .write.mode("overwrite")
         .partitionBy("cell", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -640,6 +873,8 @@ object CorpusIngest {
   def startSemanticDedupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, centroids: DataFrame, threshold: Double = 0.9,
       minTokens: Int = 1,
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      benchGramN: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
     require(docs.columns.contains("embedding"),
@@ -649,15 +884,22 @@ object CorpusIngest {
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     val cm = Similarity.Ivf.centroidMatrix(centroids)
     ensureCellIndex(docs.sparkSession, corpusPath, cm)
-    docs.writeStream
+    // same gate, same position as the near-dup sink: a contaminated doc
+    // is dropped before cell assignment, so it neither probes nor lands
+    val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+    val q = docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val assigned = batch
-          .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        val assigned = contaminationGate(
+            batch
+              .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+              .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+                col("embedding")),
+            benchGrams, benchGramN)
+          .select(col("doc_id"), col("text"),
             col("embedding").cast("array<double>").as("emb"))
           .withColumn("cell",
             element_at(NativeExpressions.nearestCells(col("emb"), cm, 1), 1))
@@ -704,6 +946,7 @@ object CorpusIngest {
         ()
       }
       .start()
+    unpersistOnTermination(docs.sparkSession, q, benchGrams.toSeq)
   }
 
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
@@ -727,7 +970,24 @@ object CorpusIngest {
     val spark = docs.sparkSession
     import spark.implicits._
     requireDocSchema(docs)
+    val cp = new Path(checkpoint)
+    val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = pinnedEpoch(cpFs, cp).isEmpty
     val epoch = queryEpoch(spark, corpusPath, checkpoint)
+    if (fresh) {
+      // pin what the initial-state bootstrap is about to absorb: every
+      // (epoch, batch_id) partition with data RIGHT NOW. A partition
+      // landing between this snapshot and the first batch's bootstrap
+      // read is at worst under-recorded — a later resume then re-folds
+      // it redundantly (idempotent), never misses it.
+      val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
+      writeAbsorbed(cpFs, cp,
+        epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
+    }
+    // resumes fold foreign partitions' hashes (fresh starts get them
+    // all via initial state; foreignEpochHashes subtracts the absorbed
+    // set and the own epoch)
+    val foreignHashes = foreignEpochHashes(spark, corpusPath, checkpoint, epoch)
     // the contamination gate runs in foreachBatch (AFTER the state
     // probe): a contaminated doc claims its hash in state but never
     // lands in the corpus — any later doc with the same hash is a
@@ -749,12 +1009,14 @@ object CorpusIngest {
       // a persisted gram set behind
       val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
       try {
-        keepers.writeStream
+        val q = keepers.writeStream
           .outputMode("append")
           .trigger(trigger)
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
-            contaminationGate(batch.toDF(), benchGrams, benchGramN)
+            val folded = foreignHashes.fold(batch.toDF())(fh =>
+              batch.toDF().join(fh, Seq("content_hash"), "left_anti"))
+            contaminationGate(folded, benchGrams, benchGramN)
               .withColumn("epoch", lit(epoch))
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
@@ -764,10 +1026,92 @@ object CorpusIngest {
             ()
           }
           .start()
+        unpersistOnTermination(spark, q, benchGrams.toSeq ++ foreignHashes)
       } finally prior match {
         case Some(v) => spark.conf.set(ProviderKey, v)
         case None => spark.conf.unset(ProviderKey)
       }
     }
+  }
+
+  /** One-shot batch compaction for an EXACT-sink corpus: remove
+    * whatever cross-epoch duplicates truly CONCURRENT writer
+    * checkpoints admitted (sequential interleaving is already closed at
+    * query start by [[foreignEpochHashes]]). Deterministic keeper per
+    * `content_hash`: smallest `doc_id`, ties broken by smallest
+    * (`epoch`, `batch_id`) — [[Dedup.exactDedup]]'s rule made total
+    * across partitions, so any two runs over the same corpus remove the
+    * same rows. Rewrites ONLY the (epoch, batch_id) partitions that
+    * held a removed row — every other partition keeps its exact bytes —
+    * and deletes partitions left with no keepers. Idempotent: a crash
+    * between the rewrite and the empty-partition sweep just means the
+    * next run finds (fewer) duplicates again. A corpus without a
+    * `content_hash` column (near-dup/semantic sinks — which never had
+    * the gap) fails loudly on column resolution. Returns removed-row
+    * count.
+    *
+    * Scale shape: one groupBy over the single-column hash projection
+    * finds duplicated hashes; the loser/keeper joins touch full rows
+    * only for those hashes and the affected partitions; the driver
+    * collects only (epoch, batch_id) pairs — bounded by partition
+    * count, never row count.
+    */
+  def compactCorpus(spark: SparkSession, corpusPath: String): Long = {
+    import spark.implicits._
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val corpus = spark.read.parquet(corpusPath)
+      .select(col("doc_id"), col("text"), col("content_hash"),
+        col("epoch").cast("long").as("epoch"),
+        col("batch_id").cast("long").as("batch_id"))
+    // hashes with >1 row, each with its winning (doc_id, epoch,
+    // batch_id) — struct min is lexicographic over the fields, exactly
+    // the keeper rule. Duplicates are the exception, so this side stays
+    // small and broadcasts into the row-level joins below.
+    val dupKeeper = corpus
+      .groupBy("content_hash")
+      .agg(min(struct(col("doc_id"), col("epoch"), col("batch_id"))).as("__keep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L)
+      .select(col("content_hash"), col("__keep"))
+    val losers = corpus.join(dupKeeper, "content_hash")
+      .filter(struct(col("doc_id"), col("epoch"), col("batch_id")) =!= col("__keep"))
+      .select(col("content_hash"), col("doc_id"), col("epoch"), col("batch_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = losers.select(col("epoch"), col("batch_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+      if (affected.isEmpty) return 0L
+      val removed = losers.count()
+      val inAffected = affected.toSeq.map { case (e, b) =>
+        col("epoch") === lit(e) && col("batch_id") === lit(b)
+      }.reduce(_ || _)
+      // keepers of the affected partitions, materialized OFF the file
+      // source (localCheckpoint) so the dynamic overwrite below does not
+      // read the path it rewrites
+      val keepersInAffected = corpus.filter(inAffected)
+        .join(losers, Seq("content_hash", "doc_id", "epoch", "batch_id"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        keepersInAffected
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // written data — a partition whose every row was a loser keeps
+        // its old files and must be swept explicitly
+        val stillThere = keepersInAffected.select(col("epoch"), col("batch_id"))
+          .distinct().as[(Long, Long)].collect().toSet
+        (affected -- stillThere).foreach { case (e, b) =>
+          val batchDir = new Path(corpusDir, s"epoch=$e/batch_id=$b")
+          fs.delete(batchDir, true)
+          val epochDir = batchDir.getParent
+          if (fs.exists(epochDir) && fs.listStatus(epochDir).isEmpty)
+            fs.delete(epochDir, true)
+        }
+      } finally Dedup.freeLocalCheckpoint(keepersInAffected)
+      removed
+    } finally losers.unpersist(false)
   }
 }

@@ -1032,6 +1032,248 @@ class StreamingSpec extends SparkSpec {
   private def ids(corpus: String): Set[Long] =
     spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
 
+  test("exact sink cross-epoch fold: resumed checkpoints dedupe against partitions other writers grew") {
+    // Through round 8 this was the sink family's last convention-guarded
+    // invariant: a RESUMED checkpoint restores state from its checkpoint
+    // (initial state applies only to fresh starts), so hashes another
+    // epoch ingested while it was down were invisible and interleaved
+    // writers admitted cross-epoch duplicates. The fold reads the
+    // unseen (epoch, batch_id) partitions' hash column once at start.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("fold-corpus")
+    val cpA = tmpDir("fold-cpA")
+    val cpB = tmpDir("fold-cpB")
+    val docA = "alpha writer first document"
+    val docB = "bravo writer second document"
+    val docC = "charlie resumed novel document"
+    def run(ms: MemoryStream[(Long, String)], cp: String): Unit =
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+        .awaitTermination()
+    def state(): Set[(Long, Long, Long)] =
+      spark.read.parquet(corpus)
+        .select(col("doc_id"), col("epoch").cast("long"), col("batch_id").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    // writer A (epoch 0) ingests docA; writer B (epoch 1, fresh start)
+    // absorbs epoch 0 via bootstrap and ingests docB
+    val msA = MemoryStream[(Long, String)]
+    msA.addData((1L, docA))
+    run(msA, cpA)
+    val msB = MemoryStream[(Long, String)]
+    msB.addData((2L, docB))
+    run(msB, cpB)
+    assert(state() === Set((1L, 0L, 0L), (2L, 1L, 0L)))
+
+    // A RESUMES: its state has never seen epoch 1 — the fold must drop
+    // the cross-epoch dup of docB; the novel docC lands under A's epoch
+    msA.addData((4L, docB), (5L, docC))
+    run(msA, cpA)
+    assert(state() === Set((1L, 0L, 0L), (2L, 1L, 0L), (5L, 0L, 1L)),
+      "resumed checkpoint admitted a cross-epoch duplicate")
+
+    // B RESUMES: epoch 0 was in B's absorbed set, but its batch 1 (docC)
+    // landed AFTER B's fresh start — batch-granular folding must catch
+    // a dup of docC too (epoch-granular tracking would miss it)
+    msB.addData((6L, docC))
+    run(msB, cpB)
+    assert(state() === Set((1L, 0L, 0L), (2L, 1L, 0L), (5L, 0L, 1L)),
+      "absorbed epoch's NEW batch leaked through the fold")
+
+    // and later arrivals of a folded hash keep dropping through STATE
+    // (the fold marked it seen) — same run topology, new resume
+    msA.addData((7L, docB))
+    run(msA, cpA)
+    assert(state() === Set((1L, 0L, 0L), (2L, 1L, 0L), (5L, 0L, 1L)))
+  }
+
+  test("compactCorpus: removes concurrent-writer dups deterministically, rewrites only affected partitions") {
+    // The one residual the start-time fold cannot cover: epochs growing
+    // WHILE a query runs. Manufacture that end state directly (two
+    // epochs sharing hashes), then assert the batch compaction removes
+    // exactly the losers, keeps the smallest doc_id, leaves clean
+    // partitions byte-untouched, sweeps fully-loser partitions, and is
+    // idempotent.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("compact-corpus")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("content_hash"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+
+    val dA = "duplicated across epochs alpha"
+    val dB = "duplicated across epochs bravo"
+    part(Seq((10L, dA), (11L, "clean epoch zero doc")), 0L, 0L)
+    part(Seq((12L, "another clean zero doc")), 0L, 1L) // fully clean partition
+    part(Seq((20L, dA), (21L, dB)), 1L, 0L)            // fully-loser partition
+    part(Seq((5L, dB), (22L, "clean epoch one doc")), 1L, 1L) // keeper of dB by smaller id
+
+    val cleanDir = new java.io.File(corpus, "epoch=0/batch_id=1")
+    val beforeFiles = cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    val removed = graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+    assert(removed === 2L, s"expected 2 losers (doc 20 for dA, doc 21 for dB), got $removed")
+    val state = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("epoch").cast("long"), col("batch_id").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // dA keeper: doc 10 (smallest id); dB keeper: doc 5 (smallest id,
+    // even though it landed in a LATER epoch)
+    assert(state === Set((10L, 0L, 0L), (11L, 0L, 0L), (12L, 0L, 1L),
+      (5L, 1L, 1L), (22L, 1L, 1L)), s"got $state")
+    // fully-loser partition directory swept
+    assert(!new java.io.File(corpus, "epoch=1/batch_id=0").exists(),
+      "fully-loser partition left behind")
+    // untouched partition kept its exact files
+    assert(cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+      === beforeFiles, "a clean partition was rewritten")
+    // idempotent
+    assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 0L)
+  }
+
+  test("createExclusive: exactly one of N concurrent local-FS creators wins") {
+    // Raw/ChecksumFileSystem's create(overwrite=false) is check-then-act
+    // (exists() then a truncating FileOutputStream open) — the local-FS
+    // path must go through NIO O_CREAT|O_EXCL instead. Hammer one path
+    // from 16 threads; the kernel must admit exactly one.
+    val dir = new org.apache.hadoop.fs.Path(tmpDir("excl"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    for (round <- 0 until 20) {
+      val f = new org.apache.hadoop.fs.Path(dir, s"claim-$round")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (0 until 16).map { _ =>
+        new Thread(() => {
+          gate.await()
+          if (graft.streaming.CorpusIngest.createExclusive(fs, f)) wins.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(wins.get() === 1, s"round $round: ${wins.get()} concurrent creators won")
+    }
+  }
+
+  test("corpus sink caches (benchmark grams, foreign hashes) are unpersisted when the query terminates") {
+    implicit val ctx = spark.sqlContext
+    val sc = spark.sparkContext
+    val bench = Seq(Tuple1("some benchmark eval question with at least eight tokens here")).toDF("text")
+    def waitUnpersisted(baseline: scala.collection.Set[Int]): Unit = {
+      val deadline = System.currentTimeMillis() + 20000
+      while ((sc.getPersistentRDDs.keySet -- baseline).nonEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val leftover = sc.getPersistentRDDs.keySet -- baseline
+      assert(leftover.isEmpty, s"cache entries outlived their query: " +
+        leftover.map(id => s"$id=${sc.getPersistentRDDs.get(id).map(_.toString).getOrElse("?")}").mkString("; "))
+    }
+
+    // exact sink, gated + a resume that folds a foreign epoch: BOTH
+    // caches must be gone after termination
+    val corpus = tmpDir("unp-corpus")
+    val cpA = tmpDir("unp-cpA")
+    val cpB = tmpDir("unp-cpB")
+    val msA = MemoryStream[(Long, String)]
+    msA.addData((1L, "writer a document body"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      msA.toDF().toDF("doc_id", "text"), corpus, cpA, minTokens = 1,
+      benchmark = Some(bench)).awaitTermination()
+    val msB = MemoryStream[(Long, String)]
+    msB.addData((2L, "writer b document body"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      msB.toDF().toDF("doc_id", "text"), corpus, cpB, minTokens = 1).awaitTermination()
+    val baseline = sc.getPersistentRDDs.keySet
+    // resume A: foreign-hash fold (epoch 1 unseen) + gram set, both live
+    // during the query, both unpersisted at termination
+    msA.addData((3L, "writer a second document"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      msA.toDF().toDF("doc_id", "text"), corpus, cpA, minTokens = 1,
+      benchmark = Some(bench)).awaitTermination()
+    waitUnpersisted(baseline)
+
+    // near-dup sink's gram set too
+    val ndMs = MemoryStream[(Long, String)]
+    ndMs.addData((1L, (0 until 60).map(i => s"ndu$i").mkString(" ")))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ndMs.toDF().toDF("doc_id", "text"), tmpDir("unp-nd-corpus"),
+      tmpDir("unp-nd-cp"), minTokens = 1, benchmark = Some(bench)).awaitTermination()
+    waitUnpersisted(baseline)
+  }
+
+  test("band/cell index reconcile: a corpus batch missing from the index is backfilled at next start") {
+    // The double-failure window: crash between the corpus write and the
+    // index write PLUS checkpoint loss — the batch never re-fires, the
+    // corpus partition exists, the index partition doesn't, and a fresh
+    // epoch's probe would re-admit near-dups of that batch. Simulate by
+    // deleting the index partitions of one batch, then start a fresh
+    // query probing a near-dup of that batch's keeper.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("recon-corpus")
+    val tA = (0 until 60).map(i => s"recon$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((10L, tA))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("recon-cp1"),
+      minTokens = 1).awaitTermination()
+    // wipe batch (0,0) from the index — every pfx bucket's copy
+    val idx = new java.io.File(corpus, "_graft_bands")
+    def wipe(dir: java.io.File): Unit = {
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory && f.getName == "epoch=0") { // the batch's subtree
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        } else if (f.isDirectory) wipe(f)
+      }
+    }
+    wipe(idx)
+    assert(!new java.io.File(corpus, "_graft_bands").listFiles()
+      .exists(f => f.isDirectory && new java.io.File(f, "epoch=0").exists()),
+      "fixture: index subtree not wiped")
+    // fresh checkpoint, near-dup of the wiped batch's keeper: reconcile
+    // must backfill the index before the first probe, so it drops
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((20L, tA + " tail"))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms2.toDF().toDF("doc_id", "text"), corpus, tmpDir("recon-cp2"),
+      minTokens = 1).awaitTermination()
+    assert(ids(corpus) === Set(10L), "missing index batch was not reconciled — near-dup re-admitted")
+
+    // cell index: same wipe + reconcile through the semantic sink
+    val semCorpus = tmpDir("recon-sem-corpus")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val ms3 = MemoryStream[(Long, String, Seq[Float])]
+    ms3.addData((10L, "sem keeper", Seq(1.0f, 0.01f)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms3.toDF().toDF("doc_id", "text", "embedding"), semCorpus,
+      tmpDir("recon-sem-cp1"), cents).awaitTermination()
+    wipe(new java.io.File(semCorpus, "_graft_cells"))
+    val ms4 = MemoryStream[(Long, String, Seq[Float])]
+    ms4.addData((20L, "sem near dup", Seq(0.99f, 0.02f)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms4.toDF().toDF("doc_id", "text", "embedding"), semCorpus,
+      tmpDir("recon-sem-cp2"), cents).awaitTermination()
+    assert(ids(semCorpus) === Set(10L), "missing cell-index batch was not reconciled")
+  }
+
+  test("semantic sink: contamination gate drops benchmark-overlapping docs before cell assignment") {
+    implicit val ctx = spark.sqlContext
+    val evalText = "what is the boiling point of water at sea level in celsius degrees"
+    val bench = Seq(Tuple1(evalText)).toDF("text")
+    val corpus = tmpDir("sem-contam-corpus")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    ms.addData(
+      (1L, (0 until 30).map(i => s"clean$i").mkString(" "), Seq(1.0f, 0f)),
+      (2L, "leading words " + evalText, Seq(0f, 1.0f)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("sem-contam-cp"), cents, benchmark = Some(bench)).awaitTermination()
+    assert(ids(corpus) === Set(1L), "semantic sink let a contaminated doc through")
+  }
+
   test("streaming heavy tokens: per-source MG state accumulates across batches, matches exact counts") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
