@@ -354,6 +354,61 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, f"funnel recall@3 degenerate: $recall%.3f")
   }
 
+  test("ivfMrlFunnel (qe18): recall@k vs exact baseline, and more probes never hurt") {
+    // qe15 pins MRL-only (full-width funnel == exact) and qe14 pins the
+    // codebook fit; this is the COMPOSED funnel's contract. The fixture
+    // embeddings are random, so absolute recall is RNG-pinned
+    // (memory: ±0.07 under a row-order change) — the honest bounds are
+    // (a) far above chance, (b) probing ALL cells with a corpus-wide
+    // rerank window recovers the exact result, (c) recall is
+    // non-decreasing in nProbe on this fixture.
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnJoin(queries, emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nProbe: Int, rerankFactor: Int = 4): Double = {
+      val got = graft.ops.Pipelines.ivfMrlFunnel(emb, nProbe = nProbe,
+          rerankFactor = rerankFactor)
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exactSets.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exactSets.size
+    }
+    // (a) default settings (the qe18 query): chance recall for a
+    // 12-candidate funnel over ~1k vectors is ≈ 0.01
+    val atDefault = recallAt(nProbe = 2)
+    assert(atDefault > 0.1, f"funnel recall@3 degenerate: $atDefault%.3f")
+    // (b) exhaustive settings degrade to exact: all 8 cells probed, the
+    // rerank window as wide as the corpus
+    val n = emb.count().toInt
+    val exhaustive = graft.ops.Pipelines.ivfMrlFunnel(emb, nProbe = 8,
+        rerankFactor = n)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(exhaustive === exact.toSet,
+      "exhaustive funnel settings diverged from exact k-NN")
+    // (c) monotonicity: with the rerank window covering every candidate
+    // (rerankFactor = corpus size) the funnel is exact-top-k over the
+    // probed cells, and a GROWING candidate set can only displace a
+    // kept row with a true top-k member — so recall is provably
+    // non-decreasing in nProbe. (At a FINITE rerank window this does
+    // NOT hold — measured here: nProbe 2→4 dropped 0.40→0.33 at
+    // rerankFactor=4, because extra coarse candidates displaced a
+    // stage-1 survivor that would have won stage 2. That trade of
+    // monotonicity for bounded rerank cost is the funnel design, and
+    // bound (a) is what guards the default operating point.)
+    val ladder = Seq(1, 2, 4, 8).map(p => p -> recallAt(p, rerankFactor = n))
+    ladder.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9,
+        s"recall fell when probing more cells: nProbe=$pa→$ra, nProbe=$pb→$rb " +
+          s"(full ladder: $ladder)")
+    }
+    assert(ladder.last._2 === 1.0, s"nProbe=8 + full rerank must be exact: $ladder")
+  }
+
   test("clusterCapSample (qe17): caps per cell, keeps closest-to-centroid, full cap = identity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
