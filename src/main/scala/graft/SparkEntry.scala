@@ -1190,8 +1190,12 @@ object SparkEntry {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
+      // corpus stats built once up front (the production shape for
+      // repeated query batches); score-identical to the inline path
+      val stats = Retrieval.bm25CorpusStats(docs, "text")
       val sparse = Retrieval.bm25Search(docs, "doc_id", "text",
-        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
+        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10,
+        corpusStats = Some(stats))
       // dense leg: one probe vector per BM25 query id (vec_id 100+qid —
       // fixed probes; knnJoin's self-exclusion drops the probe itself),
       // remapped to the BM25 query ids after ranking

@@ -40,17 +40,42 @@ object Retrieval {
     * term-restricted postings retain EVERY doc containing a query term,
     * so `count(*) over (partition by term)` on them IS the document
     * frequency. N and avgdl are one scalar row from a separate narrow
-    * single-column pass (per-corpus constants — precompute and reuse
-    * them across query batches in production), broadcast-cross-joined.
+    * single-column pass — per-corpus constants, so production query
+    * batches should build them once with [[bm25CorpusStats]] and pass
+    * `corpusStats` to make each search a SINGLE corpus pass
+    * (ScanCountSpec pins both budgets) — broadcast-cross-joined.
     * The final top-k is a per-query window over only MATCHING
     * (query, doc) pairs — candidate volume is bounded by the query
     * terms' posting lists, never N×Q. Determinism: per-term partials
     * are rounded to 6 dp and DECIMAL-summed (order-free), ties break
     * on doc id.
     */
+  /** Per-corpus BM25 scalars: document count and average doc length.
+    * Pure corpus constants — independent of any query — so repeated
+    * query batches over one corpus should compute them ONCE
+    * ([[bm25CorpusStats]]) and pass them to [[bm25Search]], turning
+    * each search into a single corpus pass (the postings scan).
+    */
+  case class Bm25Stats(n: Long, avgdl: Double)
+
+  /** One narrow single-column pass over the corpus: the stats
+    * [[bm25Search]] would otherwise recompute per call. Same
+    * tokenizer, same integer-sum/count division, so supplying the
+    * result is score-identical to the inline computation.
+    */
+  def bm25CorpusStats(docs: DataFrame, textCol: String): Bm25Stats = {
+    val dl = size(TextAnalysis.tokens(lower(col(textCol)))).cast("long")
+    val r = docs.select(dl.as("dl"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .head()
+    Bm25Stats(r.getLong(0), r.getDouble(1))
+  }
+
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      corpusStats: Option[Bm25Stats] = None): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     // distinct enforces the one-row-per-(query, term) contract — a
     // duplicated input row would otherwise double that term's partial
@@ -67,10 +92,14 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     // corpus scalars: N docs, average doc length (integer sum / count —
-    // deterministic double)
-    val stats = docs.select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // deterministic double); precomputed stats skip this corpus pass
+    val stats = corpusStats.fold(
+      docs.select(size(toks).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))) { s =>
+      docs.sparkSession.range(1)
+        .select(lit(s.n).as("n"), lit(s.avgdl).as("avgdl"))
+    }
     val idf = log(lit(1.0d) +
       (col("n").cast("double") - col("df").cast("double") + lit(0.5d)) /
         (col("df").cast("double") + lit(0.5d)))

@@ -199,6 +199,37 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 2, s"bm25Search made $scans corpus passes")
   }
 
+  test("bm25Search with precomputed corpus stats: repeated query batches cost 1 pass each") {
+    import spark.implicits._
+    val (docs, acc, n) = docsSource()
+    // production shape: (N, avgdl) built ONCE (1 pass), then every
+    // query batch is just its own postings pass — no per-call stats
+    // recomputation. 3 searches: 1 stats + 3 postings = 4 total; the
+    // inline path would cost 6.
+    val stats = graft.functions.Retrieval.bm25CorpusStats(docs, "text")
+    val statsPasses = (acc.value + n - 1) / n
+    assert(statsPasses <= 1, s"bm25CorpusStats made $statsPasses corpus passes")
+    val batches = Seq(
+      Seq((1, "spark"), (2, "hash")), Seq((1, "stream")), Seq((3, "customer")))
+    batches.foreach { terms =>
+      val before = acc.value
+      val out = graft.functions.Retrieval.bm25Search(docs, "doc_id", "text",
+        terms.toDF("query_id", "term"), "query_id", "term", k = 5,
+        corpusStats = Some(stats))
+      out.collect()
+      val passes = (acc.value - before + n - 1) / n
+      assert(passes <= 1,
+        s"a stats-supplied bm25Search made $passes corpus passes (want 1)")
+    }
+    // and the supplied-stats path is SCORE-identical to the inline path
+    val q = Seq((1, "spark"), (2, "hash")).toDF("query_id", "term")
+    val inline = graft.functions.Retrieval.bm25Search(docs, "doc_id", "text",
+      q, "query_id", "term", k = 5).collect().toSet
+    val supplied = graft.functions.Retrieval.bm25Search(docs, "doc_id", "text",
+      q, "query_id", "term", k = 5, corpusStats = Some(stats)).collect().toSet
+    assert(supplied === inline, "precomputed stats changed BM25 scores")
+  }
+
   test("qd40 corpusDatacard: one grouped aggregation — exactly 1 corpus scan") {
     val (docs, acc, n) = docsSource()
     val scans = scansOf(
