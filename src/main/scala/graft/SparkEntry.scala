@@ -1227,6 +1227,18 @@ object SparkEntry {
       Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
         .orderBy(col("source_a"), col("source_b"))),
 
+    // rows-only: the SKETCHED overlap matrix — per-source MinHash
+    // signatures (one corpus pass, O(sources × k) state, broadcast
+    // signature self-join) instead of qd41/qd43's exact distinct-gram
+    // self-join; the 100 TB form where even 8-byte gram keys are too
+    // much shuffle. xxhash64 permutations are Spark-internal (no SQL
+    // twin); DedupSpec pins the estimate within the MinHash error
+    // bound of the exact Jaccard on fixtures.
+    "qd44_source_overlap_sketch" -> ((s, d) =>
+      Dedup.sourceOverlapSketch(Tables.documents(s, d), "source", "text",
+          n = 3)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // deterministic train/val/test split: portable md5 bucket of the id
     // (DuckDB md5_number_lower % 100 — bit-identical), 90/5/5. A doc's
     // split depends only on its id: stable across runs, engines, and
@@ -1749,8 +1761,8 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
-  // Keys absent here (qd08, qd11, qd12, qe06, qe14, qm01/qm02/qm03/qm04,
-  // qa01/qa02/qa03) are
+  // Keys absent here (qd08, qd11, qd12, qd44, qe06, qe14,
+  // qm01/qm02/qm03/qm04, qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their
   // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/

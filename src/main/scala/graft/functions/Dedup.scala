@@ -345,6 +345,52 @@ object Dedup {
     out
   }
 
+  /** Sketched [[sourceOverlap]] — the 100 TB path: estimate every
+    * source pair's gram-set Jaccard from per-source MinHash signatures
+    * instead of the exact distinct-gram self-join. One corpus pass
+    * builds O(sources × k) state (per source: k permutation minima via
+    * map-side-combined `min` aggregates, plus an `approx_count_distinct`
+    * gram-set size); pairs are then a broadcast self-join over the
+    * source-count-sized signature table — no gram ever shuffles twice,
+    * and the full S² matrix costs O(S² × k) driver-free work. The
+    * estimator is the classic one-permutation-per-slot MinHash
+    * (Broder 1997): Ĵ = |{j : mh_j(A) = mh_j(B)}| / k, standard error
+    * √(J(1−J)/k) — k=256 keeps 3σ under 0.1 across the J range.
+    * Deterministic: permutation j hashes (gram, j) through xxhash64, so
+    * the same corpus always yields the same sketch.
+    *
+    * Differences from the exact form, by design: pairs sharing nothing
+    * still appear (Ĵ = 0 rows are the point of a full matrix at sketch
+    * cost); gram-set sizes are `approx_count_distinct` estimates; and
+    * the shared-gram count is derived from Ĵ and the size estimates
+    * (Ĵ/(1+Ĵ)·(|A|+|B|)) rather than counted. Use [[sourceOverlap]]
+    * when exact counts matter and the gram shuffle is affordable.
+    */
+  def sourceOverlapSketch(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int, k: Int = 256): DataFrame = {
+    require(k >= 16, s"sketch width k=$k too small for a usable estimate")
+    val grams = df.select(col(sourceCol).as("__s"),
+      explode(NativeExpressions.shingleHashes(col(textCol), n)).as("__g"))
+    val mins = (0 until k).map(j => min(xxhash64(col("__g"), lit(j))).as(s"mh$j"))
+    val sig = grams.groupBy(col("__s"))
+      .agg(mins.head, (mins.tail :+ approx_count_distinct(col("__g")).as("__nd")): _*)
+      .select(col("__s"), col("__nd"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("__sig"))
+    val matches = size(filter(
+      zip_with(col("__sa"), col("__sb"), (a, b) => a === b), m => m))
+    sig.select(col("__s").as("source_a"), col("__nd").as("n_grams_a_est"),
+        col("__sig").as("__sa"))
+      .join(broadcast(sig.select(col("__s").as("source_b"),
+        col("__nd").as("n_grams_b_est"), col("__sig").as("__sb"))),
+        col("source_a") < col("source_b"))
+      .withColumn("jaccard_est", round(matches.cast("double") / lit(k.toDouble), 6))
+      .withColumn("n_shared_grams_est",
+        round(col("jaccard_est") / (lit(1.0d) + col("jaccard_est")) *
+          (col("n_grams_a_est") + col("n_grams_b_est")).cast("double"), 0).cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_grams_a_est"),
+        col("n_grams_b_est"), col("n_shared_grams_est"), col("jaccard_est"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** MinHash signature as k columns `mh0..mh{k-1}`: per permutation j the

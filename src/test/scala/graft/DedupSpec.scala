@@ -396,6 +396,57 @@ class DedupSpec extends SparkSpec {
     assert(fast === portable)
   }
 
+  test("sourceOverlapSketch (qd44): estimate within the MinHash error bound of exact Jaccard") {
+    // Controlled-overlap fixture: A and B share a 100-word block (~98
+    // shared 3-gram shingles) plus ~100 unique shingles each → exact
+    // J ≈ 0.33; C is disjoint. k=256 gives σ = √(J(1−J)/256) ≈ 0.03;
+    // the 0.1 tolerance is >3σ, and the xxhash permutations make the
+    // estimate deterministic, so this is a stable contract, not a
+    // flaky sample.
+    val shared = (0 until 100).map(i => s"common$i").mkString(" ")
+    val ua = (0 until 100).map(i => s"aonly$i").mkString(" ")
+    val ub = (0 until 100).map(i => s"bonly$i").mkString(" ")
+    val uc = (0 until 50).map(i => s"conly$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $ua", "srcA"), (2L, s"$shared $ub", "srcB"),
+      (3L, uc, "srcC")).toDF("doc_id", "text", "source")
+    val exact = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val est = Dedup.sourceOverlapSketch(docs, "source", "text", n = 3)
+      .select("source_a", "source_b", "jaccard_est")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // full matrix: all 3 pairs present, including the disjoint ones
+    assert(est.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val j = exact(("srcA", "srcB"))
+    assert(j > 0.2 && j < 0.5, s"fixture drifted: exact J = $j")
+    assert(math.abs(est(("srcA", "srcB")) - j) <= 0.1,
+      s"sketch estimate ${est(("srcA", "srcB"))} vs exact $j out of bound")
+    // disjoint sources: no permutation can collide outside hash luck
+    assert(est(("srcA", "srcC")) === 0.0 && est(("srcB", "srcC")) === 0.0)
+
+    // and on the real fixture corpus: every exact pair's estimate within
+    // the same bound; pairs the exact form omits (zero overlap) stay ≈ 0
+    val corpus = Tables.documents(spark, sf0001)
+    val exactC = Dedup.sourceOverlap(corpus, "source", "text", n = 3)
+      .select("source_a", "source_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val estC = Dedup.sourceOverlapSketch(corpus, "source", "text", n = 3)
+      .select("source_a", "source_b", "jaccard_est")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    exactC.foreach { case (pair, ex) =>
+      assert(math.abs(estC(pair) - ex) <= 0.1,
+        s"pair $pair: sketch ${estC(pair)} vs exact $ex out of bound")
+    }
+    (estC.keySet -- exactC.keySet).foreach { pair =>
+      assert(estC(pair) <= 0.05, s"zero-overlap pair $pair estimated ${estC(pair)}")
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

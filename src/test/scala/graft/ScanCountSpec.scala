@@ -230,6 +230,18 @@ class ScanCountSpec extends SparkSpec {
     assert(supplied === inline, "precomputed stats changed BM25 scores")
   }
 
+  test("qd44 sourceOverlapSketch: one corpus pass — signatures, not grams, feed the pair join") {
+    val (docs, acc, n) = docsSource()
+    // the exact qd41/qd43 forms persist the distinct-gram frame and
+    // self-join it (grams shuffle twice); the sketch's only corpus
+    // consumer is ONE grouped aggregation, and the pair join reads the
+    // source-count-sized signature table
+    val scans = scansOf(
+      graft.functions.Dedup.sourceOverlapSketch(docs, "source", "text", n = 3),
+      acc, n)
+    assert(scans <= 1, s"sourceOverlapSketch made $scans corpus passes")
+  }
+
   test("qd40 corpusDatacard: one grouped aggregation — exactly 1 corpus scan") {
     val (docs, acc, n) = docsSource()
     val scans = scansOf(
