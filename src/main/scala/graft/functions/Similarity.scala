@@ -579,15 +579,37 @@ object Similarity {
     * SRP bucket inside the cell. The dropped-id set joins back by id —
     * a plain equi-join, no broadcast assumption.
     */
+  /** The pairwise similarity the SemDeDup family thresholds on:
+    * `"cosine"` (the paper's choice, scale-invariant) or `"dot"` (raw
+    * inner product — the right metric when embeddings are trained for
+    * inner-product retrieval and magnitude carries signal). Both
+    * rounded to 6 dp before the threshold so batch and streaming paths
+    * replay identically.
+    *
+    * NaN scores (corrupt embeddings) map to −∞: Spark SQL orders NaN
+    * GREATER than every value, so a raw NaN score would pass ANY
+    * dedup threshold and silently DELETE every later corrupt doc as a
+    * "duplicate" of the first one. A NaN-scored pair is evidence of
+    * nothing — never a reason to drop data; corrupt docs stay in, for
+    * quality filters to flag explicitly.
+    */
+  private[graft] def pairScore(metric: String, a: Column, b: Column): Column = {
+    require(metric == "cosine" || metric == "dot",
+      s"metric must be 'cosine' or 'dot', got '$metric'")
+    nanvl(round(if (metric == "cosine") cosine(a, b) else dot(a, b), 6),
+      lit(Double.NegativeInfinity))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, minCosine: Double): DataFrame = {
+      centroids: DataFrame, minCosine: Double,
+      metric: String = "cosine"): DataFrame = {
     val assigned = Ivf.assign(
       df.select(col(idCol), asDouble(col(vecCol)).as("__v")), "__v", centroids)
     val l = assigned.select(col(idCol).as("id_a"), col("__v").as("va"), col("cell_id"))
     val r = assigned.select(col(idCol).as("id_b"), col("__v").as("vb"), col("cell_id"))
     val dropped = l.join(r, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine", pairScore(metric, col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))

@@ -860,6 +860,15 @@ object CorpusIngest {
     * offline ([[Similarity.Ivf.fit]]) and FIXED for the life of the
     * corpus; the index pins their exact bytes and refuses drift.
     *
+    * `metric` chooses the pairwise similarity the `threshold` applies
+    * to — `"cosine"` (SemDeDup's choice, qe10's batch contract) or
+    * `"dot"` (inner-product-trained embeddings where magnitude carries
+    * signal) — via [[Similarity.pairScore]], the same 6-dp-rounded
+    * kernel the batch path thresholds on. Like `threshold` itself, the
+    * metric is an ingest-policy knob, not index layout (cells depend
+    * only on centroids): keep it fixed for a corpus's lifetime or
+    * earlier batches will have been deduped under different semantics.
+    *
     * Scale shape: cell assignment is the narrow kernel; the batch's
     * distinct cell ids are a metadata-sized driver collect (≤ nCells);
     * the probe reads ONLY those cell directories minus the batch's own
@@ -874,13 +883,17 @@ object CorpusIngest {
       checkpoint: String, centroids: DataFrame, threshold: Double = 0.9,
       minTokens: Int = 1,
       benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
-      benchGramN: Int = 8,
+      benchGramN: Int = 8, metric: String = "cosine",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
     require(docs.columns.contains("embedding"),
       s"semantic sink input needs an embedding column; got ${docs.columns.mkString(", ")}")
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
+    require(metric == "cosine" || metric == "dot",
+      s"metric must be 'cosine' or 'dot', got '$metric'")
+    // a cosine threshold outside (0, 1] silently drops everything or
+    // nothing; dot products are magnitude-scaled, any finite bound goes
+    if (metric == "cosine") require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     val cm = Similarity.Ivf.centroidMatrix(centroids)
     ensureCellIndex(docs.sparkSession, corpusPath, cm)
@@ -908,14 +921,14 @@ object CorpusIngest {
           .collect().map(_.getInt(0)).toSeq
         val vsCorpus = assigned
           .join(probeCells(spark, corpusPath, epoch, batchId, cellsHit), "cell")
-          .filter(round(Similarity.cosine(col("emb"), col("__corpus_emb")), 6)
+          .filter(Similarity.pairScore(metric, col("emb"), col("__corpus_emb"))
             >= threshold)
           .select(col("doc_id"))
         val vsBatch = assigned.select(col("doc_id"), col("cell"), col("emb"))
           .join(assigned.select(col("doc_id").as("__b_id"), col("cell"),
             col("emb").as("__b_emb")), "cell")
           .filter(col("__b_id") < col("doc_id") &&
-            round(Similarity.cosine(col("emb"), col("__b_emb")), 6) >= threshold)
+            Similarity.pairScore(metric, col("emb"), col("__b_emb")) >= threshold)
           .select(col("doc_id"))
         // persisted: BOTH writes below consume keepers — unmaterialized,
         // each would re-run the probe read, both cosine joins, and the

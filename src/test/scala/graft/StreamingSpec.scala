@@ -1258,6 +1258,63 @@ class StreamingSpec extends SparkSpec {
     assert(ids(semCorpus) === Set(10L), "missing cell-index batch was not reconciled")
   }
 
+  test("semantic sink: planted NaN embedding ingests without task death, lands in the fallback cell") {
+    // the batch path pins nearestCells' NaN fallback (lowest cell); the
+    // sink path inherited it untested — a corrupt embedding mid-stream
+    // must neither kill the micro-batch nor corrupt the index layout
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("sem-nan-corpus")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    ms.addData(
+      (1L, "sane doc", Seq(0f, 1.0f)),
+      (2L, "corrupt doc", Seq(Float.NaN, 1.0f)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("sem-nan-cp"), cents).awaitTermination()
+    val got = spark.read.parquet(corpus).select("doc_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(got.keySet === Set(1L, 2L), "NaN doc lost or batch died")
+    assert(got(2L) === 0, s"NaN doc landed in cell ${got(2L)}, want fallback 0")
+    // and the NaN doc is probe-able: a second batch's NaN doc is NOT a
+    // cosine-dup of it — pairScore maps NaN to −∞ (Spark SQL orders
+    // NaN ABOVE every value, so a raw NaN score would pass any
+    // threshold and silently delete every later corrupt doc) — so it
+    // lands too; no task death through the probe path either
+    ms.addData((3L, "another corrupt doc", Seq(Float.NaN, 0.5f)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("sem-nan-cp"), cents).awaitTermination()
+    assert(ids(corpus) === Set(1L, 2L, 3L))
+  }
+
+  test("semantic sink: dot metric thresholds raw inner product, diverging from cosine where magnitude matters") {
+    implicit val ctx = spark.sqlContext
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    // A=(0.3,0) and B=(0.3,0.01): cosine ≈ 0.9994 (≥0.9 → dup) but
+    // dot ≈ 0.09 (< 0.5 → distinct)
+    def run(corpus: String, cp: String, metric: String, threshold: Double): Unit = {
+      val ms = MemoryStream[(Long, String, Seq[Float])]
+      ms.addData(
+        (1L, "doc a", Seq(0.3f, 0.0f)),
+        (2L, "doc b", Seq(0.3f, 0.01f)))
+      graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents,
+        threshold = threshold, metric = metric).awaitTermination()
+    }
+    val cosCorpus = tmpDir("sem-dot-cos")
+    run(cosCorpus, tmpDir("sem-dot-cp1"), "cosine", 0.9)
+    assert(ids(cosCorpus) === Set(1L), "cosine metric should collapse the pair")
+    val dotCorpus = tmpDir("sem-dot-dot")
+    run(dotCorpus, tmpDir("sem-dot-cp2"), "dot", 0.5)
+    assert(ids(dotCorpus) === Set(1L, 2L), "dot metric should keep the low-magnitude pair")
+    // and an unknown metric is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      run(tmpDir("sem-dot-x"), tmpDir("sem-dot-cp3"), "euclidean", 0.5)
+    }
+    assert(err.getMessage.contains("metric"))
+  }
+
   test("semantic sink: contamination gate drops benchmark-overlapping docs before cell assignment") {
     implicit val ctx = spark.sqlContext
     val evalText = "what is the boiling point of water at sea level in celsius degrees"
