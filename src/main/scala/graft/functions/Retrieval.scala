@@ -72,34 +72,59 @@ object Retrieval {
     Bm25Stats(r.getLong(0), r.getDouble(1))
   }
 
-  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75,
-      corpusStats: Option[Bm25Stats] = None): DataFrame = {
+  /** The (doc_id, dl, term, tf) postings derivation every BM25 path
+    * shares — [[bm25Search]] builds it inline (term-restricted first),
+    * the corpus sinks persist it as the `_graft_postings` sidecar, and
+    * the adoption/reconcile backfills re-derive it from stored text.
+    * One derivation, so sidecar search is score-identical by
+    * construction.
+    */
+  /** Whitespace-lowercase token count — THE `dl` every BM25 path uses.
+    * Token-less docs have dl = 0 and no postings rows, but still count
+    * toward N (they can never match a term either way).
+    */
+  def docLen(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(TextAnalysis.tokens(lower(text))).cast("long")
+
+  def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    // distinct enforces the one-row-per-(query, term) contract — a
-    // duplicated input row would otherwise double that term's partial
+    docs.select(Seq(col(idCol).as("doc_id"), docLen(col(textCol)).as("dl"),
+        explode(toks).as("term")) ++ extraKeys.map(col): _*)
+      .groupBy((Seq("doc_id", "dl", "term") ++ extraKeys).map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Score queries against an ALREADY-BUILT postings frame
+    * ((doc_id, dl, term, tf) — [[postingsOf]]'s layout, e.g. the corpus
+    * sinks' `_graft_postings` sidecar) plus precomputed corpus stats:
+    * BM25 with ZERO corpus passes and zero tokenization. The frame may
+    * be pre-pruned (term-bucket directories); the broadcast semi-join
+    * here re-restricts to exactly the query terms either way, and df
+    * comes from the restricted window — correct as long as the frame
+    * holds EVERY posting of each query term (bucket layouts do: a term's
+    * postings all live in its hash bucket).
+    */
+  def bm25FromPostings(postings: DataFrame, stats: Bm25Stats,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct())
     val qTerms = broadcast(q.select(col("term")).distinct())
-    // postings restricted to query terms before the shuffle; dl (total
-    // token count, with multiplicity) rides along as a grouping key
-    val postings = docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("term"))
+    val restricted = postings
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
       .join(qTerms, Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-    // corpus scalars: N docs, average doc length (integer sum / count —
-    // deterministic double); precomputed stats skip this corpus pass
-    val stats = corpusStats.fold(
-      docs.select(size(toks).cast("long").as("dl"))
-        .agg(count(lit(1)).cast("long").as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))) { s =>
-      docs.sparkSession.range(1)
-        .select(lit(s.n).as("n"), lit(s.avgdl).as("avgdl"))
-    }
+    val statsDf = postings.sparkSession.range(1)
+      .select(lit(stats.n).as("n"), lit(stats.avgdl).as("avgdl"))
+    scoreBm25(restricted, statsDf, q, k, k1, b)
+  }
+
+  /** The shared scoring tail: restricted postings (with df) × queries ×
+    * broadcast scalars → 6-dp DECIMAL-summed scores → per-query top-k.
+    */
+  private def scoreBm25(postings: DataFrame, stats: DataFrame, q: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0d) +
       (col("n").cast("double") - col("df").cast("double") + lit(0.5d)) /
         (col("df").cast("double") + lit(0.5d)))
@@ -117,6 +142,39 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      corpusStats: Option[Bm25Stats] = None): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // distinct enforces the one-row-per-(query, term) contract — a
+    // duplicated input row would otherwise double that term's partial
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct())
+    val qTerms = broadcast(q.select(col("term")).distinct())
+    // postings restricted to query terms BEFORE the shuffle (the semi
+    // join sits under the groupBy, unlike postingsOf's unrestricted
+    // form); dl (total token count, with multiplicity) rides along as a
+    // grouping key
+    val postings = docs
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .join(qTerms, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // corpus scalars: N docs, average doc length (integer sum / count —
+    // deterministic double); precomputed stats skip this corpus pass
+    val stats = corpusStats.fold(
+      docs.select(size(toks).cast("long").as("dl"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))) { s =>
+      docs.sparkSession.range(1)
+        .select(lit(s.n).as("n"), lit(s.avgdl).as("avgdl"))
+    }
+    scoreBm25(postings, stats, q, k, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):

@@ -962,6 +962,166 @@ object CorpusIngest {
     unpersistOnTermination(docs.sparkSession, q, benchGrams.toSeq)
   }
 
+  // ---------------------------------------------- BM25 postings sidecar
+
+  /** The retrieval sidecar: `<corpus>/_graft_postings`, one row per
+    * (doc, term) with (dl, tf), laid out `bkt=<xxhash64(term) mod B>/
+    * epoch=N/batch_id=M` — the bands/cells bucketing discipline with
+    * TERM HASH BUCKETS, so a query's probe prunes to the directories
+    * its own terms hash into (a term's postings all live in one
+    * bucket). Per-batch corpus scalars (n_docs, sum_dl) live beside it
+    * in `_graft_postings_stats/epoch/batch_id` — summed at query time,
+    * they reproduce [[graft.functions.Retrieval.bm25CorpusStats]]'s
+    * arithmetic exactly (integer totals, one double division).
+    */
+  private val PostingsDir = "_graft_postings"
+  private val PostingsStatsDir = "_graft_postings_stats"
+
+  private def postingsMeta(buckets: Int): String = s"buckets=$buckets tok=ws-lower"
+
+  private def postingsSchema(): StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("term", StringType), StructField("tf", LongType),
+    StructField("bkt", IntegerType), StructField("epoch", LongType),
+    StructField("batch_id", LongType)))
+
+  private def postingsStatsSchema(): StructType = StructType(Seq(
+    StructField("n_docs", LongType), StructField("sum_dl", LongType),
+    StructField("epoch", LongType), StructField("batch_id", LongType)))
+
+  private def bktOf(buckets: Int) =
+    pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int")
+
+  /** Postings rows for corpus rows that CARRY their (epoch, batch_id)
+    * columns — the backfill/reconcile derivation ([[Retrieval.postingsOf]]
+    * keyed by the partition columns so each batch's rows land in its
+    * own partition).
+    */
+  private def postingsIndexRows(corpus: DataFrame, buckets: Int): DataFrame =
+    graft.functions.Retrieval.postingsOf(
+        corpus.select(col("doc_id"), col("text"),
+          col("epoch").cast("long").as("epoch"),
+          col("batch_id").cast("long").as("batch_id")),
+        "doc_id", "text", extraKeys = Seq("epoch", "batch_id"))
+      .withColumn("bkt", bktOf(buckets))
+      .select("doc_id", "dl", "term", "tf", "bkt", "epoch", "batch_id")
+
+  private def postingsStatsRows(corpus: DataFrame): DataFrame =
+    corpus.select(col("epoch").cast("long").as("epoch"),
+        col("batch_id").cast("long").as("batch_id"),
+        graft.functions.Retrieval.docLen(col("text")).as("dl"))
+      .groupBy(col("epoch"), col("batch_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"))
+      .select("n_docs", "sum_dl", "epoch", "batch_id")
+
+  /** [[ensureBandIndex]]'s discipline for the postings sidecar:
+    * create-and-pin on a fresh corpus, atomic adoption backfill from
+    * stored text, loud bucket-count mismatch refusal, and per-start
+    * reconcile of batches missing from EITHER the postings data or the
+    * stats table (the stats dir is written after the data dir, so a
+    * crash between them heals here).
+    */
+  private def ensurePostingsIndex(spark: SparkSession, corpusPath: String,
+      buckets: Int): Unit = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, PostingsDir)
+    val statsDir = new Path(corpusDir, PostingsStatsDir)
+    val expected = postingsMeta(buckets)
+    def readMeta(at: Path): Option[String] = {
+      val f = new Path(at, BandsMetaFile)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      }
+    }
+    def writeMeta(at: Path): Unit = {
+      val out = fs.create(new Path(at, BandsMetaFile), true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
+    def reconcileInto(target: Path, glob: Option[String],
+        rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
+      val present = glob.fold(epochBatchDirs(fs, target, "epoch=*/batch_id=*"))(g =>
+        epochBatchDirs(fs, target, s"$g/epoch=*/batch_id=*"))
+      val missing = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*") -- present
+      if (missing.nonEmpty)
+        backfillIndex(spark, corpusPath, missing, target, rows, partCols)
+    }
+    if (fs.exists(idx)) {
+      val got = readMeta(idx)
+      require(got.contains(expected),
+        s"postings sidecar at $idx was built with ${got.getOrElse("unknown parameters")} " +
+          s"but this sink uses $expected — match the bucket count or delete the " +
+          "sidecar to trigger a rebuild")
+      reconcileInto(idx, Some("bkt=*"),
+        postingsIndexRows(_, buckets), Seq("bkt", "epoch", "batch_id"))
+      reconcileInto(statsDir, None, postingsStatsRows, Seq("epoch", "batch_id"))
+    } else if (hasData(fs, corpusDir)) {
+      val tmp = new Path(corpusDir, PostingsDir + ".tmp")
+      fs.delete(tmp, true)
+      postingsIndexRows(spark.read.parquet(corpusPath), buckets)
+        .write.mode("overwrite")
+        .partitionBy("bkt", "epoch", "batch_id")
+        .parquet(tmp.toString)
+      writeMeta(tmp)
+      if (!fs.rename(tmp, idx)) {
+        fs.delete(tmp, true)
+        require(readMeta(idx).contains(expected),
+          s"concurrent postings build at $idx finished with different parameters")
+      }
+      // stats AFTER the data rename: a crash here leaves data without
+      // stats, which the next start's reconcile backfills
+      reconcileInto(statsDir, None, postingsStatsRows, Seq("epoch", "batch_id"))
+    } else {
+      fs.mkdirs(idx)
+      writeMeta(idx)
+    }
+  }
+
+  /** BM25 top-k over an ingested corpus's postings sidecar: ZERO
+    * corpus passes, zero tokenization — the probe reads only the term
+    * buckets the query's own terms hash into (directory-pruned), and
+    * the scalars come from the tiny per-batch stats table. Scoring is
+    * [[graft.functions.Retrieval.bm25FromPostings]] — the same kernel
+    * as the inline path, so results are score-identical to
+    * `bm25Search` over the corpus text (StreamingSpec pins this).
+    */
+  def bm25OverCorpus(spark: SparkSession, corpusPath: String,
+      queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.Retrieval
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, PostingsDir)
+    val metaFile = new Path(idx, BandsMetaFile)
+    require(fs.exists(metaFile),
+      s"no postings sidecar at $idx — ingest with maintainPostings=true " +
+        "or build one by starting (and stopping) a sink against this corpus")
+    val in = fs.open(metaFile)
+    val meta = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    val buckets = meta.split("\\s+").collectFirst {
+      case s if s.startsWith("buckets=") => s.stripPrefix("buckets=").toInt
+    }.getOrElse(throw new IllegalStateException(s"unparseable postings meta '$meta'"))
+    val statsRow = spark.read.schema(postingsStatsSchema())
+      .parquet(new Path(corpusDir, PostingsStatsDir).toString)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head()
+    require(!statsRow.isNullAt(0) && statsRow.getLong(0) > 0L,
+      s"postings stats at $corpusPath are empty — corpus has no ingested batches")
+    val stats = Retrieval.Bm25Stats(statsRow.getLong(0),
+      statsRow.getLong(1).toDouble / statsRow.getLong(0).toDouble)
+    // the query's own term buckets: a metadata-sized driver collect
+    // (≤ distinct query terms), pruning the scan to matching directories
+    val bkts = queries.select(col(termCol).as("term")).distinct()
+      .select(bktOf(buckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.schema(postingsSchema())
+      .parquet(idx.toString)
+      .filter(col("bkt").isin(bkts: _*))
+    Retrieval.bm25FromPostings(postings, stats, queries, queryIdCol, termCol,
+      k, k1, b)
+  }
+
   /** Start the deduped-corpus sink. `docs` must carry `doc_id` and
     * `text`; rows under `minTokens` are dropped by the quality gate.
     *
@@ -978,15 +1138,28 @@ object CorpusIngest {
   def startDedupedCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, minTokens: Int = 1,
       benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
-      benchGramN: Int = 8,
+      benchGramN: Int = 8, maintainPostings: Boolean = false,
+      postingsBuckets: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireDocSchema(docs)
+    require(postingsBuckets >= 1, s"postingsBuckets must be >= 1, got $postingsBuckets")
+    locally {
+      // a sidecar that stops being maintained is silently STALE for
+      // every future bm25OverCorpus call — refuse the foot-gun
+      val (cfs, cdir) = fsFor(spark, corpusPath)
+      if (!maintainPostings)
+        require(!cfs.exists(new Path(cdir, PostingsDir)),
+          s"corpus at $corpusPath has a postings sidecar but this sink was " +
+            "started with maintainPostings=false — pass maintainPostings=true " +
+            "(same bucket count) or delete the sidecar")
+    }
     val cp = new Path(checkpoint)
     val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = pinnedEpoch(cpFs, cp).isEmpty
     val epoch = queryEpoch(spark, corpusPath, checkpoint)
+    if (maintainPostings) ensurePostingsIndex(spark, corpusPath, postingsBuckets)
     if (fresh) {
       // pin what the initial-state bootstrap is about to absorb: every
       // (epoch, batch_id) partition with data RIGHT NOW. A partition
@@ -1029,13 +1202,40 @@ object CorpusIngest {
           .foreachBatch { (batch: Dataset[CorpusDoc], batchId: Long) =>
             val folded = foreignHashes.fold(batch.toDF())(fh =>
               batch.toDF().join(fh, Seq("content_hash"), "left_anti"))
-            contaminationGate(folded, benchGrams, benchGramN)
+            val landed0 = contaminationGate(folded, benchGrams, benchGramN)
               .withColumn("epoch", lit(epoch))
               .withColumn("batch_id", lit(batchId))
+            // three consumers when postings ride along (corpus write,
+            // postings write, stats write) — persist or the gate and
+            // fold joins re-run per write
+            val landed =
+              if (maintainPostings)
+                landed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              else landed0
+            landed
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("epoch", "batch_id")
               .parquet(corpusPath)
+            if (maintainPostings) {
+              // same (epoch, batch_id) partition discipline as the
+              // corpus write: an intact-checkpoint replay rewrites the
+              // partitions identically; a crash between the corpus and
+              // sidecar writes re-fires the batch; the double-failure
+              // window heals at next start via ensurePostingsIndex
+              val (fs2, corpusDir2) = fsFor(landed.sparkSession, corpusPath)
+              postingsIndexRows(landed, postingsBuckets)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bkt", "epoch", "batch_id")
+                .parquet(new Path(corpusDir2, PostingsDir).toString)
+              postingsStatsRows(landed)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "batch_id")
+                .parquet(new Path(corpusDir2, PostingsStatsDir).toString)
+              landed.unpersist(false)
+            }
             ()
           }
           .start()
