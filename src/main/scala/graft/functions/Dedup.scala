@@ -361,10 +361,13 @@ object Dedup {
     *
     * Differences from the exact form, by design: pairs sharing nothing
     * still appear (Ĵ = 0 rows are the point of a full matrix at sketch
-    * cost); gram-set sizes are `approx_count_distinct` estimates; and
-    * the shared-gram count is derived from Ĵ and the size estimates
-    * (Ĵ/(1+Ĵ)·(|A|+|B|)) rather than counted. Use [[sourceOverlap]]
-    * when exact counts matter and the gram shuffle is affordable.
+    * cost) — INCLUDING sources whose every text is shorter than n
+    * tokens (zero shingles: they join back in with Ĵ = 0 and size 0,
+    * their true Jaccard against anything); gram-set sizes are
+    * `approx_count_distinct` estimates; and the shared-gram count is
+    * derived from Ĵ and the size estimates (Ĵ/(1+Ĵ)·(|A|+|B|)) rather
+    * than counted. Use [[sourceOverlap]] when exact counts matter and
+    * the gram shuffle is affordable.
     */
   def sourceOverlapSketch(df: DataFrame, sourceCol: String, textCol: String,
       n: Int, k: Int = 256): DataFrame = {
@@ -372,12 +375,19 @@ object Dedup {
     val grams = df.select(col(sourceCol).as("__s"),
       explode(NativeExpressions.shingleHashes(col(textCol), n)).as("__g"))
     val mins = (0 until k).map(j => min(xxhash64(col("__g"), lit(j))).as(s"mh$j"))
-    val sig = grams.groupBy(col("__s"))
+    val sigRaw = grams.groupBy(col("__s"))
       .agg(mins.head, (mins.tail :+ approx_count_distinct(col("__g")).as("__nd")): _*)
       .select(col("__s"), col("__nd"),
         array((0 until k).map(j => col(s"mh$j")): _*).as("__sig"))
-    val matches = size(filter(
-      zip_with(col("__sa"), col("__sb"), (a, b) => a === b), m => m))
+    // a source with ZERO shingles (all texts shorter than n tokens) has
+    // no gram rows — left-join the full source list back so it still
+    // appears in the matrix (null signature ⇒ 0 matches below)
+    val sig = df.select(col(sourceCol).as("__s")).distinct()
+      .join(sigRaw, Seq("__s"), "left")
+      .select(col("__s"), coalesce(col("__nd"), lit(0L)).as("__nd"), col("__sig"))
+    val matches = when(col("__sa").isNull || col("__sb").isNull, lit(0))
+      .otherwise(size(filter(
+        zip_with(col("__sa"), col("__sb"), (a, b) => a === b), m => m)))
     sig.select(col("__s").as("source_a"), col("__nd").as("n_grams_a_est"),
         col("__sig").as("__sa"))
       .join(broadcast(sig.select(col("__s").as("source_b"),

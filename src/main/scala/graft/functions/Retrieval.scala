@@ -69,6 +69,8 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
       .head()
+    require(r.getLong(0) > 0L,
+      "bm25CorpusStats: corpus is empty — BM25 needs at least one document")
     Bm25Stats(r.getLong(0), r.getDouble(1))
   }
 

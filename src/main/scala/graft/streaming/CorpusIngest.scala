@@ -214,6 +214,41 @@ object CorpusIngest {
       }
   }
 
+  /** Escape hatch for [[requireAtomicClaims]]: set to `true` only when
+    * fresh sink starts against the corpus are serialized by an external
+    * arbiter (a scheduler lock, a DynamoDB/ZooKeeper mutex, …).
+    */
+  private[graft] val AllowNonAtomicClaimsKey =
+    "spark.graft.corpus.allowNonAtomicClaims"
+
+  /** Filesystem schemes with NO atomic create-exclusive primitive:
+    * every one of these maps `create(overwrite=false)` to a
+    * check-then-PUT, so two racing creators can both "win".
+    */
+  private[graft] val NonAtomicClaimSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "swift", "cosn")
+
+  /** Epoch claims are only as safe as [[createExclusive]] is atomic —
+    * on an object store it is NOT, and two concurrent fresh starts
+    * could claim the SAME epoch and later dynamic-overwrite each
+    * other's partitions. Round 9 documented that; this turns the
+    * silent races-possible deployment into a refusal at sink start,
+    * with [[AllowNonAtomicClaimsKey]] as the explicit opt-out for
+    * externally-serialized deployments.
+    */
+  private[graft] def requireAtomicClaims(fs: FileSystem,
+      allowOverride: Boolean): Unit = {
+    val scheme = Option(fs.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    require(allowOverride || !NonAtomicClaimSchemes.contains(scheme),
+      s"corpus filesystem scheme '$scheme' has no atomic create-exclusive, so " +
+        "concurrent fresh checkpoints could claim the SAME epoch and clobber " +
+        "each other's partitions. Serialize fresh starts against this corpus " +
+        s"with an external arbiter and set $AllowNonAtomicClaimsKey=true to " +
+        "proceed.")
+  }
+
   /** Atomically claim the first free epoch ≥ `floor` by creating
     * `<corpus>/_graft_epochs/epoch-N` exclusively ([[createExclusive]] —
     * NameNode-arbitrated on HDFS, O_EXCL on local FS), so two queries
@@ -222,7 +257,9 @@ object CorpusIngest {
     * and two fresh starts racing before either wrote data could both pin
     * the same value). On object stores (S3A) no create is exclusive —
     * concurrent fresh starts there must be serialized externally (the
-    * same caveat every S3 writer-coordination scheme carries). A crash
+    * same caveat every S3 writer-coordination scheme carries), and
+    * [[requireAtomicClaims]] refuses the start outright unless that
+    * arbiter is attested via [[AllowNonAtomicClaimsKey]]. A crash
     * after the claim but before the checkpoint marker orphans the
     * claim — a harmless gap in the epoch sequence.
     */
@@ -294,6 +331,8 @@ object CorpusIngest {
             .agg(max(col("epoch").cast("long"))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
         }
+      requireAtomicClaims(corpusFs,
+        spark.conf.getOption(AllowNonAtomicClaimsKey).exists(_.toBoolean))
       val epoch = claimEpoch(corpusFs, corpusDir, floor)
       fs.mkdirs(cp)
       // write-then-rename: a crash mid-write must not leave a parseable
@@ -1044,9 +1083,17 @@ object CorpusIngest {
         rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
       val present = glob.fold(epochBatchDirs(fs, target, "epoch=*/batch_id=*"))(g =>
         epochBatchDirs(fs, target, s"$g/epoch=*/batch_id=*"))
-      val missing = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*") -- present
+      val corpusDirs = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*")
+      val missing = corpusDirs -- present
       if (missing.nonEmpty)
         backfillIndex(spark, corpusPath, missing, target, rows, partCols)
+      // the mirror of the backfill: a corpus batch REMOVED outside this
+      // sink (a pre-postings-aware compaction, a manual partition drop)
+      // leaves sidecar rows scoring docs that no longer exist — sweep
+      // them. Orphan-pair granularity; stale EXTRA rows inside a pair
+      // both sides still have are the torn-write residual documented on
+      // [[missingIndexBatches]].
+      sweepPairDirs(fs, target, glob, present -- corpusDirs)
     }
     if (fs.exists(idx)) {
       val got = readMeta(idx)
@@ -1079,6 +1126,59 @@ object CorpusIngest {
     }
   }
 
+  /** Delete the sidecar partition directories of `pairs` under `root`
+    * (every matching bucket leaf when `bucketGlob` is set), cleaning
+    * emptied parent directories so partition discovery never trips on
+    * hollow `epoch=`/`bkt=` shells. Metadata-only FS work — bounded by
+    * partition count, never row count.
+    */
+  private def sweepPairDirs(fs: FileSystem, root: Path,
+      bucketGlob: Option[String], pairs: Set[(Long, Long)]): Unit =
+    pairs.foreach { case (e, b) =>
+      val glob = bucketGlob.fold(s"epoch=$e/batch_id=$b")(g =>
+        s"$g/epoch=$e/batch_id=$b")
+      Option(fs.globStatus(new Path(root, glob))).toSeq.flatten.foreach { st =>
+        fs.delete(st.getPath, true)
+        var parent = st.getPath.getParent // epoch=e, then the bucket leaf
+        while (parent != null && parent != root &&
+            fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, true)
+          parent = parent.getParent
+        }
+      }
+    }
+
+  /** The bucket count a postings sidecar was built with, from its
+    * pinned meta file — refuses loudly when no sidecar exists.
+    */
+  private def postingsBucketsOf(fs: FileSystem, idx: Path): Int = {
+    val metaFile = new Path(idx, BandsMetaFile)
+    require(fs.exists(metaFile),
+      s"no postings sidecar at $idx — ingest with maintainPostings=true " +
+        "or build one with buildPostingsIndex")
+    val in = fs.open(metaFile)
+    val meta = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    meta.split("\\s+").collectFirst {
+      case s if s.startsWith("buckets=") => s.stripPrefix("buckets=").toInt
+    }.getOrElse(throw new IllegalStateException(s"unparseable postings meta '$meta'"))
+  }
+
+  /** Batch entry for the BM25 postings sidecar: ensure
+    * `<corpus>/_graft_postings` (+ its stats table) exists, matches
+    * `buckets`, and covers exactly the corpus's (epoch, batch_id)
+    * partitions — built from stored text when absent (one corpus pass,
+    * atomic tmp-then-rename), missing batches backfilled and orphan
+    * batches swept otherwise. The same routine the exact sink runs at
+    * every start when `maintainPostings=true`, public so an existing
+    * corpus can be indexed — or re-reconciled after out-of-band
+    * partition surgery — without starting a stream. Idempotent.
+    */
+  def buildPostingsIndex(spark: SparkSession, corpusPath: String,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"postingsBuckets must be >= 1, got $buckets")
+    ensurePostingsIndex(spark, corpusPath, buckets)
+  }
+
   /** BM25 top-k over an ingested corpus's postings sidecar: ZERO
     * corpus passes, zero tokenization — the probe reads only the term
     * buckets the query's own terms hash into (directory-pruned), and
@@ -1093,15 +1193,7 @@ object CorpusIngest {
     import graft.functions.Retrieval
     val (fs, corpusDir) = fsFor(spark, corpusPath)
     val idx = new Path(corpusDir, PostingsDir)
-    val metaFile = new Path(idx, BandsMetaFile)
-    require(fs.exists(metaFile),
-      s"no postings sidecar at $idx — ingest with maintainPostings=true " +
-        "or build one by starting (and stopping) a sink against this corpus")
-    val in = fs.open(metaFile)
-    val meta = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    val buckets = meta.split("\\s+").collectFirst {
-      case s if s.startsWith("buckets=") => s.stripPrefix("buckets=").toInt
-    }.getOrElse(throw new IllegalStateException(s"unparseable postings meta '$meta'"))
+    val buckets = postingsBucketsOf(fs, idx)
     val statsRow = spark.read.schema(postingsStatsSchema())
       .parquet(new Path(corpusDir, PostingsStatsDir).toString)
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
@@ -1170,10 +1262,6 @@ object CorpusIngest {
       writeAbsorbed(cpFs, cp,
         epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
     }
-    // resumes fold foreign partitions' hashes (fresh starts get them
-    // all via initial state; foreignEpochHashes subtracts the absorbed
-    // set and the own epoch)
-    val foreignHashes = foreignEpochHashes(spark, corpusPath, checkpoint, epoch)
     // the contamination gate runs in foreachBatch (AFTER the state
     // probe): a contaminated doc claims its hash in state but never
     // lands in the corpus — any later doc with the same hash is a
@@ -1191,10 +1279,18 @@ object CorpusIngest {
     providerFlipLock.synchronized {
       val prior = spark.conf.getAll.get(ProviderKey)
       ensureRocksDb(spark)
-      // built AFTER the provider check — a refused start must not leave
-      // a persisted gram set behind
-      val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+      // both query-lifetime caches are built AFTER the provider check
+      // and inside the catch — a refused or failed start must not leave
+      // a persisted gram set (or foreign-hash frame) behind
+      var cached: Seq[DataFrame] = Nil
       try {
+        val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+        cached = benchGrams.toSeq
+        // resumes fold foreign partitions' hashes (fresh starts get them
+        // all via initial state; foreignEpochHashes subtracts the
+        // absorbed set and the own epoch)
+        val foreignHashes = foreignEpochHashes(spark, corpusPath, checkpoint, epoch)
+        cached = cached ++ foreignHashes
         val q = keepers.writeStream
           .outputMode("append")
           .trigger(trigger)
@@ -1239,7 +1335,11 @@ object CorpusIngest {
             ()
           }
           .start()
-        unpersistOnTermination(spark, q, benchGrams.toSeq ++ foreignHashes)
+        unpersistOnTermination(spark, q, cached)
+      } catch {
+        case t: Throwable =>
+          cached.foreach(_.unpersist(false))
+          throw t
       } finally prior match {
         case Some(v) => spark.conf.set(ProviderKey, v)
         case None => spark.conf.unset(ProviderKey)
@@ -1262,6 +1362,23 @@ object CorpusIngest {
     * `content_hash` column (near-dup/semantic sinks — which never had
     * the gap) fails loudly on column resolution. Returns removed-row
     * count.
+    *
+    * A postings sidecar ([[buildPostingsIndex]] / `maintainPostings`)
+    * is compacted IN STEP: the affected pairs' `_graft_postings`
+    * directories are deleted outright (a loser's terms can live in
+    * bucket leaves the keepers' terms never reach, which a dynamic
+    * overwrite could not touch), keeper postings re-derived, and the
+    * stats table rewritten/swept — so `bm25OverCorpus` never scores a
+    * removed doc and N tracks the compacted count. The sidecar is
+    * updated BEFORE the corpus rewrite: while duplicates remain in the
+    * corpus a re-run recomputes the identical keeper set, so every
+    * crash window heals by running compaction again (don't serve
+    * `bm25OverCorpus` mid-compaction). The near-dup/semantic sinks'
+    * `_graft_bands`/`_graft_cells` indexes never meet this path — those
+    * corpora carry no `content_hash` and are refused above; were such
+    * an index ever present, stale loser entries would also be harmless
+    * (a loser is an exact dup of a surviving keeper, so every band/cell
+    * key it contributed is still live via the keeper).
     *
     * Scale shape: one groupBy over the single-column hash projection
     * finds duplicated hashes; the loser/keeper joins touch full rows
@@ -1306,16 +1423,35 @@ object CorpusIngest {
         .join(losers, Seq("content_hash", "doc_id", "epoch", "batch_id"), "left_anti")
         .localCheckpoint(true)
       try {
-        keepersInAffected
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch", "batch_id")
-          .parquet(corpusPath)
         // dynamic overwrite only replaces partitions PRESENT in the
         // written data — a partition whose every row was a loser keeps
         // its old files and must be swept explicitly
         val stillThere = keepersInAffected.select(col("epoch"), col("batch_id"))
           .distinct().as[(Long, Long)].collect().toSet
+        // postings sidecar FIRST (scaladoc ordering note): while the
+        // corpus still holds the losers, any crash below re-runs to the
+        // identical keeper set
+        val idx = new Path(corpusDir, PostingsDir)
+        if (fs.exists(idx)) {
+          val buckets = postingsBucketsOf(fs, idx)
+          val statsDir = new Path(corpusDir, PostingsStatsDir)
+          sweepPairDirs(fs, idx, Some("bkt=*"), affected)
+          postingsIndexRows(keepersInAffected, buckets)
+            .write.mode("append")
+            .partitionBy("bkt", "epoch", "batch_id")
+            .parquet(idx.toString)
+          postingsStatsRows(keepersInAffected)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "batch_id")
+            .parquet(statsDir.toString)
+          sweepPairDirs(fs, statsDir, None, affected -- stillThere)
+        }
+        keepersInAffected
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
         (affected -- stillThere).foreach { case (e, b) =>
           val batchDir = new Path(corpusDir, s"epoch=$e/batch_id=$b")
           fs.delete(batchDir, true)

@@ -447,6 +447,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapSketch: a source whose texts are all shorter than n tokens still appears, with zero estimates") {
+    // "tiny" yields ZERO 3-gram shingles (both texts under 3 tokens) —
+    // round 9 silently dropped it from the matrix; it must appear in
+    // every pair with Ĵ = 0 and size 0 (its true values)
+    val docs = Seq(
+      (1L, (0 until 50).map(i => s"ww$i").mkString(" "), "big"),
+      (2L, (0 until 50).map(i => s"vv$i").mkString(" "), "big2"),
+      (3L, "too short", "tiny"), (4L, "also", "tiny")).toDF("doc_id", "text", "source")
+    val est = Dedup.sourceOverlapSketch(docs, "source", "text", n = 3)
+      .select("source_a", "source_b", "n_grams_a_est", "n_grams_b_est",
+        "n_shared_grams_est", "jaccard_est")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(est.keySet === Set(("big", "big2"), ("big", "tiny"), ("big2", "tiny")),
+      s"matrix incomplete: ${est.keySet}")
+    val (na, _, shared, j) = est(("big", "tiny"))
+    assert(na > 0L && est(("big", "tiny"))._2 === 0L)
+    assert(shared === 0L && j === 0.0)
+    assert(est(("big2", "tiny"))._4 === 0.0)
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),

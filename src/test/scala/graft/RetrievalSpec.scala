@@ -100,4 +100,13 @@ class RetrievalSpec extends SparkSpec {
     val top5 = rows.filter(_._1 == 1).sortBy(_._4).take(5).map(_._2).toSeq
     assert(fused.filter(_._1 == 1).sortBy(_._4).map(_._2).toSeq === top5)
   }
+
+  test("bm25CorpusStats refuses an empty corpus with a clear message") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25CorpusStats(empty, "text")
+    }
+    assert(e.getMessage.contains("corpus is empty"),
+      s"opaque failure instead of the guard: ${e.getMessage}")
+  }
 }

@@ -1364,4 +1364,286 @@ class StreamingSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  // ------------------------------------------------ BM25 postings sidecar
+
+  private def postingsRows(corpus: String): Set[(Long, Long, String, Long)] =
+    spark.read.parquet(corpus + "/_graft_postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .as[(Long, Long, String, Long)].collect().toSet
+
+  private def recomputedPostings(corpus: String): Set[(Long, Long, String, Long)] =
+    graft.functions.Retrieval.postingsOf(
+        spark.read.parquet(corpus), "doc_id", "text")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .as[(Long, Long, String, Long)].collect().toSet
+
+  private def postingsStats(corpus: String): (Long, Long) = {
+    val r = spark.read.parquet(corpus + "/_graft_postings_stats")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("postings sidecar: per-batch maintenance ≡ batch recomputation; bm25OverCorpus ≡ bm25Search; replay adds nothing") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Retrieval
+    val corpus = tmpDir("postings-corpus")
+    val cp = tmpDir("postings-cp")
+    val ms = MemoryStream[(Long, String)]
+    def run(checkpoint: String = cp): Unit = {
+      val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, checkpoint, minTokens = 1,
+        maintainPostings = true, postingsBuckets = 8)
+      q.awaitTermination()
+    }
+    val queries = Seq((1, "apple"), (1, "banana"), (2, "fig")).toDF("query_id", "term")
+    def overCorpus(): Set[(Int, Long, Double, Int)] =
+      graft.streaming.CorpusIngest.bm25OverCorpus(spark, corpus, queries,
+          "query_id", "term", k = 3)
+        .as[(Int, Long, Double, Int)].collect().toSet
+    def overText(): Set[(Int, Long, Double, Int)] =
+      Retrieval.bm25Search(spark.read.parquet(corpus), "doc_id", "text",
+          queries, "query_id", "term", k = 3)
+        .as[(Int, Long, Double, Int)].collect().toSet
+
+    ms.addData((10L, "apple banana cherry apple"), (11L, "banana date elderberry"))
+    run()
+    // batch 1 on a restart: one keeper, one exact dup of doc 10 (the
+    // dropped dup must leave NO postings rows)
+    ms.addData((20L, "cherry fig grape apple"), (21L, "apple banana cherry apple"))
+    run()
+    assert(ids(corpus) === Set(10L, 11L, 20L))
+    assert(postingsRows(corpus).nonEmpty, "sidecar empty after two maintained batches")
+    assert(postingsRows(corpus) === recomputedPostings(corpus),
+      "maintained sidecar diverges from batch recomputation over stored text")
+    // stats reproduce bm25CorpusStats arithmetic: N and Σdl over keepers
+    val stats = Retrieval.bm25CorpusStats(spark.read.parquet(corpus), "text")
+    val (n, sumDl) = postingsStats(corpus)
+    assert(n === stats.n && sumDl.toDouble / n.toDouble === stats.avgdl)
+    // the scaladoc contract: sidecar search ≡ text search, score for score
+    val oc = overCorpus()
+    assert(oc === overText(), "bm25OverCorpus diverges from bm25Search over corpus text")
+    assert(oc.nonEmpty && oc.exists(_._1 == 2), "fixture degenerate: no rankings")
+
+    // replay: batch 0's data under a FRESH checkpoint (sink committed,
+    // checkpoint lost) — all dups, so corpus AND sidecar byte-stable
+    val before = postingsRows(corpus)
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((10L, "apple banana cherry apple"), (11L, "banana date elderberry"))
+    val q2 = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms2.toDF().toDF("doc_id", "text"), corpus, tmpDir("postings-cp2"),
+      minTokens = 1, maintainPostings = true, postingsBuckets = 8)
+    q2.awaitTermination()
+    assert(postingsRows(corpus) === before, "replay changed the sidecar")
+    assert(overCorpus() === overText())
+
+    // bucket-count mismatch refused loudly, not silently re-bucketed
+    val ms3 = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms3.toDF().toDF("doc_id", "text"), corpus, tmpDir("postings-cp3"),
+        minTokens = 1, maintainPostings = true, postingsBuckets = 16)
+    }
+    assert(e.getMessage.contains("buckets=8"))
+  }
+
+  test("postings sidecar adoption: an unindexed corpus backfills via buildPostingsIndex, then stays maintained") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("postings-adopt")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((10L, "kiwi lemon mango"), (11L, "mango nectarine orange"))
+    val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("adopt-cp1"), minTokens = 1)
+    q.awaitTermination()
+
+    // adopt: one-time batch backfill from stored text, no stream needed
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 8)
+    assert(postingsRows(corpus) === recomputedPostings(corpus),
+      "adoption backfill diverges from recomputation")
+    assert(postingsStats(corpus)._1 === 2L)
+
+    // and a LATER maintaining start keeps it in step (its own new batch
+    // rides the per-batch path; the adopted batches stay put)
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((20L, "papaya quince raspberry"))
+    val q2 = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms2.toDF().toDF("doc_id", "text"), corpus, tmpDir("adopt-cp2"),
+      minTokens = 1, maintainPostings = true, postingsBuckets = 8)
+    q2.awaitTermination()
+    assert(ids(corpus) === Set(10L, 11L, 20L))
+    assert(postingsRows(corpus) === recomputedPostings(corpus))
+    assert(postingsStats(corpus)._1 === 3L)
+
+    // the round-9 guard still holds: maintainPostings=false on an
+    // indexed corpus is refused (silent staleness foot-gun)
+    val ms3 = MemoryStream[(Long, String)]
+    intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms3.toDF().toDF("doc_id", "text"), corpus, tmpDir("adopt-cp3"),
+        minTokens = 1)
+    }
+  }
+
+  test("compactCorpus keeps the postings sidecar in step: no removed doc scored, stats track the compacted corpus") {
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("compact-postings")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("content_hash"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+
+    // the concurrent-writer end state: epoch 1 re-admitted two docs of
+    // epoch 0; "zebra" appears ONLY in removed docs — after compaction
+    // it must resolve to the surviving keeper, never a deleted id
+    val dA = "unique zebra walrus yak duplicated alpha"
+    val dB = "quokka xerus vole duplicated bravo"
+    part(Seq((10L, dA), (11L, "clean epoch zero llama ibex")), 0L, 0L)
+    part(Seq((20L, dA), (21L, dB)), 1L, 0L) // fully-loser partition
+    part(Seq((5L, dB), (22L, "clean epoch one gecko heron")), 1L, 1L)
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 4)
+    assert(postingsRows(corpus) === recomputedPostings(corpus))
+
+    val removed = graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+    assert(removed === 2L)
+    // sidecar ≡ recomputation over the COMPACTED corpus: removed docs
+    // gone, keepers intact, fully-loser partition swept from the sidecar
+    assert(postingsRows(corpus) === recomputedPostings(corpus),
+      "compaction left the sidecar stale")
+    val (n, _) = postingsStats(corpus)
+    assert(n === spark.read.parquet(corpus).count(),
+      "stats N diverges from the compacted corpus")
+    assert(!new java.io.File(corpus, "_graft_postings_stats/epoch=1/batch_id=0").exists(),
+      "fully-loser partition's stats row survived compaction")
+    // the advertised workflow: search after compaction returns only
+    // surviving doc_ids (round 9 scored doc 20 here, with inflated N)
+    val got = graft.streaming.CorpusIngest.bm25OverCorpus(spark, corpus,
+        Seq((1, "zebra"), (2, "quokka")).toDF("query_id", "term"),
+        "query_id", "term", k = 5)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSet.subsetOf(Set(10L, 11L, 5L, 22L)),
+      s"bm25OverCorpus scored a compacted-away doc: ${got.toSeq}")
+    assert(got.filter(_._1 == 1).map(_._2).toSet === Set(10L))
+    assert(got.filter(_._1 == 2).map(_._2).toSet === Set(5L))
+    // idempotent, sidecar included
+    val after = postingsRows(corpus)
+    assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 0L)
+    assert(postingsRows(corpus) === after)
+  }
+
+  test("postings reconcile sweeps orphans: a corpus batch dropped out-of-band disappears from the sidecar") {
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("postings-orphan")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("content_hash"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((1L, "apple pie crust")), 0L, 0L)
+    part(Seq((2L, "banana bread loaf")), 0L, 1L)
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 4)
+    assert(postingsRows(corpus).map(_._1) === Set(1L, 2L))
+
+    // out-of-band partition surgery (a retention sweep, a manual drop)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(corpus, "epoch=0/batch_id=1"))
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 4)
+    assert(postingsRows(corpus).map(_._1) === Set(1L),
+      "orphan postings for the dropped batch survived reconcile")
+    assert(postingsStats(corpus) === ((1L, 3L)))
+  }
+
+  test("bm25OverCorpus probe is term-bucket-pruned and plans zero corpus-text reads") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("postings-prune")
+    val cp = tmpDir("postings-prune-cp")
+    // assign words to buckets the way the sidecar will (xxhash64 mod 8)
+    val words = (0 until 200).map(i => s"wrd$i")
+    val bktOf = words.toDF("term")
+      .select(col("term"), pmod(xxhash64(col("term")), lit(8L)).cast("int").as("b"))
+      .as[(String, Int)].collect().toMap
+    val qw = words.head
+    val others = words.filter(w => bktOf(w) != bktOf(qw))
+    assert(others.size >= 100, "fixture degenerate: hash put everything in one bucket")
+
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1,
+        maintainPostings = true, postingsBuckets = 8)
+      q.awaitTermination()
+    }
+    ms.addData((10L, s"$qw ${others.take(5).mkString(" ")}"))
+    run()
+
+    val queries = Seq((1, qw)).toDF("query_id", "term")
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    def measuredProbe(): (Long, Set[Long]) = {
+      // bm25OverCorpus runs its stats+bucket jobs EAGERLY at call time;
+      // everything measured after this line is the postings probe itself
+      val res = graft.streaming.CorpusIngest.bm25OverCorpus(spark, corpus,
+        queries, "query_id", "term", k = 5)
+      // structural zero-tokenization proof: the plan's only file source
+      // is the sidecar — no corpus data file is even a candidate input
+      assert(res.inputFiles.nonEmpty &&
+        res.inputFiles.forall(_.contains("_graft_postings")),
+        s"probe plan reads outside the sidecar: ${res.inputFiles.toSeq}")
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      val out = try { res.as[(Int, Long, Double, Int)].collect() }
+        finally { drained(); spark.sparkContext.removeSparkListener(listener) }
+      (bytesRead.get(), out.map(_._2).toSet)
+    }
+
+    val (b1, hits1) = measuredProbe()
+    assert(hits1 === Set(10L))
+    assert(b1 > 0L)
+
+    // grow the corpus ONLY in other buckets (3 batches, restarts)
+    others.drop(5).take(30).grouped(10).zipWithIndex.foreach { case (ws, i) =>
+      ms.addData((100L + i, ws.mkString(" ")))
+      run()
+    }
+    val (b2, hits2) = measuredProbe()
+    assert(hits2 === Set(10L))
+    assert(b2 === b1,
+      s"probe bytes grew with corpus growth in OTHER term buckets ($b1 → $b2) — bucket pruning is broken")
+  }
+
+  test("epoch claims refuse object-store filesystems unless the external-arbiter conf attests") {
+    class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.requireAtomicClaims(new FakeS3Fs, allowOverride = false)
+    }
+    assert(e.getMessage.contains("allowNonAtomicClaims"),
+      "refusal must name the escape-hatch conf")
+    // attested external arbiter → allowed
+    graft.streaming.CorpusIngest.requireAtomicClaims(new FakeS3Fs, allowOverride = true)
+    // local FS (O_EXCL-atomic) → allowed without attestation
+    val local = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    graft.streaming.CorpusIngest.requireAtomicClaims(local, allowOverride = false)
+  }
 }
