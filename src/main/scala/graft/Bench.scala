@@ -29,7 +29,8 @@ object Bench {
     "qd34_scrub_spans", "qd35_dup_ngram_frac", "qd36_dsir_fast",
     "qd37_incremental_neardup", "qd38_contamination_report",
     "qd39_gopher_filter", "qd40_corpus_datacard", "qd41_source_overlap",
-    "qd42_curriculum_buckets", "qd43_source_overlap_fast", "qr01_bm25_topk",
+    "qd42_curriculum_buckets", "qd43_source_overlap_fast",
+    "qd44_source_overlap_sketch", "qr01_bm25_topk", "qr02_bm25_sidecar",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qe11_quantized_ivf",
     "qe12_pq_ann", "qe13_ivfpq_ann", "qe14_pq_ann_learned", "qe15_mrl_rerank",

@@ -341,6 +341,41 @@ object SparkEntry {
     2 -> "hash", 2 -> "join", 2 -> "merge",
     3 -> "customer", 3 -> "order", 3 -> "value")
 
+  /** qr02's corpus: the documents table in the exact-sink layout
+    * (epoch/batch_id partitions + content_hash) with a built postings
+    * sidecar, under a tmp path keyed by a FINGERPRINT of the source
+    * parquet (file names + sizes) — so the expensive one-time layout +
+    * index build is reused across calls against unchanged data (the
+    * production shape: index once, search many) but can never serve a
+    * stale corpus after the testdata is regenerated in place.
+    */
+  private def qr02CorpusFor(s: SparkSession, d: String): String = {
+    val src = new java.io.File(d, "documents.parquet")
+    val parts =
+      (if (src.isDirectory) Option(src.listFiles()).toSeq.flatten else Seq(src))
+        .map(f => s"${f.getName}:${f.length}").sorted
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "|" + parts.mkString(",")).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_qr02_$fp")
+    val corpus = new java.io.File(root, "corpus").toString
+    val done = new java.io.File(root, "_built")
+    qr02Lock.synchronized {
+      if (!done.exists()) { // marker LAST: a crashed build rebuilds
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.fingerprint(col("text")).as("content_hash"),
+            lit(0L).as("epoch"), lit(0L).as("batch_id"))
+          .write.mode("overwrite").partitionBy("epoch", "batch_id")
+          .parquet(corpus)
+        graft.streaming.CorpusIngest.buildPostingsIndex(s, corpus, buckets = 64)
+        done.createNewFile()
+      }
+    }
+    corpus
+  }
+  private val qr02Lock = new Object
+
   private val qd25Weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0)
   private val qd27Weights = Map("src0" -> 0.5, "src1" -> 0.25)
 
@@ -1176,6 +1211,23 @@ object SparkEntry {
     "qr01_bm25_topk" -> ((s, d) => {
       import s.implicits._
       Retrieval.bm25Search(Tables.documents(s, d), "doc_id", "text",
+          bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // oracle-checked: qr01 through the POSTINGS SIDECAR — the documents
+    // table laid out as an exact-sink corpus, indexed once
+    // (buildPostingsIndex; cached across calls keyed by a source
+    // fingerprint, so repeated runs measure pure sidecar search), then
+    // searched with bm25OverCorpus: ZERO tokenization, term-bucket
+    // directory pruning, stats from the per-batch sidecar table. Scores
+    // are identical to qr01's inline path by construction (one shared
+    // kernel — StreamingSpec pins sidecar ≡ recomputation and
+    // bm25OverCorpus ≡ bm25Search), so it shares qr01's oracle SQL.
+    "qr02_bm25_sidecar" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.CorpusIngest.bm25OverCorpus(s, qr02CorpusFor(s, d),
           bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
@@ -2274,6 +2326,13 @@ object SparkEntry {
     // BM25 replayed end to end: restricted postings, window df, scalar
     // (N, avgdl), 6-dp DECIMAL partial sum, ranked cut
     "qr01_bm25_topk" ->
+      s"""WITH $duckBm25Cte
+         |SELECT query_id, doc_id, score, rnk FROM brk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // the sidecar path scores the SAME corpus with the SAME kernel —
+    // qr01's oracle verbatim is exactly the claim being checked
+    "qr02_bm25_sidecar" ->
       s"""WITH $duckBm25Cte
          |SELECT query_id, doc_id, score, rnk FROM brk WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
