@@ -617,6 +617,12 @@ object CorpusIngest {
       if (missing.nonEmpty)
         backfillIndex(spark, corpusPath, missing, idx,
           bandIndexRows(_, bands, prefixLen), Seq("pfx", "epoch", "batch_id"))
+      // orphan sweep (the backfill's mirror): stale band rows for a
+      // batch removed out-of-band would FALSELY drop future near-dups
+      // of docs that no longer exist
+      sweepPairDirs(fs, idx, Some("pfx=*"),
+        epochBatchDirs(fs, idx, "pfx=*/epoch=*/batch_id=*") --
+          epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*"))
     } else if (hasData(fs, corpusDir)) {
       // adoption backfill: explode the stored band columns ONCE. A corpus
       // without band columns (e.g. an exact-dedup corpus at this path)
@@ -857,6 +863,11 @@ object CorpusIngest {
       if (missing.nonEmpty)
         backfillIndex(spark, corpusPath, missing, idx,
           cellIndexRows, Seq("cell", "epoch", "batch_id"))
+      // orphan sweep, as in the band/postings reconciles: stale cell
+      // rows would falsely drop future semantic dups of deleted docs
+      sweepPairDirs(fs, idx, Some("cell=*"),
+        epochBatchDirs(fs, idx, "cell=*/epoch=*/batch_id=*") --
+          epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*"))
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, CellsDir + ".tmp")
       fs.delete(tmp, true)
@@ -1375,10 +1386,9 @@ object CorpusIngest {
     * crash window heals by running compaction again (don't serve
     * `bm25OverCorpus` mid-compaction). The near-dup/semantic sinks'
     * `_graft_bands`/`_graft_cells` indexes never meet this path — those
-    * corpora carry no `content_hash` and are refused above; were such
-    * an index ever present, stale loser entries would also be harmless
-    * (a loser is an exact dup of a surviving keeper, so every band/cell
-    * key it contributed is still live via the keeper).
+    * corpora carry no `content_hash` and are refused above; their own
+    * concurrent-writer residual is closed by [[compactNearDupCorpus]] /
+    * [[compactSemanticCorpus]].
     *
     * Scale shape: one groupBy over the single-column hash projection
     * finds duplicated hashes; the loser/keeper joins touch full rows
@@ -1462,5 +1472,200 @@ object CorpusIngest {
       } finally Dedup.freeLocalCheckpoint(keepersInAffected)
       removed
     } finally losers.unpersist(false)
+  }
+
+  /** Batch adoption entry for the near-dup sink's band index: the same
+    * routine [[startNearDupCorpusSink]] runs at start (create-and-pin /
+    * atomic adoption backfill from stored `band0..` columns / loud
+    * parameter-mismatch refusal / missing-batch backfill + orphan
+    * sweep), public so an existing corpus can be indexed or
+    * re-reconciled without starting a stream. Idempotent.
+    */
+  def buildBandIndex(spark: SparkSession, corpusPath: String, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3, prefixLen: Int = 1): Unit = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1,8], got $prefixLen")
+    ensureBandIndex(spark, corpusPath, k, bands, shingleN, prefixLen)
+  }
+
+  /** [[buildBandIndex]] for the semantic sink's cell index —
+    * `centroids` must be the corpus's pinned (cell_id, centroid) table
+    * (drift is refused via the byte fingerprint, as at sink start).
+    */
+  def buildCellIndex(spark: SparkSession, corpusPath: String,
+      centroids: DataFrame): Unit =
+    ensureCellIndex(spark, corpusPath, Similarity.Ivf.centroidMatrix(centroids))
+
+  /** Shared loser-removal tail of the near-dup/semantic compactions:
+    * given the loser keys, rewrite the affected corpus partitions
+    * without the losers, keep the sink's sidecar index in step, and
+    * sweep partitions left empty. [[compactCorpus]]'s discipline
+    * generalized: the index is updated FIRST (affected pair directories
+    * deleted outright — a loser's index entries can live in bucket
+    * leaves the keepers never reach — then keeper rows re-derived), so
+    * while the corpus still holds the losers any crash re-runs to the
+    * identical keeper set and every window heals by compacting again.
+    * Losers are identified by (doc_id, epoch, batch_id) — the sinks'
+    * deterministic-keeper key.
+    */
+  private def sweepLosersAndReindex(spark: SparkSession, corpusPath: String,
+      corpus: DataFrame, loserKeys: DataFrame, indexDir: String,
+      bucketGlob: String, indexRows: DataFrame => DataFrame,
+      indexPartCols: Seq[String]): Long = {
+    import spark.implicits._
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val losers = loserKeys.select(col("doc_id"), col("epoch"), col("batch_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = losers.select(col("epoch"), col("batch_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+      if (affected.isEmpty) return 0L
+      val removed = losers.count()
+      val inAffected = affected.toSeq.map { case (e, b) =>
+        col("epoch") === lit(e) && col("batch_id") === lit(b)
+      }.reduce(_ || _)
+      val keepersInAffected = corpus.filter(inAffected)
+        .join(losers, Seq("doc_id", "epoch", "batch_id"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val stillThere = keepersInAffected.select(col("epoch"), col("batch_id"))
+          .distinct().as[(Long, Long)].collect().toSet
+        val idx = new Path(corpusDir, indexDir)
+        sweepPairDirs(fs, idx, Some(bucketGlob), affected)
+        indexRows(keepersInAffected)
+          .write.mode("append")
+          .partitionBy(indexPartCols: _*)
+          .parquet(idx.toString)
+        keepersInAffected
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
+        (affected -- stillThere).foreach { case (e, b) =>
+          val batchDir = new Path(corpusDir, s"epoch=$e/batch_id=$b")
+          fs.delete(batchDir, true)
+          val epochDir = batchDir.getParent
+          if (fs.exists(epochDir) && fs.listStatus(epochDir).isEmpty)
+            fs.delete(epochDir, true)
+        }
+        removed
+      } finally Dedup.freeLocalCheckpoint(keepersInAffected)
+    } finally losers.unpersist(false)
+  }
+
+  private def readIndexMeta(fs: FileSystem, idx: Path): Option[String] = {
+    val f = new Path(idx, BandsMetaFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
+  /** [[compactCorpus]] for a NEAR-DUP-sink corpus: remove whatever
+    * cross-epoch near-duplicates truly CONCURRENT writers admitted
+    * (each sink's per-batch probe already covers everything already
+    * IN the index when its batch fires — an epoch growing while
+    * another query's batch is mid-flight is the one residual).
+    *
+    * Semantics — restore the sink family's invariant that NO two kept
+    * docs share an LSH band: candidate pairs are (band, hash) bucket
+    * equi-joins over the stored `band0..` columns (never all-pairs),
+    * their transitive closure is clustered ([[Dedup.nearDupComponents]]
+    * — O(diameter) label-propagation rounds, lineage-truncated), and
+    * each cluster keeps its smallest (`doc_id`, `epoch`, `batch_id`) —
+    * the same total keeper order as [[compactCorpus]], applied
+    * cluster-wide (marginally stronger than sequential admission, which
+    * can keep a doc whose only match was itself dropped; cluster-keep
+    * is deterministic under any writer interleaving, which
+    * order-of-admission is not). In a corpus maintained ONLY by
+    * sequential sink starts no two kept docs share a band, so every
+    * pair found here is a concurrency artifact. Idempotent: after one
+    * pass no band-sharing pairs remain. The band index is kept in step
+    * ([[sweepLosersAndReindex]]); `doc_id` must identify a row within
+    * its partition (the sinks' layout). Returns removed-row count.
+    */
+  def compactNearDupCorpus(spark: SparkSession, corpusPath: String,
+      maxIter: Int = 20): Long = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val idx = new Path(corpusDir, BandsDir)
+    val meta = readIndexMeta(fs, idx).getOrElse(throw new IllegalArgumentException(
+      s"no band index at $idx — compactNearDupCorpus is for corpora written " +
+        "by startNearDupCorpusSink (see compactCorpus for the exact sink)"))
+    def metaInt(key: String): Int = meta.split("\\s+").collectFirst {
+      case s if s.startsWith(s"$key=") => s.stripPrefix(s"$key=").toInt
+    }.getOrElse(throw new IllegalStateException(s"unparseable band meta '$meta'"))
+    val bands = metaInt("bands")
+    val prefixLen = metaInt("prefixLen")
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val eb = Dedup.bandsLong(
+        corpus.select(Seq("doc_id", "epoch", "batch_id").map(col) ++
+          (0 until bands).map(b => col(s"band$b")): _*),
+        bands, Seq("doc_id", "epoch", "batch_id"))
+      .select(struct(col("doc_id"), col("epoch"), col("batch_id")).as("k"),
+        col("band"), col("bh"))
+    // struct `<` is lexicographic over (doc_id, epoch, batch_id) — the
+    // keeper order; distinct collapses multi-band matches of one pair
+    val pairs = eb.select(col("k").as("id_a"), col("band"), col("bh"))
+      .join(eb.select(col("k").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val losers = Dedup.nearDupComponents(pairs, "id_a", "id_b", maxIter)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id.doc_id").as("doc_id"),
+        col("doc_id.epoch").as("epoch"), col("doc_id.batch_id").as("batch_id"))
+    sweepLosersAndReindex(spark, corpusPath, corpus, losers, BandsDir,
+      "pfx=*", bandIndexRows(_, bands, prefixLen),
+      Seq("pfx", "epoch", "batch_id"))
+  }
+
+  /** [[compactNearDupCorpus]] for a SEMANTIC-sink corpus: candidate
+    * pairs are same-cell equi-joins over the stored (`embedding`,
+    * `cell`) columns scored with [[Similarity.pairScore]] — the SAME
+    * 6-dp-rounded kernel and NaN-never-matches hardening as the sink's
+    * per-batch probe — clustered transitively, smallest (`doc_id`,
+    * `epoch`, `batch_id`) kept per cluster. `threshold`/`metric` are
+    * the sink's ingest-policy knobs (not stored in the index meta —
+    * pass the values the corpus was ingested under). Restores the
+    * invariant that no two kept docs in one cell score ≥ threshold;
+    * pairs straddling a CELL boundary are out of scope here exactly as
+    * they are for the sink and for batch SemDeDup (qe10). Keeps
+    * `_graft_cells` in step; idempotent; returns removed-row count.
+    */
+  def compactSemanticCorpus(spark: SparkSession, corpusPath: String,
+      threshold: Double = 0.9, metric: String = "cosine",
+      maxIter: Int = 20): Long = {
+    require(metric == "cosine" || metric == "dot",
+      s"metric must be 'cosine' or 'dot', got '$metric'")
+    if (metric == "cosine") require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val idx = new Path(corpusDir, CellsDir)
+    require(readIndexMeta(fs, idx).nonEmpty,
+      s"no cell index at $idx — compactSemanticCorpus is for corpora written " +
+        "by startSemanticDedupCorpusSink")
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val v = corpus.select(
+      struct(col("doc_id"), col("epoch"), col("batch_id")).as("k"),
+      col("cell"), col("embedding").cast("array<double>").as("__e"))
+    val pairs = v.select(col("k").as("id_a"), col("cell"), col("__e").as("__ea"))
+      .join(v.select(col("k").as("id_b"), col("cell"), col("__e").as("__eb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Similarity.pairScore(metric, col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+    val losers = Dedup.nearDupComponents(pairs, "id_a", "id_b", maxIter)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id.doc_id").as("doc_id"),
+        col("doc_id.epoch").as("epoch"), col("doc_id.batch_id").as("batch_id"))
+    sweepLosersAndReindex(spark, corpusPath, corpus, losers, CellsDir,
+      "cell=*", cellIndexRows, Seq("cell", "epoch", "batch_id"))
   }
 }

@@ -1630,6 +1630,121 @@ class StreamingSpec extends SparkSpec {
       s"probe bytes grew with corpus growth in OTHER term buckets ($b1 → $b2) — bucket pruning is broken")
   }
 
+  test("compactNearDupCorpus: concurrent-writer near-dups removed cluster-deterministically, band index in step") {
+    import graft.functions.Dedup
+    val corpus = tmpDir("compact-nd")
+    def mkDoc(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+    val tA = mkDoc("alpha")
+    // near-dup of tA: LSH band match expected (verified by the fixture
+    // assert below); distinct doc text so compactCorpus's exact rule
+    // would NOT catch it
+    val tA2 = tA + " trailing extra"
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      Dedup.lshSignature(rows.toDF("doc_id", "text"), "text", 16, 4, 3)
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((10L, tA), (11L, mkDoc("bravo"))), 0L, 0L)
+    part(Seq((20L, tA2)), 1L, 0L)                 // fully-loser partition
+    part(Seq((21L, mkDoc("charlie"))), 1L, 1L)    // clean
+    // fixture sanity: the pair really band-matches
+    val sig = Dedup.lshSignature(Seq((0L, tA), (1L, tA2)).toDF("doc_id", "text"),
+      "text", 16, 4, 3)
+    val bandSets = Dedup.bandsLong(sig, 4, Seq("doc_id"))
+      .as[(Long, Int, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(bandSets(0L).intersect(bandSets(1L)).nonEmpty,
+      "fixture degenerate: near-dup pair shares no band")
+
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+    val removed = graft.streaming.CorpusIngest.compactNearDupCorpus(spark, corpus)
+    assert(removed === 1L, s"expected the one cross-epoch near-dup, got $removed")
+    assert(ids(corpus) === Set(10L, 11L, 21L))
+    assert(!new java.io.File(corpus, "epoch=1/batch_id=0").exists(),
+      "fully-loser partition left behind")
+    // band index ≡ recomputation from the compacted corpus
+    def idxRows(): Set[(Int, String, Long, Long)] =
+      spark.read.parquet(corpus + "/_graft_bands")
+        .select(col("band"), col("bh"), col("epoch").cast("long"),
+          col("batch_id").cast("long"))
+        .as[(Int, String, Long, Long)].collect().toSet
+    val recomputed = Dedup.bandsLong(
+        spark.read.parquet(corpus)
+          .withColumn("epoch", col("epoch").cast("long"))
+          .withColumn("batch_id", col("batch_id").cast("long")),
+        4, Seq("epoch", "batch_id"))
+      .select(col("band"), col("bh"), col("epoch"), col("batch_id"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(idxRows() === recomputed, "compaction left the band index stale")
+    // the index still drops a fresh near-dup of the KEEPER
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((30L, tA + " another tail"))
+    val q = graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("compact-nd-cp"))
+    q.awaitTermination()
+    assert(ids(corpus) === Set(10L, 11L, 21L), "keeper's bands lost — near-dup re-admitted")
+    // idempotent
+    assert(graft.streaming.CorpusIngest.compactNearDupCorpus(spark, corpus) === 0L)
+  }
+
+  test("compactSemanticCorpus: same-cell over-threshold cross-epoch pairs removed, cell index in step") {
+    val corpus = tmpDir("compact-sem")
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    def part(rows: Seq[(Long, String, Seq[Double], Int)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text", "embedding", "cell")
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    // cell 0: docs 10 and 20 cosine ≈ 0.9998 (cross-epoch semantic dup);
+    // doc 11 orthogonal-ish in cell 1; doc 21 same cell 0 but dissimilar
+    // enough (cos(10,21) ≈ 0.71 < 0.9)
+    part(Seq((10L, "ten", Seq(1.0, 0.02), 0), (11L, "eleven", Seq(0.05, 1.0), 1)), 0L, 0L)
+    part(Seq((20L, "twenty", Seq(1.0, 0.04), 0), (21L, "twentyone", Seq(1.0, 1.0), 0)), 1L, 0L)
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, centroids)
+    val removed = graft.streaming.CorpusIngest.compactSemanticCorpus(
+      spark, corpus, threshold = 0.9)
+    assert(removed === 1L, s"expected only the over-threshold pair's loser, got $removed")
+    assert(ids(corpus) === Set(10L, 11L, 21L))
+    // cell index ≡ recomputation over the compacted corpus
+    def cellRows(): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(corpus + "/_graft_cells")
+        .select(col("doc_id"), col("cell").cast("int"),
+          col("epoch").cast("long"), col("batch_id").cast("long"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+    assert(cellRows() === Set((10L, 0, 0L, 0L), (11L, 1, 0L, 0L), (21L, 0, 1L, 0L)),
+      "compaction left the cell index stale")
+    // idempotent; and a tighter threshold on a second pass removes 21
+    assert(graft.streaming.CorpusIngest.compactSemanticCorpus(
+      spark, corpus, threshold = 0.9) === 0L)
+    assert(graft.streaming.CorpusIngest.compactSemanticCorpus(
+      spark, corpus, threshold = 0.7) === 1L)
+    assert(ids(corpus) === Set(10L, 11L))
+  }
+
+  test("band/cell reconcile sweeps orphans: an out-of-band partition drop disappears from the probe indexes") {
+    import graft.functions.Dedup
+    val corpus = tmpDir("band-orphan")
+    def mkDoc(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      Dedup.lshSignature(rows.toDF("doc_id", "text"), "text", 16, 4, 3)
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((1L, mkDoc("delta"))), 0L, 0L)
+    part(Seq((2L, mkDoc("echo"))), 0L, 1L)
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(corpus, "epoch=0/batch_id=1"))
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+    val pairs = spark.read.parquet(corpus + "/_graft_bands")
+      .select(col("epoch").cast("long"), col("batch_id").cast("long"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 0L)),
+      s"orphan band rows survived reconcile: $pairs — a future near-dup of the deleted doc would be falsely dropped")
+  }
+
   test("epoch claims refuse object-store filesystems unless the external-arbiter conf attests") {
     class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
       override def getScheme: String = "s3a"
