@@ -31,10 +31,12 @@ object Bench {
     "qd39_gopher_filter", "qd40_corpus_datacard", "qd41_source_overlap",
     "qd42_curriculum_buckets", "qd43_source_overlap_fast",
     "qd44_source_overlap_sketch", "qr01_bm25_topk", "qr02_bm25_sidecar",
+    "qr03_hybrid_sidecar",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
     "qe08_ivf_ann_oracle", "qe10_semantic_dedup", "qe11_quantized_ivf",
     "qe12_pq_ann", "qe13_ivfpq_ann", "qe14_pq_ann_learned", "qe15_mrl_rerank",
     "qe16_hybrid_rrf", "qe17_cluster_cap_sample", "qe18_ivf_mrl_funnel",
+    "qe19_ann_sidecar",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 

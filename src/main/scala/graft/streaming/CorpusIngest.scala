@@ -1496,6 +1496,102 @@ object CorpusIngest {
       centroids: DataFrame): Unit =
     ensureCellIndex(spark, corpusPath, Similarity.Ivf.centroidMatrix(centroids))
 
+  /** ANN top-k over an ingested corpus's cell sidecar — the dense twin
+    * of [[bm25OverCorpus]]: ZERO corpus passes, zero re-embedding. The
+    * probe reads ONLY the `cell=` directories the query vectors' own
+    * `nProbe` nearest centroids select (directory-pruned, so probe cost
+    * is bounded by probed-cell population, never corpus size), and
+    * scoring is [[Similarity.Ivf.search]]'s kernel (6-dp-rounded score,
+    * rank ties on neighbor id, self-excluded) — with `metric="cosine"`
+    * results are identical to `Ivf.search` over the stored embeddings
+    * (StreamingSpec pins this). `centroids` must be the corpus's pinned
+    * (cell_id, centroid) table: drift is refused via the byte
+    * fingerprint, the same rail as sink start — cells assigned under
+    * other centroids would silently miss true neighbors.
+    *
+    * `excludeSelf` controls the `neighbor_id != query_id` filter:
+    * `true` (default) is `Ivf.search`'s convention for queries drawn
+    * from the corpus's own id space; pass `false` when query ids live
+    * in an EXTERNAL id space (e.g. [[hybridOverCorpus]]'s fused query
+    * ids), where an id collision with a corpus doc is meaningless and
+    * must not drop a true neighbor.
+    *
+    * Reference analogue: the serving layer re-reads its whole table for
+    * every dashboard refresh (streamlit-app.py:38–39); a maintained
+    * sidecar is what replaces that rescan loop at scale.
+    */
+  def annOverCorpus(spark: SparkSession, corpusPath: String,
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int,
+      metric: String = "cosine", excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, CellsDir)
+    val cm = Similarity.Ivf.centroidMatrix(centroids)
+    val metaFile = new Path(idx, BandsMetaFile)
+    require(fs.exists(metaFile),
+      s"no cell sidecar at $idx — ingest with startSemanticDedupCorpusSink " +
+        "or build one with buildCellIndex")
+    val meta = {
+      val in = fs.open(metaFile)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    require(meta == cellsMeta(cm),
+      s"cell sidecar at $idx was built under different centroids/shape " +
+        s"($meta vs ${cellsMeta(cm)}) — search with the corpus's pinned centroids")
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("__qv"))
+      .withColumn("cell",
+        explode(NativeExpressions.nearestCells(col("__qv"), cm, nProbe)))
+    // the query batch's probed cells: a metadata-sized driver collect
+    // (≤ nCells), pruning the sidecar scan to matching directories
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val stored = spark.read.schema(cellIndexSchema())
+      .parquet(idx.toString)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("doc_id").as("neighbor_id"), col("emb"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val cands = stored.join(broadcast(probes), Seq("cell"))
+    (if (excludeSelf) cands.filter(col("neighbor_id") =!= col("query_id"))
+     else cands)
+      .withColumn("score", Similarity.pairScore(metric, col("emb"), col("__qv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Hybrid retrieval over one corpus carrying BOTH sidecars — the
+    * sparse leg from the postings index ([[bm25OverCorpus]]), the dense
+    * leg from the cell index ([[annOverCorpus]]), fused by reciprocal
+    * rank ([[graft.functions.Retrieval.rrfFuse]], rank arithmetic only
+    * so the legs' incomparable score scales never matter). `termQueries`
+    * and `vecQueries` must share `queryIdCol`'s id space. ZERO corpus
+    * passes end to end: each leg reads only its own sidecar's pruned
+    * directories, and the fusion is a grouped sum over 2·kPerLeg·Q
+    * rows. Build both sidecars on an existing corpus with
+    * [[buildPostingsIndex]] + [[buildCellIndex]] (one pass each).
+    */
+  def hybridOverCorpus(spark: SparkSession, corpusPath: String,
+      termQueries: DataFrame, termCol: String,
+      vecQueries: DataFrame, vecCol: String, queryIdCol: String,
+      centroids: DataFrame, k: Int, nProbe: Int, kPerLeg: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, metric: String = "cosine",
+      rrfK: Int = 60): DataFrame = {
+    import graft.functions.Retrieval
+    val sparse = bm25OverCorpus(spark, corpusPath, termQueries, queryIdCol,
+        termCol, kPerLeg, k1, b)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = annOverCorpus(spark, corpusPath, vecQueries, queryIdCol,
+        vecCol, centroids, kPerLeg, nProbe, metric, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k, rrfK)
+  }
+
   /** Shared loser-removal tail of the near-dup/semantic compactions:
     * given the loser keys, rewrite the affected corpus partitions
     * without the losers, keep the sink's sidecar index in step, and

@@ -1745,6 +1745,193 @@ class StreamingSpec extends SparkSpec {
       s"orphan band rows survived reconcile: $pairs — a future near-dup of the deleted doc would be falsely dropped")
   }
 
+  test("annOverCorpus ≡ Ivf.search over the stored corpus, across ingest and compaction; drift refused") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Similarity
+    val corpus = tmpDir("ann-corpus")
+    val cp = tmpDir("ann-cp")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)),
+        (2, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    // no sidecar yet → loud refusal, naming the builder
+    val none = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.annOverCorpus(spark, corpus,
+        Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("doc_id", "embedding"),
+        "doc_id", "embedding", cents, k = 2, nProbe = 1)
+    }
+    assert(none.getMessage.contains("buildCellIndex"))
+
+    val ms = MemoryStream[(Long, String, Seq[Float])]
+    def run(): Unit = {
+      val q = graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp,
+        cents, threshold = 0.95)
+      q.processAllAvailable(); q.stop()
+    }
+    // two batches spreading docs over all three cells, mutually below
+    // the dedup threshold so every doc is kept
+    ms.addData(
+      (10L, "a", Seq(1.0f, 0.1f, 0f, 0f)),
+      (11L, "b", Seq(0f, 1.0f, 0.1f, 0f)),
+      (12L, "c", Seq(0f, 0.1f, 1.0f, 0f)))
+    run()
+    ms.addData(
+      (20L, "d", Seq(0.9f, 0.4f, 0f, 0f)),
+      (21L, "e", Seq(0f, 0.9f, 0.4f, 0f)))
+    run()
+    assert(ids(corpus) === Set(10L, 11L, 12L, 20L, 21L))
+
+    val queries = Seq(
+      (10L, Seq(1.0, 0.05, 0.0, 0.0)),  // corpus id: self-exclusion live
+      (900L, Seq(0.0, 0.7, 0.7, 0.0))) // straddles cells 1 and 2
+      .toDF("doc_id", "embedding")
+    def viaSidecar(): Set[(Long, Long, Double, Int)] =
+      graft.streaming.CorpusIngest.annOverCorpus(spark, corpus, queries,
+          "doc_id", "embedding", cents, k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    def viaScan(): Set[(Long, Long, Double, Int)] =
+      Similarity.Ivf.search(queries, spark.read.parquet(corpus),
+          "doc_id", "embedding", cents, k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val s1 = viaSidecar()
+    assert(s1 === viaScan(), "sidecar search diverges from Ivf.search over the corpus")
+    assert(s1.nonEmpty && !s1.exists { case (q, n, _, _) => q == n },
+      "self-exclusion lost through the sidecar")
+
+    // compaction keeps the answer ≡ recomputation (cell index in step)
+    ms.addData((30L, "near dup of a", Seq(1.0f, 0.12f, 0f, 0f)))
+    run() // threshold 0.95: cos(10,30) ≈ 0.9998 → dropped at ingest...
+    assert(ids(corpus) === Set(10L, 11L, 12L, 20L, 21L))
+    assert(graft.streaming.CorpusIngest.compactSemanticCorpus(
+      spark, corpus, threshold = 0.85) >= 1L) // ...but 0.85 sweeps 20 vs 10
+    assert(viaSidecar() === viaScan(),
+      "sidecar search diverges from recomputation after compaction")
+
+    val drifted = Seq((0, Seq(0.5, 0.5, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.annOverCorpus(spark, corpus, queries,
+        "doc_id", "embedding", drifted, k = 3, nProbe = 2)
+    }
+    assert(e.getMessage.contains("centroids"))
+  }
+
+  test("annOverCorpus probe is cell-pruned and plans zero corpus reads") {
+    val corpus = tmpDir("ann-prune")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    def part(rows: Seq[(Long, String, Seq[Double], Int)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text", "embedding", "cell")
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((1L, "one", Seq(1.0, 0.1), 0), (2L, "two", Seq(0.1, 1.0), 1)), 0L, 0L)
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, cents)
+
+    val queries = Seq((100L, Seq(1.0, 0.0))).toDF("doc_id", "embedding")
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    def measuredProbe(): (Long, Set[Long]) = {
+      // annOverCorpus runs its probe-cell collect EAGERLY at call time;
+      // everything measured after this line is the sidecar probe itself
+      val res = graft.streaming.CorpusIngest.annOverCorpus(spark, corpus,
+        queries, "doc_id", "embedding", cents, k = 5, nProbe = 1)
+      // structural zero-re-embedding proof: the plan's only file source
+      // is the sidecar — no corpus data file is even a candidate input
+      assert(res.inputFiles.nonEmpty &&
+        res.inputFiles.forall(_.contains("_graft_cells")),
+        s"probe plan reads outside the sidecar: ${res.inputFiles.toSeq}")
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      val out = try { res.as[(Long, Long, Double, Int)].collect() }
+        finally { drained(); spark.sparkContext.removeSparkListener(listener) }
+      (bytesRead.get(), out.map(_._2).toSet)
+    }
+    val (b1, hits1) = measuredProbe()
+    assert(hits1 === Set(1L))
+    assert(b1 > 0L)
+
+    // grow the corpus ONLY in cell 1 — 3000 more vectors the cell-0
+    // probe must never touch (batch layout, so sidecar bytes are exact:
+    // no streaming metadata reads to tolerate)
+    val fill = (0 until 3000).map(i =>
+      (1000L + i, s"filler $i", Seq(0.001 * i, 1.0), 1))
+    fill.grouped(1000).zipWithIndex.foreach { case (rows, i) =>
+      part(rows.toSeq, 0L, 10L + i)
+    }
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, cents) // reconcile backfill
+    val (b2, hits2) = measuredProbe()
+    assert(hits2 === Set(1L))
+    assert(b2 === b1,
+      s"probe bytes grew with corpus growth in the OTHER cell ($b1 → $b2) — cell pruning is broken")
+  }
+
+  test("hybridOverCorpus fuses the two sidecar legs ≡ inline recomputation, zero corpus passes") {
+    import graft.functions.{Retrieval, Similarity, TextAnalysis}
+    val corpus = tmpDir("hybrid-corpus")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    // six docs carrying BOTH retrieval columns, spread over both cells;
+    // text overlaps chosen so the sparse and dense legs rank differently
+    val rows = Seq(
+      (1L, "apple pie with apple filling", Seq(1.0, 0.1)),
+      (2L, "banana bread and butter", Seq(0.9, 0.3)),
+      (3L, "apple and banana salad", Seq(0.2, 1.0)),
+      (4L, "plain rye bread", Seq(0.1, 0.9)),
+      (5L, "apple cider press", Seq(0.8, 0.6)),
+      (6L, "butter and salt", Seq(0.6, 0.8)))
+    Similarity.Ivf.assign(
+        rows.toDF("doc_id", "text", "embedding"), "embedding", cents, out = "cell")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        col("embedding"), col("cell").cast("int").as("cell"),
+        lit(0L).as("epoch"), lit(0L).as("batch_id"))
+      .write.mode("overwrite").partitionBy("epoch", "batch_id").parquet(corpus)
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 4)
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, cents)
+
+    // external query-id space (901/902): ids never collide with docs, so
+    // Ivf.search (self-excluding) is a valid inline mirror of the
+    // non-self-excluding dense leg
+    val termQ = Seq((901, "apple"), (901, "banana"), (902, "bread"), (902, "butter"))
+      .toDF("query_id", "term")
+    val vecQ = Seq((901, Seq(1.0, 0.2)), (902, Seq(0.3, 1.0)))
+      .toDF("query_id", "qv")
+    val hybrid = graft.streaming.CorpusIngest.hybridOverCorpus(spark, corpus,
+      termQ, "term", vecQ, "qv", "query_id", cents, k = 4, nProbe = 1,
+      kPerLeg = 3)
+    assert(hybrid.inputFiles.nonEmpty && hybrid.inputFiles.forall(f =>
+        f.contains("_graft_postings") || f.contains("_graft_cells")),
+      s"hybrid plan reads outside the sidecars: ${hybrid.inputFiles.toSeq}")
+
+    val stored = spark.read.parquet(corpus)
+    val sparseInline = Retrieval.bm25Search(stored, "doc_id", "text",
+        termQ, "query_id", "term", k = 3)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val denseInline = Similarity.Ivf.search(
+        vecQ.toDF("doc_id", "embedding"),
+        stored.select(col("doc_id"), col("embedding")),
+        "doc_id", "embedding", cents, k = 3, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val expected = Retrieval.rrfFuse(Seq(sparseInline, denseInline), k = 4)
+    assert(hybrid.as[(Int, Long, Double, Int)].collect().toSet ===
+      expected.as[(Int, Long, Double, Int)].collect().toSet,
+      "hybrid sidecar fusion diverges from inline recomputation")
+  }
+
   test("epoch claims refuse object-store filesystems unless the external-arbiter conf attests") {
     class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
       override def getScheme: String = "s3a"
