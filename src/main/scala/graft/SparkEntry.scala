@@ -258,6 +258,72 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** qd45's oracle: near-dup decontamination in DuckDB — the qd09
+    * md5-MinHash/band machinery applied corpus-vs-benchmark, exact
+    * sorted-shingle Jaccard verification of band candidates, and the
+    * per-doc (count, best-J, flag) rollup, mirroring
+    * [[Dedup.fuzzyDecontaminate]] stage for stage.
+    */
+  private lazy val qd45Sql: String = {
+    val mhCols = (0 until 16)
+      .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+      .mkString(",\n")
+    def eb(src: String, id: String) = (0 until 4)
+      .map(b => s"  SELECT $id, $b AS band, band$b AS bh FROM $src")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH bench AS (
+       |  SELECT doc_id + 9000 AS bid, text || ' paraphrased eval tail' AS text
+       |  FROM documents WHERE doc_id < 5),
+       |dsh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+       |bsh AS (
+       |  SELECT bid, $duckShingles3 AS g
+       |  FROM (SELECT bid, regexp_split_to_array(trim(text), '\\s+') AS w FROM bench)),
+       |dsig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM dsh),
+       |bsig AS (
+       |  SELECT bid,
+       |$mhCols
+       |  FROM bsh),
+       |dbands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM dsig),
+       |bbands AS (
+       |  SELECT bid,
+       |$bandCols
+       |  FROM bsig),
+       |deb AS (
+       |${eb("dbands", "doc_id")}),
+       |beb AS (
+       |${eb("bbands", "bid")}),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id, b.bid
+       |  FROM deb d JOIN beb b ON d.band = b.band AND d.bh = b.bh),
+       |ver AS (
+       |  SELECT c.doc_id,
+       |    ROUND(len(list_intersect(sa.g, sb.g))
+       |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1), 4) AS j
+       |  FROM cand c
+       |  JOIN dsh sa ON sa.doc_id = c.doc_id
+       |  JOIN bsh sb ON sb.bid = c.bid),
+       |hits AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, MAX(j) AS bj
+       |  FROM ver WHERE j >= 0.5 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(h.n, 0) AS n_bench_near_matches,
+       |  COALESCE(h.bj, 0.0) AS best_jaccard,
+       |  COALESCE(h.n, 0) > 0 AS contaminated_near
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
     * deterministic ([[Similarity.planes]]), so it embeds as literals and
     * `list_dot_product` reproduces the sequential-double sign test bit for
@@ -1293,6 +1359,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: NEAR-dup decontamination — qd22's fuzzy sibling:
+    // a synthetic benchmark of paraphrased corpus rows (doc_id < 5 with
+    // an appended tail — the leaked-but-reworded eval row the exact
+    // n-gram gate under-weights), flagged via md5 MinHash-LSH bands
+    // (qd09's portable machinery) + exact sorted-shingle Jaccard ≥ 0.5.
+    // Candidates, verification, and the per-doc rollup all replay in SQL.
+    "qd45_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 9000L).as("bench_id"),
+          concat(col("text"), lit(" paraphrased eval tail")).as("text"))
+      Dedup.fuzzyDecontaminate(docs, "doc_id", "text", bench, "bench_id",
+          "text", minJaccard = 0.5, portable = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: the composed Gopher rule battery (Rae et al.
     // 2021 A1.1) — token-count/word-length bounds, stopword-ratio
     // minimum, top-token-share and dup-3-gram maxima, each signal
@@ -1424,13 +1506,15 @@ object SparkEntry {
       Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 3)
         .orderBy(col("source_a"), col("source_b"))),
 
-    // rows-only: the SKETCHED overlap matrix — per-source MinHash
-    // signatures (one corpus pass, O(sources × k) state, broadcast
-    // signature self-join) instead of qd41/qd43's exact distinct-gram
-    // self-join; the 100 TB form where even 8-byte gram keys are too
-    // much shuffle. xxhash64 permutations are Spark-internal (no SQL
-    // twin); DedupSpec pins the estimate within the MinHash error
-    // bound of the exact Jaccard on fixtures.
+    // rows-only: the SKETCHED overlap matrix — per-doc native MinHash
+    // signatures element-wise-min-aggregated per source (one corpus
+    // pass, zero gram rows, O(sources × k) state, broadcast signature
+    // self-join; sizes from the same minima via the k-minimum-value
+    // estimator) instead of qd41/qd43's exact distinct-gram self-join;
+    // the 100 TB form where even 8-byte gram keys are too much shuffle.
+    // The permutation family is Spark-internal (no SQL twin); DedupSpec
+    // pins the estimate within the MinHash error bound of the exact
+    // Jaccard on fixtures.
     "qd44_source_overlap_sketch" -> ((s, d) =>
       Dedup.sourceOverlapSketch(Tables.documents(s, d), "source", "text",
           n = 3)
@@ -2355,6 +2439,10 @@ object SparkEntry {
          |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
          |WHERE g.doc_id % 50 <> 0
          |ORDER BY g.doc_id""".stripMargin,
+
+    // near-dup decontamination replayed band for band (qd09's md5
+    // machinery, corpus vs benchmark, exact-Jaccard verification)
+    "qd45_fuzzy_decontaminate" -> qd45Sql,
 
     // the Gopher battery: qd03's signal forms + qd17's top-token CTE +
     // qd35's positional-span dup fraction, thresholded identically on

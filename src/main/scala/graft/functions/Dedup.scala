@@ -348,23 +348,33 @@ object Dedup {
   /** Sketched [[sourceOverlap]] — the 100 TB path: estimate every
     * source pair's gram-set Jaccard from per-source MinHash signatures
     * instead of the exact distinct-gram self-join. One corpus pass
-    * builds O(sources × k) state (per source: k permutation minima via
-    * map-side-combined `min` aggregates, plus an `approx_count_distinct`
-    * gram-set size); pairs are then a broadcast self-join over the
-    * source-count-sized signature table — no gram ever shuffles twice,
+    * builds O(sources × k) state: each DOC's k-slot signature comes out
+    * of the native [[NativeExpressions.minhashSig]] kernel (the qd09
+    * signature family — ONE xxhash per shingle, then k multiply-shift
+    * permutations in a tight loop; no gram row is ever materialized),
+    * and the per-source signature is the element-wise `min` across its
+    * docs (min-of-mins IS the min over the source's gram union),
+    * map-side-combined. Pairs are then a broadcast self-join over the
+    * source-count-sized signature table — no gram ever shuffles AT ALL,
     * and the full S² matrix costs O(S² × k) driver-free work. The
-    * estimator is the classic one-permutation-per-slot MinHash
-    * (Broder 1997): Ĵ = |{j : mh_j(A) = mh_j(B)}| / k, standard error
-    * √(J(1−J)/k) — k=256 keeps 3σ under 0.1 across the J range.
-    * Deterministic: permutation j hashes (gram, j) through xxhash64, so
-    * the same corpus always yields the same sketch.
+    * estimator is the classic k-permutation MinHash (Broder 1997):
+    * Ĵ = |{j : mh_j(A) = mh_j(B)}| / k, standard error √(J(1−J)/k) —
+    * k=256 keeps 3σ under 0.1 across the J range. Deterministic:
+    * the permutation constants are splitmix-derived from the slot
+    * index, so the same corpus always yields the same sketch.
+    *
+    * Gram-set sizes come from the SAME minima (the k-minimum-value
+    * estimator, Bar-Yossef et al. 2002): a slot's min over N distinct
+    * grams is the smallest of N near-uniform 64-bit draws, with
+    * E[u/2⁶⁴] = 1/(N+1), so inverting the across-slot mean gives N̂
+    * with ~1/√k relative error — no second pass, no HLL, no explode.
     *
     * Differences from the exact form, by design: pairs sharing nothing
     * still appear (Ĵ = 0 rows are the point of a full matrix at sketch
     * cost) — INCLUDING sources whose every text is shorter than n
-    * tokens (zero shingles: they join back in with Ĵ = 0 and size 0,
-    * their true Jaccard against anything); gram-set sizes are
-    * `approx_count_distinct` estimates; and the shared-gram count is
+    * tokens (zero shingles: their all-sentinel signatures are nulled so
+    * they surface with Ĵ = 0 and size 0, their true values); gram-set
+    * sizes are k-minimum-value estimates; and the shared-gram count is
     * derived from Ĵ and the size estimates (Ĵ/(1+Ĵ)·(|A|+|B|)) rather
     * than counted. Use [[sourceOverlap]] when exact counts matter and
     * the gram shuffle is affordable.
@@ -372,19 +382,31 @@ object Dedup {
   def sourceOverlapSketch(df: DataFrame, sourceCol: String, textCol: String,
       n: Int, k: Int = 256): DataFrame = {
     require(k >= 16, s"sketch width k=$k too small for a usable estimate")
-    val grams = df.select(col(sourceCol).as("__s"),
-      explode(NativeExpressions.shingleHashes(col(textCol), n)).as("__g"))
-    val mins = (0 until k).map(j => min(xxhash64(col("__g"), lit(j))).as(s"mh$j"))
-    val sigRaw = grams.groupBy(col("__s"))
-      .agg(mins.head, (mins.tail :+ approx_count_distinct(col("__g")).as("__nd")): _*)
-      .select(col("__s"), col("__nd"),
-        array((0 until k).map(j => col(s"mh$j")): _*).as("__sig"))
-    // a source with ZERO shingles (all texts shorter than n tokens) has
-    // no gram rows — left-join the full source list back so it still
-    // appears in the matrix (null signature ⇒ 0 matches below)
-    val sig = df.select(col(sourceCol).as("__s")).distinct()
-      .join(sigRaw, Seq("__s"), "left")
-      .select(col("__s"), coalesce(col("__nd"), lit(0L)).as("__nd"), col("__sig"))
+    val docSigs = df.select(col(sourceCol).as("__s"),
+      NativeExpressions.minhashSig(col(textCol), k, n).as("__dsig"))
+    val mins = (0 until k).map(j =>
+      min(element_at(col("__dsig"), j + 1)).as(s"mh$j"))
+    // a doc with fewer than n tokens signs as all-Long.MaxValue; a
+    // source where EVERY doc (or text) is empty/short keeps the
+    // sentinel in slot 0 — that is "zero shingles": null the signature
+    // so it matches nothing and sizes to 0 (a true min landing exactly
+    // on MaxValue has probability k·2⁻⁶⁴ — ignorable, and deterministic)
+    val sigRaw = docSigs.groupBy(col("__s"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("__s"),
+        when(col("mh0").isNull || col("mh0") === lit(Long.MaxValue), lit(null))
+          .otherwise(array((0 until k).map(j => col(s"mh$j")): _*)).as("__sig"))
+    // signed long m ↔ unsigned u = m + 2⁶³ (mod 2⁶⁴): the normalized
+    // minimum is m/2⁶⁴ + 0.5 ∈ (0, 1)
+    val meanF = aggregate(col("__sig"), lit(0.0d),
+      (acc, m) => acc + (m.cast("double") / lit(math.pow(2.0, 64)) + lit(0.5d)),
+      acc => acc / lit(k.toDouble))
+    val sig = sigRaw.select(col("__s"),
+      when(col("__sig").isNull, lit(0L))
+        .otherwise(greatest(
+          round(lit(1.0d) / meanF - lit(1.0d), 0).cast("long"), lit(0L)))
+        .as("__nd"),
+      col("__sig"))
     val matches = when(col("__sa").isNull || col("__sb").isNull, lit(0))
       .otherwise(size(filter(
         zip_with(col("__sa"), col("__sb"), (a, b) => a === b), m => m)))
@@ -485,6 +507,64 @@ object Dedup {
       .withColumn("jaccard", NativeExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-dup DECONTAMINATION — the fuzzy sibling of
+    * [[TextAnalysis.decontaminate]]'s exact n-gram gate: flag corpus
+    * docs that are MinHash-LSH near-duplicates (verified Jaccard ≥
+    * `minJaccard`) of ANY benchmark doc. The exact gate catches verbatim
+    * leaks; this catches the paraphrased/reformatted eval row whose
+    * shared-gram count stays under an absolute threshold but whose
+    * shingle-set overlap is dominant — the contamination mode n-gram
+    * audits (GPT-3 appendix C; Gopher §C.4) explicitly call out missing.
+    *
+    * Returns one row per corpus doc: (`idCol`, n_bench_near_matches,
+    * best_jaccard, contaminated_near) — best_jaccard is the max VERIFIED
+    * Jaccard among matches ≥ threshold (0.0 when none), 4-dp-rounded
+    * (qd09's convention).
+    *
+    * Scale shape: candidate generation is the banding equi-join of
+    * [[minHashNearDups]] with the BENCHMARK side broadcast (eval suites
+    * are MB-sized; the corpus never self-joins), so corpus cost is one
+    * narrow signature pass + a broadcast probe; verification touches
+    * candidates only, via the same sorted-shingle-hash merge as qd09.
+    * Recall is the standard banding curve P = 1−(1−j^r)^b — and because
+    * the signatures are deterministic, the SAME pairs surface on every
+    * engine (the portable path replays band-for-band in SQL).
+    */
+  def fuzzyDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      minJaccard: Double = 0.8, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, portable: Boolean = false): DataFrame = {
+    val dSig = withLshBands(
+      withMinHash(docs.select(col(idCol), col(textCol)), textCol, k,
+        shingleN, portable), k, bands)
+    val bSig = withLshBands(
+      withMinHash(benchmark.select(col(benchIdCol).as("__bid"),
+          col(benchTextCol).as("__btxt")), "__btxt", k, shingleN, portable),
+      k, bands)
+    val cand = bandsLong(dSig, bands, Seq(idCol))
+      .join(broadcast(bandsLong(bSig, bands, Seq("__bid"))), Seq("band", "bh"))
+      .select(col(idCol), col("__bid")).distinct()
+    val dSh = docs.select(col(idCol),
+      NativeExpressions.shingleHashes(col(textCol), shingleN).as("__sh_d"))
+    val bSh = benchmark.select(col(benchIdCol).as("__bid"),
+      NativeExpressions.shingleHashes(col(benchTextCol), shingleN).as("__sh_b"))
+    val hits = cand
+      .join(dSh, Seq(idCol))
+      .join(broadcast(bSh), Seq("__bid"))
+      .withColumn("__j",
+        round(NativeExpressions.sortedJaccard(col("__sh_d"), col("__sh_b")), 4))
+      .filter(col("__j") >= minJaccard)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_near_matches"),
+        max(col("__j")).as("best_jaccard"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_near_matches"), lit(0L)).as("n_bench_near_matches"),
+        coalesce(col("best_jaccard"), lit(0.0d)).as("best_jaccard"))
+      .withColumn("contaminated_near", col("n_bench_near_matches") > 0)
   }
 
   /** Unpivot `band0..band{bands-1}` to long form (`keep` columns, band

@@ -468,6 +468,52 @@ class DedupSpec extends SparkSpec {
     assert(est(("big2", "tiny"))._4 === 0.0)
   }
 
+  test("fuzzyDecontaminate (qd45): paraphrased benchmark rows flagged, clean docs and sub-threshold overlaps kept") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                      // leaked (paraphrased in bench)
+      (2L, (0 until 60).map(i => s"other$i").mkString(" ")), // clean
+      (3L, (0 until 60).map(i => s"misc$i").mkString(" ")))  // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (9001L, base + " reworded tail"),                // near-dup of doc 1
+      (9002L, (0 until 60).map(i => s"eval$i").mkString(" "))) // unrelated eval row
+      .toDF("bench_id", "text")
+    val out = Dedup.fuzzyDecontaminate(docs, "doc_id", "text",
+        bench, "bench_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "one row per corpus doc")
+    val (n1, j1, c1) = out(1L)
+    assert(c1 && n1 === 1L && j1 > 0.9, s"leaked doc not flagged: $n1 $j1")
+    assert(out(2L) === ((0L, 0.0, false)))
+    assert(out(3L) === ((0L, 0.0, false)))
+    // the exact gate under-weights the same leak: doc 1 shares MOST of
+    // its grams, which fuzzyDecontaminate turns into J ≈ 0.95 — while a
+    // doc sharing a couple of stock phrases stays unflagged here even
+    // though the exact gate counts its grams
+    val stock = "as shown in figure one"
+    val docs2 = Seq((1L, base), (4L, s"$stock " +
+      (0 until 55).map(i => s"own$i").mkString(" "))).toDF("doc_id", "text")
+    val bench2 = Seq((9001L, base + " reworded tail"),
+      (9003L, s"$stock " + (0 until 55).map(i => s"bench$i").mkString(" ")))
+      .toDF("bench_id", "text")
+    val out2 = Dedup.fuzzyDecontaminate(docs2, "doc_id", "text",
+        bench2, "bench_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out2(1L) && !out2(4L),
+      "stock-phrase overlap must stay below the near-dup threshold")
+    // portable (md5) and fast (xxhash) paths agree on the flag set
+    val fast = Dedup.fuzzyDecontaminate(docs, "doc_id", "text",
+        bench, "bench_id", "text", minJaccard = 0.5, portable = false)
+      .filter(col("contaminated_near")).select("doc_id").as[Long].collect().toSet
+    val portable = Dedup.fuzzyDecontaminate(docs, "doc_id", "text",
+        bench, "bench_id", "text", minJaccard = 0.5, portable = true)
+      .filter(col("contaminated_near")).select("doc_id").as[Long].collect().toSet
+    assert(fast === portable && fast === Set(1L))
+  }
+
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
     val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),
