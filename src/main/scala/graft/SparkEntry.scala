@@ -1375,6 +1375,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: deterministic shard-export manifest — the
+    // training-data "last mile": after cleaning/dedup/mix the corpus is
+    // globally shuffled and cut into fixed shards for the loader.
+    // Shard = md5_bucket(doc_id, 16) (uniform, engine-portable,
+    // skew-proof), shuffle order = md5 hex of the id; the manifest
+    // rolls up doc/token volume and first/last order hash per shard —
+    // every term replays in SQL. writeShards (CurationSpec) emits the
+    // actual shard_id=N/ parquet layout in this order.
+    "qd46_shard_manifest" -> ((s, d) =>
+      Curation.shardManifest(Tables.documents(s, d), "doc_id", "text",
+        nShards = 16)),
+
     // oracle-checked: the composed Gopher rule battery (Rae et al.
     // 2021 A1.1) — token-count/word-length bounds, stopword-ratio
     // minimum, top-token-share and dup-3-gram maxima, each signal
@@ -2443,6 +2455,20 @@ object SparkEntry {
     // near-dup decontamination replayed band for band (qd09's md5
     // machinery, corpus vs benchmark, exact-Jaccard verification)
     "qd45_fuzzy_decontaminate" -> qd45Sql,
+
+    // shard-export manifest: the md5-bucket shard kernel (qd23's
+    // md5_number_lower form), the md5-hex shuffle-order key, token
+    // counts per qd02, rolled up per shard
+    "qd46_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
+        |      AS shard_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  MIN(h) AS first_doc_hash, MAX(h) AS last_doc_hash
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // the Gopher battery: qd03's signal forms + qd17's top-token CTE +
     // qd35's positional-span dup fraction, thresholded identically on

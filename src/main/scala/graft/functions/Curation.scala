@@ -270,4 +270,71 @@ object Curation {
       }
       .toDF(groupCol, orderCol, tokensCol, "bin_id")
   }
+
+  // ------------------------------------------------------------ sharding
+
+  /** Deterministic shard assignment — the export "last mile" of a
+    * training-data pipeline (after cleaning/dedup/mix, the corpus is
+    * globally shuffled and cut into fixed shards for the data loader).
+    * A doc's shard is `md5_bucket(id, nShards)`: uniform in expectation,
+    * a pure function of the id (never of partitioning, run, or engine —
+    * the [[withSplit]] kernel), and skew-proof (hash buckets cannot
+    * skew). Together with the within-shard [[shardOrderKey]] hash order
+    * this IS a global uniform shuffle: shard membership is a uniform
+    * random subset and the within-shard order is the restriction of a
+    * uniform random permutation to it. Narrow map — no shuffle until a
+    * consumer groups or writes by the shard column.
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int,
+      outCol: String = "shard_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn(outCol,
+      NativeExpressions.md5Bucket(col(idCol).cast("string"), nShards))
+  }
+
+  /** The within-shard (and global) shuffle order key: md5 hex of the id.
+    * Engine-portable (DuckDB `md5(CAST(id AS VARCHAR))` orders
+    * identically — lowercase hex compares bytewise in both engines).
+    */
+  def shardOrderKey(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Per-shard export manifest: doc/token volume plus the first/last
+    * shuffle-order hash per shard — the release-artifact summary a
+    * loader uses to size epochs and verify shard integrity. One
+    * grouped partial+final agg on the uniform shard key.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    assignShards(df, idCol, nShards)
+      .withColumn("__h", shardOrderKey(col(idCol)))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        min(col("__h")).as("first_doc_hash"),
+        max(col("__h")).as("last_doc_hash"))
+      .orderBy(col("shard_id"))
+
+  /** Write the corpus as `shard_id=N/` parquet directories in the
+    * deterministic shuffle order: ONE shuffle (`repartition` on the
+    * uniform shard key) + an in-partition sort on (shard, order-hash),
+    * then a partitioned write — each task streams its shards out in
+    * order, so file contents are byte-deterministic given the input.
+    * `maxRecordsPerFile` bounds individual file sizes for loader
+    * friendliness (0 = Spark default). At 100 TB: nShards sized so a
+    * shard is a few GB; the sort is per-task external sort, the write
+    * never collects, and re-running the export reproduces the same
+    * shard membership and order exactly.
+    */
+  def writeShards(df: DataFrame, path: String, idCol: String, nShards: Int,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val sharded = assignShards(df, idCol, nShards)
+      .withColumn("__order_hash", shardOrderKey(col(idCol)))
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("__order_hash"))
+      .drop("__order_hash")
+    val w = sharded.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w).partitionBy("shard_id").parquet(path)
+  }
 }

@@ -391,4 +391,57 @@ class TextAnalysisSpec extends SparkSpec {
     // a 1-token doc has no bigram features: weight 0, n_feat 0
     assert(w(4L) === ((0L, 0.0)))
   }
+
+  test("assignShards is a pure function of the id — stable across partitionings") {
+    val docs = Tables.documents(spark, sf0001)
+    def shards(df: org.apache.spark.sql.DataFrame) =
+      Curation.assignShards(df, "doc_id", 8)
+        .select("doc_id", "shard_id").as[(Long, Int)].collect().toMap
+    val a = shards(docs)
+    val b = shards(docs.repartition(13))
+    assert(a === b)
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    // uniform in expectation: every shard populated at 500 docs / 8 shards
+    assert(a.values.toSet.size === 8)
+  }
+
+  test("writeShards: partitioned layout, manifest agreement, hash order, file caps") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tmpDir("graft-shards")
+    Curation.writeShards(docs, dir, "doc_id", nShards = 8,
+      maxRecordsPerFile = 25L)
+    // layout: shard_id=N directories, ids in [0, 8)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall { n =>
+      val id = n.stripPrefix("shard_id=").toInt; id >= 0 && id < 8
+    })
+    // re-read: same rows, shard column matches assignShards, manifest agrees
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    val expected = Curation.assignShards(docs, "doc_id", 8)
+      .select("doc_id", "shard_id").as[(Long, Int)].collect().toMap
+    val got = back.select(col("doc_id"), col("shard_id").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === expected)
+    val manifest = Curation.shardManifest(docs, "doc_id", "text", 8)
+      .select("shard_id", "n_docs").as[(Int, Long)].collect().toMap
+    val perShard = back.groupBy(col("shard_id").cast("int").as("s"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(perShard === manifest)
+    // every physical file respects the record cap AND holds a contiguous
+    // run of the within-shard hash order (deterministic export layout)
+    val shard0 = new java.io.File(dir, s"${dirs.head}").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(shard0.nonEmpty)
+    shard0.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").as[Long].collect()
+      assert(rows.length <= 25)
+      val hashes = rows.map(id =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map("%02x".format(_)).mkString)
+      assert(hashes.sameElements(hashes.sorted), s"file ${f.getName} out of order")
+    }
+  }
 }
