@@ -1387,6 +1387,24 @@ object SparkEntry {
       Curation.shardManifest(Tables.documents(s, d), "doc_id", "text",
         nShards = 16)),
 
+    // oracle-checked: LEAKAGE-SAFE split — qd23's split hashes each doc
+    // independently, so a near-dup pair can straddle train/test (eval
+    // contamination); here the md5 bucket hashes the doc's near-dup
+    // CLUSTER representative (qd14's connected components over qd09's
+    // pairs), so whole clusters move between splits as a unit. The
+    // composition — LSH pairs, recursive CC, representative hash —
+    // replays end to end in SQL. Non-vacuous at sf0.01: the planted
+    // near-dup docs form multi-doc clusters whose members would split
+    // apart under qd23's per-doc hash.
+    "qd47_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+      Curation.leakageSafeSplit(docs, "doc_id", Dedup.nearDupComponents(pairs))
+        .select(col("doc_id"), col("group_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: the composed Gopher rule battery (Rae et al.
     // 2021 A1.1) — token-count/word-length bounds, stopword-ratio
     // minimum, top-token-share and dup-3-gram maxima, each signal
@@ -3056,6 +3074,31 @@ object SparkEntry {
          |SELECT id AS doc_id, MIN(label) AS cluster_id,
          |  (id = MIN(label)) AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // qd14's recursive-CC CTE + the qd23 md5-bucket kernel applied to the
+    // cluster representative (COALESCE to the doc's own id for singletons)
+    "qd47_leakage_split" ->
+      s"""WITH RECURSIVE prs AS ($qd09Sql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id),
+         |comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, group_key,
+         |    CAST(md5_number_lower(CAST(group_key AS VARCHAR)) % 100 AS INTEGER) AS bucket
+         |  FROM g)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "qe01_cosine_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -98,6 +98,47 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle splits, or val/test is contaminated by reworded
+    * copies of training rows and eval scores inflate (the cross-SPLIT
+    * face of the decontamination problem qd22/qd45 solve cross-CORPUS).
+    * [[withSplit]] hashes each doc independently, so two near-dups land
+    * in different splits with probability ≈ 2·p·(1−p) — this variant
+    * hashes the doc's CLUSTER representative instead, so a whole
+    * near-dup cluster moves as one unit and cluster→split purity holds
+    * by construction.
+    *
+    * `clusters` is a `(doc_id, cluster_id)` frame — the output of
+    * [[graft.functions.Dedup.nearDupComponents]] over any pair source
+    * (MinHash-LSH, SimHash, semantic); it contains only docs that
+    * appear in some pair, so singletons fall back to their own id via
+    * the left join + coalesce. Split fractions still hold in
+    * expectation: cluster representatives are themselves uniformly
+    * hashed, and singletons (the overwhelming mass after dedup)
+    * hash exactly as [[withSplit]] does.
+    *
+    * Scale shape: one equi-join on the id — and the clusters frame is
+    * only as big as the docs that HAVE a near-dup (typically a few
+    * percent of the corpus), so AQE broadcasts it in practice; the
+    * split assignment itself stays the same narrow md5 map as
+    * [[withSplit]]. Engine-portable (md5 bucket), so the whole
+    * composition — clustering included — replays in SQL (qd47).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5, outCol: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val c = clusters.select(col("doc_id").as("__cl_doc"),
+      col("cluster_id").as("__cl_id"))
+    val joined = df.join(c, df(idCol) === col("__cl_doc"), "left")
+      .withColumn("group_key", coalesce(col("__cl_id"), df(idCol)))
+      .drop("__cl_doc", "__cl_id")
+    val bucket = NativeExpressions.md5Bucket(col("group_key").cast("string"), 100)
+    joined.withColumn(outCol,
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-group weighted Bernoulli sampling with the same portable hash
     * as [[withSplit]] — the "sampling weights per source" step of
     * training-mix recipes (The Pile / LLaMA per-source epochs < 1),

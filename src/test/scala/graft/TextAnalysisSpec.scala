@@ -206,6 +206,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.values.count(_ == "train").toDouble / a.size > 0.8)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons match withSplit") {
+    val docs = Tables.documents(spark, sf0001)
+    // synthetic clusters pairing ids whose INDEPENDENT hashes straddle
+    // splits (found from the withSplit assignment itself, so the test
+    // can't go vacuous if the corpus or hash changes)
+    val base = Curation.withSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    val train = base.filter(_._2 == "train").map(_._1).take(3)
+    val test_ = base.filter(_._2 == "test").map(_._1).take(3)
+    assume(train.length >= 3 && test_.length >= 2)
+    // cluster 1: one train + one test doc; cluster 2: two train + one test
+    val clusters = Seq(
+      (train(0), math.min(train(0), test_(0))), (test_(0), math.min(train(0), test_(0))),
+      (train(1), train(1).min(train(2)).min(test_(1))),
+      (train(2), train(1).min(train(2)).min(test_(1))),
+      (test_(1), train(1).min(train(2)).min(test_(1))))
+      .toDF("doc_id", "cluster_id")
+    val got = Curation.leakageSafeSplit(docs, "doc_id", clusters)
+      .select("doc_id", "group_key", "split").as[(Long, Long, String)].collect()
+    // purity: every cluster lands in exactly one split
+    val byKey = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byKey.values.forall(_.size == 1),
+      "a near-dup cluster straddles splits")
+    // clustered docs share their representative's hash bucket
+    val gotMap = got.map(r => r._1 -> r._3).toMap
+    val baseMap = base.toMap
+    val clustered = clusters.select("doc_id").as[Long].collect().toSet
+    val reps = clusters.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    clustered.foreach { id => assert(gotMap(id) === baseMap(reps(id))) }
+    // singletons: identical to the per-doc withSplit assignment
+    gotMap.filterNot(kv => clustered(kv._1)).foreach { case (id, s) =>
+      assert(s === baseMap(id)) }
+    // non-vacuous: at least one doc MOVED relative to per-doc hashing
+    assert(clustered.exists(id => gotMap(id) != baseMap(id)),
+      "fixture clusters all agreed with per-doc hashing — test is vacuous")
+  }
+
   test("packSequences: greedy bins respect the budget; oversized rows get own bins") {
     val df = Seq(
       // group A: 300+200 fit (500 ≤ 512), +100 busts → bin 1; 600 > 512
