@@ -64,16 +64,30 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is a nanosecond parquet timestamp, which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (`nanosAsLong`) and surface a microsecond TimestampType — Spark's
-    * native precision. Truncation is ns→µs only; event ordering ties at
-    * identical microseconds are broken by event_id downstream.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: a NANOSECOND parquet timestamp (which Spark's
+    * vectorized reader rejects — PARQUET_TYPE_ILLEGAL — so it is read
+    * as raw nanos via `nanosAsLong` and truncated ns→µs), and a native
+    * `timestamp[us]` (isAdjustedToUTC=false, which Spark surfaces as
+    * TIMESTAMP_NTZ). Both are normalized here to a microsecond
+    * TimestampType — Spark's native precision — so every downstream
+    * consumer (`unix_micros`, time windows, session windows) sees one
+    * type. Sessions run with `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→TZ cast is instant-preserving and matches DuckDB's
+    * `epoch_us(ts)` on the same file. Ordering ties at identical
+    * microseconds are broken by event_id downstream.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or a future equivalent): reinterpret in UTC
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
