@@ -274,4 +274,52 @@ class ScanCountSpec extends SparkSpec {
       acc, n)
     assert(scans <= 1, s"sourceOverlap made $scans corpus passes")
   }
+
+  /** Every FileSourceScanExec in `p`, recursing through the leaf
+    * wrappers AQE interposes (the adaptive root and materialized query
+    * stages are LeafExecNodes, so a plain collect stops at them).
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+    }.flatten
+
+  test("qr02 bm25OverCorpus: probe reads ONLY the query terms' bkt= directories") {
+    import spark.implicits._
+    // a corpus whose vocabulary spreads over many buckets: 64 docs ×
+    // distinct per-doc terms, two batches, every doc carrying the
+    // probe term so its bucket exists in both batches
+    val corpus = tmpDir("scan-postings")
+    (0 until 64).map(i =>
+        (i.toLong, s"uniq$i filler${i % 7} shared probeword", 0L, (i % 2).toLong))
+      .toDF("doc_id", "text", "epoch", "batch_id")
+      .write.mode("overwrite").partitionBy("epoch", "batch_id").parquet(corpus)
+    graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 16)
+    val leaves = {
+      val root = new java.io.File(corpus, "_graft_postings")
+      Option(root.listFiles()).toSeq.flatten.filter(_.getName.startsWith("bkt="))
+        .flatMap(b => Option(b.listFiles()).toSeq.flatten)
+        .flatMap(e => Option(e.listFiles()).toSeq.flatten)
+        .count(_.getName.startsWith("batch_id="))
+    }
+    assert(leaves >= 16, s"vocabulary too narrow to prove pruning ($leaves leaves)")
+    val out = graft.streaming.CorpusIngest.bm25OverCorpus(spark, corpus,
+      Seq((1L, "probeword")).toDF("query_id", "term"), "query_id", "term", k = 5)
+    assert(out.count() === 5L)
+    val postingsScans = fileScans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("_graft_postings")))
+    assert(postingsScans.nonEmpty, out.queryExecution.executedPlan.toString)
+    // one query term → one bucket → at most its two (epoch, batch)
+    // leaves; the runtime metric is the partitions actually read, so
+    // this fails if the isin ever stops reaching the scan as a
+    // PartitionFilter (e.g. a cast on bkt) and the probe silently
+    // degrades to reading all `leaves` directories
+    val read = postingsScans.map(_.metrics("numPartitions").value).sum
+    assert(read <= 2, s"postings probe read $read partitions (want ≤ 2 of $leaves)")
+  }
 }
