@@ -1469,6 +1469,49 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))),
 
+    // oracle-checked: deterministic full-corpus Lloyd's k-means — 2
+    // iterations from the qe08 fixed seeds, centroids rounded 6 dp at
+    // every iteration boundary so the SQL replay assigns identical
+    // cells. The bit-replayable fit behind IVF (a curation audit trail
+    // can re-derive exactly which cluster selected a document);
+    // centroids exploded to scalars (cell_id, i, c_val, n) for hashing.
+    "qe20_kmeans_fit" -> ((s, d) => {
+      val init = Similarity.Ivf.centroidMatrix(qe08Centroids(s, d))
+      graft.functions.Clustering
+        .kmeansFit(Tables.embeddings(s, d), "embedding", init, iters = 2)
+        .select(col("cell_id"),
+          posexplode(col("centroid")).as(Seq("pos", "c_val")), col("n"))
+        .select(col("cell_id"), (col("pos") + 1).cast("long").as("i"),
+          col("c_val"), col("n"))
+        .orderBy(col("cell_id"), col("i"))
+    }),
+
+    // oracle-checked: nearest-class-mean (Rocchio) classification — the
+    // embedding-space quality/domain classifier of curation pipelines.
+    // Train on vec_id % 4 != 0 (per-label 6-dp-rounded mean vectors),
+    // classify the held-out quarter by best cosine (lowest label wins a
+    // tie). Scoring is a pure narrow projection: the k×dim means ride
+    // into the plan as literals, no join, no shuffle (plan-asserted).
+    "qe21_class_mean" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val means = graft.functions.Clustering.classMeans(
+        emb.filter(col("vec_id") % 4 =!= 0), "label", "embedding")
+      graft.functions.Clustering
+        .nearestClassMean(emb.filter(col("vec_id") % 4 === 0), "embedding", means)
+        .select(col("vec_id"), col("label"), col("predicted"), col("score"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // oracle-checked: per-source embedding affinity matrix — the dense
+    // twin of qd41's n-gram overlap matrix: cosine between per-source
+    // mean unit vectors. One docs⋈embeddings equi-join + one S×dim
+    // aggregation + an S×S pair join — never doc×doc.
+    "qe22_source_affinity" -> ((s, d) =>
+      graft.functions.Clustering.sourceAffinity(
+          Tables.documents(s, d), "doc_id", "source",
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("src_a"), col("src_b"))),
+
     // oracle-checked: the full hybrid SERVING stack over one corpus
     // carrying BOTH sidecars (documents ⋈ embeddings, postings + cells
     // built once) — BM25 from the postings index, IVF ANN from the cell
@@ -3353,6 +3396,77 @@ object SparkEntry {
     // kernel under the SAME pinned centroids — qe08's oracle verbatim
     // is exactly the claim being checked
     "qe19_ann_sidecar" -> duckQe08Sql,
+
+    // Lloyd's replayed iteration by iteration: assignment is the qe08
+    // argmin pattern (c·c − 2·v·c, ties on cell_id), means are 6-dp
+    // elementwise AVG via a range(1,65) expansion, empty cells COALESCE
+    // to the previous centroid — the same retention rule as kmeansFit.
+    "qe20_kmeans_fit" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cent0.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(cent0.cv, cent0.cv) - 2 * list_dot_product(c.v, cent0.cv),
+        |        cent0.cell_id) AS rn
+        |    FROM c, cent0) WHERE rn = 1),
+        |m1 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
+        |       FROM a1 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
+        |cent1 AS (SELECT c0.cell_id, COALESCE(m.cv, c0.cv) AS cv
+        |          FROM cent0 c0 LEFT JOIN
+        |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m1 GROUP BY cell_id) m
+        |            USING (cell_id)),
+        |a2 AS (SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, cent1.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(cent1.cv, cent1.cv) - 2 * list_dot_product(c.v, cent1.cv),
+        |        cent1.cell_id) AS rn
+        |    FROM c, cent1) WHERE rn = 1),
+        |m2 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
+        |       FROM a2 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
+        |cent2 AS (SELECT c1.cell_id, COALESCE(m.cv, c1.cv) AS cv
+        |          FROM cent1 c1 LEFT JOIN
+        |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m2 GROUP BY cell_id) m
+        |            USING (cell_id)),
+        |cnt2 AS (SELECT cell_id, COUNT(*) AS n FROM a2 GROUP BY cell_id)
+        |SELECT c2.cell_id, t.i, c2.cv[CAST(t.i AS INT)] AS c_val, COALESCE(cnt2.n, 0) AS n
+        |FROM cent2 c2 CROSS JOIN range(1, 65) AS t(i)
+        |LEFT JOIN cnt2 ON cnt2.cell_id = c2.cell_id
+        |ORDER BY c2.cell_id, t.i""".stripMargin,
+
+    // Rocchio replayed: per-label 6-dp elementwise means over the
+    // training rows, each held-out row scored by cosine against every
+    // class mean, best (score DESC, label ASC) kept.
+    "qe21_class_mean" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+        |te AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+        |me AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS av
+        |       FROM tr CROSS JOIN range(1, 65) AS t(i) GROUP BY label, i),
+        |m AS (SELECT label AS cand, list(av ORDER BY i) AS mv FROM me GROUP BY label),
+        |sc AS (SELECT te.vec_id, te.label, m.cand,
+        |         ROUND(list_dot_product(te.v, m.mv)
+        |           / (sqrt(list_dot_product(te.v, te.v)) * sqrt(list_dot_product(m.mv, m.mv))), 6) AS score
+        |       FROM te CROSS JOIN m),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cand) AS rn FROM sc)
+        |SELECT vec_id, label, cand AS predicted, score FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // affinity matrix replayed: per-document unit vectors, per-source
+    // 6-dp elementwise means, S×S upper-triangle cosine.
+    "qe22_source_affinity" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |j AS (SELECT d.source, list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS nv
+        |      FROM documents d JOIN e ON d.doc_id = e.vec_id
+        |      WHERE list_dot_product(e.v, e.v) > 0),
+        |me AS (SELECT source, i, ROUND(AVG(nv[i]), 6) AS av
+        |       FROM j CROSS JOIN range(1, 65) AS t(i) GROUP BY source, i),
+        |m AS (SELECT source, list(av ORDER BY i) AS mv FROM me GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  ROUND(list_dot_product(a.mv, b.mv)
+        |    / (sqrt(list_dot_product(a.mv, a.mv)) * sqrt(list_dot_product(b.mv, b.mv))), 6) AS affinity
+        |FROM m a CROSS JOIN m b WHERE a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // embedding near-dups replayed end to end, planted jitter included:
     // mirror of Similarity.embeddingNearDups(minCosine=0.95, nPlanes=8,
