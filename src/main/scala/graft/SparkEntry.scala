@@ -114,6 +114,41 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
+  /** Two deterministic Lloyd iterations as a CTE chain ending in
+    * `cent2` (cell_id, cv) and `a2` (the final assignment) — qe20
+    * SELECTs the centroids, qe23 feeds them into qe08's IVF pattern.
+    * Assignment is the qe08 argmin (c·c − 2·v·c, ties on cell_id),
+    * means are 6-dp elementwise AVG via range(1,65), empty cells
+    * COALESCE to the previous centroid — kmeansFit's retention rule.
+    */
+  private lazy val duckKmeansCtes: String =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, v, cell_id FROM (
+      |    SELECT c.vec_id, c.v, cent0.cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(cent0.cv, cent0.cv) - 2 * list_dot_product(c.v, cent0.cv),
+      |        cent0.cell_id) AS rn
+      |    FROM c, cent0) WHERE rn = 1),
+      |m1 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
+      |       FROM a1 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
+      |cent1 AS (SELECT c0.cell_id, COALESCE(m.cv, c0.cv) AS cv
+      |          FROM cent0 c0 LEFT JOIN
+      |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m1 GROUP BY cell_id) m
+      |            USING (cell_id)),
+      |a2 AS (SELECT vec_id, v, cell_id FROM (
+      |    SELECT c.vec_id, c.v, cent1.cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(cent1.cv, cent1.cv) - 2 * list_dot_product(c.v, cent1.cv),
+      |        cent1.cell_id) AS rn
+      |    FROM c, cent1) WHERE rn = 1),
+      |m2 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
+      |       FROM a2 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
+      |cent2 AS (SELECT c1.cell_id, COALESCE(m.cv, c1.cv) AS cv
+      |          FROM cent1 c1 LEFT JOIN
+      |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m2 GROUP BY cell_id) m
+      |            USING (cell_id))""".stripMargin
+
   /** BM25 scored+ranked CTE chain (qr01's oracle; qe16 reuses it as the
     * sparse leg). Mirrors Retrieval.bm25Search(k1=1.2, b=0.75, Lucene +1
     * idf) term by term: same token analyzer, same arithmetic order, 6-dp
@@ -1511,6 +1546,22 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", "source",
           Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("src_a"), col("src_b"))),
+
+    // oracle-checked: the fit→serve composition — qe20's deterministic
+    // Lloyd centroids drive qe08's IVF probe-and-rank, proving the
+    // trained index is bit-consistent end to end (fit, assignment, and
+    // search all replay in one SQL chain).
+    "qe23_kmeans_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val init = Similarity.Ivf.centroidMatrix(qe08Centroids(s, d))
+      val fitted = graft.functions.Clustering
+        .kmeansFit(emb, "embedding", init, iters = 2)
+        .select(col("cell_id"), col("centroid"))
+      Similarity.Ivf.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", fitted, k = 3, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
+    }),
 
     // oracle-checked: the full hybrid SERVING stack over one corpus
     // carrying BOTH sidecars (documents ⋈ embeddings, postings + cells
@@ -3402,37 +3453,39 @@ object SparkEntry {
     // elementwise AVG via a range(1,65) expansion, empty cells COALESCE
     // to the previous centroid — the same retention rule as kmeansFit.
     "qe20_kmeans_fit" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, v, cell_id FROM (
-        |    SELECT c.vec_id, c.v, cent0.cell_id,
-        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(cent0.cv, cent0.cv) - 2 * list_dot_product(c.v, cent0.cv),
-        |        cent0.cell_id) AS rn
-        |    FROM c, cent0) WHERE rn = 1),
-        |m1 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
-        |       FROM a1 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
-        |cent1 AS (SELECT c0.cell_id, COALESCE(m.cv, c0.cv) AS cv
-        |          FROM cent0 c0 LEFT JOIN
-        |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m1 GROUP BY cell_id) m
-        |            USING (cell_id)),
-        |a2 AS (SELECT vec_id, v, cell_id FROM (
-        |    SELECT c.vec_id, c.v, cent1.cell_id,
-        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-        |        list_dot_product(cent1.cv, cent1.cv) - 2 * list_dot_product(c.v, cent1.cv),
-        |        cent1.cell_id) AS rn
-        |    FROM c, cent1) WHERE rn = 1),
-        |m2 AS (SELECT cell_id, i, ROUND(AVG(v[i]), 6) AS av
-        |       FROM a2 CROSS JOIN range(1, 65) AS t(i) GROUP BY cell_id, i),
-        |cent2 AS (SELECT c1.cell_id, COALESCE(m.cv, c1.cv) AS cv
-        |          FROM cent1 c1 LEFT JOIN
-        |            (SELECT cell_id, list(av ORDER BY i) AS cv FROM m2 GROUP BY cell_id) m
-        |            USING (cell_id)),
+      s"""WITH $duckKmeansCtes,
         |cnt2 AS (SELECT cell_id, COUNT(*) AS n FROM a2 GROUP BY cell_id)
         |SELECT c2.cell_id, t.i, c2.cv[CAST(t.i AS INT)] AS c_val, COALESCE(cnt2.n, 0) AS n
         |FROM cent2 c2 CROSS JOIN range(1, 65) AS t(i)
         |LEFT JOIN cnt2 ON cnt2.cell_id = c2.cell_id
         |ORDER BY c2.cell_id, t.i""".stripMargin,
+
+    // the fit→serve composition: the same Lloyd CTEs produce cent2,
+    // which then drives qe08's IVF probe-and-rank pattern.
+    "qe23_kmeans_ivf" ->
+      s"""WITH $duckKmeansCtes,
+        |corpus_cells AS (SELECT vec_id, v, cell_id FROM (
+        |    SELECT c.vec_id, c.v, k.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(k.cv, k.cv) - 2 * list_dot_product(c.v, k.cv),
+        |        k.cell_id) AS rn
+        |    FROM c, cent2 k) WHERE rn = 1),
+        |probes AS (SELECT query_id, qv, cell_id FROM (
+        |    SELECT c.vec_id AS query_id, c.v AS qv, k.cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(k.cv, k.cv) - 2 * list_dot_product(c.v, k.cv),
+        |        k.cell_id) AS rn
+        |    FROM c, cent2 k WHERE c.vec_id < 5) WHERE rn <= 2),
+        |sc AS (SELECT p.query_id, cc.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(cc.v, p.qv)
+        |      / (sqrt(list_dot_product(cc.v, cc.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+        |  FROM corpus_cells cc JOIN probes p
+        |    ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
+        |ORDER BY query_id, rnk, neighbor_id""".stripMargin,
 
     // Rocchio replayed: per-label 6-dp elementwise means over the
     // training rows, each held-out row scored by cosine against every

@@ -275,6 +275,32 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 1, s"sourceOverlap made $scans corpus passes")
   }
 
+  test("qe20 kmeansFit: exactly iters corpus passes — assignment and means share one job") {
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    val init = Array.tabulate(4)(i => Array.tabulate(64)(j => math.sin(i * 64 + j)))
+    val fit = graft.functions.Clustering.kmeansFit(emb, "embedding", init, iters = 2)
+    assert(fit.count() === 4)
+    // kmeansFit is eager (collects per iteration), so the accumulator is
+    // already settled: 2 iterations = 2 passes, each fusing the narrow
+    // assignment into its aggregation scan
+    val scans = (acc.value + n - 1) / n
+    assert(scans <= 2, s"kmeansFit(iters=2) made $scans corpus passes")
+  }
+
+  test("qe22 sourceAffinity: one pass per input — the pair join reads only the S-row means") {
+    val (docs, dAcc, dn) = docsSource()
+    val (emb, eAcc, en) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    val out = graft.functions.Clustering.sourceAffinity(
+      docs, "doc_id", "source", emb, "vec_id", "embedding")
+    assert(out.count() >= 1)
+    val dScans = (dAcc.value + dn - 1) / dn
+    val eScans = (eAcc.value + en - 1) / en
+    assert(dScans <= 1, s"sourceAffinity made $dScans docs passes")
+    assert(eScans <= 1, s"sourceAffinity made $eScans embeddings passes")
+  }
+
   /** Every FileSourceScanExec in `p`, recursing through the leaf
     * wrappers AQE interposes (the adaptive root and materialized query
     * stages are LeafExecNodes, so a plain collect stops at them).
