@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.functions.{NativeExpressions, Similarity}
+
+/** Streaming centroid-drift monitor — the operational "when do I re-fit
+  * the index" signal for every consumer of pinned centroids (the IVF
+  * serving path, the `_graft_cells` sidecar, the semantic-dedup sink):
+  * as embeddings stream in, each is assigned to its nearest pinned
+  * centroid by the SAME narrow kernel serving uses, and per-cell
+  * running state (member count, element-wise vector sum, distance sum)
+  * is folded in `transformWithState` keyed ValueState. Every batch a
+  * cell appears in, it re-emits one report row:
+  *
+  *   - `n`         — members seen so far
+  *   - `drift`     — ‖running mean − pinned centroid‖₂: how far the
+  *                   cell's observed center of mass has moved off its
+  *                   pinned position (0 for a stationary stream)
+  *   - `mean_dist` — running mean member→centroid distance: rising
+  *                   dispersion even when the mean stays put
+  *
+  * State is O(cells × dim) TOTAL — independent of stream length — and
+  * engine-checkpointed, so the monitor resumes exactly across restarts
+  * like every other stateful op here (RocksDB provider, the
+  * transformWithState requirement). The per-row work is the narrow
+  * assignment projection plus one fold; no join, no shuffle beyond the
+  * groupByKey on cell_id (≤ cells keys).
+  *
+  * Reading the signal: re-fit (kmeansFit/Ivf.fit) and rebuild sidecars
+  * when drift grows to a noticeable fraction of the typical
+  * inter-centroid distance — thresholds are corpus-specific, so this
+  * emits the measurements and leaves the policy to the operator.
+  */
+object CentroidDrift {
+
+  /** One report row: cell `cell_id`'s running stats as of this batch. */
+  case class DriftReport(cell_id: Int, n: Long, drift: Double, mean_dist: Double)
+
+  /** Per-cell running state: element-wise vector sum, Σdistance, count. */
+  case class CellBuf(sums: Array[Double], distSum: Double, n: Long)
+
+  class DriftProcessor(centroids: Array[Array[Double]])
+      extends StatefulProcessor[Int, (Int, Seq[Double], Double), DriftReport] {
+    @transient private var state: ValueState[CellBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CellBuf](
+        "cell", Encoders.product[CellBuf], TTLConfig.NONE)
+
+    override def handleInputRows(cell: Int,
+        rows: Iterator[(Int, Seq[Double], Double)],
+        timerValues: TimerValues): Iterator[DriftReport] = {
+      val dim = centroids(cell).length
+      var buf = if (state.exists()) state.get() else CellBuf(new Array[Double](dim), 0.0, 0L)
+      rows.foreach { case (_, v, dist) =>
+        var i = 0
+        val it = v.iterator
+        while (it.hasNext && i < dim) { buf.sums(i) += it.next(); i += 1 }
+        buf = CellBuf(buf.sums, buf.distSum + dist, buf.n + 1)
+      }
+      state.update(buf)
+      val c = centroids(cell)
+      var d2 = 0.0
+      var i = 0
+      while (i < dim) {
+        val delta = buf.sums(i) / buf.n - c(i)
+        d2 += delta * delta
+        i += 1
+      }
+      Iterator.single(
+        DriftReport(cell, buf.n, math.sqrt(d2), buf.distSum / buf.n))
+    }
+  }
+
+  /** `embs` is a STREAMING frame with `vecCol`; `centroids` the pinned
+    * (cell_id, centroid) table serving uses. Emits each touched cell's
+    * running (n, drift, mean_dist) every batch, update mode.
+    */
+  def centroidDriftStream(embs: DataFrame, vecCol: String,
+      centroids: DataFrame): Dataset[DriftReport] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val m = Similarity.Ivf.centroidMatrix(centroids)
+    val v = Similarity.asDouble(col(vecCol))
+    val cLit = typedlit(m.map(_.toSeq).toSeq)
+    val cOf = element_at(cLit, col("__cell") + 1)
+    embs
+      .select(v.as("__v"))
+      .withColumn("__cell",
+        element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
+      // full squared distance (the c·c term matters for the emitted
+      // magnitude, unlike in assignment where it is constant per row)
+      .withColumn("__dist",
+        sqrt(greatest(lit(0.0),
+          NativeExpressions.vecDot(col("__v"), col("__v"))
+            - lit(2.0) * NativeExpressions.vecDot(col("__v"), cOf)
+            + NativeExpressions.vecDot(cOf, cOf))))
+      .select(col("__cell"), col("__v"), col("__dist"))
+      .as[(Int, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DriftProcessor(m),
+        TimeMode.None(), OutputMode.Update())
+  }
+}

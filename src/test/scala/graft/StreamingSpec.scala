@@ -1365,6 +1365,49 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming centroid drift: per-cell state accumulates; drift rises on distribution shift") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Seq[Double]]
+      val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)))
+        .toDF("cell_id", "centroid")
+      val q = graft.streaming.CentroidDrift.centroidDriftStream(
+          ms.toDF().toDF("embedding"), "embedding", cents)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("drift").start()
+
+      // batch 1: symmetric members around each pinned centroid — the
+      // running mean sits ON the centroid, so drift must be ~0 while
+      // mean_dist reflects the spread
+      ms.addData(Seq(0.1, 0.0), Seq(-0.1, 0.0), Seq(10.1, 0.0), Seq(9.9, 0.0))
+      q.processAllAvailable()
+      val b1 = spark.table("drift").as[(Int, Long, Double, Double)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(b1.keySet === Set(0, 1))
+      b1.values.foreach { case (cell, n, drift, meanDist) =>
+        assert(n === 2L, s"cell $cell n=$n")
+        assert(drift < 1e-9, s"cell $cell drift=$drift")
+        assert(math.abs(meanDist - 0.1) < 1e-9, s"cell $cell meanDist=$meanDist")
+      }
+
+      // batch 2 shifts cell 0's distribution; cell 1 is untouched and
+      // must NOT re-emit (its state still carries batch 1)
+      ms.addData(Seq(2.0, 0.0), Seq(2.0, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("drift").as[(Int, Long, Double, Double)].collect()
+      assert(!rows.exists(r => r._1 === 1 && r._2 > 2L), "cell 1 re-emitted without input")
+      val c0 = rows.filter(r => r._1 === 0 && r._2 === 4L)
+      assert(c0.length === 1, rows.mkString(","))
+      // mean over 4 members = (1.0, 0) → drift 1.0; distances 0.1+0.1+2+2
+      assert(math.abs(c0.head._3 - 1.0) < 1e-9, c0.head.toString)
+      assert(math.abs(c0.head._4 - 1.05) < 1e-9, c0.head.toString)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ------------------------------------------------ BM25 postings sidecar
 
   private def postingsRows(corpus: String): Set[(Long, Long, String, Long)] =
