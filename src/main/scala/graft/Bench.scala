@@ -37,7 +37,7 @@ object Bench {
     "qe12_pq_ann", "qe13_ivfpq_ann", "qe14_pq_ann_learned", "qe15_mrl_rerank",
     "qe16_hybrid_rrf", "qe17_cluster_cap_sample", "qe18_ivf_mrl_funnel",
     "qe19_ann_sidecar", "qe20_kmeans_fit", "qe21_class_mean",
-    "qe22_source_affinity", "qe23_kmeans_ivf",
+    "qe22_source_affinity", "qe23_kmeans_ivf", "qe24_semantic_decontaminate",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 

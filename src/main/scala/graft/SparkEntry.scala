@@ -1547,6 +1547,28 @@ object SparkEntry {
           Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("src_a"), col("src_b"))),
 
+    // oracle-checked: EXACT embedding-space decontamination — the dense
+    // sibling of qd22/qd45's n-gram gates: every corpus row scored
+    // against the full benchmark (vec_id < 20) via the broadcast
+    // narrow kernel, no false negatives. Planted jittered copies of
+    // benchmark rows (the qe05 pattern) must flag at 0.99 — an
+    // all-false result would be vacuous and hash-mismatch.
+    "qe24_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val bench = emb.filter(col("vec_id") < 20)
+      val jit = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * 0.005d))
+            .as("embedding"))
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 20).unionByName(jit), "vec_id", "embedding",
+          bench, "vec_id", "embedding", minCosine = 0.99)
+        .select(col("vec_id"), col("bench_id"), col("max_cos"), col("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
     // oracle-checked: the fit→serve composition — qe20's deterministic
     // Lloyd centroids drive qe08's IVF probe-and-rank, proving the
     // trained index is bit-consistent end to end (fit, assignment, and
@@ -3504,6 +3526,30 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cand) AS rn FROM sc)
         |SELECT vec_id, label, cand AS predicted, score FROM r WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // the exact gate replayed: normalized benchmark, per-corpus-row
+    // argmax by the qe08 argmin pattern over unit benchmark vectors
+    // (≡ argmax cosine; ties → lowest bench_id), jitter plants from
+    // qe05's replay.
+    "qe24_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |jit AS (SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * (1.0 + CAST((i - 1) % 3 - 1 AS DOUBLE) * 0.005)) AS v
+        |  FROM e WHERE vec_id < 3),
+        |corp AS (SELECT * FROM e WHERE vec_id >= 20 UNION ALL SELECT * FROM jit),
+        |b AS (SELECT vec_id AS bench_id,
+        |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS bv
+        |      FROM e WHERE vec_id < 20),
+        |r AS (SELECT c.vec_id, b.bench_id,
+        |        ROUND(list_dot_product(c.v, b.bv)
+        |          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6) AS max_cos,
+        |        ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |          list_dot_product(b.bv, b.bv) - 2 * list_dot_product(c.v, b.bv),
+        |          b.bench_id) AS rn
+        |      FROM corp c CROSS JOIN b)
+        |SELECT vec_id, bench_id, max_cos, max_cos >= 0.99 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // affinity matrix replayed: per-document unit vectors, per-source
     // 6-dp elementwise means, S×S upper-triangle cosine.

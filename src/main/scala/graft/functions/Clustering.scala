@@ -124,7 +124,9 @@ object Clustering {
     var counts: Array[Long] = Array.fill(init.length)(0L)
     val v = Similarity.asDouble(col(vecCol))
     for (_ <- 1 to iters) {
-      val assigned = df.withColumn("_cell",
+      // null vectors would surface as a null-cell group and NPE the
+      // fold below — drop them (same posture as sourceAffinity)
+      val assigned = df.filter(v.isNotNull).withColumn("_cell",
         element_at(NativeExpressions.nearestCells(v, cents, 1), 1))
       val stats = assigned.groupBy(col("_cell"))
         .agg(vecMean(v).as("_m"), count(lit(1)).as("_n"))
@@ -151,7 +153,10 @@ object Clustering {
   def classMeans(train: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
-    train.groupBy(col(labelCol))
+    train
+      .filter(col(labelCol).isNotNull &&
+        Similarity.asDouble(col(vecCol)).isNotNull)
+      .groupBy(col(labelCol))
       .agg(vecMean(Similarity.asDouble(col(vecCol))).as("_m"))
       .collect()
       .map(r => (r.getInt(0), round6(r.getSeq[Double](1)).toSeq))

@@ -618,6 +618,54 @@ object Similarity {
       .select(col(idCol), col("cell_id"), col("kept"))
   }
 
+  /** EXACT embedding-space decontamination — the dense sibling of the
+    * n-gram gates (qd22 exact grams, qd45 fuzzy MinHash): flag every
+    * corpus row whose best cosine against ANY benchmark embedding
+    * reaches `minCosine`, reporting which benchmark row matched. Unlike
+    * the LSH/IVF-pruned gates this has NO false negatives: every
+    * corpus row scores against the full benchmark.
+    *
+    * Scale shape: the benchmark (an eval suite — small by nature) is
+    * collected, L2-NORMALIZED, and rides into the plan as a literal
+    * matrix; the corpus pass is one narrow projection — per row, the
+    * argmax-cosine benchmark index comes from the SAME
+    * [[NativeExpressions.nearestCells]] kernel as IVF assignment
+    * (over unit vectors, argmin L2 ≡ argmax cosine; ties → lowest
+    * bench id), then one more dot computes the reported cosine. No
+    * join, no shuffle, no row growth. The literal matrix is the
+    * broadcast budget: fine to ~10⁵ benchmark rows × dim; beyond
+    * that, chunk the benchmark into multiple passes and OR the flags,
+    * or fall back to the streaming sinks' cell-pruned gate.
+    *
+    * Zero-norm/NaN benchmark rows normalize to the zero vector and can
+    * never flag anything (cosine 0). Output adds (bench_id, max_cos
+    * rounded 6 dp, contaminated).
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      minCosine: Double): DataFrame = {
+    val rows = bench
+      .select(col(benchIdCol).cast("long"), asDouble(col(benchVecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "semanticDecontaminate: benchmark is empty")
+    val normed = rows.map { case (_, a) =>
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0 || n.isNaN) a.map(_ => 0.0) else a.map(_ / n)
+    }
+    val idLit = typedlit(rows.map(_._1).toSeq)
+    val mLit = typedlit(normed.map(_.toSeq).toSeq)
+    val v = asDouble(col(vecCol))
+    corpus
+      .withColumn("__bi",
+        element_at(NativeExpressions.nearestCells(v, normed, 1), 1) + 1)
+      .withColumn("bench_id", element_at(idLit, col("__bi")))
+      .withColumn("max_cos", round(cosine(v, element_at(mLit, col("__bi"))), 6))
+      .withColumn("contaminated", col("max_cos") >= minCosine)
+      .drop("__bi")
+  }
+
   /** Embedding-cosine near-dup pairs (dedup by embedding): SRP buckets →
     * within-bucket pairs with cosine ≥ threshold. Approximate by design;
     * exact variant is the knnJoin filtered by threshold.

@@ -480,4 +480,55 @@ class SimilaritySpec extends SparkSpec {
       assert(!rows.exists(_._2 == q), s"query $q returned itself")
     }
   }
+
+  test("semanticDecontaminate: matches the brute-force max against every benchmark row") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val bench = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 60)
+    val got = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", minCosine = 0.9)
+      .select("vec_id", "bench_id", "max_cos").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force: every (corpus, bench) cosine, keep the max per corpus row
+    val scored = corpus.select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(bench.select(col("vec_id").as("b"), col("embedding").as("bv")))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("bv")), 6))
+      .select("vec_id", "b", "cos").as[(Long, Long, Double)]
+      .collect().groupBy(_._1)
+    assert(got.keySet === scored.keySet)
+    got.foreach { case (id, (bId, cos)) =>
+      val rows = scored(id)
+      val maxCos = rows.map(_._3).max
+      assert(math.abs(cos - maxCos) < 2e-6, s"$id: $cos vs $maxCos")
+      // bench id must agree when the 6-dp max is unique; on a tie any
+      // of the tied ids is a correct argmax
+      val atMax = rows.filter(_._3 == maxCos).map(_._2)
+      assert(atMax.contains(bId), s"$id: $bId not in ${atMax.toSeq}")
+      if (atMax.length == 1) assert(bId === atMax.head, s"$id")
+    }
+  }
+
+  test("semanticDecontaminate: planted near-copies flag, orthogonal rows don't; narrow plan") {
+    import org.apache.spark.sql.functions._
+    val bench = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, Seq(0.999, 0.01, 0.0)),  // near bench 0 → flagged
+      (101L, Seq(0.0, 0.0, 5.0)),     // orthogonal → clean
+      (102L, Seq(0.0, -2.0, 0.0))     // anti-parallel to bench 1 → clean
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", minCosine = 0.99)
+    val byId = out.select("vec_id", "bench_id", "contaminated")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(byId(100L)._2 === 0L && byId(100L)._3 === true, byId(100L).toString)
+    assert(byId(101L)._3 === false)
+    assert(byId(102L)._3 === false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
