@@ -112,6 +112,28 @@ class ClusteringSpec extends SparkSpec {
     assert(out(("src0", "src1")) < 0.01, out)
   }
 
+  test("kmeansFit and classMeans are partitioning-invariant: 6-dp rounding absorbs merge-order drift") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).cache()
+    val init = Similarity.Ivf.centroidMatrix(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("embedding").cast("array<double>").as("centroid")))
+    val one = Clustering.kmeansFit(emb.repartition(1), "embedding", init, iters = 2)
+      .orderBy("cell_id").collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+    val many = Clustering.kmeansFit(emb.repartition(7, col("vec_id")),
+        "embedding", init, iters = 2)
+      .orderBy("cell_id").collect().map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(one.toSeq === many.toSeq,
+      "kmeansFit differs across partitionings — the determinism contract is broken")
+    val m1 = Clustering.classMeans(emb.repartition(1), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val m7 = Clustering.classMeans(emb.repartition(7, col("label")), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(m1 === m7,
+      "classMeans differs across partitionings — the determinism contract is broken")
+    emb.unpersist()
+  }
+
   test("sourceAffinity drops zero-norm vectors instead of poisoning the mean") {
     val docs = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("doc_id", "source")
     val emb = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)))
