@@ -486,17 +486,19 @@ object SparkEntry {
 
   /** Build-once sidecar-indexed corpora for the serving queries (qr02/
     * qe19/qr03): a tmp path keyed by `tag` + a FINGERPRINT of the source
-    * parquet files (names + sizes) — the expensive one-time layout +
-    * index build is reused across calls against unchanged data (the
-    * production shape: index once, search many) but can never serve a
-    * stale corpus after the testdata is regenerated in place.
+    * parquet files (names + sizes + mtimes — mtime catches an in-place
+    * regeneration that happens to keep byte lengths) — the expensive
+    * one-time layout + index build is reused across calls against
+    * unchanged data (the production shape: index once, search many) but
+    * can never serve a stale corpus after the testdata is regenerated
+    * in place.
     */
   private def builtCorpusFor(d: String, tag: String, srcTables: Seq[String])(
       build: String => Unit): String = {
     val parts = srcTables.flatMap { t =>
       val src = new java.io.File(d, t)
       (if (src.isDirectory) Option(src.listFiles()).toSeq.flatten else Seq(src))
-        .map(f => s"$t/${f.getName}:${f.length}")
+        .map(f => s"$t/${f.getName}:${f.length}:${f.lastModified}")
     }.sorted
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest((d + "|" + parts.mkString(",")).getBytes("UTF-8"))

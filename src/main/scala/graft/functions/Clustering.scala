@@ -47,7 +47,10 @@ object Clustering {
   class VecMean extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
     override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
     override def reduce(b: VecBuf, a: Seq[Double]): VecBuf =
-      if (a == null) b
+      // an empty vector carries no information: skipping it entirely
+      // (not counting it in n) keeps the mean partition-independent and
+      // avoids a 0-length buffer poisoning merge()
+      if (a == null || a.isEmpty) b
       else {
         val s = if (b.sums.length == 0) new Array[Double](a.size) else b.sums
         require(s.length == a.size,
@@ -147,22 +150,19 @@ object Clustering {
   }
 
   /** Per-class mean embeddings from labeled training rows — the "train"
-    * half of the nearest-class-mean classifier. One aggregation pass;
-    * output is (label, centroid) with 6-dp-rounded centroids, k rows.
+    * half of the nearest-class-mean classifier. One aggregation pass,
+    * fully distributed (no collect — the rounding is the Spark `round`,
+    * the same HALF_UP as [[round6]]); output is (label, centroid) with
+    * 6-dp-rounded centroids, k rows, label type preserved (int, long,
+    * or string classes all work).
     */
-  def classMeans(train: DataFrame, labelCol: String, vecCol: String): DataFrame = {
-    val spark = train.sparkSession
-    import spark.implicits._
+  def classMeans(train: DataFrame, labelCol: String, vecCol: String): DataFrame =
     train
       .filter(col(labelCol).isNotNull &&
         Similarity.asDouble(col(vecCol)).isNotNull)
       .groupBy(col(labelCol))
-      .agg(vecMean(Similarity.asDouble(col(vecCol))).as("_m"))
-      .collect()
-      .map(r => (r.getInt(0), round6(r.getSeq[Double](1)).toSeq))
-      .toSeq.sortBy(_._1)
-      .toDF(labelCol, "centroid")
-  }
+      .agg(transform(vecMean(Similarity.asDouble(col(vecCol))),
+        x => round(x, 6)).as("centroid"))
 
   /** Nearest-class-mean (Rocchio) classification: score every row
     * against each class centroid by cosine, keep the best class —
@@ -174,22 +174,37 @@ object Clustering {
     * row computes its k cosines and an argmax in place — no join, no
     * shuffle, no row growth, whole-stage-codegen-friendly
     * (plan-asserted in ClusteringSpec). Output adds `predicted` and
-    * `score` (= round(cosine, 6)) columns.
+    * `score` (= round(cosine, 6)) columns; the predicted column keeps
+    * the label column's own type (int, long, or string classes).
     */
   def nearestClassMean(df: DataFrame, vecCol: String, means: DataFrame,
       labelCol: String = "label", predictedCol: String = "predicted",
       scoreCol: String = "score"): DataFrame = {
-    val m = means.select(col(labelCol).cast("int"),
-        col("centroid").cast("array<double>"))
+    val raw = means.select(col(labelCol), col("centroid").cast("array<double>"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(m.nonEmpty, "nearestClassMean: means table is empty")
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(raw.nonEmpty, "nearestClassMean: means table is empty")
+    // sorted ascending so the FIRST max (array_position) is the lowest
+    // label; typed per the label column so `predicted` keeps its type
+    val (m, labels: Column) = raw.head._1 match {
+      case _: Int =>
+        val s = raw.map { case (l, c) => (l.asInstanceOf[Int], c) }.sortBy(_._1)
+        (s.map(_._2), typedlit(s.map(_._1).toSeq))
+      case _: Long =>
+        val s = raw.map { case (l, c) => (l.asInstanceOf[Long], c) }.sortBy(_._1)
+        (s.map(_._2), typedlit(s.map(_._1).toSeq))
+      case _: String =>
+        val s = raw.map { case (l, c) => (l.asInstanceOf[String], c) }.sortBy(_._1)
+        (s.map(_._2), typedlit(s.map(_._1).toSeq))
+      case other => throw new IllegalArgumentException(
+        s"nearestClassMean: unsupported label type ${other.getClass.getSimpleName}" +
+          " — use int, long, or string classes")
+    }
     val v = Similarity.asDouble(col(vecCol))
-    val scores = array(m.map { case (_, c) =>
+    val scores = array(m.map { c =>
       round(Similarity.cosine(v, typedlit(c.toSeq)), 6)
     }.toIndexedSeq: _*)
-    val labels = typedlit(m.map(_._1).toSeq)
     df.withColumn("_scores", scores)
       .withColumn(scoreCol, array_max(col("_scores")))
       // array_position returns the FIRST index of the max → ties resolve
@@ -221,7 +236,11 @@ object Clustering {
     val joined = docs.select(col(docIdCol), col(srcCol).as("_src"))
       .join(emb.select(col(vecIdCol).as(docIdCol), v.as("_v")), docIdCol)
       .filter(norm2.isNotNull && !isnan(norm2) && norm2 > 0.0)
-      .withColumn("_nv", transform(col("_v"), x => x / sqrt(norm2)))
+      // materialize the norm ONCE per row before the element-wise
+      // lambda: HOF bodies get no common-subexpression elimination, so
+      // an inline sqrt(vecDot) would re-run the O(dim) dot per ELEMENT
+      .withColumn("_n", sqrt(norm2))
+      .withColumn("_nv", transform(col("_v"), x => x / col("_n")))
     val spark = docs.sparkSession
     import spark.implicits._
     val means = joined.groupBy(col("_src"))

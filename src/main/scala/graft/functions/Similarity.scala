@@ -637,9 +637,13 @@ object Similarity {
     * that, chunk the benchmark into multiple passes and OR the flags,
     * or fall back to the streaming sinks' cell-pruned gate.
     *
-    * Zero-norm/NaN benchmark rows normalize to the zero vector and can
-    * never flag anything (cosine 0). Output adds (bench_id, max_cos
-    * rounded 6 dp, contaminated).
+    * Zero-norm/NaN benchmark rows are EXCLUDED from the matrix (they
+    * can never legitimately flag anything, and keeping them as zero
+    * vectors would let them win the argmin and SHADOW a real match —
+    * a false negative); a corpus row whose own vector is NaN scores
+    * −∞ via [[pairScore]]'s NaN-never-matches hardening, so corrupt
+    * embeddings are never reported contaminated. Output adds
+    * (bench_id, max_cos rounded 6 dp, contaminated).
     */
   def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchIdCol: String, benchVecCol: String,
@@ -647,13 +651,19 @@ object Similarity {
     val rows = bench
       .select(col(benchIdCol).cast("long"), asDouble(col(benchVecCol)))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else {
+          val a = r.getSeq[Double](1).toArray
+          val n = math.sqrt(a.map(x => x * x).sum)
+          if (n == 0.0 || n.isNaN || n.isInfinite) None
+          else Some((r.getLong(0), a.map(_ / n)))
+        }
+      }
       .sortBy(_._1)
-    require(rows.nonEmpty, "semanticDecontaminate: benchmark is empty")
-    val normed = rows.map { case (_, a) =>
-      val n = math.sqrt(a.map(x => x * x).sum)
-      if (n == 0.0 || n.isNaN) a.map(_ => 0.0) else a.map(_ / n)
-    }
+    require(rows.nonEmpty,
+      "semanticDecontaminate: benchmark has no usable (non-null, non-zero-norm) embeddings")
+    val normed = rows.map(_._2)
     val idLit = typedlit(rows.map(_._1).toSeq)
     val mLit = typedlit(normed.map(_.toSeq).toSeq)
     val v = asDouble(col(vecCol))
@@ -661,7 +671,7 @@ object Similarity {
       .withColumn("__bi",
         element_at(NativeExpressions.nearestCells(v, normed, 1), 1) + 1)
       .withColumn("bench_id", element_at(idLit, col("__bi")))
-      .withColumn("max_cos", round(cosine(v, element_at(mLit, col("__bi"))), 6))
+      .withColumn("max_cos", pairScore("cosine", v, element_at(mLit, col("__bi"))))
       .withColumn("contaminated", col("max_cos") >= minCosine)
       .drop("__bi")
   }

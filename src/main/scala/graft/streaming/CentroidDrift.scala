@@ -84,11 +84,16 @@ object CentroidDrift {
     val spark = embs.sparkSession
     import spark.implicits._
     val m = Similarity.Ivf.centroidMatrix(centroids)
+    val dim = m.head.length
     val v = Similarity.asDouble(col(vecCol))
     val cLit = typedlit(m.map(_.toSeq).toSeq)
     val cOf = element_at(cLit, col("__cell") + 1)
     embs
       .select(v.as("__v"))
+      // a null or wrong-dimension vector on an uncurated stream must
+      // not kill the monitor query (the tuple encoder below is
+      // non-nullable) — drop it; it carries no drift signal
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
       .withColumn("__cell",
         element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
       // full squared distance (the c·c term matters for the emitted

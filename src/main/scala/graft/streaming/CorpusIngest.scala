@@ -1144,20 +1144,26 @@ object CorpusIngest {
     * partition count, never row count.
     */
   private def sweepPairDirs(fs: FileSystem, root: Path,
-      bucketGlob: Option[String], pairs: Set[(Long, Long)]): Unit =
+      bucketGlob: Option[String], pairs: Set[(Long, Long)]): Unit = {
+    // globStatus returns fully-QUALIFIED paths (file:/…) while `root`
+    // may be scheme-less — qualify the stop boundary or the
+    // `parent != root` guard never fires and an empty-dir walk could
+    // climb past the sidecar root
+    val qRoot = fs.makeQualified(root)
     pairs.foreach { case (e, b) =>
       val glob = bucketGlob.fold(s"epoch=$e/batch_id=$b")(g =>
         s"$g/epoch=$e/batch_id=$b")
       Option(fs.globStatus(new Path(root, glob))).toSeq.flatten.foreach { st =>
         fs.delete(st.getPath, true)
         var parent = st.getPath.getParent // epoch=e, then the bucket leaf
-        while (parent != null && parent != root &&
+        while (parent != null && fs.makeQualified(parent) != qRoot &&
             fs.exists(parent) && fs.listStatus(parent).isEmpty) {
           fs.delete(parent, true)
           parent = parent.getParent
         }
       }
     }
+  }
 
   /** The bucket count a postings sidecar was built with, from its
     * pinned meta file — refuses loudly when no sidecar exists.

@@ -126,12 +126,38 @@ class ClusteringSpec extends SparkSpec {
     assert(one.toSeq === many.toSeq,
       "kmeansFit differs across partitionings — the determinism contract is broken")
     val m1 = Clustering.classMeans(emb.repartition(1), "label", "embedding")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val m7 = Clustering.classMeans(emb.repartition(7, col("label")), "label", "embedding")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     assert(m1 === m7,
       "classMeans differs across partitionings — the determinism contract is broken")
     emb.unpersist()
+  }
+
+  test("VecMean skips empty vectors entirely — they neither crash merge nor dilute the mean") {
+    // the empty row isolated in its own partition exercises the
+    // 0-length-buffer merge path; co-partitioned it exercises dilution
+    val df = Seq((0, Seq(2.0, 4.0)), (0, Seq(4.0, 8.0)), (0, Seq.empty[Double]))
+      .toDF("g", "v")
+    Seq(df.repartition(3), df.repartition(1)).foreach { d =>
+      val m = d.groupBy("g").agg(Clustering.vecMean(col("v")).as("m"))
+        .head.getSeq[Double](1)
+      assert(m === Seq(3.0, 6.0), s"empty vector affected the mean: $m")
+    }
+  }
+
+  test("classMeans + nearestClassMean work with STRING class labels") {
+    val train = Seq(
+      ("good", Seq(1.0, 0.0)), ("good", Seq(1.0, 0.02)),
+      ("junk", Seq(0.0, 1.0)), ("junk", Seq(0.02, 1.0))
+    ).toDF("label", "v")
+    val means = Clustering.classMeans(train, "label", "v")
+    val out = Clustering.nearestClassMean(
+        Seq((1L, Seq(0.9, 0.01)), (2L, Seq(0.01, 0.9))).toDF("id", "v"),
+        "v", means)
+      .select("id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) === "good")
+    assert(out(2L) === "junk")
   }
 
   test("sourceAffinity drops zero-norm vectors instead of poisoning the mean") {

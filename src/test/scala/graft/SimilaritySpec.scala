@@ -531,4 +531,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("semanticDecontaminate: a zero-norm benchmark row cannot shadow a real match") {
+    import org.apache.spark.sql.functions._
+    // bench 5 is a zero vector; the corpus row is a SHORT parallel of
+    // bench 7 (v = 0.4·b), so the unnormalized argmin would prefer the
+    // zero row (score 0 < 0.2) and miss a perfect-cosine match
+    val bench = Seq((5L, Seq(0.0, 0.0)), (7L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((100L, Seq(0.4, 0.0))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", minCosine = 0.99)
+      .select("bench_id", "max_cos", "contaminated")
+      .as[(Long, Double, Boolean)].head()
+    assert(r === ((7L, 1.0, true)), r.toString)
+  }
+
+  test("semanticDecontaminate: a NaN corpus embedding is never reported contaminated") {
+    import org.apache.spark.sql.functions._
+    val bench = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq((100L, Seq(Double.NaN, 1.0)), (101L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", minCosine = 0.99)
+      .select("vec_id", "max_cos", "contaminated")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L)._3 === false, s"NaN row flagged: ${out(100L)}")
+    assert(out(100L)._2.isNegInfinity, out(100L).toString)
+    assert(out(101L)._3 === true)
+  }
 }

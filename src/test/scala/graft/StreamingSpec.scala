@@ -1393,8 +1393,11 @@ class StreamingSpec extends SparkSpec {
       }
 
       // batch 2 shifts cell 0's distribution; cell 1 is untouched and
-      // must NOT re-emit (its state still carries batch 1)
-      ms.addData(Seq(2.0, 0.0), Seq(2.0, 0.0))
+      // must NOT re-emit (its state still carries batch 1). The null
+      // and wrong-dimension vectors must be DROPPED, not kill the
+      // query or distort the stats (uncurated-stream hardening).
+      ms.addData(Seq(2.0, 0.0), Seq(2.0, 0.0),
+        null.asInstanceOf[Seq[Double]], Seq(42.0))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("drift").as[(Int, Long, Double, Double)].collect()
