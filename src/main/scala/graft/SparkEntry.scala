@@ -1433,6 +1433,34 @@ object SparkEntry {
     // replays end to end in SQL. Non-vacuous at sf0.01: the planted
     // near-dup docs form multi-doc clusters whose members would split
     // apart under qd23's per-doc hash.
+    // oracle-checked: canonical text normalization (NFC + lower + trim
+    // + whitespace collapse) — the step that makes hash-based dedup
+    // see "Café" composed and decomposed as the same document. The
+    // fixture is ASCII, so the query PLANTS decomposed/mixed-case/
+    // messy-whitespace rows (the qe05 pattern): their norm_text must
+    // equal the canonical form, so an identity implementation
+    // hash-mismatches. NFC itself is a custom codegen'd Expression
+    // (Spark ships no normalizer builtin); DuckDB replays it with
+    // nfc_normalize — both implement UAX #15.
+    "qd48_normalize_text" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // DECOMPOSED on purpose (combining marks as escapes so no tool
+      // silently recomposes them): e+U+0301, i+U+0308, A+U+030A — NFC
+      // must fuse each into its precomposed codepoint
+      val planted = Seq(
+        (9000001L, "Cafe\u0301  LATTE"),
+        (9000002L, "nai\u0308ve\tre\u0301sume\u0301 "),
+        (9000003L, "A\u030Angstro\u0308m units")
+      ).toDF("doc_id", "text")
+      docs.unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .withColumn("changed", col("norm_text") =!= col("text"))
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
+
     "qd47_leakage_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
@@ -3192,6 +3220,24 @@ object SparkEntry {
          |SELECT id AS doc_id, MIN(label) AS cluster_id,
          |  (id = MIN(label)) AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the normalize chain replayed: nfc_normalize (DuckDB's UAX #15
+    // NFC, same spec as java.text.Normalizer) → lower → trim →
+    // whitespace collapse; plants carry the identical decomposed
+    // codepoints via the same escape sequences
+    "qd48_normalize_text" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000001, 'Café  LATTE'),
+        |    (9000002, 'naïve\trésumé '),
+        |    (9000003, 'Ångström units')) v(doc_id, text)),
+        |n AS (SELECT doc_id, text,
+        |        regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') AS norm_text
+        |      FROM base)
+        |SELECT doc_id, norm_text, norm_text <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // qd14's recursive-CC CTE + the qd23 md5-bucket kernel applied to the
     // cluster representative (COALESCE to the doc's own id for singletons)

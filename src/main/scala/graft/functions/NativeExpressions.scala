@@ -801,9 +801,49 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ------------------------------------------------------ NFC normalize
+
+  /** Unicode NFC normalization (canonical composition) as a codegen'd
+    * expression — Spark ships no `normalize` builtin, yet canonical
+    * form is load-bearing for every hash-based dedup/fingerprint op
+    * here: "Café" composed and "Café" decomposed are byte-distinct
+    * (different xxhash64, different shingles, different MinHash) while
+    * being the SAME text to a reader, so un-normalized corpora leak
+    * duplicates straight past qd01/qd05/qd09. `java.text.Normalizer`
+    * implements the same Unicode NFC as DuckDB's `nfc_normalize`
+    * (both track the UAX #15 spec), which is what makes the qd48
+    * oracle replay exact. Skips the (common) already-NFC fast path via
+    * `Normalizer.isNormalized` — no allocation for ASCII corpora.
+    */
+  case class NfcNormalizeExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    def compute(s: UTF8String): UTF8String = {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalizeExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- Columns
 
   import GraftBridge.{column, expression}
+
+  def nfcNormalize(c: Column): Column = column(NfcNormalizeExpr(expression(c)))
 
   def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
 

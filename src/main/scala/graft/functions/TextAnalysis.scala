@@ -23,6 +23,24 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical text normalization for hash-based dedup: Unicode NFC
+    * (composed form — "Café" typed with a combining accent becomes
+    * byte-identical to the precomposed spelling), lowercase, trim, and
+    * whitespace runs collapsed to single spaces. Run this BEFORE
+    * fingerprint/MinHash/SimHash ops (qd01/qd05/qd09 …) or visually
+    * identical texts hash apart and duplicates leak through. A pure
+    * narrow codegen'd projection ([[NativeExpressions.nfcNormalize]] +
+    * builtins) — no shuffle, ASCII fast-path allocation-free.
+    *
+    * Lowercasing note: kept to builtin `lower` (JVM semantics). For the
+    * locale-sensitive edge cases (Turkish İ/ı) a curation pipeline
+    * should decide policy explicitly; the default here matches the
+    * tokenizer used by every other op in this file.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(lower(NativeExpressions.nfcNormalize(text))),
+      "\\s+", " ")
+
   /** BPE-ish token estimate: the ~4-chars-per-token heuristic used to size
     * LLM training corpora when an exact tokenizer is too costly inline.
     */

@@ -481,4 +481,35 @@ class TextAnalysisSpec extends SparkSpec {
       assert(hashes.sameElements(hashes.sorted), s"file ${f.getName} out of order")
     }
   }
+
+  test("normalizeText: decomposed == composed, idempotent, ASCII untouched, whitespace collapsed") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("decomposed", "Cafe\u0301  LATTE"),   // e + combining acute
+      ("composed", "Caf\u00e9  LATTE"),      // precomposed e-acute
+      ("ascii", "plain ascii text"),
+      ("messy", "  a\t b\n  c ")
+    ).toDF("k", "text")
+    val out = rows
+      .select(col("k"), graft.functions.TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the whole point: byte-identical canonical forms
+    assert(out("decomposed") === out("composed"), s"${out.mkString(",")}")
+    assert(out("decomposed") === "caf\u00e9 latte")
+    assert(out("ascii") === "plain ascii text")
+    assert(out("messy") === "a b c")
+    // idempotent: normalizing a normalized frame changes nothing
+    val once = rows.select(col("k"),
+      graft.functions.TextAnalysis.normalizeText(col("text")).as("text"))
+    val twice = once.select(col("k"),
+      graft.functions.TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(twice === out)
+    // and it feeds dedup as designed: the two spellings now hash together
+    val sig = once.select(
+      graft.functions.NativeExpressions.simhash64(col("text")).as("h"))
+      .where(col("k").isin("decomposed", "composed"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sig.size === 1, "normalized spellings still hash apart")
+  }
 }
