@@ -30,7 +30,7 @@ object Bench {
     "qd37_incremental_neardup", "qd38_contamination_report",
     "qd39_gopher_filter", "qd40_corpus_datacard", "qd41_source_overlap",
     "qd42_curriculum_buckets", "qd43_source_overlap_fast", "qd45_fuzzy_decontaminate",
-    "qd48_normalize_text",
+    "qd48_normalize_text", "qd49_compression_ratio",
     "qd44_source_overlap_sketch", "qr01_bm25_topk", "qr02_bm25_sidecar",
     "qr03_hybrid_sidecar",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",

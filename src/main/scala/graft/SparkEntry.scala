@@ -1461,6 +1461,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // rows-only: zlib-deflate compression ratio — the Dolma/RedPajama
+    // templating signal (low ratio = boilerplate/machine-generated).
+    // DuckDB ships no deflate, so there is no SQL replay; determinism,
+    // bounds, repetition-separates-from-prose, and partitioning
+    // invariance are TextAnalysisSpec contracts (the qa01 pattern). The
+    // ranking output is stable: ratio rounded 4 dp, ties on doc_id.
+    "qd49_compression_ratio" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(graft.functions.NativeExpressions.deflateRatio(col("text")), 4)
+            .as("deflate_ratio"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("deflate_ratio"), col("doc_id"))),
+
     "qd47_leakage_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",

@@ -839,11 +839,58 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ---------------------------------------------------- Compression ratio
+
+  /** zlib-deflate compression ratio of the UTF-8 text — the classic
+    * templating/repetition quality signal (used by Dolma's and
+    * RedPajama's quality batteries alongside the Gopher rules):
+    * boilerplate-heavy or machine-generated text compresses far below
+    * natural prose. ratio = deflate_len / raw_len, so lower = more
+    * redundant; empty text reports 1.0 (incompressible by convention).
+    * Deterministic for a fixed level (6) and input bytes, but NOT
+    * SQL-replayable (DuckDB ships no deflate) — its query entry is
+    * rows-only with TextAnalysisSpec contracts, the qa01 pattern.
+    * Cost: one deflate pass per row, no allocation shared across rows;
+    * narrow codegen'd projection like every expression here.
+    */
+  case class DeflateRatioExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "deflate_ratio"
+
+    def compute(s: UTF8String): Double = {
+      val raw = s.getBytes
+      if (raw.length == 0) return 1.0
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](1024)
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        compressed.toDouble / raw.length
+      } finally d.end()
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("deflate", this, classOf[DeflateRatioExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- Columns
 
   import GraftBridge.{column, expression}
 
   def nfcNormalize(c: Column): Column = column(NfcNormalizeExpr(expression(c)))
+
+  def deflateRatio(c: Column): Column = column(DeflateRatioExpr(expression(c)))
 
   def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
 

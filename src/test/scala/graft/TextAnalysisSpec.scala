@@ -512,4 +512,24 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sig.size === 1, "normalized spellings still hash apart")
   }
+
+  test("deflateRatio: repetition compresses far below prose; bounded, deterministic, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("template", "lorem ipsum " * 200),
+      ("prose", (0 until 200).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")),
+      ("empty", "")
+    ).toDF("k", "text")
+    def ratios(df: org.apache.spark.sql.DataFrame): Map[String, Double] = df
+      .select(col("k"),
+        graft.functions.NativeExpressions.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r = ratios(docs)
+    assert(r.values.forall(x => x > 0.0 && x <= 1.5), r.toString)
+    assert(r("empty") === 1.0)
+    // the signal: heavy repetition compresses at least 5x better
+    assert(r("template") * 5 < r("prose"), r.toString)
+    // deterministic across partitionings (fixed level, pure function)
+    assert(ratios(docs.repartition(3)) === r)
+  }
 }
