@@ -850,8 +850,9 @@ object NativeExpressions {
     * Deterministic for a fixed level (6) and input bytes, but NOT
     * SQL-replayable (DuckDB ships no deflate) — its query entry is
     * rows-only with TextAnalysisSpec contracts, the qa01 pattern.
-    * Cost: one deflate pass per row, no allocation shared across rows;
-    * narrow codegen'd projection like every expression here.
+    * Cost: one deflate pass per row; the Deflater (a native zlib
+    * handle — expensive to create) and scratch buffer are ThreadLocal,
+    * reset between rows, so the hot path allocates nothing.
     */
   case class DeflateRatioExpr(child: Expression)
       extends UnaryExpression {
@@ -861,15 +862,14 @@ object NativeExpressions {
     def compute(s: UTF8String): Double = {
       val raw = s.getBytes
       if (raw.length == 0) return 1.0
-      val d = new java.util.zip.Deflater(6, true)
-      try {
-        d.setInput(raw)
-        d.finish()
-        val buf = new Array[Byte](1024)
-        var compressed = 0L
-        while (!d.finished()) compressed += d.deflate(buf)
-        compressed.toDouble / raw.length
-      } finally d.end()
+      val d = DeflateRatioExpr.deflaters.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      val buf = DeflateRatioExpr.scratch.get()
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
     }
 
     override protected def nullSafeEval(input: Any): Any =
@@ -882,6 +882,19 @@ object NativeExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  object DeflateRatioExpr {
+    // one native zlib handle + scratch buffer per executor thread,
+    // reset between rows — never leaked (tied to thread lifetime,
+    // the standard posture for per-task native scratch state)
+    private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, true)
+    }
+    private val scratch = new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](4096)
+    }
   }
 
   // -------------------------------------------------------------- Columns
