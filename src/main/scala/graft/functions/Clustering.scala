@@ -6,7 +6,9 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering and classification over `Array[Float]`
-  * columns: a distributed element-wise vector mean (the primitive every
+  * columns (k-means per Lloyd 1982; nearest-class-mean per Rocchio
+  * 1971, the centroid classifier modern curation pipelines use for
+  * embedding-based quality/domain filtering): a distributed element-wise vector mean (the primitive every
   * centroid computation needs), a deterministic full-corpus Lloyd's
   * k-means, a nearest-class-mean (Rocchio) classifier — the
   * embedding-side analogue of the fastText-style quality classifiers
