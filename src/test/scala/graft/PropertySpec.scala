@@ -352,4 +352,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("normalizeText is idempotent and NFC-insensitive on arbitrary unicode docs") {
+    import graft.functions.TextAnalysis
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      // decomposed / precomposed pairs, exotic letters, emoji, digits
+      Gen.oneOf("Cafe\u0301", "Caf\u00e9", "nai\u0308ve", "na\u00efve",
+        "\u212b", "A\u030a", "\u00c5", "\u65e5\u672c\u8a9e", "\ud83d\ude42", "X9"))
+    val doc = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString("  "))
+    val docs = Gen.listOfN(150, doc).sample.get
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = df.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("n1"))
+    val twice = once.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("n1")).as("n2"), col("n1"))
+    // idempotent on every sample
+    twice.collect().foreach(r =>
+      assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)} not idempotent"))
+    // NFC-insensitive: normalizing the NFD expansion of the text lands
+    // on the same canonical form
+    val nfd = docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD))
+    }.toDF("doc_id", "text")
+    val a = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = nfd.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a === b, "NFD-expanded input normalized differently")
+  }
+
+  test("VecMean stays within per-coordinate min/max bounds and matches driver mean on random groups") {
+    import graft.functions.Clustering
+    val vec = Gen.listOfN(6, Gen.choose(-1000.0, 1000.0))
+    val row = for { g <- Gen.choose(0, 4); v <- vec } yield (g, v)
+    val rows = Gen.listOfN(300, row).sample.get
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy("g").agg(Clustering.vecMean(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2)
+      val want = (0 until 6).map(i => vs.map(_(i)).sum / vs.length)
+      got(g).zipWithIndex.foreach { case (x, i) =>
+        assert(math.abs(x - want(i)) < 1e-9, s"group $g coord $i: $x vs ${want(i)}")
+        assert(x >= vs.map(_(i)).min - 1e-9 && x <= vs.map(_(i)).max + 1e-9)
+      }
+    }
+  }
 }
