@@ -2569,14 +2569,14 @@ object SparkEntry {
         |  SELECT 9000, text FROM base WHERE doc_id = 250),
         |f AS (
         |  SELECT doc_id,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
         |  FROM batch),
         |fresh AS (
         |  SELECT doc_id, content_hash FROM f
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1)
         |SELECT doc_id, content_hash FROM fresh
         |WHERE content_hash NOT IN (
-        |  SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |  FROM base WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
 
@@ -2702,7 +2702,7 @@ object SparkEntry {
         |    len(list_filter(lw, x -> x IN ('le','la','les','et','des','une'))) AS fr,
         |    len(list_filter(lw, x -> x IN ('el','los','las','y','una','para'))) AS es,
         |    len(list_filter(lw, x -> x IN ('der','die','das','und','nicht','ein'))) AS de,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM b)
         |SELECT source,
         |  COUNT(*) AS n_docs,
@@ -2946,7 +2946,7 @@ object SparkEntry {
     // fingerprint = md5 of lowercase whitespace-collapsed text — the same
     // canonicalization exactDedup keys on
     "qd01_exact_dedup" ->
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1 ORDER BY content_hash""".stripMargin,
@@ -2986,7 +2986,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "qd05_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "qd10_corpus_pipeline" ->
@@ -2998,7 +2998,7 @@ object SparkEntry {
         |t AS (
         |  SELECT doc_id, n_tokens,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM q),
         |s AS (
         |  SELECT doc_id, n_tokens, fp,
@@ -3063,7 +3063,7 @@ object SparkEntry {
         |  FROM documents
         |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
         |f AS (
-        |  SELECT *, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM gated),
         |deduped AS (
         |  SELECT * FROM (
@@ -3248,7 +3248,7 @@ object SparkEntry {
         |    (9000002, 'naïve\trésumé '),
         |    (9000003, 'Ångström units')) v(doc_id, text)),
         |n AS (SELECT doc_id, text,
-        |        regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') AS norm_text
+        |        trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text
         |      FROM base)
         |SELECT doc_id, norm_text, norm_text <> text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
@@ -3619,7 +3619,8 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |j AS (SELECT d.source, list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS nv
         |      FROM documents d JOIN e ON d.doc_id = e.vec_id
-        |      WHERE list_dot_product(e.v, e.v) > 0),
+        |      WHERE list_dot_product(e.v, e.v) > 0
+        |        AND NOT isnan(list_dot_product(e.v, e.v))),
         |me AS (SELECT source, i, ROUND(AVG(nv[i]), 6) AS av
         |       FROM j CROSS JOIN range(1, 65) AS t(i) GROUP BY source, i),
         |m AS (SELECT source, list(av ORDER BY i) AS mv FROM me GROUP BY source)

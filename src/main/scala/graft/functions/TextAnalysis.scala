@@ -38,8 +38,8 @@ object TextAnalysis {
     * tokenizer used by every other op in this file.
     */
   def normalizeText(text: Column): Column =
-    regexp_replace(trim(lower(NativeExpressions.nfcNormalize(text))),
-      "\\s+", " ")
+    trim(regexp_replace(lower(NativeExpressions.nfcNormalize(text)),
+      "\\s+", " "))
 
   /** BPE-ish token estimate: the ~4-chars-per-token heuristic used to size
     * LLM training corpora when an exact tokenizer is too costly inline.
@@ -477,7 +477,7 @@ object TextAnalysis {
     * shared by fingerprinting and exact dedup.
     */
   def normalized(text: Column): Column =
-    lower(regexp_replace(trim(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Content fingerprint: md5 of the normalized text. md5 (not xxhash64) so
     * the value is portable across engines for oracle checks; swap

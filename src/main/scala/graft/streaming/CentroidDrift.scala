@@ -90,10 +90,13 @@ object CentroidDrift {
     val cOf = element_at(cLit, col("__cell") + 1)
     embs
       .select(v.as("__v"))
-      // a null or wrong-dimension vector on an uncurated stream must
-      // not kill the monitor query (the tuple encoder below is
-      // non-nullable) — drop it; it carries no drift signal
-      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      // a null / wrong-dimension / corrupt-element vector on an uncurated
+      // stream must not kill the monitor query (the tuple encoder below is
+      // non-nullable) nor poison the cell's running sums (one NaN element
+      // would make drift/mean_dist NaN for the life of the query) — drop
+      // it; it carries no drift signal
+      .filter(col("__v").isNotNull && size(col("__v")) === dim &&
+        !exists(col("__v"), x => x.isNull || isnan(x)))
       .withColumn("__cell",
         element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
       // full squared distance (the c·c term matters for the emitted

@@ -515,12 +515,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("fingerprint is whitespace/case-insensitive; rollingTokenHash is order-sensitive") {
-    val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3)).toDF("text", "id")
+    // "a b c\n": boundary tab/newline must fold onto the bare form (trim
+    // strips only spaces, so the canon collapses whitespace BEFORE trim)
+    val fp = Seq(("A  b\tc", 1), ("a b c", 2), ("c b a", 3), ("a b c\n", 4),
+        ("\ta b c", 5)).toDF("text", "id")
       .select(TextAnalysis.fingerprint(col("text")).as("f"),
         TextAnalysis.rollingTokenHash(col("text")).as("r"))
       .as[(String, Long)].collect()
     assert(fp(0)._1 === fp(1)._1) // normalization collapses case+whitespace
     assert(fp(1)._1 !== fp(2)._1)
     assert(fp(1)._2 !== fp(2)._2) // rolling hash sees token order
+    assert(fp(3)._1 === fp(1)._1) // trailing newline variant dedups
+    assert(fp(4)._1 === fp(1)._1) // leading tab variant dedups
   }
 }

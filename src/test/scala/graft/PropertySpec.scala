@@ -359,7 +359,10 @@ class PropertySpec extends SparkSpec {
       Gen.alphaNumStr.suchThat(_.nonEmpty),
       // decomposed / precomposed pairs, exotic letters, emoji, digits
       Gen.oneOf("Cafe\u0301", "Caf\u00e9", "nai\u0308ve", "na\u00efve",
-        "\u212b", "A\u030a", "\u00c5", "\u65e5\u672c\u8a9e", "\ud83d\ude42", "X9"))
+        "\u212b", "A\u030a", "\u00c5", "\u65e5\u672c\u8a9e", "\ud83d\ude42", "X9",
+        // boundary whitespace: tabs/newlines at string edges exercise the
+        // collapse-then-trim order (trim alone only strips spaces)
+        "\tX", "X\n", "\nY\t"))
     val doc = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, token))
       .map(_.mkString("  "))
     val docs = Gen.listOfN(150, doc).sample.get

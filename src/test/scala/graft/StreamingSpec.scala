@@ -1393,11 +1393,13 @@ class StreamingSpec extends SparkSpec {
       }
 
       // batch 2 shifts cell 0's distribution; cell 1 is untouched and
-      // must NOT re-emit (its state still carries batch 1). The null
-      // and wrong-dimension vectors must be DROPPED, not kill the
-      // query or distort the stats (uncurated-stream hardening).
+      // must NOT re-emit (its state still carries batch 1). The null,
+      // wrong-dimension, and NaN-element vectors must be DROPPED, not
+      // kill the query or distort the stats (uncurated-stream
+      // hardening) — one admitted NaN element would poison cell 0's
+      // ValueState sums for the life of the query.
       ms.addData(Seq(2.0, 0.0), Seq(2.0, 0.0),
-        null.asInstanceOf[Seq[Double]], Seq(42.0))
+        null.asInstanceOf[Seq[Double]], Seq(42.0), Seq(Double.NaN, 0.0))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("drift").as[(Int, Long, Double, Double)].collect()
@@ -1407,6 +1409,36 @@ class StreamingSpec extends SparkSpec {
       // mean over 4 members = (1.0, 0) → drift 1.0; distances 0.1+0.1+2+2
       assert(math.abs(c0.head._3 - 1.0) < 1e-9, c0.head.toString)
       assert(math.abs(c0.head._4 - 1.05) < 1e-9, c0.head.toString)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming centroid drift: null ELEMENTS inside a vector are dropped, not decoded") {
+    // A null element (array<double> with nullable elements) would throw at
+    // the non-nullable (Int, Seq[Double], Double) decode and kill the
+    // monitor; the element-level hardening filter must drop the row first.
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Seq[Option[Double]]]
+      val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)))
+        .toDF("cell_id", "centroid")
+      val q = graft.streaming.CentroidDrift.centroidDriftStream(
+          ms.toDF().toDF("embedding"), "embedding", cents)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("drift_nullelem").start()
+      ms.addData(
+        Seq(Some(0.2), Some(0.0)),          // clean → cell 0
+        Seq(Some(1.0), None),               // null element → dropped
+        Seq(None, None))                    // all-null → dropped
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("drift_nullelem")
+        .as[(Int, Long, Double, Double)].collect()
+      assert(rows.length === 1 && rows.head._1 === 0 && rows.head._2 === 1L,
+        s"only the clean vector should fold in: ${rows.mkString(",")}")
+      assert(math.abs(rows.head._3 - 0.2) < 1e-9 && !rows.head._4.isNaN)
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }

@@ -488,7 +488,13 @@ class TextAnalysisSpec extends SparkSpec {
       ("decomposed", "Cafe\u0301  LATTE"),   // e + combining acute
       ("composed", "Caf\u00e9  LATTE"),      // precomposed e-acute
       ("ascii", "plain ascii text"),
-      ("messy", "  a\t b\n  c ")
+      ("messy", "  a\t b\n  c "),
+      // tabs/newlines AT the string edges: Spark/DuckDB trim strips only
+      // spaces, so collapse must run before trim or these keep a stray
+      // leading/trailing space and hash apart from the bare form
+      ("edge_nl", "doc\n"),
+      ("edge_tab", "\tdoc"),
+      ("edge_bare", "doc")
     ).toDF("k", "text")
     val out = rows
       .select(col("k"), graft.functions.TextAnalysis.normalizeText(col("text")).as("n"))
@@ -498,6 +504,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("decomposed") === "caf\u00e9 latte")
     assert(out("ascii") === "plain ascii text")
     assert(out("messy") === "a b c")
+    // trailing-newline / leading-tab variants collapse onto the bare form
+    assert(out("edge_nl") === "doc")
+    assert(out("edge_tab") === "doc")
+    assert(out("edge_bare") === "doc")
     // idempotent: normalizing a normalized frame changes nothing
     val once = rows.select(col("k"),
       graft.functions.TextAnalysis.normalizeText(col("text")).as("text"))
