@@ -302,15 +302,38 @@ object TextAnalysis {
     * equi-join on the token (the vocab side is grouped first — skew on
     * stopwords is bounded by the grouped count's map-side partials).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__freq"))
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogProbFromTf(unigramTf(df, idCol, textCol), idCol)
+
+  /** Per-doc term frequencies `(idCol, __tok, __cnt)` — the featurize
+    * seam under [[unigramLogProbFromTf]]. Grouping per (doc, token)
+    * FIRST is the scale move: the map-side-combinable count shrinks the
+    * vocab aggregation and the scoring join to distinct-token rows
+    * (natural text repeats tokens heavily), and a pipeline that needs
+    * the LM pass plus other per-token work can persist THIS grouped
+    * frame — far smaller than the raw (doc, token) explode — instead of
+    * scanning the corpus once per plan branch ([[graft.ops.Pipelines
+    * .curationPipeline]] does exactly that for its 2-pass budget).
+    */
+  def unigramTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+
+  /** [[unigramLogProb]] over a precomputed [[unigramTf]] frame. Scores
+    * are bit-identical to the per-occurrence formulation: each token's
+    * rounded Decimal(18,6) log-prob is scaled by its exact count
+    * (decimal × integral is exact), so `Σ_occurrences lp ≡ Σ_tokens
+    * cnt·lp` and the 4-dp double rounding at the end sees the same sum.
+    */
+  def unigramLogProbFromTf(tf: DataFrame, idCol: String): DataFrame = {
+    val vocab = tf.groupBy(col("__tok")).agg(sum(col("__cnt")).cast("long").as("__freq"))
     val total = vocab.agg(sum(col("__freq")).cast("double").as("__total"))
-    toks.join(vocab, "__tok")
+    tf.join(vocab, "__tok")
       .withColumn("__lp",
         round(log(col("__freq").cast("double")), 6).cast(DecimalType(18, 6)))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"), sum(col("__lp")).as("__sum_lp"))
+      .agg(sum(col("__cnt")).cast("long").as("n_tok"),
+        sum(col("__lp") * col("__cnt")).as("__sum_lp"))
       .crossJoin(broadcast(total))
       .withColumn("avg_logprob",
         round(col("__sum_lp").cast("double") / col("n_tok") - log(col("__total")), 4))

@@ -97,19 +97,29 @@ object Pipelines {
     * input 3–4× internally (token explode + vocab join + totals), so an
     * un-materialized lineage multiplies into repeated full-corpus
     * re-scans — at 100 TB every re-derivation is a fresh corpus pass.
-    * Materializing s1/s2 keeps the composition at the sum of its stage
-    * costs; the eager stage operators (dupPassageProfile, dsirWeights)
+    * Materializing tf/s1/s2 keeps the composition at the sum of its
+    * stage costs (two corpus passes total: the tf featurize fill and
+    * the s1 join side); the eager stage operators (dupPassageProfile, dsirWeights)
     * populate the caches as they run, and both stages are unpersisted
     * once the 3-row summary is checkpointed, so the query leaves no
     * corpus-sized storage residue behind. ScanCountSpec pins the scan
     * count of `docs`; deleting either persist turns it red.
     */
   def curationPipeline(docs: DataFrame): DataFrame = {
-    val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    // the LM gate's two consumers (vocab build, per-doc scoring) read
+    // the persisted per-doc term-frequency seam instead of re-scanning
+    // the corpus — with the s1 join side, the whole pipeline makes TWO
+    // corpus passes (ScanCountSpec budget), and tf (distinct-token
+    // grouped, much smaller than the corpus explode) is freed as soon
+    // as s1 is materialized by the eager dup-profile stage below
+    val tf = TextAnalysis.unigramTf(docs, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lm = TextAnalysis.unigramLogProbFromTf(tf, "doc_id")
     val s1 = docs.join(
       lm.filter(col("avg_logprob") >= -3.41).select("doc_id", "n_tok"), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = Dedup.dupPassageProfile(s1, "doc_id", "text", n = 5)
+    tf.unpersist(false)
     val s2 = s1.join(
       dup.filter(col("dup_frac") <= 0.5).select("doc_id", "dup_frac"), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
@@ -135,6 +135,23 @@ object CorpusIngest {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  /** Flat membership predicate over the (epoch, batch_id) partition
+    * pair. The obvious per-pair OR-chain (`e=1 AND b=1 OR e=1 AND b=2
+    * OR …`) builds a driver-side expression tree whose DEPTH grows with
+    * the pair count — a pathological compaction backlog (tens of
+    * thousands of affected partitions) deep-recurses the analyzer and
+    * defeats codegen. `isin` over a struct key stays ONE node of
+    * constant depth regardless of set size (and past the optimizer's
+    * In→InSet threshold becomes a set lookup). It references only the
+    * two partition columns, so partition pruning still applies — the
+    * scan below it lists only the affected directories. Cast to long on
+    * both sides: partition-directory inference types the columns as int.
+    */
+  private[graft] def inPartitionPairs(pairs: Iterable[(Long, Long)]): Column =
+    struct(col("epoch").cast("long").as("_1"),
+        col("batch_id").cast("long").as("_2"))
+      .isin(pairs.toSeq.map(p => typedlit(p)): _*)
 
   /** True when `dir` holds actual table content — at least one
     * non-hidden entry. The corpus directory can pre-exist EMPTY of data
@@ -429,11 +446,7 @@ object CorpusIngest {
       .filter(_._1 != ownEpoch) -- readAbsorbed(cpFs, cp)
     if (foreign.isEmpty) None
     else {
-      val hit = foreign.groupBy(_._1).toSeq.map { case (e, bs) =>
-        col("epoch").cast("long") === lit(e) &&
-          col("batch_id").cast("long").isin(bs.map(_._2).toSeq: _*)
-      }.reduce(_ || _)
-      Some(spark.read.parquet(corpusPath).filter(hit)
+      Some(spark.read.parquet(corpusPath).filter(inPartitionPairs(foreign))
         .select(col("content_hash")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
@@ -555,10 +568,7 @@ object CorpusIngest {
   private def backfillIndex(spark: SparkSession, corpusPath: String,
       missing: Set[(Long, Long)], idx: Path,
       rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
-    val hit = missing.toSeq.map { case (e, b) =>
-      col("epoch").cast("long") === lit(e) && col("batch_id").cast("long") === lit(b)
-    }.reduce(_ || _)
-    rows(spark.read.parquet(corpusPath).filter(hit))
+    rows(spark.read.parquet(corpusPath).filter(inPartitionPairs(missing)))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
@@ -1429,13 +1439,10 @@ object CorpusIngest {
         .distinct().as[(Long, Long)].collect().toSet
       if (affected.isEmpty) return 0L
       val removed = losers.count()
-      val inAffected = affected.toSeq.map { case (e, b) =>
-        col("epoch") === lit(e) && col("batch_id") === lit(b)
-      }.reduce(_ || _)
       // keepers of the affected partitions, materialized OFF the file
       // source (localCheckpoint) so the dynamic overwrite below does not
       // read the path it rewrites
-      val keepersInAffected = corpus.filter(inAffected)
+      val keepersInAffected = corpus.filter(inPartitionPairs(affected))
         .join(losers, Seq("content_hash", "doc_id", "epoch", "batch_id"), "left_anti")
         .localCheckpoint(true)
       try {
@@ -1623,10 +1630,7 @@ object CorpusIngest {
         .distinct().as[(Long, Long)].collect().toSet
       if (affected.isEmpty) return 0L
       val removed = losers.count()
-      val inAffected = affected.toSeq.map { case (e, b) =>
-        col("epoch") === lit(e) && col("batch_id") === lit(b)
-      }.reduce(_ || _)
-      val keepersInAffected = corpus.filter(inAffected)
+      val keepersInAffected = corpus.filter(inPartitionPairs(affected))
         .join(losers, Seq("doc_id", "epoch", "batch_id"), "left_anti")
         .localCheckpoint(true)
       try {

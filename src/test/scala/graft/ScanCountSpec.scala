@@ -20,7 +20,7 @@ import graft.sources.Tables
   * test instead of a quiet bench regression.
   *
   * The budgets are pinned at the MEASURED pass counts of the current
-  * plans (qd10/qd19: 1, qd32: 2, qd33/dsir: 3, qd27: 4, qe11: 1) —
+  * plans (qd10/qd19: 1, qd32/qd33: 2, dsir: 3, qd27: 4, qe11: 1) —
   * any dropped materialization at least doubles its pipeline's count,
   * so the asserts have no slack to hide behind.
   */
@@ -73,7 +73,7 @@ class ScanCountSpec extends SparkSpec {
     // Dropping s1.persist re-runs lm + the join per consumer (measured
     // ≥ 3× this count at sf0.001; 27× wall-clock at sf0.1).
     val scans = scansOf(Pipelines.curationPipeline(docs), acc, n)
-    assert(scans <= 3, s"curationPipeline made $scans corpus passes")
+    assert(scans <= 2, s"curationPipeline made $scans corpus passes")
   }
 
   test("dsirWeights: featurize runs once — corpus scans bounded") {

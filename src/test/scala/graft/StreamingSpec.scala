@@ -1133,6 +1133,70 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 0L)
   }
 
+  test("compactCorpus: a 1000-partition backlog compacts with a flat (constant-depth) predicate") {
+    // The per-pair OR-chain this replaced grew the predicate tree depth
+    // linearly with the affected-partition count — a pathological
+    // backlog deep-recursed the analyzer and defeated codegen. Pin the
+    // fix twice: (a) inPartitionPairs stays constant-depth at 5000
+    // pairs; (b) an actual ≥1000-affected-partition compaction
+    // completes correctly and leaves the one clean partition untouched.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+
+    def depth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      if (e.children.isEmpty) 1 else 1 + e.children.map(depth).max
+    val manyPairs = (0 until 5000).map(i => (i.toLong / 100L, i.toLong % 100L))
+    val flat = graft.streaming.CorpusIngest.inPartitionPairs(manyPairs)
+    val flatExpr = org.apache.spark.sql.GraftBridge.expression(flat)
+    assert(depth(flatExpr) <= 8,
+      s"membership predicate depth ${depth(flatExpr)} grows with pair count")
+    // and the struct-isin semantics are the membership they replaced
+    val probe = Seq((1L, 7L, "in"), (1L, 107L, "out"), (49L, 99L, "in"))
+      .toDF("epoch", "batch_id", "tag")
+    assert(probe.filter(flat).select("tag").as[String].collect().toSet === Set("in"))
+
+    // end-to-end: 1050 partitions, each holding one keeper (text tP)
+    // and one loser (a dup of the NEXT partition's keeper text) →
+    // every partition is affected and rewritten, 1050 losers total;
+    // plus one clean partition that must keep its exact files
+    val corpus = tmpDir("compact-corpus-big")
+    val keepers = (0 until 1050).map(p =>
+      (p.toLong, s"backlog text $p", p.toLong / 100L, p.toLong % 100L))
+    val losers = (0 until 1050).map { p =>
+      val q = (p + 1) % 1050
+      (10000L + q, s"backlog text $q", p.toLong / 100L, p.toLong % 100L)
+    }
+    (keepers ++ losers :+ ((99999L, "clean solitary doc", 99L, 0L)))
+      .toDF("doc_id", "text", "epoch", "batch_id")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        col("epoch"), col("batch_id"))
+      .write.mode("overwrite").partitionBy("epoch", "batch_id").parquet(corpus)
+    val cleanDir = new java.io.File(corpus, "epoch=99/batch_id=0")
+    val beforeFiles = cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    val removed = graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+    assert(removed === 1050L, s"expected 1050 losers, got $removed")
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept === ((0 until 1050).map(_.toLong).toSet + 99999L),
+      s"keepers must be the 1050 smallest doc_ids plus the clean doc (got ${kept.size} rows)")
+    assert(cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+      === beforeFiles, "the clean partition was rewritten")
+    assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 0L)
+
+    // the struct-isin form must still PRUNE at file listing, not just
+    // filter rows — one pair selected ⇒ one partition directory scanned
+    val pruned = spark.read.parquet(corpus)
+      .filter(graft.streaming.CorpusIngest.inPartitionPairs(Seq((0L, 0L))))
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned === Seq(1),
+      s"struct-isin did not partition-prune: scanned $scanned of 1051 partitions")
+  }
+
   test("createExclusive: exactly one of N concurrent local-FS creators wins") {
     // Raw/ChecksumFileSystem's create(overwrite=false) is check-then-act
     // (exists() then a truncating FileOutputStream open) — the local-FS
