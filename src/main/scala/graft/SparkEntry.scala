@@ -1937,9 +1937,14 @@ object SparkEntry {
     // rows-only: IVF ANN (learned centroids; nProbe=2 of 8 cells)
     "qe06_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
       val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 8)
-      Similarity.Ivf.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
-        "embedding", centroids, k = 3, nProbe = 2)
+      // rows-only entry, so the retrieval quality rides IN the output:
+      // recall_at_k vs the exact brute-force baseline, per query
+      Similarity.withRecallAtK(
+          Similarity.Ivf.search(queries, emb, "vec_id",
+            "embedding", centroids, k = 3, nProbe = 2),
+          queries, emb, "vec_id", "embedding", k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
@@ -1993,8 +1998,11 @@ object SparkEntry {
       val m = Similarity.Pq.codebookMatrices(
         Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16,
           sampleFraction = 0.25))
-      Similarity.Pq.search(emb.filter(col("vec_id") < 5), emb, "vec_id",
-          "embedding", m, k = 3)
+      val queries = emb.filter(col("vec_id") < 5)
+      // rows-only entry — measured recall_at_k rides in the output
+      Similarity.withRecallAtK(
+          Similarity.Pq.search(queries, emb, "vec_id", "embedding", m, k = 3),
+          queries, emb, "vec_id", "embedding", k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),

@@ -316,6 +316,17 @@ object Dedup {
     * by raw shingle strings (the SQL-oracle form); production uses
     * xxhash64 keys (8-byte shuffle keys; collisions only ever merge two
     * grams, P ≈ m²/2⁶⁵).
+    *
+    * WHICH FORM TO USE — `portable=true` (qd41) is the oracle-tax /
+    * forensics form: it shuffles every distinct (source, gram) STRING
+    * row, the dominant cost at corpus scale (the sf1 heavy at 40.9 s
+    * where its twins run ~5 s — SCALE.md qd41/qd43/qd44). When exact
+    * shared-gram counts are not required, reach for
+    * [[sourceOverlapSketch]] (qd44): one pass, O(sources × k) state,
+    * NO gram shuffle — the only form that survives when the
+    * distinct-gram table itself is too big to shuffle. The default
+    * `portable=false` (qd43) keeps exact counts at 8-byte hashed-key
+    * shuffle cost — the right exact form up to the gram-shuffle limit.
     */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
       n: Int, portable: Boolean = false): DataFrame = {

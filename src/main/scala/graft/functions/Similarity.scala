@@ -123,6 +123,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Annotate an approximate top-k result with a measured `recall_at_k`
+    * column: per query, |approx neighbors ∩ exact brute-force top-k| / k
+    * — the standard ANN quality metric — joined back onto every output
+    * row. The LEARNED retrieval paths (qe06's fitted IVF cells, qe14's
+    * fitted PQ codebooks) have no SQL-replayable oracle, so their
+    * driver-visible quality lives in the output itself: a reader (or
+    * the correctness harness) can assert `recall_at_k ≥ floor` without
+    * re-deriving the exact baseline. Cost shape: the exact leg is
+    * [[knnJoin]] with the query batch broadcast — one extra narrow pass
+    * over the corpus, nothing all-pairs; at serving scale the query
+    * batch is tiny by construction. A query whose approx list misses
+    * the exact list entirely still reports (recall 0.0), via the outer
+    * join + fill.
+    */
+  def withRecallAtK(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val exact = knnJoin(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val rec = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(round(count(lit(1)).cast("double") / k, 4).as("recall_at_k"))
+    approx.join(rec, Seq("query_id"), "left")
+      .na.fill(0.0, Seq("recall_at_k"))
+  }
+
   /** Deterministic ±1 random hyperplanes for signed-random-projection LSH
     * (splitmix64 over (plane, dim) — reproducible, no RNG state). Exposed
     * within the package so oracle SQL can embed the matrix as literals and

@@ -151,6 +151,42 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).forall(i => got.contains((i, i + 1000000L))), got)
   }
 
+  test("withRecallAtK: exact-as-approx scores 1.0; planted structure floors the learned paths; bounds hold") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    // identity contract: feeding the exact baseline through the
+    // annotator must report recall 1.0 on every row
+    val self = Similarity.withRecallAtK(
+      Similarity.knnJoin(queries, emb, "vec_id", "embedding", k = 3),
+      queries, emb, "vec_id", "embedding", k = 3)
+    assert(self.select("recall_at_k").as[Double].collect().forall(_ === 1.0))
+
+    // planted structure: 3 jittered copies of each query (cosine
+    // ≈ 0.99997) dominate its exact top-3; the learned IVF path must
+    // find most of them THROUGH the fitted cells — the spec floor the
+    // qe06/qe14 output column is pinned against (random sf tables have
+    // no cluster structure, so floors live here, on planted data)
+    val jit = (1 to 3).map { j =>
+      queries.select((col("vec_id") + lit(1000000L * j)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x * (lit(1.0d) + (i % 3 - 1).cast("double") * (0.003d * j)))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    val corpus = emb.unionByName(jit)
+    val cents = Similarity.Ivf.fit(corpus, "embedding", nCells = 8)
+    val ivf = Similarity.withRecallAtK(
+      Similarity.Ivf.search(queries, corpus, "vec_id", "embedding",
+        cents, k = 3, nProbe = 2),
+      queries, corpus, "vec_id", "embedding", k = 3)
+    val perQ = ivf.select("query_id", "recall_at_k").distinct()
+      .as[(Long, Double)].collect().toMap
+    assert(perQ.values.forall(r => r >= 0.0 && r <= 1.0), perQ)
+    val mean = perQ.values.sum / perQ.size
+    assert(mean >= 2.0 / 3.0,
+      s"IVF recall_at_k mean $mean under the planted-structure floor ($perQ)")
+  }
+
   test("int8 quantization round trip: high cosine fidelity, constant vectors exact") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
