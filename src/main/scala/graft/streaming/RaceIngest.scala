@@ -158,13 +158,13 @@ object RaceIngest {
     * Semantics are identical to [[runningTotals]] (StreamingSpec asserts
     * both paths batch for batch).
     */
-  class DriverTotalsProcessor
+  class DriverTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, (String, Int), DriverTotals] {
     @transient private var state: ValueState[DriverTotals] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[DriverTotals](
-        "totals", Encoders.product[DriverTotals], TTLConfig.NONE)
+        "totals", Encoders.product[DriverTotals], ttl)
 
     override def handleInputRows(driver: String, rows: Iterator[(String, Int)],
         timerValues: TimerValues): Iterator[DriverTotals] = {
@@ -191,6 +191,23 @@ object RaceIngest {
     scored.groupByKey(_._1)
       .transformWithState(new DriverTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[runningTotalsTws]] with first-class state TTL: a driver idle for
+    * `ttl` of processing time has its ValueState expired by the store,
+    * so its next event restarts totals from zero — the bounded-state
+    * posture for unbounded key spaces (session-scoped telemetry keys,
+    * one-shot drivers) where per-key state must not outlive the key's
+    * activity. TTL requires `TimeMode.ProcessingTime` (expiry is
+    * store-side, against batch processing time) and the RocksDB state
+    * store provider, like every `transformWithState` op here.
+    */
+  def runningTotalsTwsTtl(scored: Dataset[(String, Int)],
+      ttl: java.time.Duration): Dataset[DriverTotals] = {
+    import scored.sparkSession.implicits._
+    scored.groupByKey(_._1)
+      .transformWithState(new DriverTotalsProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** A driver's last seen position, carried across micro-batches. */

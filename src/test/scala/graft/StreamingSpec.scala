@@ -146,6 +146,69 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState TTL: an idle driver's state expires and totals restart from zero") {
+    // Trigger.Once rounds against one checkpoint: each round processes
+    // the pending data in exactly one batch and terminates, so TTL
+    // expiry is exercised BETWEEN batches — which also proves the
+    // expiration timestamp is persisted in the store, not an in-memory
+    // artifact of a live query. Trigger.Once (not AvailableNow, not a
+    // live query + processAllAvailable) is load-bearing: in
+    // ProcessingTime TimeMode the transformWithState operator always
+    // answers shouldRunAnotherBatch=true (timers/TTL may fire later),
+    // so quiescence-based harnesses spin empty maintenance batches
+    // forever; Once caps the run at a single batch by construction.
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      val cp = tmpDir("ttl-cp")
+      val out = tmpDir("ttl-out")
+      def round(): Unit = {
+        val scored = RaceIngest.transform(ms.toDF())
+          .select(col("driver_number"), col("points"))
+          .as[(String, Int)]
+        val q = RaceIngest
+          .runningTotalsTwsTtl(scored, java.time.Duration.ofSeconds(20))
+          .toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.Once())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }: @annotation.nowarn("cat=deprecation")
+      def points(): Seq[Long] = spark.read.parquet(out)
+        .filter(col("driver_number") === "1").select("points")
+        .as[Long].collect().toSeq.sorted
+
+      ms.addData(msg1) // driver 1 wins GP1: 25 pts
+      round()
+      assert(points() === Seq(25L))
+
+      // round 2 lands within the 20 s TTL (a Trigger.Once round costs
+      // ~5 s of query startup, so the TTL must dominate two rounds —
+      // the 2 s obvious choice is flaky by construction): state
+      // persists, totals grow
+      ms.addData(msg1)
+      round()
+      assert(points() === Seq(25L, 50L), "state should survive within TTL")
+
+      // idle past the TTL: the store expires the driver's ValueState,
+      // so the next event restarts at 25 — NOT 75 (a failed expiry
+      // would keep accumulating)
+      Thread.sleep(21000)
+      ms.addData(msg1)
+      round()
+      assert(points() === Seq(25L, 25L, 50L),
+        s"expected totals to restart at 25 after TTL expiry, got ${points()}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState emits alerts only on position changes") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Int)]
