@@ -75,15 +75,13 @@ object CentroidDrift {
     }
   }
 
-  /** `embs` is a STREAMING frame with `vecCol`; `centroids` the pinned
-    * (cell_id, centroid) table serving uses. Emits each touched cell's
-    * running (n, drift, mean_dist) every batch, update mode.
+  /** The shared assignment projection: hardened filter → nearest-cell →
+    * full member→centroid distance, keyed for the stateful fold.
     */
-  def centroidDriftStream(embs: DataFrame, vecCol: String,
-      centroids: DataFrame): Dataset[DriftReport] = {
+  private def assignedMembers(embs: DataFrame, vecCol: String,
+      m: Array[Array[Double]]): Dataset[(Int, Seq[Double], Double)] = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val m = Similarity.Ivf.centroidMatrix(centroids)
     val dim = m.head.length
     val v = Similarity.asDouble(col(vecCol))
     val cLit = typedlit(m.map(_.toSeq).toSeq)
@@ -108,8 +106,95 @@ object CentroidDrift {
             + NativeExpressions.vecDot(cOf, cOf))))
       .select(col("__cell"), col("__v"), col("__dist"))
       .as[(Int, Seq[Double], Double)]
+  }
+
+  /** `embs` is a STREAMING frame with `vecCol`; `centroids` the pinned
+    * (cell_id, centroid) table serving uses. Emits each touched cell's
+    * running (n, drift, mean_dist) every batch, update mode.
+    */
+  def centroidDriftStream(embs: DataFrame, vecCol: String,
+      centroids: DataFrame): Dataset[DriftReport] = {
+    import embs.sparkSession.implicits._
+    val m = Similarity.Ivf.centroidMatrix(centroids)
+    assignedMembers(embs, vecCol, m)
       .groupByKey(_._1)
       .transformWithState(new DriftProcessor(m),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One alert: `cell_id`'s running drift crossed `threshold` (with the
+    * stats at crossing time). Emitted exactly once per crossing.
+    */
+  case class DriftAlert(cell_id: Int, n: Long, drift: Double, threshold: Double)
+
+  /** [[DriftProcessor]]'s fold plus EDGE-TRIGGERED alerting: a cell
+    * emits one [[DriftAlert]] the batch its running drift first reaches
+    * `threshold`, then stays SILENT while it remains above (an operator
+    * paging channel must not re-fire every batch of a drifted steady
+    * state), and re-arms only if the drift falls back below — so a
+    * monitoring consumer can treat every row as an incident, not a
+    * sample. Alert state is one boolean per cell beside the running
+    * buffer, in its own ValueState handle ("armed" is independent
+    * state, not derivable from the sums alone once re-arming exists).
+    */
+  class DriftAlertProcessor(centroids: Array[Array[Double]], threshold: Double)
+      extends StatefulProcessor[Int, (Int, Seq[Double], Double), DriftAlert] {
+    @transient private var state: ValueState[CellBuf] = _
+    @transient private var alerted: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[CellBuf](
+        "cell", Encoders.product[CellBuf], TTLConfig.NONE)
+      alerted = getHandle.getValueState[Boolean](
+        "alerted", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(cell: Int,
+        rows: Iterator[(Int, Seq[Double], Double)],
+        timerValues: TimerValues): Iterator[DriftAlert] = {
+      val dim = centroids(cell).length
+      var buf = if (state.exists()) state.get() else CellBuf(new Array[Double](dim), 0.0, 0L)
+      rows.foreach { case (_, v, dist) =>
+        var i = 0
+        val it = v.iterator
+        while (it.hasNext && i < dim) { buf.sums(i) += it.next(); i += 1 }
+        buf = CellBuf(buf.sums, buf.distSum + dist, buf.n + 1)
+      }
+      state.update(buf)
+      val c = centroids(cell)
+      var d2 = 0.0
+      var i = 0
+      while (i < dim) {
+        val delta = buf.sums(i) / buf.n - c(i)
+        d2 += delta * delta
+        i += 1
+      }
+      val drift = math.sqrt(d2)
+      val wasAlerted = alerted.exists() && alerted.get()
+      if (drift >= threshold && !wasAlerted) {
+        alerted.update(true)
+        Iterator.single(DriftAlert(cell, buf.n, drift, threshold))
+      } else {
+        if (drift < threshold && wasAlerted) alerted.update(false)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Edge-triggered drift alerts over the same assignment/fold as
+    * [[centroidDriftStream]]: one row per (cell, crossing) of
+    * `threshold`. Update mode, RocksDB-backed like every stateful op
+    * here. Threshold policy is the operator's (see the class scaladoc:
+    * compare against typical inter-centroid distance).
+    */
+  def centroidDriftAlerts(embs: DataFrame, vecCol: String,
+      centroids: DataFrame, threshold: Double): Dataset[DriftAlert] = {
+    require(threshold > 0.0, s"drift threshold must be positive, got $threshold")
+    import embs.sparkSession.implicits._
+    val m = Similarity.Ivf.centroidMatrix(centroids)
+    assignedMembers(embs, vecCol, m)
+      .groupByKey(_._1)
+      .transformWithState(new DriftAlertProcessor(m, threshold),
         TimeMode.None(), OutputMode.Update())
   }
 }

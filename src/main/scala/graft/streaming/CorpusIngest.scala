@@ -939,6 +939,26 @@ object CorpusIngest {
     * originals in the probe and write nothing. A crash between the
     * corpus and index writes re-fires the batch and rewrites both.
     */
+  /** Opt-in companion alert stream for [[startSemanticDedupCorpusSink]]:
+    * run it over the SAME input frame and the SAME pinned centroids as
+    * the sink (a second streaming query — its own checkpoint, its own
+    * sink; foreachBatch sinks cannot host a stateful operator for
+    * another query, so composition is by sharing the source). Emits one
+    * [[CentroidDrift.DriftAlert]] per cell per threshold crossing —
+    * edge-triggered, so every row is an incident ("this cell's observed
+    * center of mass has moved `driftThreshold` off its pinned
+    * centroid: re-fit and rebuild the `_graft_cells` sidecar"), not a
+    * per-batch sample. Requires the RocksDB state store provider like
+    * the sink itself.
+    */
+  def semanticDriftAlerts(docs: DataFrame, centroids: DataFrame,
+      driftThreshold: Double): Dataset[CentroidDrift.DriftAlert] = {
+    require(docs.columns.contains("embedding"),
+      s"drift monitor input needs an embedding column; got ${docs.columns.mkString(", ")}")
+    CentroidDrift.centroidDriftAlerts(
+      docs.select(col("embedding")), "embedding", centroids, driftThreshold)
+  }
+
   def startSemanticDedupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, centroids: DataFrame, threshold: Double = 0.9,
       minTokens: Int = 1,

@@ -1540,6 +1540,49 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("semantic-sink drift alerts: an injected drift fires exactly one edge-triggered alert") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the semantic sink's input shape (doc_id, text, embedding) and
+      // pinned centroids, shared with the opt-in monitor query
+      val ms = MemoryStream[(Long, String, Seq[Double])]
+      val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)))
+        .toDF("cell_id", "centroid")
+      val q = graft.streaming.CorpusIngest.semanticDriftAlerts(
+          ms.toDF().toDF("doc_id", "text", "embedding"), cents,
+          driftThreshold = 0.5)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("drift_alerts").start()
+
+      // batch 1: symmetric members — running mean ON the centroid,
+      // drift 0, nothing to alert
+      ms.addData((1L, "a", Seq(0.1, 0.0)), (2L, "b", Seq(-0.1, 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("drift_alerts").count() === 0,
+        "alert fired without drift")
+
+      // batch 2: inject the drift — running mean moves to (1.0, 0),
+      // drift 1.0 ≥ 0.5 → exactly one alert row for cell 0
+      ms.addData((3L, "c", Seq(2.0, 0.0)), (4L, "d", Seq(2.0, 0.0)))
+      q.processAllAvailable()
+      val fired = spark.table("drift_alerts")
+        .as[(Int, Long, Double, Double)].collect()
+      assert(fired.length === 1 && fired.head._1 === 0 &&
+        math.abs(fired.head._3 - 1.0) < 1e-9, fired.mkString(","))
+
+      // batch 3: the drifted steady state continues — edge-triggered
+      // means SILENT, not one alert per batch
+      ms.addData((5L, "e", Seq(2.0, 0.0)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("drift_alerts").count() === 1,
+        "a steady drifted state must not re-alert every batch")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming centroid drift: null ELEMENTS inside a vector are dropped, not decoded") {
     // A null element (array<double> with nullable elements) would throw at
     // the non-nullable (Int, Seq[Double], Double) decode and kill the
