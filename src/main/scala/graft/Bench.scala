@@ -30,7 +30,7 @@ object Bench {
     "qd37_incremental_neardup", "qd38_contamination_report",
     "qd39_gopher_filter", "qd40_corpus_datacard", "qd41_source_overlap",
     "qd42_curriculum_buckets", "qd43_source_overlap_fast", "qd45_fuzzy_decontaminate",
-    "qd48_normalize_text", "qd49_compression_ratio",
+    "qd48_normalize_text", "qd49_compression_ratio", "qd50_temperature_mix",
     "qd44_source_overlap_sketch", "qr01_bm25_topk", "qr02_bm25_sidecar",
     "qr03_hybrid_sidecar",
     "qe01_cosine_topk", "qe02_knn_join", "qe03_ann_lsh",
@@ -39,6 +39,7 @@ object Bench {
     "qe16_hybrid_rrf", "qe17_cluster_cap_sample", "qe18_ivf_mrl_funnel",
     "qe19_ann_sidecar", "qe20_kmeans_fit", "qe21_class_mean",
     "qe22_source_affinity", "qe23_kmeans_ivf", "qe24_semantic_decontaminate",
+    "qe25_cell_stats",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 

@@ -1475,6 +1475,14 @@ object SparkEntry {
           graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy(col("deflate_ratio"), col("doc_id"))),
 
+    // oracle-checked: temperature-scaled source mixing (Gopher §A3.1) —
+    // α=0.5 keeps the power exactly IEEE-portable (sqrt is correctly
+    // rounded, so DuckDB replays the driver-side weights bit-equal)
+    "qd50_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(Tables.documents(s, d), "source", "doc_id",
+          "text", alpha = 0.5, tokenBudget = 10000L)
+        .orderBy(col("source"))),
+
     "qd47_leakage_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
@@ -1628,6 +1636,15 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
+
+    // oracle-checked: the IVF cell-health report (occupancy, share,
+    // mean member→centroid distance, empty cells surfaced) under the
+    // qe08 fixed prefix centroids — the batch axis of the re-fit
+    // decision whose time axis is the CentroidDrift monitor
+    "qe25_cell_stats" -> ((s, d) =>
+      Similarity.Ivf.cellStats(Tables.embeddings(s, d), "vec_id",
+          "embedding", qe08Centroids(s, d))
+        .orderBy(col("cell_id"))),
 
     // oracle-checked: the full hybrid SERVING stack over one corpus
     // carrying BOTH sidecars (documents ⋈ embeddings, postings + cells
@@ -3261,6 +3278,38 @@ object SparkEntry {
         |SELECT doc_id, norm_text, norm_text <> text AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
 
+    // temperature mix replayed: α=0.5 makes the power a correctly-
+    // rounded IEEE sqrt, so the driver-side weights/thresholds and this
+    // SQL agree bit-for-bit; the keep predicate is the qd25 md5 bucket
+    "qd50_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS b
+        |  FROM documents),
+        |m AS (SELECT source, COUNT(*) AS n_docs,
+        |             CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY source),
+        |g AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+        |             SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS psum FROM m),
+        |p AS (
+        |  SELECT m.source, m.n_docs, m.n_tokens,
+        |    ROUND(m.n_tokens / g.tot, 6) AS nat_frac,
+        |    ROUND(sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum, 6) AS temp_weight,
+        |    CAST(ROUND(sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum * 10000) AS BIGINT) AS target_tokens,
+        |    CAST(ROUND(LEAST(1.0, sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum * 10000 / m.n_tokens) * 10000) AS INTEGER) AS threshold
+        |  FROM m CROSS JOIN g),
+        |k AS (
+        |  SELECT d.source, COUNT(*) AS kept_docs,
+        |    CAST(SUM(d.nt) AS BIGINT) AS kept_tokens
+        |  FROM d JOIN p ON d.source = p.source WHERE d.b < p.threshold
+        |  GROUP BY d.source)
+        |SELECT p.source, p.n_docs, p.n_tokens, p.nat_frac, p.temp_weight,
+        |  p.target_tokens, p.threshold,
+        |  COALESCE(k.kept_docs, 0) AS kept_docs,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+        |FROM p LEFT JOIN k ON p.source = k.source ORDER BY p.source""".stripMargin,
+
     // qd14's recursive-CC CTE + the qd23 md5-bucket kernel applied to the
     // cluster representative (COALESCE to the doc's own id for singletons)
     "qd47_leakage_split" ->
@@ -3539,6 +3588,33 @@ object SparkEntry {
     // kernel under the SAME pinned centroids — qe08's oracle verbatim
     // is exactly the claim being checked
     "qe19_ann_sidecar" -> duckQe08Sql,
+
+    // cell-health report replayed: qe08's argmin assignment, per-member
+    // distances rounded 6 dp and summed as DECIMAL (order-free), empty
+    // cells kept via the centroid-side left join
+    "qe25_cell_stats" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+        |cc AS (
+        |  SELECT vec_id, v, cell_id, cv FROM (
+        |    SELECT c.vec_id, c.v, cent.cell_id, cent.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(cent.cv, cent.cv)
+        |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+        |    FROM c, cent)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT cell_id, COUNT(*) AS n,
+        |    SUM(CAST(ROUND(sqrt(GREATEST(0.0,
+        |      list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+        |        + list_dot_product(cv, cv))), 6) AS DECIMAL(18,6))) AS sd
+        |  FROM cc GROUP BY cell_id),
+        |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM m)
+        |SELECT cent.cell_id, COALESCE(m.n, 0) AS n,
+        |  ROUND(COALESCE(m.n, 0) / tot.tot, 6) AS frac,
+        |  ROUND(CAST(m.sd AS DOUBLE) / m.n, 6) AS mean_dist
+        |FROM cent LEFT JOIN m ON cent.cell_id = m.cell_id CROSS JOIN tot
+        |ORDER BY cent.cell_id""".stripMargin,
 
     // Lloyd's replayed iteration by iteration: assignment is the qe08
     // argmin pattern (c·c − 2·v·c, ties on cell_id), means are 6-dp

@@ -156,6 +156,67 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Temperature-scaled source mixing (the Gopher/MassiveText recipe —
+    * Rae et al. 2021; the same α-flattening PaLM and multilingual
+    * pipelines apply to raw size-proportional weights): per-source raw
+    * token masses c_s flatten to sampling weights w_s ∝ c_s^α — α=1 is
+    * natural proportions, α=0 uniform, α∈(0,1) up-weights small
+    * sources without the epoch blow-up of plain uniform. Targets are
+    * t_s = w_s · tokenBudget; the per-source keep RATE min(1, t_s/c_s)
+    * is applied as the deterministic md5 doc Bernoulli (the qd25
+    * primitive, threshold in 1/10000ths) — reproducible, no RNG, and
+    * re-derivable row by row from the published threshold. Returns the
+    * per-source audit: natural share, tempered weight, target tokens,
+    * the threshold, and the kept doc/token accounting under it.
+    *
+    * Scale shape: two narrow grouped aggs over a (source, n_tok,
+    * bucket) projection — pass 1 for the masses, pass 2 for the kept
+    * accounting (inherent: the keep rate depends on the GLOBAL
+    * normalization) — with an S-row driver collect between them (the
+    * model-artifact pattern: S = source count, never row count).
+    */
+  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val base = docs.select(col(sourceCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"),
+      NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000).as("__b"))
+    val masses = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalTok = masses.map(_._3).sum.toDouble
+    val powSum = masses.map(m => math.pow(m._3.toDouble, alpha)).sum
+    val plan = masses.map { case (s, nd, c) =>
+      val w = math.pow(c.toDouble, alpha) / powSum
+      val rate = math.min(1.0, w * tokenBudget / c.toDouble)
+      (s, nd, c, c / totalTok, w, math.round(w * tokenBudget),
+        math.round(rate * 10000).toInt)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val planDf = plan.toSeq
+      .toDF("source", "n_docs", "n_tokens", "nat_frac", "temp_weight",
+        "target_tokens", "threshold")
+      .withColumn("nat_frac", round(col("nat_frac"), 6))
+      .withColumn("temp_weight", round(col("temp_weight"), 6))
+    // threshold rides in as a broadcast JOIN, not a driver-built CASE
+    // chain — a when-ladder's depth grows with the source count (the
+    // round-11 compaction-predicate lesson applied here from the start)
+    val kept = base
+      .join(broadcast(planDf.select(col("source"), col("threshold"))), "source")
+      .filter(col("__b") < col("threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("__nt")).as("kept_tokens"))
+    broadcast(planDf).join(kept, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("nat_frac"),
+        col("temp_weight"), col("target_tokens"), col("threshold"),
+        col("kept_docs"), col("kept_tokens"))
+  }
+
   /** DSIR data-selection weights (Xie et al. 2023, arXiv:2302.03169):
     * score every raw doc by how target-like it is, as the log importance
     * ratio under two hashed-bigram bag models —

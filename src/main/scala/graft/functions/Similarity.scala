@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over embedding columns (`array<float>`). The
   * approximate path uses signed-random-projection LSH for cosine
@@ -303,6 +304,53 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= cap)
         .select(col("cell_id"), col("vec_id"), col("dist2"), col("rank"))
+    }
+
+    /** IVF cell-health report — the operational feed for the re-fit
+      * decision (with [[graft.streaming.CentroidDrift]]'s time axis):
+      * per pinned cell, member count `n`, corpus share `frac`, and mean
+      * member→centroid L2 `mean_dist`. EMPTY cells surface with n=0
+      * (an index whose cells go empty is mis-fit; a report that omits
+      * them hides exactly the signal). Occupancy skew here IS probe
+      * cost skew at serving time — a hot cell makes every query probing
+      * it scan its whole membership.
+      *
+      * Determinism/portability: per-member distances round to 6 dp and
+      * sum as DECIMAL (order-free under any partitioning/AQE re-plan),
+      * so the report replays bit-equal in SQL. Scale: one narrow
+      * assignment pass (NearestCellsExpr — no join, no Exchange before
+      * the S-row groupBy), centroid side broadcast; output is S rows.
+      */
+    def cellStats(corpus: DataFrame, idCol: String, vecCol: String,
+        centroids: DataFrame): DataFrame = {
+      val m = centroidMatrix(centroids)
+      // the kernel indexes the SORTED centroid list positionally; map
+      // the index back to the caller's cell_id so the report is correct
+      // even for sparse/non-dense id spaces (the engine convention is
+      // dense 0..k−1, where this is the identity)
+      val idOf = typedlit(centroids.select(col("cell_id"))
+        .collect().map(_.getInt(0)).sorted.toSeq)
+      val cent = broadcast(centroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cv")))
+      val members = corpus
+        .select(asDouble(col(vecCol)).as("__v"))
+        .withColumn("cell_id", element_at(idOf,
+          element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1) + 1))
+        .join(cent, "cell_id")
+        .withColumn("__d", round(sqrt(greatest(lit(0.0d),
+          dot(col("__v"), col("__v")) - lit(2.0d) * dot(col("__v"), col("__cv"))
+            + dot(col("__cv"), col("__cv")))), 6).cast(DecimalType(18, 6)))
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("n"), sum(col("__d")).as("__sd"))
+      val total = members.agg(sum(col("n")).cast("double").as("__tot"))
+      centroids.select(col("cell_id"))
+        .join(members, Seq("cell_id"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("frac", round(col("n") / col("__tot"), 6))
+        .withColumn("mean_dist",
+          round(col("__sd").cast("double") / col("n"), 6))
+        .select(col("cell_id"), col("n"), col("frac"), col("mean_dist"))
     }
 
     /** Probe-and-rank: queries search only their `nProbe` nearest cells.

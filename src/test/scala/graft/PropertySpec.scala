@@ -385,6 +385,45 @@ class PropertySpec extends SparkSpec {
     assert(a === b, "NFD-expanded input normalized differently")
   }
 
+  test("inPartitionPairs ≡ naive membership on random pair sets; depth constant") {
+    import graft.streaming.CorpusIngest
+    def depth(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      if (e.children.isEmpty) 1 else 1 + e.children.map(depth).max
+    val pair = for { e <- Gen.choose(0L, 6L); b <- Gen.choose(0L, 6L) } yield (e, b)
+    (1 to 8).foreach { trial =>
+      val pairs = Gen.listOfN(1 + trial * 7, pair).sample.get.distinct
+      val rows = Gen.listOfN(120, pair).sample.get
+      val df = rows.toDF("epoch", "batch_id")
+      val got = df.filter(CorpusIngest.inPartitionPairs(pairs))
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = rows.filter(pairs.toSet).sorted
+      assert(got === want, s"trial $trial membership diverged")
+      assert(depth(org.apache.spark.sql.GraftBridge.expression(
+        CorpusIngest.inPartitionPairs(pairs))) <= 8, s"trial $trial depth grew")
+    }
+  }
+
+  test("withRecallAtK: ∈ [0,1] on arbitrary approx lists; exact input always 1.0") {
+    import graft.functions.Similarity
+    val vec = Gen.listOfN(4, Gen.choose(-5.0, 5.0))
+    val n = 40
+    val rows = (0 until n).map(i => (i.toLong, vec.sample.get))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val exact = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", k = 5)
+    // exact-as-approx: identically 1.0
+    val self = Similarity.withRecallAtK(exact, queries, corpus, "vec_id", "embedding", 5)
+      .select("recall_at_k").as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ === 1.0))
+    // an arbitrary (wrong) approx list: bounded, and 0 when disjoint
+    // from the exact ids by construction (neighbor ids out of range)
+    val junk = (0 until 4).flatMap(q => (1 to 5).map(r =>
+      (q.toLong, 1000L + r, 0.5, r))).toDF("query_id", "neighbor_id", "cosine", "rank")
+    val rj = Similarity.withRecallAtK(junk, queries, corpus, "vec_id", "embedding", 5)
+      .select("recall_at_k").as[Double].collect()
+    assert(rj.forall(_ === 0.0), rj.mkString(","))
+  }
+
   test("VecMean stays within per-coordinate min/max bounds and matches driver mean on random groups") {
     import graft.functions.Clustering
     val vec = Gen.listOfN(6, Gen.choose(-1000.0, 1000.0))

@@ -187,6 +187,44 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall_at_k mean $mean under the planted-structure floor ($perQ)")
   }
 
+  test("cellStats: counts sum to corpus, fracs sum to 1, empty cells surface with n=0, assignment-consistent") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // two far-away planted centroids nothing assigns to → must appear
+    // with n=0 (the mis-fit signal a report that drops them would hide)
+    val planted = Seq(
+      (100, Seq.fill(64)(1.0e6)), (101, Seq.fill(64)(-1.0e6)))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .unionByName(planted.toDF("cell_id", "centroid"))
+    val stats = Similarity.Ivf.cellStats(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.get(3)))).toMap
+    assert(stats.keySet === (0 until 8).toSet ++ Set(100, 101))
+    assert(stats.values.map(_._1).sum === emb.count())
+    assert(math.abs(stats.values.map(_._2).sum - 1.0) < 1e-4)
+    assert(stats(100)._1 === 0L && stats(101)._1 === 0L)
+    assert(stats(100)._3.isEmpty, "empty cell must have null mean_dist")
+    // occupancy agrees with the assignment kernel directly
+    val m = Similarity.Ivf.centroidMatrix(cents)
+    val direct = emb.select(
+        element_at(graft.functions.NativeExpressions.nearestCells(
+          col("embedding").cast("array<double>"), m, 1), 1).as("c"))
+      .groupBy("c").count().as[(Int, Long)].collect().toMap
+    (0 until 8).foreach(c =>
+      assert(stats(c)._1 === direct.getOrElse(c, 0L), s"cell $c"))
+    // sparse id space: the kernel's positional index must translate back
+    // to the caller's cell_id (ids {5, 17}, members land on BOTH)
+    val sparseCents = Seq((5, Seq(0.0, 0.0)), (17, Seq(10.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val sparseCorpus = Seq((1L, Seq(0.1, 0.0)), (2L, Seq(9.9, 0.0)),
+      (3L, Seq(10.2, 0.0))).toDF("vec_id", "embedding")
+    val sparse = Similarity.Ivf.cellStats(sparseCorpus, "vec_id",
+        "embedding", sparseCents)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sparse === Map(5 -> 1L, 17 -> 2L), sparse.toString)
+  }
+
   test("int8 quantization round trip: high cosine fidelity, constant vectors exact") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))

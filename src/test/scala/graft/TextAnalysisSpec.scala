@@ -276,6 +276,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("temperatureMix: α=1 is natural shares, α=0 uniform weights; kept set honors thresholds; accounting consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    // α=1: tempered weight == natural fraction (6 dp) for every source
+    val nat = Curation.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 1.0, tokenBudget = 5000L).collect()
+    nat.foreach { r =>
+      assert(r.getAs[Double]("temp_weight") === r.getAs[Double]("nat_frac"),
+        s"α=1 should reproduce natural shares: $r")
+    }
+    // α=0: uniform weights 1/S regardless of source size
+    val uni = Curation.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.0, tokenBudget = 5000L).collect()
+    val s = uni.length
+    uni.foreach(r => assert(
+      math.abs(r.getAs[Double]("temp_weight") - 1.0 / s) < 1e-6, r.toString))
+    // accounting: kept ⊆ all, kept counts match a re-derivation of the
+    // published threshold (the sample is a pure function of doc_id)
+    val mix = Curation.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.5, tokenBudget = 3000L)
+    mix.collect().foreach { r =>
+      val (src, thr) = (r.getAs[String]("source"), r.getAs[Int]("threshold"))
+      val kd = docs.filter(col("source") === src).filter(
+        graft.functions.NativeExpressions.md5Bucket(
+          col("doc_id").cast("string"), 10000) < thr).count()
+      assert(kd === r.getAs[Long]("kept_docs"), s"$src kept_docs mismatch")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // partitioning-invariant (driver collect + md5 draw, no RNG)
+    val again = Curation.temperatureMix(docs.repartition(7), "source",
+      "doc_id", "text", alpha = 0.5, tokenBudget = 3000L)
+    assert(again.orderBy("source").collect().map(_.toString).toSeq ===
+      mix.orderBy("source").collect().map(_.toString).toSeq)
+  }
+
   test("plan contracts: decontaminate broadcasts the benchmark; packing shuffles once") {
     val docs = Tables.documents(spark, sf0001)
     val decon = TextAnalysis.decontaminate(
