@@ -1642,7 +1642,7 @@ object SparkEntry {
     // qe08 fixed prefix centroids — the batch axis of the re-fit
     // decision whose time axis is the CentroidDrift monitor
     "qe25_cell_stats" -> ((s, d) =>
-      Similarity.Ivf.cellStats(Tables.embeddings(s, d), "vec_id",
+      Similarity.Ivf.cellStats(Tables.embeddings(s, d),
           "embedding", qe08Centroids(s, d))
         .orderBy(col("cell_id"))),
 
@@ -3279,26 +3279,37 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     // temperature mix replayed: α=0.5 makes the power a correctly-
-    // rounded IEEE sqrt, so the driver-side weights/thresholds and this
-    // SQL agree bit-for-bit; the keep predicate is the qd25 md5 bucket
+    // rounded IEEE sqrt, and the weight denominator sums 6-dp DECIMAL
+    // powers (order-free, matching the driver's exact decimal fold —
+    // an unordered double SUM could differ in the last ulp and flip a
+    // rounding boundary); the keep predicate is the qd25 md5 bucket
     "qd50_temperature_mix" ->
       """WITH d AS (
         |  SELECT source, doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt,
+        |    CAST(COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0) AS BIGINT) AS nt,
         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS b
         |  FROM documents),
         |m AS (SELECT source, COUNT(*) AS n_docs,
         |             CAST(SUM(nt) AS BIGINT) AS n_tokens
         |      FROM d GROUP BY source),
+        |mp AS (SELECT *,
+        |         CASE WHEN n_tokens = 0 THEN CAST(0 AS DECIMAL(18,6))
+        |              ELSE CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |         END AS pw
+        |       FROM m),
         |g AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
-        |             SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS psum FROM m),
+        |             CAST(SUM(pw) AS DOUBLE) AS psum FROM mp),
         |p AS (
-        |  SELECT m.source, m.n_docs, m.n_tokens,
-        |    ROUND(m.n_tokens / g.tot, 6) AS nat_frac,
-        |    ROUND(sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum, 6) AS temp_weight,
-        |    CAST(ROUND(sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum * 10000) AS BIGINT) AS target_tokens,
-        |    CAST(ROUND(LEAST(1.0, sqrt(CAST(m.n_tokens AS DOUBLE)) / g.psum * 10000 / m.n_tokens) * 10000) AS INTEGER) AS threshold
-        |  FROM m CROSS JOIN g),
+        |  SELECT mp.source, mp.n_docs, mp.n_tokens,
+        |    CASE WHEN g.tot = 0 THEN 0.0
+        |         ELSE ROUND(mp.n_tokens / g.tot, 6) END AS nat_frac,
+        |    CASE WHEN mp.n_tokens = 0 THEN 0.0
+        |         ELSE ROUND(CAST(mp.pw AS DOUBLE) / g.psum, 6) END AS temp_weight,
+        |    CASE WHEN mp.n_tokens = 0 THEN 0
+        |         ELSE CAST(ROUND(CAST(mp.pw AS DOUBLE) / g.psum * 10000) AS BIGINT) END AS target_tokens,
+        |    CASE WHEN mp.n_tokens = 0 THEN 0
+        |         ELSE CAST(ROUND(LEAST(1.0, CAST(mp.pw AS DOUBLE) / g.psum * 10000 / mp.n_tokens) * 10000) AS INTEGER) END AS threshold
+        |  FROM mp CROSS JOIN g),
         |k AS (
         |  SELECT d.source, COUNT(*) AS kept_docs,
         |    CAST(SUM(d.nt) AS BIGINT) AS kept_tokens

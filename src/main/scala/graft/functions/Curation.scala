@@ -179,20 +179,32 @@ object Curation {
       textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    // null text counts as zero tokens (a null-text source must not NPE
+    // the driver collect below)
     val base = docs.select(col(sourceCol).as("source"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+        .cast("long").as("__nt"),
       NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000).as("__b"))
     val masses = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val totalTok = masses.map(_._3).sum.toDouble
-    val powSum = masses.map(m => math.pow(m._3.toDouble, alpha)).sum
+    // powers round to 6 dp and sum as exact decimals so the weight
+    // denominator is ORDER-FREE — the repo-wide convention (qe25's
+    // decimal distance sums) that keeps the SQL oracle's unordered SUM
+    // bit-equal with this sorted driver fold. A zero-token source
+    // weighs 0 at ANY α (pow(0,0)=1 would smuggle it into a uniform
+    // mix) and keeps nothing.
+    def pow6(c: Long): BigDecimal =
+      if (c == 0L) BigDecimal(0)
+      else BigDecimal(math.pow(c.toDouble, alpha)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val powSum = masses.map(m => pow6(m._3)).sum.toDouble
     val plan = masses.map { case (s, nd, c) =>
-      val w = math.pow(c.toDouble, alpha) / powSum
-      val rate = math.min(1.0, w * tokenBudget / c.toDouble)
-      (s, nd, c, c / totalTok, w, math.round(w * tokenBudget),
-        math.round(rate * 10000).toInt)
+      val w = if (c == 0L) 0.0 else pow6(c).toDouble / powSum
+      val rate = if (c == 0L) 0.0 else math.min(1.0, w * tokenBudget / c.toDouble)
+      (s, nd, c, if (totalTok == 0.0) 0.0 else c / totalTok, w,
+        math.round(w * tokenBudget), math.round(rate * 10000).toInt)
     }
     val spark = docs.sparkSession
     import spark.implicits._

@@ -321,7 +321,7 @@ object Similarity {
       * assignment pass (NearestCellsExpr — no join, no Exchange before
       * the S-row groupBy), centroid side broadcast; output is S rows.
       */
-    def cellStats(corpus: DataFrame, idCol: String, vecCol: String,
+    def cellStats(corpus: DataFrame, vecCol: String,
         centroids: DataFrame): DataFrame = {
       val m = centroidMatrix(centroids)
       // the kernel indexes the SORTED centroid list positionally; map

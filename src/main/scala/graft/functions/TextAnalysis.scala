@@ -497,7 +497,16 @@ object TextAnalysis {
           greatest(col("n_words"), lit(1L)).cast("double"), 4))
 
   /** Canonical whitespace-collapsed lowercase form — the normalization step
-    * shared by fingerprinting and exact dedup.
+    * shared by fingerprinting and exact dedup. Collapse runs BEFORE trim
+    * (Spark/DuckDB `trim` strips only spaces, so the reverse order leaks
+    * a stray edge space for boundary tabs/newlines and trailing-newline
+    * variants of the same doc hash apart).
+    *
+    * MIGRATION: changing this canon changes `content_hash` values, and
+    * stored hashes are data — corpora written by an older engine must be
+    * converged with [[graft.streaming.CorpusIngest.rehashCorpus]] (and
+    * exact-dedup sinks restarted on a fresh checkpoint) or new
+    * duplicates of old docs will be admitted under the new hash.
     */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -42,6 +42,33 @@ object CentroidDrift {
   /** Per-cell running state: element-wise vector sum, Σdistance, count. */
   case class CellBuf(sums: Array[Double], distSum: Double, n: Long)
 
+  /** The one shared fold both processors run: accumulate this batch's
+    * members into the cell's running ValueState and return the updated
+    * buffer plus the drift ‖mean − centroid‖₂ — kept in ONE place so
+    * the monitor stream and the alert stream can never disagree on the
+    * same input (they differ only in what they emit).
+    */
+  private def foldCell(state: ValueState[CellBuf], centroid: Array[Double],
+      rows: Iterator[(Int, Seq[Double], Double)]): (CellBuf, Double) = {
+    val dim = centroid.length
+    var buf = if (state.exists()) state.get() else CellBuf(new Array[Double](dim), 0.0, 0L)
+    rows.foreach { case (_, v, dist) =>
+      var i = 0
+      val it = v.iterator
+      while (it.hasNext && i < dim) { buf.sums(i) += it.next(); i += 1 }
+      buf = CellBuf(buf.sums, buf.distSum + dist, buf.n + 1)
+    }
+    state.update(buf)
+    var d2 = 0.0
+    var i = 0
+    while (i < dim) {
+      val delta = buf.sums(i) / buf.n - centroid(i)
+      d2 += delta * delta
+      i += 1
+    }
+    (buf, math.sqrt(d2))
+  }
+
   class DriftProcessor(centroids: Array[Array[Double]])
       extends StatefulProcessor[Int, (Int, Seq[Double], Double), DriftReport] {
     @transient private var state: ValueState[CellBuf] = _
@@ -53,25 +80,9 @@ object CentroidDrift {
     override def handleInputRows(cell: Int,
         rows: Iterator[(Int, Seq[Double], Double)],
         timerValues: TimerValues): Iterator[DriftReport] = {
-      val dim = centroids(cell).length
-      var buf = if (state.exists()) state.get() else CellBuf(new Array[Double](dim), 0.0, 0L)
-      rows.foreach { case (_, v, dist) =>
-        var i = 0
-        val it = v.iterator
-        while (it.hasNext && i < dim) { buf.sums(i) += it.next(); i += 1 }
-        buf = CellBuf(buf.sums, buf.distSum + dist, buf.n + 1)
-      }
-      state.update(buf)
-      val c = centroids(cell)
-      var d2 = 0.0
-      var i = 0
-      while (i < dim) {
-        val delta = buf.sums(i) / buf.n - c(i)
-        d2 += delta * delta
-        i += 1
-      }
+      val (buf, drift) = foldCell(state, centroids(cell), rows)
       Iterator.single(
-        DriftReport(cell, buf.n, math.sqrt(d2), buf.distSum / buf.n))
+        DriftReport(cell, buf.n, drift, buf.distSum / buf.n))
     }
   }
 
@@ -90,11 +101,15 @@ object CentroidDrift {
       .select(v.as("__v"))
       // a null / wrong-dimension / corrupt-element vector on an uncurated
       // stream must not kill the monitor query (the tuple encoder below is
-      // non-nullable) nor poison the cell's running sums (one NaN element
-      // would make drift/mean_dist NaN for the life of the query) — drop
-      // it; it carries no drift signal
+      // non-nullable) nor poison the cell's running sums (one NaN OR
+      // ±Infinity element would make drift/mean_dist NaN or Inf for the
+      // life of the checkpointed state — and Inf + later −Inf is NaN,
+      // after which an alert threshold can never fire) — drop it; it
+      // carries no drift signal. isnan() misses infinities, hence the
+      // explicit magnitude check.
       .filter(col("__v").isNotNull && size(col("__v")) === dim &&
-        !exists(col("__v"), x => x.isNull || isnan(x)))
+        !exists(col("__v"), x => x.isNull || isnan(x) ||
+          abs(x) === lit(Double.PositiveInfinity)))
       .withColumn("__cell",
         element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1))
       // full squared distance (the c·c term matters for the emitted
@@ -152,24 +167,7 @@ object CentroidDrift {
     override def handleInputRows(cell: Int,
         rows: Iterator[(Int, Seq[Double], Double)],
         timerValues: TimerValues): Iterator[DriftAlert] = {
-      val dim = centroids(cell).length
-      var buf = if (state.exists()) state.get() else CellBuf(new Array[Double](dim), 0.0, 0L)
-      rows.foreach { case (_, v, dist) =>
-        var i = 0
-        val it = v.iterator
-        while (it.hasNext && i < dim) { buf.sums(i) += it.next(); i += 1 }
-        buf = CellBuf(buf.sums, buf.distSum + dist, buf.n + 1)
-      }
-      state.update(buf)
-      val c = centroids(cell)
-      var d2 = 0.0
-      var i = 0
-      while (i < dim) {
-        val delta = buf.sums(i) / buf.n - c(i)
-        d2 += delta * delta
-        i += 1
-      }
-      val drift = math.sqrt(d2)
+      val (buf, drift) = foldCell(state, centroids(cell), rows)
       val wasAlerted = alerted.exists() && alerted.get()
       if (drift >= threshold && !wasAlerted) {
         alerted.update(true)

@@ -197,7 +197,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").cast("int").as("cell_id"),
         col("embedding").cast("array<double>").as("centroid"))
       .unionByName(planted.toDF("cell_id", "centroid"))
-    val stats = Similarity.Ivf.cellStats(emb, "vec_id", "embedding", cents)
+    val stats = Similarity.Ivf.cellStats(emb, "embedding", cents)
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getDouble(2), Option(r.get(3)))).toMap
     assert(stats.keySet === (0 until 8).toSet ++ Set(100, 101))
@@ -219,7 +219,7 @@ class SimilaritySpec extends SparkSpec {
       .toDF("cell_id", "centroid")
     val sparseCorpus = Seq((1L, Seq(0.1, 0.0)), (2L, Seq(9.9, 0.0)),
       (3L, Seq(10.2, 0.0))).toDF("vec_id", "embedding")
-    val sparse = Similarity.Ivf.cellStats(sparseCorpus, "vec_id",
+    val sparse = Similarity.Ivf.cellStats(sparseCorpus,
         "embedding", sparseCents)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(sparse === Map(5 -> 1L, 17 -> 2L), sparse.toString)

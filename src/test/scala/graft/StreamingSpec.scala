@@ -1260,6 +1260,43 @@ class StreamingSpec extends SparkSpec {
       s"struct-isin did not partition-prune: scanned $scanned of 1051 partitions")
   }
 
+  test("rehashCorpus: stale-canon hashes converge, only stale partitions rewritten, duplicates collapse, idempotent") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("rehash-corpus")
+    // the PRE-round-11 canon (trim before collapse): "doc one\n"
+    // hashed with a trailing space under it
+    val oldCanonHash = md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+    Seq((1L, "doc one")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        lit(0L).as("epoch"), lit(0L).as("batch_id"))
+      .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    Seq((2L, "doc one\n"), (3L, "another doc")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), oldCanonHash.as("content_hash"),
+        lit(0L).as("epoch"), lit(1L).as("batch_id"))
+      .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    val cleanDir = new java.io.File(corpus, "epoch=0/batch_id=0")
+    val before = cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+
+    // doc 2 is a trailing-newline duplicate of doc 1 stored under the
+    // old canon: before rehash, compaction CANNOT see them as dups
+    val (rewritten, removed) = graft.streaming.CorpusIngest.rehashCorpus(spark, corpus)
+    assert(rewritten === 1L, s"only the stale partition should rewrite, got $rewritten")
+    assert(removed === 1L, s"the newline variant should collapse, got $removed")
+    val state = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("content_hash")).as[(Long, String)].collect().toMap
+    assert(state.keySet === Set(1L, 3L))
+    // every surviving hash is the CURRENT canon
+    val current = spark.read.parquet(corpus)
+      .filter(TextAnalysis.fingerprint(col("text")) =!= col("content_hash")).count()
+    assert(current === 0L, "a stale hash survived the rehash")
+    // the already-current partition kept its exact files
+    assert(cleanDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+      === before, "a current-canon partition was rewritten")
+    assert(graft.streaming.CorpusIngest.rehashCorpus(spark, corpus) === ((0L, 0L)))
+  }
+
   test("createExclusive: exactly one of N concurrent local-FS creators wins") {
     // Raw/ChecksumFileSystem's create(overwrite=false) is check-then-act
     // (exists() then a truncating FileOutputStream open) — the local-FS
@@ -1526,7 +1563,10 @@ class StreamingSpec extends SparkSpec {
       // hardening) — one admitted NaN element would poison cell 0's
       // ValueState sums for the life of the query.
       ms.addData(Seq(2.0, 0.0), Seq(2.0, 0.0),
-        null.asInstanceOf[Seq[Double]], Seq(42.0), Seq(Double.NaN, 0.0))
+        null.asInstanceOf[Seq[Double]], Seq(42.0), Seq(Double.NaN, 0.0),
+        // ±Inf passes isnan() but would poison the running sums just
+        // like NaN (and Inf later meeting −Inf turns them NaN)
+        Seq(Double.PositiveInfinity, 0.0), Seq(Double.NegativeInfinity, 0.0))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("drift").as[(Int, Long, Double, Double)].collect()
