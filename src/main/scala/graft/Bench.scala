@@ -39,7 +39,9 @@ object Bench {
     "qe16_hybrid_rrf", "qe17_cluster_cap_sample", "qe18_ivf_mrl_funnel",
     "qe19_ann_sidecar", "qe20_kmeans_fit", "qe21_class_mean",
     "qe22_source_affinity", "qe23_kmeans_ivf", "qe24_semantic_decontaminate",
-    "qe25_cell_stats",
+    "qe25_cell_stats", "qe26_random_projection", "qe27_embedding_outliers",
+    "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
+    "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
 

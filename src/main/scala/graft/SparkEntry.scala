@@ -365,6 +365,28 @@ object SparkEntry {
     * bit — which is what lets the LSH similarity queries be oracle-checked
     * rather than rows-only.
     */
+  /** Boolean-AND qrels CTEs layered on [[duckBm25Cte]]'s bp/qt — the
+    * SQL twin of [[bm25Qrels]] (doc relevant to a query iff EVERY query
+    * term has tf >= [[qrelsMinTf]]). Ends with `qrels(query_id, doc_id)`.
+    */
+  private lazy val duckQrelsCte: String =
+    s"""$duckBm25Cte,
+       |qcnt AS (SELECT query_id, COUNT(DISTINCT term) AS qt_n FROM qt GROUP BY query_id),
+       |qrels0 AS (SELECT q.query_id, d.doc_id, COUNT(DISTINCT d.term) AS nt
+       |  FROM bp d JOIN qt q USING (term) WHERE d.tf >= $qrelsMinTf
+       |  GROUP BY q.query_id, d.doc_id),
+       |qrels AS (SELECT query_id, doc_id FROM qrels0 JOIN qcnt USING (query_id)
+       |  WHERE nt = qt_n)""".stripMargin
+
+  /** The deterministic ±1 JL/SRP planes as DuckDB VALUES rows
+    * `(i, plane_list)`, 1-based — qe26's oracle replays the projection
+    * against the exact matrix [[Similarity.randomProject]] uses.
+    */
+  private def duckPlanesValues(nPlanes: Int, dim: Int): String =
+    Similarity.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      s"(${i + 1}, ${p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")})"
+    }.mkString(",\n")
+
   private def duckSrpBucket(vExpr: String, nPlanes: Int, dim: Int): String =
     Similarity.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
       val lit = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
@@ -483,6 +505,40 @@ object SparkEntry {
     1 -> "spark", 1 -> "stream", 1 -> "window",
     2 -> "hash", 2 -> "join", 2 -> "merge",
     3 -> "customer", 3 -> "order", 3 -> "value")
+
+  /** Deterministic binary qrels for the retrieval-eval queries (qr04/
+    * qr05): a doc is relevant to a query iff EVERY query term occurs in
+    * it at least [[qrelsMinTf]] times (boolean-AND over a tf floor — the
+    * strictest judgment derivable from the same tokenization BM25 uses,
+    * and strict enough on this common-vocabulary fixture that the BM25
+    * top-10 contains BOTH hits and misses, keeping qr04's metrics and
+    * qr05's negatives non-vacuous). Exactly replayable in SQL.
+    * Scale shape: one restricted token explode (semi-joined against the
+    * broadcast term set before the shuffle, like BM25's postings) + a
+    * grouped tf count and a distinct-term count per (query, doc).
+    */
+  private val qrelsMinTf = 3
+
+  private def bm25Qrels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = broadcast(bm25Queries.toDF("query_id", "term"))
+    val qTerms = broadcast(q.select(col("term")).distinct())
+    val qCnt = broadcast(q.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("qt_n")))
+    val docTermTf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .join(qTerms, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= qrelsMinTf)
+    docTermTf.join(q, "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .join(qCnt, "query_id")
+      .filter(col("nt") === col("qt_n"))
+      .select(col("query_id"), col("doc_id"))
+  }
 
   /** Build-once sidecar-indexed corpora for the serving queries (qr02/
     * qe19/qr03): a tmp path keyed by `tag` + a FINGERPRINT of the source
@@ -1483,6 +1539,45 @@ object SparkEntry {
           "text", alpha = 0.5, tokenBudget = 10000L)
         .orderBy(col("source"))),
 
+    // oracle-checked: winnowing document fingerprints (Schleimer et al.
+    // 2003 — the MOSS local fingerprinting algorithm): md5 word-3-gram
+    // hashes, window w=4, per-window min hash with rightmost tie-break;
+    // the whole selection (composite-key window min + decode) replays
+    // in SQL. Guarantee: any shared run of >= w+k-1 = 6 tokens
+    // contributes a common fingerprint to both docs.
+    "qd51_winnowing" -> ((s, d) =>
+      Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy(col("doc_id"), col("fp_pos"))),
+
+    // oracle-checked: corpus snapshot diff — the dataset-versioning
+    // ledger (added/removed/changed/unchanged per doc id, by normalized
+    // content fingerprint). The "new" snapshot is a deterministic
+    // mutation of documents (drop id%17=3, revise id%13=1, add id%29=0
+    // under id+1e6) so every status is non-vacuous and the whole diff
+    // replays in SQL.
+    "qd52_corpus_diff" -> ((s, d) => {
+      val old = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val revised = old.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 13 === 1,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+      val added = old.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      Curation.corpusDiff(old, revised.unionByName(added), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // oracle-checked: ASYMMETRIC containment pairs (Broder C(A,B) =
+    // |A∩B|/|A|) — quote/subset detection that resemblance-tuned LSH
+    // structurally misses; candidates from shared winnowing fingerprints
+    // (guarantee fires regardless of size asymmetry), verified exactly
+    // on distinct-gram sets.
+    "qd53_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 50, minContainment = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     "qd47_leakage_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
@@ -1646,6 +1741,29 @@ object SparkEntry {
           "embedding", qe08Centroids(s, d))
         .orderBy(col("cell_id"))),
 
+    // oracle-checked: embedding-space outlier report — per-cell distance
+    // z-score under qe08's pinned centroids (the SemDeDup/DataComp
+    // far-tail pruning signal); distances/moments 6-dp DECIMAL-summed so
+    // flags replay bit-equal in SQL. z=1 here: nearest-cell assignment
+    // truncates the right tail (a would-be 2σ member is usually nearer
+    // some other cell), so on this uniform fixture z=1 is the largest
+    // threshold that still flags rows — non-vacuous by measurement.
+    "qe27_embedding_outliers" -> ((s, d) =>
+      Similarity.Ivf.outliers(Tables.embeddings(s, d), "vec_id", "embedding",
+          qe08Centroids(s, d), z = 1.0)
+        .orderBy(col("vec_id"))),
+
+    // oracle-checked: Johnson–Lindenstrauss random projection
+    // (Achlioptas 2003 ±1 matrix, deterministic splitmix planes shared
+    // with the SRP-LSH bucketer) — 64-dim → 16-dim, scaled 1/√16;
+    // flattened to (vec_id, i, p_val) so the projected matrix hashes.
+    "qe26_random_projection" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "embedding",
+          outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "p_val")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"), col("p_val"))
+        .orderBy(col("vec_id"), col("i"))),
+
     // oracle-checked: the full hybrid SERVING stack over one corpus
     // carrying BOTH sidecars (documents ⋈ embeddings, postings + cells
     // built once) — BM25 from the postings index, IVF ANN from the cell
@@ -1666,6 +1784,36 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // oracle-checked: trec_eval metric battery over the BM25 run vs the
+    // boolean-AND qrels — per query precision@10 / recall@10 / MRR /
+    // nDCG@10, every DCG term 6-dp DECIMAL-summed so the whole battery
+    // replays in SQL.
+    "qr04_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      val run = Retrieval.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      Retrieval.evalRun(run, bm25Qrels(s, d), k = 10).orderBy(col("query_id"))
+    }),
+
+    // oracle-checked: hard-negative mining (the DPR / contrastive
+    // fine-tuning recipe) — each query's top-ranked UN-judged docs from
+    // the BM25 run, anti-joined against the qrels, re-ranked.
+    "qr05_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val run = Retrieval.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      Retrieval.hardNegatives(run, bm25Qrels(s, d), nNeg = 5)
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
+    // oracle-checked: per-doc tf-idf keyword extraction (topic tagging /
+    // facet indexing) — top-3 terms by tf·ln(N/df), df >= 2, every value
+    // an exact function of integer statistics.
+    "qr06_tfidf_keywords" -> ((s, d) =>
+      Retrieval.tfidfKeywords(Tables.documents(s, d), "doc_id", "text",
+          m = 3, minDf = 2L)
+        .orderBy(col("doc_id"), col("rnk"))),
 
     // oracle-checked: hybrid retrieval — reciprocal-rank fusion (Cormack
     // et al. 2009, k=60) of the BM25 leg over documents and the dense
@@ -2799,6 +2947,49 @@ object SparkEntry {
          |SELECT query_id, doc_id, score, rnk FROM brk WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
+    // the trec_eval battery replayed: boolean-AND qrels from the same
+    // tokenization, top-10 run hits, 6-dp DECIMAL DCG terms, the k-row
+    // cumulative IDCG table joined on min(n_rel, 10), exact integer
+    // ratios for precision/recall/RR
+    "qr04_retrieval_eval" ->
+      s"""WITH $duckQrelsCte,
+         |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
+         |topk AS (SELECT query_id, doc_id, rnk FROM brk WHERE rnk <= 10),
+         |hh AS (SELECT t.query_id, t.rnk,
+         |    CAST(ROUND(1.0 / (ln(CAST(t.rnk AS DOUBLE) + 1.0) / ln(2.0)), 6)
+         |      AS DECIMAL(18,6)) AS dcg_term
+         |  FROM topk t JOIN qrels r ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+         |pq AS (SELECT query_id, COUNT(*) AS hits, CAST(SUM(dcg_term) AS DOUBLE) AS dcg,
+         |    MIN(rnk) AS frr
+         |  FROM hh GROUP BY query_id),
+         |ideal AS (SELECT CAST(i AS BIGINT) AS ideal_i,
+         |    CAST(SUM(CAST(ROUND(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)), 6)
+         |      AS DECIMAL(18,6))) OVER (ORDER BY i) AS DOUBLE) AS idcg
+         |  FROM range(1, 11) AS t(i))
+         |SELECT n.query_id, n.n_rel, COALESCE(p.hits, 0) AS hits,
+         |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / 10.0, 6) AS precision_at_k,
+         |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_k,
+         |  ROUND(CASE WHEN p.frr IS NOT NULL THEN 1.0 / CAST(p.frr AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS rr,
+         |  ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+         |FROM nrel n LEFT JOIN pq p USING (query_id)
+         |JOIN ideal i ON i.ideal_i = LEAST(n.n_rel, 10)
+         |ORDER BY n.query_id""".stripMargin,
+
+    // hard negatives replayed: top-10 run rows with no qrels judgment,
+    // re-ranked per query
+    "qr05_hard_negatives" ->
+      s"""WITH $duckQrelsCte,
+         |negs AS (SELECT b.query_id, b.doc_id, b.rnk FROM brk b
+         |  LEFT JOIN qrels r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+         |  WHERE b.rnk <= 10 AND r.doc_id IS NULL),
+         |nr AS (SELECT query_id, doc_id, rnk AS run_rank,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rnk, doc_id) AS INTEGER) AS neg_rank
+         |  FROM negs)
+         |SELECT query_id, doc_id, run_rank, neg_rank FROM nr WHERE neg_rank <= 5
+         |ORDER BY query_id, neg_rank""".stripMargin,
+
     // the whole hybrid serving stack replayed over the JOINED corpus:
     // BM25 chain with hyb's N/avgdl (NOT the documents table's), IVF
     // assignment/probe under qe08's fixed centroids (probes vec
@@ -3321,6 +3512,132 @@ object SparkEntry {
         |  COALESCE(k.kept_tokens, 0) AS kept_tokens
         |FROM p LEFT JOIN k ON p.source = k.source ORDER BY p.source""".stripMargin,
 
+    // winnowing replayed: positional md5 3-gram hashes, the 43-char
+    // composite-key window min (hash asc, rightmost pos on ties), full
+    // windows only, decoded and deduplicated
+    "qd51_winnowing" ->
+      """WITH ww AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]) AS h,
+        |    CAST(len(w) - 2 AS BIGINT) AS ngr
+        |  FROM ww, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)),
+        |wins AS (
+        |  SELECT doc_id, pos, ngr,
+        |    MIN(h || '#' || lpad(CAST(ngr - pos AS VARCHAR), 10, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+        |  FROM gr),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    ngr - CAST(substr(wk, 34, 10) AS BIGINT) AS fp_pos,
+        |    substr(wk, 1, 32) AS fp_hash
+        |  FROM wins WHERE pos <= ngr - 4)
+        |SELECT doc_id, fp_pos, fp_hash FROM sel
+        |ORDER BY doc_id, fp_pos""".stripMargin,
+
+    // containment replayed: qd51's winnowing CTEs → df-capped
+    // fingerprint pair join → exact distinct-gram verification with
+    // both containment directions + Jaccard, filter on the ROUNDED max
+    "qd53_containment" ->
+      """WITH ww AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]) AS h,
+        |    CAST(len(w) - 2 AS BIGINT) AS ngr
+        |  FROM ww, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)),
+        |wins AS (
+        |  SELECT doc_id, pos, ngr,
+        |    MIN(h || '#' || lpad(CAST(ngr - pos AS VARCHAR), 10, '0'))
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+        |  FROM gr),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp_hash
+        |  FROM wins WHERE pos <= ngr - 4),
+        |fdf AS (
+        |  SELECT doc_id, fp_hash FROM (
+        |    SELECT doc_id, fp_hash,
+        |      COUNT(*) OVER (PARTITION BY fp_hash) AS dfc FROM sel)
+        |  WHERE dfc <= 50),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+        |  FROM fdf a JOIN fdf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+        |gs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM ww),
+        |ver AS (
+        |  SELECT p.id_a, p.id_b, p.shared_fps,
+        |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) AS i,
+        |    CAST(len(ga.g) AS DOUBLE) AS na, CAST(len(gb.g) AS DOUBLE) AS nb
+        |  FROM prs p JOIN gs ga ON ga.doc_id = p.id_a
+        |  JOIN gs gb ON gb.doc_id = p.id_b),
+        |sc AS (
+        |  SELECT id_a, id_b, shared_fps,
+        |    ROUND(i / GREATEST(na, 1.0), 4) AS containment_a,
+        |    ROUND(i / GREATEST(nb, 1.0), 4) AS containment_b,
+        |    ROUND(i / GREATEST(na + nb - i, 1.0), 4) AS jaccard
+        |  FROM ver)
+        |SELECT id_a, id_b, shared_fps, containment_a, containment_b, jaccard
+        |FROM sc WHERE GREATEST(containment_a, containment_b) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // tf-idf keywords replayed: postings tf, window df, the N scalar,
+    // round(tf · round(ln(N/df), 6), 6), per-doc top-3
+    "qr06_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |pd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tfq),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    ROUND(CAST(tf AS DOUBLE)
+        |      * ROUND(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6), 6) AS score
+        |  FROM pd CROSS JOIN nn WHERE df >= 2),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS INTEGER) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    // the snapshot diff replayed: the same deterministic v2 mutation,
+    // portable fingerprints, FULL OUTER JOIN on the id
+    "qd52_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |revised AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' revised' ELSE text END AS text
+        |  FROM old WHERE doc_id % 17 <> 3),
+        |addedd AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM old WHERE doc_id % 29 = 0),
+        |newc AS (SELECT * FROM revised UNION ALL SELECT * FROM addedd),
+        |ofp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old FROM old),
+        |nfp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_new FROM newc)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp_old <> n.fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.fp_old, n.fp_new
+        |FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+        |ORDER BY COALESCE(o.doc_id, n.doc_id)""".stripMargin,
+
     // qd14's recursive-CC CTE + the qd23 md5-bucket kernel applied to the
     // cluster representative (COALESCE to the doc's own id for singletons)
     "qd47_leakage_split" ->
@@ -3626,6 +3943,52 @@ object SparkEntry {
         |  ROUND(CAST(m.sd AS DOUBLE) / m.n, 6) AS mean_dist
         |FROM cent LEFT JOIN m ON cent.cell_id = m.cell_id CROSS JOIN tot
         |ORDER BY cent.cell_id""".stripMargin,
+
+    // the outlier report replayed: qe25's assignment CTE + 6-dp
+    // distances, DECIMAL Σd/Σd², the identical mean/std double formula,
+    // and the flag compared on the ROUNDED values
+    "qe27_embedding_outliers" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+        |cc AS (
+        |  SELECT vec_id, v, cell_id, cv FROM (
+        |    SELECT c.vec_id, c.v, cent.cell_id, cent.cv,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(cent.cv, cent.cv)
+        |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+        |    FROM c, cent)
+        |  WHERE rn = 1),
+        |md AS (
+        |  SELECT vec_id, cell_id,
+        |    ROUND(sqrt(GREATEST(0.0, list_dot_product(v, v)
+        |      - 2 * list_dot_product(v, cv) + list_dot_product(cv, cv))), 6) AS dist
+        |  FROM cc),
+        |mo AS (
+        |  SELECT cell_id, COUNT(*) AS n,
+        |    SUM(CAST(dist AS DECIMAL(18,6))) AS sd,
+        |    SUM(CAST(CAST(dist AS DECIMAL(18,6)) * CAST(dist AS DECIMAL(18,6))
+        |      AS DECIMAL(38,12))) AS sq
+        |  FROM md GROUP BY cell_id),
+        |ms AS (
+        |  SELECT cell_id,
+        |    ROUND(CAST(sd AS DOUBLE) / n, 6) AS cell_mean,
+        |    ROUND(sqrt(GREATEST(0.0, CAST(sq AS DOUBLE) / n
+        |      - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n))), 6) AS cell_std
+        |  FROM mo)
+        |SELECT md.vec_id, md.cell_id, md.dist, ms.cell_mean, ms.cell_std,
+        |  md.dist > ms.cell_mean + 1.0 * ms.cell_std AS is_outlier
+        |FROM md JOIN ms USING (cell_id) ORDER BY md.vec_id""".stripMargin,
+
+    // the JL projection replayed against the exact splitmix ±1 matrix
+    // (16 planes × 64 dims as literals), scale 1/√16 = 0.25
+    "qe26_random_projection" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p(i, pl) AS (VALUES
+         |${duckPlanesValues(16, 64)})
+         |SELECT c.vec_id, CAST(p.i AS BIGINT) AS i,
+         |  ROUND(list_dot_product(c.v, p.pl) * 0.25, 6) AS p_val
+         |FROM c CROSS JOIN p
+         |ORDER BY c.vec_id, i""".stripMargin,
 
     // Lloyd's replayed iteration by iteration: assignment is the qe08
     // argmin pattern (c·c − 2·v·c, ties on cell_id), means are 6-dp

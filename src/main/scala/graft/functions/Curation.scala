@@ -451,4 +451,44 @@ object Curation {
       w.option("maxRecordsPerFile", maxRecordsPerFile)
     else w).partitionBy("shard_id").parquet(path)
   }
+
+  // -------------------------------------------------- corpus versioning
+
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * ledger entry every corpus release publishes (what changed between
+    * v1 and v2, per document): full outer join on the id, statuses
+    * `added` (id only in `newDf`), `removed` (id only in `oldDf`),
+    * `changed` (both, different normalized content fingerprint),
+    * `unchanged`. Fingerprints are [[TextAnalysis.fingerprint]] (md5 of
+    * the canonical text form), so cosmetic whitespace/case/NFC variants
+    * do not register as changes and the whole diff is engine-portable.
+    *
+    * Scale shape: two narrow fingerprint projections + ONE equi-join on
+    * the id (uniform key). No corpus text moves — only (id, 32-byte
+    * hash) pairs — so diffing two 100 TB snapshots shuffles ~hash-table
+    * volume. Downstream training jobs typically consume just the
+    * `added`/`changed` rows (incremental re-processing), which is why
+    * the statuses ride on every id instead of a summary-only output;
+    * [[corpusDiffSummary]] is the rollup form.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df.select(
+      col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(s"fp_$side"))
+    fps(oldDf, "old").join(fps(newDf, "new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
+  /** Per-status rollup of [[corpusDiff]] — the release-notes number
+    * (n added / removed / changed / unchanged). One grouped count over
+    * the diff's 4-value status key.
+    */
+  def corpusDiffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy(col("status")).agg(count(lit(1)).cast("long").as("n_docs"))
 }

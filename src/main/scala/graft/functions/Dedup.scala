@@ -874,4 +874,124 @@ object Dedup {
     simHashNearDupPairs(
       df.select(col(idCol), asLong.as("simhash")), idCol, "simhash", maxHamming)
   }
+
+  // ------------------------------------------------- winnowing (MOSS)
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS algorithm): hash every word k-gram, slide
+    * a window of `w` consecutive gram hashes over the document, and in
+    * each window select the minimum hash, breaking ties by the RIGHTMOST
+    * position (§4's robust winnowing, which makes the selection a local —
+    * position-independent — function of the window's content). The
+    * distinct selected (position, hash) pairs are the document's
+    * fingerprints: any shared substring of at least w + k − 1 tokens is
+    * GUARANTEED to contribute at least one common fingerprint to both
+    * documents (the winnowing guarantee), while only ≈ 2/(w+1) of grams
+    * are kept. Documents with fewer than w full grams yield no full
+    * window and hence no fingerprints — callers screening short docs
+    * should route them through exact/MinHash dedup instead.
+    *
+    * Implementation: gram hashes are engine-portable md5 hex strings over
+    * lowercased word k-grams; the per-window argmin is ONE window
+    * function — min over the frame of the 43-char key
+    * `hash ∥ '#' ∥ lpad(nGrams − pos)` (hash ascending, then SMALLER
+    * nGrams − pos = rightmost position — fixed-width so string order is
+    * the pair order), decoded back to (pos, hash) and deduplicated.
+    *
+    * Scale shape: one narrow gram-hash projection + posexplode, one
+    * shuffle on the doc id for the per-doc window (uniform key — doc
+    * length skew is bounded by max doc length, and a 100 TB corpus
+    * shards by doc), one distinct on (doc, pos, hash) with map-side
+    * partial aggregation. Nothing is all-pairs, nothing collects.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"winnowFingerprints: need k >= 1, w >= 2 (got k=$k, w=$w)")
+    val words = TextAnalysis.tokens(lower(col(textCol)))
+    // positional k-gram md5 hashes: (pos, hash) with pos 0-based
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => md5(concat_ws(" ", slice(words, i + 1, lit(k))))))
+      .otherwise(array())
+    val g = df.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+      .withColumn("ngr", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // per-window winner: min (hash asc, rightmost pos) via the composite
+    // fixed-width key; only rows with a FULL w-gram frame start a window
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val key = concat(col("h"), lit("#"),
+      lpad((col("ngr") - col("pos")).cast("string"), 10, "0"))
+    g.withColumn("wk", min(key).over(frame))
+      .filter(col("pos") <= col("ngr") - w)
+      .select(col("doc_id"),
+        (col("ngr") - substring(col("wk"), 34, 10).cast("long")).as("fp_pos"),
+        substring(col("wk"), 1, 32).as("fp_hash"))
+      .distinct()
+  }
+
+  /** Candidate near-dup / containment pairs from shared winnowing
+    * fingerprints — the MOSS match step: join docs on fp_hash, count
+    * shared fingerprints per pair, keep pairs sharing at least
+    * `minShared`. `maxDf` drops fingerprints held by more than that many
+    * documents BEFORE the pair join (boilerplate/stop-gram hashes whose
+    * C(df, 2) fan-out would dominate; the standard idf-style cap every
+    * fingerprint index applies) — so pair volume is bounded by
+    * Σ_fp C(min(df, maxDf), 2), never corpus².
+    */
+  def winnowOverlapPairs(fps: DataFrame, minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"winnowOverlapPairs: need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    val byHash = fps.select(col("doc_id"), col("fp_hash")).distinct()
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
+      .filter(col("__df") <= maxDf)
+      .select(col("doc_id"), col("fp_hash"))
+    byHash.select(col("doc_id").as("id_a"), col("fp_hash"))
+      .join(byHash.select(col("doc_id").as("id_b"), col("fp_hash")), "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** ASYMMETRIC overlap — Broder containment C(A,B) = |A ∩ B| / |A| over
+    * distinct word k-gram sets — for quote/subset/expansion detection:
+    * a short doc embedded verbatim in a long one has HIGH containment
+    * but LOW Jaccard, so resemblance-tuned MinHash banding
+    * ([[minHashNearDups]]) structurally misses it. Candidates here come
+    * from shared WINNOWING fingerprints instead ([[winnowFingerprints]] →
+    * [[winnowOverlapPairs]]): the winnowing guarantee fires on any
+    * shared ≥ w+k−1-token run regardless of the two documents' sizes —
+    * exactly the asymmetric case — and the maxDf cap bounds pair
+    * fan-out. Candidates are then verified exactly on distinct-gram
+    * sets: both containment directions + Jaccard, 4-dp rounded.
+    *
+    * Scale shape: winnowing's narrow+single-window cost, the capped
+    * fingerprint pair join, then one gram-set equi-join per pair side —
+    * verification touches candidates only, never corpus². Gram sets
+    * ride as arrays (lowercased word k-grams; the same tokenization as
+    * the fingerprints).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 50,
+      minContainment: Double = 0.5): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val pairs = winnowOverlapPairs(fps, minShared, maxDf)
+    val docs = df.select(col(idCol).as("doc_id"),
+      wordShingles(lower(col(textCol)), k).as("__g"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("__g").as("__ga")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("__g").as("__gb")), "id_b")
+      .withColumn("__i", size(array_intersect(col("__ga"), col("__gb"))).cast("double"))
+      .withColumn("__na", size(col("__ga")).cast("double"))
+      .withColumn("__nb", size(col("__gb")).cast("double"))
+      .withColumn("containment_a", round(col("__i") / greatest(col("__na"), lit(1.0d)), 4))
+      .withColumn("containment_b", round(col("__i") / greatest(col("__nb"), lit(1.0d)), 4))
+      .withColumn("jaccard",
+        round(col("__i") / greatest(col("__na") + col("__nb") - col("__i"), lit(1.0d)), 4))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("containment_a"), col("containment_b"), col("jaccard"))
+  }
 }

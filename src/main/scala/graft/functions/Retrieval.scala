@@ -208,4 +208,144 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /** Offline retrieval-quality evaluation — the trec_eval metric battery
+    * every retrieval stack (qr01/qr02/qe16/qr03) needs before its index
+    * or fusion weights ship: per query, binary-relevance
+    * precision@k / recall@k / reciprocal rank / nDCG@k against a qrels
+    * table.
+    *
+    * Conventions (trec_eval's): the evaluated query set is the DISTINCT
+    * queries of `qrels` — run rows for unjudged queries are ignored, and
+    * a judged query missing from the run scores zeros. Only run rows with
+    * rank ≤ k count. Binary gains, log2 discount:
+    * DCG@k = Σ_rel 1/log2(rank+1), IDCG@k = Σ_{i=1..min(nRel,k)}
+    * 1/log2(i+1), nDCG = DCG/IDCG.
+    *
+    * Determinism / portability: every DCG term is rounded to 6 dp and
+    * DECIMAL-summed (order-free, like the BM25 partials), the IDCG
+    * denominators come from a k-row cumulative table joined on
+    * min(nRel, k) (no per-query sequence explode), and the remaining
+    * metrics are exact small-integer ratios — so the whole battery
+    * replays verbatim in SQL (qr04's oracle).
+    *
+    * Scale shape: the run is top-k-bounded (k·Q rows) and qrels tables
+    * are human- or heuristic-labeled — both tiny next to any corpus; the
+    * join/agg here never touch corpus data. nRel and first-relevant-rank
+    * are grouped aggs on (query_id); the k-row IDCG table broadcasts.
+    */
+  def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"evalRun: k must be >= 1, got $k")
+    val spark = run.sparkSession
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    // per-query judged-relevant counts — the evaluated query universe
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    // top-k run rows that hit a judged-relevant doc, with their DCG term
+    val hits = run.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("rank"),
+        // ln-based log2 — structurally identical to the oracle SQL's
+        // 1/(ln(r+1)/ln(2)) so both engines round the same doubles
+        round(lit(1.0d) / (log(col("rank").cast("double") + lit(1.0d)) / log(lit(2.0d))), 6)
+          .cast(DecimalType(18, 6)).as("dcg_term"))
+    val perQuery = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("hits"),
+        sum(col("dcg_term")).cast("double").as("dcg"),
+        min(col("rank")).as("first_rel_rank"))
+    // cumulative ideal-DCG table: i -> Σ_{j<=i} round(1/log2(j+1), 6)
+    // (exact BigDecimal partial sums, k rows, broadcast)
+    val ideal = {
+      var acc = BigDecimal(0)
+      val rows = (1 to k).map { i =>
+        // same 1/(ln(i+1)/ln 2) formula + HALF_UP 6-dp round as the
+        // per-row dcg_term, so IDCG(n) ≡ DCG of a perfect length-n run
+        acc += BigDecimal(1.0d / (math.log(i + 1.0d) / math.log(2.0d)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        (i.toLong, acc.toDouble)
+      }
+      import spark.implicits._
+      broadcast(rows.toDF("ideal_i", "idcg"))
+    }
+    nRel
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .na.fill(0.0d, Seq("dcg"))
+      .join(ideal, least(col("n_rel"), lit(k.toLong)) === col("ideal_i"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6).as("precision_at_k"),
+        round(col("hits").cast("double") / col("n_rel").cast("double"), 6)
+          .as("recall_at_k"),
+        round(when(col("first_rel_rank").isNotNull,
+            lit(1.0d) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("rr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_at_k"))
+  }
+
+  /** Per-document tf-idf keyword extraction — the classic topic-tagging /
+    * weak-labeling operator of corpus curation (route docs by their top
+    * terms, build facet indexes, seed topic classifiers): for every doc,
+    * the `m` terms with the highest tf · ln(N/df), ties to the
+    * lexicographically smaller term.
+    *
+    * Determinism/portability: idf = round(ln(N/df), 6) and
+    * score = round(tf · idf, 6) — every value an exact function of
+    * integer statistics, so the whole extraction replays in SQL (qr06's
+    * oracle). `minDf` drops sub-threshold hapax noise (and `df = N`
+    * terms score 0 and fall to the rank tail naturally: ln(N/N) = 0).
+    *
+    * Scale shape: one token explode → (doc, term) grouped tf (map-side
+    * combine, uniform keys), df as a window count over the (doc, term)
+    * postings — shuffles |vocab×docs| POSTINGS rows, never raw tokens —
+    * the N scalar from a separate narrow count pass broadcast in, and a
+    * per-doc top-m window. Nothing all-pairs, nothing collected beyond
+    * the 1-row scalar.
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      m: Int, minDf: Long = 1L): DataFrame = {
+    require(m >= 1, s"tfidfKeywords: m must be >= 1, got $m")
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df") >= minDf)
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    postings.crossJoin(broadcast(n))
+      .withColumn("idf",
+        round(log(col("n").cast("double") / col("df").cast("double")), 6))
+      .withColumn("score", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= m)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  /** Hard-negative mining for retrieval-model training (the DPR /
+    * contrastive fine-tuning recipe: the best negatives are the
+    * top-ranked NON-relevant results of the current retriever, not
+    * random docs): from a run, keep each query's `nNeg` highest-ranked
+    * docs that carry no qrels judgment. Output
+    * (query_id, doc_id, run_rank, neg_rank) — pairing with positives is
+    * a trivial qrels join left to the caller, since the fan-out policy
+    * (all pairs vs sampled) is training-specific.
+    *
+    * Scale shape: the run is top-k-bounded, the anti-join key set is the
+    * qrels table (broadcast-small), and neg_rank is a window over
+    * ≤ k rows per query — nothing here touches the corpus.
+    */
+  def hardNegatives(run: DataFrame, qrels: DataFrame, nNeg: Int): DataFrame = {
+    require(nNeg >= 1, s"hardNegatives: nNeg must be >= 1, got $nNeg")
+    val rel = broadcast(qrels.select(col("query_id"), col("doc_id")).distinct())
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc, col("doc_id"))
+    run.join(rel, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("doc_id"), col("rank").as("run_rank"),
+        col("neg_rank"))
+  }
 }

@@ -353,6 +353,59 @@ object Similarity {
         .select(col("cell_id"), col("n"), col("frac"), col("mean_dist"))
     }
 
+    /** Embedding-space outlier report — the distance-based quality
+      * filter of embedding curation pipelines (the SemDeDup/DataComp
+      * family also PRUNES far-from-centroid points: mislabeled, OOD, or
+      * encoder-failure rows sit in a cell's far tail): assign every
+      * vector to its nearest pinned cell, compute each cell's member
+      * distance mean/std, and flag members beyond mean + z·std.
+      *
+      * Determinism/portability: distances round to 6 dp; per-cell Σd and
+      * Σd² accumulate as DECIMAL (order-free); mean/std round to 6 dp and
+      * the flag compares the ROUNDED values — so the whole report replays
+      * bit-equal in SQL (qe27's oracle). Singleton cells have std 0 and
+      * can never flag their member (d > d is false).
+      *
+      * Scale shape: one narrow assignment pass (NearestCellsExpr, no
+      * Exchange/Join before the S-row groupBy), a broadcast join of the
+      * S-row moment table back onto members — the corpus shuffles once on
+      * cell_id for the moments and the flagging itself is narrow.
+      */
+    def outliers(corpus: DataFrame, idCol: String, vecCol: String,
+        centroids: DataFrame, z: Double = 2.0): DataFrame = {
+      require(z >= 0.0, s"Ivf.outliers: z must be >= 0, got $z")
+      val m = centroidMatrix(centroids)
+      val idOf = typedlit(centroids.select(col("cell_id"))
+        .collect().map(_.getInt(0)).sorted.toSeq)
+      val cent = broadcast(centroids.select(col("cell_id"),
+        col("centroid").cast("array<double>").as("__cv")))
+      val members = corpus
+        .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+        .withColumn("cell_id", element_at(idOf,
+          element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1) + 1))
+        .join(cent, "cell_id")
+        .withColumn("dist", round(sqrt(greatest(lit(0.0d),
+          dot(col("__v"), col("__v")) - lit(2.0d) * dot(col("__v"), col("__cv"))
+            + dot(col("__cv"), col("__cv")))), 6))
+        .select(col(idCol), col("cell_id"), col("dist"))
+      val moments = members
+        .withColumn("__dd", col("dist").cast(DecimalType(18, 6)))
+        .groupBy(col("cell_id"))
+        .agg(count(lit(1)).as("__n"), sum(col("__dd")).as("__sd"),
+          sum((col("__dd") * col("__dd")).cast(DecimalType(38, 12))).as("__sq"))
+        .withColumn("cell_mean", round(col("__sd").cast("double") / col("__n"), 6))
+        .withColumn("cell_std", round(sqrt(greatest(lit(0.0d),
+          col("__sq").cast("double") / col("__n")
+            - (col("__sd").cast("double") / col("__n"))
+              * (col("__sd").cast("double") / col("__n")))), 6))
+        .select(col("cell_id"), col("cell_mean"), col("cell_std"))
+      members.join(broadcast(moments), "cell_id")
+        .withColumn("is_outlier",
+          col("dist") > col("cell_mean") + lit(z) * col("cell_std"))
+        .select(col(idCol), col("cell_id"), col("dist"),
+          col("cell_mean"), col("cell_std"), col("is_outlier"))
+    }
+
     /** Probe-and-rank: queries search only their `nProbe` nearest cells.
       * Probe-cell selection is the same narrow nearest-cells kernel
       * (explode multiplies only the small query side, by nProbe).
@@ -764,5 +817,36 @@ object Similarity {
       .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas, JCSS 2003,
+    * "Database-friendly random projections": a ±1 (Rademacher) matrix
+    * scaled by 1/√outDim preserves pairwise Euclidean distances within
+    * (1 ± ε) with high probability — no Gaussian sampling needed):
+    * y_p = round((v · plane_p) / √outDim, 6) for the same deterministic
+    * splitmix64 ±1 [[planes]] the SRP-LSH bucketer uses, so the matrix
+    * is reproducible across runs/engines and embeds as SQL literals for
+    * the oracle.
+    *
+    * THE dimensionality-reduction primitive of embedding pipelines:
+    * project 64-dim → 16-dim before a brute-force or LSH stage and the
+    * distance computations (and shuffle bytes for vector columns) drop
+    * 4×, while JL bounds the rank damage — the cheap precursor to the
+    * trained MRL/PQ compressions (qe15/qe12), useful when no trained
+    * truncation exists for the embedding model.
+    *
+    * Scale shape: a pure narrow projection — outDim dot products per row
+    * against plan-literal planes, no join, no shuffle, no collect; rounds
+    * to 6 dp so downstream rankings are partitioning-stable.
+    */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int, dim: Int,
+      outCol: String = "proj"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"randomProject: need 1 <= outDim <= dim (got outDim=$outDim, dim=$dim)")
+    val ps = planes(outDim, dim)
+    val scale = 1.0d / math.sqrt(outDim.toDouble)
+    val v = asDouble(col(vecCol))
+    val comps = ps.map(p => round(dot(v, lit(p)) * lit(scale), 6))
+    df.withColumn(outCol, array(comps.toIndexedSeq: _*))
   }
 }

@@ -528,4 +528,118 @@ class DedupSpec extends SparkSpec {
     assert(fp(3)._1 === fp(1)._1) // trailing newline variant dedups
     assert(fp(4)._1 === fp(1)._1) // leading tab variant dedups
   }
+
+  // ------------------------------------------------- winnowing (qd51)
+
+  test("winnowFingerprints: the winnowing guarantee — a shared >= w+k-1 token run yields a shared fingerprint") {
+    // k=3, w=4 → guarantee threshold = 6 tokens; the planted run is 8
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"one two three $shared nine ten eleven twelve"),
+      (2L, s"aa bb cc dd ee $shared zz yy xx"),
+      (3L, "totally disjoint words with no overlap at all here friend"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, String)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "planted run missed")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty, "disjoint docs share a fingerprint")
+  }
+
+  test("winnowFingerprints: rightmost-min tie rule and full-window-only selection") {
+    // every 3-gram of a constant doc hashes identically, so each window's
+    // winner is its RIGHTMOST gram: starts 0..ngr-w pick pos w-1..ngr-1 —
+    // hash-value-independent, so this pins the tie rule exactly
+    val n = 10 // tokens
+    val docs = Seq((1L, Seq.fill(n)("x").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, String)].collect().map(_._2).sorted.toSeq
+    val ngr = n - 3 + 1 // 8 grams
+    assert(got === (3L until ngr.toLong)) // pos w-1=3 .. ngr-1=7
+  }
+
+  test("winnowFingerprints: density bound and gap bound on fixture docs; short docs yield nothing") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long, String)].collect()
+    assert(fps.nonEmpty)
+    // winnowing property: consecutive selected positions differ by <= w
+    // (every window has a winner), and far fewer grams are kept than exist
+    fps.groupBy(_._1).foreach { case (id, rows) =>
+      val pos = rows.map(_._2).sorted
+      pos.zip(pos.tail).foreach { case (a, b) =>
+        assert(b - a <= 4, s"doc $id: selection gap ${b - a} > w")
+      }
+    }
+    // a doc with fewer than w full grams (< k+w-1 = 6 tokens) selects nothing
+    val short = Seq((9L, "just five tokens right here")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", k = 3, w = 4)
+      .count() === 0L)
+  }
+
+  test("winnowFingerprints is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+        .as[(Long, Long, String)].collect().toSet
+    assert(run(docs.repartition(1)) === run(docs.repartition(7)))
+  }
+
+  test("winnowOverlapPairs: planted near-copy surfaces; maxDf caps boilerplate fan-out") {
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (
+      // 20 docs sharing ONLY a boilerplate prefix + unique tails
+      (1L to 20L).map(i => (i, s"$boiler unique$i tail$i words$i here$i now$i")) :+
+      // a planted near-copy pair with a long distinct shared run
+      (100L, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho") :+
+      (101L, "intro zeta eta theta iota kappa lambda mu nu xi omicron pi rho outro"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    // with the cap at 5, the 20-doc boilerplate fingerprints (df=20) are
+    // dropped — the planted pair (df=2) must still surface
+    val pairs = Dedup.winnowOverlapPairs(fps, minShared = 2, maxDf = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 === 100L && p._2 === 101L), s"planted pair missed: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 <= 20L && p._2 <= 20L),
+      s"boilerplate-only pair survived the df cap: ${pairs.toSeq}")
+    // without the cap the boilerplate pairs flood in — the cap is load-bearing
+    val uncapped = Dedup.winnowOverlapPairs(fps, minShared = 2, maxDf = 1000)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.count(p => p._1 <= 20L && p._2 <= 20L) > 100)
+  }
+
+  test("containmentPairs (qd53): a verbatim quote has high containment but low Jaccard") {
+    val quote = "portable oracle replay keeps both engines honest always"
+    val long = (1 to 30).map(i => s"filler$i").mkString(" ") +
+      s" $quote " + (31 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                  // 8 tokens — entirely inside doc 2
+      (2L, long),
+      (3L, "unrelated content words that match nothing else at all today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        minShared = 1, minContainment = 0.5)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val p = got.find(r => r._1 == 1L && r._2 == 2L)
+    assert(p.nonEmpty, s"quote pair missed: ${got.toSeq}")
+    // doc 1's grams all occur in doc 2 → containment_a = 1.0; the
+    // resemblance is tiny — exactly the pair Jaccard-LSH misses
+    assert(p.get._4 === 1.0, s"containment_a ${p.get._4}")
+    assert(p.get._6 < 0.2, s"jaccard ${p.get._6}")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("containmentPairs: containment bounds Jaccard; threshold filters") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        minShared = 2, maxDf = 50, minContainment = 0.3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty, "no containment pairs on the fixture")
+    got.foreach { r =>
+      assert(r._4 >= r._6 - 1e-9 && r._5 >= r._6 - 1e-9,
+        s"containment below jaccard: $r")
+      assert(math.max(r._4, r._5) >= 0.3)
+      assert(r._4 <= 1.0 && r._5 <= 1.0 && r._6 <= 1.0)
+    }
+  }
 }

@@ -109,4 +109,132 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus is empty"),
       s"opaque failure instead of the guard: ${e.getMessage}")
   }
+
+  /** trec_eval-convention DCG term: round(1/log2(rank+1), 6) as Spark's
+    * HALF_UP — the test-side twin of evalRun's arithmetic.
+    */
+  private def dcgTerm(rank: Int): BigDecimal =
+    BigDecimal(1.0d / (math.log(rank + 1.0d) / math.log(2.0d)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("evalRun (qr04): hand-computed metrics on a 3-query fixture") {
+    // q1: rel {1,2,3}; run hits 2 of them at ranks 2,3 → partial credit
+    // q2: rel {10};    run finds it at rank 1 → perfect single-rel query
+    // q3: rel {20,21}; run never finds them → all-zero row
+    val run = Seq(
+      (1, 5L, 1), (1, 1L, 2), (1, 2L, 3),
+      (2, 10L, 1), (2, 11L, 2),
+      (3, 30L, 1), (3, 31L, 2)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 1L), (1, 2L), (1, 3L), (2, 10L), (3, 20L), (3, 21L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.evalRun(run, qrels, k = 3)
+      .orderBy(col("query_id"))
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+
+    val dcg1 = (dcgTerm(2) + dcgTerm(3)).toDouble
+    val idcg3 = (dcgTerm(1) + dcgTerm(2) + dcgTerm(3)).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === ((1, 3L, 2L, r6(2.0 / 3.0), r6(2.0 / 3.0), 0.5,
+      r6(dcg1 / idcg3))))
+    // q2: 1 relevant → IDCG over min(1, 3) = 1 term; perfect run → ndcg 1
+    assert(got(1) === ((2, 1L, 1L, r6(1.0 / 3.0), 1.0, 1.0, 1.0)))
+    assert(got(2) === ((3, 2L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("evalRun: judged query absent from the run scores zeros; unjudged run query is ignored") {
+    val run = Seq((9, 1L, 1)).toDF("query_id", "doc_id", "rank") // query 9 unjudged
+    val qrels = Seq((1, 1L)).toDF("query_id", "doc_id")          // query 1 has no run
+    val got = Retrieval.evalRun(run, qrels, k = 5)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq((1, 1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("evalRun: ranks beyond k never count") {
+    val run = Seq((1, 1L, 1), (1, 2L, 4)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 2L)).toDF("query_id", "doc_id")
+    // the only relevant doc sits at rank 4 > k=3 → everything zero
+    val got = Retrieval.evalRun(run, qrels, k = 3)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.head._3 === 0L && got.head._7 === 0.0)
+  }
+
+  test("hardNegatives (qr05): unjudged docs re-ranked by run rank, capped at nNeg") {
+    val run = Seq(
+      (1, 1L, 1), (1, 2L, 2), (1, 3L, 3), (1, 4L, 4), (1, 5L, 5),
+      (2, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 2L), (2, 1L)).toDF("query_id", "doc_id")
+    val got = Retrieval.hardNegatives(run, qrels, nNeg = 2)
+      .orderBy(col("query_id"), col("neg_rank"))
+      .as[(Int, Long, Int, Int)].collect()
+    // q1: negatives are 1,3,4,5 in run order — capped at 2; q2: none left
+    assert(got.toSeq === Seq((1, 1L, 1, 1), (1, 3L, 3, 2)))
+  }
+
+  test("tfidfKeywords (qr06): hand-computed scores, tie on term, minDf drops hapax") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry common common")).toDF("doc_id", "text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3 = r6(math.log(3.0))
+    val ln15 = r6(math.log(1.5))
+    val got = Retrieval.tfidfKeywords(docs, "doc_id", "text", m = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(got.toSeq === Seq(
+      // doc 1: apple tf=2 df=1 → 2·ln3; banana tf=1 df=2 → ln1.5; common idf 0
+      (1L, "apple", 2L, 1L, r6(2.0 * ln3), 1),
+      (1L, "banana", 1L, 2L, ln15, 2),
+      (1L, "common", 1L, 3L, 0.0, 3),
+      // doc 2: banana/cherry tie at ln1.5 → lexicographic term order
+      (2L, "banana", 1L, 2L, ln15, 1),
+      (2L, "cherry", 1L, 2L, ln15, 2),
+      (2L, "common", 1L, 3L, 0.0, 3),
+      (3L, "cherry", 2L, 2L, r6(2.0 * ln15), 1),
+      (3L, "common", 2L, 3L, 0.0, 2)))
+    // minDf = 2 drops the hapax "apple" — doc 1's top term changes
+    val filtered = Retrieval.tfidfKeywords(docs, "doc_id", "text", m = 3, minDf = 2L)
+      .filter(col("doc_id") === 1L).orderBy(col("rnk"))
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(filtered.map(_._2).toSeq === Seq("banana", "common"))
+  }
+
+  test("tfidfKeywords on the fixture: ranks contiguous, scores non-increasing, ubiquitous terms sink") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = Retrieval.tfidfKeywords(docs, "doc_id", "text", m = 5, minDf = 2L)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val byRank = rows.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq === (1 to rows.length).toSeq, s"doc $id ranks")
+      val sc = byRank.map(_._5)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"doc $id order")
+    }
+    // a term in EVERY doc has idf 0 — it can never outrank a positive score
+    val n = docs.count()
+    got.filter(_._4 == n).foreach(r => assert(r._5 === 0.0, s"df=N score: $r"))
+  }
+
+  test("evalRun + hardNegatives partition the top-k run rows (fixture corpus)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val q = Seq((1, "spark"), (1, "window"), (2, "hash")).toDF("query_id", "term")
+    val run = Retrieval.bm25Search(docs, "doc_id", "text", q, "query_id", "term", k = 10)
+    // qrels: every query-1 doc judged relevant iff doc_id is even — an
+    // arbitrary but deterministic judgment over the run's own doc space
+    val qrels = run.filter(col("doc_id") % 2 === 0)
+      .select(col("query_id"), col("doc_id"))
+    val ev = Retrieval.evalRun(run, qrels, k = 10)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+    val negs = Retrieval.hardNegatives(run, qrels, nNeg = 100)
+      .as[(Int, Long, Int, Int)].collect()
+    val runCnt = run.as[(Int, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    ev.foreach { case (qid, nRel, hits, _, _, _, _) =>
+      // hits + unjudged negatives = all run rows for that query
+      assert(hits + negs.count(_._1 == qid) === runCnt(qid), s"query $qid split")
+      assert(hits <= nRel)
+    }
+  }
 }

@@ -634,4 +634,98 @@ class SimilaritySpec extends SparkSpec {
     assert(out(100L)._2.isNegInfinity, out(100L).toString)
     assert(out(101L)._3 === true)
   }
+
+  // ------------------------------------------- embedding outliers (qe27)
+
+  test("Ivf.outliers (qe27): hand-computed moments; far-tail member flags, near members don't") {
+    // cell 0 at origin: 10 members at distance 1, one planted at 20 —
+    // mean = 30/11 ≈ 2.7273, σ ≈ 5.4617, mean + 2σ ≈ 13.65 < 20.
+    // cell 1 far away holds a singleton (std 0 → can never flag).
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(1000.0, 1000.0)))
+      .toDF("cell_id", "centroid")
+    val near = (1L to 10L).map(i => (i, Seq(math.cos(i.toDouble), math.sin(i.toDouble))))
+    val rows = (near :+ ((100L, Seq(20.0, 0.0))) :+ ((200L, Seq(1000.0, 999.0))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.Ivf.outliers(rows, "vec_id", "embedding", cents, z = 2.0)
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size === 12)
+    assert(out(100L)._2 === 0 && out(100L)._3 === 20.0)
+    assert(out(100L)._6, "planted far-tail member not flagged")
+    (1L to 10L).foreach(i => assert(!out(i)._6, s"unit-distance member $i flagged"))
+    // hand moments: all distances round to 1.0 or 20.0
+    val mean = BigDecimal((10 * 1.0 + 20.0) / 11).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(out(1L)._4 - mean.toDouble) < 1e-6, s"mean ${out(1L)._4}")
+    // singleton cell: std 0, dist == mean, never an outlier
+    assert(out(200L)._2 === 1 && out(200L)._5 === 0.0 && !out(200L)._6)
+  }
+
+  test("Ivf.outliers: z=0 flags every above-mean member; huge z flags none; partitioning-invariant") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    def run(df: org.apache.spark.sql.DataFrame, z: Double) =
+      Similarity.Ivf.outliers(df, "vec_id", "embedding", cents, z)
+        .as[(Long, Int, Double, Double, Double, Boolean)].collect()
+    val z0 = run(emb, 0.0)
+    z0.foreach(r => assert(r._6 === (r._3 > r._4), s"z=0 flag mismatch: $r"))
+    assert(z0.count(_._6) > 0)
+    assert(run(emb, 1e6).count(_._6) === 0)
+    val a = run(emb.repartition(1), 2.0).sortBy(_._1).toSeq
+    val b = run(emb.repartition(7), 2.0).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  // ------------------------------------------- JL random projection (qe26)
+
+  test("randomProject (qe26): shape, determinism, and linearity up to rounding") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(100)
+    val proj = Similarity.randomProject(emb, "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), col("proj"))
+    val rows = proj.as[(Long, Seq[Double])].collect().toMap
+    assert(rows.values.forall(_.length === 16))
+    // partitioning-invariant (pure narrow projection, 6-dp rounded)
+    val re = Similarity.randomProject(emb.repartition(7), "embedding",
+        outDim = 16, dim = 64)
+      .select(col("vec_id"), col("proj")).as[(Long, Seq[Double])].collect().toMap
+    assert(re === rows)
+    // linearity: proj(2v) = 2·proj(v) within the 6-dp rounding of each side
+    val doubled = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2.0d).as("embedding"))
+    val p2 = Similarity.randomProject(doubled, "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), col("proj")).as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, p) =>
+      p.zip(p2(id)).foreach { case (a, b) =>
+        assert(math.abs(2.0 * a - b) < 3e-6, s"vec $id not linear: $a vs $b")
+      }
+    }
+  }
+
+  test("randomProject: JL distance preservation on the fixture (loose statistical bound)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(60)
+    val proj = Similarity.randomProject(emb, "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"), col("proj"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- proj.indices; j <- (i + 1) until proj.length
+      orig = d2(proj(i)._2, proj(j)._2) if orig > 1e-9
+    } yield d2(proj(i)._3, proj(j)._3) / orig
+    // E[ratio] = 1 under JL; with k=16 individual pairs swing, but the
+    // median over ~1.7k pairs concentrates hard
+    val med = ratios.sorted.apply(ratios.length / 2)
+    assert(med > 0.7 && med < 1.3, s"median distortion $med")
+    // and no catastrophic collapse: no pair loses more than ~95% of its distance
+    assert(ratios.min > 0.05, s"worst-pair distortion ${ratios.min}")
+  }
+
+  test("randomProject rejects outDim outside [1, dim]") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.randomProject(emb, "embedding", outDim = 65, dim = 64)
+    }
+    assert(e.getMessage.contains("outDim"))
+  }
 }

@@ -577,4 +577,43 @@ class TextAnalysisSpec extends SparkSpec {
     // deterministic across partitionings (fixed level, pure function)
     assert(ratios(docs.repartition(3)) === r)
   }
+
+  // ----------------------------------------------- corpus diff (qd52)
+
+  test("corpusDiff (qd52): every status on a hand fixture; summary agrees") {
+    val old = Seq((1L, "gone doc"), (2L, "same doc"), (3L, "edit me"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "same doc"), (3L, "edited now"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val diff = Curation.corpusDiff(old, v2, "doc_id", "text")
+    val got = diff.select(col("doc_id"), col("status"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sums = Curation.corpusDiffSummary(diff)
+      .as[(String, Long)].collect().toMap
+    assert(sums === Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("corpusDiff: cosmetic whitespace/case variants are NOT changes") {
+    val old = Seq((1L, "Caf\u00e9  du   Monde"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    // different case, messy whitespace, trailing newline — same canon
+    // (fingerprint normalizes case + whitespace; NFC canon is qd48's
+    // normalizeText, deliberately not part of the fingerprint default)
+    val v2 = Seq((1L, "caf\u00e9 du monde\n"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, v2, "doc_id", "text")
+      .select(col("doc_id"), col("status")).as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "unchanged"))
+  }
+
+  test("corpusDiff: identical snapshots diff to all-unchanged on the fixture corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val sums = Curation.corpusDiffSummary(
+        Curation.corpusDiff(docs, docs, "doc_id", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(sums === Map("unchanged" -> docs.count()))
+  }
 }
