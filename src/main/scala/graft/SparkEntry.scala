@@ -1578,6 +1578,35 @@ object SparkEntry {
           k = 3, w = 4, minShared = 2, maxDf = 50, minContainment = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // oracle-checked: Min-K% Prob membership score (Shi et al. 2023) —
+    // mean log-prob of each doc's 20% least likely tokens under the
+    // corpus unigram LM; the membership-inference complement of the
+    // decontamination gates. Boundary-exact occurrence selection via a
+    // running-count window; kFrac=1 ≡ qd29 (spec-pinned).
+    "qd54_min_k_prob" -> ((s, d) =>
+      TextAnalysis.minKProb(Tables.documents(s, d), "doc_id", "text",
+          kFrac = 0.2)
+        .orderBy(col("doc_id"))),
+
+    // oracle-checked: per-source bigram Shannon diversity — the
+    // datacard entropy signal (templated sources concentrate n-gram
+    // mass; diverse ones approach ln(distinct)); −p·ln p terms 10-dp
+    // DECIMAL-summed, order-free.
+    "qd55_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.sourceNgramDiversity(Tables.documents(s, d), "source",
+          "text", n = 2)
+        .orderBy(col("source"))),
+
+    // oracle-checked: directed source-containment matrix — qd41's
+    // asymmetric reading (is crawl A a SUBSET of B? near-zero Jaccard
+    // but containment ≈ 1); a pair-table-sized derivation of the same
+    // overlap machinery, no extra corpus pass.
+    "qd56_source_containment" -> ((s, d) =>
+      Dedup.sourceContainment(
+          Dedup.sourceOverlap(Tables.documents(s, d), "source", "text",
+            n = 3, portable = true))
+        .orderBy(col("source"), col("other"))),
+
     "qd47_leakage_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
@@ -2932,6 +2961,79 @@ object SparkEntry {
          |    / CAST(za.n + zb.n - n_shared_grams AS DOUBLE), 6) AS jaccard
          |FROM pr JOIN sz za ON za.s = source_a JOIN sz zb ON zb.s = source_b
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // Min-K% replayed: qd29's toks/vocab/total CTEs + per-(doc, token)
+    // counts, (ln freq, token)-ordered running-count window, boundary-
+    // exact take, decimal Σ lp·take, mean minus ln N
+    "qd54_min_k_prob" ->
+      s"""WITH $duckUnigramLmCte,
+         |tfq2 AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+         |mk AS (SELECT t.doc_id, t.tok, t.cnt,
+         |    CAST(ROUND(ln(CAST(v.freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lpv
+         |  FROM tfq2 t JOIN vocab v USING (tok)),
+         |c1 AS (SELECT *,
+         |    CAST(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY lpv, tok
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS ntok
+         |  FROM mk),
+         |c2 AS (SELECT *,
+         |    GREATEST(1, CAST(CEIL(0.2 * CAST(ntok AS DOUBLE)) AS BIGINT)) AS k
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, ntok, k, lpv,
+         |    LEAST(cum, k) - LEAST(cum - cnt, k) AS tk FROM c2
+         |  WHERE LEAST(cum, k) - LEAST(cum - cnt, k) > 0),
+         |ag AS (SELECT doc_id, MAX(ntok) AS n_tok, MAX(k) AS k_used,
+         |    SUM(lpv * tk) AS s
+         |  FROM c3 GROUP BY doc_id)
+         |SELECT doc_id, n_tok, k_used,
+         |  ROUND(CAST(s AS DOUBLE) / k_used - ln((SELECT n FROM total)), 4)
+         |    AS min_k_logprob
+         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // per-source bigram entropy replayed: occurrence counts, exact-ratio
+    // p, 10-dp DECIMAL −p·ln p terms, rollup + ln(distinct) normalizer
+    "qd55_ngram_diversity" ->
+      """WITH gr AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |cnt AS (SELECT source, g, COUNT(*) AS c FROM gr GROUP BY source, g),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total FROM cnt GROUP BY source),
+        |terms AS (SELECT c.source,
+        |    CAST(ROUND(-(CAST(c.c AS DOUBLE) / CAST(t.total AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.total AS DOUBLE)), 10)
+        |      AS DECIMAL(38,10)) AS term
+        |  FROM cnt c JOIN tot t USING (source)),
+        |ag AS (SELECT source, COUNT(*) AS distinct_ngrams,
+        |    CAST(SUM(term) AS DOUBLE) AS h
+        |  FROM terms GROUP BY source)
+        |SELECT a.source, t.total AS total_ngrams, a.distinct_ngrams,
+        |  ROUND(a.h, 6) AS entropy,
+        |  CASE WHEN a.distinct_ngrams > 1
+        |       THEN ROUND(a.h / ln(CAST(a.distinct_ngrams AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS entropy_norm
+        |FROM ag a JOIN tot t USING (source) ORDER BY a.source""".stripMargin,
+
+    // directed containment replayed: qd41's sg/sz/pr CTEs, both ordered
+    // rows emitted from each unordered pair
+    "qd56_source_containment" ->
+      s"""WITH sg AS (SELECT DISTINCT source AS s, g FROM (
+         |    SELECT source, unnest($duckShingles3) AS g
+         |    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+         |          FROM documents))),
+         |sz AS (SELECT s, COUNT(*) AS n FROM sg GROUP BY s),
+         |pr AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS ns
+         |       FROM sg a JOIN sg b USING (g) WHERE a.s < b.s GROUP BY a.s, b.s),
+         |bothd AS (
+         |  SELECT sa AS source, sb AS other, za.n AS n_grams, ns AS n_shared_grams,
+         |    ROUND(CAST(ns AS DOUBLE) / CAST(za.n AS DOUBLE), 6) AS containment
+         |  FROM pr JOIN sz za ON za.s = sa
+         |  UNION ALL
+         |  SELECT sb, sa, zb.n, ns, ROUND(CAST(ns AS DOUBLE) / CAST(zb.n AS DOUBLE), 6)
+         |  FROM pr JOIN sz zb ON zb.s = sb)
+         |SELECT source, other, n_grams, n_shared_grams, containment
+         |FROM bothd ORDER BY source, other""".stripMargin,
 
     // BM25 replayed end to end: restricted postings, window df, scalar
     // (N, avgdl), 6-dp DECIMAL partial sum, ranked cut

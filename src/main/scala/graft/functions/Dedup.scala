@@ -356,6 +356,35 @@ object Dedup {
     out
   }
 
+  /** Directed SOURCE-level containment matrix — [[sourceOverlap]]'s
+    * asymmetric reading, and the doc-level [[containmentPairs]] rolled up
+    * to sources: for each ordered pair, what fraction of source A's
+    * distinct n-grams also occur in B (C(A,B) = |A∩B| / |A|). The
+    * question symmetric Jaccard can't answer: "is this new crawl a
+    * SUBSET of what we already have?" — a small source fully contained
+    * in a big one shows near-zero Jaccard but containment ≈ 1, exactly
+    * the drop-the-redundant-source signal.
+    *
+    * Pure pair-table-sized derivation: both directed rows come from the
+    * unordered [[sourceOverlap]] output's (n_shared, n_a, n_b) — no new
+    * corpus pass, so the regime guidance on sourceOverlap's forms
+    * applies unchanged (hashed keys at scale, sketch when grams don't
+    * shuffle).
+    */
+  def sourceContainment(overlap: DataFrame): DataFrame = {
+    val ab = overlap.select(col("source_a").as("source"),
+      col("source_b").as("other"), col("n_grams_a").as("n_grams"),
+      col("n_shared_grams"),
+      round(col("n_shared_grams").cast("double") / col("n_grams_a").cast("double"), 6)
+        .as("containment"))
+    val ba = overlap.select(col("source_b").as("source"),
+      col("source_a").as("other"), col("n_grams_b").as("n_grams"),
+      col("n_shared_grams"),
+      round(col("n_shared_grams").cast("double") / col("n_grams_b").cast("double"), 6)
+        .as("containment"))
+    ab.unionByName(ba)
+  }
+
   /** Sketched [[sourceOverlap]] — the 100 TB path: estimate every
     * source pair's gram-set Jaccard from per-source MinHash signatures
     * instead of the exact distinct-gram self-join. One corpus pass

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -338,6 +339,114 @@ object TextAnalysis {
       .withColumn("avg_logprob",
         round(col("__sum_lp").cast("double") / col("n_tok") - log(col("__total")), 4))
       .select(col(idCol), col("n_tok"), col("avg_logprob"))
+  }
+
+  /** Min-K% Prob membership/memorization score (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models": a text the
+    * model has SEEN has anomalously few low-probability tokens, so score
+    * it by the mean log-prob of only its k% LEAST likely tokens — the
+    * outlier tail, not the easy bulk). Here the scoring model is the
+    * corpus-as-model unigram LM ([[unigramLogProb]]'s), making this the
+    * engine-portable forensics form: docs whose min-k tail is
+    * suspiciously probable under a reference corpus are candidate
+    * copies/templates of it, the membership-inference complement of the
+    * n-gram/semantic decontamination gates.
+    *
+    * Selection is exact over token OCCURRENCES: k_used = max(1,
+    * ⌈kFrac·n⌉); tokens are taken in (ln freq, token) order with a
+    * running-count window, and a group straddling the boundary
+    * contributes exactly the occurrences that fit — since tied ranks
+    * share one ln freq, the SUM is tie-order invariant. Per-token ln is
+    * 6-dp-rounded DECIMAL (order-free); the final mean subtracts ln N
+    * once ([[unigramLogProbFromTf]]'s identity). kFrac = 1 reproduces
+    * `avg_logprob` exactly (spec-pinned).
+    *
+    * Scale shape: the grouped [[unigramTf]] frame (distinct-token rows,
+    * map-side combined), a vocab equi-join on the token, ONE window
+    * shuffle on the doc id, and a per-doc rollup. No collects beyond
+    * the 1-row total.
+    */
+  def minKProb(df: DataFrame, idCol: String, textCol: String,
+      kFrac: Double = 0.2): DataFrame = {
+    require(kFrac > 0.0 && kFrac <= 1.0,
+      s"minKProb: kFrac must be in (0, 1], got $kFrac")
+    val tf = unigramTf(df, idCol, textCol)
+    val vocab = tf.groupBy(col("__tok")).agg(sum(col("__cnt")).cast("long").as("__freq"))
+    val total = vocab.agg(sum(col("__freq")).cast("double").as("__total"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wCum = wDoc.orderBy(col("__lp").asc, col("__tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = tf.join(vocab, "__tok")
+      .withColumn("__lp",
+        round(log(col("__freq").cast("double")), 6).cast(DecimalType(18, 6)))
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__ntok", sum(col("__cnt")).over(wDoc))
+      .withColumn("__k", greatest(lit(1L),
+        ceil(lit(kFrac) * col("__ntok").cast("double")).cast("long")))
+      .withColumn("__take",
+        least(col("__cum"), col("__k")) - least(col("__cum") - col("__cnt"), col("__k")))
+      .filter(col("__take") > 0)
+    scored.groupBy(col(idCol))
+      .agg(max(col("__ntok")).cast("long").as("n_tok"),
+        max(col("__k")).cast("long").as("k_used"),
+        sum(col("__lp") * col("__take")).as("__s"))
+      .crossJoin(broadcast(total))
+      .withColumn("min_k_logprob",
+        round(col("__s").cast("double") / col("k_used") - log(col("__total")), 4))
+      .select(col(idCol), col("n_tok"), col("k_used"), col("min_k_logprob"))
+  }
+
+  /** Per-source n-gram diversity report — the Shannon-entropy datacard
+    * signal next to [[corpusDatacard]]'s volumes and
+    * [[NativeExpressions.DeflateRatioExpr]]'s per-doc compressibility: a
+    * templated/boilerplate source concentrates its n-gram mass on few
+    * grams (low entropy), a diverse one spreads it (entropy →
+    * ln(distinct)). H = −Σ p·ln p over the source's n-gram OCCURRENCE
+    * distribution; `entropy_norm` = H / ln(distinct) ∈ [0, 1] (0 when a
+    * source has one distinct gram — nothing to normalize).
+    *
+    * Determinism/portability: p = cnt/total is an exact integer-ratio
+    * double; each −p·ln p term rounds to 10 dp (fine enough that
+    * sub-1e-6 tail grams still register) and sums as DECIMAL(38,10) —
+    * order-free, SQL-replayable. Scale: one gram explode → (source,
+    * gram) grouped count (map-side combine, uniform keys) → per-source
+    * rollup; S-row output.
+    */
+  def sourceNgramDiversity(df: DataFrame, sourceCol: String,
+      textCol: String, n: Int = 2): DataFrame = {
+    val grams = df.select(col(sourceCol).as("source"),
+        explode(allNgrams(col(textCol), n)).as("__g"))
+      .groupBy(col("source"), col("__g"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+    val wSrc = Window.partitionBy(col("source"))
+    val p = col("__cnt").cast("double") / col("__total").cast("double")
+    grams
+      .withColumn("__total", sum(col("__cnt")).over(wSrc))
+      .withColumn("__term",
+        round(-p * log(p), 10).cast(DecimalType(38, 10)))
+      .groupBy(col("source"))
+      .agg(max(col("__total")).cast("long").as("total_ngrams"),
+        count(lit(1)).cast("long").as("distinct_ngrams"),
+        sum(col("__term")).cast("double").as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("distinct_ngrams") > 1L,
+          round(col("entropy") / log(col("distinct_ngrams").cast("double")), 6))
+          .otherwise(lit(0.0d)))
+      .withColumn("entropy", round(col("entropy"), 6))
+      .select(col("source"), col("total_ngrams"), col("distinct_ngrams"),
+        col("entropy"), col("entropy_norm"))
+  }
+
+  /** ALL n-gram occurrences (order-preserving, NOT distinct — the
+    * occurrence distribution [[sourceNgramDiversity]] measures; contrast
+    * [[graft.functions.Dedup.wordShingles]]'s distinct sets).
+    */
+  private[graft] def allNgrams(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array())
   }
 
   /** Mask emails and URLs — the redaction pass of a training-data

@@ -629,6 +629,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("sourceContainment (qd56): a subset source shows containment 1.0 at low Jaccard") {
+    // source A's entire gram set occurs inside source B's bigger text
+    val aText = "alpha bravo charlie delta echo foxtrot"      // 4 3-grams
+    val bText = s"intro1 intro2 intro3 $aText tail1 tail2 tail3 tail4 tail5 tail6"
+    val docs = Seq(("A", 1L, aText), ("B", 2L, bText),
+      ("C", 3L, "totally different words in here my friend now then"))
+      .toDF("source", "doc_id", "text")
+    val overlap = Dedup.sourceOverlap(docs, "source", "text", n = 3, portable = true)
+    val got = Dedup.sourceContainment(overlap)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(got(("A", "B"))._5 === 1.0, s"A in B: ${got(("A", "B"))}")
+    assert(got(("B", "A"))._5 < 0.5, s"B in A: ${got(("B", "A"))}")
+    // directed rows are exactly 2x the unordered pairs, and containment
+    // always bounds the symmetric Jaccard from above
+    val ov = overlap.as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.size === 2 * ov.length)
+    ov.foreach { o =>
+      assert(got((o._1, o._2))._5 >= o._6 - 1e-9)
+      assert(got((o._2, o._1))._5 >= o._6 - 1e-9)
+    }
+  }
+
   test("containmentPairs: containment bounds Jaccard; threshold filters") {
     val docs = Tables.documents(spark, sf0001)
     val got = Dedup.containmentPairs(docs, "doc_id", "text",

@@ -578,6 +578,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ratios(docs.repartition(3)) === r)
   }
 
+  // ----------------------------------------------- min-k% prob (qd54)
+
+  private def r(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("minKProb (qd54): hand-computed boundary-straddling selection") {
+    // corpus freqs: x:3, y:2, z:4, N=9. doc 1 = x x x y z, kFrac=0.4 →
+    // k=2: take y (cnt 1, ln2) fully + ONE of the three x occurrences
+    // (ln3) — the boundary split inside the x group
+    val docs = Seq((1L, "x x x y z"), (2L, "y z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.minKProb(docs, "doc_id", "text", kFrac = 0.4)
+      .as[(Long, Long, Long, Double)].collect().map(r0 => r0._1 -> r0).toMap
+    val exp1 = r((r(math.log(2), 6) + r(math.log(3), 6)) / 2.0 - math.log(9.0), 4)
+    assert(got(1L) === ((1L, 5L, 2L, exp1)))
+    // doc 2 = y z z z, k=ceil(1.6)=2: y(ln2) + one z(ln4)
+    val exp2 = r((r(math.log(2), 6) + r(math.log(4), 6)) / 2.0 - math.log(9.0), 4)
+    assert(got(2L) === ((2L, 4L, 2L, exp2)))
+  }
+
+  test("minKProb: kFrac = 1 reproduces unigramLogProb exactly; min-k never exceeds the full mean") {
+    val docs = Tables.documents(spark, sf0001)
+    val full = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    val k1 = TextAnalysis.minKProb(docs, "doc_id", "text", kFrac = 1.0)
+      .as[(Long, Long, Long, Double)].collect()
+    k1.foreach { case (id, n, k, score) =>
+      assert(n === full(id)._2 && k === n, s"doc $id k/n")
+      assert(score === full(id)._3, s"doc $id full-k score")
+    }
+    val k20 = TextAnalysis.minKProb(docs, "doc_id", "text", kFrac = 0.2)
+      .as[(Long, Long, Long, Double)].collect()
+    k20.foreach { case (id, _, _, score) =>
+      // the lowest-20% mean cannot exceed the full mean (+rounding slack)
+      assert(score <= full(id)._3 + 1e-3, s"doc $id min-k above mean")
+    }
+  }
+
+  // ------------------------------------------ n-gram diversity (qd55)
+
+  test("sourceNgramDiversity (qd55): hand-computed entropy; constant template scores zero") {
+    val docs = Seq(
+      ("A", 1L, "a b a b a b"),   // bigrams: ab×3, ba×2 → H = −Σ p ln p
+      ("B", 2L, "x x x x x x"))   // one distinct bigram → H = 0, norm 0
+      .toDF("source", "doc_id", "text")
+    val got = TextAnalysis.sourceNgramDiversity(docs, "source", "text", n = 2)
+      .as[(String, Long, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    def term(p: Double): BigDecimal =
+      BigDecimal(-p * math.log(p)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val h = (term(3.0 / 5.0) + term(2.0 / 5.0)).toDouble
+    assert(got("A") === (("A", 5L, 2L, r(h, 6), r(h / math.log(2.0), 6))))
+    assert(got("B") === (("B", 5L, 1L, 0.0, 0.0)))
+  }
+
+  test("sourceNgramDiversity: evener distributions score strictly higher; fixture norms in [0,1]") {
+    val docs = Seq(
+      ("even", 1L, "a b c d a b c d"),     // near-uniform bigram mass
+      ("skew", 2L, "a b a b a b a z"))     // mass concentrated on 'a b'
+      .toDF("source", "doc_id", "text")
+    val got = TextAnalysis.sourceNgramDiversity(docs, "source", "text", n = 2)
+      .as[(String, Long, Long, Double, Double)].collect().map(x => x._1 -> x._5).toMap
+    assert(got("even") > got("skew"), got.toString)
+    val fix = TextAnalysis.sourceNgramDiversity(
+        Tables.documents(spark, sf0001), "source", "text", n = 2)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(fix.nonEmpty)
+    fix.foreach { x =>
+      assert(x._5 >= 0.0 && x._5 <= 1.0, s"norm out of range: $x")
+      assert(x._4 >= 0.0 && x._2 >= x._3, s"inconsistent counts: $x")
+    }
+  }
+
   // ----------------------------------------------- corpus diff (qd52)
 
   test("corpusDiff (qd52): every status on a hand fixture; summary agrees") {
