@@ -1597,6 +1597,16 @@ object SparkEntry {
           "text", n = 2)
         .orderBy(col("source"))),
 
+    // oracle-checked: concat-then-chunk packing (the GPT-2/LLaMA
+    // recipe: docs laid on one global token stream in doc_id order,
+    // cut into 128-token sequences, SPLIT at boundaries — zero padding
+    // waste) — the global offset is the two-phase range-partitioned
+    // prefix sum, no single-partition window.
+    "qd57_stream_packing" -> ((s, d) =>
+      Curation.packStream(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"), contextLen = 128)
+        .orderBy(col("seq_id"), col("pos_in_seq"))),
+
     // oracle-checked: directed source-containment matrix — qd41's
     // asymmetric reading (is crawl A a SUBSET of B? near-zero Jaccard
     // but containment ≈ 1); a pair-table-sized derivation of the same
@@ -3014,6 +3024,33 @@ object SparkEntry {
         |       THEN ROUND(a.h / ln(CAST(a.distinct_ngrams AS DOUBLE)), 6)
         |       ELSE 0.0 END AS entropy_norm
         |FROM ag a JOIN tot t USING (source) ORDER BY a.source""".stripMargin,
+
+    // stream packing replayed: one ordered cumulative window (the SQL
+    // twin of the two-phase prefix sum), integer chunk arithmetic,
+    // per-doc sequence fan-out
+    "qd57_stream_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |nz AS (SELECT * FROM d WHERE n_tok > 0),
+        |cu AS (SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM nz),
+        |ex AS (SELECT doc_id, n_tok, cum, cum - n_tok AS noff,
+        |    CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 128) AS BIGINT) AS f,
+        |    CAST(FLOOR(CAST(cum - 1 AS DOUBLE) / 128) AS BIGINT) AS l
+        |  FROM cu),
+        |sp AS (SELECT doc_id, n_tok, cum, noff, CAST(i AS BIGINT) AS seq_id
+        |  FROM ex, UNNEST(range(f, l + 1)) AS t(i)),
+        |sl AS (SELECT seq_id, doc_id,
+        |    GREATEST(noff, seq_id * 128) - noff AS from_tok,
+        |    LEAST(cum, (seq_id + 1) * 128) - GREATEST(noff, seq_id * 128) AS take,
+        |    GREATEST(noff, seq_id * 128) - seq_id * 128 AS pos_in_seq,
+        |    n_tok
+        |  FROM sp)
+        |SELECT seq_id, doc_id, from_tok, take, pos_in_seq, n_tok FROM sl
+        |ORDER BY seq_id, pos_in_seq""".stripMargin,
 
     // directed containment replayed: qd41's sg/sz/pr CTEs, both ordered
     // rows emitted from each unordered pair

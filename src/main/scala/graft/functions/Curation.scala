@@ -452,6 +452,48 @@ object Curation {
     else w).partitionBy("shard_id").parquet(path)
   }
 
+  /** Concat-then-chunk sequence packing — the OTHER standard pretraining
+    * packing next to [[packSequences]]'s greedy no-split binning: lay
+    * every document's tokens on one global stream in a deterministic
+    * order (the caller's unique `orderCol`, e.g. the doc id) and cut the
+    * stream into fixed `contextLen` windows, SPLITTING documents at
+    * window boundaries (the GPT-2/LLaMA recipe — zero padding waste, at
+    * the cost of boundary-crossing documents). Emits one row per
+    * (sequence, document-slice): which token span of the doc
+    * (`from_tok`, `take`) lands at which position of which sequence
+    * (`seq_id`, `pos_in_seq`). Every token is placed exactly once;
+    * every sequence is exactly full except the last (spec-pinned).
+    * Zero-token docs contribute nothing and are dropped.
+    *
+    * Scale shape: the global token offset comes from
+    * [[graft.ops.RankOps.globalPrefixSum]] — the two-phase
+    * range-partitioned prefix sum, NO single-partition window — and the
+    * explode fans each doc out to only the ⌈n/C⌉+1 sequences it touches:
+    * row growth IS the output. Pure integer arithmetic after the offset,
+    * so the layout replays in SQL (qd57's oracle).
+    */
+  def packStream(df: DataFrame, idCol: String, tokenCountCol: Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"packStream: contextLen must be >= 1, got $contextLen")
+    val c = lit(contextLen.toLong)
+    val cum = graft.ops.RankOps.globalPrefixSum(
+      df.select(col(idCol).as("doc_id"), tokenCountCol.cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0L),
+      col("doc_id"), col("n_tok"), out = "__cum")
+    cum
+      .withColumn("__off", col("__cum") - col("n_tok"))
+      .withColumn("__first", floor(col("__off").cast("double") / c).cast("long"))
+      .withColumn("__last", floor((col("__cum") - 1L).cast("double") / c).cast("long"))
+      .withColumn("seq_id", explode(sequence(col("__first"), col("__last"))))
+      .withColumn("__begin", greatest(col("__off"), col("seq_id") * c))
+      .withColumn("__end", least(col("__cum"), (col("seq_id") + 1L) * c))
+      .select(col("seq_id"), col("doc_id"),
+        (col("__begin") - col("__off")).as("from_tok"),
+        (col("__end") - col("__begin")).as("take"),
+        (col("__begin") - col("seq_id") * c).as("pos_in_seq"),
+        col("n_tok"))
+  }
+
   // -------------------------------------------------- corpus versioning
 
   /** Snapshot diff between two corpus versions — the dataset-versioning

@@ -60,4 +60,46 @@ object RankOps {
       .withColumn(out, (col("__lr") + col("__offset")).cast("int"))
       .drop("__pid", "__lr", "__offset")
   }
+
+  /** Global INCLUSIVE prefix sum of `valueCol` in `sortCol` order — the
+    * value-sum sibling of [[globalRank]], and the primitive under
+    * corpus-order layouts (token offsets for concat-then-chunk packing,
+    * byte offsets for shard manifests): `sum(value).over(Window
+    * .orderBy(…))` with no partition key is the same single-partition
+    * straggler `rank()` is.
+    *
+    * Same two-phase shape: range-repartition on the sort key
+    * (localCheckpoint'ed — one input scan, sampler re-seeding immaterial),
+    * a per-partition running sum, and per-partition TOTAL sums (≤
+    * numPartitions longs) cumulated on the driver into offsets.
+    *
+    * `sortCol` must be a TOTAL order (unique per row — e.g. a doc id):
+    * with duplicate keys a running sum depends on intra-tie order, which
+    * no engine defines. Ranges split on the sort key so ties would also
+    * straddle partitions; the caller owns supplying a unique key.
+    */
+  def globalPrefixSum(df: DataFrame, sortCol: Column, valueCol: Column,
+      out: String = "cum", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parts = df.withColumn("__v", valueCol.cast("long"))
+      .repartitionByRange(n, sortCol)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = parts.groupBy(col("__pid"))
+      .agg(sum(col("__v")).cast("long").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts
+      .withColumn("__ls", sum(col("__v")).over(local))
+      .join(offDf, "__pid")
+      .withColumn(out, col("__ls") + col("__offset"))
+      .drop("__pid", "__v", "__ls", "__offset")
+  }
 }

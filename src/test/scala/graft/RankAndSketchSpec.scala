@@ -47,6 +47,74 @@ class RankAndSketchSpec extends SparkSpec {
     assert(raw === Map(1 -> 20L, 21 -> 20L, 41 -> 20L, 61 -> 20L, 81 -> 20L))
   }
 
+  test("globalPrefixSum equals single-partition window cumsum; empty partitions safe") {
+    val df = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("v"))
+    val expected = df
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("l_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("l_orderkey", "cum").as[(Long, Long)].collect().toMap
+    val got = RankOps.globalPrefixSum(df, col("l_orderkey"), col("v"))
+      .select("l_orderkey", "cum").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // more partitions than rows → some range partitions empty
+    val tiny = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("id", "v")
+    val t = RankOps.globalPrefixSum(tiny, col("id"), col("v"), numPartitions = 8)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(t === Map(1L -> 10L, 2L -> 15L, 3L -> 22L))
+  }
+
+  test("packStream (qd57): every token placed once, sequences exactly full except the last") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.select(sum(
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .as[Long].head()
+    val packed = graft.functions.Curation.packStream(docs, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        contextLen = 128)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // conservation: per-doc takes sum to the doc's token count, and the
+    // grand total equals the corpus token count
+    val perDoc = packed.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val nTokOf = packed.map(r => r._2 -> r._6).toMap
+    perDoc.foreach { case (id, s) => assert(s === nTokOf(id), s"doc $id tokens") }
+    assert(packed.map(_._4).sum === n)
+    // every sequence except the last is exactly full and contiguous
+    val lastSeq = packed.map(_._1).max
+    packed.groupBy(_._1).foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_._5)
+      // slices tile the sequence: each begins where the previous ended
+      sorted.foldLeft(0L) { case (pos, r) =>
+        assert(r._5 === pos, s"seq $seq gap at ${r._5}"); pos + r._4
+      }
+      val filled = sorted.map(_._4).sum
+      if (seq != lastSeq) assert(filled === 128L, s"seq $seq not full: $filled")
+      else assert(filled === (if (n % 128 == 0) 128L else n % 128), "last seq")
+    }
+    // slices within a doc are consecutive spans of it
+    packed.groupBy(_._2).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.foldLeft(0L) { case (from, r) =>
+        assert(r._3 === from, s"doc $id slice gap"); from + r._4
+      }
+    }
+  }
+
+  test("packStream is partitioning-invariant and drops zero-token docs") {
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 130L), (4L, 251L))
+      .toDF("doc_id", "n")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Curation.packStream(df, "doc_id", col("n"), contextLen = 128)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._5)).toSeq
+    val a = run(docs.repartition(1))
+    assert(a === run(docs.repartition(5)))
+    assert(!a.exists(_._2 == 2L), "zero-token doc emitted")
+    // doc 3 (130 tokens at offset 5) straddles seq 0/1; doc 4 spans 3 seqs
+    assert(a.filter(_._2 == 3L).map(_._1).toSet === Set(0L, 1L))
+    assert(a.filter(_._2 == 4L).map(_._1).size === 3)
+  }
+
   test("globalRank materializes the shuffle once — downstream jobs add zero input scans") {
     // a scan-counting accumulator in the source RDD. Two passes are
     // inherent to repartitionByRange (the range sampler reads the input,
