@@ -3765,9 +3765,9 @@ object SparkEntry {
         |  FROM old WHERE doc_id % 29 = 0),
         |newc AS (SELECT * FROM revised UNION ALL SELECT * FROM addedd),
         |ofp AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old FROM old),
+        |    md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fp_old FROM old),
         |nfp AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_new FROM newc)
+        |    md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fp_new FROM newc)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'

@@ -515,9 +515,12 @@ object Curation {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // null text folds to the empty-text fingerprint: a null fp would
+    // make the presence checks lie (a PRESENT null-text row would
+    // classify as added/removed)
     def fps(df: DataFrame, side: String) = df.select(
       col(idCol).as("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as(s"fp_$side"))
+      TextAnalysis.fingerprint(coalesce(col(textCol), lit(""))).as(s"fp_$side"))
     fps(oldDf, "old").join(fps(newDf, "new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp_old").isNull, lit("added"))

@@ -29,6 +29,14 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = NativeExpressions.vecDot(a, b)
 
+  /** True iff the (double-cast) vector is present and every element is a
+    * real number — the uncurated-stream guard for the reporting ops whose
+    * DECIMAL casts (ANSI) or cell moments a single NaN/null element would
+    * kill or poison. Narrow HOF, codegen-friendly.
+    */
+  private[graft] def corruptFree(v: Column): Column =
+    v.isNotNull && !exists(v, x => x.isNull || isnan(x))
+
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity; 0 when either vector has zero norm. */
@@ -320,6 +328,12 @@ object Similarity {
       * so the report replays bit-equal in SQL. Scale: one narrow
       * assignment pass (NearestCellsExpr — no join, no Exchange before
       * the S-row groupBy), centroid side broadcast; output is S rows.
+      *
+      * Corrupt vectors (null, or holding a null/NaN element) are
+      * EXCLUDED from the report ([[corruptFree]]): a NaN distance would
+      * otherwise hit the ANSI NaN→DECIMAL cast and kill the job, and a
+      * report that silently poisoned one cell's mean with NaN would be
+      * worse — corrupt rows are quality-pipeline rejects, not members.
       */
     def cellStats(corpus: DataFrame, vecCol: String,
         centroids: DataFrame): DataFrame = {
@@ -334,6 +348,7 @@ object Similarity {
         col("centroid").cast("array<double>").as("__cv")))
       val members = corpus
         .select(asDouble(col(vecCol)).as("__v"))
+        .filter(corruptFree(col("__v")))
         .withColumn("cell_id", element_at(idOf,
           element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1) + 1))
         .join(cent, "cell_id")
@@ -381,6 +396,9 @@ object Similarity {
         col("centroid").cast("array<double>").as("__cv")))
       val members = corpus
         .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+        // corrupt rows excluded — see cellStats: ANSI NaN→DECIMAL would
+        // kill the job, and NaN moments would poison the whole cell
+        .filter(corruptFree(col("__v")))
         .withColumn("cell_id", element_at(idOf,
           element_at(NativeExpressions.nearestCells(col("__v"), m, 1), 1) + 1))
         .join(cent, "cell_id")

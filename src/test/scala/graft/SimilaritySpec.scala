@@ -635,6 +635,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(101L)._3 === true)
   }
 
+  test("cellStats and outliers survive corrupt embeddings: excluded, never thrown or poisoned") {
+    // ANSI mode is on: an unguarded NaN distance would fail the
+    // NaN→DECIMAL cast outright; a guard that only dropped whole-null
+    // vectors would still let one NaN ELEMENT poison its cell's moments
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 10.0)))
+      .toDF("cell_id", "centroid")
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(Double.NaN, 0.5)),
+      (5L, Seq(10.0, 11.0)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((4L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding"))
+    val stats = Similarity.Ivf.cellStats(rows, "embedding", cents)
+      .as[(Int, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(stats(0)._2 === 2L && stats(1)._2 === 1L, stats.toString)
+    assert(stats.values.forall(r => !r._4.isNaN), s"poisoned mean: $stats")
+    val out = Similarity.Ivf.outliers(rows, "vec_id", "embedding", cents, z = 1.0)
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect()
+    assert(out.map(_._1).toSet === Set(1L, 2L, 5L), out.toSeq.toString)
+    assert(out.forall(r => !r._3.isNaN && !r._4.isNaN && !r._5.isNaN))
+  }
+
   // ------------------------------------------- embedding outliers (qe27)
 
   test("Ivf.outliers (qe27): hand-computed moments; far-tail member flags, near members don't") {

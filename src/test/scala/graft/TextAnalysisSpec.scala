@@ -680,6 +680,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "unchanged"))
   }
 
+  test("corpusDiff: null text is a present empty doc, not a phantom add/remove") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("kept")))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, Some("")), (2L, Some("kept"))).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, v2, "doc_id", "text")
+      .select(col("doc_id"), col("status")).as[(Long, String)].collect().toMap
+    // null folds to the empty-text fingerprint → unchanged, and never
+    // misreads presence
+    assert(got === Map(1L -> "unchanged", 2L -> "unchanged"))
+  }
+
   test("corpusDiff: identical snapshots diff to all-unchanged on the fixture corpus") {
     val docs = Tables.documents(spark, sf0001)
     val sums = Curation.corpusDiffSummary(
