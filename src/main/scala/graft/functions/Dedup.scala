@@ -972,16 +972,24 @@ object Dedup {
       maxDf: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"winnowOverlapPairs: need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    // persisted: BOTH sides of the pair self-join consume this frame —
+    // without it the whole upstream fingerprint derivation (a corpus
+    // scan) runs twice (the sourceOverlap discipline); the pair-sized
+    // result is checkpointed eagerly so the persist can be dropped here
     val byHash = fps.select(col("doc_id"), col("fp_hash")).distinct()
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
       .filter(col("__df") <= maxDf)
       .select(col("doc_id"), col("fp_hash"))
-    byHash.select(col("doc_id").as("id_a"), col("fp_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = byHash.select(col("doc_id").as("id_a"), col("fp_hash"))
       .join(byHash.select(col("doc_id").as("id_b"), col("fp_hash")), "fp_hash")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("long").as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+      .localCheckpoint(true)
+    byHash.unpersist(false)
+    out
   }
 
   /** ASYMMETRIC overlap — Broder containment C(A,B) = |A ∩ B| / |A| over
@@ -1007,9 +1015,14 @@ object Dedup {
       minContainment: Double = 0.5): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
     val pairs = winnowOverlapPairs(fps, minShared, maxDf)
+    // persisted: the verification joins this gram frame on BOTH pair
+    // sides — one corpus scan instead of two (ScanCountSpec pins the
+    // op's total at 2: fingerprints + grams); pair-sized output is
+    // checkpointed eagerly so the persist can be dropped on return
     val docs = df.select(col(idCol).as("doc_id"),
-      wordShingles(lower(col(textCol)), k).as("__g"))
-    pairs
+        wordShingles(lower(col(textCol)), k).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = pairs
       .join(docs.select(col("doc_id").as("id_a"), col("__g").as("__ga")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("__g").as("__gb")), "id_b")
       .withColumn("__i", size(array_intersect(col("__ga"), col("__gb"))).cast("double"))
@@ -1022,5 +1035,8 @@ object Dedup {
       .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         col("containment_a"), col("containment_b"), col("jaccard"))
+      .localCheckpoint(true)
+    docs.unpersist(false)
+    out
   }
 }

@@ -367,10 +367,19 @@ object TextAnalysis {
     * the 1-row total.
     */
   def minKProb(df: DataFrame, idCol: String, textCol: String,
+      kFrac: Double = 0.2): DataFrame =
+    minKProbFromTf(unigramTf(df, idCol, textCol), idCol, kFrac)
+
+  /** [[minKProb]] over a precomputed [[unigramTf]] frame — the same
+    * persisted-seam pattern as [[unigramLogProbFromTf]]: the tf frame
+    * feeds the vocab aggregation AND the scoring join, so a pipeline
+    * that persists the seam scans the corpus once for both (and can
+    * share it with the qd29 scorer).
+    */
+  def minKProbFromTf(tf: DataFrame, idCol: String,
       kFrac: Double = 0.2): DataFrame = {
     require(kFrac > 0.0 && kFrac <= 1.0,
       s"minKProb: kFrac must be in (0, 1], got $kFrac")
-    val tf = unigramTf(df, idCol, textCol)
     val vocab = tf.groupBy(col("__tok")).agg(sum(col("__cnt")).cast("long").as("__freq"))
     val total = vocab.agg(sum(col("__freq")).cast("double").as("__total"))
     val wDoc = Window.partitionBy(col(idCol))

@@ -577,6 +577,20 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("winnowFingerprints plans ONE shuffle: the distinct reuses the window's doc partitioning") {
+    val docs = Tables.documents(spark, sf0001)
+    val res = Dedup.winnowFingerprints(docs, "doc_id", "text")
+    res.collect() // finalize the adaptive plan
+    // the AQE plan string prints final AND initial sections — count
+    // Exchanges in the final plan only
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // window partition (doc_id) ⊇-satisfies the distinct's clustering on
+    // (doc, pos, hash) — a second Exchange here would mean that reuse broke
+    assert(exchanges === 1, s"$exchanges exchanges:\n$plan")
+  }
+
   test("winnowFingerprints is partitioning-invariant") {
     val docs = Tables.documents(spark, sf0001).limit(30)
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -98,6 +98,17 @@ class ScanCountSpec extends SparkSpec {
     assert(scans <= 1, s"gopherFilter made $scans corpus passes")
   }
 
+  test("qd53 containmentPairs: fingerprints + gram verify = exactly 2 corpus scans") {
+    val (docs, acc, n) = docsSource()
+    // budget: one scan deriving winnowing fingerprints (the persisted
+    // byHash frame serves both self-join sides) + one scan deriving the
+    // persisted gram-set frame (serving both verification joins). A
+    // dropped persist doubles its side.
+    val out = graft.functions.Dedup.containmentPairs(docs, "doc_id", "text")
+    assert(scansOf(out, acc, n) <= 2,
+      s"containmentPairs made ${acc.value.toDouble / n} corpus passes")
+  }
+
   test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))

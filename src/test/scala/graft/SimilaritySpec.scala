@@ -743,6 +743,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.min > 0.05, s"worst-pair distortion ${ratios.min}")
   }
 
+  test("randomProject plans as a pure narrow projection: no Exchange, no Window, no Join") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val plan = Similarity.randomProject(emb, "embedding", outDim = 16, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("randomProject rejects outDim outside [1, dim]") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(1)
     val e = intercept[IllegalArgumentException] {
