@@ -378,6 +378,35 @@ object SparkEntry {
        |qrels AS (SELECT query_id, doc_id FROM qrels0 JOIN qcnt USING (query_id)
        |  WHERE nt = qt_n)""".stripMargin
 
+  /** qr04's whole metric battery as CTEs over [[duckQrelsCte]], ending
+    * in `evout(query_id, n_rel, hits, precision_at_k, recall_at_k, rr,
+    * ndcg_at_k)` — shared by the per-query (qr04) and corpus-rollup
+    * (qr07) oracles so the two can never drift.
+    */
+  private lazy val duckEvalCte: String =
+    s"""$duckQrelsCte,
+       |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
+       |topk AS (SELECT query_id, doc_id, rnk FROM brk WHERE rnk <= 10),
+       |hh AS (SELECT t.query_id, t.rnk,
+       |    CAST(ROUND(1.0 / (ln(CAST(t.rnk AS DOUBLE) + 1.0) / ln(2.0)), 6)
+       |      AS DECIMAL(18,6)) AS dcg_term
+       |  FROM topk t JOIN qrels r ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
+       |pq AS (SELECT query_id, COUNT(*) AS hits, CAST(SUM(dcg_term) AS DOUBLE) AS dcg,
+       |    MIN(rnk) AS frr
+       |  FROM hh GROUP BY query_id),
+       |ideal AS (SELECT CAST(i AS BIGINT) AS ideal_i,
+       |    CAST(SUM(CAST(ROUND(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)), 6)
+       |      AS DECIMAL(18,6))) OVER (ORDER BY i) AS DOUBLE) AS idcg
+       |  FROM range(1, 11) AS t(i)),
+       |evout AS (SELECT n.query_id, n.n_rel, COALESCE(p.hits, 0) AS hits,
+       |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_k,
+       |  ROUND(CASE WHEN p.frr IS NOT NULL THEN 1.0 / CAST(p.frr AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS rr,
+       |  ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+       |FROM nrel n LEFT JOIN pq p USING (query_id)
+       |JOIN ideal i ON i.ideal_i = LEAST(n.n_rel, 10))""".stripMargin
+
   /** The deterministic ±1 JL/SRP planes as DuckDB VALUES rows
     * `(i, plane_list)`, 1-based — qe26's oracle replays the projection
     * against the exact matrix [[Similarity.randomProject]] uses.
@@ -1597,6 +1626,14 @@ object SparkEntry {
           "text", n = 2)
         .orderBy(col("source"))),
 
+    // oracle-checked: per-source token-length winsorization — exact
+    // interpolated p90 cut per source (q30's quantile_cont parity),
+    // clip + flag; the length-tail gate of balanced curation.
+    "qd58_winsorize" -> ((s, d) =>
+      Curation.winsorizeTokenCounts(Tables.documents(s, d), "source",
+          "doc_id", "text", p = 0.9)
+        .orderBy(col("doc_id"))),
+
     // oracle-checked: concat-then-chunk packing (the GPT-2/LLaMA
     // recipe: docs laid on one global token stream in doc_id order,
     // cut into 128-token sequences, SPLIT at boundaries — zero padding
@@ -1844,6 +1881,15 @@ object SparkEntry {
         bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
       Retrieval.hardNegatives(run, bm25Qrels(s, d), nNeg = 5)
         .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
+    // oracle-checked: the corpus-level eval rollup — macro means (MRR
+    // et al.) over qr04's per-query battery; one reporting row.
+    "qr07_retrieval_eval_summary" -> ((s, d) => {
+      import s.implicits._
+      val run = Retrieval.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        bm25Queries.toDF("query_id", "term"), "query_id", "term", k = 10)
+      Retrieval.evalSummary(Retrieval.evalRun(run, bm25Qrels(s, d), k = 10))
     }),
 
     // oracle-checked: per-doc tf-idf keyword extraction (topic tagging /
@@ -3091,29 +3137,38 @@ object SparkEntry {
     // cumulative IDCG table joined on min(n_rel, 10), exact integer
     // ratios for precision/recall/RR
     "qr04_retrieval_eval" ->
-      s"""WITH $duckQrelsCte,
-         |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
-         |topk AS (SELECT query_id, doc_id, rnk FROM brk WHERE rnk <= 10),
-         |hh AS (SELECT t.query_id, t.rnk,
-         |    CAST(ROUND(1.0 / (ln(CAST(t.rnk AS DOUBLE) + 1.0) / ln(2.0)), 6)
-         |      AS DECIMAL(18,6)) AS dcg_term
-         |  FROM topk t JOIN qrels r ON r.query_id = t.query_id AND r.doc_id = t.doc_id),
-         |pq AS (SELECT query_id, COUNT(*) AS hits, CAST(SUM(dcg_term) AS DOUBLE) AS dcg,
-         |    MIN(rnk) AS frr
-         |  FROM hh GROUP BY query_id),
-         |ideal AS (SELECT CAST(i AS BIGINT) AS ideal_i,
-         |    CAST(SUM(CAST(ROUND(1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)), 6)
-         |      AS DECIMAL(18,6))) OVER (ORDER BY i) AS DOUBLE) AS idcg
-         |  FROM range(1, 11) AS t(i))
-         |SELECT n.query_id, n.n_rel, COALESCE(p.hits, 0) AS hits,
-         |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / 10.0, 6) AS precision_at_k,
-         |  ROUND(CAST(COALESCE(p.hits, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE), 6) AS recall_at_k,
-         |  ROUND(CASE WHEN p.frr IS NOT NULL THEN 1.0 / CAST(p.frr AS DOUBLE)
-         |    ELSE 0.0 END, 6) AS rr,
-         |  ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
-         |FROM nrel n LEFT JOIN pq p USING (query_id)
-         |JOIN ideal i ON i.ideal_i = LEAST(n.n_rel, 10)
-         |ORDER BY n.query_id""".stripMargin,
+      s"""WITH $duckEvalCte
+         |SELECT query_id, n_rel, hits, precision_at_k, recall_at_k, rr, ndcg_at_k
+         |FROM evout ORDER BY query_id""".stripMargin,
+
+    // the corpus-level rollup shares qr04's evout CTE verbatim — macro
+    // means over the already-6-dp per-query metrics, DECIMAL-summed
+    "qr07_retrieval_eval_summary" ->
+      s"""WITH $duckEvalCte
+         |SELECT COUNT(*) AS n_queries,
+         |  ROUND(CAST(SUM(CAST(precision_at_k AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_precision_at_k,
+         |  ROUND(CAST(SUM(CAST(recall_at_k AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_recall_at_k,
+         |  ROUND(CAST(SUM(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_rr,
+         |  ROUND(CAST(SUM(CAST(ndcg_at_k AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS mean_ndcg_at_k
+         |FROM evout""".stripMargin,
+
+    // winsorization replayed: per-source quantile_cont (the q30-pinned
+    // interpolation), 4-dp round, floor cut, clip + flag
+    "qd58_winsorize" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cuts AS (SELECT source, ROUND(quantile_cont(n_tokens, 0.9), 4) AS p_cut
+        |  FROM base GROUP BY source),
+        |c2 AS (SELECT source, p_cut, CAST(FLOOR(p_cut) AS BIGINT) AS cut_tokens FROM cuts)
+        |SELECT b.doc_id, b.source, b.n_tokens, c2.p_cut, c2.cut_tokens,
+        |  LEAST(b.n_tokens, c2.cut_tokens) AS clipped_n,
+        |  b.n_tokens > c2.cut_tokens AS is_clipped
+        |FROM base b JOIN c2 USING (source) ORDER BY b.doc_id""".stripMargin,
 
     // hard negatives replayed: top-10 run rows with no qrels judgment,
     // re-ranked per query

@@ -452,6 +452,38 @@ object Curation {
     else w).partitionBy("shard_id").parquet(path)
   }
 
+  /** Per-source token-length winsorization — the tail-clipping gate of
+    * length-balanced curation (a handful of mega-documents otherwise
+    * dominate a source's token budget and its packed sequences): compute
+    * each source's exact p-quantile of the token count (interpolated —
+    * the `quantile_cont` semantics q30 pins cross-engine), cap counts at
+    * its floor, and flag the clipped docs. Downstream consumers truncate
+    * flagged docs to `cut_tokens` (chunking machinery exists:
+    * [[graft.functions.TextAnalysis.chunkDocs]]) or route them for
+    * review.
+    *
+    * Scale shape: one narrow token-count projection, one grouped exact
+    * percentile (per-group state is the value multiset — at true 100 TB
+    * group cardinalities swap in `approx_percentile`, same plan shape,
+    * as q30→qa02), S-row cut table broadcast back. Deterministic: the
+    * cut is rounded to 4 dp before flooring so the flag can't flip on a
+    * ulp.
+    */
+  def winsorizeTokenCounts(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, p: Double = 0.99): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"winsorizeTokenCounts: p must be in (0, 1), got $p")
+    val base = df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val cuts = base.groupBy(col("source"))
+      .agg(round(percentile(col("n_tokens"), lit(p)), 4).as("p_cut"))
+      .withColumn("cut_tokens", floor(col("p_cut")).cast("long"))
+    base.join(broadcast(cuts), "source")
+      .withColumn("is_clipped", col("n_tokens") > col("cut_tokens"))
+      .withColumn("clipped_n", least(col("n_tokens"), col("cut_tokens")))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("p_cut"),
+        col("cut_tokens"), col("clipped_n"), col("is_clipped"))
+  }
+
   /** Concat-then-chunk sequence packing — the OTHER standard pretraining
     * packing next to [[packSequences]]'s greedy no-split binning: lay
     * every document's tokens on one global stream in a deterministic

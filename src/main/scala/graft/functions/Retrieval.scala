@@ -324,6 +324,20 @@ object Retrieval {
         col("score"), col("rnk"))
   }
 
+  /** Corpus-level rollup of [[evalRun]]'s per-query battery — the single
+    * reporting row retrieval dashboards track (macro averages: each
+    * query weighs equally, trec_eval's convention; the `rr` mean IS
+    * MRR). Per-query metrics are already 6-dp-rounded, so the DECIMAL
+    * means here are exact and order-free. One Q-row aggregation.
+    */
+  def evalSummary(perQuery: DataFrame): DataFrame = {
+    def m(c: String) = round(
+      sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+      .as(s"mean_$c")
+    perQuery.agg(count(lit(1)).cast("long").as("n_queries"),
+      m("precision_at_k"), m("recall_at_k"), m("rr"), m("ndcg_at_k"))
+  }
+
   /** Hard-negative mining for retrieval-model training (the DPR /
     * contrastive fine-tuning recipe: the best negatives are the
     * top-ranked NON-relevant results of the current retriever, not

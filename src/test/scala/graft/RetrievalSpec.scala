@@ -171,6 +171,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, 1L, 1, 1), (1, 3L, 3, 2)))
   }
 
+  test("evalSummary (qr07): exact DECIMAL macro means of the per-query battery") {
+    val run = Seq(
+      (1, 5L, 1), (1, 1L, 2), (1, 2L, 3),
+      (2, 10L, 1), (3, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 1L), (1, 2L), (1, 3L), (2, 10L), (3, 20L))
+      .toDF("query_id", "doc_id")
+    val per = Retrieval.evalRun(run, qrels, k = 3)
+    val rows = per.as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+    // mirror the implementation: exact DECIMAL sum, then DOUBLE divide
+    def mean(f: ((Int, Long, Long, Double, Double, Double, Double)) => Double) =
+      BigDecimal(rows.map(r => BigDecimal(f(r))).sum.toDouble / rows.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Retrieval.evalSummary(per)
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(got === ((rows.length.toLong,
+      mean(_._4), mean(_._5), mean(_._6), mean(_._7))))
+  }
+
   test("tfidfKeywords (qr06): hand-computed scores, tie on term, minDf drops hapax") {
     val docs = Seq(
       (1L, "apple apple banana common"),

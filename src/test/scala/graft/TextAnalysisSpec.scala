@@ -649,6 +649,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- winsorization (qd58)
+
+  test("winsorizeTokenCounts (qd58): hand-computed interpolated cut, clip and flag") {
+    // source A token counts 10/20/30/40/100: p=0.5 → cut 30; p=0.6 →
+    // interpolated 30 + 0.4·10 = 34 (quantile_cont semantics)
+    val docs = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40), (5L, 100))
+      .map { case (i, n) => ("A", i, Seq.fill(n)("t").mkString(" ")) }
+      .toDF("source", "doc_id", "text")
+    val got = Curation.winsorizeTokenCounts(docs, "source", "doc_id", "text", p = 0.5)
+      .as[(Long, String, Long, Double, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L)._4 === 30.0 && got(3L)._6 === 30L && !got(3L)._7)
+    assert(got(4L) === ((4L, "A", 40L, 30.0, 30L, 30L, true)))
+    assert(got(5L)._6 === 30L && got(5L)._7)
+    assert(got(1L)._6 === 10L && !got(1L)._7)
+    val cut6 = Curation.winsorizeTokenCounts(docs, "source", "doc_id", "text", p = 0.6)
+      .select(col("p_cut")).distinct().as[Double].collect()
+    assert(cut6.toSeq === Seq(34.0))
+  }
+
+  test("winsorizeTokenCounts: every doc emitted once, flags non-vacuous, p guarded") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Curation.winsorizeTokenCounts(docs, "source", "doc_id", "text", p = 0.9)
+      .as[(Long, String, Long, Double, Long, Long, Boolean)].collect()
+    assert(out.length.toLong === docs.count())
+    assert(out.count(_._7) > 0, "no clipped docs at p90 — vacuous fixture")
+    out.foreach { r =>
+      assert(r._6 === math.min(r._3, r._5), s"clip arithmetic: $r")
+      assert(r._7 === (r._3 > r._5), s"flag: $r")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.winsorizeTokenCounts(docs, "source", "doc_id", "text", p = 1.0)
+    }
+  }
+
   // ----------------------------------------------- corpus diff (qd52)
 
   test("corpusDiff (qd52): every status on a hand fixture; summary agrees") {
