@@ -42,7 +42,8 @@ object Bench {
     "qe25_cell_stats", "qe26_random_projection", "qe27_embedding_outliers",
     "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
     "qd54_min_k_prob", "qd55_ngram_diversity", "qd56_source_containment",
-    "qd57_stream_packing", "qd58_winsorize", "qr07_retrieval_eval_summary",
+    "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
+    "qr07_retrieval_eval_summary",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")

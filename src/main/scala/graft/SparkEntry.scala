@@ -1604,6 +1604,15 @@ object SparkEntry {
     // on distinct-gram sets.
     "qd53_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 50, minContainment = 0.5,
+          portable = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // rows-only by design (Spark-internal xxhash64 gram sets): qd53's
+    // production twin — same md5 winnowing candidates, 8-byte hashed
+    // verification; DedupSpec pins fast ≡ portable value-for-value.
+    "qd59_containment_fast" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           k = 3, w = 4, minShared = 2, maxDf = 50, minContainment = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 

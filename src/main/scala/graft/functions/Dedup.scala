@@ -1007,20 +1007,29 @@ object Dedup {
     * Scale shape: winnowing's narrow+single-window cost, the capped
     * fingerprint pair join, then one gram-set equi-join per pair side —
     * verification touches candidates only, never corpus². Gram sets
-    * ride as arrays (lowercased word k-grams; the same tokenization as
-    * the fingerprints).
+    * ride as arrays with the same tokenization as the fingerprints.
+    *
+    * WHICH FORM — `portable = true` (qd53's oracle form) verifies on
+    * raw lowercased word-k-gram STRING sets, the sf1 heavy (~80 s vs
+    * the hashed twin; SCALE.md); the default verifies on the sorted
+    * distinct 8-byte [[NativeExpressions.shingleHashes]] sets — same
+    * counts up to 2⁻⁶⁴ collisions (DedupSpec pins fast ≡ portable on
+    * the fixture), a fraction of the shuffle/intersect bytes. The
+    * candidate stage (md5 winnowing) is shared by both forms.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 50,
-      minContainment: Double = 0.5): DataFrame = {
+      minContainment: Double = 0.5, portable: Boolean = false): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
     val pairs = winnowOverlapPairs(fps, minShared, maxDf)
+    val gramCol =
+      if (portable) wordShingles(lower(col(textCol)), k)
+      else NativeExpressions.shingleHashes(lower(col(textCol)), k)
     // persisted: the verification joins this gram frame on BOTH pair
     // sides — one corpus scan instead of two (ScanCountSpec pins the
     // op's total at 2: fingerprints + grams); pair-sized output is
     // checkpointed eagerly so the persist can be dropped on return
-    val docs = df.select(col(idCol).as("doc_id"),
-        wordShingles(lower(col(textCol)), k).as("__g"))
+    val docs = df.select(col(idCol).as("doc_id"), gramCol.as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = pairs
       .join(docs.select(col("doc_id").as("id_a"), col("__g").as("__ga")), "id_a")

@@ -666,11 +666,12 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("containmentPairs: containment bounds Jaccard; threshold filters") {
+  test("containmentPairs: containment bounds Jaccard; threshold filters; fast ≡ portable") {
     val docs = Tables.documents(spark, sf0001)
-    val got = Dedup.containmentPairs(docs, "doc_id", "text",
-        minShared = 2, maxDf = 50, minContainment = 0.3)
+    def run(portable: Boolean) = Dedup.containmentPairs(docs, "doc_id", "text",
+        minShared = 2, maxDf = 50, minContainment = 0.3, portable = portable)
       .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val got = run(portable = true)
     assert(got.nonEmpty, "no containment pairs on the fixture")
     got.foreach { r =>
       assert(r._4 >= r._6 - 1e-9 && r._5 >= r._6 - 1e-9,
@@ -678,5 +679,9 @@ class DedupSpec extends SparkSpec {
       assert(math.max(r._4, r._5) >= 0.3)
       assert(r._4 <= 1.0 && r._5 <= 1.0 && r._6 <= 1.0)
     }
+    // hashed-gram production twin: identical pair set AND values (the
+    // shared md5 winnowing candidates + collision-free xxhash64 sets)
+    assert(run(portable = false).sortBy(r => (r._1, r._2)).toSeq ===
+      got.sortBy(r => (r._1, r._2)).toSeq)
   }
 }

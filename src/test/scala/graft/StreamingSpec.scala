@@ -2236,4 +2236,50 @@ class StreamingSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration)
     graft.streaming.CorpusIngest.requireAtomicClaims(local, allowOverride = false)
   }
+
+  test("quality-drift monitor: a keep-rate collapse fires exactly one edge-triggered alert; recovery re-arms") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, Boolean)]
+      val q = graft.streaming.QualityDrift.keepRateStream(
+          ms.toDF().toDF("source", "keep"), "source", "keep",
+          tol = 0.3, minBatch = 5L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("qdrift").start()
+      def feed(keeps: Int, drops: Int): Unit = {
+        ms.addData(Seq.fill(keeps)(("web", true)) ++ Seq.fill(drops)(("web", false)): _*)
+        q.processAllAvailable()
+      }
+      feed(9, 1)   // baseline forms at 0.9 — no alert possible yet
+      feed(1, 9)   // collapse to 0.1 < 0.9 − 0.3 → ALERT
+      feed(0, 10)  // still bad — latched, must NOT re-alert
+      feed(10, 0)  // recovery above threshold — latch clears
+      feed(0, 10)  // second collapse → second ALERT
+      q.stop()
+      val rows = spark.table("qdrift")
+        .as[(String, Long, Long, Double, Double, Boolean)].collect()
+      assert(rows.count(_._6) === 2, rows.mkString("\n"))
+      val b1 = rows.find(r => r._2 === 10L && r._3 === 9L)
+      assert(b1.exists(_._4 === 0.9), rows.mkString("\n"))
+      // running rate after all 50 docs: 20/50
+      assert(rows.map(_._5).contains(0.4), rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("keepNarrow is the narrow Gopher subset: every full-battery keep passes it, and it binds") {
+    import graft.functions.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val narrow = docs.select(col("doc_id"),
+        graft.streaming.QualityDrift.keepNarrow(col("text")).as("nk"))
+      .as[(Long, Boolean)].collect().toMap
+    val full = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    full.foreach { case (id, keep) =>
+      if (keep) assert(narrow(id), s"full-battery keep $id fails the narrow subset")
+    }
+    assert(narrow.values.exists(v => !v), "narrow rules never bind — vacuous monitor")
+  }
 }
