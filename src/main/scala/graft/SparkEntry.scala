@@ -1901,6 +1901,18 @@ object SparkEntry {
       Retrieval.evalSummary(Retrieval.evalRun(run, bm25Qrels(s, d), k = 10))
     }),
 
+    // oracle-checked: the whole retrieval-quality loop as ONE corpus
+    // pass — postings derived once, serving stats, the BM25 run, the
+    // tf-floor qrels, the eval battery AND the hard-negative counts
+    // (ScanCountSpec pins the budget; qr04/qr05 are the standalone
+    // forms).
+    "qr08_retrieval_pipeline" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Pipelines.retrievalEvalPipeline(Tables.documents(s, d),
+          bm25Queries.toDF("query_id", "term"))
+        .orderBy(col("query_id"))
+    }),
+
     // oracle-checked: per-doc tf-idf keyword extraction (topic tagging /
     // facet indexing) — top-3 terms by tf·ln(N/df), df >= 2, every value
     // an exact function of integer statistics.
@@ -3163,6 +3175,18 @@ object SparkEntry {
          |  ROUND(CAST(SUM(CAST(ndcg_at_k AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
          |    AS mean_ndcg_at_k
          |FROM evout""".stripMargin,
+
+    // the one-pass pipeline replays on the SAME evout CTE as qr04/qr07
+    // plus a capped negatives count — composition adds no new semantics
+    "qr08_retrieval_pipeline" ->
+      s"""WITH $duckEvalCte,
+         |negc AS (SELECT b.query_id, LEAST(COUNT(*), 5) AS n_hard_negatives
+         |  FROM brk b LEFT JOIN qrels r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+         |  WHERE b.rnk <= 10 AND r.doc_id IS NULL GROUP BY b.query_id)
+         |SELECT e.query_id, e.n_rel, e.hits, e.precision_at_k, e.recall_at_k,
+         |  e.rr, e.ndcg_at_k, COALESCE(negc.n_hard_negatives, 0) AS n_hard_negatives
+         |FROM evout e LEFT JOIN negc USING (query_id)
+         |ORDER BY e.query_id""".stripMargin,
 
     // winsorization replayed: per-source quantile_cont (the q30-pinned
     // interpolation), 4-dp round, floor cut, clip + flag

@@ -109,6 +109,18 @@ class ScanCountSpec extends SparkSpec {
       s"containmentPairs made ${acc.value.toDouble / n} corpus passes")
   }
 
+  test("qr08 retrievalEvalPipeline: postings derived once — 1 corpus scan for the whole loop") {
+    import spark.implicits._
+    val (docs, acc, n) = docsSource()
+    val q = Seq((1, "spark"), (1, "stream"), (2, "hash"), (2, "join"))
+      .toDF("query_id", "term")
+    // budget: the persisted postings frame is the only corpus
+    // derivation; stats, run, qrels, eval and negatives all read it
+    val out = Pipelines.retrievalEvalPipeline(docs, q)
+    assert(scansOf(out, acc, n) <= 1,
+      s"retrievalEvalPipeline made ${acc.value.toDouble / n} corpus passes")
+  }
+
   test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
