@@ -921,22 +921,29 @@ object Dedup {
     * window and hence no fingerprints — callers screening short docs
     * should route them through exact/MinHash dedup instead.
     *
-    * Implementation: gram hashes are engine-portable md5 hex strings over
-    * lowercased word k-grams; the per-window argmin is ONE window
-    * function — min over the frame of the 43-char key
-    * `hash ∥ '#' ∥ lpad(nGrams − pos)` (hash ascending, then SMALLER
-    * nGrams − pos = rightmost position — fixed-width so string order is
-    * the pair order), decoded back to (pos, hash) and deduplicated.
-    *
-    * Scale shape: one narrow gram-hash projection + posexplode, one
-    * shuffle on the doc id for the per-doc window (uniform key — doc
-    * length skew is bounded by max doc length, and a 100 TB corpus
-    * shards by doc), one distinct on (doc, pos, hash) with map-side
-    * partial aggregation. Nothing is all-pairs, nothing collects.
+    * Implementation: gram hashes are engine-portable md5 hex strings
+    * over lowercased word k-grams. The DEFAULT path is the
+    * [[NativeExpressions.WinnowExpr]] kernel — the whole per-doc
+    * selection (digests, monotonic-deque sliding min with rightmost
+    * tie, in-place dedup) as ONE codegen'd narrow projection + an
+    * explode whose row growth IS the output: NO gram explode, NO window
+    * shuffle, nothing to distinct. `relational = true` keeps the
+    * window-function formulation (the executable spec the qd51 SQL
+    * oracle mirrors, and DedupSpec pins kernel ≡ relational): one
+    * posexplode, one doc-keyed shuffle for the composite-key window min
+    * (`hash ∥ '#' ∥ lpad(nGrams − pos)` — hash ascending, then smaller
+    * nGrams − pos = rightmost), one reused-partitioning distinct.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
+      k: Int = 3, w: Int = 4, relational: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 2, s"winnowFingerprints: need k >= 1, w >= 2 (got k=$k, w=$w)")
+    if (!relational) {
+      return df.select(col(idCol).as("doc_id"),
+          explode(NativeExpressions.winnowFingerprints(
+            lower(col(textCol)), k, w)).as("__fp"))
+        .select(col("doc_id"), col("__fp.fp_pos").as("fp_pos"),
+          col("__fp.fp_hash").as("fp_hash"))
+    }
     val words = TextAnalysis.tokens(lower(col(textCol)))
     // positional k-gram md5 hashes: (pos, hash) with pos 0-based
     val grams = when(size(words) >= k,

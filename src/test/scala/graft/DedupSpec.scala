@@ -577,18 +577,38 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
-  test("winnowFingerprints plans ONE shuffle: the distinct reuses the window's doc partitioning") {
+  test("winnowFingerprints kernel ≡ relational formulation, including degenerate docs") {
+    // ids far outside the fixture range — doc ids must be unique (the
+    // relational window keys on them; the kernel is per-row either way)
+    val edge = Seq((900090L, ""), (900091L, "   \t  "), (900092L, "just two"),
+      (900093L, "a b c d e f"), (900094L, "x  y\tz  x y z x y z"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(edge)
+    def run(relational: Boolean) =
+      Dedup.winnowFingerprints(docs, "doc_id", "text", relational = relational)
+        .as[(Long, Long, String)].collect().toSet
+    assert(run(relational = false) === run(relational = true))
+  }
+
+  test("winnowFingerprints plans: kernel is shuffle-FREE; relational runs exactly one") {
     val docs = Tables.documents(spark, sf0001)
-    val res = Dedup.winnowFingerprints(docs, "doc_id", "text")
-    res.collect() // finalize the adaptive plan
-    // the AQE plan string prints final AND initial sections — count
-    // Exchanges in the final plan only
-    val plan = res.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    def finalPlan(relational: Boolean): String = {
+      val res = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        relational = relational)
+      res.collect() // finalize the adaptive plan
+      // the AQE plan string prints final AND initial sections — count
+      // Exchanges in the final plan only
+      res.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val kernel = finalPlan(relational = false)
+    assert(!kernel.contains("Exchange"), s"kernel shuffled:\n$kernel")
+    assert(!kernel.contains("Window"), s"kernel windowed:\n$kernel")
     // window partition (doc_id) ⊇-satisfies the distinct's clustering on
     // (doc, pos, hash) — a second Exchange here would mean that reuse broke
-    assert(exchanges === 1, s"$exchanges exchanges:\n$plan")
+    val rel = finalPlan(relational = true)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(rel).length
+    assert(exchanges === 1, s"$exchanges exchanges:\n$rel")
   }
 
   test("winnowFingerprints is partitioning-invariant") {
