@@ -183,6 +183,7 @@ class RankAndSketchSpec extends SparkSpec {
       .select(
         Dedup.simHash64("text").as("sh"),
         NativeExpressions.minhashSig(col("text"), 4, 2).as("sig"),
+        NativeExpressions.winnowFingerprints(lower(col("text")), 3, 4).as("wf"),
         NativeExpressions.vecDot(
           array(lit(1.0d), lit(2.0d)), array(lit(3.0d), lit(4.0d))).as("d"))
     val plan = df.queryExecution.executedPlan
