@@ -43,6 +43,7 @@ object Bench {
     "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
     "qd54_min_k_prob", "qd55_ngram_diversity", "qd56_source_containment",
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
+    "qd60_collocations",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",

@@ -1653,6 +1653,14 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"), contextLen = 128)
         .orderBy(col("seq_id"), col("pos_in_seq"))),
 
+    // oracle-checked: PMI-ranked bigram collocations (Church & Hanks
+    // 1990) — phrase discovery / tokenizer-merge curation / boilerplate
+    // forensics; counts exact, PMI 6-dp-rounded before the global
+    // top-50 cut (TakeOrderedAndProject, never a global sort).
+    "qd60_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5L, topK = 50)),
+
     // oracle-checked: directed source-containment matrix — qd41's
     // asymmetric reading (is crawl A a SUBSET of B? near-zero Jaccard
     // but containment ≈ 1); a pair-table-sized derivation of the same
@@ -3118,6 +3126,36 @@ object SparkEntry {
         |  FROM sp)
         |SELECT seq_id, doc_id, from_tok, take, pos_in_seq, n_tok FROM sl
         |ORDER BY seq_id, pos_in_seq""".stripMargin,
+
+    // collocations replayed: unigram/bigram occurrence counts, the two
+    // scalar totals, the exact PMI expression shape, 6-dp round, and
+    // the tie-broken top-50 cut
+    "qd60_collocations" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS T FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)),
+        |btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM bg),
+        |bgc AS (SELECT g, COUNT(*) AS n_ab FROM bg GROUP BY g
+        |        HAVING COUNT(*) >= 5),
+        |j AS (
+        |  SELECT bgc.g AS bigram, bgc.n_ab, ua.c AS n_a, ub.c AS n_b
+        |  FROM bgc
+        |  JOIN uni ua ON ua.t = split_part(bgc.g, ' ', 1)
+        |  JOIN uni ub ON ub.t = split_part(bgc.g, ' ', 2)),
+        |sc AS (
+        |  SELECT bigram, n_ab, n_a, n_b,
+        |    ROUND(ln((CAST(n_ab AS DOUBLE) / B)
+        |      / ((CAST(n_a AS DOUBLE) / T) * (CAST(n_b AS DOUBLE) / T))), 6) AS pmi
+        |  FROM j CROSS JOIN btot CROSS JOIN tt)
+        |SELECT bigram, n_ab, n_a, n_b, pmi FROM sc
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
 
     // directed containment replayed: qd41's sg/sz/pr CTEs, both ordered
     // rows emitted from each unordered pair

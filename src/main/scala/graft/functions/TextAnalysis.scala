@@ -446,6 +446,50 @@ object TextAnalysis {
         col("entropy"), col("entropy_norm"))
   }
 
+  /** PMI-ranked bigram collocations (Church & Hanks 1990, "Word
+    * Association Norms, Mutual Information, and Lexicography") — the
+    * classic corpus-analysis surface for phrase discovery, tokenizer
+    * vocab curation (which pairs deserve merged tokens), and boilerplate
+    * forensics (templated corpora surface their fixed phrases at the
+    * top): PMI(a,b) = ln[ (c_ab/B) / ((c_a/T)(c_b/T)) ] over corpus
+    * occurrence counts, with the standard `minCount` floor (rare-pair
+    * PMI explodes) and a global top-k cut.
+    *
+    * Determinism/portability: counts are exact integers, the four
+    * scalar/count ratios divide as IEEE doubles in a fixed expression
+    * shape, PMI rounds to 6 dp BEFORE ordering, ties break on the
+    * bigram string — the whole ranking replays in SQL (qd60's oracle).
+    *
+    * Scale shape: two grouped occurrence counts (uniform token/bigram
+    * keys, map-side combine), two vocab equi-joins to attach unigram
+    * counts, two 1-row broadcast scalars, and a global top-k that plans
+    * as TakeOrderedAndProject — per-partition top-k + a k-row driver
+    * merge, never a global sort.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1L && topK >= 1, s"collocations: bad args ($minCount, $topK)")
+    val uni = df.select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).cast("long").as("__c"))
+    val tTot = uni.agg(sum(col("__c")).cast("double").as("__T"))
+    val bg = df.select(explode(allNgrams(col(textCol), 2)).as("bigram"))
+    val bTot = bg.agg(count(lit(1)).cast("double").as("__B"))
+    bg.groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("__w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("__w2", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("__t").as("__w1"), col("__c").as("n_a")), "__w1")
+      .join(uni.select(col("__t").as("__w2"), col("__c").as("n_b")), "__w2")
+      .crossJoin(broadcast(bTot)).crossJoin(broadcast(tTot))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") / col("__B")) /
+          ((col("n_a").cast("double") / col("__T"))
+            * (col("n_b").cast("double") / col("__T")))), 6))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** ALL n-gram occurrences (order-preserving, NOT distinct — the
     * occurrence distribution [[sourceNgramDiversity]] measures; contrast
     * [[graft.functions.Dedup.wordShingles]]'s distinct sets).

@@ -649,6 +649,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- collocations (qd60)
+
+  test("collocations (qd60): hand-computed PMI, tie-break, minCount floor, topK cut") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c d c d c d"))
+      .toDF("doc_id", "text")
+    // T=12 tokens, B=10 bigrams; 'a b' ×3, 'b a' ×2, 'c d' ×3, 'd c' ×2
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, topK = 10)
+      .as[(String, Long, Long, Long, Double)].collect()
+    def pmi(cab: Long): Double =
+      r(math.log((cab / 10.0) / ((3.0 / 12.0) * (3.0 / 12.0))), 6)
+    assert(got.toSeq === Seq(
+      ("a b", 3L, 3L, 3L, pmi(3)), ("c d", 3L, 3L, 3L, pmi(3)),
+      ("b a", 2L, 3L, 3L, pmi(2)), ("d c", 2L, 3L, 3L, pmi(2))))
+    // minCount floor: raise it and the ×2 pairs vanish
+    assert(TextAnalysis.collocations(docs, "text", minCount = 3L, topK = 10)
+      .count() === 2L)
+    // topK cut respects the (pmi desc, bigram asc) order
+    assert(TextAnalysis.collocations(docs, "text", minCount = 2L, topK = 2)
+      .as[(String, Long, Long, Long, Double)].collect().map(_._1).toSeq ===
+      Seq("a b", "c d"))
+  }
+
+  test("collocations on the fixture: exactly topK rows, finite PMI, floors hold") {
+    val got = TextAnalysis.collocations(
+        Tables.documents(spark, sf0001), "text", minCount = 5L, topK = 50)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length === 50)
+    got.foreach { r0 =>
+      assert(r0._2 >= 5L && r0._3 >= r0._2 && r0._4 >= r0._2, s"counts: $r0")
+      assert(!r0._5.isNaN && !r0._5.isInfinite, s"pmi: $r0")
+    }
+    val ps = got.map(_._5)
+    assert(ps.zip(ps.tail).forall { case (x, y) => x >= y }, "not pmi-sorted")
+  }
+
   // ----------------------------------------------- winsorization (qd58)
 
   test("winsorizeTokenCounts (qd58): hand-computed interpolated cut, clip and flag") {
