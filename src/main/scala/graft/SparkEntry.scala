@@ -407,6 +407,30 @@ object SparkEntry {
        |FROM nrel n LEFT JOIN pq p USING (query_id)
        |JOIN ideal i ON i.ideal_i = LEAST(n.n_rel, 10))""".stripMargin
 
+  /** Shared winnowing CTEs (qd51 + qd53 — one site, so the two oracles
+    * can never drift): canon tokens with ALL boundary whitespace
+    * stripped (mirroring Dedup.wsTrim — DuckDB/Spark `trim` strip only
+    * spaces), positional md5 3-grams, and the composite-key window min.
+    * Ends with `wins(doc_id, pos, ngr, wk)`; `ww(doc_id, w)` stays
+    * visible for gram-set consumers.
+    */
+  private lazy val duckWinnowCte: String =
+    """ww AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS w
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]) AS h,
+      |    CAST(len(w) - 2 AS BIGINT) AS ngr
+      |  FROM ww, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)),
+      |wins AS (
+      |  SELECT doc_id, pos, ngr,
+      |    MIN(h || '#' || lpad(CAST(ngr - pos AS VARCHAR), 10, '0'))
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+      |  FROM gr)""".stripMargin
+
   /** The deterministic ±1 JL/SRP planes as DuckDB VALUES rows
     * `(i, plane_list)`, 1-based — qe26's oracle replays the projection
     * against the exact matrix [[Similarity.randomProject]] uses.
@@ -3781,46 +3805,20 @@ object SparkEntry {
     // composite-key window min (hash asc, rightmost pos on ties), full
     // windows only, decoded and deduplicated
     "qd51_winnowing" ->
-      """WITH ww AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]) AS h,
-        |    CAST(len(w) - 2 AS BIGINT) AS ngr
-        |  FROM ww, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)),
-        |wins AS (
-        |  SELECT doc_id, pos, ngr,
-        |    MIN(h || '#' || lpad(CAST(ngr - pos AS VARCHAR), 10, '0'))
-        |      OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
-        |  FROM gr),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    ngr - CAST(substr(wk, 34, 10) AS BIGINT) AS fp_pos,
-        |    substr(wk, 1, 32) AS fp_hash
-        |  FROM wins WHERE pos <= ngr - 4)
-        |SELECT doc_id, fp_pos, fp_hash FROM sel
-        |ORDER BY doc_id, fp_pos""".stripMargin,
+      s"""WITH $duckWinnowCte,
+         |sel AS (
+         |  SELECT DISTINCT doc_id,
+         |    ngr - CAST(substr(wk, 34, 10) AS BIGINT) AS fp_pos,
+         |    substr(wk, 1, 32) AS fp_hash
+         |  FROM wins WHERE pos <= ngr - 4)
+         |SELECT doc_id, fp_pos, fp_hash FROM sel
+         |ORDER BY doc_id, fp_pos""".stripMargin,
 
     // containment replayed: qd51's winnowing CTEs → df-capped
     // fingerprint pair join → exact distinct-gram verification with
     // both containment directions + Jaccard, filter on the ROUNDED max
     "qd53_containment" ->
-      """WITH ww AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        |gr AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]) AS h,
-        |    CAST(len(w) - 2 AS BIGINT) AS ngr
-        |  FROM ww, UNNEST(range(1, GREATEST(len(w) - 2, 0) + 1)) AS t(i)),
-        |wins AS (
-        |  SELECT doc_id, pos, ngr,
-        |    MIN(h || '#' || lpad(CAST(ngr - pos AS VARCHAR), 10, '0'))
-        |      OVER (PARTITION BY doc_id ORDER BY pos
-        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
-        |  FROM gr),
+      s"""WITH $duckWinnowCte,
         |sel AS (
         |  SELECT DISTINCT doc_id, substr(wk, 1, 32) AS fp_hash
         |  FROM wins WHERE pos <= ngr - 4),

@@ -934,22 +934,29 @@ object Dedup {
     * (`hash ∥ '#' ∥ lpad(nGrams − pos)` — hash ascending, then smaller
     * nGrams − pos = rightmost), one reused-partitioning distinct.
     */
+  /** Strip ALL boundary whitespace (`trim` strips only spaces; a
+    * trailing `\n` would otherwise make `split` emit a phantom ""
+    * token, so the relational/SQL gram positions would diverge from the
+    * byte-tokenizing kernel on any corpus with newline-terminated
+    * docs). Applied by every winnowing/containment tokenization — and
+    * mirrored in the qd51/qd53 oracles.
+    */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, relational: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 2, s"winnowFingerprints: need k >= 1, w >= 2 (got k=$k, w=$w)")
+    val canon = wsTrim(lower(col(textCol)))
     if (!relational) {
       return df.select(col(idCol).as("doc_id"),
-          explode(NativeExpressions.winnowFingerprints(
-            lower(col(textCol)), k, w)).as("__fp"))
+          explode(NativeExpressions.winnowFingerprints(canon, k, w)).as("__fp"))
         .select(col("doc_id"), col("__fp.fp_pos").as("fp_pos"),
           col("__fp.fp_hash").as("fp_hash"))
     }
-    val words = TextAnalysis.tokens(lower(col(textCol)))
-    // positional k-gram md5 hashes: (pos, hash) with pos 0-based
-    val grams = when(size(words) >= k,
-      transform(sequence(lit(0), size(words) - k),
-        i => md5(concat_ws(" ", slice(words, i + 1, lit(k))))))
-      .otherwise(array())
+    // positional k-gram md5 hashes: (pos, hash) with pos 0-based — the
+    // gram construction is TextAnalysis.allNgrams, single-sourced
+    val grams = transform(TextAnalysis.allNgrams(canon, k), g => md5(g))
     val g = df.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "h")))
       .withColumn("ngr", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // per-window winner: min (hash asc, rightmost pos) via the composite
@@ -1030,8 +1037,8 @@ object Dedup {
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
     val pairs = winnowOverlapPairs(fps, minShared, maxDf)
     val gramCol =
-      if (portable) wordShingles(lower(col(textCol)), k)
-      else NativeExpressions.shingleHashes(lower(col(textCol)), k)
+      if (portable) wordShingles(wsTrim(lower(col(textCol))), k)
+      else NativeExpressions.shingleHashes(wsTrim(lower(col(textCol))), k)
     // persisted: the verification joins this gram frame on BOTH pair
     // sides — one corpus scan instead of two (ScanCountSpec pins the
     // op's total at 2: fingerprints + grams); pair-sized output is

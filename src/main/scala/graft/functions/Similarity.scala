@@ -30,12 +30,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column = NativeExpressions.vecDot(a, b)
 
   /** True iff the (double-cast) vector is present and every element is a
-    * real number — the uncurated-stream guard for the reporting ops whose
-    * DECIMAL casts (ANSI) or cell moments a single NaN/null element would
-    * kill or poison. Narrow HOF, codegen-friendly.
+    * FINITE real number — the uncurated-stream guard for the reporting
+    * ops whose DECIMAL casts (ANSI) or cell moments a single
+    * NaN/null/±Inf element would kill or poison (isnan alone misses
+    * Inf, whose distance also fails the ANSI NaN/overflow→DECIMAL cast —
+    * the same hole CentroidDrift's guard closed). Narrow HOF,
+    * codegen-friendly.
     */
   private[graft] def corruptFree(v: Column): Column =
-    v.isNotNull && !exists(v, x => x.isNull || isnan(x))
+    v.isNotNull && !exists(v,
+      x => x.isNull || isnan(x) || abs(x) === lit(Double.PositiveInfinity))
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -357,6 +361,10 @@ object Similarity {
             + dot(col("__cv"), col("__cv")))), 6).cast(DecimalType(18, 6)))
         .groupBy(col("cell_id"))
         .agg(count(lit(1)).as("n"), sum(col("__d")).as("__sd"))
+        // eager: TWO consumers (the total scalar and the report join)
+        // would otherwise each re-run the corpus assignment pass behind
+        // this S-row frame
+        .localCheckpoint(true)
       val total = members.agg(sum(col("n")).cast("double").as("__tot"))
       centroids.select(col("cell_id"))
         .join(members, Seq("cell_id"), "left")
@@ -406,6 +414,10 @@ object Similarity {
           dot(col("__v"), col("__v")) - lit(2.0d) * dot(col("__v"), col("__cv"))
             + dot(col("__cv"), col("__cv")))), 6))
         .select(col(idCol), col("cell_id"), col("dist"))
+        // persisted: the moments aggregation AND the flag join both
+        // consume this frame — without it the corpus assignment pass
+        // runs twice (the gopherFilter shared-projection discipline)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val moments = members
         .withColumn("__dd", col("dist").cast(DecimalType(18, 6)))
         .groupBy(col("cell_id"))
@@ -417,11 +429,14 @@ object Similarity {
             - (col("__sd").cast("double") / col("__n"))
               * (col("__sd").cast("double") / col("__n")))), 6))
         .select(col("cell_id"), col("cell_mean"), col("cell_std"))
-      members.join(broadcast(moments), "cell_id")
+      val out = members.join(broadcast(moments), "cell_id")
         .withColumn("is_outlier",
           col("dist") > col("cell_mean") + lit(z) * col("cell_std"))
         .select(col(idCol), col("cell_id"), col("dist"),
           col("cell_mean"), col("cell_std"), col("is_outlier"))
+        .localCheckpoint(true)
+      members.unpersist(false)
+      out
     }
 
     /** Probe-and-rank: queries search only their `nProbe` nearest cells.

@@ -469,12 +469,22 @@ object TextAnalysis {
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
       topK: Int = 50): DataFrame = {
     require(minCount >= 1L && topK >= 1, s"collocations: bad args ($minCount, $topK)")
+    // both grouped-count frames are persisted: each feeds its scalar
+    // total AND the scoring join(s) — without the persists the corpus
+    // token/bigram explodes would re-run per consumer (up to 5 passes
+    // for the 2 this costs); the k-row result is checkpointed eagerly
+    // so the persists can be dropped on return
     val uni = df.select(explode(tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).cast("long").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tTot = uni.agg(sum(col("__c")).cast("double").as("__T"))
-    val bg = df.select(explode(allNgrams(col(textCol), 2)).as("bigram"))
-    val bTot = bg.agg(count(lit(1)).cast("double").as("__B"))
-    bg.groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n_ab"))
+    val bgc = df.select(explode(allNgrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // B = the occurrence total = the grouped counts summed BEFORE the
+    // minCount filter — no separate corpus pass
+    val bTot = bgc.agg(sum(col("n_ab")).cast("double").as("__B"))
+    val out = bgc
       .filter(col("n_ab") >= minCount)
       .withColumn("__w1", element_at(split(col("bigram"), " "), 1))
       .withColumn("__w2", element_at(split(col("bigram"), " "), 2))
@@ -488,6 +498,10 @@ object TextAnalysis {
       .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
       .orderBy(col("pmi").desc, col("bigram"))
       .limit(topK)
+      .localCheckpoint(true)
+    uni.unpersist(false)
+    bgc.unpersist(false)
+    out
   }
 
   /** ALL n-gram occurrences (order-preserving, NOT distinct — the

@@ -69,10 +69,13 @@ object QualityDrift {
       val baseline =
         if (prev.nDocs > 0L) prev.nKeep.toDouble / prev.nDocs else Double.NaN
       val batchRate = if (n > 0L) k.toDouble / n else Double.NaN
-      val degraded = prev.nDocs >= minBatch && n >= minBatch &&
-        batchRate < baseline - tol
+      // only a batch big enough to judge can set OR clear the latch — a
+      // sub-minBatch trickle mid-incident must not re-arm the alert
+      val qualifies = prev.nDocs >= minBatch && n >= minBatch
+      val degraded = qualifies && batchRate < baseline - tol
       val fire = degraded && !prev.alerted
-      val next = QState(prev.nDocs + n, prev.nKeep + k, degraded)
+      val nextAlerted = if (qualifies) degraded else prev.alerted
+      val next = QState(prev.nDocs + n, prev.nKeep + k, nextAlerted)
       state.update(next)
       Iterator.single(QualityReport(source, n, k, r6(batchRate),
         r6(next.nKeep.toDouble / next.nDocs), fire))

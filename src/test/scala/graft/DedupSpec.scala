@@ -579,9 +579,14 @@ class DedupSpec extends SparkSpec {
 
   test("winnowFingerprints kernel ≡ relational formulation, including degenerate docs") {
     // ids far outside the fixture range — doc ids must be unique (the
-    // relational window keys on them; the kernel is per-row either way)
+    // relational window keys on them; the kernel is per-row either way).
+    // 900095/900096 pin the boundary-whitespace canon: `trim` strips
+    // only spaces, so without wsTrim a trailing \n / leading \t makes
+    // split() emit a phantom "" token and the two paths diverge
     val edge = Seq((900090L, ""), (900091L, "   \t  "), (900092L, "just two"),
-      (900093L, "a b c d e f"), (900094L, "x  y\tz  x y z x y z"))
+      (900093L, "a b c d e f"), (900094L, "x  y\tz  x y z x y z"),
+      (900095L, "alpha bravo charlie delta echo foxtrot golf hotel\n"),
+      (900096L, "\tword1 word2 word3 word4 word5 word6 word7\r\n"))
       .toDF("doc_id", "text")
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .unionByName(edge)

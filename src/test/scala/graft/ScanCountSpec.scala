@@ -123,6 +123,30 @@ class ScanCountSpec extends SparkSpec {
       s"retrievalEvalPipeline made ${acc.value.toDouble / n} corpus passes")
   }
 
+  test("qd60 collocations: persisted count frames — 2 corpus scans") {
+    val (docs, acc, n) = docsSource()
+    // budget: the unigram explode + the bigram explode; both scalar
+    // totals and the scoring joins read the persisted grouped counts
+    val out = graft.functions.TextAnalysis.collocations(docs, "text",
+      minCount = 2L, topK = 20)
+    assert(scansOf(out, acc, n) <= 2,
+      s"collocations made ${acc.value.toDouble / n} corpus passes")
+  }
+
+  test("qe27 Ivf.outliers: persisted member frame — 1 embedding scan") {
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    val cents = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    // budget: one assignment pass; the moments agg AND the flag join
+    // both read the persisted members frame
+    val out = graft.functions.Similarity.Ivf.outliers(
+      emb, "vec_id", "embedding", cents, z = 2.0)
+    assert(scansOf(out, acc, n) <= 1,
+      s"outliers made ${acc.value.toDouble / n} embedding passes")
+  }
+
   test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))

@@ -2254,6 +2254,7 @@ class StreamingSpec extends SparkSpec {
       }
       feed(9, 1)   // baseline forms at 0.9 — no alert possible yet
       feed(1, 9)   // collapse to 0.1 < 0.9 − 0.3 → ALERT
+      feed(0, 2)   // sub-minBatch trickle mid-incident: must NOT clear the latch
       feed(0, 10)  // still bad — latched, must NOT re-alert
       feed(10, 0)  // recovery above threshold — latch clears
       feed(0, 10)  // second collapse → second ALERT
@@ -2263,8 +2264,8 @@ class StreamingSpec extends SparkSpec {
       assert(rows.count(_._6) === 2, rows.mkString("\n"))
       val b1 = rows.find(r => r._2 === 10L && r._3 === 9L)
       assert(b1.exists(_._4 === 0.9), rows.mkString("\n"))
-      // running rate after all 50 docs: 20/50
-      assert(rows.map(_._5).contains(0.4), rows.mkString("\n"))
+      // running rate after all 52 docs: 20/52 (6-dp rounded)
+      assert(rows.map(_._5).contains(0.384615), rows.mkString("\n"))
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
