@@ -45,6 +45,7 @@ object Bench {
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
     "qd60_collocations",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
+    "qr09_prf_expansion",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")

@@ -1924,6 +1924,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neg_rank"))
     }),
 
+    // oracle-checked: pseudo-relevance-feedback expansion (Rocchio/RM3
+    // family) — top-3 feedback docs per query, tf·ln(N/df)-scored
+    // expansion terms (original terms excluded), second BM25 pass with
+    // the enriched queries; the whole two-pass chain replays in SQL.
+    "qr09_prf_expansion" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.prfExpandedSearch(Tables.documents(s, d), "doc_id", "text",
+          bm25Queries.toDF("query_id", "term"), "query_id", "term",
+          fbDocs = 3, fbTerms = 2, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // oracle-checked: the corpus-level eval rollup — macro means (MRR
     // et al.) over qr04's per-query battery; one reporting row.
     "qr07_retrieval_eval_summary" -> ((s, d) => {
@@ -3223,6 +3236,51 @@ object SparkEntry {
       s"""WITH $duckEvalCte
          |SELECT query_id, n_rel, hits, precision_at_k, recall_at_k, rr, ndcg_at_k
          |FROM evout ORDER BY query_id""".stripMargin,
+
+    // PRF replayed end to end: first-pass brk → top-3 feedback docs →
+    // tf-in-feedback × 6-dp ln(N/df) expansion scoring (original terms
+    // excluded via NOT EXISTS) → expanded qt2 → the full BM25 chain a
+    // second time over qt2-restricted postings
+    "qr09_prf_expansion" ->
+      s"""WITH $duckBm25Cte,
+         |fb AS (SELECT query_id, doc_id FROM brk WHERE rnk <= 3),
+         |ft AS (SELECT f.query_id, t.term, COUNT(*) AS tf
+         |  FROM btok t JOIN fb f ON f.doc_id = t.doc_id
+         |  GROUP BY f.query_id, t.term),
+         |dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM btok
+         |  WHERE term IN (SELECT DISTINCT term FROM ft) GROUP BY term),
+         |exq AS (SELECT ft.query_id, ft.term,
+         |    ROUND(CAST(ft.tf AS DOUBLE)
+         |      * ROUND(ln(CAST((SELECT n FROM bst) AS DOUBLE)
+         |          / CAST(dfv.dfq AS DOUBLE)), 6), 6) AS score
+         |  FROM ft JOIN dfv USING (term)
+         |  WHERE NOT EXISTS (SELECT 1 FROM qt
+         |    WHERE qt.query_id = ft.query_id AND qt.term = ft.term)),
+         |expt AS (SELECT query_id, term FROM (
+         |    SELECT query_id, term, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, term) AS rn
+         |    FROM exq)
+         |  WHERE rn <= 2),
+         |qt2 AS (SELECT query_id, term FROM qt
+         |        UNION SELECT query_id, term FROM expt),
+         |bp2 AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM btok
+         |  WHERE term IN (SELECT DISTINCT term FROM qt2)
+         |  GROUP BY doc_id, dl, term),
+         |bpd2 AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM bp2),
+         |bsc2 AS (SELECT q2.query_id, bpd2.doc_id,
+         |    CAST(ROUND(ln(1 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * 2.2
+         |         / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+         |      6) AS DECIMAL(18,6)) AS part
+         |  FROM bpd2 JOIN qt2 q2 USING (term) CROSS JOIN bst),
+         |bag2 AS (SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
+         |  FROM bsc2 GROUP BY query_id, doc_id),
+         |brk2 AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM bag2)
+         |SELECT query_id, doc_id, score, rnk FROM brk2 WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
 
     // the corpus-level rollup shares qr04's evout CTE verbatim — macro
     // means over the already-6-dp per-query metrics, DECIMAL-summed

@@ -209,6 +209,69 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the Rocchio 1971 / RM3
+    * family: assume the first pass's top documents are relevant, mine
+    * their most characteristic terms, and re-search with the enriched
+    * query — the classic recall lever when queries are short): per
+    * query, take the top `fbDocs` BM25 hits, score their terms by
+    * tf-in-feedback × ln(N/df) (the qr06 weighting — high-df stopwords
+    * can't win), drop the original query terms, keep the top `fbTerms`,
+    * and run the SECOND BM25 pass with the expanded term set.
+    *
+    * Determinism/portability: expansion scores round as
+    * round(tf · round(ln(N/df), 6), 6) with ties to the smaller term;
+    * both BM25 passes share one corpus-stats scalar; the entire
+    * two-pass chain replays in SQL (qr09's oracle).
+    *
+    * Scale shape: 5 corpus passes — stats (skippable via
+    * `corpusStats`), first-pass postings, the feedback-doc token pull
+    * (semi-joined to the ≤ fbDocs·Q broadcast doc set BEFORE the
+    * explode moves anything), the candidate-term df count (semi-joined
+    * to the broadcast feedback vocabulary), and second-pass postings.
+    * Every join's small side broadcasts; both search passes keep BM25's
+    * restrict-before-shuffle discipline.
+    */
+  def prfExpandedSearch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      fbDocs: Int = 3, fbTerms: Int = 2, k: Int = 5,
+      corpusStats: Option[Bm25Stats] = None): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0 && k >= 1,
+      s"prfExpandedSearch: bad args (fbDocs=$fbDocs, fbTerms=$fbTerms, k=$k)")
+    val stats = corpusStats.getOrElse(bm25CorpusStats(docs, textCol))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("term")).distinct()
+    val run1 = bm25Search(docs, idCol, textCol, q, "query_id", "term",
+      k = fbDocs, corpusStats = Some(stats))
+    val fb = broadcast(run1.select(col("query_id"), col("doc_id")))
+    val fbIds = broadcast(fb.select(col("doc_id")).distinct())
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // feedback-doc term frequencies: the explode runs over ≤ fbDocs·Q
+    // docs only (semi-join first)
+    val ft = docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(fbIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(toks).as("term"))
+      .join(fb, "doc_id")
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val cand = broadcast(ft.select(col("term")).distinct())
+    val dfv = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .join(cand, Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfq"))
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("term"))
+    val expanded = ft.join(dfv, "term")
+      .withColumn("score", round(col("tf").cast("double")
+        * round(log(lit(stats.n.toDouble) / col("dfq").cast("double")), 6), 6))
+      .join(broadcast(q), Seq("query_id", "term"), "left_anti")
+      .withColumn("__rn", row_number().over(wExp))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    bm25Search(docs, idCol, textCol,
+      q.unionByName(expanded).distinct(), "query_id", "term",
+      k = k, corpusStats = Some(stats))
+  }
+
   /** Offline retrieval-quality evaluation — the trec_eval metric battery
     * every retrieval stack (qr01/qr02/qe16/qr03) needs before its index
     * or fusion weights ship: per query, binary-relevance

@@ -110,6 +110,49 @@ class RetrievalSpec extends SparkSpec {
       s"opaque failure instead of the guard: ${e.getMessage}")
   }
 
+  test("prfExpandedSearch (qr09): feedback terms recall a doc the original query cannot see") {
+    val docs = Seq(
+      (1L, "apple banana banana banana"),
+      (2L, "banana banana banana cherry"),
+      (3L, "cherry plum plum plum"),
+      (4L, "plum orange orange orange")).toDF("doc_id", "text")
+    val q = Seq((1, "apple")).toDF("query_id", "term")
+    val base = Retrieval.bm25Search(docs, "doc_id", "text", q,
+        "query_id", "term", k = 5)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(base.map(_._2).toSet === Set(1L), "pass 1 should only see doc 1")
+    // feedback doc 1 contributes 'banana' → doc 2 becomes reachable
+    val exp = Retrieval.prfExpandedSearch(docs, "doc_id", "text", q,
+        "query_id", "term", fbDocs = 1, fbTerms = 1, k = 5)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(exp.map(_._2).toSet === Set(1L, 2L), exp.toSeq.toString)
+  }
+
+  test("prfExpandedSearch: fbTerms = 0 is the identity; idf outweighs raw tf in expansion") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val q = Seq((1, "spark"), (2, "hash")).toDF("query_id", "term")
+    val plain = Retrieval.bm25Search(docs, "doc_id", "text", q,
+        "query_id", "term", k = 5)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val zero = Retrieval.prfExpandedSearch(docs, "doc_id", "text", q,
+        "query_id", "term", fbDocs = 3, fbTerms = 0, k = 5)
+      .as[(Int, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(zero === plain)
+    // tf·ln(N/df): 'rare' (tf 1, df 1 → ln 4) must beat 'common'
+    // (tf 3, df 3 → 3·ln(4/3) ≈ 0.86) — had 'common' won, docs 2 and 3
+    // would surface in the expanded result
+    val d2 = Seq(
+      (1L, "target rare common common common"),
+      (2L, "common common common filler1"),
+      (3L, "common filler2 filler3 filler4"),
+      (4L, "filler5 filler6 filler7 filler8")).toDF("doc_id", "text")
+    val q2 = Seq((1, "target")).toDF("query_id", "term")
+    val got = Retrieval.prfExpandedSearch(d2, "doc_id", "text", q2,
+        "query_id", "term", fbDocs = 1, fbTerms = 1, k = 5)
+      .as[(Int, Long, Double, Int)].collect()
+    assert(got.map(_._2).toSet === Set(1L), s"idf lost to tf: ${got.toSeq}")
+  }
+
   /** trec_eval-convention DCG term: round(1/log2(rank+1), 6) as Spark's
     * HALF_UP — the test-side twin of evalRun's arithmetic.
     */
