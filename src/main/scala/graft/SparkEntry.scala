@@ -204,7 +204,7 @@ object SparkEntry {
       .mkString("\n  UNION ALL\n")
     s"""WITH sh AS (
        |  SELECT doc_id, $duckShingles3 AS g
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM documents)),
        |sig AS (
        |  SELECT doc_id,
        |$mhCols
@@ -255,11 +255,11 @@ object SparkEntry {
        |  SELECT 9000, text || ' coda' FROM base WHERE doc_id = 250),
        |csh AS (
        |  SELECT doc_id, $duckShingles3 AS g
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w
        |        FROM base WHERE doc_id < 250)),
        |bsh AS (
        |  SELECT doc_id, $duckShingles3 AS g
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w
        |        FROM batch)),
        |csig AS (
        |  SELECT doc_id,
@@ -314,10 +314,10 @@ object SparkEntry {
        |  FROM documents WHERE doc_id < 5),
        |dsh AS (
        |  SELECT doc_id, $duckShingles3 AS g
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)),
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM documents)),
        |bsh AS (
        |  SELECT bid, $duckShingles3 AS g
-       |  FROM (SELECT bid, regexp_split_to_array(trim(text), '\\s+') AS w FROM bench)),
+       |  FROM (SELECT bid, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM bench)),
        |dsig AS (
        |  SELECT doc_id,
        |$mhCols
@@ -357,6 +357,145 @@ object SparkEntry {
        |  COALESCE(h.n, 0) > 0 AS contaminated_near
        |FROM documents d LEFT JOIN hits h USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** qd61's oracle: the full training-data pipeline replayed end to end
+    * in DuckDB — the qd48 NFC canon, the qd10 quality gate, the qd01
+    * exact-dedup keeper rule, the qd09 md5-MinHash/band/verify
+    * machinery over the deduped corpus, the qd14 recursive connected
+    * components, the qd22 3-gram decontamination gate vs the bench
+    * slice, the qd23 split buckets, the qd50 temperature plan (salted
+    * mix bucket), the qd57 prefix-sum packing, and the qd46-style
+    * md5 shard binning — each CTE mirroring its proven sibling's
+    * formulation stage for stage.
+    */
+  private lazy val qd61Sql: String = {
+    val mhCols = (0 until 16)
+      .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+      .mkString(",\n")
+    val ebUnion = (0 until 4)
+      .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM bands")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, upper(text) || '  ' FROM documents
+       |  WHERE doc_id % 97 = 1 AND doc_id % 50 <> 0
+       |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, source, text || ' near dup tail token' FROM documents
+       |  WHERE doc_id % 89 = 2 AND doc_id % 50 <> 0
+       |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+       |  UNION ALL
+       |  SELECT doc_id + 3000001, source, text FROM documents
+       |  WHERE doc_id % 50 = 0 AND doc_id % 7 = 0
+       |    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30),
+       |norm AS (
+       |  SELECT doc_id, source,
+       |    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS t
+       |  FROM base),
+       |bench AS (SELECT doc_id, t FROM norm WHERE doc_id % 50 = 0),
+       |gate AS (
+       |  SELECT doc_id, source, t,
+       |    CAST(len(regexp_split_to_array(t, '\\s+')) AS BIGINT) AS nt
+       |  FROM norm
+       |  WHERE doc_id % 50 <> 0
+       |    AND len(regexp_split_to_array(t, '\\s+')) >= 20),
+       |ex AS (
+       |  SELECT doc_id, source, t, nt FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(t)) AS keep FROM gate)
+       |  WHERE doc_id = keep),
+       |sh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w FROM ex)),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM sig),
+       |eb AS (
+       |$ebUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM eb a JOIN eb b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM cand p
+       |  JOIN sh sa ON sa.doc_id = p.id_a
+       |  JOIN sh sb ON sb.doc_id = p.id_b
+       |  WHERE len(list_intersect(sa.g, sb.g))
+       |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM prs
+       |  UNION ALL SELECT id_b, id_a FROM prs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |walk(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id),
+       |losers AS (SELECT id FROM walk GROUP BY id HAVING id <> MIN(label)),
+       |reps AS (
+       |  SELECT * FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)),
+       |bg AS (
+       |  SELECT DISTINCT unnest(gs) AS g3 FROM (
+       |    SELECT $duckShingles3 AS gs FROM (
+       |      SELECT regexp_split_to_array(t, '\\s+') AS w FROM bench) bw) bs),
+       |cont AS (
+       |  SELECT DISTINCT rg.doc_id FROM (
+       |    SELECT doc_id, unnest(gs) AS g3 FROM (
+       |      SELECT doc_id, $duckShingles3 AS gs FROM (
+       |        SELECT doc_id, regexp_split_to_array(t, '\\s+') AS w
+       |        FROM reps) rw) rs) rg
+       |  JOIN bg USING (g3)),
+       |clean AS (
+       |  SELECT * FROM reps WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |train AS (
+       |  SELECT * FROM clean
+       |  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90),
+       |m AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |      FROM train GROUP BY source),
+       |mp AS (SELECT *,
+       |         CASE WHEN n_tokens = 0 THEN CAST(0 AS DECIMAL(18,6))
+       |              ELSE CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |         END AS pw
+       |       FROM m),
+       |gden AS (SELECT CAST(SUM(pw) AS DOUBLE) AS psum FROM mp),
+       |thr AS (
+       |  SELECT mp.source,
+       |    CASE WHEN mp.n_tokens = 0 THEN 0
+       |         ELSE CAST(ROUND(LEAST(1.0, CAST(mp.pw AS DOUBLE) / gden.psum * 5000 / mp.n_tokens) * 10000) AS INTEGER) END AS threshold
+       |  FROM mp CROSS JOIN gden),
+       |mixed AS (
+       |  SELECT tr.doc_id, tr.nt FROM train tr JOIN thr ON tr.source = thr.source
+       |  WHERE CAST(md5_number_lower('mix#' || CAST(tr.doc_id AS VARCHAR)) % 10000 AS INTEGER) < thr.threshold),
+       |nz AS (SELECT doc_id, nt FROM mixed WHERE nt > 0),
+       |cu AS (SELECT doc_id, nt,
+       |    CAST(SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM nz),
+       |ex2 AS (SELECT doc_id, nt, cum, cum - nt AS noff,
+       |    CAST(FLOOR(CAST(cum - nt AS DOUBLE) / 128) AS BIGINT) AS f,
+       |    CAST(FLOOR(CAST(cum - 1 AS DOUBLE) / 128) AS BIGINT) AS l
+       |  FROM cu),
+       |sp AS (SELECT doc_id, cum, noff, CAST(i AS BIGINT) AS seq_id
+       |  FROM ex2, UNNEST(range(f, l + 1)) AS u(i)),
+       |sl AS (SELECT seq_id, doc_id,
+       |    LEAST(cum, (seq_id + 1) * 128) - GREATEST(noff, seq_id * 128) AS take
+       |  FROM sp),
+       |shards AS (
+       |  SELECT CAST(md5_number_lower(CAST(seq_id AS VARCHAR)) % 8 AS INTEGER) AS shard_id,
+       |    seq_id, doc_id, take
+       |  FROM sl)
+       |SELECT shard_id, COUNT(DISTINCT seq_id) AS n_seqs,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(take) AS BIGINT) AS n_tokens
+       |FROM shards GROUP BY shard_id ORDER BY shard_id""".stripMargin
   }
 
   /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
@@ -2522,6 +2661,18 @@ object SparkEntry {
     "qd33_curation_pipeline" -> ((s, d) =>
       graft.ops.Pipelines.curationPipeline(Tables.documents(s, d))),
 
+    // oracle-checked: the END-TO-END training-data capstone — NFC
+    // normalize → quality gate → exact dedup → MinHash-LSH near dedup
+    // (components, min-id keeper) → exact 3-gram decontamination vs
+    // the bench slice → train split → α=0.5 temperature mix under a
+    // 5k-token budget (sized to BIND at sf0.001's train-token mass) → 128-token stream packing → 8-shard export
+    // manifest. Every stage is an individually oracle-proven operator;
+    // the composed oracle chains their CTEs (qd48+qd09+qd14+qd22+
+    // qd23+qd50+qd57) end to end.
+    "qd61_full_pipeline" -> ((s, d) =>
+      graft.ops.Pipelines.fullPipeline(
+        graft.ops.Pipelines.fullPipelineFixture(Tables.documents(s, d)))),
+
     // oracle-checked: IVF search over an int8-QUANTIZED index — the
     // memory-resident ANN pattern (4× smaller vectors; qe07 proves the
     // round trip, qe08 the IVF machinery; this composes them: the index,
@@ -2893,14 +3044,14 @@ object SparkEntry {
         |  SELECT 9000, text FROM base WHERE doc_id = 250),
         |f AS (
         |  SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS content_hash
         |  FROM batch),
         |fresh AS (
         |  SELECT doc_id, content_hash FROM f
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1)
         |SELECT doc_id, content_hash FROM fresh
         |WHERE content_hash NOT IN (
-        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
         |  FROM base WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin,
 
@@ -2928,7 +3079,7 @@ object SparkEntry {
 
     "qd22_decontaminate" ->
       s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |  SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM documents),
          |g AS (SELECT doc_id, $duckShingles3 AS gs FROM d),
          |bg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
          |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
@@ -2941,7 +3092,7 @@ object SparkEntry {
 
     "qd38_contamination_report" ->
       s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |  SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM documents),
          |g AS (SELECT doc_id, $duckShingles3 AS gs FROM d),
          |bg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 50 = 0),
          |cg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 50 <> 0),
@@ -3026,7 +3177,7 @@ object SparkEntry {
         |    len(list_filter(lw, x -> x IN ('le','la','les','et','des','une'))) AS fr,
         |    len(list_filter(lw, x -> x IN ('el','los','las','y','una','para'))) AS es,
         |    len(list_filter(lw, x -> x IN ('der','die','das','und','nicht','ein'))) AS de,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |  FROM b)
         |SELECT source,
         |  COUNT(*) AS n_docs,
@@ -3509,7 +3660,7 @@ object SparkEntry {
     // fingerprint = md5 of lowercase whitespace-collapsed text — the same
     // canonicalization exactDedup keys on
     "qd01_exact_dedup" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1 ORDER BY content_hash""".stripMargin,
@@ -3549,7 +3700,7 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "qd05_fingerprint" ->
-      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "qd10_corpus_pipeline" ->
@@ -3561,7 +3712,7 @@ object SparkEntry {
         |t AS (
         |  SELECT doc_id, n_tokens,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |  FROM q),
         |s AS (
         |  SELECT doc_id, n_tokens, fp,
@@ -3626,7 +3777,7 @@ object SparkEntry {
         |  FROM documents
         |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
         |f AS (
-        |  SELECT *, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  SELECT *, md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |  FROM gated),
         |deduped AS (
         |  SELECT * FROM (
@@ -3947,9 +4098,9 @@ object SparkEntry {
         |  FROM old WHERE doc_id % 29 = 0),
         |newc AS (SELECT * FROM revised UNION ALL SELECT * FROM addedd),
         |ofp AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fp_old FROM old),
+        |    md5(trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))), '\s+', ' ', 'g'))) AS fp_old FROM old),
         |nfp AS (SELECT doc_id,
-        |    md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fp_new FROM newc)
+        |    md5(trim(regexp_replace(lower(nfc_normalize(COALESCE(text, ''))), '\s+', ' ', 'g'))) AS fp_new FROM newc)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
@@ -4570,6 +4721,10 @@ object SparkEntry {
          |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
          |  ROUND(CAST(SUM(CAST(dup_frac AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_dup_frac
          |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the end-to-end capstone replayed stage for stage — see qd61Sql's
+    // scaladoc for the CTE↔operator mapping
+    "qd61_full_pipeline" -> qd61Sql,
 
     // the greedy longest-match walk replayed per word: each recursion
     // step consumes the longest vocab entry matching at the cursor (or

@@ -175,27 +175,24 @@ object Curation {
     * normalization) — with an S-row driver collect between them (the
     * model-artifact pattern: S = source count, never row count).
     */
-  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
-      textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
-    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
-    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
-    // null text counts as zero tokens (a null-text source must not NPE
-    // the driver collect below)
-    val base = docs.select(col(sourceCol).as("source"),
-      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
-        .cast("long").as("__nt"),
-      NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000).as("__b"))
+  /** The per-source temperature plan — [[temperatureMix]]'s driver fold
+    * over (source, token) masses, shared with [[temperatureMixDocs]]:
+    * `base` is a (source, __nt, __b) projection; the result is the
+    * S-row plan frame (source, n_docs, n_tokens, nat_frac, temp_weight,
+    * target_tokens, threshold). Powers round to 6 dp and sum as exact
+    * decimals so the weight denominator is ORDER-FREE — the repo-wide
+    * convention (qe25's decimal distance sums) that keeps the SQL
+    * oracle's unordered SUM bit-equal with this sorted driver fold. A
+    * zero-token source weighs 0 at ANY α (pow(0,0)=1 would smuggle it
+    * into a uniform mix) and keeps nothing.
+    */
+  private def temperaturePlan(base: DataFrame, alpha: Double,
+      tokenBudget: Long): DataFrame = {
     val masses = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val totalTok = masses.map(_._3).sum.toDouble
-    // powers round to 6 dp and sum as exact decimals so the weight
-    // denominator is ORDER-FREE — the repo-wide convention (qe25's
-    // decimal distance sums) that keeps the SQL oracle's unordered SUM
-    // bit-equal with this sorted driver fold. A zero-token source
-    // weighs 0 at ANY α (pow(0,0)=1 would smuggle it into a uniform
-    // mix) and keeps nothing.
     def pow6(c: Long): BigDecimal =
       if (c == 0L) BigDecimal(0)
       else BigDecimal(math.pow(c.toDouble, alpha)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
@@ -206,13 +203,26 @@ object Curation {
       (s, nd, c, if (totalTok == 0.0) 0.0 else c / totalTok, w,
         math.round(w * tokenBudget), math.round(rate * 10000).toInt)
     }
-    val spark = docs.sparkSession
+    val spark = base.sparkSession
     import spark.implicits._
-    val planDf = plan.toSeq
+    plan.toSeq
       .toDF("source", "n_docs", "n_tokens", "nat_frac", "temp_weight",
         "target_tokens", "threshold")
       .withColumn("nat_frac", round(col("nat_frac"), 6))
       .withColumn("temp_weight", round(col("temp_weight"), 6))
+  }
+
+  def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    // null text counts as zero tokens (a null-text source must not NPE
+    // the driver collect below)
+    val base = docs.select(col(sourceCol).as("source"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+        .cast("long").as("__nt"),
+      NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000).as("__b"))
+    val planDf = temperaturePlan(base, alpha, tokenBudget)
     // threshold rides in as a broadcast JOIN, not a driver-built CASE
     // chain — a when-ladder's depth grows with the source count (the
     // round-11 compaction-predicate lesson applied here from the start)
@@ -227,6 +237,42 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("nat_frac"),
         col("temp_weight"), col("target_tokens"), col("threshold"),
         col("kept_docs"), col("kept_tokens"))
+  }
+
+  /** [[temperatureMix]]'s DOC-level form — the stage a composed pipeline
+    * actually consumes (qd61): same α-tempered per-source plan, but
+    * instead of the audit rollup it returns the KEPT ROWS of `docs`
+    * (all original columns, plan columns dropped). The keep predicate
+    * is the identical deterministic md5 Bernoulli; `bucketSalt`
+    * prefixes the id before hashing so a pipeline that already consumed
+    * the UNSALTED bucket upstream (the qd23 split's `md5(id) % 100` —
+    * and `% 100` divides `% 10000`, so the two draws are correlated,
+    * not independent) can decorrelate its mix draw with e.g.
+    * `bucketSalt = "mix#"`. DuckDB replays the salted bucket as
+    * `md5_number_lower('mix#' || CAST(id AS VARCHAR)) % 10000`.
+    *
+    * Scale shape: two passes over `docs` (the S-row mass rollup, then
+    * the broadcast-threshold filter) — inherent, as the keep rate
+    * depends on the global normalization; callers in a longer pipeline
+    * should hand in a persisted frame.
+    */
+  def temperatureMixDocs(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, alpha: Double, tokenBudget: Long,
+      bucketSalt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val bucket = NativeExpressions.md5Bucket(
+      concat(lit(bucketSalt), col(idCol).cast("string")), 10000)
+    val base = docs.select(col(sourceCol).as("source"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+        .cast("long").as("__nt"),
+      bucket.as("__b"))
+    val planDf = temperaturePlan(base, alpha, tokenBudget)
+    docs.withColumn("__b", bucket)
+      .join(broadcast(planDf.select(col("source").as("__mix_src"),
+        col("threshold"))), col(sourceCol) === col("__mix_src"))
+      .filter(col("__b") < col("threshold"))
+      .drop("__b", "__mix_src", "threshold")
   }
 
   /** DSIR data-selection weights (Xie et al. 2023, arXiv:2302.03169):

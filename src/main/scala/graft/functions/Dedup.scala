@@ -465,17 +465,34 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash
 
+  /** The MinHash family's text canon: Unicode NFC, so composed and
+    * decomposed spellings of the same text yield identical shingle sets
+    * (the [[TextAnalysis.normalized]] unification — without it a
+    * decomposed-Unicode near-dup of a composed doc never collides in
+    * any band). Identity (and allocation-free) on ASCII, so the hash
+    * values of an ASCII corpus are unchanged. Applied by BOTH candidate
+    * generation and exact verification — the two must see one canon or
+    * a candidate pair could verify against different gram sets.
+    * Case/whitespace are deliberately NOT touched here: shingle
+    * tokenization already splits on `\s+` after trim, and the family's
+    * documented semantics are case-sensitive. DuckDB replays as
+    * `nfc_normalize(text)`.
+    */
+  private[graft] def shingleCanon(text: Column): Column =
+    NativeExpressions.nfcNormalize(text)
+
   /** MinHash signature as k columns `mh0..mh{k-1}`: per permutation j the
     * signature is the min over shingles of hash(shingle ⊕ j). Narrow map
     * stage; `portable=true` uses md5 (string min, engine-portable for
     * oracles), `false` uses xxhash64 (fast path for production scale).
+    * Text is NFC-canonicalized first ([[shingleCanon]]).
     */
   def withMinHash(df: DataFrame, textCol: String, k: Int, shingleN: Int,
       portable: Boolean = false): DataFrame = {
     val sig = if (portable)
-      NativeExpressions.portableMinhashSig(col(textCol), k, shingleN)
+      NativeExpressions.portableMinhashSig(shingleCanon(col(textCol)), k, shingleN)
     else
-      NativeExpressions.minhashSig(col(textCol), k, shingleN)
+      NativeExpressions.minhashSig(shingleCanon(col(textCol)), k, shingleN)
     val withSig = df.withColumn("__sig", sig)
     val named = (0 until k).foldLeft(withSig) { (acc, j) =>
       acc.withColumn(s"mh$j", col("__sig").getItem(j))
@@ -490,7 +507,8 @@ object Dedup {
     */
   def withMinHashPortableHOF(df: DataFrame, textCol: String, k: Int,
       shingleN: Int): DataFrame = {
-    val withSh = df.withColumn("__sh", wordShingles(col(textCol), shingleN))
+    val withSh = df.withColumn("__sh",
+      wordShingles(shingleCanon(col(textCol)), shingleN))
     val sig = (0 until k).foldLeft(withSh) { (acc, j) =>
       acc.withColumn(s"mh$j",
         array_min(transform(col("__sh"), s => md5(concat(s, lit(s"#$j"))))))
@@ -540,7 +558,8 @@ object Dedup {
     // merge jaccard) — same hash chain as the signatures, so the exact
     // check is consistent with the candidate generation
     val docs = df.select(col(idCol),
-      NativeExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
+      NativeExpressions.shingleHashes(shingleCanon(col(textCol)), shingleN)
+        .as("__sh"))
     pairs
       .join(docs.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -587,9 +606,11 @@ object Dedup {
       .join(broadcast(bandsLong(bSig, bands, Seq("__bid"))), Seq("band", "bh"))
       .select(col(idCol), col("__bid")).distinct()
     val dSh = docs.select(col(idCol),
-      NativeExpressions.shingleHashes(col(textCol), shingleN).as("__sh_d"))
+      NativeExpressions.shingleHashes(shingleCanon(col(textCol)), shingleN)
+        .as("__sh_d"))
     val bSh = benchmark.select(col(benchIdCol).as("__bid"),
-      NativeExpressions.shingleHashes(col(benchTextCol), shingleN).as("__sh_b"))
+      NativeExpressions.shingleHashes(shingleCanon(col(benchTextCol)), shingleN)
+        .as("__sh_b"))
     val hits = cand
       .join(dSh, Seq(idCol))
       .join(broadcast(bSh), Seq("__bid"))
@@ -667,12 +688,6 @@ object Dedup {
       .drop((0 until k).map(j => s"mh$j"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** [[incrementalNearDup]]'s core over a pre-built signature frame and a
-    * LONG-form probe side (`band`, `bh` — [[bandsLong]]'s layout). The
-    * probe side may be partition-pruned by the caller (the bucketed sink
-    * reads only the index buckets matching the batch's band prefixes).
-    * `sig` must be persisted ([[lshSignature]]); it is unpersisted here.
-    */
   /** Free a `localCheckpoint`ed frame's blocks. They live on the
     * UNDERLYING RDD (registered at RDD level, not in the CacheManager),
     * so `Dataset.unpersist` is a no-op on them — the handle comes out
@@ -688,6 +703,12 @@ object Dedup {
       case _ => ()
     }
 
+  /** [[incrementalNearDup]]'s core over a pre-built signature frame and a
+    * LONG-form probe side (`band`, `bh` — [[bandsLong]]'s layout). The
+    * probe side may be partition-pruned by the caller (the bucketed sink
+    * reads only the index buckets matching the batch's band prefixes).
+    * `sig` must be persisted ([[lshSignature]]); it is unpersisted here.
+    */
   def incrementalNearDupFromSig(sig: DataFrame, corpusLong: DataFrame,
       idCol: String, bands: Int): DataFrame = {
     // the signature frame feeds FOUR plan branches (anti-join left side,
@@ -906,6 +927,16 @@ object Dedup {
 
   // ------------------------------------------------- winnowing (MOSS)
 
+  /** Strip ALL boundary whitespace (`trim` strips only spaces; a
+    * trailing `\n` would otherwise make `split` emit a phantom ""
+    * token, so the relational/SQL gram positions would diverge from the
+    * byte-tokenizing kernel on any corpus with newline-terminated
+    * docs). Applied by every winnowing/containment tokenization — and
+    * mirrored in the qd51/qd53 oracles.
+    */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003, "Winnowing: Local Algorithms for Document
     * Fingerprinting" — the MOSS algorithm): hash every word k-gram, slide
@@ -934,16 +965,6 @@ object Dedup {
     * (`hash ∥ '#' ∥ lpad(nGrams − pos)` — hash ascending, then smaller
     * nGrams − pos = rightmost), one reused-partitioning distinct.
     */
-  /** Strip ALL boundary whitespace (`trim` strips only spaces; a
-    * trailing `\n` would otherwise make `split` emit a phantom ""
-    * token, so the relational/SQL gram positions would diverge from the
-    * byte-tokenizing kernel on any corpus with newline-terminated
-    * docs). Applied by every winnowing/containment tokenization — and
-    * mirrored in the qd51/qd53 oracles.
-    */
-  private def wsTrim(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
-
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, relational: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 2, s"winnowFingerprints: need k >= 1, w >= 2 (got k=$k, w=$w)")

@@ -223,13 +223,15 @@ object Retrieval {
     * both BM25 passes share one corpus-stats scalar; the entire
     * two-pass chain replays in SQL (qr09's oracle).
     *
-    * Scale shape: 5 corpus passes — stats (skippable via
-    * `corpusStats`), first-pass postings, the feedback-doc token pull
-    * (semi-joined to the ≤ fbDocs·Q broadcast doc set BEFORE the
-    * explode moves anything), the candidate-term df count (semi-joined
-    * to the broadcast feedback vocabulary), and second-pass postings.
-    * Every join's small side broadcasts; both search passes keep BM25's
-    * restrict-before-shuffle discipline.
+    * Scale shape: 5 corpus passes, each executed exactly once — stats
+    * (skippable via `corpusStats`), first-pass postings (whose ≤
+    * fbDocs·Q result is eagerly checkpointed so its two broadcast
+    * consumers can never re-derive it — ScanCountSpec pins the budget),
+    * the feedback-doc token pull (semi-joined to the broadcast doc set
+    * BEFORE the explode moves anything), the candidate-term df count
+    * (semi-joined to the broadcast feedback vocabulary), and
+    * second-pass postings. Every join's small side broadcasts; both
+    * search passes keep BM25's restrict-before-shuffle discipline.
     */
   def prfExpandedSearch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
@@ -240,19 +242,29 @@ object Retrieval {
     val stats = corpusStats.getOrElse(bm25CorpusStats(docs, textCol))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(termCol).as("term")).distinct()
+    // ≤ fbDocs·Q rows, materialized EAGERLY: both broadcasts below (and
+    // nothing else) read this checkpoint, so the first-pass postings
+    // derivation executes exactly once — without it the two separately-
+    // broadcast projections can re-run the whole first search unless
+    // exchange reuse happens to dedupe it (qr09's scan budget is pinned
+    // in ScanCountSpec)
     val run1 = bm25Search(docs, idCol, textCol, q, "query_id", "term",
-      k = fbDocs, corpusStats = Some(stats))
+      k = fbDocs, corpusStats = Some(stats)).localCheckpoint(true)
     val fb = broadcast(run1.select(col("query_id"), col("doc_id")))
-    val fbIds = broadcast(fb.select(col("doc_id")).distinct())
+    val fbIds = broadcast(run1.select(col("doc_id")).distinct())
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     // feedback-doc term frequencies: the explode runs over ≤ fbDocs·Q
     // docs only (semi-join first)
+    // feedback-vocabulary-sized, checkpointed: ft feeds BOTH the df
+    // restriction (`cand`) and the expansion scoring join — without the
+    // materialization its docs-scan lineage executes once per consumer
     val ft = docs.select(col(idCol).as("doc_id"), col(textCol))
       .join(fbIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(toks).as("term"))
       .join(fb, "doc_id")
       .groupBy(col("query_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint(true)
     val cand = broadcast(ft.select(col("term")).distinct())
     val dfv = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
       .join(cand, Seq("term"), "left_semi")

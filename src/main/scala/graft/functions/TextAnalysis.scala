@@ -575,9 +575,11 @@ object TextAnalysis {
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int,
       portable: Boolean = false): DataFrame = {
+    // NFC canon ([[Dedup.shingleCanon]]): a decomposed-Unicode leak of a
+    // composed benchmark row must still hit — identity on ASCII
     def grams(c: Column): Column =
-      if (portable) explode(Dedup.wordShingles(c, n))
-      else explode(NativeExpressions.shingleHashes(c, n))
+      if (portable) explode(Dedup.wordShingles(Dedup.shingleCanon(c), n))
+      else explode(NativeExpressions.shingleHashes(Dedup.shingleCanon(c), n))
     val benchGrams = benchmark
       .select(grams(col(benchTextCol)).as("__g"))
       .distinct()
@@ -614,8 +616,8 @@ object TextAnalysis {
       benchmark: DataFrame, benchTextCol: String, n: Int,
       portable: Boolean = false): DataFrame = {
     def gramArr(c: Column): Column =
-      if (portable) Dedup.wordShingles(c, n)
-      else NativeExpressions.shingleHashes(c, n)
+      if (portable) Dedup.wordShingles(Dedup.shingleCanon(c), n)
+      else NativeExpressions.shingleHashes(Dedup.shingleCanon(c), n)
     val benchGrams = benchmark
       .select(explode(gramArr(col(benchTextCol))).as("__g"))
       .distinct()
@@ -672,26 +674,46 @@ object TextAnalysis {
         round(col("n_pieces").cast("double") /
           greatest(col("n_words"), lit(1L)).cast("double"), 4))
 
-  /** Canonical whitespace-collapsed lowercase form — the normalization step
-    * shared by fingerprinting and exact dedup. Collapse runs BEFORE trim
-    * (Spark/DuckDB `trim` strips only spaces, so the reverse order leaks
-    * a stray edge space for boundary tabs/newlines and trailing-newline
-    * variants of the same doc hash apart).
+  /** Canonical NFC + whitespace-collapsed lowercase form — the
+    * normalization step shared by fingerprinting and exact dedup, and
+    * (since the canon unification) IDENTICAL to [[normalizeText]]'s
+    * qd48 canon: Unicode NFC first, so the composed and decomposed
+    * spellings of "Café" hash as the same document — without it,
+    * decomposed-Unicode duplicates leak past every fingerprint-based
+    * dedup gate by default. Collapse runs BEFORE trim (Spark/DuckDB
+    * `trim` strips only spaces, so the reverse order leaks a stray edge
+    * space for boundary tabs/newlines and trailing-newline variants of
+    * the same doc hash apart). DuckDB replays as
+    * `trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))`.
     *
     * MIGRATION: changing this canon changes `content_hash` values, and
-    * stored hashes are data — corpora written by an older engine must be
-    * converged with [[graft.streaming.CorpusIngest.rehashCorpus]] (and
-    * exact-dedup sinks restarted on a fresh checkpoint) or new
-    * duplicates of old docs will be admitted under the new hash.
+    * stored hashes are data — corpora written by an older engine (any
+    * pre-NFC canon, i.e. [[legacyNormalized]]) must be converged with
+    * [[graft.streaming.CorpusIngest.rehashCorpus]] (and exact-dedup
+    * sinks restarted on a fresh checkpoint) or new duplicates of old
+    * docs will be admitted under the new hash.
     */
-  def normalized(text: Column): Column =
+  def normalized(text: Column): Column = normalizeText(text)
+
+  /** LEGACY pre-NFC canon (lower + collapse + trim, NO Unicode
+    * normalization) — kept ONLY so corpora hashed by older engine
+    * versions can be identified and migrated
+    * ([[graft.streaming.CorpusIngest.rehashCorpus]] probes it). New
+    * code must use [[normalized]]: this form hashes composed vs
+    * decomposed spellings of the same text apart.
+    */
+  def legacyNormalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Content fingerprint: md5 of the normalized text. md5 (not xxhash64) so
-    * the value is portable across engines for oracle checks; swap
-    * [[fastFingerprint]] in when only intra-engine equality matters.
+  /** Content fingerprint: md5 of the [[normalized]] (NFC-canon) text.
+    * md5 (not xxhash64) so the value is portable across engines for
+    * oracle checks; swap [[fastFingerprint]] in when only intra-engine
+    * equality matters.
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** [[legacyNormalized]]'s fingerprint — migration probe only. */
+  def legacyFingerprint(text: Column): Column = md5(legacyNormalized(text))
 
   /** 64-bit xxhash fingerprint — cheaper at scale, Spark-internal. */
   def fastFingerprint(text: Column): Column = xxhash64(normalized(text))

@@ -141,21 +141,6 @@ object Pipelines {
     result
   }
 
-  /** qe13 — IVF-PQ (Jégou et al. 2011 §IV, the FAISS IVFPQ
-    * architecture): coarse centroids partition the space, each vector's
-    * RESIDUAL (v − its centroid) is product-quantized, and search
-    * probes `nProbe` cells scoring the full-precision query against
-    * `centroid + decode(residual code)` — the memory-resident ANN shape
-    * for a 100 TB embedding table (coarse structure from IVF, 32×
-    * storage from PQ, and residuals quantize tighter than raw vectors
-    * because each cell's residual cloud is centered).
-    *
-    * Deterministic throughout (prefix centroids vec_id<8, prefix
-    * residual codebooks vec_id<16 — the qe08/qe12 conventions), so the
-    * entire pipeline replays in SQL. Scan budget: ONE pass over `emb`
-    * (base is persisted; assignment, residual codebooks, the encoded
-    * index and the probes all derive from it — pinned in ScanCountSpec).
-    */
   /** qr08 — the retrieval-quality loop over ONE shared restricted
     * postings derivation: a narrow stats pass
     * ([[graft.functions.Retrieval.bm25CorpusStats]] — N/avgdl need every
@@ -209,6 +194,140 @@ object Pipelines {
     out
   }
 
+  /** qd61 — the END-TO-END training-data capstone: the single composed
+    * query a training-data team runs over a raw crawl, every stage an
+    * individually oracle-proven operator, chained in the canonical
+    * order (normalize before hashing; dedup before decontamination so
+    * the gate probes unique docs; split before mixing so mix rates are
+    * computed on the train population; pack after all row drops):
+    *
+    *   raw documents
+    *   → NFC canon normalization (qd48's [[TextAnalysis.normalizeText]])
+    *   → quality gate (≥ 20 tokens — qd10/qd19's gate)
+    *   → exact dedup on the canonical fingerprint (qd01)
+    *   → near dedup: MinHash-LSH pairs (qd09) → connected components
+    *     (qd14) → keep each cluster's min-id representative
+    *   → exact 3-gram decontamination vs the benchmark slice
+    *     (doc_id % 50 = 0 — qd22's convention)
+    *   → deterministic 90/5/5 split, keep train (qd23)
+    *   → temperature mix α=0.5 under a 5k-token budget
+    *     (qd50's plan, doc-level via [[Curation.temperatureMixDocs]];
+    *     salted bucket `mix#` — the split already consumed the
+    *     unsalted md5 draw, and %100 divides %10000)
+    *   → concat-then-chunk packing into 128-token sequences (qd57)
+    *   → shard export manifest: sequences binned into 8 shards by
+    *     md5 bucket (qd46's assignment applied to seq_id), per-shard
+    *     sequence/doc/token accounting.
+    *
+    * The WHOLE chain replays in SQL (qd61's oracle composes the qd48 +
+    * qd09 + qd14 + qd22 + qd23 + qd50 + qd57 CTEs); every stage is
+    * non-vacuous at sf0.001+ (PipelineSpec asserts each drops rows).
+    *
+    * Scan budget (ScanCountSpec): the corpus is read in TWO lineages —
+    * the gated/deduped chain (materialized once into the persisted
+    * `exact` seam, though its first action races the sig/verify
+    * branches before cache blocks land, so the pin allows the startup
+    * double-read) and the benchmark-slice gram build. Everything
+    * downstream — components, decontamination probe, split, mix plan +
+    * filter, packing, manifest — reads the `exact` cache or
+    * pair-table-sized frames. At 100 TB every stage keeps its parent
+    * operator's shape: banded equi-joins for pairs, broadcast gram/
+    * threshold sides, the two-phase prefix sum for packing — nothing
+    * all-pairs, nothing single-partition.
+    */
+  /** qd61's planted fixture (the qd48/qd52 pattern): the raw corpus has
+    * no exact duplicates under the canon, so the capstone's dedup/
+    * decontamination stages would be vacuously green on it. Three
+    * deterministic plant families — derived from existing rows so they
+    * adapt to any scale factor, each restricted to ≥ 30-token docs so
+    * every plant survives the quality gate, and to the corpus side
+    * (`% 50 <> 0`) so it meets its intended stage:
+    *  - exact dups: `upper(text) || '  '` under id+1e6 — byte-distinct,
+    *    canon-identical (case + whitespace), so ONLY the canonical
+    *    fingerprint catches them;
+    *  - near dups: a 4-token tail under id+2e6 — high-Jaccard LSH pair
+    *    with its original, which wins the min-id keeper rule;
+    *  - bench leaks: bench-slice texts re-emitted under corpus ids
+    *    (+3000001 keeps them off the `% 50 = 0` slice) — verbatim
+    *    contamination the 3-gram gate must drop.
+    * Replayed row for row by qd61Sql's `base` CTE.
+    */
+  def fullPipelineFixture(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val exactDups = d
+      .filter(col("doc_id") % 97 === 1 && col("doc_id") % 50 =!= 0 && nt >= 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val nearDups = d
+      .filter(col("doc_id") % 89 === 2 && col("doc_id") % 50 =!= 0 && nt >= 30)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" near dup tail token")).as("text"))
+    val leaks = d
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") % 7 === 0 && nt >= 30)
+      .select((col("doc_id") + 3000001L).as("doc_id"), col("source"),
+        col("text"))
+    d.unionByName(exactDups).unionByName(nearDups).unionByName(leaks)
+  }
+
+  def fullPipeline(docs: DataFrame): DataFrame = {
+    import graft.functions.NativeExpressions
+    val normed = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.normalizeText(col("text")).as("norm_text"))
+    val bench = normed.filter(col("doc_id") % 50 === 0)
+    val gated = normed.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("norm_text")).cast("long"))
+      .filter(col("n_tok") >= 20)
+    // the canon is idempotent, so fingerprint(norm_text) ≡ md5(norm_text)
+    // — which is exactly what the SQL oracle hashes
+    val exact = F1Ops.firstWinsDedup(
+        gated.withColumn("__fp", TextAnalysis.fingerprint(col("norm_text"))),
+        Seq("__fp"), Seq(col("doc_id")))
+      .drop("__fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minHashNearDups(exact, "doc_id", "norm_text",
+      k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+    val losers = Dedup.nearDupComponents(pairs)
+      .filter(!col("is_keeper")).select("doc_id")
+    val reps = exact.join(losers, Seq("doc_id"), "left_anti")
+    val contaminated = TextAnalysis.decontaminate(reps, "doc_id", "norm_text",
+        bench, "norm_text", n = 3, portable = true)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = reps.join(contaminated, Seq("doc_id"), "left_anti")
+    val train = Curation.withSplit(clean, "doc_id")
+      .filter(col("split") === "train")
+    val mixed = Curation.temperatureMixDocs(train, "source", "doc_id",
+      "norm_text", alpha = 0.5, tokenBudget = 5000L, bucketSalt = "mix#")
+    val packed = Curation.packStream(mixed, "doc_id", col("n_tok"),
+      contextLen = 128)
+    val out = packed
+      .withColumn("shard_id",
+        NativeExpressions.md5Bucket(col("seq_id").cast("string"), 8))
+      .groupBy(col("shard_id"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("take")).cast("long").as("n_tokens"))
+      .orderBy(col("shard_id"))
+      .localCheckpoint(true)
+    exact.unpersist(false)
+    out
+  }
+
+  /** qe13 — IVF-PQ (Jégou et al. 2011 §IV, the FAISS IVFPQ
+    * architecture): coarse centroids partition the space, each vector's
+    * RESIDUAL (v − its centroid) is product-quantized, and search
+    * probes `nProbe` cells scoring the full-precision query against
+    * `centroid + decode(residual code)` — the memory-resident ANN shape
+    * for a 100 TB embedding table (coarse structure from IVF, 32×
+    * storage from PQ, and residuals quantize tighter than raw vectors
+    * because each cell's residual cloud is centered).
+    *
+    * Deterministic throughout (prefix centroids vec_id<8, prefix
+    * residual codebooks vec_id<16 — the qe08/qe12 conventions), so the
+    * entire pipeline replays in SQL. Scan budget: ONE pass over `emb`
+    * (base is persisted; assignment, residual codebooks, the encoded
+    * index and the probes all derive from it — pinned in ScanCountSpec).
+    */
   def ivfPq(emb: DataFrame): DataFrame = {
     import graft.functions.NativeExpressions
     val base = emb

@@ -77,13 +77,19 @@ object RankOps {
     * with duplicate keys a running sum depends on intra-tie order, which
     * no engine defines. Ranges split on the sort key so ties would also
     * straddle partitions; the caller owns supplying a unique key.
+    *
+    * `valueCol` nulls fold to 0 (`coalesce`): a prefix sum has no
+    * sensible null semantics — SQL `sum` would skip the row but an
+    * all-null partition would total null and crash the driver-side
+    * offset cumulation with an opaque NPE. Callers wanting nulls
+    * excluded should filter first.
     */
   def globalPrefixSum(df: DataFrame, sortCol: Column, valueCol: Column,
       out: String = "cum", numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val parts = df.withColumn("__v", valueCol.cast("long"))
+    val parts = df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
       .repartitionByRange(n, sortCol)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)

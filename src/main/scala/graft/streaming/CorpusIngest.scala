@@ -670,7 +670,8 @@ object CorpusIngest {
       benchGrams: Option[DataFrame], n: Int): DataFrame =
     benchGrams.fold(docs) { bg =>
       val hit = docs.select(col("doc_id"),
-          explode(NativeExpressions.shingleHashes(col("text"), n)).as("__g"))
+          explode(NativeExpressions.shingleHashes(
+            graft.functions.Dedup.shingleCanon(col("text")), n)).as("__g"))
         .join(broadcast(bg), "__g")
         .select(col("doc_id")).distinct()
       docs.join(hit, Seq("doc_id"), "left_anti")
@@ -687,8 +688,8 @@ object CorpusIngest {
   private def benchGramSet(benchmark: Option[DataFrame],
       benchTextCol: String, n: Int): Option[DataFrame] =
     benchmark.map { b =>
-      b.select(explode(
-          NativeExpressions.shingleHashes(col(benchTextCol), n)).as("__g"))
+      b.select(explode(NativeExpressions.shingleHashes(
+          graft.functions.Dedup.shingleCanon(col(benchTextCol)), n)).as("__g"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -1432,51 +1433,6 @@ object CorpusIngest {
     * collects only (epoch, batch_id) pairs — bounded by partition
     * count, never row count.
     */
-  /** Canon-migration maintenance: recompute `content_hash` under the
-    * CURRENT normalization canon ([[TextAnalysis.fingerprint]]) and
-    * rewrite only the partitions where any stored hash differs, then
-    * [[compactCorpus]] so texts that previously hashed apart collapse
-    * to one keeper. Stored hashes are DATA — an engine upgrade that
-    * changes the canon (round 11: whitespace collapse now runs before
-    * trim) does not migrate them by itself, and without a rehash the
-    * exact-dedup sink would admit a new duplicate of an old doc (new
-    * hash ≠ stored hash) that compaction could never reconcile (it
-    * groups by the stored hash). Streaming SeenHash STATE is not
-    * rewritten here: after rehashing, restart exact-dedup sinks on a
-    * FRESH checkpoint — the fresh-start bootstrap re-reads the (now
-    * current-canon) stored hash column. Returns
-    * (partitionsRewritten, duplicatesRemovedByCompaction). Idempotent:
-    * a second run finds no stale hash and rewrites nothing.
-    *
-    * Scale shape: the staleness probe is one narrow scan (recompute +
-    * compare — no shuffle); the rewrite touches only stale partitions
-    * via the flat pair predicate; compaction bounds follow
-    * [[compactCorpus]].
-    */
-  def rehashCorpus(spark: SparkSession, corpusPath: String): (Long, Long) = {
-    import spark.implicits._
-    val (fs, corpusDir) = fsFor(spark, corpusPath)
-    if (!hasData(fs, corpusDir)) return (0L, 0L)
-    val corpus = spark.read.parquet(corpusPath)
-      .select(col("doc_id"), col("text"), col("content_hash"),
-        col("epoch").cast("long").as("epoch"),
-        col("batch_id").cast("long").as("batch_id"))
-    val stale = corpus
-      .filter(TextAnalysis.fingerprint(col("text")) =!= col("content_hash"))
-      .select(col("epoch"), col("batch_id")).distinct()
-      .as[(Long, Long)].collect().toSet
-    if (stale.isEmpty) return (0L, 0L)
-    val rehashed = corpus.filter(inPartitionPairs(stale))
-      .withColumn("content_hash", TextAnalysis.fingerprint(col("text")))
-      .localCheckpoint(true)
-    rehashed
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch", "batch_id")
-      .parquet(corpusPath)
-    (stale.size.toLong, compactCorpus(spark, corpusPath))
-  }
-
   def compactCorpus(spark: SparkSession, corpusPath: String): Long = {
     import spark.implicits._
     val (fs, corpusDir) = fsFor(spark, corpusPath)
@@ -1550,6 +1506,56 @@ object CorpusIngest {
       } finally Dedup.freeLocalCheckpoint(keepersInAffected)
       removed
     } finally losers.unpersist(false)
+  }
+
+  /** Canon-migration maintenance: recompute `content_hash` under the
+    * CURRENT normalization canon ([[TextAnalysis.fingerprint]]) and
+    * rewrite only the partitions where any stored hash differs, then
+    * [[compactCorpus]] so texts that previously hashed apart collapse
+    * to one keeper. Stored hashes are DATA — an engine upgrade that
+    * changes the canon (round 11: whitespace collapse now runs before
+    * trim) does not migrate them by itself, and without a rehash the
+    * exact-dedup sink would admit a new duplicate of an old doc (new
+    * hash ≠ stored hash) that compaction could never reconcile (it
+    * groups by the stored hash). Round 12's NFC unification
+    * ([[TextAnalysis.normalized]] now equals the qd48 canon; the old
+    * form survives as [[TextAnalysis.legacyNormalized]]) is exactly
+    * such an upgrade: ASCII corpora have no stale hash and rewrite
+    * nothing, while corpora with decomposed-Unicode texts converge
+    * here. Streaming SeenHash STATE is not
+    * rewritten here: after rehashing, restart exact-dedup sinks on a
+    * FRESH checkpoint — the fresh-start bootstrap re-reads the (now
+    * current-canon) stored hash column. Returns
+    * (partitionsRewritten, duplicatesRemovedByCompaction). Idempotent:
+    * a second run finds no stale hash and rewrites nothing.
+    *
+    * Scale shape: the staleness probe is one narrow scan (recompute +
+    * compare — no shuffle); the rewrite touches only stale partitions
+    * via the flat pair predicate; compaction bounds follow
+    * [[compactCorpus]].
+    */
+  def rehashCorpus(spark: SparkSession, corpusPath: String): (Long, Long) = {
+    import spark.implicits._
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return (0L, 0L)
+    val corpus = spark.read.parquet(corpusPath)
+      .select(col("doc_id"), col("text"), col("content_hash"),
+        col("epoch").cast("long").as("epoch"),
+        col("batch_id").cast("long").as("batch_id"))
+    val stale = corpus
+      .filter(TextAnalysis.fingerprint(col("text")) =!= col("content_hash"))
+      .select(col("epoch"), col("batch_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    if (stale.isEmpty) return (0L, 0L)
+    val rehashed = corpus.filter(inPartitionPairs(stale))
+      .withColumn("content_hash", TextAnalysis.fingerprint(col("text")))
+      .localCheckpoint(true)
+    rehashed
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "batch_id")
+      .parquet(corpusPath)
+    (stale.size.toLong, compactCorpus(spark, corpusPath))
   }
 
   /** Batch adoption entry for the near-dup sink's band index: the same

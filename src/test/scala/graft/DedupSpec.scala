@@ -529,6 +529,40 @@ class DedupSpec extends SparkSpec {
     assert(fp(4)._1 === fp(1)._1) // leading tab variant dedups
   }
 
+  test("NFC canon: composed and decomposed spellings dedup together — and the legacy canon provably fails") {
+    // "Café" composed (U+00E9) vs decomposed (e + U+0301): visually
+    // identical, byte-distinct. Combining marks as escapes so no tool
+    // silently recomposes them.
+    val composed = "Caf\u00e9 latte with cr\u00e8me"
+    val decomposed = "Cafe\u0301 latte with cre\u0300me"
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "unrelated doc text"))
+      .toDF("doc_id", "text")
+    // exact dedup: the pair collapses under the NFC canon
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+    // the legacy (pre-NFC) canon hashes them APART — the leak the
+    // unification closes; delete this assert if legacyFingerprint is
+    // ever removed
+    val legacy = df.filter(col("doc_id") <= 2)
+      .select(TextAnalysis.legacyFingerprint(col("text"))).distinct().count()
+    assert(legacy === 2L)
+    val current = df.filter(col("doc_id") <= 2)
+      .select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(current === 1L)
+    // MinHash near-dup: the decomposed twin now verifies at jaccard 1.0
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 2, minJaccard = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // exact n-gram decontamination: a decomposed leak of a composed
+    // benchmark row still gates
+    val gate = TextAnalysis.decontaminate(
+      Seq((10L, decomposed)).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(Tuple1(composed)).toDF("text"), "text", n = 2)
+    assert(gate.filter(col("contaminated")).count() === 1L)
+  }
+
   // ------------------------------------------------- winnowing (qd51)
 
   test("winnowFingerprints: the winnowing guarantee — a shared >= w+k-1 token run yields a shared fingerprint") {

@@ -63,6 +63,14 @@ class RankAndSketchSpec extends SparkSpec {
     val t = RankOps.globalPrefixSum(tiny, col("id"), col("v"), numPartitions = 8)
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert(t === Map(1L -> 10L, 2L -> 15L, 3L -> 22L))
+    // null values fold to 0 — an all-null range partition must not NPE
+    // the driver-side offset cumulation
+    val withNulls = Seq((1L, Some(10L)), (2L, None), (3L, None), (4L, Some(7L)))
+      .toDF("id", "v")
+    val nn = RankOps.globalPrefixSum(withNulls, col("id"), col("v"),
+        numPartitions = 4)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(nn === Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 17L))
   }
 
   test("packStream (qd57): every token placed once, sequences exactly full except the last") {

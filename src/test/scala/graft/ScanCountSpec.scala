@@ -123,6 +123,34 @@ class ScanCountSpec extends SparkSpec {
       s"retrievalEvalPipeline made ${acc.value.toDouble / n} corpus passes")
   }
 
+  test("qd61 fullPipeline: exact-dedup seam persisted — corpus scans bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: the gated/deduped chain fills the persisted `exact` seam
+    // (its first action races the minhash sig/verify branches before
+    // cache blocks land — hence 2, not 1) + the benchmark-slice gram
+    // build. Components, decontamination, split, mix, packing and the
+    // manifest all read the cache; dropping the persist re-derives the
+    // whole normalize→dedup chain per downstream consumer.
+    val scans = scansOf(Pipelines.fullPipeline(docs), acc, n)
+    assert(scans <= 3, s"fullPipeline made $scans corpus passes")
+  }
+
+  test("qr09 prfExpandedSearch: checkpointed first pass — corpus scans bounded") {
+    import spark.implicits._
+    val (docs, acc, n) = docsSource()
+    val q = Seq((1, "spark"), (1, "stream"), (2, "hash"), (2, "join"))
+      .toDF("query_id", "term")
+    // budget: stats + first-pass postings + feedback token pull + df
+    // count + second-pass postings = 5, each exactly once. Dropping the
+    // run1 localCheckpoint lets the two broadcast consumers re-derive
+    // the whole first search (stats + postings again), pushing this
+    // past the budget.
+    val out = graft.functions.Retrieval.prfExpandedSearch(
+      docs, "doc_id", "text", q, "query_id", "term")
+    assert(scansOf(out, acc, n) <= 5,
+      s"prfExpandedSearch made ${acc.value.toDouble / n} corpus passes")
+  }
+
   test("qd60 collocations: persisted count frames — 2 corpus scans") {
     val (docs, acc, n) = docsSource()
     // budget: the unigram explode + the bigram explode; both scalar

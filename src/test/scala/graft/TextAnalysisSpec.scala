@@ -311,6 +311,30 @@ class TextAnalysisSpec extends SparkSpec {
       mix.orderBy("source").collect().map(_.toString).toSeq)
   }
 
+  test("temperatureMixDocs: kept rows re-derive temperatureMix's accounting; salt decorrelates the draw") {
+    val docs = Tables.documents(spark, sf0001)
+    // unsalted doc-level keep ≡ the audit rollup's kept_docs/kept_tokens
+    val audit = Curation.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.5, tokenBudget = 3000L)
+      .select("source", "kept_docs").as[(String, Long)].collect().toMap
+    val kept = Curation.temperatureMixDocs(docs, "source", "doc_id", "text",
+      alpha = 0.5, tokenBudget = 3000L)
+    assert(kept.columns.toSeq === docs.columns.toSeq) // original schema back
+    val byize = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    audit.foreach { case (src, n) =>
+      assert(byize.getOrElse(src, 0L) === n, s"$src doc accounting") }
+    // salted draw: same per-source plan (thresholds depend only on
+    // masses), different kept SET — and the salted set is NOT the
+    // unsalted one restricted/extended per source
+    val salted = Curation.temperatureMixDocs(docs, "source", "doc_id",
+      "text", alpha = 0.5, tokenBudget = 3000L, bucketSalt = "mix#")
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = salted.select("doc_id").as[Long].collect().toSet
+    assert(a !== b, "salting must change the deterministic draw")
+    assert(b.nonEmpty)
+  }
+
   test("plan contracts: decontaminate broadcasts the benchmark; packing shuffles once") {
     val docs = Tables.documents(spark, sf0001)
     val decon = TextAnalysis.decontaminate(
