@@ -2394,12 +2394,17 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
       val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 8)
-      // rows-only entry, so the retrieval quality rides IN the output:
-      // recall_at_k vs the exact brute-force baseline, per query
-      Similarity.withRecallAtK(
-          Similarity.Ivf.search(queries, emb, "vec_id",
-            "embedding", centroids, k = 3, nProbe = 2),
-          queries, emb, "vec_id", "embedding", k = 3)
+      // rows-only entry, so the retrieval quality rides IN the output
+      // (recall_at_k vs the exact brute-force baseline, per query) AND
+      // gates the result: a collapsed learned fit fails loudly at
+      // serving time instead of quietly returning garbage neighbors
+      // (floor = non-degeneracy bound; measured healthy mean ≈ 0.73)
+      Similarity.requireMeanRecallFloor(
+          Similarity.withRecallAtK(
+            Similarity.Ivf.search(queries, emb, "vec_id",
+              "embedding", centroids, k = 3, nProbe = 2),
+            queries, emb, "vec_id", "embedding", k = 3),
+          floor = 0.3, what = "qe06_ivf_ann")
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
@@ -2454,10 +2459,15 @@ object SparkEntry {
         Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16,
           sampleFraction = 0.25))
       val queries = emb.filter(col("vec_id") < 5)
-      // rows-only entry — measured recall_at_k rides in the output
-      Similarity.withRecallAtK(
-          Similarity.Pq.search(queries, emb, "vec_id", "embedding", m, k = 3),
-          queries, emb, "vec_id", "embedding", k = 3)
+      // rows-only entry — measured recall_at_k rides in the output AND
+      // gates it (floor = 10× the ≈0.003 chance recall@3 on this
+      // random fixture, far under the noisy healthy draw ≈ 0.13; PQ on
+      // clusterless random vectors is inherently low-recall)
+      Similarity.requireMeanRecallFloor(
+          Similarity.withRecallAtK(
+            Similarity.Pq.search(queries, emb, "vec_id", "embedding", m, k = 3),
+            queries, emb, "vec_id", "embedding", k = 3),
+          floor = 0.03, what = "qe14_pq_ann_learned")
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),

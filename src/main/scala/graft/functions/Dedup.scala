@@ -330,6 +330,14 @@ object Dedup {
     */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
       n: Int, portable: Boolean = false): DataFrame = {
+    if (portable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "sourceOverlap(portable = true) shuffles every distinct " +
+          "(source, gram) STRING row — the cross-engine oracle form, " +
+          "the sf1 heavy (~41 s vs ~5 s for the hashed/sketch twins; " +
+          "SCALE.md). Production runs should use the default hashed " +
+          "keys (qd43) or sourceOverlapSketch (qd44) when the gram " +
+          "table itself cannot shuffle.")
     val gramCol =
       if (portable) explode(wordShingles(col(textCol), n))
       else explode(NativeExpressions.shingleHashes(col(textCol), n))
@@ -1055,6 +1063,13 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 50,
       minContainment: Double = 0.5, portable: Boolean = false): DataFrame = {
+    if (portable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "containmentPairs(portable = true) verifies on raw STRING gram " +
+          "sets — the cross-engine oracle form, super-linear at corpus " +
+          "scale (sf1: ~80 s vs ~5 s; SCALE.md). Production runs should " +
+          "use the default hashed verification (qd59's form — " +
+          "value-identical up to 2^-64 collisions, DedupSpec-pinned).")
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
     val pairs = winnowOverlapPairs(fps, minShared, maxDf)
     val gramCol =

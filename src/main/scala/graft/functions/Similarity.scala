@@ -162,6 +162,32 @@ object Similarity {
       .na.fill(0.0, Seq("recall_at_k"))
   }
 
+  /** Loud recall floor for learned-ANN serving paths ([[withRecallAtK]]'s
+    * gate-time complement): computes the MEAN per-query `recall_at_k` of
+    * an annotated result EAGERLY (the rollup is query-batch-sized — a
+    * handful of rows) and refuses to return the frame when it is under
+    * `floor`. This is what turns a silently collapsed learned structure
+    * (drifted/degenerate centroids, mis-fit codebooks — failure modes a
+    * rows-only correctness check can never see) into a hard error the
+    * serving caller, and the driver's per-query `err` column, catch.
+    * Floors are deliberately conservative NON-DEGENERACY bounds, not
+    * quality targets: random-fixture ANN recall is a noisy draw
+    * (SimilaritySpec's measured ±0.07 under row-order changes), so the
+    * floor sits far below healthy AND far above chance. An empty result
+    * (no queries) passes vacuously.
+    */
+  def requireMeanRecallFloor(withRecall: DataFrame, floor: Double,
+      what: String): DataFrame = {
+    val r = withRecall.select(col("query_id"), col("recall_at_k")).distinct()
+      .agg(avg(col("recall_at_k"))).head()
+    if (!r.isNullAt(0))
+      require(r.getDouble(0) >= floor,
+        f"$what: mean recall_at_k ${r.getDouble(0)}%.4f is under the " +
+          f"$floor%.2f non-degeneracy floor — the learned ANN structure " +
+          "(centroids/codebooks) has collapsed; refusing to serve")
+    withRecall
+  }
+
   /** Deterministic ±1 random hyperplanes for signed-random-projection LSH
     * (splitmix64 over (plane, dim) — reproducible, no RNG state). Exposed
     * within the package so oracle SQL can embed the matrix as literals and

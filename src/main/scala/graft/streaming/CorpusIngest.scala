@@ -153,6 +153,32 @@ object CorpusIngest {
         col("batch_id").cast("long").as("_2"))
       .isin(pairs.toSeq.map(p => typedlit(p)): _*)
 
+  /** Ceiling on the driver-side affected-partition pair set a
+    * compaction/rehash may collect (override per session with
+    * `spark.conf.set(MaxCompactionPairsKey, n)`). The struct-isin
+    * predicate is constant-DEPTH at any size, but the pair SET itself
+    * still lives on the driver and becomes an isin literal list — a
+    * never-compacted corpus accumulating millions of micro-batch
+    * partitions would collect millions of pairs and rewrite the whole
+    * corpus in one job. Failing loudly above the ceiling steers the
+    * operator to a more frequent compaction cadence (each run then
+    * touches only the partitions dirtied since the last one) instead
+    * of letting one unbounded job grind the driver.
+    */
+  val MaxCompactionPairsKey = "spark.graft.compaction.maxPairs"
+  private val DefaultMaxCompactionPairs = 100000L
+
+  private def guardAffectedPairs(spark: SparkSession, nPairs: Int,
+      what: String): Unit = {
+    val max = spark.conf.getOption(MaxCompactionPairsKey).map(_.toLong)
+      .getOrElse(DefaultMaxCompactionPairs)
+    require(nPairs <= max,
+      s"$what touches $nPairs affected (epoch, batch_id) partitions — " +
+        s"above the $MaxCompactionPairsKey ceiling ($max). Run compaction " +
+        "more frequently so each run touches a bounded backlog, or raise " +
+        "the ceiling for a deliberate one-off catch-up run.")
+  }
+
   /** True when `dir` holds actual table content — at least one
     * non-hidden entry. The corpus directory can pre-exist EMPTY of data
     * (epoch-claim and band-index bookkeeping live in `_graft_*`
@@ -1431,7 +1457,11 @@ object CorpusIngest {
     * finds duplicated hashes; the loser/keeper joins touch full rows
     * only for those hashes and the affected partitions; the driver
     * collects only (epoch, batch_id) pairs — bounded by partition
-    * count, never row count.
+    * count, never row count, and REFUSED loudly above the
+    * [[MaxCompactionPairsKey]] ceiling (a never-compacted corpus with
+    * millions of micro-batch partitions should compact more often, not
+    * grind one unbounded job — the guard's message steers there, with a
+    * conf override for a deliberate catch-up run).
     */
   def compactCorpus(spark: SparkSession, corpusPath: String): Long = {
     import spark.implicits._
@@ -1459,6 +1489,7 @@ object CorpusIngest {
       val affected = losers.select(col("epoch"), col("batch_id"))
         .distinct().as[(Long, Long)].collect().toSet
       if (affected.isEmpty) return 0L
+      guardAffectedPairs(spark, affected.size, "compactCorpus")
       val removed = losers.count()
       // keepers of the affected partitions, materialized OFF the file
       // source (localCheckpoint) so the dynamic overwrite below does not
@@ -1547,6 +1578,7 @@ object CorpusIngest {
       .select(col("epoch"), col("batch_id")).distinct()
       .as[(Long, Long)].collect().toSet
     if (stale.isEmpty) return (0L, 0L)
+    guardAffectedPairs(spark, stale.size, "rehashCorpus")
     val rehashed = corpus.filter(inPartitionPairs(stale))
       .withColumn("content_hash", TextAnalysis.fingerprint(col("text")))
       .localCheckpoint(true)
@@ -1700,6 +1732,7 @@ object CorpusIngest {
       val affected = losers.select(col("epoch"), col("batch_id"))
         .distinct().as[(Long, Long)].collect().toSet
       if (affected.isEmpty) return 0L
+      guardAffectedPairs(spark, affected.size, "index compaction")
       val removed = losers.count()
       val keepersInAffected = corpus.filter(inPartitionPairs(affected))
         .join(losers, Seq("doc_id", "epoch", "batch_id"), "left_anti")

@@ -187,6 +187,45 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall_at_k mean $mean under the planted-structure floor ($perQ)")
   }
 
+  test("requireMeanRecallFloor: a collapsed ANN structure fails loudly; healthy results pass through") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    // DELIBERATELY BROKEN structure: an "approx" result whose neighbors
+    // are just the queries' own far-away ids shifted out of the exact
+    // top-k — the output shape a drifted/degenerate centroid fit
+    // produces (plausible rows, zero overlap with the true neighbors)
+    val broken = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.filter(col("vec_id") >= 400 && col("vec_id") < 403)
+        .select(col("vec_id").as("neighbor_id")))
+      .withColumn("cosine", lit(0.99))
+      .withColumn("rank", lit(1))
+    val annotated = Similarity.withRecallAtK(broken, queries, emb,
+      "vec_id", "embedding", k = 3)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireMeanRecallFloor(annotated, floor = 0.3,
+        what = "broken-centroids-test")
+    }
+    assert(e.getMessage.contains("collapsed"), e.getMessage)
+    assert(e.getMessage.contains("broken-centroids-test"), e.getMessage)
+    // the healthy deterministic IVF path passes the same floor
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val healthy = Similarity.withRecallAtK(
+      Similarity.Ivf.search(queries, emb, "vec_id", "embedding",
+        cents, k = 3, nProbe = 2),
+      queries, emb, "vec_id", "embedding", k = 3)
+    assert(Similarity.requireMeanRecallFloor(healthy, floor = 0.3,
+      what = "healthy").count() > 0)
+    // empty query batches pass vacuously (nothing served, nothing to gate)
+    val empty = Similarity.withRecallAtK(
+      broken.filter(lit(false)), queries.filter(lit(false)), emb,
+      "vec_id", "embedding", k = 3)
+    assert(Similarity.requireMeanRecallFloor(empty, floor = 0.99,
+      what = "empty").count() === 0)
+  }
+
   test("cellStats: counts sum to corpus, fracs sum to 1, empty cells surface with n=0, assignment-consistent") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     // two far-away planted centroids nothing assigns to → must appear

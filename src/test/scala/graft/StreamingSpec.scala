@@ -1196,6 +1196,38 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 0L)
   }
 
+  test("compactCorpus: an over-ceiling affected-partition backlog is refused loudly (conf-overridable)") {
+    // The struct-isin predicate is constant-depth at any pair count,
+    // but the pair SET still lives on the driver — the guard turns a
+    // pathological never-compacted backlog into a loud, actionable
+    // failure instead of one unbounded rewrite job.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("compact-corpus-guard")
+    // 3 affected partitions: each holds a dup of partition 0's keeper
+    (Seq((0L, "guard keeper text", 0L)) ++
+      (1 to 3).map(p => (100L + p, "guard keeper text", p.toLong)))
+      .toDF("doc_id", "text", "batch_id")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"),
+        lit(0L).as("epoch"), col("batch_id"))
+      .write.mode("overwrite").partitionBy("epoch", "batch_id").parquet(corpus)
+    spark.conf.set(graft.streaming.CorpusIngest.MaxCompactionPairsKey, "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+      }
+      assert(e.getMessage.contains(
+        graft.streaming.CorpusIngest.MaxCompactionPairsKey),
+        s"guard message must name the override key: ${e.getMessage}")
+      assert(e.getMessage.contains("3 affected"),
+        s"guard message must carry the pair count: ${e.getMessage}")
+    } finally spark.conf.unset(
+      graft.streaming.CorpusIngest.MaxCompactionPairsKey)
+    // with the default ceiling the same backlog compacts normally
+    assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 3L)
+  }
+
   test("compactCorpus: a 1000-partition backlog compacts with a flat (constant-depth) predicate") {
     // The per-pair OR-chain this replaced grew the predicate tree depth
     // linearly with the affected-partition count — a pathological
