@@ -43,12 +43,74 @@ object Bench {
     "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
     "qd54_min_k_prob", "qd55_ngram_diversity", "qd56_source_containment",
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
-    "qd60_collocations",
+    "qd60_collocations", "qd61_full_pipeline",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")
+
+  /** Per-query sf0.1 floor seconds, pinned from the round-12 clean
+    * window (131 whole-run steal ticks, zero per-query steal on every
+    * cited number; min-of-2 interleaved passes — the SCALE.md "Measured"
+    * protocol). Used to emit `vs_floor` per query and a mechanical
+    * `floor_breaches` list so steal-noise adjudication needs no human
+    * diffing: a breach is vs_floor > 1.3 in a query window with < 50
+    * steal ticks (big ratio + quiet window = look at the plan; big
+    * ratio + noisy window = co-tenant burst). Queries without a floor
+    * (new this round) are skipped — re-pin after each round's clean run.
+    */
+  val floors: Map[String, Double] = Map(
+    "q01_standings" -> 1.037, "q02_points_ladder" -> 0.669,
+    "q08_fact_dim_join" -> 0.500, "q09_dedup_first" -> 0.399,
+    "q18_rank_standings" -> 0.682, "q21_region_rollup" -> 1.052,
+    "q22_window_monthly" -> 1.546, "q26_rollup" -> 1.679,
+    "q31_topk_per_group" -> 1.107, "q37_asof_join" -> 0.711,
+    "q38_sliding_window" -> 0.770, "q40_range_join" -> 2.606,
+    "q41_topk_aggregator" -> 0.830, "q42_zorder" -> 0.415,
+    "qd01_exact_dedup" -> 0.397, "qd02_token_count" -> 0.273,
+    "qd03_quality" -> 0.509, "qd04_langid" -> 0.530,
+    "qd05_fingerprint" -> 0.267, "qd08_simhash" -> 0.220,
+    "qd09_minhash_neardups" -> 1.936, "qd10_corpus_pipeline" -> 0.767,
+    "qd11_minhash_neardups_fast" -> 0.595, "qd12_simhash_neardups" -> 0.504,
+    "qd13_chunking" -> 0.327, "qd14_neardup_clusters" -> 2.369,
+    "qd19_pretraining_pipeline" -> 0.614, "qd21_simhash_neardups_portable" -> 0.851,
+    "qd22_decontaminate" -> 0.498, "qd24_sequence_packing" -> 0.293,
+    "qd26_incremental_dedup" -> 0.485, "qd27_mix_pipeline" -> 0.828,
+    "qd28_vocab" -> 0.236, "qd29_unigram_logprob" -> 0.953,
+    "qd30_dsir" -> 1.706, "qd31_wordpiece" -> 0.467,
+    "qd32_dup_passages" -> 0.830, "qd33_curation_pipeline" -> 5.015,
+    "qd34_scrub_spans" -> 1.303, "qd35_dup_ngram_frac" -> 0.916,
+    "qd36_dsir_fast" -> 1.808, "qd37_incremental_neardup" -> 1.389,
+    "qd38_contamination_report" -> 0.490, "qd39_gopher_filter" -> 1.580,
+    "qd40_corpus_datacard" -> 1.040, "qd41_source_overlap" -> 4.424,
+    "qd42_curriculum_buckets" -> 1.236, "qd43_source_overlap_fast" -> 1.453,
+    "qd44_source_overlap_sketch" -> 1.930, "qd45_fuzzy_decontaminate" -> 1.315,
+    "qd48_normalize_text" -> 0.360, "qd49_compression_ratio" -> 0.429,
+    "qd50_temperature_mix" -> 0.491, "qd51_winnowing" -> 0.491,
+    "qd52_corpus_diff" -> 0.442, "qd53_containment" -> 7.280,
+    "qd54_min_k_prob" -> 1.677, "qd55_ngram_diversity" -> 3.507,
+    "qd56_source_containment" -> 4.931, "qd57_stream_packing" -> 0.860,
+    "qd58_winsorize" -> 0.442, "qd59_containment_fast" -> 2.181,
+    "qd60_collocations" -> 3.470, "qd61_full_pipeline" -> 14.529,
+    "qe01_cosine_topk" -> 0.201,
+    "qe02_knn_join" -> 0.383, "qe03_ann_lsh" -> 0.312,
+    "qe08_ivf_ann_oracle" -> 0.352, "qe10_semantic_dedup" -> 1.013,
+    "qe11_quantized_ivf" -> 0.776, "qe12_pq_ann" -> 0.556,
+    "qe13_ivfpq_ann" -> 0.661, "qe14_pq_ann_learned" -> 1.407,
+    "qe15_mrl_rerank" -> 0.460, "qe16_hybrid_rrf" -> 2.362,
+    "qe17_cluster_cap_sample" -> 0.410, "qe18_ivf_mrl_funnel" -> 0.590,
+    "qe19_ann_sidecar" -> 0.652, "qe20_kmeans_fit" -> 0.805,
+    "qe21_class_mean" -> 0.507, "qe22_source_affinity" -> 0.600,
+    "qe23_kmeans_ivf" -> 0.659, "qe24_semantic_decontaminate" -> 0.446,
+    "qe25_cell_stats" -> 0.651, "qe26_random_projection" -> 0.966,
+    "qe27_embedding_outliers" -> 0.637, "qm03_audio_decode" -> 0.254,
+    "qr01_bm25_topk" -> 1.770, "qr02_bm25_sidecar" -> 0.811,
+    "qr03_hybrid_sidecar" -> 1.187, "qr04_retrieval_eval" -> 2.563,
+    "qr05_hard_negatives" -> 2.179, "qr06_tfidf_keywords" -> 1.242,
+    "qr07_retrieval_eval_summary" -> 2.452, "qr08_retrieval_pipeline" -> 3.465,
+    "qr09_prf_expansion" -> 5.312, "qs01_hourly_events" -> 0.418,
+    "qs02_sessionize" -> 0.760, "qs03_session_window" -> 0.800)
 
   /** Cumulative host steal ticks (8th field of /proc/stat's cpu line) —
     * recorded around the run so the artifact itself shows whether its
@@ -120,8 +182,19 @@ object Bench {
     // steal observed DURING this run — timings taken while this is large
     // measure the neighbors, not the engine (SCALE.md "Measured")
     val steal = stealTicks() - steal0
+    // mechanical floor-regression read: ratio to the pinned clean floor,
+    // and the breach list (>1.3x in a <50-tick window) the protocol flags
+    // floors are sf0.1 pins — comparing another SF against them would
+    // flag meaningless "breaches"
+    val floorsApply = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val vsFloor = results.collect { case (k, (v, _)) if floorsApply && v >= 0 && floors.contains(k) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v / floors(k)))
+    }.mkString("{", ",", "}")
+    val breaches = results.collect {
+      case (k, (v, s)) if floorsApply && v >= 0 && floors.contains(k) && v / floors(k) > 1.3 && s < 50 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"floor_breaches":$breaches,"sf":"$sfDir"}"""
     // full-precision artifact (incl. per-query steal windows) → a file,
     // because the harness keeps only the LAST ~2000 chars of stdout: at
     // 50+ queries the full line overflows that window and parses as
@@ -137,7 +210,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs3 = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"floor_breaches":$breaches,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

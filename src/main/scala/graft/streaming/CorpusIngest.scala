@@ -827,6 +827,266 @@ object CorpusIngest {
 
   // ---------------------------------------------- semantic (SemDeDup) sink
 
+  // ------------------------------------- winnowing (containment) sink
+
+  /** The containment sink's probe index: `<corpus>/_graft_winnow`, one
+    * row per kept doc's distinct winnowing fingerprint hash
+    * ([[Dedup.winnowFingerprints]], the qd51 kernel), laid out
+    * `pfx=<prefix>/epoch=N/batch_id=M/` — the [[BandsDir]] bucketing
+    * discipline with the fp hash's leading hex chars as the bucket.
+    * Every row of one fingerprint hash lands in one bucket, so (a) a
+    * batch's probe prunes to the bucket DIRECTORIES its own
+    * fingerprints hit — probe bytes per batch are O(matching buckets),
+    * independent of corpus growth — and (b) a probed fingerprint's
+    * document frequency is complete within the probe result, so the
+    * maxDf boilerplate cap needs no second corpus pass.
+    */
+  private val WinnowDir = "_graft_winnow"
+
+  private def winnowMeta(k: Int, w: Int, prefixLen: Int): String =
+    s"k=$k w=$w prefixLen=$prefixLen"
+
+  private def winnowIndexSchema(): StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp_hash", StringType),
+    StructField("pfx", StringType), StructField("epoch", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Winnow-index rows recomputed from corpus text — fingerprints are a
+    * pure function of text + (k, w), so adoption/backfill/compaction
+    * need no stored columns beyond the sink's own (doc_id, text).
+    * Fingerprinting is keyed by the full (doc_id, epoch, batch_id)
+    * struct so concurrent epochs sharing a doc_id cannot collide.
+    */
+  private def winnowIndexRows(corpus: DataFrame, k: Int, w: Int,
+      prefixLen: Int): DataFrame =
+    Dedup.winnowFingerprints(
+        corpus.select(struct(col("doc_id").cast("long").as("doc_id"),
+          col("epoch").cast("long").as("epoch"),
+          col("batch_id").cast("long").as("batch_id")).as("__k"),
+          col("text")),
+        "__k", "text", k, w)
+      .select(col("doc_id.doc_id").as("doc_id"),
+        col("doc_id.epoch").as("epoch"),
+        col("doc_id.batch_id").as("batch_id"), col("fp_hash"))
+      .distinct()
+      .withColumn("pfx", substring(col("fp_hash"), 1, prefixLen))
+      .select("doc_id", "fp_hash", "pfx", "epoch", "batch_id")
+
+  /** [[ensureBandIndex]]'s discipline for the winnow index: create-and-
+    * pin on a fresh corpus, atomic adoption backfill from stored TEXT
+    * (no extra columns needed — see [[winnowIndexRows]]), loud refusal
+    * on parameter mismatch, missing-batch backfill + orphan sweep on a
+    * matching index.
+    */
+  private def ensureWinnowIndex(spark: SparkSession, corpusPath: String,
+      k: Int, w: Int, prefixLen: Int): Unit = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val idx = new Path(corpusDir, WinnowDir)
+    val expected = winnowMeta(k, w, prefixLen)
+    def writeMeta(at: Path): Unit = {
+      val out = fs.create(new Path(at, BandsMetaFile), true)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(idx)) {
+      val got = readIndexMeta(fs, idx)
+      require(got.contains(expected),
+        s"winnow index at $idx was built with ${got.getOrElse("unknown parameters")} " +
+          s"but this sink uses $expected — use matching k/w/prefixLen or " +
+          "delete the index directory to trigger a rebuild")
+      val missing = missingIndexBatches(fs, corpusDir, idx, "pfx=*")
+      if (missing.nonEmpty)
+        backfillIndex(spark, corpusPath, missing, idx,
+          winnowIndexRows(_, k, w, prefixLen), Seq("pfx", "epoch", "batch_id"))
+      sweepPairDirs(fs, idx, Some("pfx=*"),
+        epochBatchDirs(fs, idx, "pfx=*/epoch=*/batch_id=*") --
+          epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*"))
+    } else if (hasData(fs, corpusDir)) {
+      val tmp = new Path(corpusDir, WinnowDir + ".tmp")
+      fs.delete(tmp, true)
+      winnowIndexRows(spark.read.parquet(corpusPath), k, w, prefixLen)
+        .write.mode("overwrite")
+        .partitionBy("pfx", "epoch", "batch_id")
+        .parquet(tmp.toString)
+      writeMeta(tmp)
+      if (!fs.rename(tmp, idx)) {
+        fs.delete(tmp, true)
+        require(readIndexMeta(fs, idx).contains(expected),
+          s"concurrent winnow-index build at $idx finished with different parameters")
+      }
+    } else {
+      fs.mkdirs(idx)
+      writeMeta(idx)
+    }
+  }
+
+  /** Stored fingerprint rows from buckets matching the batch's own
+    * prefixes, minus the batch's own partition (replay must not probe
+    * what it is about to rewrite). `pfx`/`epoch`/`batch_id` prune
+    * directories.
+    */
+  private[graft] def probeWinnow(spark: SparkSession, corpusPath: String,
+      epoch: Long, batchId: Long, pfxs: Seq[String]): DataFrame =
+    spark.read.schema(winnowIndexSchema())
+      .parquet(new Path(new Path(corpusPath), WinnowDir).toString)
+      .filter(col("pfx").isin(pfxs: _*) &&
+        !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
+      .select(col("doc_id").as("__cid"), col("fp_hash"))
+
+  /** Start the CONTAINMENT-deduped corpus sink — the fourth sink family
+    * (exact / near-dup / semantic / containment): a batch doc is
+    * dropped when it shares ≥ `minShared` winnowing fingerprints with
+    * any single already-ingested doc (the qd53 candidate rule — the
+    * winnowing guarantee fires on any shared run of ≥ w+k−1 tokens
+    * REGARDLESS of the two docs' sizes, so this catches the
+    * quote/subset arrivals that resemblance-tuned LSH banding
+    * structurally misses) or with a smaller-id doc of its own batch.
+    * Fingerprints carried by more than `maxDf` docs (stored + batch)
+    * are boilerplate, not quotation evidence, and are excluded before
+    * the pair count. Docs too short to yield a full window (< w+k−1
+    * tokens) produce no fingerprints and are always admitted — route
+    * them through the exact sink's hash if short-dup pressure matters.
+    *
+    * Replay/exactly-once: [[startNearDupCorpusSink]]'s discipline —
+    * pinned epoch, probe excludes the batch's own partition, corpus
+    * then index written with dynamic overwrite, crash between the two
+    * re-fires the batch and rewrites both identically.
+    *
+    * Scale note: the probe reads ONLY the `pfx=` buckets matching the
+    * batch's own fingerprint prefixes (StreamingSpec pins bytes-read);
+    * per-batch cost is batch fingerprinting (the narrow qd51 kernel) +
+    * a bucket-pruned equi-join on the fingerprint hash. Bucket fan-out
+    * is 16^prefixLen.
+    */
+  def startContainmentCorpusSink(docs: DataFrame, corpusPath: String,
+      checkpoint: String, minTokens: Int = 1, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50, prefixLen: Int = 1,
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      benchGramN: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    requireDocSchema(docs)
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8], got $prefixLen")
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
+    ensureWinnowIndex(docs.sparkSession, corpusPath, k, w, prefixLen)
+    val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+    val q = docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // checkpointed: consumed by the fingerprint derivation AND the
+        // keeper anti-join — without it the source re-reads per consumer
+        val gated = contaminationGate(
+          batch
+            .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          benchGrams, benchGramN).localCheckpoint(true)
+        // per-doc distinct fingerprint hashes, persisted: the prefix
+        // collect, the cross-corpus probe, the within-batch self-join
+        // and the index write all consume this frame
+        val fps = Dedup.winnowFingerprints(gated, "doc_id", "text", k, w)
+          .select(col("doc_id"), col("fp_hash")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pfxs = fps.select(substring(col("fp_hash"), 1, prefixLen).as("p"))
+          .distinct().as[String].collect().toSeq
+        // eager: the probe result feeds TWO branches (the df cap and the
+        // pair join) — checkpointing reads the bucket files exactly once
+        // per batch (and makes the pruning proof's bytes deterministic)
+        val stored = probeWinnow(spark, corpusPath, epoch, batchId, pfxs)
+          .localCheckpoint(true)
+        val hot = fps.select(col("fp_hash"))
+          .union(stored.select(col("fp_hash")))
+          .groupBy(col("fp_hash")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("fp_hash")
+        val bf = fps.join(hot, Seq("fp_hash"), "left_anti")
+        val sf = stored.join(hot, Seq("fp_hash"), "left_anti")
+        val crossHit = bf.join(sf, "fp_hash")
+          .groupBy(col("doc_id"), col("__cid"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared)
+          .select(col("doc_id")).distinct()
+        val withinHit = bf.select(col("doc_id").as("__ia"), col("fp_hash"))
+          .join(bf.select(col("doc_id").as("__ib"), col("fp_hash")), "fp_hash")
+          .filter(col("__ia") < col("__ib"))
+          .groupBy(col("__ia"), col("__ib"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared)
+          .select(col("__ib").as("doc_id")).distinct()
+        val keepers = gated
+          .join(crossHit, Seq("doc_id"), "left_anti")
+          .join(withinHit, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        keepers
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
+        keepers.select(col("doc_id")).join(fps, "doc_id")
+          .withColumn("pfx", substring(col("fp_hash"), 1, prefixLen))
+          .withColumn("epoch", lit(epoch))
+          .withColumn("batch_id", lit(batchId))
+          .select("doc_id", "fp_hash", "pfx", "epoch", "batch_id")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pfx", "epoch", "batch_id")
+          .parquet(new Path(new Path(corpusPath), WinnowDir).toString)
+        fps.unpersist(false)
+        Dedup.freeLocalCheckpoint(stored)
+        Dedup.freeLocalCheckpoint(keepers)
+        Dedup.freeLocalCheckpoint(gated)
+        ()
+      }
+      .start()
+    unpersistOnTermination(docs.sparkSession, q, benchGrams.toSeq)
+  }
+
+  /** [[compactNearDupCorpus]] for a CONTAINMENT-sink corpus: candidate
+    * pairs are shared-fingerprint pairs over fingerprints RECOMPUTED
+    * from stored text ([[winnowIndexRows]]' derivation — the qd53
+    * candidate rule with the same minShared/maxDf policy as the sink's
+    * probe), clustered transitively, smallest (doc_id, epoch, batch_id)
+    * kept per cluster. Keeps `_graft_winnow` in step; idempotent;
+    * returns removed-row count.
+    */
+  def compactContainmentCorpus(spark: SparkSession, corpusPath: String,
+      minShared: Int = 2, maxDf: Int = 50, maxIter: Int = 20): Long = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val idx = new Path(corpusDir, WinnowDir)
+    val meta = readIndexMeta(fs, idx).getOrElse(throw new IllegalArgumentException(
+      s"no winnow index at $idx — compactContainmentCorpus is for corpora " +
+        "written by startContainmentCorpusSink"))
+    def metaInt(key: String): Int = meta.split("\\s+").collectFirst {
+      case s if s.startsWith(s"$key=") => s.stripPrefix(s"$key=").toInt
+    }.getOrElse(throw new IllegalStateException(s"unparseable winnow meta '$meta'"))
+    val (k, w, prefixLen) = (metaInt("k"), metaInt("w"), metaInt("prefixLen"))
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    // struct-keyed fingerprints → winnowOverlapPairs' shared-fp pair
+    // rule (struct `<` is lexicographic = the keeper order)
+    val fps = Dedup.winnowFingerprints(
+      corpus.select(struct(col("doc_id"), col("epoch"), col("batch_id")).as("__k"),
+        col("text")),
+      "__k", "text", k, w)
+    val pairs = Dedup.winnowOverlapPairs(fps, minShared, maxDf)
+      .select(col("id_a"), col("id_b"))
+    val losers = Dedup.nearDupComponents(pairs, "id_a", "id_b", maxIter)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id.doc_id").as("doc_id"),
+        col("doc_id.epoch").as("epoch"), col("doc_id.batch_id").as("batch_id"))
+    sweepLosersAndReindex(spark, corpusPath, corpus, losers, WinnowDir,
+      "pfx=*", winnowIndexRows(_, k, w, prefixLen),
+      Seq("pfx", "epoch", "batch_id"))
+  }
+
+  // ---------------------------------------------- semantic (SemDeDup) sink
+
   /** The semantic sink's probe index: `<corpus>/_graft_cells`, one row
     * per keeper (doc_id, emb, cell) laid out `cell=N/epoch/batch_id` —
     * the [[BandsDir]] bucketing discipline with IVF cells as the

@@ -701,6 +701,166 @@ class StreamingSpec extends SparkSpec {
     assert(otherBuckets.nonEmpty, "fixture degenerate: fillers created no non-probe buckets")
   }
 
+  test("containment sink: cross-batch quotes drop via stored fingerprints; short/unrelated docs admitted; within-batch larger id drops") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("winnow-corpus")
+    val cp = tmpDir("winnow-cp")
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit =
+      graft.streaming.CorpusIngest.startContainmentCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1)
+        .awaitTermination()
+
+    val baseTokens = (0 until 40).map(i => s"q$i")
+    val base = baseTokens.mkString(" ")
+    ms.addData((1L, base), (2L, (0 until 40).map(i => s"u$i").mkString(" ")))
+    run()
+    // batch 1: a 20-token verbatim quote of the STORED doc embedded in
+    // fresh context (the winnowing guarantee fires on the shared run
+    // regardless of position/context) must drop; a sub-window-length
+    // doc yields no fingerprints and is admitted; a fresh doc is
+    // admitted; a fresh within-batch quote pair keeps the smaller id
+    val zRun = (0 until 20).map(i => s"z$i").mkString(" ")
+    ms.addData(
+      (10L, "intro words here " + baseTokens.slice(5, 25).mkString(" ") + " outro tail"),
+      (11L, "too short doc"),
+      (12L, (0 until 40).map(i => s"v$i").mkString(" ")),
+      (14L, zRun + " alpha ending words"),
+      (15L, "leading context " + zRun + " trailing thing"))
+    run()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 11L, 12L, 14L), s"got $kept")
+    // replay from an intact checkpoint: re-running with no new data
+    // leaves the corpus byte-identical (no self-matching)
+    run()
+    val again = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // the index holds exactly the keepers' fingerprints (short doc 11
+    // legitimately has none)
+    val idxDocs = spark.read.parquet(
+        new java.io.File(corpus, "_graft_winnow").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxDocs === Set(1L, 2L, 12L, 14L), s"got $idxDocs")
+  }
+
+  test("containment sink probe is bucket-pruned: probe bytes do NOT grow with corpus fingerprints in other buckets") {
+    // Same claim as the band sink's pruning proof, measured on the
+    // probe scan in ISOLATION (a batch's only file-reading stage —
+    // whole-batch input bytes also count cache-block reads of the
+    // checkpointed frames, which are not file I/O): probe a quote's
+    // buckets, grow the corpus with docs whose fingerprint prefixes are
+    // DISJOINT from those buckets, probe again — bytes must be EXACTLY
+    // equal. prefixLen=2 (256 buckets) so a ~30-token doc's ~10
+    // fingerprints leave enough untouched buckets to grow into.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Dedup
+    val corpus = tmpDir("winnow-bkt-corpus")
+    val cp = tmpDir("winnow-bkt-cp")
+
+    def mkDoc(stem: String): String = (0 until 30).map(i => s"$stem$i").mkString(" ")
+    val tA = mkDoc("alpha")
+    val probeText = "quoting now " + tA + " end quote"
+
+    val cands = ((-1L, probeText) +: (0 until 300).map(i => (i.toLong, mkDoc(s"fill${i}x"))))
+      .toDF("doc_id", "text")
+    val pfxOf = Dedup.winnowFingerprints(cands, "doc_id", "text")
+      .select(col("doc_id"), substring(col("fp_hash"), 1, 2).as("p"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probePfxs = pfxOf(-1L)
+    val fillers = (0 until 300)
+      .filter(i => pfxOf(i.toLong).intersect(probePfxs).isEmpty).take(6)
+    assert(fillers.size === 6, s"test fixture: need 6 prefix-disjoint fillers, found ${fillers.size}")
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    val ms = MemoryStream[(Long, String)]
+    def run(): Unit =
+      graft.streaming.CorpusIngest.startContainmentCorpusSink(
+        ms.toDF().toDF("doc_id", "text"), corpus, cp, minTokens = 1,
+        prefixLen = 2)
+        .awaitTermination()
+    // the probe scan a batch holding probeText issues, in isolation
+    // ((999, 999) excludes no real partition)
+    def measuredProbe(): Long = {
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.streaming.CorpusIngest.probeWinnow(
+          spark, corpus, 999L, 999L, probePfxs.toSeq).count()
+        drained()
+      } finally spark.sparkContext.removeSparkListener(listener)
+      bytesRead.get()
+    }
+
+    ms.addData((10L, tA))
+    run()
+    ms.addData((20L, probeText)) // quote → dropped via index probe
+    run()
+    val b1 = measuredProbe()
+    assert(b1 > 0L, "probe read nothing — the quote's buckets are empty")
+    fillers.grouped(2).foreach { pair =>
+      pair.foreach(i => ms.addData((100L + i, mkDoc(s"fill${i}x"))))
+      run()
+    }
+    ms.addData((90L, probeText)) // same text, new id → same buckets
+    run()
+    val b2 = measuredProbe()
+    assert(b2 === b1,
+      s"probe bytes grew with corpus fingerprints in OTHER buckets ($b1 → $b2) — bucket pruning is broken")
+    // both quote arrivals were dropped; the growth all landed elsewhere
+    val docs = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(docs === (Set(10L) ++ fillers.map(i => 100L + i)), s"got $docs")
+    val idx = new java.io.File(corpus, "_graft_winnow")
+    val otherBuckets = idx.listFiles().filter(f =>
+      f.getName.startsWith("pfx=") && !probePfxs.contains(f.getName.stripPrefix("pfx=")))
+    assert(otherBuckets.nonEmpty, "fixture degenerate: fillers created no non-probe buckets")
+  }
+
+  test("compactContainmentCorpus: concurrent-epoch quotes removed, winnow index kept in step, idempotent") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("winnow-compact")
+    val run20 = (0 until 20).map(i => s"c$i").mkString(" ")
+    // manufacture the concurrent-writer end state: epoch 0 holds the
+    // original, epoch 1 holds a quoting doc compaction must remove
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((1L, run20 + " original framing"), (2L, (0 until 20).map(i => s"d$i").mkString(" "))), 0L, 0L)
+    part(Seq((9L, "quoted " + run20 + " elsewhere")), 1L, 0L)
+    // adopt: a fresh sink start builds the index from stored text
+    val ms = MemoryStream[(Long, String)]
+    graft.streaming.CorpusIngest.startContainmentCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("winnow-compact-cp"),
+      minTokens = 1).awaitTermination()
+    val removed = graft.streaming.CorpusIngest.compactContainmentCorpus(spark, corpus)
+    assert(removed === 1L, s"expected the quoting doc removed, got $removed")
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+    val idxDocs = spark.read.parquet(
+        new java.io.File(corpus, "_graft_winnow").toString)
+      .select("doc_id").as[Long].collect().toSet
+    assert(idxDocs === Set(1L, 2L), s"index out of step: $idxDocs")
+    assert(graft.streaming.CorpusIngest.compactContainmentCorpus(spark, corpus) === 0L)
+  }
+
   test("concurrent fresh checkpoints claim DISTINCT epochs before either writes data") {
     // Round 7's epoch was derived from the corpus max alone, so two fresh
     // queries starting against the same (still-empty) corpus both pinned
