@@ -43,7 +43,8 @@ object Bench {
     "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
     "qd54_min_k_prob", "qd55_ngram_diversity", "qd56_source_containment",
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
-    "qd60_collocations", "qd61_full_pipeline",
+    "qd60_collocations", "qd61_full_pipeline", "qd62_bigram_nll_gate",
+    "qd63_quality_keepers", "qd64_zipf_fit", "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",

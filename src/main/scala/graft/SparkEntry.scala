@@ -1064,6 +1064,26 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // oracle-checked: int4 quantization fidelity — qe07's 16-level
+    // sibling at half int8's footprint (4 bits/dim, codes packed
+    // two-per-byte with a −128 tinyint bias); the round trip goes
+    // THROUGH the packed form, so the measured fidelity is the stored
+    // artifact's, and the whole pack/unpack arithmetic replays in SQL.
+    "qe28_int4_fidelity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+        .withColumn("packed", Similarity.packInt4(Similarity.quantizeInt4(col("v"))))
+        .withColumn("deq", Similarity.dequantizeInt4(
+          Similarity.unpackInt4(col("packed"), size(col("v"))),
+          col("mn"), col("mx")))
+        .select(col("vec_id"),
+          size(col("packed")).as("packed_bytes"),
+          round(Similarity.cosine(col("v"), col("deq")), 6).as("fidelity"))
+        .orderBy(col("vec_id"))
+    }),
+
     "qe04_norm_stats" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       emb.select(col("label"),
@@ -2682,6 +2702,46 @@ object SparkEntry {
     "qd61_full_pipeline" -> ((s, d) =>
       graft.ops.Pipelines.fullPipeline(
         graft.ops.Pipelines.fullPipelineFixture(Tables.documents(s, d)))),
+
+    // oracle-checked: bigram-LM perplexity gate (the CCNet/KenLM
+    // filter, Wenzek et al. 2020) — add-one bigram model trained on
+    // the lang='en' slice scores every doc; high mean NLL = far from
+    // the reference register. Non-vacuous at sf0.01: non-en docs score
+    // higher NLL than en prose. Threshold 3.47 ≈ the fixture's p80, so
+    // BOTH keep outcomes are present at every SF (the synthetic corpus
+    // shares one token generator across langs — the spread is tight;
+    // real crawls separate by whole nats).
+    "qd62_bigram_nll_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramNllGate(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text", threshold = 3.47)
+        .orderBy(col("doc_id"))
+    }),
+
+    // oracle-checked: quality-aware near-dup keeper selection — the
+    // SemDeDup "keep one per cluster" step with an explicit quality
+    // policy (4-dp stopword ratio, ties to the smaller id) instead of
+    // the arbitrary min-id rule; composes qd09's pairs + qd14's
+    // components + qd03's quality signal, all individually proven.
+    "qd63_quality_keepers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+      val scored = docs.select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("score"))
+      Dedup.qualityKeepers(Dedup.nearDupComponents(pairs), scored,
+          "doc_id", "score")
+        .orderBy(col("doc_id"))
+    }),
+
+    // oracle-checked: per-source Zipf rank-frequency fit — OLS of
+    // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
+    // is natural language, flat is templated text. The datacard health
+    // signal beside qd55 entropy and qd49 compressibility.
+    "qd64_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), "source", "text",
+          topR = 100, minCount = 2L)
+        .orderBy(col("source"))),
 
     // oracle-checked: IVF search over an int8-QUANTIZED index — the
     // memory-resident ANN pattern (4× smaller vectors; qe07 proves the
@@ -4735,6 +4795,144 @@ object SparkEntry {
     // the end-to-end capstone replayed stage for stage — see qd61Sql's
     // scaladoc for the CTE↔operator mapping
     "qd61_full_pipeline" -> qd61Sql,
+
+    // the bigram model replayed: reference bigram/context counts from
+    // the lang='en' slice, add-one smoothing with the type-count V,
+    // unseen contexts degrading to ln(1/V), 6-dp decimal NLL terms
+    // scaled by exact counts, 4-dp mean, the 3.47-nat keep threshold
+    "qd62_bigram_nll_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |refbg AS (
+        |  SELECT bg, COUNT(*) AS cab FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    FROM tok WHERE lang = 'en') GROUP BY bg),
+        |refuni AS (
+        |  SELECT tk, COUNT(*) AS ca FROM (
+        |    SELECT unnest(w) AS tk FROM tok WHERE lang = 'en') GROUP BY tk),
+        |vv AS (SELECT COUNT(*) AS v FROM refuni),
+        |docbg AS (
+        |  SELECT doc_id, bg, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    FROM tok) GROUP BY doc_id, bg),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(ROUND(-ln((COALESCE(rb.cab, 0) + 1)
+        |          / CAST(COALESCE(ru.ca, 0) + vv.v AS DOUBLE)), 6) AS DECIMAL(18,6)) * d.cnt) AS s
+        |  FROM docbg d
+        |  LEFT JOIN refbg rb USING (bg)
+        |  LEFT JOIN refuni ru ON ru.tk = split_part(d.bg, ' ', 1)
+        |  CROSS JOIN vv
+        |  GROUP BY d.doc_id)
+        |SELECT t.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 4) AS avg_nll,
+        |  COALESCE(ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 4) <= 3.47, false) AS keep
+        |FROM tok t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // quality-aware keeper selection replayed: qd09's pairs, qd14's
+    // recursive components, qd03's 4-dp stopword ratio, and the
+    // per-cluster (score DESC, id ASC) argmax
+    "qd63_quality_keepers" ->
+      s"""WITH RECURSIVE prs AS ($qd09Sql),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |walk(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.id),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+         |         FROM walk GROUP BY id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+         |          / GREATEST(len(w), 1), 4) AS score
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |        FROM documents)),
+         |j AS (SELECT c.doc_id, c.cluster_id, s.score
+         |      FROM comp c JOIN scored s USING (doc_id)),
+         |k AS (SELECT cluster_id,
+         |        first(doc_id ORDER BY score DESC, doc_id) AS keeper_id
+         |      FROM j GROUP BY cluster_id)
+         |SELECT j.doc_id, j.cluster_id, j.score, k.keeper_id,
+         |  j.doc_id = k.keeper_id AS is_keeper
+         |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
+
+    // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
+    // rank, 6-dp decimal ln moments summed exactly, and the identical
+    // closed-form slope/intercept/r2 expressions
+    "qd64_zipf_fit" ->
+      """WITH cnt AS (
+        |  SELECT source, tk, COUNT(*) AS freq FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |    FROM documents) GROUP BY source, tk),
+        |types AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+        |          FROM cnt GROUP BY source),
+        |rk AS (
+        |  SELECT source, freq,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, tk) AS r
+        |  FROM cnt),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM rk WHERE r <= 100 AND freq >= 2),
+        |fit AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fit,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pts GROUP BY source),
+        |ex AS (
+        |  SELECT t.source, t.n_types, COALESCE(f.n_fit, 0) AS n_fit,
+        |    CAST(f.n_fit AS DOUBLE) AS n,
+        |    CAST(f.sx AS DOUBLE) AS dsx, CAST(f.sy AS DOUBLE) AS dsy,
+        |    CAST(f.sxy AS DOUBLE) AS dsxy, CAST(f.sxx AS DOUBLE) AS dsxx,
+        |    CAST(f.syy AS DOUBLE) AS dsyy
+        |  FROM types t LEFT JOIN fit f USING (source)),
+        |cl AS (
+        |  SELECT *, n * dsxy - dsx * dsy AS num, n * dsxx - dsx * dsx AS den,
+        |    n * dsyy - dsy * dsy AS deny
+        |  FROM ex)
+        |SELECT source, n_types, n_fit,
+        |  CASE WHEN n_fit >= 2 AND abs(den) > 1e-9 THEN ROUND(num / den, 4) END AS slope,
+        |  CASE WHEN n_fit >= 2 AND abs(den) > 1e-9
+        |       THEN ROUND((dsy - num / den * dsx) / n, 4) END AS intercept,
+        |  CASE WHEN n_fit >= 2 AND abs(den) > 1e-9 AND abs(deny) > 1e-9
+        |       THEN ROUND(num * num / (den * deny), 4) END AS r2
+        |FROM cl ORDER BY source""".stripMargin,
+
+    // int4 pack/unpack replayed value-exactly: codes, −128-biased byte
+    // pairs, nibble recovery via the same integer arithmetic, cosine
+    "qe28_int4_fidelity" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT vec_id, v, list_min(v) AS mn,
+        |        (list_max(v) - list_min(v)) / 15.0 AS scale FROM b),
+        |q AS (SELECT vec_id, v, mn, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(round((x - mn) / scale) AS INTEGER))
+        |  END AS qv
+        |  FROM r),
+        |p AS (SELECT vec_id, v, mn, scale,
+        |  list_transform(range(1, CAST(floor((len(qv) + 1) / 2.0) AS INTEGER) + 1),
+        |    i -> qv[2*i-1] * 16 + COALESCE(qv[2*i], 0) - 128) AS packed,
+        |  len(qv) AS dim
+        |  FROM q),
+        |u AS (SELECT vec_id, v, mn, scale, packed,
+        |  list_transform(
+        |    flatten(list_transform(packed, pv -> [(pv + 128) // 16, (pv + 128) % 16])),
+        |    c -> c)[1:dim] AS uq
+        |  FROM p),
+        |d AS (SELECT vec_id, v, packed,
+        |  CASE WHEN scale = 0 THEN list_transform(uq, c -> mn)
+        |       ELSE list_transform(uq, c -> CAST(c AS DOUBLE) * scale + mn)
+        |  END AS deq
+        |  FROM u)
+        |SELECT vec_id, CAST(len(packed) AS INTEGER) AS packed_bytes,
+        |  ROUND(list_dot_product(v, deq)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq))), 6) AS fidelity
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // the greedy longest-match walk replayed per word: each recursion
     // step consumes the longest vocab entry matching at the cursor (or

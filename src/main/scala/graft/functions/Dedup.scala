@@ -814,6 +814,39 @@ object Dedup {
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
+  /** Quality-aware near-dup keeper selection — the curation refinement
+    * of [[nearDupComponents]]' min-id rule: the arbitrary smallest id is
+    * fine for EXACT dups (all copies identical), but near-dup cluster
+    * members differ, and a real pipeline keeps the BEST copy (highest
+    * quality score — the SemDeDup "keep one representative per cluster"
+    * step with an explicit quality policy instead of an accident of id
+    * assignment). Given the components frame and a per-doc score, the
+    * keeper is the per-cluster argmax by (`scoreCol` DESC, id ASC — the
+    * deterministic tie rule). Returns one row per CLUSTERED doc:
+    * (idCol, cluster_id, score, keeper_id, is_keeper). Docs absent from
+    * `components` (singletons — the overwhelming mass) are trivially
+    * their own keepers; compose with a left join + coalesce exactly as
+    * [[graft.functions.Curation.leakageSafeSplit]] does.
+    *
+    * The score must be bounded-precision (a 4-dp rounded signal like
+    * stopword ratio) so the argmax is engine-portable.
+    *
+    * Scale shape: one equi-join on the id attaching scores to the
+    * pair-table-sized components frame, one cluster-keyed window for
+    * the argmax — cluster cardinality bounds the window partitions, and
+    * near-dup clusters are tiny. Never corpus-wide.
+    */
+  def qualityKeepers(components: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    components.select(col("doc_id").as(idCol), col("cluster_id"))
+      .join(scored.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("keeper_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash: per token take xxhash64 bits, sum ±1 per bit position

@@ -747,6 +747,52 @@ object Similarity {
       .otherwise(transform(q, qi => (qi + 128).cast("double") * scale + mn))
   }
 
+  /** int4 quantization — [[quantizeInt8]]'s 16-level sibling (4 bits per
+    * dimension, 8× float32 storage once [[packInt4]] pairs codes into
+    * bytes): per-vector min/max range, code = round((x−mn)/scale) ∈
+    * [0, 15]. The coarser grid is the archival/cold-tier trade — ~2⁴
+    * levels keep cosine fidelity high on smooth embeddings while
+    * halving int8's footprint; measure with qe28's fidelity column
+    * before adopting. Flat (zero-range) vectors code to all-0.
+    */
+  def quantizeInt4(v: Column): Column = {
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / 15.0d
+    when(scale === 0.0d, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round((x - mn) / scale).cast("int")))
+  }
+
+  /** Pack int4 codes two-per-byte: pair i holds codes 2i (high nibble)
+    * and 2i+1 (low nibble) as `hi·16 + lo − 128` ∈ [−128, 127] —
+    * `array<tinyint>`, ⌈dim/2⌉ bytes, the on-disk storage form (ANSI
+    * mode forbids a raw 0..255 tinyint, hence the −128 bias). An odd
+    * tail pads its low nibble with 0; [[unpackInt4]] slices back to the
+    * true dimension.
+    */
+  def packInt4(codes: Column): Column =
+    when(size(codes) === 0, array().cast("array<byte>"))
+      .otherwise(transform(
+        sequence(lit(1), floor((size(codes) + 1) / lit(2)).cast("int")),
+        i => (element_at(codes, i * 2 - 1) * 16 +
+          when(i * 2 <= size(codes), element_at(codes, i * 2))
+            .otherwise(lit(0)) - 128).cast("byte")))
+
+  /** Inverse of [[packInt4]]: nibbles out via shift/mask, sliced to the
+    * original `dim` (drops the odd-tail pad).
+    */
+  def unpackInt4(packed: Column, dim: Column): Column =
+    slice(flatten(transform(packed, p => {
+      val u = p.cast("int") + 128
+      array(shiftright(u, 4), u.bitwiseAND(lit(15)))
+    })), lit(1), dim)
+
+  /** Inverse of [[quantizeInt4]] given the original vector's range. */
+  def dequantizeInt4(codes: Column, mn: Column, mx: Column): Column = {
+    val scale = (mx - mn) / 15.0d
+    when(scale === 0.0d, transform(codes, _ => mn))
+      .otherwise(transform(codes, c => c.cast("double") * scale + mn))
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
     * within a cluster, and drop all but one representative of every

@@ -341,6 +341,139 @@ object TextAnalysis {
       .select(col(idCol), col("n_tok"), col("avg_logprob"))
   }
 
+  /** Per-source Zipf rank-frequency fit — the datacard health signal
+    * beside entropy (qd55) and compressibility (qd49): natural language
+    * follows Zipf's law (type frequency ∝ 1/rank, log-log slope ≈ −1);
+    * templated/machine-generated text reads FLAT (few types, even
+    * usage) and concentrated boilerplate reads STEEP. OLS of ln(freq)
+    * on ln(rank) over each source's top `topR` types (frequency ≥
+    * `minCount`, rank ties broken by token): per source `n_types` (all),
+    * `n_fit` (types fitted), `slope`, `intercept`, `r2` (4 dp; NULL
+    * when the fit is degenerate — under 2 points or zero variance).
+    *
+    * Determinism: ln(rank)/ln(freq) are 6-dp DECIMAL; the OLS moments
+    * are exact decimal sums of decimal products (order-free), cast to
+    * double only inside the final closed-form expressions, which the
+    * SQL oracle mirrors operation for operation.
+    *
+    * Scale shape: one map-side-combined (source, token) count, one
+    * per-source window for the rank (partitions = sources, state = the
+    * top-R heap equivalent), then an S-row rollup — the qd55 shape plus
+    * a bounded window. Nothing all-pairs; the fit reads ≤ topR rows per
+    * source.
+    */
+  def zipfFit(df: DataFrame, sourceCol: String, textCol: String,
+      topR: Int = 100, minCount: Long = 2L): DataFrame = {
+    require(topR >= 2 && minCount >= 1,
+      s"zipfFit: need topR >= 2, minCount >= 1 (got $topR, $minCount)")
+    val counts = df
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("source"), col("__tok"))
+      .agg(count(lit(1)).cast("long").as("__freq"))
+    val types = counts.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_types"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__freq").desc, col("__tok"))
+    val ranked = counts
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topR && col("__freq") >= minCount)
+      .withColumn("__x",
+        round(log(col("__rank").cast("double")), 6).cast(DecimalType(18, 6)))
+      .withColumn("__y",
+        round(log(col("__freq").cast("double")), 6).cast(DecimalType(18, 6)))
+    val fit = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_fit"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n_fit").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = n * col("__sxy").cast("double") - sx * sy
+    val den = n * col("__sxx").cast("double") - sx * sx
+    val deny = n * col("__syy").cast("double") - sy * sy
+    // ε-guards, not exact-zero tests: a zero-variance side reaches the
+    // doubles as ~1e-16 residue (the decimal sums are exact, but the
+    // decimal→double casts are not), and a near-zero denominator
+    // amplifies that residue into engine-divergent noise
+    val ok = col("n_fit") >= 2L && abs(den) > 1e-9d
+    types.join(fit, Seq("source"), "left")
+      .na.fill(0L, Seq("n_fit"))
+      .withColumn("slope", when(ok, round(num / den, 4)))
+      .withColumn("intercept", when(ok, round((sy - num / den * sx) / n, 4)))
+      .withColumn("r2", when(ok && abs(deny) > 1e-9d,
+        round(num * num / (den * deny), 4)))
+      .select(col("source"), col("n_types"), col("n_fit"),
+        col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Bigram-LM quality gate — the TRAINED-reference member of the CCNet
+    * perplexity-filter family (Wenzek et al. 2020 score crawl docs under
+    * a KenLM trained on Wikipedia; [[unigramLogProb]] is the no-artifact
+    * corpus-as-model sibling): an add-one-smoothed bigram model fit on a
+    * trusted `reference` slice scores every doc's token stream, and docs
+    * far from the reference register (boilerplate, garbled text,
+    * off-language) surface with high mean negative log-likelihood.
+    * P(b|a) = (c(a,b) + 1) / (c(a) + V) with c(·) reference occurrence
+    * counts and V the reference unigram type count; a context word
+    * unseen in the reference degrades smoothly to ln(1/V) — no <unk>
+    * retokenization pass. Emitted per doc: `n_bigrams`, `avg_nll`
+    * (mean −ln P per bigram, nats, 4 dp — `exp(avg_nll)` IS the
+    * perplexity, left to the caller because `exp` is not correctly
+    * rounded cross-engine), and `keep` = avg_nll ≤ `threshold`.
+    * Docs with < 2 tokens have no bigram: `avg_nll` NULL, keep false
+    * (route through a length gate first; qd10's ≥ 20-token gate
+    * subsumes this).
+    *
+    * Determinism: each bigram's −ln P is 6-dp-rounded DECIMAL scaled by
+    * its exact count (the qd29 convention), so the per-doc sum is
+    * order-free and the whole gate replays in SQL.
+    *
+    * Scale shape: the reference model is two map-side-combined grouped
+    * counts on uniform token keys (bigram + unigram context) — model
+    * SIZE is reference-vocabulary-bounded, it never touches the scored
+    * corpus; scoring is the doc-bigram grouped frame (distinct
+    * (doc, bigram) rows with counts — natural text repeats) left-joined
+    * to the two model tables on uniform keys plus a broadcast V scalar,
+    * then one per-doc rollup. No windows, nothing all-pairs; at 100 TB
+    * the model tables behave exactly like qd29's vocab join.
+    */
+  def bigramNllGate(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      threshold: Double = 8.0): DataFrame = {
+    val refBi = reference
+      .select(explode(bigrams(col(refTextCol))).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).cast("long").as("__cab"))
+    val refUni = reference
+      .select(explode(tokens(col(refTextCol))).as("__ctx"))
+      .groupBy(col("__ctx")).agg(count(lit(1)).cast("long").as("__ca"))
+    val vScalar = broadcast(refUni.agg(count(lit(1)).cast("long").as("__v")))
+    val docBi = df
+      .select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).cast("long").as("__cnt"))
+      .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
+    val scored = docBi
+      .join(refBi, Seq("__bg"), "left")
+      .join(refUni, Seq("__ctx"), "left")
+      .crossJoin(vScalar)
+      .withColumn("__nll", round(-log(
+          (coalesce(col("__cab"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("__ca"), lit(0L)) + col("__v")).cast("double")), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).cast("long").as("n_bigrams"),
+        sum(col("__nll") * col("__cnt")).as("__sum"))
+      .withColumn("avg_nll",
+        round(col("__sum").cast("double") / col("n_bigrams").cast("double"), 4))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"),
+        coalesce(col("avg_nll") <= threshold, lit(false)).as("keep"))
+  }
+
   /** Min-K% Prob membership/memorization score (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models": a text the
     * model has SEEN has anomalously few low-probability tokens, so score

@@ -529,6 +529,24 @@ class DedupSpec extends SparkSpec {
     assert(fp(4)._1 === fp(1)._1) // leading tab variant dedups
   }
 
+  test("qualityKeepers: the best-scoring cluster member wins over the min id; ties break to the smaller id") {
+    val comps = Seq((1L, 1L), (5L, 1L), (9L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 0.10), (5L, 0.40), (9L, 0.40), (20L, 0.25),
+      (21L, 0.25)).toDF("doc_id", "score")
+    val got = Dedup.qualityKeepers(comps, scored, "doc_id", "score")
+      .select("doc_id", "keeper_id", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // cluster 1: docs 5 and 9 tie on 0.40 → smaller id 5 wins (NOT the
+    // min-id member 1, whose score is worst)
+    assert(got(1L) === (5L, false))
+    assert(got(5L) === (5L, true))
+    assert(got(9L) === (5L, false))
+    // cluster 20: exact tie → min id
+    assert(got(20L) === (20L, true))
+    assert(got(21L) === (20L, false))
+  }
+
   test("NFC canon: composed and decomposed spellings dedup together — and the legacy canon provably fails") {
     // "Café" composed (U+00E9) vs decomposed (e + U+0301): visually
     // identical, byte-distinct. Combining marks as escapes so no tool

@@ -187,6 +187,39 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall_at_k mean $mean under the planted-structure floor ($perQ)")
   }
 
+  test("int4 quantize/pack: codes round-trip through the packed bytes exactly; fidelity bounds; odd dims and flat vectors safe") {
+    val vecs = Seq(
+      (0L, Array(0.0, 1.0, 0.5, 0.25)),          // even dim
+      (1L, Array(-2.0, 3.0, 0.0)),               // odd dim → padded nibble
+      (2L, Array(7.0, 7.0, 7.0, 7.0)),           // flat → scale 0
+      (3L, (0 until 64).map(i => math.sin(i.toDouble)).toArray))
+      .toDF("vec_id", "v")
+    val rt = vecs
+      .withColumn("codes", Similarity.quantizeInt4(col("v")))
+      .withColumn("packed", Similarity.packInt4(col("codes")))
+      .withColumn("back", Similarity.unpackInt4(col("packed"), size(col("v"))))
+      .withColumn("deq", Similarity.dequantizeInt4(col("back"),
+        array_min(col("v")), array_max(col("v"))))
+    val rows = rt.select("vec_id", "codes", "back", "packed", "v", "deq")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // pack→unpack is the identity on codes, for even AND odd dims
+    rows.values.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"roundtrip broke: $r")
+    }
+    // ⌈dim/2⌉ bytes
+    assert(rows(1L).getSeq[Byte](3).length === 2)
+    assert(rows(3L).getSeq[Byte](3).length === 32)
+    // flat vector dequantizes exactly
+    assert(rows(2L).getSeq[Double](5) === Seq(7.0, 7.0, 7.0, 7.0))
+    // 16 levels bound the per-dim error at scale/2 = (mx-mn)/30
+    rows.values.foreach { r =>
+      val v = r.getSeq[Double](4); val d = r.getSeq[Double](5)
+      val tol = (v.max - v.min) / 30.0 + 1e-12
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= tol, s"dim error ${math.abs(x - y)} > $tol") }
+    }
+  }
+
   test("requireMeanRecallFloor: a collapsed ANN structure fails loudly; healthy results pass through") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"))

@@ -311,6 +311,63 @@ class TextAnalysisSpec extends SparkSpec {
       mix.orderBy("source").collect().map(_.toString).toSeq)
   }
 
+  test("bigramNllGate: hand-computed add-one bigram NLL; unseen context degrades to ln(1/V); short docs keep=false") {
+    // reference "a b a b c": bigrams ab, ba, ab, bc; unigrams a2 b2 c1 → V=3
+    val ref = Seq(Tuple1("a b a b c")).toDF("text")
+    val docs = Seq(
+      (1L, "a b c"),      // bigrams: ab (c=2), bc (c=1)
+      (2L, "z z"),        // zz: unseen bigram, unseen context → ln(1/V)
+      (3L, "a"),          // no bigram
+      (4L, "c a")         // ca: unseen bigram, seen context c (ca(ctx)=1)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNllGate(docs, "doc_id", "text", ref, "text",
+        threshold = 1.05)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def nll(cab: Long, ca: Long): Double =
+      BigDecimal(-math.log((cab + 1.0) / (ca + 3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def avg(xs: Double*): Double =
+      BigDecimal(xs.sum / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L).getAs[Double]("avg_nll") === avg(nll(2, 2), nll(1, 2)))
+    assert(got(2L).getAs[Double]("avg_nll") === avg(nll(0, 0))) // = ln 3
+    assert(got(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("avg_nll")))
+    assert(!got(3L).getAs[Boolean]("keep"), "no-bigram docs must not pass the gate")
+    assert(got(4L).getAs[Double]("avg_nll") === avg(nll(0, 1)))
+    // threshold binds: doc 1 (common bigrams) keeps, doc 2 (alien) drops
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep"))
+  }
+
+  test("zipfFit: perfect power law recovers slope and r2=1; degenerate sources yield NULL fits") {
+    // freq = round(1000 / rank): an exact Zipf sample up to rounding
+    val zipf = (1 to 20).flatMap { r =>
+      val f = math.max(1, math.round(1000.0 / r).toInt)
+      Seq.fill(f)(s"w$r")
+    }.mkString(" ")
+    val docs = Seq(
+      ("zipf", zipf),
+      ("flat", "x1 x2 x3 x4 x5"),            // every freq 1 < minCount → n_fit 0
+      ("const", "y1 y1 y2 y2 y3 y3")         // all freq 2 → zero y-variance → r2 NULL
+    ).toDF("source", "text")
+    val got = TextAnalysis.zipfFit(docs, "source", "text", topR = 100,
+        minCount = 2L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val z = got("zipf")
+    assert(z.getAs[Long]("n_fit") === 20L)
+    assert(math.abs(z.getAs[Double]("slope") + 1.0) < 0.02,
+      s"Zipf slope ${z.getAs[Double]("slope")} should be ≈ -1")
+    assert(z.getAs[Double]("r2") > 0.999)
+    val f = got("flat")
+    assert(f.getAs[Long]("n_types") === 5L && f.getAs[Long]("n_fit") === 0L)
+    assert(f.isNullAt(f.fieldIndex("slope")))
+    val c = got("const")
+    assert(c.getAs[Long]("n_fit") === 3L)
+    assert(!c.isNullAt(c.fieldIndex("slope"))) // x varies, slope defined (0.0)
+    assert(c.getAs[Double]("slope") === 0.0)
+    assert(c.isNullAt(c.fieldIndex("r2")), "zero y-variance must NULL r2")
+  }
+
   test("temperatureMixDocs: kept rows re-derive temperatureMix's accounting; salt decorrelates the draw") {
     val docs = Tables.documents(spark, sf0001)
     // unsalted doc-level keep ≡ the audit rollup's kept_docs/kept_tokens
