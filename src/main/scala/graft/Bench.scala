@@ -46,7 +46,7 @@ object Bench {
     "qd60_collocations", "qd61_full_pipeline", "qd62_bigram_nll_gate",
     "qd63_quality_keepers", "qd64_zipf_fit", "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
-    "qr09_prf_expansion",
+    "qr09_prf_expansion", "qr10_mmr_rerank",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
     "qm03_audio_decode",
     "q42_zorder", "qs01_hourly_events", "qs02_sessionize", "qs03_session_window")

@@ -498,6 +498,53 @@ object SparkEntry {
        |FROM shards GROUP BY shard_id ORDER BY shard_id""".stripMargin
   }
 
+  /** qr10's oracle: the MMR greedy loop unrolled to its 3 rounds —
+    * same candidate stage as qe02 (dense top-10), same 6-dp score
+    * rounding and smaller-id ties, and the score arithmetic in EXACT
+    * DECIMAL — λ·(6-dp value) lands on exact .5 at the 7th digit, where
+    * double rounding diverges between engines.
+    */
+  private lazy val qr10Sql: String = {
+    def cosExpr(a: String, b: String): String =
+      s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    val stages = (1 to 3).map { i =>
+      val score = "CAST(ROUND(CAST(0.7 AS DECIMAL(5,4)) * rel " +
+        "- CAST(0.3 AS DECIMAL(5,4)) * ms, 6) AS DOUBLE)"
+      val pick =
+        s"""pick$i AS (
+           |  SELECT query_id, neighbor_id, v, mmr_score, $i AS mmr_rank FROM (
+           |    SELECT *, $score AS mmr_score,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY $score DESC, neighbor_id) AS rn
+           |    FROM rem$i) WHERE rn = 1)"""
+      val rem = if (i == 3) "" else
+        s""",
+           |rem${i + 1} AS (
+           |  SELECT r.query_id, r.neighbor_id, r.v, r.rel,
+           |    GREATEST(r.ms, CAST(${cosExpr("r.v", "p.v")} AS DECIMAL(18,6))) AS ms
+           |  FROM rem$i r JOIN pick$i p USING (query_id)
+           |  WHERE r.neighbor_id <> p.neighbor_id)"""
+      pick + rem
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT query_id, neighbor_id, v,
+       |         CAST(${cosExpr("v", "qv")} AS DECIMAL(18,6)) AS rel
+       |       FROM c, q WHERE neighbor_id <> query_id),
+       |r0 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY rel DESC, neighbor_id) AS rnk FROM sc),
+       |rem1 AS (SELECT query_id, neighbor_id, v, rel,
+       |           CAST(0 AS DECIMAL(18,6)) AS ms
+       |         FROM r0 WHERE rnk <= 10),
+       |$stages,
+       |sel AS (SELECT query_id, neighbor_id, mmr_score, mmr_rank FROM pick1
+       |  UNION ALL SELECT query_id, neighbor_id, mmr_score, mmr_rank FROM pick2
+       |  UNION ALL SELECT query_id, neighbor_id, mmr_score, mmr_rank FROM pick3)
+       |SELECT query_id, neighbor_id, mmr_score, mmr_rank
+       |FROM sel ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
     * deterministic ([[Similarity.planes]]), so it embeds as literals and
     * `list_dot_product` reproduces the sequential-double sign test bit for
@@ -2096,6 +2143,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // oracle-checked: MMR diverse re-ranking (Carbonell & Goldstein
+    // 1998) — the dedup-aware final retrieval stage: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over each query's dense top-10,
+    // unrolled relationally (k=3 rounds) so every pick replays in SQL.
+    "qr10_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cands = Similarity.knnJoin(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("v")), "neighbor_id")
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id", "cosine", "v",
+          k = 3, lambda = 0.7)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     // oracle-checked: the corpus-level eval rollup — macro means (MRR
     // et al.) over qr04's per-query battery; one reporting row.
     "qr07_retrieval_eval_summary" -> ((s, d) => {
@@ -3462,6 +3524,9 @@ object SparkEntry {
     // tf-in-feedback × 6-dp ln(N/df) expansion scoring (original terms
     // excluded via NOT EXISTS) → expanded qt2 → the full BM25 chain a
     // second time over qt2-restricted postings
+    // the MMR greedy replayed round for round — see qr10Sql
+    "qr10_mmr_rerank" -> qr10Sql,
+
     "qr09_prf_expansion" ->
       s"""WITH $duckBm25Cte,
          |fb AS (SELECT query_id, doc_id FROM brk WHERE rnk <= 3),

@@ -136,6 +136,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance diverse re-ranking (Carbonell &
+    * Goldstein 1998) — the diversity-aware final stage dense retrieval
+    * needs when its candidates are redundant (near-dup web pages,
+    * paraphrase clusters): greedily select `k` of each query's
+    * `candidates` maximizing `λ·rel − (1−λ)·max_{s∈S} sim(d, s)` — the
+    * second term penalizes similarity to what's ALREADY selected, so
+    * the result trades raw relevance for coverage. λ=1 is plain top-k;
+    * λ→0 pure diversity.
+    *
+    * `candidates` is a (query_id, neighbor_id, rel, vector) frame — the
+    * bounded top-N of any retrieval stage ([[knnJoin]], IVF, hybrid
+    * RRF); N is a serving constant (tens), never corpus-sized. The
+    * greedy loop is UNROLLED RELATIONALLY: `k` rounds, each one
+    * per-query argmax window over the ≤N remaining candidates + one
+    * equi-join updating the running max-similarity — deterministic
+    * (scores 6-dp rounded pre-window, ties to the smaller id) and
+    * SQL-replayable stage for stage (qr10's oracle generates the same
+    * k stages). First pick = argmax rel (empty selected set scores 0
+    * penalty).
+    *
+    * Scale shape: every frame in the loop is (queries × N)-sized — the
+    * corpus appears only through the candidate stage that produced the
+    * input. k joins on query_id (uniform key, tiny frames, broadcast
+    * under AQE). The k-round plan depth is a serving-side constant;
+    * for large k switch to a per-query `mapGroups` fold — not needed
+    * at rerank sizes.
+    */
+  def mmrRerank(candidates: DataFrame, queryIdCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: need k >= 1, lambda in [0,1] (got $k, $lambda)")
+    // the score arithmetic is DECIMAL-exact: rel and ms are 6-dp values,
+    // and λ·(6-dp) lands on EXACT .5 boundaries at the 7th digit (~10%
+    // of rank-1 scores for λ=0.7), where double rounding diverges
+    // between engines — decimal products/differences are exact, and
+    // ROUND-half-away-from-zero on an exact decimal agrees everywhere
+    val lam = BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val oneMinusLam = BigDecimal(1) - lam
+    val base = candidates.select(col(queryIdCol).as("query_id"),
+      col(idCol).as("neighbor_id"),
+      col(relCol).cast(DecimalType(18, 6)).as("__rel"),
+      asDouble(col(vecCol)).as("__v"))
+      .withColumn("__ms", lit(0.0d).cast(DecimalType(18, 6)))
+    var remaining = base
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_score").desc, col("neighbor_id"))
+      val pick = remaining
+        .withColumn("mmr_score", round(
+          lit(lam) * col("__rel") - lit(oneMinusLam) * col("__ms"), 6)
+          .cast("double"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("mmr_rank", lit(i))
+        .select(col("query_id"), col("neighbor_id"), col("mmr_score"),
+          col("mmr_rank"), col("__v"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining
+        .join(pick.select(col("query_id"), col("neighbor_id").as("__sid"),
+          col("__v").as("__sv")), "query_id")
+        .filter(col("neighbor_id") =!= col("__sid"))
+        .withColumn("__ms", greatest(col("__ms"),
+          round(cosine(col("__v"), col("__sv")), 6).cast(DecimalType(18, 6))))
+        .drop("__sid", "__sv")
+    }
+    selected.select(col("query_id"), col("neighbor_id"),
+      col("mmr_score"), col("mmr_rank"))
+  }
+
   /** Annotate an approximate top-k result with a measured `recall_at_k`
     * column: per query, |approx neighbors ∩ exact brute-force top-k| / k
     * — the standard ANN quality metric — joined back onto every output

@@ -187,6 +187,33 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall_at_k mean $mean under the planted-structure floor ($perQ)")
   }
 
+  test("mmrRerank: redundancy penalized — the diverse candidate beats a near-duplicate of the first pick; lambda=1 is plain top-k") {
+    // candidates for one query: a (rel .99) and its near-clone b (rel
+    // .98, cosine(a,b) ≈ 1) and a diverse c (rel .90, orthogonal-ish)
+    val cands = Seq(
+      (1L, 10L, 0.99, Array(1.0, 0.0, 0.0)),
+      (1L, 11L, 0.98, Array(0.999, 0.045, 0.0)),
+      (1L, 12L, 0.90, Array(0.0, 1.0, 0.0)))
+      .toDF("query_id", "neighbor_id", "rel", "v")
+    val got = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "v", k = 3, lambda = 0.7)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1)
+    // rank 1: highest rel (10). rank 2: the clone 11 scores
+    // .7·.98 − .3·1 ≈ .386 < the diverse 12's .7·.9 − .3·0 = .63
+    assert(got.toSeq === Seq(10L, 12L, 11L), s"got ${got.toSeq}")
+    // λ=1 degenerates to plain relevance order
+    val plain = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+        "rel", "v", k = 3, lambda = 1.0)
+      .select("neighbor_id", "mmr_rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1)
+    assert(plain.toSeq === Seq(10L, 11L, 12L))
+    // fewer candidates than k: each query yields what it has
+    val short = Similarity.mmrRerank(cands.filter(col("neighbor_id") === 10L),
+      "query_id", "neighbor_id", "rel", "v", k = 3, lambda = 0.7)
+    assert(short.count() === 1L)
+  }
+
   test("int4 quantize/pack: codes round-trip through the packed bytes exactly; fidelity bounds; odd dims and flat vectors safe") {
     val vecs = Seq(
       (0L, Array(0.0, 1.0, 0.5, 0.25)),          // even dim
