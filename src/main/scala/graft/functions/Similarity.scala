@@ -175,12 +175,20 @@ object Similarity {
     // ROUND-half-away-from-zero on an exact decimal agrees everywhere
     val lam = BigDecimal(lambda).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     val oneMinusLam = BigDecimal(1) - lam
+    // EVERY round is materialized eagerly (tiny frames: ≤ queries×N).
+    // Without the checkpoints the rounds NEST — pick_i's plan contains
+    // remaining_i AND pick_{i-1}, each holding its own copy of the
+    // previous round's subtree, so the candidate derivation upstream
+    // (a corpus-scanning knnJoin) executes 2^k times. The superseded
+    // remaining_i blocks are freed as the loop advances (the
+    // nearDupComponents discipline); the k pick frames back the
+    // returned union and stay resident until the caller drops them.
     val base = candidates.select(col(queryIdCol).as("query_id"),
       col(idCol).as("neighbor_id"),
       col(relCol).cast(DecimalType(18, 6)).as("__rel"),
       asDouble(col(vecCol)).as("__v"))
       .withColumn("__ms", lit(0.0d).cast(DecimalType(18, 6)))
-    var remaining = base
+    var remaining = base.localCheckpoint(true)
     var selected: DataFrame = null
     for (i <- 1 to k) {
       val w = Window.partitionBy(col("query_id"))
@@ -194,15 +202,20 @@ object Similarity {
         .withColumn("mmr_rank", lit(i))
         .select(col("query_id"), col("neighbor_id"), col("mmr_score"),
           col("mmr_rank"), col("__v"))
+        .localCheckpoint(true)
       selected = if (selected == null) pick else selected.unionByName(pick)
-      remaining = remaining
+      val next = remaining
         .join(pick.select(col("query_id"), col("neighbor_id").as("__sid"),
           col("__v").as("__sv")), "query_id")
         .filter(col("neighbor_id") =!= col("__sid"))
         .withColumn("__ms", greatest(col("__ms"),
           round(cosine(col("__v"), col("__sv")), 6).cast(DecimalType(18, 6))))
         .drop("__sid", "__sv")
+        .localCheckpoint(true)
+      Dedup.freeLocalCheckpoint(remaining)
+      remaining = next
     }
+    Dedup.freeLocalCheckpoint(remaining)
     selected.select(col("query_id"), col("neighbor_id"),
       col("mmr_score"), col("mmr_rank"))
   }

@@ -366,10 +366,14 @@ object TextAnalysis {
       topR: Int = 100, minCount: Long = 2L): DataFrame = {
     require(topR >= 2 && minCount >= 1,
       s"zipfFit: need topR >= 2, minCount >= 1 (got $topR, $minCount)")
+    // persisted: the grouped (source, token) counts feed BOTH the type
+    // rollup and the rank window — without it the corpus tokenization
+    // explode runs twice (ScanCountSpec pins the budget)
     val counts = df
       .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("__tok"))
       .groupBy(col("source"), col("__tok"))
       .agg(count(lit(1)).cast("long").as("__freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val types = counts.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_types"))
     val w = Window.partitionBy(col("source"))
@@ -398,7 +402,7 @@ object TextAnalysis {
     // decimal→double casts are not), and a near-zero denominator
     // amplifies that residue into engine-divergent noise
     val ok = col("n_fit") >= 2L && abs(den) > 1e-9d
-    types.join(fit, Seq("source"), "left")
+    val out = types.join(fit, Seq("source"), "left")
       .na.fill(0L, Seq("n_fit"))
       .withColumn("slope", when(ok, round(num / den, 4)))
       .withColumn("intercept", when(ok, round((sy - num / den * sx) / n, 4)))
@@ -406,6 +410,9 @@ object TextAnalysis {
         round(num * num / (den * deny), 4)))
       .select(col("source"), col("n_types"), col("n_fit"),
         col("slope"), col("intercept"), col("r2"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
   }
 
   /** Bigram-LM quality gate — the TRAINED-reference member of the CCNet
@@ -445,6 +452,11 @@ object TextAnalysis {
     val refBi = reference
       .select(explode(bigrams(col(refTextCol))).as("__bg"))
       .groupBy(col("__bg")).agg(count(lit(1)).cast("long").as("__cab"))
+    // the context-count table feeds the V scalar AND the scoring join —
+    // one extra reference tokenization for the scalar, the same shape
+    // (and cost posture) as unigramLogProbFromTf's vocab/total pair; a
+    // pipeline scoring MANY corpora against one reference should persist
+    // the two model frames at its own boundary
     val refUni = reference
       .select(explode(tokens(col(refTextCol))).as("__ctx"))
       .groupBy(col("__ctx")).agg(count(lit(1)).cast("long").as("__ca"))
