@@ -93,7 +93,10 @@ object Bench {
     "qd54_min_k_prob" -> 1.677, "qd55_ngram_diversity" -> 3.507,
     "qd56_source_containment" -> 4.931, "qd57_stream_packing" -> 0.860,
     "qd58_winsorize" -> 0.442, "qd59_containment_fast" -> 2.181,
-    "qd60_collocations" -> 3.470, "qd61_full_pipeline" -> 14.529,
+    "qd60_collocations" -> 3.470, "qd61_full_pipeline" -> 13.040,
+    "qd62_bigram_nll_gate" -> 6.600, "qd63_quality_keepers" -> 2.650,
+    "qd64_zipf_fit" -> 0.740, "qe28_int4_fidelity" -> 1.617,
+    "qr10_mmr_rerank" -> 0.780,
     "qe01_cosine_topk" -> 0.201,
     "qe02_knn_join" -> 0.383, "qe03_ann_lsh" -> 0.312,
     "qe08_ivf_ann_oracle" -> 0.352, "qe10_semantic_dedup" -> 1.013,

@@ -1118,13 +1118,21 @@ object SparkEntry {
     // artifact's, and the whole pack/unpack arithmetic replays in SQL.
     "qe28_int4_fidelity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // every stage is its OWN column: packInt4 references its codes
+      // argument ~2·(dim/2)+1 times and dequantize its unpacked arg
+      // twice — inlined trees re-evaluate the upstream transform per
+      // reference (measured 58 s vs 0.4 s at sf0.1), while staged
+      // columns are multi-referenced non-cheap expressions that
+      // CollapseProject keeps materialized once per row
       emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
-        .withColumn("packed", Similarity.packInt4(Similarity.quantizeInt4(col("v"))))
-        .withColumn("deq", Similarity.dequantizeInt4(
-          Similarity.unpackInt4(col("packed"), size(col("v"))),
-          col("mn"), col("mx")))
+        .withColumn("codes", Similarity.quantizeInt4(col("v")))
+        .withColumn("packed", Similarity.packInt4(col("codes")))
+        .withColumn("unpacked",
+          Similarity.unpackInt4(col("packed"), size(col("v"))))
+        .withColumn("deq",
+          Similarity.dequantizeInt4(col("unpacked"), col("mn"), col("mx")))
         .select(col("vec_id"),
           size(col("packed")).as("packed_bytes"),
           round(Similarity.cosine(col("v"), col("deq")), 6).as("fidelity"))

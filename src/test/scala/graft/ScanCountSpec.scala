@@ -151,6 +151,17 @@ class ScanCountSpec extends SparkSpec {
       s"prfExpandedSearch made ${acc.value.toDouble / n} corpus passes")
   }
 
+  test("qd64 zipfFit: persisted count frame — 1 corpus scan") {
+    val (docs, acc, n) = docsSource()
+    // budget: one tokenization explode filling the grouped (source,
+    // token) persist; the type rollup and the rank window both read the
+    // cache. Dropping the persist doubles it.
+    val out = graft.functions.TextAnalysis.zipfFit(docs, "source", "text",
+      topR = 50, minCount = 2L)
+    assert(scansOf(out, acc, n) <= 1,
+      s"zipfFit made ${acc.value.toDouble / n} corpus passes")
+  }
+
   test("qd60 collocations: persisted count frames — 2 corpus scans") {
     val (docs, acc, n) = docsSource()
     // budget: the unigram explode + the bigram explode; both scalar
