@@ -43,7 +43,8 @@ object Bench {
     "qd51_winnowing", "qd52_corpus_diff", "qd53_containment",
     "qd54_min_k_prob", "qd55_ngram_diversity", "qd56_source_containment",
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
-    "qd60_collocations", "qd61_full_pipeline", "qd62_bigram_nll_gate",
+    "qd60_collocations", "qd61_full_pipeline", "qd65_full_pipeline_fast",
+    "qd62_bigram_nll_gate",
     "qd63_quality_keepers", "qd64_zipf_fit", "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -95,7 +96,8 @@ object Bench {
     "qd58_winsorize" -> 0.442, "qd59_containment_fast" -> 2.181,
     "qd60_collocations" -> 3.470, "qd61_full_pipeline" -> 13.040,
     "qd62_bigram_nll_gate" -> 6.600, "qd63_quality_keepers" -> 2.650,
-    "qd64_zipf_fit" -> 0.740, "qe28_int4_fidelity" -> 1.617,
+    "qd64_zipf_fit" -> 0.740, "qd65_full_pipeline_fast" -> 14.004,
+    "qe28_int4_fidelity" -> 1.617,
     "qr10_mmr_rerank" -> 0.780,
     "qe01_cosine_topk" -> 0.201,
     "qe02_knn_join" -> 0.383, "qe03_ann_lsh" -> 0.312,

@@ -2773,6 +2773,16 @@ object SparkEntry {
       graft.ops.Pipelines.fullPipeline(
         graft.ops.Pipelines.fullPipelineFixture(Tables.documents(s, d)))),
 
+    // rows-only by design: qd61's PRODUCTION twin — identical
+    // composition on the xxhash64 MinHash signatures (the 100 TB
+    // posture; no DuckDB twin for Spark-internal hashing). Every stage
+    // except the LSH candidate draw is hash-independent; PipelineSpec
+    // pins the twins' manifests within the near-dup wiggle.
+    "qd65_full_pipeline_fast" -> ((s, d) =>
+      graft.ops.Pipelines.fullPipeline(
+        graft.ops.Pipelines.fullPipelineFixture(Tables.documents(s, d)),
+        portable = false)),
+
     // oracle-checked: bigram-LM perplexity gate (the CCNet/KenLM
     // filter, Wenzek et al. 2020) — add-one bigram model trained on
     // the lang='en' slice scores every doc; high mean NLL = far from

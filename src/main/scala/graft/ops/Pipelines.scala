@@ -234,6 +234,17 @@ object Pipelines {
     * operator's shape: banded equi-joins for pairs, broadcast gram/
     * threshold sides, the two-phase prefix sum for packing — nothing
     * all-pairs, nothing single-partition.
+    *
+    * `portable = true` (qd61 — the oracle form) signs MinHash with md5
+    * so the whole composition replays in DuckDB; `portable = false`
+    * (qd65's rows-only production twin) uses the xxhash64 signatures —
+    * the 100 TB posture, ~2× cheaper on the signature pass. The ONLY
+    * divergence between the twins is the LSH candidate draw (different
+    * hash family ⇒ different band collisions at equal recall
+    * guarantees): the canon, exact dedup groups, decontamination,
+    * split, mix thresholds and packing arithmetic are hash-independent
+    * (PipelineSpec pins the twins' manifests within the near-dup
+    * wiggle).
     */
   /** qd61's planted fixture (the qd48/qd52 pattern): the raw corpus has
     * no exact duplicates under the canon, so the capstone's dedup/
@@ -270,7 +281,7 @@ object Pipelines {
     d.unionByName(exactDups).unionByName(nearDups).unionByName(leaks)
   }
 
-  def fullPipeline(docs: DataFrame): DataFrame = {
+  def fullPipeline(docs: DataFrame, portable: Boolean = true): DataFrame = {
     import graft.functions.NativeExpressions
     val normed = docs.select(col("doc_id"), col("source"),
       TextAnalysis.normalizeText(col("text")).as("norm_text"))
@@ -286,7 +297,7 @@ object Pipelines {
       .drop("__fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minHashNearDups(exact, "doc_id", "norm_text",
-      k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+      k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = portable)
     val losers = Dedup.nearDupComponents(pairs)
       .filter(!col("is_keeper")).select("doc_id")
     val reps = exact.join(losers, Seq("doc_id"), "left_anti")

@@ -91,5 +91,17 @@ class PipelineSpec extends SparkSpec {
     // and only the canonical fingerprint collapses them
     val planted = docs.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
     assert(planted.count() > 0, "fixture must plant canon-exact dups")
+
+    // the production twin (xxhash64 signatures, qd65) may differ ONLY
+    // through its LSH candidate draw: its manifest conserves ITS OWN
+    // mix-stage tokens just as exactly, and the two totals sit within
+    // the near-dup wiggle (a handful of docs' worth of tokens)
+    val fast = Pipelines.fullPipeline(docs, portable = false).collect()
+    val fastTokens = fast.map(_.getAs[Long]("n_tokens")).sum
+    assert(fast.forall(r => r.getAs[Int]("shard_id") >= 0 &&
+      r.getAs[Int]("shard_id") < 8))
+    val wiggle = 0.15 * mixedTokens
+    assert(math.abs(fastTokens - mixedTokens) <= wiggle,
+      s"fast-twin tokens $fastTokens too far from portable $mixedTokens")
   }
 }

@@ -151,6 +151,18 @@ class ScanCountSpec extends SparkSpec {
       s"prfExpandedSearch made ${acc.value.toDouble / n} corpus passes")
   }
 
+  test("qd62 bigramNllGate: model + scoring passes bounded") {
+    val (docs, acc, n) = docsSource()
+    // budget: reference bigram count + reference context count + the V
+    // scalar's context recount (the unigramLogProbFromTf posture) + the
+    // doc bigram explode = 4. A dropped restriction or re-derived model
+    // frame pushes past it.
+    val out = graft.functions.TextAnalysis.bigramNllGate(
+      docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+    assert(scansOf(out, acc, n) <= 4,
+      s"bigramNllGate made ${acc.value.toDouble / n} corpus passes")
+  }
+
   test("qd64 zipfFit: persisted count frame — 1 corpus scan") {
     val (docs, acc, n) = docsSource()
     // budget: one tokenization explode filling the grouped (source,
