@@ -2462,6 +2462,53 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("token-drift monitor: a distribution shift fires one edge-triggered alert; same-distribution batches stay quiet; recovery re-arms") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reference: a diverse vocabulary; in-distribution batches sample
+      // the same tokens, the shifted batch collapses onto ONE token
+      // (template takeover — keep-rates wouldn't flinch, KL must)
+      val vocab = (0 until 200).map(i => s"tok$i")
+      val refDocs = (0 until 50).map(d =>
+        Tuple1((0 until 40).map(j => vocab((d * 7 + j) % 200)).mkString(" ")))
+        .toDF("text")
+      val ref = graft.streaming.TokenDrift.referenceHistogram(
+        refDocs, "text", buckets = 256)
+      assert(ref.sum === 2000L, "reference histogram must count every token")
+
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.TokenDrift.tokenDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text",
+          ref, klThreshold = 1.0, minTokens = 50L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tdrift").start()
+      def inDist(seed: Int): String =
+        (0 until 60).map(j => vocab((seed * 13 + j * 3) % 200)).mkString(" ")
+      def feed(texts: String*): Unit = {
+        ms.addData(texts.map(t => ("web", t)): _*)
+        q.processAllAvailable()
+      }
+      feed(inDist(1), inDist(2))                       // in-dist → quiet
+      feed(Seq.fill(120)("spam").mkString(" "))        // collapse → ALERT
+      feed(Seq.fill(120)("spam").mkString(" "))        // still bad → latched
+      feed("tiny spam")                                // sub-minTokens: no re-arm
+      feed(inDist(3), inDist(4))                       // recovery → re-arm
+      feed(Seq.fill(120)("eggs").mkString(" "))        // second shift → ALERT
+      q.stop()
+      val rows = spark.table("tdrift")
+        .as[graft.streaming.TokenDrift.DriftReport].collect()
+      assert(rows.count(_.alert) === 2, rows.mkString("\n"))
+      // in-distribution batches sit well under the threshold; the
+      // collapsed batches well over it
+      val quiet = rows.filter(r => r.batch_tokens === 120L && !r.alert && r.kl < 1.0)
+      assert(quiet.nonEmpty, rows.mkString("\n"))
+      assert(rows.filter(_.alert).forall(_.kl > 1.0), rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("keepNarrow is the narrow Gopher subset: every full-battery keep passes it, and it binds") {
     import graft.functions.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, sf0001)
