@@ -45,7 +45,8 @@ object Bench {
     "qd57_stream_packing", "qd58_winsorize", "qd59_containment_fast",
     "qd60_collocations", "qd61_full_pipeline", "qd65_full_pipeline_fast",
     "qd62_bigram_nll_gate",
-    "qd63_quality_keepers", "qd64_zipf_fit", "qe28_int4_fidelity",
+    "qd63_quality_keepers", "qd64_zipf_fit", "qd66_curriculum_packing",
+    "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
     "qr04_retrieval_eval", "qr05_hard_negatives", "qr06_tfidf_keywords",
@@ -97,6 +98,7 @@ object Bench {
     "qd60_collocations" -> 3.470, "qd61_full_pipeline" -> 13.040,
     "qd62_bigram_nll_gate" -> 6.600, "qd63_quality_keepers" -> 2.650,
     "qd64_zipf_fit" -> 0.740, "qd65_full_pipeline_fast" -> 14.004,
+    "qd66_curriculum_packing" -> 2.466,
     "qe28_int4_fidelity" -> 1.617,
     "qr10_mmr_rerank" -> 0.780,
     "qe01_cosine_topk" -> 0.201,

@@ -2814,6 +2814,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: curriculum-ordered stream packing — qd42's
+    // LM-difficulty quantiles composed with qd57's packer: sequences
+    // ascend easiest→hardest (global quantile buckets as broadcast
+    // threshold comparisons, never a global ntile window), md5-shuffled
+    // within a bucket. The schedule artifact curriculum training reads.
+    "qd66_curriculum_packing" -> ((s, d) =>
+      Curation.curriculumPackStream(Tables.documents(s, d), "doc_id",
+          "text", nBuckets = 4, contextLen = 128)
+        .orderBy(col("seq_id"), col("pos_in_seq"))),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -4942,6 +4952,39 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_id, j.score, k.keeper_id,
          |  j.doc_id = k.keeper_id AS is_keeper
          |FROM j JOIN k USING (cluster_id) ORDER BY j.doc_id""".stripMargin,
+
+    // the curriculum pack replayed: LM scores, 4-dp quantile_cont
+    // thresholds (q30 parity), the broadcast-comparison bucket, the
+    // (bucket, md5, id)-ordered cumsum and qd57's chunk arithmetic
+    "qd66_curriculum_packing" ->
+      s"""WITH $duckUnigramLmCte,
+         |th AS (SELECT quantile_cont(avg_logprob, 0.25) AS t1,
+         |              quantile_cont(avg_logprob, 0.50) AS t2,
+         |              quantile_cont(avg_logprob, 0.75) AS t3 FROM lm),
+         |bk AS (SELECT l.doc_id, l.n_tok,
+         |    1 + CAST(l.avg_logprob >= ROUND(t.t1, 4) AS INTEGER)
+         |      + CAST(l.avg_logprob >= ROUND(t.t2, 4) AS INTEGER)
+         |      + CAST(l.avg_logprob >= ROUND(t.t3, 4) AS INTEGER) AS bucket,
+         |    md5(CAST(l.doc_id AS VARCHAR)) AS h
+         |  FROM lm l CROSS JOIN th t),
+         |cu AS (SELECT doc_id, n_tok, bucket,
+         |    CAST(SUM(n_tok) OVER (ORDER BY bucket, h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM bk WHERE n_tok > 0),
+         |ex2 AS (SELECT doc_id, n_tok, bucket, cum, cum - n_tok AS noff,
+         |    CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 128) AS BIGINT) AS f,
+         |    CAST(FLOOR(CAST(cum - 1 AS DOUBLE) / 128) AS BIGINT) AS l
+         |  FROM cu),
+         |sp AS (SELECT doc_id, bucket, cum, noff, CAST(i AS BIGINT) AS seq_id
+         |  FROM ex2, UNNEST(range(f, l + 1)) AS u(i)),
+         |sl AS (SELECT seq_id, doc_id,
+         |    GREATEST(noff, seq_id * 128) - noff AS from_tok,
+         |    LEAST(cum, (seq_id + 1) * 128) - GREATEST(noff, seq_id * 128) AS take,
+         |    GREATEST(noff, seq_id * 128) - seq_id * 128 AS pos_in_seq,
+         |    bucket
+         |  FROM sp)
+         |SELECT seq_id, doc_id, from_tok, take, pos_in_seq, bucket
+         |FROM sl ORDER BY seq_id, pos_in_seq""".stripMargin,
 
     // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
     // rank, 6-dp decimal ln moments summed exactly, and the identical

@@ -551,13 +551,22 @@ object Curation {
     * so the layout replays in SQL (qd57's oracle).
     */
   def packStream(df: DataFrame, idCol: String, tokenCountCol: Column,
-      contextLen: Int): DataFrame = {
+      contextLen: Int, orderBy: Seq[Column] = Nil): DataFrame = {
     require(contextLen >= 1, s"packStream: contextLen must be >= 1, got $contextLen")
     val c = lit(contextLen.toLong)
+    // the stream order defaults to doc id; `orderBy` prepends explicit
+    // keys (curriculum bucket, shuffle hash, …) with the id as the final
+    // tie-break, so the composite stays the TOTAL order globalPrefixSum
+    // requires
+    val sel = df.select(
+      Seq(col(idCol).as("doc_id"), tokenCountCol.cast("long").as("n_tok")) ++
+        orderBy.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }: _*)
+      .filter(col("n_tok") > 0L)
+    val sortCol =
+      if (orderBy.isEmpty) col("doc_id")
+      else struct(orderBy.indices.map(i => col(s"__o$i")) :+ col("doc_id"): _*)
     val cum = graft.ops.RankOps.globalPrefixSum(
-      df.select(col(idCol).as("doc_id"), tokenCountCol.cast("long").as("n_tok"))
-        .filter(col("n_tok") > 0L),
-      col("doc_id"), col("n_tok"), out = "__cum")
+      sel, sortCol, col("n_tok"), out = "__cum")
     cum
       .withColumn("__off", col("__cum") - col("n_tok"))
       .withColumn("__first", floor(col("__off").cast("double") / c).cast("long"))
@@ -570,6 +579,59 @@ object Curation {
         (col("__end") - col("__begin")).as("take"),
         (col("__begin") - col("seq_id") * c).as("pos_in_seq"),
         col("n_tok"))
+  }
+
+  /** Curriculum-ordered stream packing — qd42's difficulty bucketing
+    * composed with [[packStream]] into the artifact curriculum-learning
+    * schedules actually consume (Bengio et al. 2009: present easy
+    * examples first): docs are scored by the corpus unigram LM
+    * (qd29's `avg_logprob` — high = common-word prose = "easy"),
+    * binned into `nBuckets` GLOBAL difficulty quantiles, and packed
+    * into fixed `contextLen` sequences in (bucket, md5(id), id) order —
+    * easiest bucket first, deterministic md5 shuffle WITHIN a bucket
+    * (training still needs intra-stage mixing), id tie-break. The
+    * output is qd57's layout plus each row's `bucket`: sequence ids
+    * ascend through the curriculum, so a trainer consuming seq_id
+    * order gets the schedule for free.
+    *
+    * Bucket boundaries are exact interpolated quantiles of the 4-dp
+    * score (q30's `quantile_cont` parity, 4-dp rounded — the winsorize
+    * convention), applied as broadcast threshold comparisons:
+    * `bucket = 1 + Σ_k [score ≥ t_k]` — a NARROW map, not a global
+    * ntile window (the single-partition trap at corpus scale; at true
+    * 100 TB swap `approx_percentile` for the exact quantile, same
+    * plan shape). Ties on a boundary all land in the upper bucket —
+    * deterministic on both engines.
+    *
+    * Scan shape: the LM pass (qd29's vocab join), one quantile agg
+    * over the S-row score frame, a broadcast-threshold bucket map,
+    * then [[packStream]]'s two-phase prefix sum over the composite
+    * order. The bucket column rides through the pack, so no join back.
+    */
+  def curriculumPackStream(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 4, contextLen: Int = 128): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val lp = TextAnalysis.unigramLogProb(docs, idCol, textCol)
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thRow = lp.agg(
+      percentile(col("avg_logprob"), typedLit(qs)).as("t")).head()
+    val ts = thRow.getSeq[Double](0).map(t =>
+      BigDecimal(t).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bucket = ts.foldLeft(lit(1)) { (acc, t) =>
+      acc + when(col("avg_logprob") >= t, 1).otherwise(0)
+    }
+    // checkpointed: the scored frame feeds BOTH the pack and the bucket
+    // join-back — without it the whole LM pass re-runs per consumer.
+    // Same weight class as globalPrefixSum's internal checkpoint (a
+    // 3-column id frame, not document text).
+    val scored = lp.select(col(idCol).as("doc_id"), col("n_tok"),
+        bucket.as("bucket"))
+      .localCheckpoint(true)
+    packStream(scored, "doc_id", col("n_tok"), contextLen,
+        orderBy = Seq(col("bucket"), md5(col("doc_id").cast("string"))))
+      .join(scored.select(col("doc_id"), col("bucket")), "doc_id")
+      .select(col("seq_id"), col("doc_id"), col("from_tok"), col("take"),
+        col("pos_in_seq"), col("bucket"))
   }
 
   // -------------------------------------------------- corpus versioning

@@ -73,6 +73,43 @@ class RankAndSketchSpec extends SparkSpec {
     assert(nn === Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 17L))
   }
 
+  test("curriculumPackStream (qd66): sequences ascend the difficulty buckets; conservation holds; empty orderBy keeps qd57 semantics") {
+    val docs = Tables.documents(spark, sf0001)
+    val packed = graft.functions.Curation.curriculumPackStream(
+        docs, "doc_id", "text", nBuckets = 4, contextLen = 128)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    // buckets span the full range and the stream order is monotone in
+    // the bucket: a sequence's minimum bucket never drops below any
+    // earlier sequence's maximum minus the one boundary-straddling doc
+    val buckets = packed.map(_._6).distinct.sorted
+    assert(buckets.head === 1 && buckets.last === 4, buckets.toSeq.toString)
+    val bySeq = packed.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (seq, rows) => (seq, rows.map(_._6).min, rows.map(_._6).max) }
+    bySeq.sliding(2).foreach {
+      case Seq((_, _, maxPrev), (s2, minNext, _)) =>
+        assert(minNext >= maxPrev - 1,
+          s"curriculum order broken at seq $s2: $minNext < $maxPrev - 1")
+      case _ => ()
+    }
+    // conservation: total packed tokens = corpus tokens (lm covers every
+    // tokenized doc)
+    val n = docs.select(sum(
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .as[Long].head()
+    assert(packed.map(_._4).sum === n)
+    // the generalized packStream with NO explicit order is byte-identical
+    // to the qd57 layout (regression guard on the orderBy refactor)
+    val a = graft.functions.Curation.packStream(docs, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        contextLen = 128)
+      .orderBy("seq_id", "pos_in_seq").collect().map(_.toString).toSeq
+    val b = graft.functions.Curation.packStream(docs, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        contextLen = 128, orderBy = Nil)
+      .orderBy("seq_id", "pos_in_seq").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("packStream (qd57): every token placed once, sequences exactly full except the last") {
     val docs = Tables.documents(spark, sf0001)
     val n = docs.select(sum(
