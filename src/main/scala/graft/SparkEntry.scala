@@ -545,12 +545,6 @@ object SparkEntry {
        |FROM sel ORDER BY query_id, mmr_rank""".stripMargin
   }
 
-  /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
-    * deterministic ([[Similarity.planes]]), so it embeds as literals and
-    * `list_dot_product` reproduces the sequential-double sign test bit for
-    * bit — which is what lets the LSH similarity queries be oracle-checked
-    * rather than rows-only.
-    */
   /** Boolean-AND qrels CTEs layered on [[duckBm25Cte]]'s bp/qt — the
     * SQL twin of [[bm25Qrels]] (doc relevant to a query iff EVERY query
     * term has tf >= [[qrelsMinTf]]). Ends with `qrels(query_id, doc_id)`.
@@ -626,6 +620,12 @@ object SparkEntry {
       s"(${i + 1}, ${p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")})"
     }.mkString(",\n")
 
+  /** The SRP-LSH bucket of `vExpr` in DuckDB: the ±1 plane matrix is
+    * deterministic ([[Similarity.planes]]), so it embeds as literals and
+    * `list_dot_product` reproduces the sequential-double sign test bit for
+    * bit — which is what lets the LSH similarity queries be oracle-checked
+    * rather than rows-only.
+    */
   private def duckSrpBucket(vExpr: String, nPlanes: Int, dim: Int): String =
     Similarity.planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
       val lit = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")

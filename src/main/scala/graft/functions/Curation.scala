@@ -43,15 +43,6 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
-  /** Deterministic train/val/test assignment by a portable content-free
-    * hash of the id: bucket ∈ [0, 100) = `md5_bucket(id)` (DuckDB:
-    * `md5_number_lower(id) % 100` — same 64 bits, same unsigned mod), the
-    * first `trainPct` buckets are train, the next `valPct` val, the rest
-    * test. The property a training pipeline needs and `rand(seed)` does
-    * NOT give: a doc's split is a pure function of its id — stable across
-    * runs, engines, partitionings, and corpus growth (new docs never move
-    * old ones between splits). Narrow map, no shuffle.
-    */
   /** Curriculum / difficulty bucketing — the quantile-binning step of
     * difficulty-ordered training mixes (curriculum learning schedules
     * feed "easy" quantiles first; quality-stratified mixes sample per
@@ -88,6 +79,15 @@ object Curation {
       .orderBy(col(groupCol), col("bucket"))
   }
 
+  /** Deterministic train/val/test assignment by a portable content-free
+    * hash of the id: bucket ∈ [0, 100) = `md5_bucket(id)` (DuckDB:
+    * `md5_number_lower(id) % 100` — same 64 bits, same unsigned mod), the
+    * first `trainPct` buckets are train, the next `valPct` val, the rest
+    * test. The property a training pipeline needs and `rand(seed)` does
+    * NOT give: a doc's split is a pure function of its id — stable across
+    * runs, engines, partitionings, and corpus growth (new docs never move
+    * old ones between splits). Narrow map, no shuffle.
+    */
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 90,
       valPct: Int = 5, outCol: String = "split"): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
@@ -156,25 +156,6 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
-  /** Temperature-scaled source mixing (the Gopher/MassiveText recipe —
-    * Rae et al. 2021; the same α-flattening PaLM and multilingual
-    * pipelines apply to raw size-proportional weights): per-source raw
-    * token masses c_s flatten to sampling weights w_s ∝ c_s^α — α=1 is
-    * natural proportions, α=0 uniform, α∈(0,1) up-weights small
-    * sources without the epoch blow-up of plain uniform. Targets are
-    * t_s = w_s · tokenBudget; the per-source keep RATE min(1, t_s/c_s)
-    * is applied as the deterministic md5 doc Bernoulli (the qd25
-    * primitive, threshold in 1/10000ths) — reproducible, no RNG, and
-    * re-derivable row by row from the published threshold. Returns the
-    * per-source audit: natural share, tempered weight, target tokens,
-    * the threshold, and the kept doc/token accounting under it.
-    *
-    * Scale shape: two narrow grouped aggs over a (source, n_tok,
-    * bucket) projection — pass 1 for the masses, pass 2 for the kept
-    * accounting (inherent: the keep rate depends on the GLOBAL
-    * normalization) — with an S-row driver collect between them (the
-    * model-artifact pattern: S = source count, never row count).
-    */
   /** The per-source temperature plan — [[temperatureMix]]'s driver fold
     * over (source, token) masses, shared with [[temperatureMixDocs]]:
     * `base` is a (source, __nt, __b) projection; the result is the
@@ -212,6 +193,25 @@ object Curation {
       .withColumn("temp_weight", round(col("temp_weight"), 6))
   }
 
+  /** Temperature-scaled source mixing (the Gopher/MassiveText recipe —
+    * Rae et al. 2021; the same α-flattening PaLM and multilingual
+    * pipelines apply to raw size-proportional weights): per-source raw
+    * token masses c_s flatten to sampling weights w_s ∝ c_s^α — α=1 is
+    * natural proportions, α=0 uniform, α∈(0,1) up-weights small
+    * sources without the epoch blow-up of plain uniform. Targets are
+    * t_s = w_s · tokenBudget; the per-source keep RATE min(1, t_s/c_s)
+    * is applied as the deterministic md5 doc Bernoulli (the qd25
+    * primitive, threshold in 1/10000ths) — reproducible, no RNG, and
+    * re-derivable row by row from the published threshold. Returns the
+    * per-source audit: natural share, tempered weight, target tokens,
+    * the threshold, and the kept doc/token accounting under it.
+    *
+    * Scale shape: two narrow grouped aggs over a (source, n_tok,
+    * bucket) projection — pass 1 for the masses, pass 2 for the kept
+    * accounting (inherent: the keep rate depends on the GLOBAL
+    * normalization) — with an S-row driver collect between them (the
+    * model-artifact pattern: S = source count, never row count).
+    */
   def temperatureMix(docs: DataFrame, sourceCol: String, idCol: String,
       textCol: String, alpha: Double, tokenBudget: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")

@@ -590,15 +590,6 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  /** [[Md5BucketExpr]] applied to every word BIGRAM of a text in one
-    * tight loop: returns the md5 bucket of `"tok_i tok_i+1"` for each
-    * adjacent token pair, with multiplicity (the DSIR featurize step).
-    * Bit-identical to `md5_bucket(concat_ws(' ', w[i], w[i+1]))` over
-    * the HOF-built bigram list — which evaluates several interpreted
-    * Catalyst nodes per element and measured ~4 s of pure bigram-
-    * assembly overhead at sf0.1; this kernel hashes straight from the
-    * token byte slices. Fewer than 2 tokens → empty array.
-    */
   /** xxhash64 sibling of [[Md5BucketBigramsExpr]] — the production
     * DSIR featurize at scale: same adjacent-token bigram walk, but the
     * bucket comes from the XXH64 token-hash chain ([[ShingleHashesExpr]]
@@ -647,6 +638,15 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** [[Md5BucketExpr]] applied to every word BIGRAM of a text in one
+    * tight loop: returns the md5 bucket of `"tok_i tok_i+1"` for each
+    * adjacent token pair, with multiplicity (the DSIR featurize step).
+    * Bit-identical to `md5_bucket(concat_ws(' ', w[i], w[i+1]))` over
+    * the HOF-built bigram list — which evaluates several interpreted
+    * Catalyst nodes per element and measured ~4 s of pure bigram-
+    * assembly overhead at sf0.1; this kernel hashes straight from the
+    * token byte slices. Fewer than 2 tokens → empty array.
+    */
   case class Md5BucketBigramsExpr(child: Expression, buckets: Int)
       extends UnaryExpression {
     require(buckets > 0)

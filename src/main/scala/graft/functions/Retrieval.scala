@@ -19,37 +19,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
-  /** BM25 top-k search (Robertson & Zaragoza 2009, "The Probabilistic
-    * Relevance Framework: BM25 and Beyond"; the Lucene `+1` idf variant so
-    * idf stays positive even for terms in more than half the corpus):
-    *
-    *   idf(t)        = ln(1 + (N − df + 0.5) / (df + 0.5))
-    *   score(q, d)   = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    *
-    * `queries` is a (queryIdCol, termCol) table — one row per query term,
-    * terms lowercase. Matching is exact on whitespace tokens lowercased
-    * (the corpus-side analyzer is [[TextAnalysis.tokens]] over
-    * `lower(text)` — same normalization as the dedup family).
-    *
-    * Scale shape: the exploded token stream is semi-joined against the
-    * BROADCAST query-term set BEFORE any shuffle, so the only rows that
-    * ever move are hits on query terms — the (doc, term, tf) grouped
-    * aggregation (map-side combine), the df window count over `term`,
-    * and the final (query, doc) sum all shuffle that restricted set,
-    * never the corpus vocabulary. df needs no second corpus pass: the
-    * term-restricted postings retain EVERY doc containing a query term,
-    * so `count(*) over (partition by term)` on them IS the document
-    * frequency. N and avgdl are one scalar row from a separate narrow
-    * single-column pass — per-corpus constants, so production query
-    * batches should build them once with [[bm25CorpusStats]] and pass
-    * `corpusStats` to make each search a SINGLE corpus pass
-    * (ScanCountSpec pins both budgets) — broadcast-cross-joined.
-    * The final top-k is a per-query window over only MATCHING
-    * (query, doc) pairs — candidate volume is bounded by the query
-    * terms' posting lists, never N×Q. Determinism: per-term partials
-    * are rounded to 6 dp and DECIMAL-summed (order-free), ties break
-    * on doc id.
-    */
   /** Per-corpus BM25 scalars: document count and average doc length.
     * Pure corpus constants — independent of any query — so repeated
     * query batches over one corpus should compute them ONCE
@@ -74,13 +43,6 @@ object Retrieval {
     Bm25Stats(r.getLong(0), r.getDouble(1))
   }
 
-  /** The (doc_id, dl, term, tf) postings derivation every BM25 path
-    * shares — [[bm25Search]] builds it inline (term-restricted first),
-    * the corpus sinks persist it as the `_graft_postings` sidecar, and
-    * the adoption/reconcile backfills re-derive it from stored text.
-    * One derivation, so sidecar search is score-identical by
-    * construction.
-    */
   /** Whitespace-lowercase token count — THE `dl` every BM25 path uses.
     * Token-less docs have dl = 0 and no postings rows, but still count
     * toward N (they can never match a term either way).
@@ -88,6 +50,13 @@ object Retrieval {
   def docLen(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     size(TextAnalysis.tokens(lower(text))).cast("long")
 
+  /** The (doc_id, dl, term, tf) postings derivation every BM25 path
+    * shares — [[bm25Search]] builds it inline (term-restricted first),
+    * the corpus sinks persist it as the `_graft_postings` sidecar, and
+    * the adoption/reconcile backfills re-derive it from stored text.
+    * One derivation, so sidecar search is score-identical by
+    * construction.
+    */
   def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       extraKeys: Seq[String] = Nil): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
@@ -146,6 +115,37 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** BM25 top-k search (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond"; the Lucene `+1` idf variant so
+    * idf stays positive even for terms in more than half the corpus):
+    *
+    *   idf(t)        = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   score(q, d)   = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * `queries` is a (queryIdCol, termCol) table — one row per query term,
+    * terms lowercase. Matching is exact on whitespace tokens lowercased
+    * (the corpus-side analyzer is [[TextAnalysis.tokens]] over
+    * `lower(text)` — same normalization as the dedup family).
+    *
+    * Scale shape: the exploded token stream is semi-joined against the
+    * BROADCAST query-term set BEFORE any shuffle, so the only rows that
+    * ever move are hits on query terms — the (doc, term, tf) grouped
+    * aggregation (map-side combine), the df window count over `term`,
+    * and the final (query, doc) sum all shuffle that restricted set,
+    * never the corpus vocabulary. df needs no second corpus pass: the
+    * term-restricted postings retain EVERY doc containing a query term,
+    * so `count(*) over (partition by term)` on them IS the document
+    * frequency. N and avgdl are one scalar row from a separate narrow
+    * single-column pass — per-corpus constants, so production query
+    * batches should build them once with [[bm25CorpusStats]] and pass
+    * `corpusStats` to make each search a SINGLE corpus pass
+    * (ScanCountSpec pins both budgets) — broadcast-cross-joined.
+    * The final top-k is a per-query window over only MATCHING
+    * (query, doc) pairs — candidate volume is bounded by the query
+    * terms' posting lists, never N×Q. Determinism: per-term partials
+    * are rounded to 6 dp and DECIMAL-summed (order-free), ties break
+    * on doc id.
+    */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,

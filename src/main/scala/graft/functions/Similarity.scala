@@ -877,24 +877,6 @@ object Similarity {
       .otherwise(transform(codes, c => c.cast("double") * scale + mn))
   }
 
-  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
-    * within a cluster, and drop all but one representative of every
-    * near-duplicate pair. Complements [[embeddingNearDups]] (SRP buckets
-    * are data-oblivious; clusters adapt to the data) and reuses the IVF
-    * assignment kernel — a narrow broadcast-centroid argmin, no shuffle.
-    *
-    * Keep rule (deterministic, the paper's "keep one per group" made
-    * reproducible): a row is dropped iff it is the HIGHER id of some
-    * within-cluster pair with cosine ≥ `minCosine` — so the lowest id of
-    * every duplicate chain survives.
-    *
-    * At 100 TB: candidate generation is an equi-join on `cell_id`; with
-    * k ≈ √n clusters the within-cluster pair work is n^1.5/k per cell on
-    * average, and a skewed giant cell can be additionally split by an
-    * SRP bucket inside the cell. The dropped-id set joins back by id —
-    * a plain equi-join, no broadcast assumption.
-    */
   /** The pairwise similarity the SemDeDup family thresholds on:
     * `"cosine"` (the paper's choice, scale-invariant) or `"dot"` (raw
     * inner product — the right metric when embeddings are trained for
@@ -916,6 +898,24 @@ object Similarity {
       lit(Double.NegativeInfinity))
   }
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    * within a cluster, and drop all but one representative of every
+    * near-duplicate pair. Complements [[embeddingNearDups]] (SRP buckets
+    * are data-oblivious; clusters adapt to the data) and reuses the IVF
+    * assignment kernel — a narrow broadcast-centroid argmin, no shuffle.
+    *
+    * Keep rule (deterministic, the paper's "keep one per group" made
+    * reproducible): a row is dropped iff it is the HIGHER id of some
+    * within-cluster pair with cosine ≥ `minCosine` — so the lowest id of
+    * every duplicate chain survives.
+    *
+    * At 100 TB: candidate generation is an equi-join on `cell_id`; with
+    * k ≈ √n clusters the within-cluster pair work is n^1.5/k per cell on
+    * average, and a skewed giant cell can be additionally split by an
+    * SRP bucket inside the cell. The dropped-id set joins back by id —
+    * a plain equi-join, no broadcast assumption.
+    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, minCosine: Double,
       metric: String = "cosine"): DataFrame = {

@@ -194,6 +194,41 @@ object Pipelines {
     out
   }
 
+  /** qd61's planted fixture (the qd48/qd52 pattern): the raw corpus has
+    * no exact duplicates under the canon, so the capstone's dedup/
+    * decontamination stages would be vacuously green on it. Three
+    * deterministic plant families — derived from existing rows so they
+    * adapt to any scale factor, each restricted to ≥ 30-token docs so
+    * every plant survives the quality gate, and to the corpus side
+    * (`% 50 <> 0`) so it meets its intended stage:
+    *  - exact dups: `upper(text) || '  '` under id+1e6 — byte-distinct,
+    *    canon-identical (case + whitespace), so ONLY the canonical
+    *    fingerprint catches them;
+    *  - near dups: a 4-token tail under id+2e6 — high-Jaccard LSH pair
+    *    with its original, which wins the min-id keeper rule;
+    *  - bench leaks: bench-slice texts re-emitted under corpus ids
+    *    (+3000001 keeps them off the `% 50 = 0` slice) — verbatim
+    *    contamination the 3-gram gate must drop.
+    * Replayed row for row by qd61Sql's `base` CTE.
+    */
+  def fullPipelineFixture(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    val nt = TextAnalysis.tokenCount(col("text"))
+    val exactDups = d
+      .filter(col("doc_id") % 97 === 1 && col("doc_id") % 50 =!= 0 && nt >= 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val nearDups = d
+      .filter(col("doc_id") % 89 === 2 && col("doc_id") % 50 =!= 0 && nt >= 30)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" near dup tail token")).as("text"))
+    val leaks = d
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") % 7 === 0 && nt >= 30)
+      .select((col("doc_id") + 3000001L).as("doc_id"), col("source"),
+        col("text"))
+    d.unionByName(exactDups).unionByName(nearDups).unionByName(leaks)
+  }
+
   /** qd61 — the END-TO-END training-data capstone: the single composed
     * query a training-data team runs over a raw crawl, every stage an
     * individually oracle-proven operator, chained in the canonical
@@ -246,41 +281,6 @@ object Pipelines {
     * (PipelineSpec pins the twins' manifests within the near-dup
     * wiggle).
     */
-  /** qd61's planted fixture (the qd48/qd52 pattern): the raw corpus has
-    * no exact duplicates under the canon, so the capstone's dedup/
-    * decontamination stages would be vacuously green on it. Three
-    * deterministic plant families — derived from existing rows so they
-    * adapt to any scale factor, each restricted to ≥ 30-token docs so
-    * every plant survives the quality gate, and to the corpus side
-    * (`% 50 <> 0`) so it meets its intended stage:
-    *  - exact dups: `upper(text) || '  '` under id+1e6 — byte-distinct,
-    *    canon-identical (case + whitespace), so ONLY the canonical
-    *    fingerprint catches them;
-    *  - near dups: a 4-token tail under id+2e6 — high-Jaccard LSH pair
-    *    with its original, which wins the min-id keeper rule;
-    *  - bench leaks: bench-slice texts re-emitted under corpus ids
-    *    (+3000001 keeps them off the `% 50 = 0` slice) — verbatim
-    *    contamination the 3-gram gate must drop.
-    * Replayed row for row by qd61Sql's `base` CTE.
-    */
-  def fullPipelineFixture(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"), col("text"))
-    val nt = TextAnalysis.tokenCount(col("text"))
-    val exactDups = d
-      .filter(col("doc_id") % 97 === 1 && col("doc_id") % 50 =!= 0 && nt >= 30)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-        concat(upper(col("text")), lit("  ")).as("text"))
-    val nearDups = d
-      .filter(col("doc_id") % 89 === 2 && col("doc_id") % 50 =!= 0 && nt >= 30)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
-        concat(col("text"), lit(" near dup tail token")).as("text"))
-    val leaks = d
-      .filter(col("doc_id") % 50 === 0 && col("doc_id") % 7 === 0 && nt >= 30)
-      .select((col("doc_id") + 3000001L).as("doc_id"), col("source"),
-        col("text"))
-    d.unionByName(exactDups).unionByName(nearDups).unionByName(leaks)
-  }
-
   def fullPipeline(docs: DataFrame, portable: Boolean = true): DataFrame = {
     import graft.functions.NativeExpressions
     val normed = docs.select(col("doc_id"), col("source"),

@@ -317,6 +317,20 @@ object CorpusIngest {
     -1L // unreachable
   }
 
+  /** The checkpoint's pinned epoch, or None for a fresh checkpoint
+    * (empty/garbled marker == absent — crash between create and write
+    * must re-derive, never brick).
+    */
+  private def pinnedEpoch(fs: FileSystem, cp: Path): Option[Long] = {
+    val marker = new Path(cp, "graft-epoch")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      txt.toLongOption
+    }
+  }
+
   /** Per-checkpoint EPOCH: the corpus is partitioned by
     * (`epoch`, `batch_id`) and a query only ever overwrites partitions
     * under its OWN epoch, so no sequence of checkpoints — fresh
@@ -336,20 +350,6 @@ object CorpusIngest {
     *  - an empty/unreadable marker (crash between create and write) is
     *    treated as ABSENT and re-derived — never a bricked checkpoint.
     */
-  /** The checkpoint's pinned epoch, or None for a fresh checkpoint
-    * (empty/garbled marker == absent — crash between create and write
-    * must re-derive, never brick).
-    */
-  private def pinnedEpoch(fs: FileSystem, cp: Path): Option[Long] = {
-    val marker = new Path(cp, "graft-epoch")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      txt.toLongOption
-    }
-  }
-
   private def queryEpoch(spark: SparkSession, corpusPath: String,
       checkpoint: String): Long = {
     val cp = new Path(checkpoint)
@@ -1196,6 +1196,26 @@ object CorpusIngest {
         !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
       .select(col("cell"), col("emb").as("__corpus_emb"))
 
+  /** Opt-in companion alert stream for [[startSemanticDedupCorpusSink]]:
+    * run it over the SAME input frame and the SAME pinned centroids as
+    * the sink (a second streaming query — its own checkpoint, its own
+    * sink; foreachBatch sinks cannot host a stateful operator for
+    * another query, so composition is by sharing the source). Emits one
+    * [[CentroidDrift.DriftAlert]] per cell per threshold crossing —
+    * edge-triggered, so every row is an incident ("this cell's observed
+    * center of mass has moved `driftThreshold` off its pinned
+    * centroid: re-fit and rebuild the `_graft_cells` sidecar"), not a
+    * per-batch sample. Requires the RocksDB state store provider like
+    * the sink itself.
+    */
+  def semanticDriftAlerts(docs: DataFrame, centroids: DataFrame,
+      driftThreshold: Double): Dataset[CentroidDrift.DriftAlert] = {
+    require(docs.columns.contains("embedding"),
+      s"drift monitor input needs an embedding column; got ${docs.columns.mkString(", ")}")
+    CentroidDrift.centroidDriftAlerts(
+      docs.select(col("embedding")), "embedding", centroids, driftThreshold)
+  }
+
   /** Start the SEMANTIC-dedup corpus sink — SemDeDup (Abbas et al.
     * 2023) as an incremental stream: a batch doc is dropped when some
     * SAME-CELL vector already in the corpus, or a smaller-id same-cell
@@ -1226,26 +1246,6 @@ object CorpusIngest {
     * originals in the probe and write nothing. A crash between the
     * corpus and index writes re-fires the batch and rewrites both.
     */
-  /** Opt-in companion alert stream for [[startSemanticDedupCorpusSink]]:
-    * run it over the SAME input frame and the SAME pinned centroids as
-    * the sink (a second streaming query — its own checkpoint, its own
-    * sink; foreachBatch sinks cannot host a stateful operator for
-    * another query, so composition is by sharing the source). Emits one
-    * [[CentroidDrift.DriftAlert]] per cell per threshold crossing —
-    * edge-triggered, so every row is an incident ("this cell's observed
-    * center of mass has moved `driftThreshold` off its pinned
-    * centroid: re-fit and rebuild the `_graft_cells` sidecar"), not a
-    * per-batch sample. Requires the RocksDB state store provider like
-    * the sink itself.
-    */
-  def semanticDriftAlerts(docs: DataFrame, centroids: DataFrame,
-      driftThreshold: Double): Dataset[CentroidDrift.DriftAlert] = {
-    require(docs.columns.contains("embedding"),
-      s"drift monitor input needs an embedding column; got ${docs.columns.mkString(", ")}")
-    CentroidDrift.centroidDriftAlerts(
-      docs.select(col("embedding")), "embedding", centroids, driftThreshold)
-  }
-
   def startSemanticDedupCorpusSink(docs: DataFrame, corpusPath: String,
       checkpoint: String, centroids: DataFrame, threshold: Double = 0.9,
       minTokens: Int = 1,
