@@ -156,6 +156,15 @@ object Similarity {
     * k stages). First pick = argmax rel (empty selected set scores 0
     * penalty).
     *
+    * DELIBERATE deviation from strict Carbonell–Goldstein: the running
+    * max-similarity `__ms` initializes to 0 and updates via
+    * `greatest`, so when EVERY selected doc has negative cosine to a
+    * candidate the penalty floors at 0 instead of going negative — an
+    * anti-correlated candidate gets no diversity BONUS, only zero
+    * penalty. The qr10 oracle replays the same floor, so engines
+    * agree; flip the init to the decimal minimum if strict-MMR bonus
+    * semantics are ever wanted (and regenerate the oracle stages).
+    *
     * Scale shape: every frame in the loop is (queries × N)-sized — the
     * corpus appears only through the candidate stage that produced the
     * input. k joins on query_id (uniform key, tiny frames, broadcast
@@ -236,13 +245,21 @@ object Similarity {
     */
   def withRecallAtK(approx: DataFrame, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // `approx` feeds TWO join consumers below (the recall rollup's
+    // semi-join side and the final annotate join); for the learned ANN
+    // paths its subtree is a full fit+search over the corpus, and AQE
+    // exchange reuse does NOT reliably dedupe it (round-12 driver
+    // artifact: qe14 at 3.64× floor from exactly this re-derivation).
+    // The frame is queries×k rows — checkpoint it so the search runs
+    // exactly once (ScanCountSpec pins the pass budget).
+    val app = approx.localCheckpoint(true)
     val exact = knnJoin(queries, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    val rec = approx.select(col("query_id"), col("neighbor_id"))
+    val rec = app.select(col("query_id"), col("neighbor_id"))
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id"))
       .agg(round(count(lit(1)).cast("double") / k, 4).as("recall_at_k"))
-    approx.join(rec, Seq("query_id"), "left")
+    app.join(rec, Seq("query_id"), "left")
       .na.fill(0.0, Seq("recall_at_k"))
   }
 
@@ -262,14 +279,19 @@ object Similarity {
     */
   def requireMeanRecallFloor(withRecall: DataFrame, floor: Double,
       what: String): DataFrame = {
-    val r = withRecall.select(col("query_id"), col("recall_at_k")).distinct()
+    // Materialize the annotated frame (queries×k rows) ONCE: the eager
+    // gate rollup below and every downstream consumer read the
+    // checkpoint, so the learned fit+search upstream never re-derives
+    // per consumer (the round-12 qe14 double-execution defect).
+    val gated = withRecall.localCheckpoint(true)
+    val r = gated.select(col("query_id"), col("recall_at_k")).distinct()
       .agg(avg(col("recall_at_k"))).head()
     if (!r.isNullAt(0))
       require(r.getDouble(0) >= floor,
         f"$what: mean recall_at_k ${r.getDouble(0)}%.4f is under the " +
           f"$floor%.2f non-degeneracy floor — the learned ANN structure " +
           "(centroids/codebooks) has collapsed; refusing to serve")
-    withRecall
+    gated
   }
 
   /** Deterministic ±1 random hyperplanes for signed-random-projection LSH

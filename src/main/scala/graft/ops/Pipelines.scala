@@ -301,8 +301,12 @@ object Pipelines {
     val losers = Dedup.nearDupComponents(pairs)
       .filter(!col("is_keeper")).select("doc_id")
     val reps = exact.join(losers, Seq("doc_id"), "left_anti")
+    // exact n-gram decontamination is hash-independent in OUTCOME
+    // (identical drop set whether grams key by md5 strings or xxhash64
+    // longs), so the production twin takes the ~2× cheaper long-keyed
+    // gram shuffle while the oracle form stays DuckDB-replayable
     val contaminated = TextAnalysis.decontaminate(reps, "doc_id", "norm_text",
-        bench, "norm_text", n = 3, portable = true)
+        bench, "norm_text", n = 3, portable = portable)
       .filter(col("contaminated")).select("doc_id")
     val clean = reps.join(contaminated, Seq("doc_id"), "left_anti")
     val train = Curation.withSplit(clean, "doc_id")

@@ -170,8 +170,16 @@ object CorpusIngest {
 
   private def guardAffectedPairs(spark: SparkSession, nPairs: Int,
       what: String): Unit = {
-    val max = spark.conf.getOption(MaxCompactionPairsKey).map(_.toLong)
-      .getOrElse(DefaultMaxCompactionPairs)
+    // a typo'd conf value must fail with the guard's actionable style,
+    // not a bare NumberFormatException from deep inside the parse
+    val max = spark.conf.getOption(MaxCompactionPairsKey).map { raw =>
+      val parsed = raw.trim.toLongOption
+      require(parsed.isDefined,
+        s"$MaxCompactionPairsKey is set to '$raw', which is not a long — " +
+          "set it to a positive pair-count ceiling (default " +
+          s"$DefaultMaxCompactionPairs) or unset it.")
+      parsed.get
+    }.getOrElse(DefaultMaxCompactionPairs)
     require(nPairs <= max,
       s"$what touches $nPairs affected (epoch, batch_id) partitions — " +
         s"above the $MaxCompactionPairsKey ceiling ($max). Run compaction " +
@@ -544,8 +552,21 @@ object CorpusIngest {
   private val BandsDir = "_graft_bands"
   private val BandsMetaFile = "_graft_meta"
 
+  /** Version tag of the TEXT CANON feeding shingle/fingerprint hashing
+    * ([[graft.functions.Dedup.shingleCanon]] — NFC-first since round
+    * 12). Stored band/winnow sidecar rows are hashes of canonicalized
+    * text, so an index built under an older canon silently misses
+    * near-dups whose canon output changed (decomposed-Unicode docs).
+    * Pinning the version in the index meta turns that drift into the
+    * same loud refuse-and-rebuild path as a k/bands mismatch: delete
+    * the sidecar directory and the next query start re-adopts it from
+    * stored text/band columns under the current canon. Bump whenever
+    * the canon chain changes observable output.
+    */
+  private[graft] val CanonVersion = "nfc1"
+
   private def bandsMeta(k: Int, bands: Int, shingleN: Int, prefixLen: Int): String =
-    s"k=$k bands=$bands shingleN=$shingleN prefixLen=$prefixLen"
+    s"k=$k bands=$bands shingleN=$shingleN prefixLen=$prefixLen canon=$CanonVersion"
 
   private def bandIndexSchema(): StructType = StructType(Seq(
     StructField("band", IntegerType), StructField("bh", StringType),
@@ -621,7 +642,11 @@ object CorpusIngest {
     *    would trust (a partial probe side silently re-admits near-dups);
     *  - index present with DIFFERENT parameters → refuse loudly (probing
     *    bands built under another k/bands/shingleN is silent semantic
-    *    drift, not an error Spark would surface);
+    *    drift, not an error Spark would surface). The pinned parameters
+    *    include the TEXT-CANON version ([[CanonVersion]]), so a sidecar
+    *    built before a canon change (e.g. the round-12 NFC unification)
+    *    hits the same refuse-and-rebuild path instead of silently
+    *    missing decomposed-Unicode near-dups;
     *  - index present and matching → reconcile: backfill any corpus
     *    batch the index is missing ([[missingIndexBatches]] — the
     *    crash-between-writes-plus-checkpoint-loss window).
@@ -663,6 +688,15 @@ object CorpusIngest {
       // adoption backfill: explode the stored band columns ONCE. A corpus
       // without band columns (e.g. an exact-dedup corpus at this path)
       // fails loudly right here on column resolution.
+      // CANON CAVEAT: adoption trusts the stored band0..* columns as
+      // CURRENT-canon (the index meta written below pins CanonVersion,
+      // and compaction re-pairs under the same stored columns, so
+      // corpus and sidecar stay self-consistent either way) — but a
+      // pre-NFC NON-ASCII corpus's stored bands hash the old canon, so
+      // its decomposed-Unicode near-dups keep missing until the corpus
+      // is re-banded (the content-hash rehashCorpus analogue: rewrite
+      // band0..* from text via Dedup.lshSignature, delete the sidecar,
+      // re-adopt). ASCII corpora are unaffected (the canon is identity).
       val tmp = new Path(corpusDir, BandsDir + ".tmp")
       fs.delete(tmp, true)
       bandIndexRows(spark.read.parquet(corpusPath), bands, prefixLen)
@@ -844,7 +878,7 @@ object CorpusIngest {
   private val WinnowDir = "_graft_winnow"
 
   private def winnowMeta(k: Int, w: Int, prefixLen: Int): String =
-    s"k=$k w=$w prefixLen=$prefixLen"
+    s"k=$k w=$w prefixLen=$prefixLen canon=$CanonVersion"
 
   private def winnowIndexSchema(): StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("fp_hash", StringType),

@@ -124,9 +124,15 @@ object TokenDrift {
     require(klThreshold > 0.0, s"klThreshold must be positive, got $klThreshold")
     val spark = docs.sparkSession
     import spark.implicits._
+    // null text must contribute an EMPTY histogram, not a null array —
+    // a null Seq deserializes into KlProcessor and NPEs at bs.foreach,
+    // killing the query (the sibling monitors tolerate null-text docs
+    // via explode's null-dropping; coalesce is this pipeline's analogue)
     docs.select(col(sourceCol).cast("string").as("__s"),
-        transform(TextAnalysis.tokens(col(textCol)),
-          t => pmod(xxhash64(t), lit(reference.length.toLong))).as("__b"))
+        coalesce(
+          transform(TextAnalysis.tokens(col(textCol)),
+            t => pmod(xxhash64(t), lit(reference.length.toLong))),
+          array().cast("array<bigint>")).as("__b"))
       .as[(String, Seq[Long])]
       .groupByKey(_._1)
       .transformWithState(new KlProcessor(reference, klThreshold, minTokens),

@@ -198,6 +198,31 @@ class ScanCountSpec extends SparkSpec {
       s"outliers made ${acc.value.toDouble / n} embedding passes")
   }
 
+  test("qe14 recall-gated learned-PQ search: checkpointed gate — embedding scans bounded") {
+    import graft.functions.Similarity
+    val (emb, acc, n) = instrumented(
+      Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))
+    // The round-12 defect class this pins: the gated frame feeds the
+    // eager recall rollup AND the caller, and inside withRecallAtK the
+    // approx search feeds two joins — un-checkpointed, the full
+    // fit+search subtree re-executes per consumer (driver artifact:
+    // qe14 at 3.64× floor from exactly this). Budget: dim probe + fit
+    // sample + encode/search corpus pass + search query pass + exact
+    // knnJoin corpus + query passes = 6, each exactly once; a dropped
+    // checkpoint at least doubles the search passes.
+    val m = Similarity.Pq.codebookMatrices(
+      Similarity.Pq.fitCodebooks(emb, "embedding", nSub = 8, nCodes = 16,
+        sampleFraction = 0.25))
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.requireMeanRecallFloor(
+      Similarity.withRecallAtK(
+        Similarity.Pq.search(queries, emb, "vec_id", "embedding", m, k = 3),
+        queries, emb, "vec_id", "embedding", k = 3),
+      floor = 0.03, what = "qe14_scan_pin")
+    assert(scansOf(out, acc, n) <= 6,
+      s"gated learned-PQ search made ${acc.value.toDouble / n} embedding passes")
+  }
+
   test("qe11 quantizedIvf: dequantized index built once — embedding scans bounded") {
     val (emb, acc, n) = instrumented(
       Tables.embeddings(spark, sf0001).select("vec_id", "embedding"))

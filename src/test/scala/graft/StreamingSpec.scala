@@ -941,6 +941,24 @@ class StreamingSpec extends SparkSpec {
         bands = 2)
     }
     assert(err.getMessage.contains("band index"))
+
+    // a band index built under an OLDER text canon (pre-NFC — its meta
+    // carries no canon tag) is refused the same way, not silently
+    // probed: stored band hashes of decomposed-Unicode text differ
+    // under the old canon, so probing them quietly re-admits near-dups
+    val metaFile = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(ndCorpus, "_graft_bands"), "_graft_meta")
+    val fs = metaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldMeta = "k=16 bands=4 shingleN=3 prefixLen=1"  // round-11 layout
+    val out = fs.create(metaFile, true)
+    try out.write(oldMeta.getBytes("UTF-8")) finally out.close()
+    val ms6 = MemoryStream[(Long, String)]
+    val canonErr = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startNearDupCorpusSink(
+        ms6.toDF().toDF("doc_id", "text"), ndCorpus, tmpDir("mix-nd-cp4"))
+    }
+    assert(canonErr.getMessage.contains("canon="),
+      s"pre-canon index must be refused with the canon tag visible: ${canonErr.getMessage}")
   }
 
   test("corpus sinks: streaming contamination gate — benchmark-overlapping docs never reach the corpus") {
@@ -1382,6 +1400,19 @@ class StreamingSpec extends SparkSpec {
         s"guard message must name the override key: ${e.getMessage}")
       assert(e.getMessage.contains("3 affected"),
         s"guard message must carry the pair count: ${e.getMessage}")
+    } finally spark.conf.unset(
+      graft.streaming.CorpusIngest.MaxCompactionPairsKey)
+    // a TYPO'D ceiling conf fails in the guard's actionable style (key +
+    // offending value), not as a bare NumberFormatException
+    spark.conf.set(graft.streaming.CorpusIngest.MaxCompactionPairsKey, "1O0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+      }
+      assert(e.getMessage.contains(
+        graft.streaming.CorpusIngest.MaxCompactionPairsKey) &&
+        e.getMessage.contains("1O0"),
+        s"malformed-conf message must name the key and value: ${e.getMessage}")
     } finally spark.conf.unset(
       graft.streaming.CorpusIngest.MaxCompactionPairsKey)
     // with the default ceiling the same backlog compacts normally
@@ -2494,7 +2525,10 @@ class StreamingSpec extends SparkSpec {
       feed(Seq.fill(120)("spam").mkString(" "))        // collapse → ALERT
       feed(Seq.fill(120)("spam").mkString(" "))        // still bad → latched
       feed("tiny spam")                                // sub-minTokens: no re-arm
-      feed(inDist(3), inDist(4))                       // recovery → re-arm
+      // a NULL-text doc contributes an empty histogram instead of a
+      // null bucket array (which NPE'd inside KlProcessor and killed
+      // the query — the sibling monitors drop nulls via explode)
+      feed(null, inDist(3), inDist(4))                 // recovery → re-arm
       feed(Seq.fill(120)("eggs").mkString(" "))        // second shift → ALERT
       q.stop()
       val rows = spark.table("tdrift")
