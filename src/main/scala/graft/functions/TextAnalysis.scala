@@ -449,17 +449,28 @@ object TextAnalysis {
   def bigramNllGate(df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
       threshold: Double = 8.0): DataFrame = {
-    val refBi = reference
-      .select(explode(bigrams(col(refTextCol))).as("__bg"))
+    // ONE reference tokenization fills the persisted token/bigram seam;
+    // the two model tables derive from it (the qd33/unigramLogProbFromTf
+    // shared-tf pattern — the round-12 form re-tokenized the reference
+    // once per model table and once more for the V scalar). The grouped
+    // model tables are reference-VOCABULARY-bounded, so they checkpoint
+    // cheaply and the corpus-sized token seam frees before scoring —
+    // scoring then reads two small materialized tables however many
+    // corpora are scored against them (ScanCountSpec pins the budget).
+    val refTok = reference
+      .select(tokens(col(refTextCol)).as("__toks"),
+        bigrams(col(refTextCol)).as("__bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBi = refTok
+      .select(explode(col("__bgs")).as("__bg"))
       .groupBy(col("__bg")).agg(count(lit(1)).cast("long").as("__cab"))
-    // the context-count table feeds the V scalar AND the scoring join —
-    // one extra reference tokenization for the scalar, the same shape
-    // (and cost posture) as unigramLogProbFromTf's vocab/total pair; a
-    // pipeline scoring MANY corpora against one reference should persist
-    // the two model frames at its own boundary
-    val refUni = reference
-      .select(explode(tokens(col(refTextCol))).as("__ctx"))
+      .localCheckpoint(true)
+    val refUni = refTok
+      .select(explode(col("__toks")).as("__ctx"))
       .groupBy(col("__ctx")).agg(count(lit(1)).cast("long").as("__ca"))
+      .localCheckpoint(true)
+    refTok.unpersist(false)
+    // the V scalar reads the checkpointed context table — no third pass
     val vScalar = broadcast(refUni.agg(count(lit(1)).cast("long").as("__v")))
     val docBi = df
       .select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
