@@ -1715,6 +1715,325 @@ object CorpusIngest {
     }
   }
 
+  // ---------------------------------------------- composed curation sink
+
+  /** One production-ingest row for [[startCurationSink]]: the stream's
+    * (doc_id, text, embedding) plus the exact-dedup fingerprint. The
+    * embedding rides through the exact stage untouched.
+    */
+  case class CurationDoc(doc_id: Long, text: String,
+      embedding: Seq[Double], content_hash: String)
+
+  /** [[SeenHashProcessor]]'s first-wins exact-dedup logic over
+    * [[CurationDoc]] rows — same state layout (one Boolean ValueState
+    * per content_hash), same initial-state bootstrap type.
+    */
+  class SeenCurationHashProcessor
+      extends StatefulProcessorWithInitialState[String, CurationDoc, CurationDoc, SeenHash] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(hash: String, rows: Iterator[CurationDoc],
+        timerValues: TimerValues): Iterator[CurationDoc] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.minBy(_.doc_id))
+      }
+
+    override def handleInitialState(hash: String, s: SeenHash,
+        timerValues: TimerValues): Unit =
+      seen.update(true)
+  }
+
+  /** The streaming capstone — ONE production ingest entry composing all
+    * four sink families IN SEQUENCE per micro-batch, each stage seeing
+    * only the previous stage's survivors (so the per-batch corpus state
+    * matches running the four stages separately, in this order):
+    *
+    *  1. QUALITY gate (narrow, pre-state): `minTokens` floor plus the
+    *     `qualityGate` predicate ([[QualityDrift.keepNarrow]] by
+    *     default — the shuffle-free Gopher subset). A rejected doc is
+    *     junk, not a duplicate: it must NOT claim its hash in state,
+    *     so the gate runs BEFORE the exact stage (contrast the
+    *     contamination gate below, which runs after by design).
+    *  2. EXACT dedup ([[startDedupedCorpusSink]]'s machinery verbatim:
+    *     `transformWithState` seen-hash ValueState, fresh-start
+    *     initial-state bootstrap from the stored `content_hash` column,
+    *     absorbed-set bookkeeping + foreign-epoch hash fold on resume).
+    *     The benchmark contamination gate then runs in foreachBatch —
+    *     after the state probe, so a contaminated doc claims its hash
+    *     but never lands (the exact sink's documented intent).
+    *  3. LEXICAL near-dup ([[startNearDupCorpusSink]]'s band probe:
+    *     xxhash64 MinHash signatures, `pfx=`-bucket-pruned
+    *     `_graft_bands` equi-join, within-batch smaller-id-wins).
+    *  4. CONTAINMENT ([[startContainmentCorpusSink]]'s winnow probe:
+    *     shared-fingerprint rule with the `maxDf` boilerplate cap over
+    *     the `pfx=`-bucket-pruned `_graft_winnow` index — catches the
+    *     quote/subset arrivals resemblance-tuned banding misses).
+    *  5. SEMANTIC dedup ([[startSemanticDedupCorpusSink]]'s cell probe:
+    *     pinned `centroids`, cell-pruned `_graft_cells` equi-join,
+    *     `metric`/`semThreshold` pair rule).
+    *
+    * Final keepers land in ONE corpus partition (epoch, batch_id) per
+    * batch carrying text + content_hash + band columns + embedding +
+    * cell — every column each sidecar's adoption/backfill and the exact
+    * bootstrap need — and all THREE probe indexes are written in the
+    * same batch with the family's dynamic-overwrite discipline.
+    *
+    * Drop semantics at stage boundaries: a doc dropped by stage N
+    * appears in NO index (only landed docs are probe candidates — the
+    * same rule as each standalone sink), but HAS claimed its content
+    * hash in stage-2 state, so later exact replicas of any dropped doc
+    * stay dropped regardless of which stage dropped it.
+    *
+    * Replay/exactly-once: the exact-sink discipline end to end —
+    * pinned epoch, probes exclude the batch's own partition, corpus
+    * then indexes written with dynamic overwrite; an intact-checkpoint
+    * replay rewrites all four partitions identically; a crash between
+    * writes re-fires the batch; the double-failure window heals at next
+    * start via each index's ensure/reconcile routine.
+    *
+    * Scale shape per batch: state lookups O(batch), three probe reads
+    * each pruned to the batch's own buckets/cells (bytes independent of
+    * corpus growth elsewhere — StreamingSpec pins this for the composed
+    * probes), candidate joins banded/bucketed, never all-pairs, ONE
+    * corpus partition written. Monitors cannot ride in this query
+    * (foreachBatch cannot host another query's stateful operator):
+    * attach [[curationMonitors]] over the SAME input frame as
+    * companion queries.
+    */
+  def startCurationSink(docs: DataFrame, corpusPath: String,
+      checkpoint: String, centroids: DataFrame,
+      minTokens: Int = 1, qualityGate: Column => Column = QualityDrift.keepNarrow(_),
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3, bandPrefixLen: Int = 1,
+      winnowK: Int = 3, winnowW: Int = 4, minShared: Int = 2, maxDf: Int = 50,
+      winnowPrefixLen: Int = 1,
+      semThreshold: Double = 0.9, metric: String = "cosine",
+      benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+      benchGramN: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireDocSchema(docs)
+    require(docs.columns.contains("embedding"),
+      s"curation sink input needs an embedding column; got ${docs.columns.mkString(", ")}")
+    require(bandPrefixLen >= 1 && bandPrefixLen <= 8,
+      s"bandPrefixLen must be in [1,8], got $bandPrefixLen")
+    require(winnowPrefixLen >= 1 && winnowPrefixLen <= 8,
+      s"winnowPrefixLen must be in [1,8], got $winnowPrefixLen")
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    require(metric == "cosine" || metric == "dot",
+      s"metric must be 'cosine' or 'dot', got '$metric'")
+    if (metric == "cosine") require(semThreshold > 0.0 && semThreshold <= 1.0,
+      s"cosine semThreshold must be in (0, 1], got $semThreshold")
+    val cp = new Path(checkpoint)
+    val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = pinnedEpoch(cpFs, cp).isEmpty
+    val epoch = queryEpoch(spark, corpusPath, checkpoint)
+    val cm = Similarity.Ivf.centroidMatrix(centroids)
+    ensureBandIndex(spark, corpusPath, k, bands, shingleN, bandPrefixLen)
+    ensureWinnowIndex(spark, corpusPath, winnowK, winnowW, winnowPrefixLen)
+    ensureCellIndex(spark, corpusPath, cm)
+    if (fresh) {
+      val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
+      writeAbsorbed(cpFs, cp,
+        epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
+    }
+    val gatedQ = docs
+      .filter(TextAnalysis.tokenCount(col("text")) >= minTokens &&
+        qualityGate(col("text")))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("embedding").cast("array<double>").as("embedding"),
+        TextAnalysis.fingerprint(col("text")).as("content_hash"))
+      .as[CurationDoc]
+    val exactKeepers = gatedQ.groupByKey(_.content_hash)
+      .transformWithState(new SeenCurationHashProcessor,
+        TimeMode.None(), OutputMode.Append(), initialSeen(spark, corpusPath))
+    providerFlipLock.synchronized {
+      val prior = spark.conf.getAll.get(ProviderKey)
+      ensureRocksDb(spark)
+      var cached: Seq[DataFrame] = Nil
+      try {
+        val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+        cached = benchGrams.toSeq
+        val foreignHashes = foreignEpochHashes(spark, corpusPath, checkpoint, epoch)
+        cached = cached ++ foreignHashes
+        val q = exactKeepers.writeStream
+          .outputMode("append")
+          .trigger(trigger)
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: Dataset[CurationDoc], batchId: Long) =>
+            curationBatch(batch.toDF(), batchId, corpusPath, epoch,
+              foreignHashes, benchGrams, benchGramN,
+              k, bands, shingleN, bandPrefixLen,
+              winnowK, winnowW, minShared, maxDf, winnowPrefixLen,
+              cm, semThreshold, metric)
+          }
+          .start()
+        unpersistOnTermination(spark, q, cached)
+      } catch {
+        case t: Throwable =>
+          cached.foreach(_.unpersist(false))
+          throw t
+      } finally prior match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  /** One [[startCurationSink]] micro-batch: stages 3–5 (the probe
+    * stages) plus the four partition writes. Extracted so the stage
+    * sequence reads top-to-bottom; every frame is batch-sized.
+    */
+  private[graft] def curationBatch(batch0: DataFrame, batchId: Long,
+      corpusPath: String, epoch: Long, foreignHashes: Option[DataFrame],
+      benchGrams: Option[DataFrame], benchGramN: Int,
+      k: Int, bands: Int, shingleN: Int, bandPrefixLen: Int,
+      winnowK: Int, winnowW: Int, minShared: Int, maxDf: Int,
+      winnowPrefixLen: Int, cm: Array[Array[Double]],
+      semThreshold: Double, metric: String): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val corpusDir = new Path(corpusPath)
+    // stage-2 residue: resume-time foreign-epoch hashes + the benchmark
+    // contamination gate (after the state probe — see the sink scaladoc)
+    val folded = foreignHashes.fold(batch0)(fh =>
+      batch0.join(fh, Seq("content_hash"), "left_anti"))
+    // checkpointed: the signature derivation, the winnow fingerprints
+    // and the final keeper anti-joins all re-enter this frame
+    val gated = contaminationGate(folded, benchGrams, benchGramN)
+      .localCheckpoint(true)
+    // stage 3: lexical near-dup via the bucket-pruned band index
+    val sig = Dedup.lshSignature(gated, "text", k, bands, shingleN)
+    val pfxs = sig.select(explode(array((0 until bands).map(b =>
+        substring(col(s"band$b"), 1, bandPrefixLen)): _*)).as("p"))
+      .distinct().as[String].collect().toSeq
+    val bandKeepers = Dedup.incrementalNearDupFromSig(sig,
+      probeBands(spark, corpusPath, epoch, batchId, pfxs), "doc_id", bands)
+    // stage 4: containment via the bucket-pruned winnow index, over
+    // stage-3 survivors only
+    val fps = Dedup.winnowFingerprints(
+        bandKeepers.select(col("doc_id"), col("text")),
+        "doc_id", "text", winnowK, winnowW)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wPfxs = fps.select(substring(col("fp_hash"), 1, winnowPrefixLen).as("p"))
+      .distinct().as[String].collect().toSeq
+    val stored = probeWinnow(spark, corpusPath, epoch, batchId, wPfxs)
+      .localCheckpoint(true)
+    val hot = fps.select(col("fp_hash"))
+      .union(stored.select(col("fp_hash")))
+      .groupBy(col("fp_hash")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp_hash")
+    val bf = fps.join(hot, Seq("fp_hash"), "left_anti")
+    val sf = stored.join(hot, Seq("fp_hash"), "left_anti")
+    val crossHit = bf.join(sf, "fp_hash")
+      .groupBy(col("doc_id"), col("__cid"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .select(col("doc_id")).distinct()
+    val withinHit = bf.select(col("doc_id").as("__ia"), col("fp_hash"))
+      .join(bf.select(col("doc_id").as("__ib"), col("fp_hash")), "fp_hash")
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minShared)
+      .select(col("__ib").as("doc_id")).distinct()
+    val winnowKeepers = bandKeepers
+      .join(crossHit, Seq("doc_id"), "left_anti")
+      .join(withinHit, Seq("doc_id"), "left_anti")
+    // stage 5: semantic dedup via the cell-pruned index, over stage-4
+    // survivors only; persisted — the cell collect, both pair joins and
+    // the final anti-join all consume it
+    val assigned = winnowKeepers
+      .withColumn("cell",
+        element_at(NativeExpressions.nearestCells(col("embedding"), cm, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellsHit = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val vsCorpus = assigned
+      .join(probeCells(spark, corpusPath, epoch, batchId, cellsHit), "cell")
+      .filter(Similarity.pairScore(metric, col("embedding"), col("__corpus_emb"))
+        >= semThreshold)
+      .select(col("doc_id"))
+    val vsBatch = assigned.select(col("doc_id"), col("cell"), col("embedding"))
+      .join(assigned.select(col("doc_id").as("__b_id"), col("cell"),
+        col("embedding").as("__b_emb")), "cell")
+      .filter(col("__b_id") < col("doc_id") &&
+        Similarity.pairScore(metric, col("embedding"), col("__b_emb"))
+          >= semThreshold)
+      .select(col("doc_id"))
+    // checkpointed: FOUR writes below consume the final keeper set
+    val finalKeepers = assigned
+      .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    finalKeepers
+      .withColumn("epoch", lit(epoch))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "batch_id")
+      .parquet(corpusPath)
+    Dedup.bandsLong(finalKeepers, bands, Nil)
+      .withColumn("pfx", substring(col("bh"), 1, bandPrefixLen))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("batch_id", lit(batchId))
+      .select("band", "bh", "pfx", "epoch", "batch_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx", "epoch", "batch_id")
+      .parquet(new Path(corpusDir, BandsDir).toString)
+    finalKeepers.select(col("doc_id")).join(fps, "doc_id")
+      .withColumn("pfx", substring(col("fp_hash"), 1, winnowPrefixLen))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("batch_id", lit(batchId))
+      .select("doc_id", "fp_hash", "pfx", "epoch", "batch_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx", "epoch", "batch_id")
+      .parquet(new Path(corpusDir, WinnowDir).toString)
+    finalKeepers
+      .select(col("doc_id"), col("embedding").as("emb"), col("cell"))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "epoch", "batch_id")
+      .parquet(new Path(corpusDir, CellsDir).toString)
+    fps.unpersist(false)
+    assigned.unpersist(false)
+    Dedup.freeLocalCheckpoint(stored)
+    Dedup.freeLocalCheckpoint(bandKeepers)
+    Dedup.freeLocalCheckpoint(finalKeepers)
+    Dedup.freeLocalCheckpoint(gated)
+    ()
+  }
+
+  /** The composed sink's monitor bundle — [[semanticDriftAlerts]]'s
+    * share-the-source composition applied to all three monitor axes:
+    * per-source quality keep-rates ([[QualityDrift]]), token-
+    * distribution KL drift against a frozen reference histogram
+    * ([[TokenDrift]]), and embedding centroid drift against the SAME
+    * pinned centroids as the sink ([[CentroidDrift]]). Each returned
+    * stream is a separate query (own checkpoint, own sink — a
+    * foreachBatch sink cannot host another query's stateful operator);
+    * start them over the SAME input frame as [[startCurationSink]].
+    */
+  def curationMonitors(docs: DataFrame, sourceCol: String,
+      reference: Array[Long], centroids: DataFrame,
+      klThreshold: Double = 0.5, qualityTol: Double = 0.2,
+      driftThreshold: Double = 0.25): (Dataset[QualityDrift.QualityReport],
+        Dataset[TokenDrift.DriftReport], Dataset[CentroidDrift.DriftAlert]) =
+    (QualityDrift.qualityDriftStream(docs, sourceCol, "text", qualityTol),
+      TokenDrift.tokenDriftStream(docs, sourceCol, "text", reference, klThreshold),
+      semanticDriftAlerts(docs, centroids, driftThreshold))
+
   /** One-shot batch compaction for an EXACT-sink corpus: remove
     * whatever cross-epoch duplicates truly CONCURRENT writer
     * checkpoints admitted (sequential interleaving is already closed at

@@ -2543,6 +2543,276 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ---- streaming capstone: the composed curation sink -------------------
+
+  /** Quality-passing synthetic text: 50 tokens, every 5th a stopword
+    * (keepNarrow needs ≥ 30 tokens, avg token length in [3,10],
+    * stopword ratio ≥ 0.02).
+    */
+  private def curText(stem: String): String =
+    (0 until 50).map(i => if (i % 5 == 4) "the" else s"$stem$i").mkString(" ")
+
+  private val curCents = Seq(
+    (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)),
+    (2, Seq(0.0, 0.0, 1.0, 0.0)), (3, Seq(0.0, 0.0, 0.0, 1.0)))
+
+  test("curation sink: quality→exact→band→winnow→cell composed — each planted dup caught by its own stage across batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Dedup
+    val corpus = tmpDir("cur-corpus")
+    val cents = curCents.toDF("cell_id", "centroid")
+    val tA = curText("alpha"); val tB = curText("bravo"); val tC = curText("charlie")
+    // the planted batch-1 classes, each catchable ONLY by its own stage
+    // (cross-checked deterministically below):
+    val nearText = tB + " extra tail words here"          // band-catchable, not exact
+    val quoteText =                                        // winnow-catchable, not bands
+      (0 until 14).map(i => if (i % 5 == 4) "the" else s"ctx$i").mkString(" ") +
+        " " + tC.split(" ").slice(10, 24).mkString(" ") + " " +
+        (0 until 14).map(i => if (i % 5 == 4) "and" else s"out$i").mkString(" ")
+    val semText = curText("echo")                          // textually fresh
+    val junkText = Seq.fill(40)("aa").mkString(" ")        // avg token len 2 → quality-fail
+
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    def run(cp: String,
+        stream: MemoryStream[(Long, String, Seq[Double])] = ms): Unit =
+      graft.streaming.CorpusIngest.startCurationSink(
+        stream.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents)
+        .awaitTermination()
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+
+    val cp1 = tmpDir("cur-cp")
+    ms.addData(
+      (1L, tA, Seq(1.0, 0.0, 0.0, 0.0)),   // cell 0
+      (2L, tB, Seq(0.0, 1.0, 0.0, 0.0)),   // cell 1
+      (3L, tC, Seq(0.0, 0.0, 1.0, 0.0)))   // cell 2
+    run(cp1)
+    assert(ids() === Set(1L, 2L, 3L))
+
+    // batch 1: every planted doc's embedding targets EMPTY cell 3 (or a
+    // low-cosine cell), so a doc its stage MISSES would LAND — the final
+    // corpus set attributes every drop to exactly one stage
+    ms.addData(
+      (10L, tA, Seq(0.6, 0.0, 0.8, 0.0)),            // EXACT dup of 1 (stage 2)
+      (11L, nearText, Seq(0.0, 0.0, 0.6, 0.8)),      // NEAR dup of 2 (stage 3)
+      (12L, quoteText, Seq(0.0, 0.6, 0.0, 0.8)),     // QUOTE of 3 (stage 4)
+      (13L, semText, Seq(0.995, 0.0995, 0.0, 0.0)),  // SEMANTIC dup of 1 (stage 5)
+      (14L, junkText, Seq(0.0, 0.0, 0.6, 0.8)),      // junk (stage 1)
+      (15L, curText("foxtrot"), Seq(0.0, 0.0, 0.0, 1.0)))  // fresh → lands
+    run(cp1)
+    assert(ids() === Set(1L, 2L, 3L, 15L))
+
+    // stage attribution, cross-checked deterministically in batch mode:
+    val fixture = Seq((1L, tA), (2L, tB), (3L, tC), (11L, nearText),
+      (12L, quoteText), (13L, semText)).toDF("doc_id", "text")
+    val bandsOf = Dedup.withLshBands(Dedup.withMinHash(fixture, "text", 16, 3), 16, 4)
+      .select(col("doc_id"), array((0 until 4).map(b => col(s"band$b")): _*).as("bs"))
+      .as[(Long, Seq[String])].collect().toMap
+    def bandHit(a: Long, b: Long): Boolean =
+      bandsOf(a).zip(bandsOf(b)).exists(p => p._1 == p._2)
+    val fpsOf = Dedup.winnowFingerprints(fixture, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // near dup: band-catchable against 2, NOT an exact copy
+    assert(bandHit(11L, 2L), "fixture: nearText must share an LSH band with tB")
+    assert(nearText !== tB)
+    // quote: NOT band-catchable against any stored doc, but shares
+    // ≥ minShared winnow fingerprints with tC (the 14-token run)
+    assert(Seq(1L, 2L, 3L).forall(b => !bandHit(12L, b)),
+      "fixture: quoteText must not be catchable by the band stage")
+    assert(fpsOf(12L).intersect(fpsOf(3L)).size >= 2,
+      "fixture: quoteText must share >= 2 winnow fingerprints with tC")
+    // semantic dup: textually uncatchable by bands AND winnow; only the
+    // cell probe (cosine 0.995 vs doc 1) can drop it
+    assert(Seq(1L, 2L, 3L).forall(b => !bandHit(13L, b)))
+    assert(Seq(1L, 2L, 3L).forall(b => fpsOf(13L).intersect(fpsOf(b)).size < 2))
+
+    // every index holds ONLY landed docs
+    assert(spark.read.parquet(new java.io.File(corpus, "_graft_winnow").toString)
+      .select("doc_id").as[Long].collect().toSet.subsetOf(Set(1L, 2L, 3L, 15L)))
+    assert(spark.read.parquet(new java.io.File(corpus, "_graft_cells").toString)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 15L))
+
+    // lost checkpoint: a fresh query re-sending stored texts bootstraps
+    // the seen-set from the corpus and writes nothing
+    val before = spark.read.parquet(corpus)
+      .select("doc_id", "text", "cell").as[(Long, String, Int)].collect().toSet
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData((21L, tA, Seq(1.0, 0.0, 0.0, 0.0)),
+      (22L, tB, Seq(0.0, 1.0, 0.0, 0.0)))
+    run(tmpDir("cur-cp2"), ms2)
+    val after = spark.read.parquet(corpus)
+      .select("doc_id", "text", "cell").as[(Long, String, Int)].collect().toSet
+    assert(after === before, "lost-checkpoint replay changed the corpus")
+  }
+
+  test("curation sink composed probes are bucket/cell-pruned: probe bytes do NOT grow with corpus elsewhere") {
+    // The per-family pruning proofs, applied to the COMPOSED per-batch
+    // body (curationBatch — exactly the sink's foreachBatch): probe a
+    // semantic dup (it traverses all three probes and lands nowhere),
+    // grow the corpus only in band-prefix/winnow-prefix/cell buckets the
+    // probe never touches, probe again — byte-identical reads. The probe
+    // runs the batch body DIRECTLY (batch mode) so streaming-state
+    // restore bytes can't pollute the measurement.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.{Dedup, Similarity, TextAnalysis}
+    val corpus = tmpDir("curbkt-corpus")
+    val cp = tmpDir("curbkt-cp")
+    val cents = curCents.toDF("cell_id", "centroid")
+    val cm = Similarity.Ivf.centroidMatrix(cents)
+    val tA = curText("alpha")
+    val probeText = curText("probe")
+
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    def ingest(): Unit =
+      graft.streaming.CorpusIngest.startCurationSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents,
+        winnowPrefixLen = 2)
+        .awaitTermination()
+    ms.addData((1L, tA, Seq(1.0, 0.0, 0.0, 0.0)))  // cell 0
+    ingest()
+
+    // deterministic filler search: band prefixes AND winnow prefixes
+    // disjoint from the probe's (cells are disjoint by construction:
+    // fillers live in cell 3, the probe in cell 0)
+    val cands = ((-1L, probeText) +:
+      (0 until 300).map(i => (i.toLong, curText(s"fill${i}x")))).toDF("doc_id", "text")
+    val bandPfxOf = Dedup.withLshBands(Dedup.withMinHash(cands, "text", 16, 3), 16, 4)
+      .select(col("doc_id"),
+        array((0 until 4).map(b => substring(col(s"band$b"), 1, 1)): _*).as("p"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    val winPfxOf = Dedup.winnowFingerprints(cands, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), substring(col("fp_hash"), 1, 2).as("p")).distinct()
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fillers = (0 until 300).filter { i =>
+      bandPfxOf(i.toLong).intersect(bandPfxOf(-1L)).isEmpty &&
+        winPfxOf(i.toLong).intersect(winPfxOf(-1L)).isEmpty
+    }.take(4)
+    assert(fillers.size === 4,
+      s"test fixture: need 4 doubly-disjoint fillers, found ${fillers.size}")
+    // cell-3 embeddings, pairwise cosine ≤ 0.64 (no within-batch drops)
+    val fillEmb = Seq(Seq(0.6, 0.0, 0.0, 0.8), Seq(0.0, 0.6, 0.0, 0.8),
+      Seq(-0.6, 0.0, 0.0, 0.8), Seq(0.0, -0.6, 0.0, 0.8))
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val events = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+    }
+    def drained(): Unit = {
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = events.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+    }
+    def probeFrame(id: Long) = Seq((id, probeText, Seq(0.995, 0.0995, 0.0, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("content_hash", TextAnalysis.fingerprint(col("text")))
+    def measuredProbe(id: Long, batchId: Long): Long = {
+      bytesRead.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        graft.streaming.CorpusIngest.curationBatch(
+          probeFrame(id), batchId, corpus, epoch = 77L,
+          foreignHashes = None, benchGrams = None, benchGramN = 8,
+          k = 16, bands = 4, shingleN = 3, bandPrefixLen = 1,
+          winnowK = 3, winnowW = 4, minShared = 2, maxDf = 50,
+          winnowPrefixLen = 2, cm = cm, semThreshold = 0.9, metric = "cosine")
+        drained()
+      } finally spark.sparkContext.removeSparkListener(listener)
+      bytesRead.get()
+    }
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+
+    // the PROBE-FACING buckets: every band/winnow bucket the probe's own
+    // prefixes hit, plus its cell directory — the exact directories the
+    // three probes may read
+    def walk(f: java.io.File): Seq[String] =
+      if (!f.exists) Nil
+      else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f.getPath + ":" + f.length)
+    def probeFacingTree(): Set[String] =
+      (bandPfxOf(-1L).toSeq.map(p => s"_graft_bands/pfx=$p") ++
+        winPfxOf(-1L).toSeq.map(p => s"_graft_winnow/pfx=$p") ++
+        Seq("_graft_cells/cell=0"))
+        .flatMap(d => walk(new java.io.File(corpus, d))).toSet
+
+    val b1 = measuredProbe(900L, 0L)
+    assert(b1 > 0L, "probe read nothing — the composed probes did not run")
+    assert(ids() === Set(1L), "the semantic-dup probe must not land")
+    val facingBefore = probeFacingTree()
+    def treeBytes(): Long = walk(new java.io.File(corpus))
+      .map(_.split(":").last.toLong).sum
+    val sizeBefore = treeBytes()
+
+    fillers.zip(fillEmb).foreach { case (i, e) => ms.addData((100L + i, curText(s"fill${i}x"), e)) }
+    ingest()
+    assert(ids() === (Set(1L) ++ fillers.map(i => 100L + i)), "fillers must all land")
+
+    // the growth landed ENTIRELY outside the probe-facing buckets: every
+    // file the three probes can read is byte-for-byte the one probe 1
+    // read (the deterministic form of the per-family byte-equality
+    // proofs — exact file set, exact sizes)
+    assert(probeFacingTree() === facingBefore,
+      "corpus growth touched a probe-facing bucket — pruning is broken")
+    val growth = treeBytes() - sizeBefore
+    assert(growth >= 10000L, s"fixture degenerate: fillers only added $growth bytes")
+
+    // and the measured probe cost stays flat: identical files read, so
+    // any drift is listener jitter — bound it at ≪ the corpus growth
+    val b2 = measuredProbe(901L, 1L)
+    assert(math.abs(b2 - b1) <= growth / 20,
+      s"composed probe bytes grew with corpus in OTHER buckets/cells ($b1 → $b2, corpus +$growth)")
+
+    def otherDirs(idx: String, pfx: String, probeSet: Set[String]): Int =
+      new java.io.File(corpus, idx).listFiles().count(f =>
+        f.getName.startsWith(pfx) && !probeSet.contains(f.getName.stripPrefix(pfx)))
+    assert(otherDirs("_graft_bands", "pfx=", bandPfxOf(-1L)) > 0)
+    assert(otherDirs("_graft_winnow", "pfx=", winPfxOf(-1L)) > 0)
+    assert(otherDirs("_graft_cells", "cell=", Set("0")) > 0)
+  }
+
+  test("curation monitors: the three companion monitor axes attach over one source frame") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cents = curCents.toDF("cell_id", "centroid")
+      val ref = graft.streaming.TokenDrift.referenceHistogram(
+        Seq(curText("alpha"), curText("bravo")).toDF("text"), "text", 256)
+      val ms = MemoryStream[(String, Long, String, Seq[Double])]
+      val docs = ms.toDF().toDF("source", "doc_id", "text", "embedding")
+      val (qm, tm, cdm) = graft.streaming.CorpusIngest.curationMonitors(
+        docs, "source", ref, cents)
+      val q1 = qm.writeStream.outputMode("update").format("memory")
+        .queryName("cur_q").start()
+      val q2 = tm.writeStream.outputMode("update").format("memory")
+        .queryName("cur_t").start()
+      val q3 = cdm.writeStream.outputMode("update").format("memory")
+        .queryName("cur_c").start()
+      ms.addData(
+        ("web", 1L, curText("alpha"), Seq(1.0, 0.0, 0.0, 0.0)),
+        ("web", 2L, curText("bravo"), Seq(0.0, 1.0, 0.0, 0.0)))
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3).foreach(_.stop())
+      assert(spark.table("cur_q").count() >= 1, "quality monitor emitted nothing")
+      assert(spark.table("cur_t").count() >= 1, "token-drift monitor emitted nothing")
+      // centroid drift is edge-triggered — in-distribution embeddings
+      // produce no incident rows; the query running to completion over
+      // the same source frame is the composition proof
+      assert(spark.table("cur_c").count() >= 0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("keepNarrow is the narrow Gopher subset: every full-battery keep passes it, and it binds") {
     import graft.functions.TextAnalysis
     val docs = graft.sources.Tables.documents(spark, sf0001)
