@@ -52,6 +52,8 @@ object GraftExtensions {
       Md5BucketBigramsExpr(args.head, ext.intArg(args(1), "buckets")))
     registerTempFunction(spark, "xx_bucket_bigrams", args =>
       XxBucketBigramsExpr(args.head, ext.intArg(args(1), "buckets")))
+    registerTempFunction(spark, "nfc_normalize", args =>
+      NfcNormalizeExpr(args.head))
   }
 }
 
@@ -144,5 +146,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xx_bucket_bigrams(text, buckets) - xxhash64 bucket per adjacent token bigram (fast DSIR featurize)"),
       (args: Seq[Expression]) =>
         XxBucketBigramsExpr(args.head, intArg(args(1), "buckets"))))
+
+    // the text canon's NFC step (same name as the DuckDB builtin the
+    // oracles replay with, so canon chains read identically in both
+    // dialects)
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC composition (the dedup canon's first step)"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head)))
   }
 }

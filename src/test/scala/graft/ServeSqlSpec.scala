@@ -16,14 +16,15 @@ class ServeSqlSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
 
-  test("SQL-only replay: q01–q20 + kernel queries match the DataFrame API row for row") {
+  test("SQL-only replay: q01–q20 + kernel + curation/retrieval queries match the DataFrame API row for row") {
     GraftExtensions.register(spark)
     graft.sources.Tables.createTempViews(spark, sf0001)
     val names = SqlReplay.sql.keys.toSeq.sorted
-    assert(names.size === 22, s"expected 20 reference + 2 kernel queries, got $names")
+    assert(names.size === 30,
+      s"expected 20 reference + 2 kernel + 8 curation/retrieval queries, got $names")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf0001)
-      val viaSql = spark.sql(SqlReplay.sql(name))
+      val viaSql = SqlReplay.runText(spark, SqlReplay.sql(name))
       assert(viaSql.columns.toSeq === df.columns.toSeq,
         s"$name: SQL column names diverge from the DataFrame API")
       assert(rows(viaSql) === rows(df), s"$name: SQL result diverges")

@@ -1010,6 +1010,43 @@ class StreamingSpec extends SparkSpec {
     assert(nd === Set(1L), "near-dup sink let a contaminated doc through")
   }
 
+  test("containment sink's benchmark gate matches the qd22 decontamination operator's drop set") {
+    // the exact/near-dup sinks' gates are cross-checked above; this pins
+    // the CONTAINMENT sink's gate against the oracle-checked batch
+    // operator (TextAnalysis.decontaminate — the qd22 family): the
+    // sink's per-batch drop set must be exactly the operator's
+    // contaminated set on the same fixture. Stems are pairwise-disjoint
+    // so the containment probe itself drops nothing — every non-land is
+    // the gate's.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val evalText = "which river is the longest river on the african continent answer the nile"
+    val bench = Seq(Tuple1(evalText)).toDF("text")
+    def clean(stem: String): String = (0 until 40).map(i => s"$stem$i").mkString(" ")
+    val docs = Seq(
+      1L -> clean("alpha"),
+      2L -> (clean("beta") + " " + evalText),  // leak embedded mid-doc
+      3L -> evalText,                          // verbatim eval row
+      // 7 shared tokens = UNDER the 8-gram threshold: must land
+      4L -> (clean("gamma") + " " + evalText.split(" ").take(7).mkString(" ")),
+      5L -> clean("delta"),
+      6L -> (evalText + " " + clean("eps")))   // leak at doc start
+    val corpus = tmpDir("cgate-corpus")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs: _*)
+    graft.streaming.CorpusIngest.startContainmentCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("cgate-cp"),
+      benchmark = Some(bench)).awaitTermination()
+    val landed = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val drops = TextAnalysis.decontaminate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", bench, "text", n = 8)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(drops === Set(2L, 3L, 6L),
+      "fixture must plant both leak shapes and a sub-threshold miss")
+    assert(landed === docs.map(_._1).toSet -- drops,
+      "containment sink's gate drop set diverges from the qd22 batch operator")
+  }
+
   test("exact sink refuses an EXPLICITLY-set non-RocksDB state store provider (defaults flip silently)") {
     // conf.getOption surfaces built-in defaults, so it cannot tell "user
     // chose HDFS" from "engine default"; conf.getAll lists only
