@@ -632,6 +632,75 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($vExpr, $lit) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** One splitmix64 mix round `(z ^ (z >>> shift)) * mult` replayed in
+    * DuckDB over a signed-BIGINT column: DuckDB BIGINT arithmetic errors
+    * on overflow instead of wrapping, so the unsigned shift lifts into
+    * HUGEINT and the wrapping 64-bit multiply runs as 32-bit limbs —
+    * `(a·lo + ((a·hi) mod 2³²)·2³²) mod 2⁶⁴` — with a final signed
+    * fold-back. Every intermediate stays under 2⁹⁷ ≪ the 128-bit
+    * HUGEINT range.
+    */
+  private def duckMixRound(zCol: String, shift: Int, mult: Long): String = {
+    val lo = mult & 0xffffffffL
+    val hi = mult >>> 32
+    val two64 = "18446744073709551616::HUGEINT"
+    val zu = s"(CAST($zCol AS HUGEINT) + CASE WHEN $zCol < 0 THEN $two64 ELSE 0::HUGEINT END)"
+    val x = s"xor($zCol, CAST($zu // ${1L << shift} AS BIGINT))"
+    val xu = s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN $two64 ELSE 0::HUGEINT END)"
+    val prod = s"(($xu * $lo + (($xu * $hi) % 4294967296) * 4294967296) % $two64)"
+    s"CAST(CASE WHEN $prod >= 9223372036854775808::HUGEINT THEN $prod - $two64 ELSE $prod END AS BIGINT)"
+  }
+
+  /** qm04's oracle — the image near-dup pipeline replayed END TO END
+    * without decoding a single PNG: [[graft.multimodal.Multimodal
+    * .syntheticPng]]'s pixels are a pure splitmix64 function of
+    * (src_id, y, x), so the oracle regenerates the raster relationally
+    * ([[duckMixRound]] limb arithmetic), folds the 16-bin luminance
+    * histogram (counts/64 — a power-of-two denominator, so the Spark
+    * side's float32 features are EXACT and the doubles agree
+    * bit-for-bit), and replays the qe05 SRP-LSH bucket/pair stage. What
+    * the oracle deliberately does NOT cover is the PNG byte round-trip
+    * itself — that encode→decode identity is MultimodalSpec's job — but
+    * a decoder regression now breaks this hash compare too, because the
+    * features would drift off the regenerated raster.
+    */
+  private lazy val qm04Sql: String = {
+    val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
+    val s2 = duckMixRound("z", 27, 0x94d049bb133111ebL)
+    val two64 = "18446744073709551616::HUGEINT"
+    val finalXor =
+      s"""xor(z, CAST((CAST(z AS HUGEINT) + CASE WHEN z < 0 THEN $two64 ELSE 0::HUGEINT END) // 2147483648 AS BIGINT)) & 16777215"""
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id >= 40 THEN doc_id - 40 ELSE doc_id END AS src_id
+       |  FROM documents WHERE doc_id < 48),
+       |grid AS (
+       |  SELECT media_id, src_id, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x
+       |  FROM media CROSS JOIN range(0, 8) AS ty(y) CROSS JOIN range(0, 8) AS tx(x)),
+       |s0 AS (SELECT media_id,
+       |  src_id * 1000003 + y * 8191 + x + (-7046029254386353131) AS z FROM grid),
+       |s1 AS (SELECT media_id, $s1 AS z FROM s0),
+       |s2 AS (SELECT media_id, $s2 AS z FROM s1),
+       |px AS (SELECT media_id, $finalXor AS rgb FROM s2),
+       |lum AS (SELECT media_id,
+       |  ((rgb // 65536) % 256 + (rgb // 256) % 256 + rgb % 256) // 3 AS luma FROM px),
+       |hist AS (SELECT media_id, luma // 16 AS bin, COUNT(*) AS c
+       |         FROM lum GROUP BY media_id, bin),
+       |feat AS (
+       |  SELECT m.media_id, list(COALESCE(h.c, 0) / 64.0 ORDER BY t.i) AS v
+       |  FROM media m CROSS JOIN range(0, 16) AS t(i)
+       |  LEFT JOIN hist h ON h.media_id = m.media_id AND h.bin = t.i
+       |  GROUP BY m.media_id),
+       |b AS (SELECT media_id, v, ${duckSrpBucket("v", 4, 16)} AS bucket FROM feat),
+       |prs AS (
+       |  SELECT a.media_id AS id_a, b2.media_id AS id_b,
+       |    ROUND(list_dot_product(a.v, b2.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cosine
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.media_id < b2.media_id)
+       |SELECT id_a, id_b, cosine FROM prs WHERE cosine >= 0.999
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB CTE chain computing the portable simhash's hi/lo 32-bit
     * halves per doc — per-bit majority vote over `md5_number_lower(token)`,
     * DuckDB's view of the same 64 bits [[NativeExpressions
@@ -2388,11 +2457,13 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // rows-only: the multimodal→similarity composition — real image
-    // decode feeds luminance-histogram features into the SRP-LSH
-    // embedding near-dup operator. Ids 40–47 re-encode the SAME pixels
-    // as ids 0–7, so the planted pairs (i, i+40) MUST surface at
-    // cosine 1 (MultimodalSpec asserts the full plant recovery).
+    // oracle-checked (round 13): the multimodal→similarity composition —
+    // real image decode feeds luminance-histogram features into the
+    // SRP-LSH embedding near-dup operator. Ids 40–47 re-encode the SAME
+    // pixels as ids 0–7, so the planted pairs (i, i+40) MUST surface at
+    // cosine 1 (MultimodalSpec asserts the full plant recovery); the
+    // oracle regenerates the pixels relationally (qm04Sql), so the whole
+    // decode→feature→LSH chain is hash-compared, not just row-counted.
     "qm04_image_neardups" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).filter(col("doc_id") < 48)
@@ -2868,12 +2939,13 @@ object SparkEntry {
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
   // Keys absent here (qd08, qd11, qd12, qd44, qe06, qe14,
-  // qm01/qm02/qm03/qm04, qa01/qa02/qa03) are
+  // qm01/qm02/qm03, qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
   // engine sketches / learned centroids with no DuckDB equivalent; their
   // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/
   // qe05 ARE oracle-checked — the deterministic plane matrix embeds as
-  // SQL literals.)
+  // SQL literals; qm04 is too — its synthetic pixels replay via 128-bit
+  // limb arithmetic, see qm04Sql.)
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
     "q01_standings" -> standingsSql,
@@ -4743,6 +4815,10 @@ object SparkEntry {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the image near-dup pipeline replayed end to end from the synthetic
+    // pixel arithmetic — see qm04Sql
+    "qm04_image_neardups" -> qm04Sql,
 
     // SemDeDup replayed end to end: the qe08 deterministic-centroid
     // argmin assignment + the qe05 jitter plants, within-cell pair

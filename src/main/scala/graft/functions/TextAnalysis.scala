@@ -451,12 +451,17 @@ object TextAnalysis {
       threshold: Double = 8.0): DataFrame = {
     // ONE reference tokenization fills the persisted token/bigram seam;
     // the two model tables derive from it (the qd33/unigramLogProbFromTf
-    // shared-tf pattern — the round-12 form re-tokenized the reference
-    // once per model table and once more for the V scalar). The grouped
-    // model tables are reference-VOCABULARY-bounded, so they checkpoint
-    // cheaply and the corpus-sized token seam frees before scoring —
-    // scoring then reads two small materialized tables however many
-    // corpora are scored against them (ScanCountSpec pins the budget).
+    // shared-tf pattern — the pre-seam form re-tokenized the reference
+    // once per model table and once more for the V scalar). The model
+    // tables themselves stay LAZY: they are reference-VOCABULARY-sized
+    // (millions of rows at sf0.1), and eagerly checkpointing them costs
+    // more than the slice re-tokenization they save (measured +2.9 s at
+    // sf0.1, 6.0 → 8.9 s, near-zero steal — the round-13 floor artifact
+    // caught the first seam form doing exactly that). Instead the
+    // DOC-sized output frame below is the one eager checkpoint: a single
+    // action materializes the whole DAG — refTok read once for both
+    // model tables, refUni persisted across its two consumers — and the
+    // seams free immediately after.
     val refTok = reference
       .select(tokens(col(refTextCol)).as("__toks"),
         bigrams(col(refTextCol)).as("__bgs"))
@@ -464,16 +469,18 @@ object TextAnalysis {
     val refBi = refTok
       .select(explode(col("__bgs")).as("__bg"))
       .groupBy(col("__bg")).agg(count(lit(1)).cast("long").as("__cab"))
-      .localCheckpoint(true)
     val refUni = refTok
       .select(explode(col("__toks")).as("__ctx"))
       .groupBy(col("__ctx")).agg(count(lit(1)).cast("long").as("__ca"))
-      .localCheckpoint(true)
-    refTok.unpersist(false)
-    // the V scalar reads the checkpointed context table — no third pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the V scalar reads the persisted context table — no third pass
     val vScalar = broadcast(refUni.agg(count(lit(1)).cast("long").as("__v")))
+    // explode_OUTER keeps zero-bigram docs in the same pass (a null
+    // __bg row that the conditional sums skip), so the output covers
+    // every input doc WITHOUT a separate id-projection join back onto
+    // the corpus — one doc pass + one reference pass, total
     val docBi = df
-      .select(col(idCol), explode(bigrams(col(textCol))).as("__bg"))
+      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("__bg"))
       .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).cast("long").as("__cnt"))
       .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
     val scored = docBi
@@ -485,16 +492,21 @@ object TextAnalysis {
             (coalesce(col("__ca"), lit(0L)) + col("__v")).cast("double")), 6)
         .cast(DecimalType(18, 6)))
       .groupBy(col(idCol))
-      .agg(sum(col("__cnt")).cast("long").as("n_bigrams"),
-        sum(col("__nll") * col("__cnt")).as("__sum"))
-      .withColumn("avg_nll",
-        round(col("__sum").cast("double") / col("n_bigrams").cast("double"), 4))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_nll"),
+      .agg(coalesce(sum(when(col("__bg").isNotNull, col("__cnt"))), lit(0L))
+          .cast("long").as("n_bigrams"),
+        sum(when(col("__bg").isNotNull, col("__nll") * col("__cnt"))).as("__sum"))
+      .withColumn("avg_nll", when(col("n_bigrams") > 0L,
+        round(col("__sum").cast("double") / col("n_bigrams").cast("double"), 4)))
+    // eager + doc-sized: one action runs the whole model-build+score DAG,
+    // then both seams free; repeat consumers read the checkpoint, never
+    // the model derivation
+    val out = scored
+      .select(col(idCol), col("n_bigrams"), col("avg_nll"),
         coalesce(col("avg_nll") <= threshold, lit(false)).as("keep"))
+      .localCheckpoint(true)
+    refUni.unpersist(false)
+    refTok.unpersist(false)
+    out
   }
 
   /** Min-K% Prob membership/memorization score (Shi et al. 2023,

@@ -154,9 +154,11 @@ class ScanCountSpec extends SparkSpec {
   test("qd62 bigramNllGate: model + scoring passes bounded") {
     val (docs, acc, n) = docsSource()
     // budget: ONE reference pass filling the persisted token/bigram
-    // seam (both model tables and the V scalar read the checkpointed
-    // grouped counts) + the doc bigram explode = 2. The round-12 form
-    // measured 4 — one tokenization per model table plus the V recount.
+    // seam (both lazy model tables and the V scalar derive from it) +
+    // ONE doc pass (explode_outer keeps zero-bigram docs without a
+    // separate id-projection join) = 2. The round-12 form measured 4 —
+    // one tokenization per model table plus the V recount; the first
+    // round-13 seam form measured 3 (the id join's extra corpus pass).
     val out = graft.functions.TextAnalysis.bigramNllGate(
       docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
     assert(scansOf(out, acc, n) <= 2,
