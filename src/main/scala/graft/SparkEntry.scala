@@ -664,6 +664,87 @@ object SparkEntry {
     * a decoder regression now breaks this hash compare too, because the
     * features would drift off the regenerated raster.
     */
+  /** qm02's oracle — the real-PNG-decode query replayed from the same
+    * pixel arithmetic as [[qm04Sql]], with the VARIABLE width (8 + id%8)
+    * threaded through the grid and the histogram normalizer. The
+    * float32 feature values agree with the double replay at 4 dp: every
+    * c/(w·8) value whose 5th decimal could round differently is
+    * dyadic (denominator a power of two after reduction — the only
+    * divisors of both w·8 and 20000 are powers of two), hence exact in
+    * BOTH float32 and double.
+    */
+  private lazy val qm02Sql: String = {
+    val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
+    val s2 = duckMixRound("z", 27, 0x94d049bb133111ebL)
+    val two64 = "18446744073709551616::HUGEINT"
+    val finalXor =
+      s"""xor(z, CAST((CAST(z AS HUGEINT) + CASE WHEN z < 0 THEN $two64 ELSE 0::HUGEINT END) // 2147483648 AS BIGINT)) & 16777215"""
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, CAST(8 + doc_id % 8 AS INTEGER) AS w
+       |  FROM documents WHERE doc_id < 64),
+       |grid AS (
+       |  -- constant-bound range + filter, NOT a column-arg lateral
+       |  -- UNNEST: joining two CTEs that inline a lateral unnest OOMs
+       |  -- DuckDB 1.0 (reproduced on a 64x832-row join)
+       |  SELECT media_id, w, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x
+       |  FROM media CROSS JOIN range(0, 8) AS ty(y) CROSS JOIN range(0, 15) AS tx(x)
+       |  WHERE x < w),
+       |s0 AS (SELECT media_id,
+       |  media_id * 1000003 + y * 8191 + x + (-7046029254386353131) AS z FROM grid),
+       |s1 AS (SELECT media_id, $s1 AS z FROM s0),
+       |s2 AS (SELECT media_id, $s2 AS z FROM s1),
+       |px AS (SELECT media_id, $finalXor AS rgb FROM s2),
+       |lum AS (SELECT media_id,
+       |  ((rgb // 65536) % 256 + (rgb // 256) % 256 + rgb % 256) // 3 AS luma FROM px),
+       |hist AS (SELECT media_id, luma // 16 AS bin, COUNT(*) AS c
+       |         FROM lum GROUP BY media_id, bin)
+       |SELECT m.media_id, true AS decode_ok, m.w AS width, 8 AS height,
+       |  ROUND(COALESCE(h0.c, 0) / CAST(m.w * 8 AS DOUBLE), 4) AS f0,
+       |  ROUND(COALESCE(h15.c, 0) / CAST(m.w * 8 AS DOUBLE), 4) AS f15
+       |FROM media m
+       |LEFT JOIN hist h0 ON h0.media_id = m.media_id AND h0.bin = 0
+       |LEFT JOIN hist h15 ON h15.media_id = m.media_id AND h15.bin = 15
+       |ORDER BY m.media_id""".stripMargin
+  }
+
+  /** qm03's oracle — the real-WAV-decode query replayed from
+    * [[graft.multimodal.Multimodal.syntheticSamples]]' square wave:
+    * sample(i) = ±(1000 + id%7·1000) flipping every (4 + id%13)
+    * samples. Every emitted value is integer-derived (sum of exact
+    * squares < 2⁵³, peak = amp, zero-crossings = sign-flip count) so
+    * the WAV encode→decode identity is the only Spark-side physics —
+    * and a codec regression now breaks this hash compare.
+    */
+  private lazy val qm03Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    4 + doc_id % 13 AS half,
+      |    CAST(1000 + (doc_id % 7) * 1000 AS BIGINT) AS amp,
+      |    CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate,
+      |    CAST(800 + (doc_id % 5) * 200 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 64),
+      |samp AS (
+      |  -- constant-bound range + filter (n <= 1600 by construction);
+      |  -- see qm02Sql's grid note on DuckDB 1.0 lateral-unnest joins
+      |  SELECT media_id, half, amp, rate, n, CAST(i AS BIGINT) AS i,
+      |    CASE WHEN (i // half) % 2 = 0 THEN amp ELSE -amp END AS s
+      |  FROM media CROSS JOIN range(0, 1600) AS u(i)
+      |  WHERE i < n),
+      |agg AS (
+      |  SELECT media_id, rate, n,
+      |    SUM(CAST(s * s AS DOUBLE)) AS sumsq,
+      |    CAST(MAX(abs(s)) AS INTEGER) AS peak,
+      |    CAST(SUM(CASE WHEN i >= 1
+      |        AND ((i // half) % 2) <> (((i - 1) // half) % 2)
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |  FROM samp GROUP BY media_id, rate, n)
+      |SELECT media_id, true AS decode_ok, rate AS sample_rate,
+      |  n AS n_samples,
+      |  ROUND(CAST(n AS DOUBLE) / rate, 6) AS duration_sec,
+      |  ROUND(sqrt(sumsq / n), 4) AS rms,
+      |  zero_crossings, peak
+      |FROM agg ORDER BY media_id""".stripMargin
+
   private lazy val qm04Sql: String = {
     val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
     val s2 = duckMixRound("z", 27, 0x94d049bb133111ebL)
@@ -2377,10 +2458,12 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // rows-only: REAL image decode through the multimodal seam — encode a
-    // deterministic PNG per doc, decode it with javax.imageio (an actual
-    // JDK codec, not the stub), surface raster dims + luminance-histogram
-    // features. Exact feature values are MultimodalSpec-asserted.
+    // oracle-checked (round 13): REAL image decode through the multimodal
+    // seam — encode a deterministic PNG per doc, decode it with
+    // javax.imageio (an actual JDK codec, not the stub), surface raster
+    // dims + luminance-histogram features; the oracle regenerates the
+    // pixels relationally (qm02Sql), so the decode chain is
+    // hash-compared, and exact feature values are MultimodalSpec-asserted.
     "qm02_image_decode" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).filter(col("doc_id") < 64)
@@ -2393,18 +2476,23 @@ object SparkEntry {
         }
       graft.multimodal.Multimodal.decodeImages(media)
         .toDF()
+        // cast BEFORE rounding: round on a FloatType stays float, and a
+        // 4-dp decimal is generally not float-representable (float32
+        // 0.0125 widens to 0.0125000002), so the emitted doubles would
+        // carry float residue the oracle's double rounding cannot match
         .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
-          round(element_at(col("feature"), 1), 4).as("f0"),
-          round(element_at(col("feature"), 16), 4).as("f15"))
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("feature"), 16).cast("double"), 4).as("f15"))
         .orderBy(col("media_id"))
     }),
 
-    // rows-only: REAL audio decode through the multimodal seam — encode a
-    // deterministic 16-bit PCM WAV per doc, decode it with
+    // oracle-checked (round 13): REAL audio decode through the multimodal
+    // seam — encode a deterministic 16-bit PCM WAV per doc, decode it with
     // javax.sound.sampled (an actual JDK codec, not the stub), surface
     // format metadata + waveform features (RMS / zero-crossings / peak).
-    // All features are integer-derived → exactly reproducible; exact
-    // values are MultimodalSpec-asserted. Only video remains stubbed.
+    // All features are integer-derived → exactly reproducible, and the
+    // oracle replays the square-wave PCM relationally (qm03Sql). Only
+    // video remains stubbed.
     "qm03_audio_decode" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).filter(col("doc_id") < 64)
@@ -2939,13 +3027,15 @@ object SparkEntry {
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
   // Keys absent here (qd08, qd11, qd12, qd44, qe06, qe14,
-  // qm01/qm02/qm03, qa01/qa02/qa03) are
+  // qm01, qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
-  // engine sketches / learned centroids with no DuckDB equivalent; their
-  // semantics are ScalaTest-verified instead. (The SRP-LSH queries qe03/
-  // qe05 ARE oracle-checked — the deterministic plane matrix embeds as
-  // SQL literals; qm04 is too — its synthetic pixels replay via 128-bit
-  // limb arithmetic, see qm04Sql.)
+  // engine sketches / learned centroids / payload-byte rolling hashes
+  // with no DuckDB equivalent; their semantics are ScalaTest-verified
+  // instead. (The SRP-LSH queries qe03/qe05 ARE oracle-checked — the
+  // deterministic plane matrix embeds as SQL literals; qm02/qm04 replay
+  // the synthetic PIXEL arithmetic via 128-bit limb math, and qm03 the
+  // synthetic square-wave PCM — see qm02Sql/qm03Sql/qm04Sql — so the
+  // real PNG/WAV decode chains are hash-compared too.)
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
     "q01_standings" -> standingsSql,
@@ -4816,8 +4906,10 @@ object SparkEntry {
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // the image near-dup pipeline replayed end to end from the synthetic
-    // pixel arithmetic — see qm04Sql
+    // the real-decode multimodal queries replayed from their synthetic
+    // generators' arithmetic — see qm02Sql/qm03Sql/qm04Sql
+    "qm02_image_decode" -> qm02Sql,
+    "qm03_audio_decode" -> qm03Sql,
     "qm04_image_neardups" -> qm04Sql,
 
     // SemDeDup replayed end to end: the qe08 deterministic-centroid
