@@ -745,6 +745,46 @@ object SparkEntry {
       |  zero_crossings, peak
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** qm05's oracle — the real container-metadata parse replayed from
+    * the synthetic writers' parameters: the AVI path round-trips fps
+    * through the header's integer dwMicroSecPerFrame (1e6/fps0
+    * truncated, then 1e6/us re-derived — the parser's honest precision
+    * loss, e.g. fps 30 reads back 30.0003) and duration through
+    * nFrames·us; the MP4 path is exact integers (duration/timescale
+    * divides evenly by construction). The parser's rint(x·1e6)/1e6
+    * stabilization never lands on a .5 for these parameter grids, so
+    * DuckDB's half-away round replays Scala's half-even rint exactly.
+    */
+  private lazy val qm05Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS w,
+      |    CAST(240 + (doc_id % 4) * 120 AS INTEGER) AS h,
+      |    24 + (doc_id % 3) * 6 AS fps0,
+      |    100 + (doc_id % 7) * 50 AS nf_avi,
+      |    2 + (doc_id % 5) AS k
+      |  FROM documents WHERE doc_id < 64),
+      |avi AS (
+      |  SELECT media_id, w, h, CAST(nf_avi AS BIGINT) AS n_frames,
+      |    1000000 // fps0 AS us
+      |  FROM media WHERE media_id % 2 = 0),
+      |avi2 AS (
+      |  SELECT media_id, true AS parse_ok, 'avi' AS container,
+      |    w AS width, h AS height, n_frames,
+      |    ROUND(round(1.0e6 / us * 1e6) / 1e6, 4) AS fps,
+      |    ROUND(round(CAST(n_frames * us AS DOUBLE) / 1e6 * 1e6) / 1e6, 4) AS duration_sec
+      |  FROM avi),
+      |mp4 AS (
+      |  SELECT media_id, true AS parse_ok, 'mp4' AS container,
+      |    w AS width, h AS height, CAST(48 * k AS BIGINT) AS n_frames,
+      |    ROUND(CAST(48 AS DOUBLE), 4) AS fps,
+      |    ROUND(CAST(k AS DOUBLE), 4) AS duration_sec
+      |  FROM media WHERE media_id % 2 = 1)
+      |SELECT media_id, parse_ok, container, width, height, n_frames,
+      |  fps, duration_sec
+      |FROM (SELECT * FROM avi2 UNION ALL SELECT * FROM mp4)
+      |ORDER BY media_id""".stripMargin
+
   private lazy val qm04Sql: String = {
     val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
     val s2 = duckMixRound("z", 27, 0x94d049bb133111ebL)
@@ -2512,12 +2552,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // rows-only: REAL video container-metadata parse through the
-    // multimodal seam — encode a deterministic AVI (even ids) or MP4
-    // (odd ids) header per doc, parse width/height/fps/frame-count back
-    // out of the actual RIFF `avih` / ISO-BMFF `mvhd`+`tkhd`+`stsz`
-    // bytes (pure JVM — no codec needed for metadata). Exact values are
-    // MultimodalSpec-asserted; only frame-pixel decode remains stubbed.
+    // oracle-checked (round 13): REAL video container-metadata parse
+    // through the multimodal seam — encode a deterministic AVI (even
+    // ids) or MP4 (odd ids) header per doc, parse
+    // width/height/fps/frame-count back out of the actual RIFF `avih` /
+    // ISO-BMFF `mvhd`+`tkhd`+`stsz` bytes (pure JVM — no codec needed
+    // for metadata). The oracle (qm05Sql) replays the writers'
+    // parameter arithmetic incl. the AVI header's integer-us fps
+    // round-trip, so the byte parse chain is hash-compared; only
+    // frame-pixel decode remains stubbed.
     "qm05_video_meta" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).filter(col("doc_id") < 64)
@@ -4911,6 +4954,7 @@ object SparkEntry {
     "qm02_image_decode" -> qm02Sql,
     "qm03_audio_decode" -> qm03Sql,
     "qm04_image_neardups" -> qm04Sql,
+    "qm05_video_meta" -> qm05Sql,
 
     // SemDeDup replayed end to end: the qe08 deterministic-centroid
     // argmin assignment + the qe05 jitter plants, within-cell pair
