@@ -1309,7 +1309,12 @@ object CorpusIngest {
         val spark = batch.sparkSession
         val assigned = contaminationGate(
             batch
-              .filter(TextAnalysis.tokenCount(col("text")) >= minTokens)
+              // null-embedding tolerance (the CentroidDrift monitor's
+              // convention): an unprobeable doc is dropped by the gate —
+              // otherwise its null cell NPEs the driver-side cellsHit
+              // collect and kills the query
+              .filter(TextAnalysis.tokenCount(col("text")) >= minTokens &&
+                col("embedding").isNotNull)
               .select(col("doc_id").cast("long").as("doc_id"), col("text"),
                 col("embedding")),
             benchGrams, benchGramN)
@@ -1844,9 +1849,14 @@ object CorpusIngest {
       writeAbsorbed(cpFs, cp,
         epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
     }
+    // null-embedding docs fall to the quality gate with the junk (the
+    // CentroidDrift monitor's null tolerance): they cannot be
+    // cell-probed — a null cell would NPE the driver-side cellsHit
+    // collect and kill the query — and like any gate-rejected doc they
+    // claim no content hash
     val gatedQ = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens &&
-        qualityGate(col("text")))
+        qualityGate(col("text")) && col("embedding").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         col("embedding").cast("array<double>").as("embedding"),
         TextAnalysis.fingerprint(col("text")).as("content_hash"))

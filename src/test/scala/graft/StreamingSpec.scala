@@ -2817,6 +2817,39 @@ class StreamingSpec extends SparkSpec {
     assert(otherDirs("_graft_cells", "cell=", Set("0")) > 0)
   }
 
+  test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
+    // a null embedding cannot be cell-assigned; without the gate filter
+    // the null cell NPEs the DRIVER-side cellsHit collect and kills the
+    // whole streaming query — the sink-side analogue of the TokenDrift
+    // null-text fix, and the CentroidDrift monitor's existing tolerance
+    implicit val ctx = spark.sqlContext
+    val cents = curCents.toDF("cell_id", "centroid")
+
+    // composed curation sink
+    val corpus = tmpDir("nullemb-corpus")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(
+      (1L, curText("alpha"), Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, curText("bravo"), null))
+    graft.streaming.CorpusIngest.startCurationSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("nullemb-cp"), cents).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      === Set(1L), "null-embedding doc must be gated, healthy doc must land")
+
+    // standalone semantic sink
+    val semCorpus = tmpDir("nullemb-sem-corpus")
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData(
+      (10L, "plain stored text here", Seq(0.0, 1.0, 0.0, 0.0)),
+      (11L, "null vector text here", null))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms2.toDF().toDF("doc_id", "text", "embedding"), semCorpus,
+      tmpDir("nullemb-sem-cp"), cents).awaitTermination()
+    assert(spark.read.parquet(semCorpus).select("doc_id").as[Long].collect().toSet
+      === Set(10L), "semantic sink must gate the null-embedding doc and keep running")
+  }
+
   test("curation monitors: the three companion monitor axes attach over one source frame") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
