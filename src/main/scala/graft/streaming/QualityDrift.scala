@@ -102,12 +102,19 @@ object QualityDrift {
       stopRatio >= minStopwordRatio
   }
 
-  /** Monitor a pre-scored stream of (source, keep) decisions. */
+  /** Monitor a pre-scored stream of (source, keep) decisions. A NULL
+    * decision (e.g. [[keepNarrow]] over a null-text doc) counts as a
+    * DROP: the tuple encoder's Boolean is non-nullable, so without the
+    * coalesce one null-text doc would kill the monitor query (the
+    * TokenDrift null-text fix, applied to this axis) — and a doc that
+    * cannot be scored would never pass a real gate anyway.
+    */
   def keepRateStream(scored: DataFrame, sourceCol: String, keepCol: String,
       tol: Double = 0.2, minBatch: Long = 5L): Dataset[QualityReport] = {
     val spark = scored.sparkSession
     import spark.implicits._
-    scored.select(col(sourceCol).cast("string"), col(keepCol).cast("boolean"))
+    scored.select(col(sourceCol).cast("string"),
+        coalesce(col(keepCol).cast("boolean"), lit(false)))
       .as[(String, Boolean)]
       .groupByKey(_._1)
       .transformWithState(new KeepRateProcessor(tol, minBatch),

@@ -2530,6 +2530,32 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("quality-drift monitor tolerates null-text docs: the null scores as a drop, the query survives") {
+    // keepNarrow(null) is a NULL boolean and the keyed tuple encoder's
+    // Boolean is non-nullable — without keepRateStream's coalesce one
+    // null-text doc killed the monitor (the TokenDrift null-text fix,
+    // applied to the keep-rate axis)
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val good = (0 until 50).map(i => if (i % 5 == 4) "the" else s"word$i").mkString(" ")
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.QualityDrift.qualityDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text", tol = 0.5)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("qdrift_null").start()
+      ms.addData(("web", good), ("web", null), ("web", good))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("qdrift_null")
+        .as[(String, Long, Long, Double, Double, Boolean)].collect()
+      // 3 docs seen, 2 keeps: the null-text doc counted as a DROP
+      assert(rows.exists(r => r._2 === 3L && r._3 === 2L), rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("token-drift monitor: a distribution shift fires one edge-triggered alert; same-distribution batches stay quiet; recovery re-arms") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
