@@ -711,6 +711,19 @@ object Dedup {
       case _ => ()
     }
 
+  /** Free EVERY localCheckpoint reachable in `df`'s logical plan — for
+    * consumers that materialize a derived frame (their own checkpoint)
+    * and thereby orphan the checkpoints inside the input's plan. The
+    * caller must own the input: frames the checkpoints were shared
+    * with recompute from scratch after this.
+    */
+  private[graft] def freeUpstreamCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** [[incrementalNearDup]]'s core over a pre-built signature frame and a
     * LONG-form probe side (`band`, `bh` — [[bandsLong]]'s layout). The
     * probe side may be partition-pruned by the caller (the bucketed sink

@@ -276,6 +276,16 @@ object Similarity {
     * (SimilaritySpec's measured ±0.07 under row-order changes), so the
     * floor sits far below healthy AND far above chance. An empty result
     * (no queries) passes vacuously.
+    *
+    * Ownership: the gate CONSUMES `withRecall` — once its own
+    * checkpoint materializes, every localCheckpoint inside the input's
+    * plan (e.g. [[withRecallAtK]]'s queries×k pin) is freed, so a
+    * long-lived serving session gating recall per request holds exactly
+    * one resident gate frame per call, not an accumulating chain. Do
+    * not reuse the input frame after gating; read `gated` instead. An
+    * input that is ALREADY a bare checkpoint leaf (double-gating, or a
+    * caller who pre-materialized) passes through without a redundant
+    * second copy.
     */
   def requireMeanRecallFloor(withRecall: DataFrame, floor: Double,
       what: String): DataFrame = {
@@ -283,7 +293,13 @@ object Similarity {
     // gate rollup below and every downstream consumer read the
     // checkpoint, so the learned fit+search upstream never re-derives
     // per consumer (the round-12 qe14 double-execution defect).
-    val gated = withRecall.localCheckpoint(true)
+    val alreadyLeaf = withRecall.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val gated =
+      if (alreadyLeaf) withRecall else withRecall.localCheckpoint(true)
+    // the input's own checkpoints (withRecallAtK's inner pin) are now
+    // orphaned — the gate checkpoint holds the rows
+    if (!alreadyLeaf) Dedup.freeUpstreamCheckpoints(withRecall)
     val r = gated.select(col("query_id"), col("recall_at_k")).distinct()
       .agg(avg(col("recall_at_k"))).head()
     if (!r.isNullAt(0))

@@ -29,6 +29,19 @@ import graft.sources.Tables
   */
 object SqlReplay {
 
+  /** Reserved namespace for the scripts' materialized stage seams. A
+    * dedicated schema keeps the DROP+CTAS churn away from the caller's
+    * own catalog: an unqualified `g61_ex` in the default schema would
+    * let a replay destructively drop a user's same-named permanent
+    * table. Everything under this schema is graft-owned scratch —
+    * [[cleanup]] drops it wholesale. `final` + literal (a constant-type
+    * member, inlined at use sites): the strict `sql` map below forces
+    * the script builders during object init, and a plain val declared
+    * after it would still read as null inside them (the round-13
+    * init-order lesson).
+    */
+  final val ReplaySchema = "graft_replay"
+
   private val standings =
     """SELECT s.s_suppkey, s.s_name,
       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS points,
@@ -226,15 +239,24 @@ object SqlReplay {
     * DataFrame path iterates to an exact fixpoint and remains the
     * 100 TB path.
     */
-  /** One materialized stage seam: DROP + CTAS (parquet). A TEMP VIEW
-    * would re-expand its full logical plan at every reference — the
-    * multi-round scripts nest views, so analysis alone fans out
-    * exponentially even when execution hits the cache; a table read is
-    * opaque, exactly like the DataFrame side's checkpoints.
+  /** One materialized stage seam: DROP + CTAS (parquet) under
+    * [[ReplaySchema]]. A TEMP VIEW would re-expand its full logical
+    * plan at every reference — the multi-round scripts nest views, so
+    * analysis alone fans out exponentially even when execution hits the
+    * cache; a table read is opaque, exactly like the DataFrame side's
+    * checkpoints. `name` must arrive already schema-qualified (the
+    * scripts interpolate their `$ReplaySchema.g6x` prefix into every
+    * reference too).
     */
   private def stage(name: String, query: String): Seq[String] = Seq(
     s"DROP TABLE IF EXISTS $name",
     s"CREATE TABLE $name USING PARQUET AS\n$query")
+
+  /** Drop every stage seam the scripts have materialized. Safe to call
+    * any time between runs; the scripts recreate what they need.
+    */
+  def cleanup(spark: SparkSession): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $ReplaySchema CASCADE")
 
   private def componentsStmts(p: String, rounds: Int): Seq[String] =
     stage(s"${p}_w0",
@@ -266,7 +288,11 @@ object SqlReplay {
     * CTE into an exponentially fanned-out plan.
     */
   private def pipelineSql(portable: Boolean): String = {
-    val p = if (portable) "g61" else "g65"
+    // stage tables live under the reserved schema; the benchmark frame
+    // is a session-scoped TEMP view (qualification is illegal there,
+    // and session scoping is exactly its isolation story)
+    val v = if (portable) "g61" else "g65"
+    val p = s"$ReplaySchema.$v"
     val fixtureNorm =
       s"""base AS (
          |  SELECT doc_id, source, text FROM documents
@@ -307,7 +333,8 @@ object SqlReplay {
            |${bands4(castStr = true)}
            |  FROM sigarr)
            |${eb4.replace("  SELECT", "SELECT")}""".stripMargin
-    val stmts = stage(s"${p}_ex",
+    val stmts = Seq(s"CREATE DATABASE IF NOT EXISTS $ReplaySchema") ++
+      stage(s"${p}_ex",
       s"""WITH $fixtureNorm,
          |gate AS (
          |  SELECT doc_id, source, t,
@@ -317,7 +344,7 @@ object SqlReplay {
          |SELECT doc_id, source, t, nt FROM (
          |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(t)) AS keep FROM gate)
          |WHERE doc_id = keep""".stripMargin) ++ Seq(
-      s"""CREATE OR REPLACE TEMPORARY VIEW ${p}_bench AS
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${v}_bench AS
          |WITH $fixtureNorm
          |SELECT doc_id, t FROM norm WHERE doc_id % 50 = 0""".stripMargin) ++
       stage(s"${p}_sh",
@@ -348,7 +375,7 @@ object SqlReplay {
            |  SELECT DISTINCT g3 FROM (
            |    SELECT explode(gs) AS g3 FROM (
            |      SELECT $shingles3 AS gs FROM (
-           |        SELECT split(t, '\\\\s+') AS w FROM ${p}_bench)) bs)),
+           |        SELECT split(t, '\\\\s+') AS w FROM ${v}_bench)) bs)),
            |repg AS (
            |  SELECT doc_id, g3 FROM (
            |    SELECT s.doc_id, s.g FROM ${p}_sh s JOIN reps r ON s.doc_id = r.doc_id)
@@ -403,42 +430,44 @@ object SqlReplay {
     * scoring, per-cluster (score DESC, id ASC) argmax.
     */
   private lazy val qd63Script: String = {
-    val stmts = stage("g63_sh",
+    val p = s"$ReplaySchema.g63"
+    val stmts = Seq(s"CREATE DATABASE IF NOT EXISTS $ReplaySchema") ++
+      stage(s"${p}_sh",
       s"""SELECT doc_id, $shingles3 AS g
          |FROM (SELECT doc_id, split(trim(nfc_normalize(text)), '\\\\s+') AS w FROM documents)""".stripMargin) ++
-      stage("g63_eb",
+      stage(s"${p}_eb",
         s"""WITH sig AS (
            |  SELECT doc_id,
            |$mh16
-           |  FROM g63_sh),
+           |  FROM ${p}_sh),
            |bands AS (
            |  SELECT doc_id,
            |${bands4(castStr = false)}
            |  FROM sig)
            |${eb4.replace("  SELECT", "SELECT")}""".stripMargin) ++
-      stage("g63_shh",
+      stage(s"${p}_shh",
         "SELECT doc_id, shingle_hashes(nfc_normalize(text), 3) AS hsh FROM documents") ++
-      stage("g63_edges",
-        """WITH cand AS (
+      stage(s"${p}_edges",
+        s"""WITH cand AS (
           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM g63_eb a JOIN g63_eb b
+          |  FROM ${p}_eb a JOIN ${p}_eb b
           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
           |prs AS (
           |  SELECT c.id_a, c.id_b
           |  FROM cand c
-          |  JOIN g63_shh sa ON sa.doc_id = c.id_a
-          |  JOIN g63_shh sb ON sb.doc_id = c.id_b
+          |  JOIN ${p}_shh sa ON sa.doc_id = c.id_a
+          |  JOIN ${p}_shh sb ON sb.doc_id = c.id_b
           |  WHERE sorted_jaccard(sa.hsh, sb.hsh) >= 0.5)
           |SELECT id_a AS a, id_b AS b FROM prs
           |UNION ALL SELECT id_b, id_a FROM prs""".stripMargin) ++
-      componentsStmts("g63", rounds = 4) ++ Seq(
+      componentsStmts(p, rounds = 4) ++ Seq(
       s"""WITH scored AS (
          |  SELECT doc_id,
          |    round(size(filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
          |          / GREATEST(size(w), 1), 4) AS score
          |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents)),
          |j AS (SELECT c.id AS doc_id, c.label AS cluster_id, s.score
-         |      FROM g63_w4 c JOIN scored s ON s.doc_id = c.id),
+         |      FROM ${p}_w4 c JOIN scored s ON s.doc_id = c.id),
          |k AS (SELECT cluster_id, doc_id AS keeper_id FROM (
          |    SELECT cluster_id, doc_id,
          |      ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
@@ -638,6 +667,15 @@ object SqlReplay {
     * stage-seam DDL (DROP + CREATE TABLE AS) a SQL-script consumer
     * (spark-sql, a notebook) would paste verbatim — and the final
     * statement's frame is returned.
+    *
+    * Side effect: the multi-stage scripts (qd61/qd63/qd65) materialize
+    * their seams as tables under the reserved [[ReplaySchema]] schema
+    * and LEAVE them there — the returned frame is lazy and reads them,
+    * so the script cannot drop its own output's inputs. Re-running a
+    * script DROP+recreates its seams; [[cleanup]] removes the schema
+    * wholesale. Two CONCURRENT replays of the same script against one
+    * shared warehouse would race on these fixed names — serialize them
+    * (distinct-query replays never collide: prefixes are per query).
     */
   def runText(spark: SparkSession, text: String): DataFrame = {
     val stmts = text.split(";\\s*\\n").map(_.trim).filter(_.nonEmpty)

@@ -171,12 +171,14 @@ object CorpusIngest {
   private def guardAffectedPairs(spark: SparkSession, nPairs: Int,
       what: String): Unit = {
     // a typo'd conf value must fail with the guard's actionable style,
-    // not a bare NumberFormatException from deep inside the parse
+    // not a bare NumberFormatException from deep inside the parse — and
+    // "0"/"-5" PARSE but make every compaction refuse with a nonsense
+    // ceiling, so non-positive values get the same actionable error
     val max = spark.conf.getOption(MaxCompactionPairsKey).map { raw =>
       val parsed = raw.trim.toLongOption
-      require(parsed.isDefined,
-        s"$MaxCompactionPairsKey is set to '$raw', which is not a long — " +
-          "set it to a positive pair-count ceiling (default " +
+      require(parsed.exists(_ > 0),
+        s"$MaxCompactionPairsKey is set to '$raw', which is not a positive " +
+          "long — set it to a positive pair-count ceiling (default " +
           s"$DefaultMaxCompactionPairs) or unset it.")
       parsed.get
     }.getOrElse(DefaultMaxCompactionPairs)
@@ -622,6 +624,56 @@ object CorpusIngest {
       .parquet(idx.toString)
   }
 
+  /** Adoption-time canon/parameter heal for a banded corpus: recompute
+    * the `band0..` columns from stored TEXT under the CURRENT canon and
+    * LSH parameters ([[Dedup.lshSignature]] — the [[rehashCorpus]]
+    * analogue for near-dup signatures), rewrite only the (epoch,
+    * batch_id) partitions where any stored band differs, and return the
+    * rewritten-partition count. Stored bands are DATA: a pre-NFC
+    * non-ASCII corpus (or one banded under other k/bands/shingleN)
+    * carries old-canon hashes, and an index built by trusting them
+    * would silently miss decomposed-Unicode near-dups forever — exactly
+    * the drift [[CanonVersion]] exists to prevent (round-13 ADVICE).
+    * Current-canon corpora (all-ASCII included) find zero stale rows
+    * and rewrite nothing, so healthy adoption cost is one signature
+    * pass. A whole-corpus parameter migration trips
+    * [[guardAffectedPairs]] loudly rather than launching one unbounded
+    * rewrite job.
+    */
+  private def rebandStaleBatches(spark: SparkSession, corpusPath: String,
+      k: Int, bands: Int, shingleN: Int): Long = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(corpusPath)
+    val bandCols = (0 until bands).map(b => s"band$b")
+    require(bandCols.forall(corpus.columns.contains),
+      s"corpus at $corpusPath lacks ${bandCols.filterNot(corpus.columns.contains).mkString(",")} — " +
+        "not a banded near-dup corpus (adoption needs stored band columns or text)")
+    // stored bands step aside; lshSignature recomputes fresh ones from
+    // text under the current canon (persisted — compare + rewrite reuse it)
+    val renamed = bandCols.foldLeft(corpus)(
+      (df, c) => df.withColumnRenamed(c, s"__old_$c"))
+    val sig = Dedup.lshSignature(renamed, "text", k, bands, shingleN)
+    try {
+      val staleRow = bandCols.map(c => !(col(c) <=> col(s"__old_$c")))
+        .reduce(_ || _)
+      val stale = sig.filter(staleRow)
+        .select(col("epoch").cast("long"), col("batch_id").cast("long"))
+        .distinct().as[(Long, Long)].collect().toSet
+      if (stale.isEmpty) return 0L
+      guardAffectedPairs(spark, stale.size, "band-index adoption re-band")
+      val healed = sig.filter(inPartitionPairs(stale))
+        .drop(bandCols.map(c => s"__old_$c"): _*)
+        .localCheckpoint(true)
+      try healed
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "batch_id")
+        .parquet(corpusPath)
+      finally Dedup.freeLocalCheckpoint(healed)
+      stale.size.toLong
+    } finally sig.unpersist(false)
+  }
+
   /** Band-index rows from corpus rows carrying `band0..` columns. */
   private def bandIndexRows(corpus: DataFrame, bands: Int, prefixLen: Int): DataFrame =
     Dedup.bandsLong(
@@ -636,10 +688,13 @@ object CorpusIngest {
     * parameters; called once at query start.
     *  - no corpus yet → create the index dir and pin the parameters;
     *  - corpus data but no index (a round-7-layout corpus being adopted)
-    *    → ONE-TIME backfill from the corpus's stored band columns,
-    *    written to `_graft_bands.tmp` then atomically renamed so a crash
-    *    mid-backfill can never leave a partial index that later batches
-    *    would trust (a partial probe side silently re-admits near-dups);
+    *    → ONE-TIME backfill: stored band columns are first re-verified
+    *    against a from-text recompute under the current canon and any
+    *    drifted partitions rewritten ([[rebandStaleBatches]]), then the
+    *    index is built from them, written to `_graft_bands.tmp` and
+    *    atomically renamed so a crash mid-backfill can never leave a
+    *    partial index that later batches would trust (a partial probe
+    *    side silently re-admits near-dups);
     *  - index present with DIFFERENT parameters → refuse loudly (probing
     *    bands built under another k/bands/shingleN is silent semantic
     *    drift, not an error Spark would surface). The pinned parameters
@@ -685,18 +740,18 @@ object CorpusIngest {
         epochBatchDirs(fs, idx, "pfx=*/epoch=*/batch_id=*") --
           epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*"))
     } else if (hasData(fs, corpusDir)) {
-      // adoption backfill: explode the stored band columns ONCE. A corpus
-      // without band columns (e.g. an exact-dedup corpus at this path)
-      // fails loudly right here on column resolution.
-      // CANON CAVEAT: adoption trusts the stored band0..* columns as
-      // CURRENT-canon (the index meta written below pins CanonVersion,
-      // and compaction re-pairs under the same stored columns, so
-      // corpus and sidecar stay self-consistent either way) — but a
-      // pre-NFC NON-ASCII corpus's stored bands hash the old canon, so
-      // its decomposed-Unicode near-dups keep missing until the corpus
-      // is re-banded (the content-hash rehashCorpus analogue: rewrite
-      // band0..* from text via Dedup.lshSignature, delete the sidecar,
-      // re-adopt). ASCII corpora are unaffected (the canon is identity).
+      // adoption backfill: FIRST heal any canon/parameter drift in the
+      // stored band columns by recomputing them from text under the
+      // current canon and rewriting drifted partitions
+      // ([[rebandStaleBatches]] — adoption previously trusted stored
+      // bands, so a pre-NFC non-ASCII corpus got an old-canon index
+      // stamped canon=nfc1 and the drift went permanently silent), THEN
+      // explode the (now current-canon) stored columns once. Corpus and
+      // sidecar stay self-consistent: compaction re-pairs under the
+      // same healed columns. A corpus without band columns (e.g. an
+      // exact-dedup corpus at this path) fails loudly on the re-band's
+      // column check.
+      rebandStaleBatches(spark, corpusPath, k, bands, shingleN)
       val tmp = new Path(corpusDir, BandsDir + ".tmp")
       fs.delete(tmp, true)
       bandIndexRows(spark.read.parquet(corpusPath), bands, prefixLen)

@@ -286,6 +286,32 @@ class SimilaritySpec extends SparkSpec {
       what = "empty").count() === 0)
   }
 
+  test("requireMeanRecallFloor: consumes the inner recall checkpoint — one resident frame per gate, idempotent on a leaf") {
+    // The gate materializes its OWN checkpoint and must free the one
+    // withRecallAtK pinned inside the input plan, or a serving session
+    // gating recall per request accumulates one resident RDD per call
+    // until session end (round-13 ADVICE).
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnJoin(queries, emb, "vec_id", "embedding", 3)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val gated = Similarity.requireMeanRecallFloor(
+      Similarity.withRecallAtK(exact, queries, emb, "vec_id", "embedding", 3),
+      floor = 0.3, what = "leak-test")
+    val afterGate = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterGate.size === 1,
+      s"gate must leave exactly ONE resident frame (its own), got ${afterGate.size}")
+    // an already-gated (bare checkpoint leaf) frame passes through with
+    // no second copy and stays readable
+    val again = Similarity.requireMeanRecallFloor(gated, floor = 0.3,
+      what = "leak-test-again")
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- before === afterGate,
+      "double-gating must not add a second resident copy")
+    assert(again.count() === gated.count() && again.count() > 0)
+    graft.functions.Dedup.freeLocalCheckpoint(gated)
+  }
+
   test("cellStats: counts sum to corpus, fracs sum to 1, empty cells surface with n=0, assignment-consistent") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     // two far-away planted centroids nothing assigns to → must appear

@@ -1452,6 +1452,23 @@ class StreamingSpec extends SparkSpec {
         s"malformed-conf message must name the key and value: ${e.getMessage}")
     } finally spark.conf.unset(
       graft.streaming.CorpusIngest.MaxCompactionPairsKey)
+    // a NON-POSITIVE ceiling parses as a long but would refuse every
+    // compaction with a nonsense negative/zero ceiling — it must fail
+    // with the same actionable style as a typo
+    for (bad <- Seq("0", "-5")) {
+      spark.conf.set(graft.streaming.CorpusIngest.MaxCompactionPairsKey, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          graft.streaming.CorpusIngest.compactCorpus(spark, corpus)
+        }
+        assert(e.getMessage.contains(
+          graft.streaming.CorpusIngest.MaxCompactionPairsKey) &&
+          e.getMessage.contains(bad) &&
+          e.getMessage.contains("positive"),
+          s"non-positive-conf message must name key/value/fix: ${e.getMessage}")
+      } finally spark.conf.unset(
+        graft.streaming.CorpusIngest.MaxCompactionPairsKey)
+    }
     // with the default ceiling the same backlog compacts normally
     assert(graft.streaming.CorpusIngest.compactCorpus(spark, corpus) === 3L)
   }
@@ -1680,6 +1697,61 @@ class StreamingSpec extends SparkSpec {
       ms4.toDF().toDF("doc_id", "text", "embedding"), semCorpus,
       tmpDir("recon-sem-cp2"), cents).awaitTermination()
     assert(ids(semCorpus) === Set(10L), "missing cell-index batch was not reconciled")
+  }
+
+  test("band-index adoption heals canon-drifted stored bands from text, then indexes the healed columns") {
+    // Round-13 ADVICE: adoption used to TRUST stored band0..* columns —
+    // a pre-NFC corpus's old-canon hashes got indexed and stamped
+    // canon=nfc1, making the drift permanently silent. Adoption now
+    // recomputes from text under the current canon (the rehashCorpus
+    // analogue) and rewrites drifted partitions first.
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Dedup
+    val corpus = tmpDir("adopt-heal-corpus")
+    val tA = (0 until 60).map(i => s"heal$i").mkString(" ")
+    // stored bands computed under an "old canon": drifted values that
+    // share no bucket with the current-canon recompute
+    Seq((10L, tA)).toDF("doc_id", "text")
+      .withColumn("band0", lit("00000000000000000000000000000000"))
+      .withColumn("band1", lit("11111111111111111111111111111111"))
+      .withColumn("band2", lit("22222222222222222222222222222222"))
+      .withColumn("band3", lit("33333333333333333333333333333333"))
+      .withColumn("epoch", lit(0L)).withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("epoch", "batch_id").parquet(corpus)
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+    // the stored columns were rewritten from text under the current canon
+    val freshSig = Dedup.lshSignature(
+      Seq((10L, tA)).toDF("doc_id", "text"), "text", 16, 4, 3)
+    val fresh = freshSig.select("band0", "band1", "band2", "band3").head()
+    freshSig.unpersist(false)
+    val healed = spark.read.parquet(corpus)
+      .select("band0", "band1", "band2", "band3").head()
+    assert(healed === fresh, "adoption left old-canon stored bands in place")
+    // the sidecar indexed the HEALED bands: a fresh query probing a
+    // current-canon near-dup of the stored doc drops it
+    val idxBh = spark.read.parquet(corpus + "/_graft_bands")
+      .select("bh").collect().map(_.getString(0)).toSet
+    assert(idxBh === (0 to 3).map(fresh.getString).toSet,
+      s"index rows must carry the recomputed bands, got $idxBh")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((20L, tA + " tail"))
+    graft.streaming.CorpusIngest.startNearDupCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("adopt-heal-cp"),
+      minTokens = 1).awaitTermination()
+    assert(ids(corpus) === Set(10L),
+      "old-canon adoption re-admitted a near-dup the current canon catches")
+    // idempotent: a current-canon corpus adoption rewrites nothing
+    val before = new java.io.File(corpus, "epoch=0/batch_id=0")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet
+    val idx2 = new java.io.File(corpus, "_graft_bands")
+    def rmAll(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rmAll); x.delete(); ()
+    }
+    rmAll(idx2)
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+    assert(new java.io.File(corpus, "epoch=0/batch_id=0")
+      .listFiles().map(f => (f.getName, f.lastModified())).toSet === before,
+      "re-adoption of a current-canon corpus rewrote partitions")
   }
 
   test("semantic sink: planted NaN embedding ingests without task death, lands in the fallback cell") {
