@@ -673,6 +673,38 @@ object SparkEntry {
     * divisors of both w·8 and 20000 are powers of two), hence exact in
     * BOTH float32 and double.
     */
+  /** qm01's oracle — the stub decode's rolling hash + LCG replayed
+    * relationally: h = fold(31·h + byte) over the payload's UTF-8
+    * bytes (ASCII in this corpus, so `ord` per char IS the byte), then
+    * two rounds of h·6364136223846793005 + 1442695040888963407 (mod
+    * 2⁶⁴), feature = ((h >>> 40) % 1000)/1000. Both multipliers are
+    * < 2⁶³, so every product of a mod-2⁶⁴ value fits HUGEINT directly —
+    * no 32-bit limb fold-back (contrast qm02Sql's splitmix constants).
+    * The initial hash is PREPENDED to the byte list so an empty payload
+    * reduces to it without tripping DuckDB's empty-list reduce error,
+    * matching the stub (which hashes zero bytes, then runs the LCG).
+    */
+  private lazy val qm01Sql: String = {
+    val two64 = "18446744073709551616::HUGEINT"
+    val lcg = (h: String) =>
+      s"($h * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT) % $two64"
+    val feat = (h: String) =>
+      s"round((($h // 1099511627776::HUGEINT) % 1000)::DOUBLE / 1000.0, 4)"
+    s"""WITH f AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decode_ok,
+       |    list_reduce(
+       |      list_prepend(1125899906842597::HUGEINT,
+       |        list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+       |      (acc, b) -> (31*acc + b) % $two64) AS h
+       |  FROM documents),
+       |l1 AS (SELECT media_id, decode_ok, ${lcg("h")} AS h1 FROM f),
+       |l2 AS (SELECT media_id, decode_ok, h1, ${lcg("h1")} AS h2 FROM l1)
+       |SELECT media_id, decode_ok,
+       |  ${feat("h1")} AS f0,
+       |  ${feat("h2")} AS f1
+       |FROM l2 ORDER BY media_id""".stripMargin
+  }
+
   private lazy val qm02Sql: String = {
     val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
     val s2 = duckMixRound("z", 27, 0x94d049bb133111ebL)
@@ -2477,8 +2509,13 @@ object SparkEntry {
     "qd27_mix_pipeline" -> ((s, d) =>
       graft.ops.Pipelines.mixPipeline(Tables.documents(s, d), qd27Weights)),
 
-    // rows-only: multimodal plumbing — documents' bytes stand in for
-    // media payloads; stub decode → fixed-width features (deterministic)
+    // oracle-checked (round 14): multimodal plumbing — documents' bytes
+    // stand in for media payloads; stub decode → fixed-width features.
+    // The stub's rolling hash + LCG is a pure function of the payload
+    // bytes (ASCII text here), and both multipliers are < 2^63, so the
+    // whole chain replays in DuckDB HUGEINT arithmetic without limb
+    // decomposition (qm01Sql) — the mapPartitions seam, encoder-free
+    // payload path, and feature plumbing are all hash-compared.
     "qm01_media_features" -> ((s, d) => {
       import s.implicits._
       // plain select into the MediaRow shape — no typed .map, so the
@@ -2492,9 +2529,12 @@ object SparkEntry {
         .as[graft.multimodal.Multimodal.MediaRow]
       graft.multimodal.Multimodal.extractFeatures(media)
         .toDF()
+        // cast BEFORE rounding (the qm02 lesson): round on FloatType
+        // stays float, and k/1000f carries float residue no double
+        // oracle can reproduce; float→double→round(4) is exact
         .select(col("media_id"), col("decode_ok"),
-          round(element_at(col("feature"), 1), 4).as("f0"),
-          round(element_at(col("feature"), 2), 4).as("f1"))
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("feature"), 2).cast("double"), 4).as("f1"))
         .orderBy(col("media_id"))
     }),
 
@@ -3070,15 +3110,16 @@ object SparkEntry {
   // =====================================================================
   // DuckDB oracles — same column names, same ordering, same rounding.
   // Keys absent here (qd08, qd11, qd12, qd44, qe06, qe14,
-  // qm01, qa01/qa02/qa03) are
+  // qa01/qa02/qa03) are
   // rows-only checks by design: they depend on Spark-internal xxhash64 /
-  // engine sketches / learned centroids / payload-byte rolling hashes
+  // engine sketches / learned centroids
   // with no DuckDB equivalent; their semantics are ScalaTest-verified
   // instead. (The SRP-LSH queries qe03/qe05 ARE oracle-checked — the
   // deterministic plane matrix embeds as SQL literals; qm02/qm04 replay
-  // the synthetic PIXEL arithmetic via 128-bit limb math, and qm03 the
-  // synthetic square-wave PCM — see qm02Sql/qm03Sql/qm04Sql — so the
-  // real PNG/WAV decode chains are hash-compared too.)
+  // the synthetic PIXEL arithmetic via 128-bit limb math, qm03 the
+  // synthetic square-wave PCM, and qm01 the stub decode's payload-byte
+  // rolling hash — see qm01Sql..qm05Sql — so every multimodal chain is
+  // hash-compared.)
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
     "q01_standings" -> standingsSql,
@@ -4949,8 +4990,9 @@ object SparkEntry {
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // the real-decode multimodal queries replayed from their synthetic
-    // generators' arithmetic — see qm02Sql/qm03Sql/qm04Sql
+    // the multimodal queries replayed from their generators' / stub's
+    // arithmetic — see qm01Sql..qm05Sql
+    "qm01_media_features" -> qm01Sql,
     "qm02_image_decode" -> qm02Sql,
     "qm03_audio_decode" -> qm03Sql,
     "qm04_image_neardups" -> qm04Sql,
