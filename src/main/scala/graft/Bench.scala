@@ -146,6 +146,89 @@ object Bench {
     */
   val floorsSf1: Map[String, Double] = Map()
 
+  /** sf0.1 floor for the streaming-capstone replay wall seconds
+    * ([[curationReplay]] — the composed `startCurationSink` over the
+    * documents×embeddings join in [[CurationBatches]] micro-batches).
+    * Same protocol as [[floors]]: min-of-2 clean-window × 1.10; the
+    * replay runs twice per bench, so any breach is two-window-confirmed
+    * by construction. This is the flagship production surface's only
+    * mechanical perf tripwire — a probe-pruning regression (probe bytes
+    * growing with corpus size) lands directly in this number.
+    */
+  val curationSinkFloorSec: Option[Double] = None
+
+  /** Micro-batch count for the capstone replay: enough restarts to pay
+    * the AvailableNow production cadence (query start + ensure/
+    * reconcile + state restore per batch) without the bench being ONLY
+    * restart overhead.
+    */
+  val CurationBatches = 4
+
+  /** Replay the sfDir documents (those with embeddings) through the
+    * composed curation sink in [[CurationBatches]] micro-batches —
+    * fresh corpus + checkpoint in temp dirs, one MemoryStream reused
+    * across restarts (the checkpoint advances offsets, so each restart
+    * processes exactly one batch: the AvailableNow cadence). Returns
+    * (wallSec, stealDuringTicks, docsIn, docsKept, stageSeconds).
+    */
+  def curationReplay(spark: SparkSession, sfDir: String): (Double, Long, Long, Long, Map[String, Double]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .as[(Long, String, Seq[Double])]
+      .collect().sortBy(_._1)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell_id"),
+        col("embedding").as("centroid"))
+    val corpus = java.nio.file.Files.createTempDirectory("bench-cur-corpus")
+    val cp = java.nio.file.Files.createTempDirectory("bench-cur-cp")
+    def rmRf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val groups = rows
+      .grouped(math.max(1, (rows.length + CurationBatches - 1) / CurationBatches))
+      .toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Seq[Double])]
+    graft.streaming.CorpusIngest.StageClock.reset()
+    graft.streaming.CorpusIngest.StageClock.enabled.set(true)
+    val s0 = stealTicks()
+    val t0 = System.nanoTime()
+    try {
+      groups.foreach { g =>
+        ms.addData(g.toSeq)
+        graft.streaming.CorpusIngest.startCurationSink(
+            ms.toDF().toDF("doc_id", "text", "embedding"),
+            corpus.toString, cp.toString, cents)
+          .awaitTermination()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val steal = stealTicks() - s0
+      val kept = spark.read.parquet(corpus.toString).count()
+      (sec, steal, rows.length.toLong, kept,
+        graft.streaming.CorpusIngest.StageClock.secondsByStage)
+    } finally {
+      graft.streaming.CorpusIngest.StageClock.enabled.set(false)
+      rmRf(corpus); rmRf(cp)
+    }
+  }
+
+  /** 2-decimal JSON number under Locale.ROOT (comma-decimal locales
+    * would corrupt the JSON).
+    */
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** Cumulative host steal ticks (8th field of /proc/stat's cpu line) —
     * recorded around the run so the artifact itself shows whether its
     * timings were taken under co-tenant CPU steal (this host shows
@@ -248,8 +331,39 @@ object Bench {
     val confirmJson = confirm.map { case (k, (t3, s3)) =>
       "\"" + k + "\":{\"sec\":" + t3 + ",\"steal\":" + s3 + "}"
     }.mkString("{", ",", "}")
+    // streaming capstone: the composed curation sink's throughput, the
+    // production surface's only perf tripwire. Two full replays (the
+    // two-window protocol by construction: a breach needs BOTH over
+    // 1.3x floor in quiet windows); stage shares from the faster one.
+    // Runs with the full suite or when the filter names it; skippable
+    // for timing-only subset work via SPARK_GRAFT_BENCH_STREAMING=0.
+    val runStreaming =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") != "0" &&
+        (filter.isEmpty || filter.exists(_.findFirstIn("curation_sink").isDefined))
+    val streamJson = if (!runStreaming) "" else {
+      try {
+        val r1 = curationReplay(spark, sfDir)
+        val r2 = curationReplay(spark, sfDir)
+        val best = if (r1._1 <= r2._1) r1 else r2
+        val (sec, st, nIn, nKept, stages) = best
+        val floorPart = curationSinkFloorSec match {
+          case Some(f) if trimmed.endsWith("sf0.1") =>
+            val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
+              r1._2 < 50 && r2._2 < 50
+            s""","vs_floor":${fmt2(sec / f)},"breach":$breach"""
+          case _ => ""
+        }
+        val stageJson = stages.toSeq.sortBy(-_._2).map { case (k, v) =>
+          "\"" + k + "\":" + fmt2(v)
+        }.mkString("{", ",", "}")
+        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$CurationBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$floorPart}"""
+      } catch { case t: Throwable =>
+        System.err.println(s"BENCH STREAMING FAIL: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        s""","streaming":{"error":"${t.getClass.getSimpleName}"}"""
+      }
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. per-query steal windows) → a file,
     // because the harness keeps only the LAST ~2000 chars of stdout: at
     // 50+ queries the full line overflows that window and parses as
@@ -265,7 +379,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs3 = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"floor_breaches":$breaches,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1952,6 +1952,37 @@ object CorpusIngest {
     }
   }
 
+  /** Wall-clock attribution for [[curationBatch]]'s stages, powering
+    * the streaming-capstone bench entry (Bench's `streaming` section):
+    * each stage's driver-blocking actions are timed and accumulated
+    * here when enabled (zero overhead otherwise — one atomic read per
+    * stage per batch). Attribution is per ACTION: a lazy stage tail
+    * (e.g. the winnow anti-joins) bills to the next stage's
+    * materializing action, so shares are a regression SIGNAL (a
+    * probe-pruning regression inflates its own probe stage), not an
+    * exact cost model. Not thread-safe across concurrent queries —
+    * enable only in single-query bench harnesses.
+    */
+  private[graft] object StageClock {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+    val enabled = new AtomicBoolean(false)
+    private val nanos =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+    def time[T](stage: String)(f: => T): T =
+      if (!enabled.get()) f
+      else {
+        val t0 = System.nanoTime()
+        try f finally nanos
+          .computeIfAbsent(stage, _ => new AtomicLong())
+          .addAndGet(System.nanoTime() - t0)
+      }
+    def reset(): Unit = nanos.clear()
+    def secondsByStage: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      nanos.asScala.map { case (k, v) => k -> v.get() / 1e9 }.toMap
+    }
+  }
+
   /** One [[startCurationSink]] micro-batch: stages 3–5 (the probe
     * stages) plus the four partition writes. Extracted so the stage
     * sequence reads top-to-bottom; every frame is batch-sized.
@@ -1972,15 +2003,19 @@ object CorpusIngest {
       batch0.join(fh, Seq("content_hash"), "left_anti"))
     // checkpointed: the signature derivation, the winnow fingerprints
     // and the final keeper anti-joins all re-enter this frame
-    val gated = contaminationGate(folded, benchGrams, benchGramN)
-      .localCheckpoint(true)
+    val gated = StageClock.time("gate") {
+      contaminationGate(folded, benchGrams, benchGramN)
+        .localCheckpoint(true)
+    }
     // stage 3: lexical near-dup via the bucket-pruned band index
-    val sig = Dedup.lshSignature(gated, "text", k, bands, shingleN)
-    val pfxs = sig.select(explode(array((0 until bands).map(b =>
-        substring(col(s"band$b"), 1, bandPrefixLen)): _*)).as("p"))
-      .distinct().as[String].collect().toSeq
-    val bandKeepers = Dedup.incrementalNearDupFromSig(sig,
-      probeBands(spark, corpusPath, epoch, batchId, pfxs), "doc_id", bands)
+    val bandKeepers = StageClock.time("band") {
+      val sig = Dedup.lshSignature(gated, "text", k, bands, shingleN)
+      val pfxs = sig.select(explode(array((0 until bands).map(b =>
+          substring(col(s"band$b"), 1, bandPrefixLen)): _*)).as("p"))
+        .distinct().as[String].collect().toSeq
+      Dedup.incrementalNearDupFromSig(sig,
+        probeBands(spark, corpusPath, epoch, batchId, pfxs), "doc_id", bands)
+    }
     // stage 4: containment via the bucket-pruned winnow index, over
     // stage-3 survivors only
     val fps = Dedup.winnowFingerprints(
@@ -1988,10 +2023,12 @@ object CorpusIngest {
         "doc_id", "text", winnowK, winnowW)
       .select(col("doc_id"), col("fp_hash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wPfxs = fps.select(substring(col("fp_hash"), 1, winnowPrefixLen).as("p"))
-      .distinct().as[String].collect().toSeq
-    val stored = probeWinnow(spark, corpusPath, epoch, batchId, wPfxs)
-      .localCheckpoint(true)
+    val (wPfxs, stored) = StageClock.time("winnow") {
+      val p = fps.select(substring(col("fp_hash"), 1, winnowPrefixLen).as("p"))
+        .distinct().as[String].collect().toSeq
+      (p, probeWinnow(spark, corpusPath, epoch, batchId, p)
+        .localCheckpoint(true))
+    }
     val hot = fps.select(col("fp_hash"))
       .union(stored.select(col("fp_hash")))
       .groupBy(col("fp_hash")).agg(count(lit(1)).as("__df"))
@@ -2020,8 +2057,10 @@ object CorpusIngest {
       .withColumn("cell",
         element_at(NativeExpressions.nearestCells(col("embedding"), cm, 1), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cellsHit = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val cellsHit = StageClock.time("cell") {
+      assigned.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+    }
     val vsCorpus = assigned
       .join(probeCells(spark, corpusPath, epoch, batchId, cellsHit), "cell")
       .filter(Similarity.pairScore(metric, col("embedding"), col("__corpus_emb"))
@@ -2035,9 +2074,12 @@ object CorpusIngest {
           >= semThreshold)
       .select(col("doc_id"))
     // checkpointed: FOUR writes below consume the final keeper set
-    val finalKeepers = assigned
-      .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val finalKeepers = StageClock.time("cell") {
+      assigned
+        .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    StageClock.time("write") {
     finalKeepers
       .withColumn("epoch", lit(epoch))
       .withColumn("batch_id", lit(batchId))
@@ -2071,6 +2113,7 @@ object CorpusIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "epoch", "batch_id")
       .parquet(new Path(corpusDir, CellsDir).toString)
+    }
     fps.unpersist(false)
     assigned.unpersist(false)
     Dedup.freeLocalCheckpoint(stored)
