@@ -1983,6 +1983,24 @@ object CorpusIngest {
     }
   }
 
+  /** One-shot planted-fault hook for crash-window tests: the curation
+    * sink's four partition writes (corpus, bands, winnow, cells) are
+    * NOT atomic, and the recovery story — an uncommitted batch re-fires
+    * and its dynamic overwrites heal every partition — is otherwise
+    * unprovable without killing a JVM mid-write. `arm` a point name
+    * once; the next [[maybeTrip]] at that point throws (failing the
+    * in-flight batch exactly there) and DISARMS, so the restarted
+    * query's replay runs clean. No-op (one atomic read) when unarmed.
+    */
+  private[graft] object FaultInjection {
+    private val tripAt =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    def arm(point: String): Unit = tripAt.set(point)
+    def maybeTrip(point: String): Unit =
+      if (tripAt.compareAndSet(point, null))
+        throw new RuntimeException(s"planted fault: $point")
+  }
+
   /** One [[startCurationSink]] micro-batch: stages 3–5 (the probe
     * stages) plus the four partition writes. Extracted so the stage
     * sequence reads top-to-bottom; every frame is batch-sized.
@@ -2087,6 +2105,9 @@ object CorpusIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "batch_id")
       .parquet(corpusPath)
+    // the crash window the double-failure reconcile routines exist for:
+    // corpus written, sidecars not yet
+    FaultInjection.maybeTrip("curation-after-corpus-write")
     Dedup.bandsLong(finalKeepers, bands, Nil)
       .withColumn("pfx", substring(col("bh"), 1, bandPrefixLen))
       .withColumn("epoch", lit(epoch))
