@@ -254,6 +254,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies session confs before
+    // the sweep — the A/B lever for conf-gated physical experiments
+    // (e.g. spark.graft.bigramNll.coPartition) without recompiling
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
     // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]

@@ -445,6 +445,22 @@ object TextAnalysis {
     * to the two model tables on uniform keys plus a broadcast V scalar,
     * then one per-doc rollup. No windows, nothing all-pairs; at 100 TB
     * the model tables behave exactly like qd29's vocab join.
+    *
+    * CLOSED experiment (round 14) — co-partitioned model joins: the
+    * hypothesis was that the doc-bigram frame is exchanged twice (once
+    * per model join) and a single explicit `__ctx` repartition of both
+    * sides could satisfy both joins via subset-of-join-keys
+    * co-partitioning. The executed plan refutes the premise: AQE
+    * broadcasts BOTH vocabulary-sized model tables (BroadcastHashJoin
+    * on `__bg`, then on `__ctx`), so the doc frame is exchanged exactly
+    * ONCE — by its own groupBy — and the co-partition form ADDS a
+    * doc-sized REPARTITION_BY_NUM exchange plus a model re-exchange
+    * (measured flat-to-worse under A/B, plan-verified). qd62's
+    * remaining cost is intrinsic: the bigram explode + doc-grouped
+    * count and two broadcast-hash probes. At a scale where the model
+    * tables outgrow the broadcast threshold the question reopens — but
+    * then `spark.sql.autoBroadcastJoinThreshold`, not this operator,
+    * is the first lever.
     */
   def bigramNllGate(df: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String,
