@@ -58,4 +58,207 @@ class ServeSqlSpec extends SparkSpec {
       assert(spark.table("g63_sh").count() === 1)
     } finally spark.sql("DROP TABLE IF EXISTS g63_sh")
   }
+
+  // ---- curation-batch probe stages in SQL (round-14 stretch) ----------
+
+  /** Quality-passing synthetic text (the StreamingSpec capstone shape):
+    * 50 tokens, every 5th a stopword — passes keepNarrow.
+    */
+  private def curText(stem: String): String =
+    (0 until 50).map(i => if (i % 5 == 4) "the" else s"$stem$i").mkString(" ")
+
+  /** `ctx + quote-of-target + out`: shares a 14-token run with `target`
+    * (winnow guarantee fires on any shared run of ≥ w+k−1 tokens) while
+    * keeping whole-doc Jaccard far below band-candidate range.
+    */
+  private def quoteOf(target: String, ctxStem: String, outStem: String): String =
+    (0 until 14).map(i => if (i % 5 == 4) "the" else s"$ctxStem$i").mkString(" ") +
+      " " + target.split(" ").slice(10, 24).mkString(" ") + " " +
+      (0 until 14).map(i => if (i % 5 == 4) "and" else s"$outStem$i").mkString(" ")
+
+  test("curation batch stages 3-5 replay in SQL: keeper set row-identical to the streaming sink") {
+    // The probe stages of CorpusIngest.curationBatch (band near-dup →
+    // winnow containment → semantic cell probe) are plain relational ops
+    // once the kernels (minhash_sig, md5 banding, relational winnowing,
+    // vec_dot) are SQL-registered — this is the DataFrame-only gap's
+    // closing proof: the SAME stored sidecar state + the SAME batch,
+    // probed through spark.sql, must keep exactly the docs the sink
+    // kept. Fixture text is single-spaced ASCII so the canon steps
+    // (NFC, ws-collapse) are no-ops on both paths; every drop arm is
+    // exercised: cross-corpus and within-batch, for all three stages.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{array, col}
+    import graft.functions.Dedup
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = tmpDir("cursql-corpus")
+    val cents = Seq(
+      (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2, Seq(0.0, 0.0, 1.0, 0.0)), (3, Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val tA = curText("alpha"); val tB = curText("bravo"); val tC = curText("charlie")
+    val t16 = curText("golf"); val t18 = curText("hotel")
+    val batch1 = Seq(
+      (11L, tB + " extra tail words here", Seq(0.0, 0.0, 0.6, 0.8)),   // cross band (vs 2)
+      (12L, quoteOf(tC, "qtx", "qout"), Seq(0.0, 0.6, 0.0, 0.8)),      // cross winnow (vs 3)
+      (13L, curText("echo"), Seq(0.995, 0.0995, 0.0, 0.0)),            // cross cell (vs 1)
+      (15L, curText("foxtrot"), Seq(0.0, 0.0, 0.0, 1.0)),              // keeper
+      (16L, t16, Seq(0.5, 0.0, 0.0, 0.866)),                           // keeper
+      (17L, t16 + " extra tail words here", Seq(0.0, 0.0, 0.8, 0.6)),  // within band (vs 16)
+      (18L, t18, Seq(0.0, 0.8, 0.0, 0.6)),                             // keeper
+      (19L, quoteOf(t18, "wtx", "wout"), Seq(0.6, 0.0, 0.8, 0.0)),     // within winnow (vs 18)
+      (20L, curText("india"), Seq(0.0, 0.0, 0.66, 0.75)),              // keeper
+      (21L, curText("juliet"), Seq(0.0, 0.0, 0.67, 0.74)))             // within cell (vs 20)
+
+    // fixture sanity — each planted doc is catchable by exactly the
+    // intended mechanism (the StreamingSpec capstone's cross-check)
+    val fixture = (Seq((2L, tB), (3L, tC)) ++ batch1.map(d => (d._1, d._2)))
+      .toDF("doc_id", "text")
+    val bandsOf = Dedup.withLshBands(Dedup.withMinHash(fixture, "text", 16, 3), 16, 4)
+      .select(col("doc_id"), array((0 until 4).map(b => col(s"band$b")): _*).as("bs"))
+      .as[(Long, Seq[String])].collect().toMap
+    def bandHit(a: Long, b: Long): Boolean =
+      bandsOf(a).zip(bandsOf(b)).exists(p => p._1 == p._2)
+    val fpsOf = Dedup.winnowFingerprints(fixture, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bandHit(11L, 2L), "11 must band-hit stored 2")
+    assert(bandHit(17L, 16L), "17 must band-hit batchmate 16")
+    assert(!bandHit(12L, 3L) && fpsOf(12L).intersect(fpsOf(3L)).size >= 2,
+      "12 must be winnow-only catchable vs stored 3")
+    assert(!bandHit(19L, 18L) && fpsOf(19L).intersect(fpsOf(18L)).size >= 2,
+      "19 must be winnow-only catchable vs batchmate 18")
+
+    // DataFrame path: batch 0 seeds the corpus + sidecars, batch 1 probes
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    val cp = tmpDir("cursql-cp")
+    def run(): Unit =
+      graft.streaming.CorpusIngest.startCurationSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents)
+        .awaitTermination()
+    ms.addData(
+      (1L, tA, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, tB, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, tC, Seq(0.0, 0.0, 1.0, 0.0)))
+    run()
+    ms.addData(batch1: _*)
+    run()
+    val sinkKept = spark.read.parquet(corpus)
+      .filter(col("batch_id") === 1).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(sinkKept === Seq(15L, 16L, 18L, 20L), "sink keeper set drifted")
+
+    // SQL path over the same state: sidecars minus the batch being
+    // replayed (probeBands/probeWinnow/probeCells exclude the current
+    // batch's own partitions; the pfx/cell IN-list pruning they add is
+    // I/O-only and semantics-free, so the twin omits it)
+    batch1.toDF("doc_id", "text", "embedding").createOrReplaceTempView("cur_batch")
+    cents.createOrReplaceTempView("cur_cents")
+    spark.read.parquet(s"$corpus/_graft_bands").filter(col("batch_id") =!= 1)
+      .select("band", "bh").createOrReplaceTempView("cur_bands0")
+    spark.read.parquet(s"$corpus/_graft_winnow").filter(col("batch_id") =!= 1)
+      .select("doc_id", "fp_hash").createOrReplaceTempView("cur_winnow0")
+    spark.read.parquet(s"$corpus/_graft_cells").filter(col("batch_id") =!= 1)
+      .select("cell", "emb").createOrReplaceTempView("cur_cells0")
+    def cosGe(a: String, b: String): String =
+      s"""round(CASE WHEN sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)) = 0D THEN 0D
+         |  ELSE vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b))) END,
+         |  6) >= 0.9D""".stripMargin
+    val bandCols = (0 until 4).map { b =>
+      val mh = (4 * b until 4 * b + 4)
+        .map(j => s"CAST(element_at(s, ${j + 1}) AS STRING)").mkString(", ")
+      s"md5(concat_ws('|', $mh)) AS band$b"
+    }.mkString(",\n    ")
+    val sqlKept = spark.sql(
+      s"""WITH sigarr AS (
+         |  SELECT doc_id, text, CAST(embedding AS ARRAY<DOUBLE>) AS embedding,
+         |    minhash_sig(nfc_normalize(text), 16, 3) AS s
+         |  FROM cur_batch),
+         |sig AS (
+         |  SELECT doc_id, text, embedding,
+         |    $bandCols
+         |  FROM sigarr),
+         |blong AS (
+         |  SELECT doc_id, 0 AS band, band0 AS bh FROM sig
+         |  UNION ALL SELECT doc_id, 1, band1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, band2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, band3 FROM sig),
+         |cross3 AS (
+         |  SELECT DISTINCT l.doc_id FROM blong l
+         |  JOIN cur_bands0 s ON l.band = s.band AND l.bh = s.bh),
+         |within3 AS (
+         |  SELECT DISTINCT hi.doc_id FROM blong lo JOIN blong hi
+         |    ON lo.band = hi.band AND lo.bh = hi.bh AND lo.doc_id < hi.doc_id),
+         |keep3 AS (
+         |  SELECT k.doc_id, k.text, k.embedding FROM sig k
+         |  LEFT ANTI JOIN cross3 c ON k.doc_id = c.doc_id
+         |  LEFT ANTI JOIN within3 w ON k.doc_id = w.doc_id),
+         |toks AS (
+         |  SELECT doc_id, split(trim(lower(text)), ' ') AS t FROM keep3
+         |  WHERE size(split(trim(lower(text)), ' ')) >= 3),
+         |grams AS (
+         |  SELECT doc_id, pos, md5(g) AS h, size(t) - 2 AS ngr
+         |  FROM toks
+         |  LATERAL VIEW posexplode(transform(sequence(0, size(t) - 3),
+         |    i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) x AS pos, g),
+         |winfp AS (
+         |  SELECT DISTINCT doc_id, substring(wk, 1, 32) AS fp_hash
+         |  FROM (
+         |    SELECT doc_id, pos, ngr,
+         |      min(concat(h, '#', lpad(CAST(ngr - pos AS STRING), 10, '0')))
+         |        OVER (PARTITION BY doc_id ORDER BY pos
+         |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+         |    FROM grams)
+         |  WHERE pos <= ngr - 4),
+         |stored4 AS (SELECT doc_id AS cid, fp_hash FROM cur_winnow0),
+         |hot AS (
+         |  SELECT fp_hash FROM (
+         |    SELECT fp_hash, count(1) AS df FROM (
+         |      SELECT fp_hash FROM winfp UNION ALL SELECT fp_hash FROM stored4)
+         |    GROUP BY fp_hash)
+         |  WHERE df > 50),
+         |bf AS (SELECT w.doc_id, w.fp_hash FROM winfp w
+         |  LEFT ANTI JOIN hot h ON w.fp_hash = h.fp_hash),
+         |sf AS (SELECT s.cid, s.fp_hash FROM stored4 s
+         |  LEFT ANTI JOIN hot h ON s.fp_hash = h.fp_hash),
+         |cross4 AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT b.doc_id, s.cid FROM bf b JOIN sf s ON b.fp_hash = s.fp_hash
+         |    GROUP BY b.doc_id, s.cid
+         |    HAVING count(1) >= 2)),
+         |within4 AS (
+         |  SELECT DISTINCT ib AS doc_id FROM (
+         |    SELECT a.doc_id AS ia, b.doc_id AS ib
+         |    FROM bf a JOIN bf b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id
+         |    HAVING count(1) >= 2)),
+         |keep4 AS (
+         |  SELECT k.doc_id, k.embedding FROM keep3 k
+         |  LEFT ANTI JOIN cross4 c ON k.doc_id = c.doc_id
+         |  LEFT ANTI JOIN within4 w ON k.doc_id = w.doc_id),
+         |assigned AS (
+         |  SELECT doc_id, embedding, cell FROM (
+         |    SELECT k.doc_id, k.embedding, c.cell_id AS cell,
+         |      row_number() OVER (PARTITION BY k.doc_id ORDER BY
+         |        vec_dot(c.centroid, c.centroid) - 2D * vec_dot(k.embedding, c.centroid) ASC,
+         |        c.cell_id ASC) AS rn
+         |    FROM keep4 k CROSS JOIN cur_cents c)
+         |  WHERE rn = 1),
+         |cross5 AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM assigned a JOIN cur_cells0 s ON a.cell = s.cell
+         |  WHERE ${cosGe("a.embedding", "s.emb")}),
+         |within5 AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.doc_id < a.doc_id
+         |  WHERE ${cosGe("a.embedding", "b.embedding")})
+         |SELECT k.doc_id FROM keep4 k
+         |LEFT ANTI JOIN cross5 c ON k.doc_id = c.doc_id
+         |LEFT ANTI JOIN within5 w ON k.doc_id = w.doc_id
+         |ORDER BY k.doc_id""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(sqlKept === sinkKept,
+      s"SQL stage 3-5 replay diverged: sql=$sqlKept sink=$sinkKept")
+  }
 }
