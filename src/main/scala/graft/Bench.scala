@@ -78,61 +78,70 @@ object Bench {
     * manufactured a phantom breach the next round). Queries without a
     * floor (new this round) are skipped — re-pin after each round's
     * clean run.
+    *
+    * Round-14 pin: base = min(round-13 clean-window minimum, the two
+    * round-14 full-suite windows) × 1.10. One honest UPWARD re-pin:
+    * qe26_random_projection read 1.94×/1.75× its round-13 floor in BOTH
+    * windows on untouched code — that floor was the −37% single-window
+    * artifact the round-13 verdict flagged — so it is re-pinned from
+    * its own two-window minimum (0.611 → 1.176, vs 0.966 in round 12).
+    * qd19/qd37/qd38 (the round-13 open adjudication) normalized to
+    * ≤ 1.25× in the cleaner window: no re-pin, elevation was host drift.
     */
   val floors: Map[String, Double] = Map(
-    "q01_standings" -> 1.052, "q02_points_ladder" -> 0.602,
-    "q08_fact_dim_join" -> 0.451, "q09_dedup_first" -> 0.342,
-    "q18_rank_standings" -> 0.625, "q21_region_rollup" -> 1.013,
-    "q22_window_monthly" -> 1.502, "q26_rollup" -> 1.569,
-    "q31_topk_per_group" -> 1.182, "q37_asof_join" -> 0.679,
-    "q38_sliding_window" -> 0.755, "q40_range_join" -> 2.754,
-    "q41_topk_aggregator" -> 0.919, "qd01_exact_dedup" -> 0.365,
-    "qd02_token_count" -> 0.309, "qd03_quality" -> 0.550,
-    "qd04_langid" -> 0.538, "qd05_fingerprint" -> 0.284,
-    "qd08_simhash" -> 0.230, "qd09_minhash_neardups" -> 2.108,
-    "qd10_corpus_pipeline" -> 0.771, "qd11_minhash_neardups_fast" -> 0.571,
-    "qd12_simhash_neardups" -> 0.603, "qd13_chunking" -> 0.333,
-    "qd14_neardup_clusters" -> 2.514, "qd19_pretraining_pipeline" -> 0.637,
-    "qd21_simhash_neardups_portable" -> 0.894, "qd22_decontaminate" -> 0.490,
-    "qd24_sequence_packing" -> 0.279, "qd26_incremental_dedup" -> 0.456,
-    "qd27_mix_pipeline" -> 0.811, "qd28_vocab" -> 0.246,
-    "qd29_unigram_logprob" -> 0.934, "qd30_dsir" -> 1.571,
-    "qd31_wordpiece" -> 0.502, "qd32_dup_passages" -> 0.827,
-    "qd33_curation_pipeline" -> 4.442, "qd34_scrub_spans" -> 1.533,
-    "qd35_dup_ngram_frac" -> 1.059, "qd36_dsir_fast" -> 1.369,
-    "qd37_incremental_neardup" -> 1.325, "qd38_contamination_report" -> 0.519,
-    "qd39_gopher_filter" -> 1.598, "qd40_corpus_datacard" -> 1.154,
-    "qd41_source_overlap" -> 4.380, "qd42_curriculum_buckets" -> 1.323,
-    "qd43_source_overlap_fast" -> 1.423, "qd45_fuzzy_decontaminate" -> 1.314,
-    "qd48_normalize_text" -> 0.330, "qd49_compression_ratio" -> 0.409,
-    "qd50_temperature_mix" -> 0.485, "qd44_source_overlap_sketch" -> 1.958,
-    "qr01_bm25_topk" -> 1.827, "qr02_bm25_sidecar" -> 0.880,
-    "qr03_hybrid_sidecar" -> 1.187, "qe01_cosine_topk" -> 0.197,
-    "qe02_knn_join" -> 0.422, "qe03_ann_lsh" -> 0.339,
-    "qe08_ivf_ann_oracle" -> 0.368, "qe10_semantic_dedup" -> 1.118,
-    "qe11_quantized_ivf" -> 0.880, "qe12_pq_ann" -> 0.564,
-    "qe13_ivfpq_ann" -> 0.705, "qe14_pq_ann_learned" -> 1.143,
-    "qe15_mrl_rerank" -> 0.422, "qe16_hybrid_rrf" -> 2.818,
-    "qe17_cluster_cap_sample" -> 0.450, "qe18_ivf_mrl_funnel" -> 0.609,
-    "qe19_ann_sidecar" -> 0.705, "qe20_kmeans_fit" -> 0.655,
-    "qe21_class_mean" -> 0.456, "qe22_source_affinity" -> 0.580,
-    "qe23_kmeans_ivf" -> 0.653, "qe24_semantic_decontaminate" -> 0.433,
-    "qe25_cell_stats" -> 0.676, "qe26_random_projection" -> 0.611,
-    "qe27_embedding_outliers" -> 0.588, "qd51_winnowing" -> 0.511,
-    "qd52_corpus_diff" -> 0.384, "qd53_containment" -> 7.153,
-    "qd54_min_k_prob" -> 1.490, "qd55_ngram_diversity" -> 3.416,
-    "qd56_source_containment" -> 4.436, "qd57_stream_packing" -> 0.838,
-    "qd58_winsorize" -> 0.403, "qd59_containment_fast" -> 1.936,
-    "qd60_collocations" -> 3.535, "qd61_full_pipeline" -> 13.194,
-    "qd65_full_pipeline_fast" -> 4.291, "qd62_bigram_nll_gate" -> 6.724,
-    "qd63_quality_keepers" -> 2.918, "qd64_zipf_fit" -> 0.769,
-    "qd66_curriculum_packing" -> 2.246, "qe28_int4_fidelity" -> 1.090,
-    "qr07_retrieval_eval_summary" -> 2.771, "qr08_retrieval_pipeline" -> 3.164,
-    "qr09_prf_expansion" -> 5.241, "qr10_mmr_rerank" -> 0.960,
-    "qr04_retrieval_eval" -> 2.431, "qr05_hard_negatives" -> 1.927,
-    "qr06_tfidf_keywords" -> 1.072, "qm03_audio_decode" -> 0.266,
-    "q42_zorder" -> 0.355, "qs01_hourly_events" -> 0.418,
-    "qs02_sessionize" -> 0.754, "qs03_session_window" -> 0.857)
+    "q01_standings" -> 1.157, "q02_points_ladder" -> 0.662,
+    "q08_fact_dim_join" -> 0.496, "q09_dedup_first" -> 0.376,
+    "q18_rank_standings" -> 0.688, "q21_region_rollup" -> 1.114,
+    "q22_window_monthly" -> 1.652, "q26_rollup" -> 1.726,
+    "q31_topk_per_group" -> 1.209, "q37_asof_join" -> 0.747,
+    "q38_sliding_window" -> 0.831, "q40_range_join" -> 3.029,
+    "q41_topk_aggregator" -> 1.011, "qd01_exact_dedup" -> 0.402,
+    "qd02_token_count" -> 0.34, "qd03_quality" -> 0.605,
+    "qd04_langid" -> 0.592, "qd05_fingerprint" -> 0.312,
+    "qd08_simhash" -> 0.253, "qd09_minhash_neardups" -> 2.319,
+    "qd10_corpus_pipeline" -> 0.848, "qd11_minhash_neardups_fast" -> 0.628,
+    "qd12_simhash_neardups" -> 0.663, "qd13_chunking" -> 0.366,
+    "qd14_neardup_clusters" -> 2.765, "qd19_pretraining_pipeline" -> 0.701,
+    "qd21_simhash_neardups_portable" -> 0.983, "qd22_decontaminate" -> 0.539,
+    "qd24_sequence_packing" -> 0.307, "qd26_incremental_dedup" -> 0.502,
+    "qd27_mix_pipeline" -> 0.892, "qd28_vocab" -> 0.271,
+    "qd29_unigram_logprob" -> 1.027, "qd30_dsir" -> 1.728,
+    "qd31_wordpiece" -> 0.552, "qd32_dup_passages" -> 0.91,
+    "qd33_curation_pipeline" -> 4.886, "qd34_scrub_spans" -> 1.686,
+    "qd35_dup_ngram_frac" -> 1.165, "qd36_dsir_fast" -> 1.506,
+    "qd37_incremental_neardup" -> 1.458, "qd38_contamination_report" -> 0.571,
+    "qd39_gopher_filter" -> 1.758, "qd40_corpus_datacard" -> 1.269,
+    "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.455,
+    "qd43_source_overlap_fast" -> 1.46, "qd45_fuzzy_decontaminate" -> 1.445,
+    "qd48_normalize_text" -> 0.363, "qd49_compression_ratio" -> 0.45,
+    "qd50_temperature_mix" -> 0.533, "qd44_source_overlap_sketch" -> 2.154,
+    "qr01_bm25_topk" -> 2.01, "qr02_bm25_sidecar" -> 0.939,
+    "qr03_hybrid_sidecar" -> 1.306, "qe01_cosine_topk" -> 0.217,
+    "qe02_knn_join" -> 0.464, "qe03_ann_lsh" -> 0.373,
+    "qe08_ivf_ann_oracle" -> 0.405, "qe10_semantic_dedup" -> 1.23,
+    "qe11_quantized_ivf" -> 0.927, "qe12_pq_ann" -> 0.615,
+    "qe13_ivfpq_ann" -> 0.775, "qe14_pq_ann_learned" -> 1.257,
+    "qe15_mrl_rerank" -> 0.461, "qe16_hybrid_rrf" -> 2.999,
+    "qe17_cluster_cap_sample" -> 0.452, "qe18_ivf_mrl_funnel" -> 0.641,
+    "qe19_ann_sidecar" -> 0.714, "qe20_kmeans_fit" -> 0.721,
+    "qe21_class_mean" -> 0.464, "qe22_source_affinity" -> 0.638,
+    "qe23_kmeans_ivf" -> 0.718, "qe24_semantic_decontaminate" -> 0.476,
+    "qe25_cell_stats" -> 0.724, "qe26_random_projection" -> 1.176,
+    "qe27_embedding_outliers" -> 0.647, "qd51_winnowing" -> 0.562,
+    "qd52_corpus_diff" -> 0.422, "qd53_containment" -> 7.868,
+    "qd54_min_k_prob" -> 1.639, "qd55_ngram_diversity" -> 3.758,
+    "qd56_source_containment" -> 4.88, "qd57_stream_packing" -> 0.845,
+    "qd58_winsorize" -> 0.443, "qd59_containment_fast" -> 2.13,
+    "qd60_collocations" -> 3.889, "qd61_full_pipeline" -> 14.513,
+    "qd65_full_pipeline_fast" -> 4.72, "qd62_bigram_nll_gate" -> 7.396,
+    "qd63_quality_keepers" -> 3.21, "qd64_zipf_fit" -> 0.846,
+    "qd66_curriculum_packing" -> 2.471, "qe28_int4_fidelity" -> 1.199,
+    "qr07_retrieval_eval_summary" -> 2.99, "qr08_retrieval_pipeline" -> 3.48,
+    "qr09_prf_expansion" -> 5.765, "qr10_mmr_rerank" -> 0.998,
+    "qr04_retrieval_eval" -> 2.674, "qr05_hard_negatives" -> 2.089,
+    "qr06_tfidf_keywords" -> 1.179, "qm03_audio_decode" -> 0.249,
+    "q42_zorder" -> 0.355, "qs01_hourly_events" -> 0.46,
+    "qs02_sessionize" -> 0.828, "qs03_session_window" -> 0.903)
 
   /** Per-query sf1 floor seconds for the top headline queries — the
     * 100×-scale tripwire (round-13 verdict: every sf1 reading lived as
@@ -144,7 +153,17 @@ object Bench {
     * queries not listed are timed but not floor-checked (sf1 sweeps of
     * the full 100-query suite are an occasional, not per-round, cost).
     */
-  val floorsSf1: Map[String, Double] = Map()
+  val floorsSf1: Map[String, Double] = Map(
+    // round-14 pin: min of two interleaved-pass windows × 1.10 (windows
+    // at 18.0k/36.6k whole-run steal ticks — the host's load-induced
+    // regime; per-query deltas between the windows stayed within ±15%,
+    // so the minima are stable, but re-pin DOWNWARD when a cleaner
+    // window reads lower: a too-high floor only loses sensitivity)
+    "qd61_full_pipeline" -> 30.05, "qd65_full_pipeline_fast" -> 11.73,
+    "qd62_bigram_nll_gate" -> 78.09, "qd63_quality_keepers" -> 18.67,
+    "qd53_containment" -> 90.39, "qe28_int4_fidelity" -> 11.84,
+    "qd66_curriculum_packing" -> 7.59, "qr09_prf_expansion" -> 9.81,
+    "qe14_pq_ann_learned" -> 4.04, "qd41_source_overlap" -> 50.50)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
@@ -154,8 +173,15 @@ object Bench {
     * by construction. This is the flagship production surface's only
     * mechanical perf tripwire — a probe-pruning regression (probe bytes
     * growing with corpus size) lands directly in this number.
+    *
+    * Round-14 pin: best replay across the round's two full-suite
+    * windows (60.58 s, 1859 steal ticks; the other window's best read
+    * 85.89 s under 8k ticks) × 1.10 = 66.6. The replay's readings swing
+    * ~40% with co-tenant load — the 1.3× trigger (86.6 s) sits just
+    * above the dirtiest observed window, so a breach means a real
+    * regression, not weather.
     */
-  val curationSinkFloorSec: Option[Double] = None
+  val curationSinkFloorSec: Option[Double] = Some(66.6)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
@@ -357,8 +383,22 @@ object Bench {
         val (sec, st, nIn, nKept, stages) = best
         val floorPart = curationSinkFloorSec match {
           case Some(f) if trimmed.endsWith("sf0.1") =>
+            // the steal guard here is per SECOND, not per run (contrast
+            // the query rule's absolute <50): the replay saturates all
+            // cores for a minute-plus, so absolute ticks are never near
+            // zero (1.8k on the cleanest observed run) and an absolute
+            // guard would make the floor unfireable. Measured regimes:
+            // ~31 ticks/s on the clean pin run vs 80–160 under
+            // co-tenant load (32 cpus × 100 Hz = 3200 ticks/s capacity,
+            // so 50/s ≈ 1.5% stolen). Both runs must exceed 1.3× AND
+            // both must be sub-50/s — in a dirty window the floor
+            // abstains rather than alarm (the first drive of this rule
+            // without the guard flagged a 235 s steal-burst run as a
+            // "confirmed" breach).
+            def quiet(r: (Double, Long, Long, Long, Map[String, Double])): Boolean =
+              r._2 < 50L * math.max(1L, r._1.toLong)
             val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
-              r1._2 < 50 && r2._2 < 50
+              quiet(r1) && quiet(r2)
             s""","vs_floor":${fmt2(sec / f)},"breach":$breach"""
           case _ => ""
         }
