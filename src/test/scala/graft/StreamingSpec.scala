@@ -926,12 +926,18 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.CorpusIngest.startDedupedCorpusSink(
       ms3.toDF().toDF("doc_id", "text"), exCorpus, tmpDir("mix-ex-cp2"),
       minTokens = 1).awaitTermination()
-    // …refused by the NEAR-dup sink (band-index backfill can't resolve band0)
+    // …refused by the NEAR-dup sink: since the round-14 canon heal,
+    // adoption pre-checks the stored band columns and refuses a
+    // band-less corpus with an actionable message (previously this fell
+    // through to the backfill's unresolved-band0 AnalysisException)
     val ms4 = MemoryStream[(Long, String)]
-    intercept[org.apache.spark.sql.AnalysisException] {
+    val mixErr = intercept[IllegalArgumentException] {
       graft.streaming.CorpusIngest.startNearDupCorpusSink(
         ms4.toDF().toDF("doc_id", "text"), exCorpus, tmpDir("mix-nd-cp2"))
     }
+    assert(mixErr.getMessage.contains("band0") &&
+      mixErr.getMessage.contains("not a banded near-dup corpus"),
+      s"refusal must name the missing columns: ${mixErr.getMessage}")
 
     // and a parameter-mismatched band index is refused, not silently probed
     val ms5 = MemoryStream[(Long, String)]
