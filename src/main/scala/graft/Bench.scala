@@ -84,9 +84,14 @@ object Bench {
     * qe26_random_projection read 1.94×/1.75× its round-13 floor in BOTH
     * windows on untouched code — that floor was the −37% single-window
     * artifact the round-13 verdict flagged — so it is re-pinned from
-    * its own two-window minimum (0.611 → 1.176, vs 0.966 in round 12).
-    * qd19/qd37/qd38 (the round-13 open adjudication) normalized to
-    * ≤ 1.25× in the cleaner window: no re-pin, elevation was host drift.
+    * its own observed minima (0.611 → 1.111; a third, cleaner window
+    * read it at 1.01 s, confirming the elevation is real and the new
+    * pin honest — the round-12 pin was 0.966). qd19/qd37/qd38 (the
+    * round-13 open adjudication) normalized to ≤ 1.25× in the cleaner
+    * window: no re-pin, elevation was host drift. A third full-suite
+    * window (zero breaches, median vs_floor 1.03) then tightened 17
+    * floors downward where it read below the pin basis — the
+    * re-pin-DOWNWARD-on-cleaner-evidence arm of the protocol.
     */
   val floors: Map[String, Double] = Map(
     "q01_standings" -> 1.157, "q02_points_ladder" -> 0.662,
@@ -96,19 +101,19 @@ object Bench {
     "q31_topk_per_group" -> 1.209, "q37_asof_join" -> 0.747,
     "q38_sliding_window" -> 0.831, "q40_range_join" -> 3.029,
     "q41_topk_aggregator" -> 1.011, "qd01_exact_dedup" -> 0.402,
-    "qd02_token_count" -> 0.34, "qd03_quality" -> 0.605,
+    "qd02_token_count" -> 0.287, "qd03_quality" -> 0.588,
     "qd04_langid" -> 0.592, "qd05_fingerprint" -> 0.312,
-    "qd08_simhash" -> 0.253, "qd09_minhash_neardups" -> 2.319,
-    "qd10_corpus_pipeline" -> 0.848, "qd11_minhash_neardups_fast" -> 0.628,
-    "qd12_simhash_neardups" -> 0.663, "qd13_chunking" -> 0.366,
+    "qd08_simhash" -> 0.253, "qd09_minhash_neardups" -> 2.094,
+    "qd10_corpus_pipeline" -> 0.848, "qd11_minhash_neardups_fast" -> 0.61,
+    "qd12_simhash_neardups" -> 0.662, "qd13_chunking" -> 0.366,
     "qd14_neardup_clusters" -> 2.765, "qd19_pretraining_pipeline" -> 0.701,
     "qd21_simhash_neardups_portable" -> 0.983, "qd22_decontaminate" -> 0.539,
     "qd24_sequence_packing" -> 0.307, "qd26_incremental_dedup" -> 0.502,
     "qd27_mix_pipeline" -> 0.892, "qd28_vocab" -> 0.271,
     "qd29_unigram_logprob" -> 1.027, "qd30_dsir" -> 1.728,
     "qd31_wordpiece" -> 0.552, "qd32_dup_passages" -> 0.91,
-    "qd33_curation_pipeline" -> 4.886, "qd34_scrub_spans" -> 1.686,
-    "qd35_dup_ngram_frac" -> 1.165, "qd36_dsir_fast" -> 1.506,
+    "qd33_curation_pipeline" -> 4.643, "qd34_scrub_spans" -> 1.597,
+    "qd35_dup_ngram_frac" -> 1.101, "qd36_dsir_fast" -> 1.506,
     "qd37_incremental_neardup" -> 1.458, "qd38_contamination_report" -> 0.571,
     "qd39_gopher_filter" -> 1.758, "qd40_corpus_datacard" -> 1.269,
     "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.455,
@@ -126,21 +131,21 @@ object Bench {
     "qe19_ann_sidecar" -> 0.714, "qe20_kmeans_fit" -> 0.721,
     "qe21_class_mean" -> 0.464, "qe22_source_affinity" -> 0.638,
     "qe23_kmeans_ivf" -> 0.718, "qe24_semantic_decontaminate" -> 0.476,
-    "qe25_cell_stats" -> 0.724, "qe26_random_projection" -> 1.176,
+    "qe25_cell_stats" -> 0.724, "qe26_random_projection" -> 1.111,
     "qe27_embedding_outliers" -> 0.647, "qd51_winnowing" -> 0.562,
     "qd52_corpus_diff" -> 0.422, "qd53_containment" -> 7.868,
     "qd54_min_k_prob" -> 1.639, "qd55_ngram_diversity" -> 3.758,
-    "qd56_source_containment" -> 4.88, "qd57_stream_packing" -> 0.845,
+    "qd56_source_containment" -> 4.88, "qd57_stream_packing" -> 0.806,
     "qd58_winsorize" -> 0.443, "qd59_containment_fast" -> 2.13,
     "qd60_collocations" -> 3.889, "qd61_full_pipeline" -> 14.513,
-    "qd65_full_pipeline_fast" -> 4.72, "qd62_bigram_nll_gate" -> 7.396,
-    "qd63_quality_keepers" -> 3.21, "qd64_zipf_fit" -> 0.846,
-    "qd66_curriculum_packing" -> 2.471, "qe28_int4_fidelity" -> 1.199,
-    "qr07_retrieval_eval_summary" -> 2.99, "qr08_retrieval_pipeline" -> 3.48,
+    "qd65_full_pipeline_fast" -> 4.273, "qd62_bigram_nll_gate" -> 6.824,
+    "qd63_quality_keepers" -> 3.001, "qd64_zipf_fit" -> 0.749,
+    "qd66_curriculum_packing" -> 2.471, "qe28_int4_fidelity" -> 1.189,
+    "qr07_retrieval_eval_summary" -> 2.857, "qr08_retrieval_pipeline" -> 3.48,
     "qr09_prf_expansion" -> 5.765, "qr10_mmr_rerank" -> 0.998,
     "qr04_retrieval_eval" -> 2.674, "qr05_hard_negatives" -> 2.089,
     "qr06_tfidf_keywords" -> 1.179, "qm03_audio_decode" -> 0.249,
-    "q42_zorder" -> 0.355, "qs01_hourly_events" -> 0.46,
+    "q42_zorder" -> 0.355, "qs01_hourly_events" -> 0.424,
     "qs02_sessionize" -> 0.828, "qs03_session_window" -> 0.903)
 
   /** Per-query sf1 floor seconds for the top headline queries — the
@@ -174,14 +179,14 @@ object Bench {
     * mechanical perf tripwire — a probe-pruning regression (probe bytes
     * growing with corpus size) lands directly in this number.
     *
-    * Round-14 pin: best replay across the round's two full-suite
-    * windows (60.58 s, 1859 steal ticks; the other window's best read
-    * 85.89 s under 8k ticks) × 1.10 = 66.6. The replay's readings swing
-    * ~40% with co-tenant load — the 1.3× trigger (86.6 s) sits just
-    * above the dirtiest observed window, so a breach means a real
-    * regression, not weather.
+    * Round-14 pin: best replay across the round's three full-suite
+    * windows — 50.01 s at 119 steal ticks (2.4/s, genuinely clean; the
+    * other windows' bests read 60.58 s at 31/s and 85.89 s at 94/s) —
+    * × 1.10 = 55.0. The replay's readings swing ~70% with co-tenant
+    * load, which is why the breach rule requires BOTH runs quiet
+    * (< 50 steal ticks/s) as well as > 1.3×: dirty windows abstain.
     */
-  val curationSinkFloorSec: Option[Double] = Some(66.6)
+  val curationSinkFloorSec: Option[Double] = Some(55.0)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
