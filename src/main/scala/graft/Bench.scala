@@ -57,7 +57,9 @@ object Bench {
     * and a mechanical `floor_breaches` list so steal-noise adjudication
     * needs no human diffing. A breach must be DOUBLE-CONFIRMED (the
     * round-13 lesson, mechanized): a query reading > 1.3× floor in a
-    * quiet window (< 50 steal ticks) becomes a CANDIDATE, is re-run
+    * quiet window (< 50 steal ticks per second of its own elapsed — an
+    * absolute bound would make minute-long sf1 queries unflaggable)
+    * becomes a CANDIDATE, is re-run
     * once more at end of suite (a third sample, a full sweep away from
     * the first two), and is flagged only when the confirm sample ALSO
     * exceeds 1.3× in a quiet window — all 7 of round 13's artifact
@@ -202,9 +204,11 @@ object Bench {
     * fresh corpus + checkpoint in temp dirs, one MemoryStream reused
     * across restarts (the checkpoint advances offsets, so each restart
     * processes exactly one batch: the AvailableNow cadence). Returns
-    * (wallSec, stealDuringTicks, docsIn, docsKept, stageSeconds).
+    * (wallSec, stealDuringTicks, docsIn, docsKept, stageSeconds,
+    * batchesRun — the actual group count, < [[CurationBatches]] for
+    * corpus slices smaller than the batch count).
     */
-  def curationReplay(spark: SparkSession, sfDir: String): (Double, Long, Long, Long, Map[String, Double]) = {
+  def curationReplay(spark: SparkSession, sfDir: String): (Double, Long, Long, Long, Map[String, Double], Int) = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -248,8 +252,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val steal = stealTicks() - s0
       val kept = spark.read.parquet(corpus.toString).count()
+      // groups.size, not the CurationBatches constant: tiny corpus
+      // slices yield fewer actual restarts (n=2 docs → 2 groups), and
+      // per-batch overhead comparisons divide by the REAL batch count
       (sec, steal, rows.length.toLong, kept,
-        graft.streaming.CorpusIngest.StageClock.secondsByStage)
+        graft.streaming.CorpusIngest.StageClock.secondsByStage, groups.size)
     } finally {
       graft.streaming.CorpusIngest.StageClock.enabled.set(false)
       rmRf(corpus); rmRf(cp)
@@ -336,7 +343,6 @@ object Bench {
       .mkString("{", ",", "}")
     val perQuerySteal = results.map { case (k, (_, s)) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // steal observed DURING this run — timings taken while this is large
     // measure the neighbors, not the engine (SCALE.md "Measured")
@@ -360,34 +366,61 @@ object Bench {
     // ALSO reads >1.3x in a quiet window. Every candidate's confirm
     // sample ships in the artifact, so a true breach arrives with two
     // independent readings and a false one dies without adjudication.
+    // "Quiet" is steal ticks PER SECOND of the query's own window (the
+    // streaming rule's form): an absolute <50 bound kept the sub-second
+    // sf0.1 semantics but made the sf1 tripwire unfireable — a 30–90 s
+    // sf1 query accrues hundreds of ticks even in clean windows, so no
+    // candidate could ever be created at exactly the scale the sf1
+    // floors exist to watch.
+    def quietQ(sec: Double, ticks: Long): Boolean =
+      ticks < 50.0 * math.max(1.0, sec)
     val candidates = results.collect {
-      case (k, (v, s)) if v >= 0 && floorMap.contains(k) && v / floorMap(k) > 1.3 && s < 50 => k
+      case (k, (v, s)) if v >= 0 && floorMap.contains(k) &&
+        v / floorMap(k) > 1.3 && quietQ(v, s) => k
     }
+    val failedBeforeConfirm = failed.toSet
     val confirm = candidates.map(k => k -> once(k, SparkEntry.queries(k))).toMap
     val breachList = candidates.filter { k =>
       val (t3, s3) = confirm(k)
-      !failed(k) && t3 / floorMap(k) > 1.3 && s3 < 50
+      !failed(k) && t3 / floorMap(k) > 1.3 && quietQ(t3, s3)
     }
     val breaches = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a confirm run that CRASHED must be visible as such: its elapsed
+    // time is time-to-exception, not a legit quiet sample, and reading
+    // it as "noise confirmed clean" inverts the protocol's intent
     val confirmJson = confirm.map { case (k, (t3, s3)) =>
-      "\"" + k + "\":{\"sec\":" + t3 + ",\"steal\":" + s3 + "}"
+      val died = failed(k) && !failedBeforeConfirm(k)
+      "\"" + k + "\":{\"sec\":" + t3 + ",\"steal\":" + s3 +
+        (if (died) ",\"failed\":true" else "") + "}"
     }.mkString("{", ",", "}")
+    // serialized AFTER the confirm runs so a query that only failed on
+    // its confirm still lands in the artifact's errors array
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming capstone: the composed curation sink's throughput, the
     // production surface's only perf tripwire. Two full replays (the
     // two-window protocol by construction: a breach needs BOTH over
     // 1.3x floor in quiet windows); stage shares from the faster one.
     // Runs with the full suite or when the filter names it; skippable
     // for timing-only subset work via SPARK_GRAFT_BENCH_STREAMING=0.
+    // Default-on only at the floor's own SF (sf0.1) and the dev-smoke
+    // SF (sf0.001): the replay collects the documents×embeddings join
+    // to the driver for ordered MemoryStream feeding, which at sf1+ is
+    // two full-corpus materializations of pure overhead with no
+    // streaming floor to adjudicate (and a growing driver-OOM risk);
+    // SPARK_GRAFT_BENCH_STREAMING=1 forces it on anywhere regardless.
+    val streamEnv = sys.env.get("SPARK_GRAFT_BENCH_STREAMING")
     val runStreaming =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMING", "1") != "0" &&
+      !streamEnv.contains("0") &&
+        (streamEnv.contains("1") ||
+          trimmed.endsWith("sf0.1") || trimmed.endsWith("sf0.001")) &&
         (filter.isEmpty || filter.exists(_.findFirstIn("curation_sink").isDefined))
     val streamJson = if (!runStreaming) "" else {
       try {
         val r1 = curationReplay(spark, sfDir)
         val r2 = curationReplay(spark, sfDir)
         val best = if (r1._1 <= r2._1) r1 else r2
-        val (sec, st, nIn, nKept, stages) = best
+        val (sec, st, nIn, nKept, stages, nBatches) = best
         val floorPart = curationSinkFloorSec match {
           case Some(f) if trimmed.endsWith("sf0.1") =>
             // the steal guard here is per SECOND, not per run (contrast
@@ -402,7 +435,7 @@ object Bench {
             // abstains rather than alarm (the first drive of this rule
             // without the guard flagged a 235 s steal-burst run as a
             // "confirmed" breach).
-            def quiet(r: (Double, Long, Long, Long, Map[String, Double])): Boolean =
+            def quiet(r: (Double, Long, Long, Long, Map[String, Double], Int)): Boolean =
               r._2 < 50L * math.max(1L, r._1.toLong)
             val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
               quiet(r1) && quiet(r2)
@@ -412,7 +445,7 @@ object Bench {
         val stageJson = stages.toSeq.sortBy(-_._2).map { case (k, v) =>
           "\"" + k + "\":" + fmt2(v)
         }.mkString("{", ",", "}")
-        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$CurationBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$floorPart}"""
+        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$floorPart}"""
       } catch { case t: Throwable =>
         System.err.println(s"BENCH STREAMING FAIL: ${t.getClass.getSimpleName}: ${t.getMessage}")
         s""","streaming":{"error":"${t.getClass.getSimpleName}"}"""

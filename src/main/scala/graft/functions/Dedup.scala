@@ -714,8 +714,11 @@ object Dedup {
   /** Free EVERY localCheckpoint reachable in `df`'s logical plan — for
     * consumers that materialize a derived frame (their own checkpoint)
     * and thereby orphan the checkpoints inside the input's plan. The
-    * caller must own the input: frames the checkpoints were shared
-    * with recompute from scratch after this.
+    * caller must own the input EXCLUSIVELY: a localCheckpoint truncates
+    * lineage, so any OTHER frame sharing one of these checkpoints does
+    * not recompute after this — its next action fails with a
+    * missing-checkpoint-block SparkException. Same ownership rule as
+    * [[freeLocalCheckpoint]], applied transitively.
     */
   private[graft] def freeUpstreamCheckpoints(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {

@@ -300,13 +300,24 @@ object Similarity {
     // the input's own checkpoints (withRecallAtK's inner pin) are now
     // orphaned — the gate checkpoint holds the rows
     if (!alreadyLeaf) Dedup.freeUpstreamCheckpoints(withRecall)
-    val r = gated.select(col("query_id"), col("recall_at_k")).distinct()
-      .agg(avg(col("recall_at_k"))).head()
-    if (!r.isNullAt(0))
-      require(r.getDouble(0) >= floor,
-        f"$what: mean recall_at_k ${r.getDouble(0)}%.4f is under the " +
-          f"$floor%.2f non-degeneracy floor — the learned ANN structure " +
-          "(centroids/codebooks) has collapsed; refusing to serve")
+    // the REFUSAL path must free the gate checkpoint too: a long-lived
+    // serving session whose structure has collapsed calls this per
+    // request and every call throws — without the catch each refusal
+    // would leak one resident queries×k frame, the exact accumulation
+    // this function's ownership contract eliminates on the happy path
+    try {
+      val r = gated.select(col("query_id"), col("recall_at_k")).distinct()
+        .agg(avg(col("recall_at_k"))).head()
+      if (!r.isNullAt(0))
+        require(r.getDouble(0) >= floor,
+          f"$what: mean recall_at_k ${r.getDouble(0)}%.4f is under the " +
+            f"$floor%.2f non-degeneracy floor — the learned ANN structure " +
+            "(centroids/codebooks) has collapsed; refusing to serve")
+    } catch {
+      case t: Throwable =>
+        if (!alreadyLeaf) Dedup.freeLocalCheckpoint(gated)
+        throw t
+    }
     gated
   }
 

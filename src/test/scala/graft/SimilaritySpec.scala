@@ -310,6 +310,17 @@ class SimilaritySpec extends SparkSpec {
       "double-gating must not add a second resident copy")
     assert(again.count() === gated.count() && again.count() > 0)
     graft.functions.Dedup.freeLocalCheckpoint(gated)
+    // the REFUSAL path frees its own checkpoint too: per-request gating
+    // of a collapsed structure throws every call, and without the free
+    // each refusal would leak one resident queries×k frame
+    val base2 = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalArgumentException] {
+      Similarity.requireMeanRecallFloor(
+        Similarity.withRecallAtK(exact, queries, emb, "vec_id", "embedding", 3),
+        floor = 1.01, what = "leak-test-refusal")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet -- base2 === Set.empty,
+      "a refused gate must not leave a resident frame behind")
   }
 
   test("cellStats: counts sum to corpus, fracs sum to 1, empty cells surface with n=0, assignment-consistent") {
