@@ -263,6 +263,19 @@ object Bench {
     }
   }
 
+  /** The breach rules' "quiet window" predicate: steal ticks PER SECOND
+    * of the measured window (< 50/s ≈ 1.5% of this host's 32×100 Hz
+    * tick capacity), with a 1-second floor so sub-second sf0.1 queries
+    * keep the original absolute <50 semantics. An absolute bound made
+    * the sf1 tripwire unfireable — a 30–90 s sf1 query accrues hundreds
+    * of ticks even in clean windows, so no candidate could ever be
+    * created at exactly the scale the sf1 floors exist to watch.
+    * Measured regimes on this host: ~31 ticks/s in the cleanest
+    * saturated window vs 80–350/s under co-tenant load.
+    */
+  private[graft] def quietWindow(sec: Double, ticks: Long): Boolean =
+    ticks < 50.0 * math.max(1.0, sec)
+
   /** 2-decimal JSON number under Locale.ROOT (comma-decimal locales
     * would corrupt the JSON).
     */
@@ -366,23 +379,15 @@ object Bench {
     // ALSO reads >1.3x in a quiet window. Every candidate's confirm
     // sample ships in the artifact, so a true breach arrives with two
     // independent readings and a false one dies without adjudication.
-    // "Quiet" is steal ticks PER SECOND of the query's own window (the
-    // streaming rule's form): an absolute <50 bound kept the sub-second
-    // sf0.1 semantics but made the sf1 tripwire unfireable — a 30–90 s
-    // sf1 query accrues hundreds of ticks even in clean windows, so no
-    // candidate could ever be created at exactly the scale the sf1
-    // floors exist to watch.
-    def quietQ(sec: Double, ticks: Long): Boolean =
-      ticks < 50.0 * math.max(1.0, sec)
     val candidates = results.collect {
       case (k, (v, s)) if v >= 0 && floorMap.contains(k) &&
-        v / floorMap(k) > 1.3 && quietQ(v, s) => k
+        v / floorMap(k) > 1.3 && quietWindow(v, s) => k
     }
     val failedBeforeConfirm = failed.toSet
     val confirm = candidates.map(k => k -> once(k, SparkEntry.queries(k))).toMap
     val breachList = candidates.filter { k =>
       val (t3, s3) = confirm(k)
-      !failed(k) && t3 / floorMap(k) > 1.3 && quietQ(t3, s3)
+      !failed(k) && t3 / floorMap(k) > 1.3 && quietWindow(t3, s3)
     }
     val breaches = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -436,7 +441,7 @@ object Bench {
             // without the guard flagged a 235 s steal-burst run as a
             // "confirmed" breach).
             def quiet(r: (Double, Long, Long, Long, Map[String, Double], Int)): Boolean =
-              r._2 < 50L * math.max(1L, r._1.toLong)
+              quietWindow(r._1, r._2)
             val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
               quiet(r1) && quiet(r2)
             s""","vs_floor":${fmt2(sec / f)},"breach":$breach"""

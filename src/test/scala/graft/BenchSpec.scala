@@ -39,4 +39,14 @@ class BenchSpec extends AnyFunSuite {
   test("the streaming floor pin is positive when present") {
     assert(Bench.curationSinkFloorSec.forall(_ > 0))
   }
+
+  test("quietWindow scales the steal guard to the query's own duration") {
+    // sub-second queries keep the original absolute <50 semantics
+    assert(Bench.quietWindow(0.3, 49) && !Bench.quietWindow(0.3, 50))
+    // minute-long sf1 queries are judged per second — an absolute bound
+    // made the sf1 tripwire unfireable (round-14 review finding)
+    assert(Bench.quietWindow(80.0, 3999) && !Bench.quietWindow(80.0, 4001))
+    // the clean-regime reading (~31 ticks/s) passes; contended (80+/s) fails
+    assert(Bench.quietWindow(60.0, 1860) && !Bench.quietWindow(60.0, 4800))
+  }
 }
