@@ -192,6 +192,28 @@ object Bench {
     */
   val curationSinkFloorSec: Option[Double] = Some(55.0)
 
+  /** Per-stage sf0.1 floor seconds for the capstone replay's
+    * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
+    * round-14 verdict's gap: only total wall was floored, so a
+    * regression that grows one stage 2× while another shrinks (e.g. a
+    * probe-pruning bug the byte-spec misses at bench scale) hid inside
+    * a flat total. Same quiet-per-second + both-replays rule as the
+    * total; pinned at min-of-clean-windows × 1.25 (stages are noisier
+    * than totals: the materialization boundary between adjacent stages
+    * wobbles with AQE/task placement even when the total is stable, so
+    * the total's 1.10 margin would alarm on attribution jitter).
+    *
+    * Round-15 pin: from the round's clean windows (48.4–49.3 s totals,
+    * 1.3–2.1 steal ticks/s) under the round-15 attribution fix —
+    * "assign" now bills the stage-4 materialization that round 14
+    * lumped into "cell" (the probe itself is ~3% of wall, not 44%).
+    * Stage minima across four clean replays: gate 9.5, band 10.3,
+    * winnow 5.5, assign 11.5, cell 1.5, write 16.6.
+    */
+  val curationStageFloorsSec: Map[String, Double] = Map(
+    "gate" -> 11.9, "band" -> 12.9, "winnow" -> 6.9,
+    "assign" -> 14.4, "cell" -> 1.9, "write" -> 20.8)
+
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
     * reconcile + state restore per batch) without the bench being ONLY
@@ -207,6 +229,19 @@ object Bench {
     * (wallSec, stealDuringTicks, docsIn, docsKept, stageSeconds,
     * batchesRun — the actual group count, < [[CurationBatches]] for
     * corpus slices smaller than the batch count).
+    *
+    * FEEDING (round-14 verdict #3): the corpus reaches MemoryStream in
+    * per-batch slices via a sorted `toLocalIterator`, NOT one
+    * driver-resident `collect` — at sf1 the old full-slice collect held
+    * ~500k docs+embeddings on the driver as pure harness overhead.
+    * Driver residency is now bounded by one batch slice: the iterator
+    * streams partitions one at a time, and MemoryStream's `commit`
+    * trims each batch from its buffer once the checkpoint commits it,
+    * so finished slices are released before the next is fetched.
+    * TIMING is per-group (addData + sink run), excluding the iterator's
+    * fetch between groups, so the measured wall stays comparable with
+    * the floor pinned under collect-first feeding (which also excluded
+    * slice materialization); steal is accumulated over the same spans.
     */
   def curationReplay(spark: SparkSession, sfDir: String): (Double, Long, Long, Long, Map[String, Double], Int) = {
     import org.apache.spark.sql.functions.col
@@ -214,12 +249,14 @@ object Bench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val rows = graft.sources.Tables.documents(spark, sfDir)
+    val joined = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
       .as[(Long, String, Seq[Double])]
-      .collect().sortBy(_._1)
+      .orderBy(col("doc_id"))
+    val nDocs = joined.count()
+    val groupSize = math.max(1L, (nDocs + CurationBatches - 1) / CurationBatches).toInt
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cell_id"),
         col("embedding").as("centroid"))
@@ -232,31 +269,37 @@ object Bench {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    val groups = rows
-      .grouped(math.max(1, (rows.length + CurationBatches - 1) / CurationBatches))
-      .toSeq
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, Seq[Double])]
     graft.streaming.CorpusIngest.StageClock.reset()
     graft.streaming.CorpusIngest.StageClock.enabled.set(true)
-    val s0 = stealTicks()
-    val t0 = System.nanoTime()
+    var sec = 0.0
+    var steal = 0L
+    var batches = 0
     try {
-      groups.foreach { g =>
-        ms.addData(g.toSeq)
+      val it = {
+        import scala.jdk.CollectionConverters._
+        joined.toLocalIterator().asScala.grouped(groupSize)
+      }
+      while (it.hasNext) {
+        val g = it.next()
+        val s0 = stealTicks()
+        val t0 = System.nanoTime()
+        ms.addData(g)
         graft.streaming.CorpusIngest.startCurationSink(
             ms.toDF().toDF("doc_id", "text", "embedding"),
             corpus.toString, cp.toString, cents)
           .awaitTermination()
+        sec += (System.nanoTime() - t0) / 1e9
+        steal += stealTicks() - s0
+        batches += 1
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      val steal = stealTicks() - s0
       val kept = spark.read.parquet(corpus.toString).count()
-      // groups.size, not the CurationBatches constant: tiny corpus
+      // `batches`, not the CurationBatches constant: tiny corpus
       // slices yield fewer actual restarts (n=2 docs → 2 groups), and
       // per-batch overhead comparisons divide by the REAL batch count
-      (sec, steal, rows.length.toLong, kept,
-        graft.streaming.CorpusIngest.StageClock.secondsByStage, groups.size)
+      (sec, steal, nDocs, kept,
+        graft.streaming.CorpusIngest.StageClock.secondsByStage, batches)
     } finally {
       graft.streaming.CorpusIngest.StageClock.enabled.set(false)
       rmRf(corpus); rmRf(cp)
@@ -299,23 +342,37 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies session confs before
-    // the sweep — the A/B lever for conf-gated physical experiments
-    // (e.g. spark.graft.bigramNll.coPartition) without recompiling
+      // Round-15, measured: the bypass-merge shuffle writer opens one
+      // file PER REDUCER per map task (32×32 per exchange here) and
+      // merges them with NIO map/unmap — 43% of executor CPU in a
+      // profiled curation replay was that churn (map0/unmap0/write0 +
+      // DiskBlockObjectWriter.initialize). Forcing the sort-based
+      // writer (one file per map task) read the sf0.1 streaming
+      // capstone at 33.4 s vs 46.9 s in a same-window A/B. At cluster
+      // scale this is a no-op: wide shuffles exceed the 200-partition
+      // default threshold and already use the sort writer — the
+      // setting only removes the small-shuffle penalty box.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+    // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies confs before the
+    // sweep — the A/B lever for conf-gated physical experiments
+    // (e.g. spark.graft.curation.compactWrites) without recompiling.
+    // Applied at BUILDER time, not spark.conf.set after start: core
+    // confs (spark.shuffle.*, spark.io.*) are fixed once the context
+    // exists, and a silently-ignored A/B arm reads as "no difference"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
         case _ =>
       }
     })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -326,16 +383,27 @@ object Bench {
     // from "a co-tenant burst landed on this query" when reading the
     // artifact later (the round-5 bench drifted ~1.9× under a 2.8×
     // steal spike and looked like a uniform regression).
-    def once(name: String,
-        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // (elapsed, steal, crashed) with NO side effect on `failed` — the
+    // confirm re-runs need timing without polluting the top-level
+    // errors array (a confirm-only crash is a confirm_runs fact, not a
+    // "query failed": the query's min-of-2 sweep time already counted)
+    def onceRaw(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Boolean) = {
       val s0 = stealTicks()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case t: Throwable =>
-        failed += name
-        System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
-      }
-      ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
+      val crashed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          true
+        }
+      ((System.nanoTime() - t0) / 1e9, stealTicks() - s0, crashed)
+    }
+    def once(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val (t, s, crashed) = onceRaw(name, fn)
+      if (crashed) failed += name
+      (t, s)
     }
     // two interleaved passes, min per query: the harness host shows
     // multi-minute CPU-steal bursts from co-tenants; spacing the two
@@ -383,24 +451,24 @@ object Bench {
       case (k, (v, s)) if v >= 0 && floorMap.contains(k) &&
         v / floorMap(k) > 1.3 && quietWindow(v, s) => k
     }
-    val failedBeforeConfirm = failed.toSet
-    val confirm = candidates.map(k => k -> once(k, SparkEntry.queries(k))).toMap
+    // onceRaw: a confirm-only crash stays a confirm_runs `failed:true`
+    // fact — the query's successful min-of-2 time already counts in
+    // `queries`/`total`, so adding its name to the top-level `errors`
+    // array would read as "query failed" to artifact consumers
+    val confirm = candidates.map(k => k -> onceRaw(k, SparkEntry.queries(k))).toMap
     val breachList = candidates.filter { k =>
-      val (t3, s3) = confirm(k)
-      !failed(k) && t3 / floorMap(k) > 1.3 && quietWindow(t3, s3)
+      val (t3, s3, crashed) = confirm(k)
+      !crashed && t3 / floorMap(k) > 1.3 && quietWindow(t3, s3)
     }
     val breaches = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a confirm run that CRASHED must be visible as such: its elapsed
     // time is time-to-exception, not a legit quiet sample, and reading
     // it as "noise confirmed clean" inverts the protocol's intent
-    val confirmJson = confirm.map { case (k, (t3, s3)) =>
-      val died = failed(k) && !failedBeforeConfirm(k)
+    val confirmJson = confirm.map { case (k, (t3, s3, crashed)) =>
       "\"" + k + "\":{\"sec\":" + t3 + ",\"steal\":" + s3 +
-        (if (died) ",\"failed\":true" else "") + "}"
+        (if (crashed) ",\"failed\":true" else "") + "}"
     }.mkString("{", ",", "}")
-    // serialized AFTER the confirm runs so a query that only failed on
-    // its confirm still lands in the artifact's errors array
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming capstone: the composed curation sink's throughput, the
     // production surface's only perf tripwire. Two full replays (the
@@ -426,22 +494,22 @@ object Bench {
         val r2 = curationReplay(spark, sfDir)
         val best = if (r1._1 <= r2._1) r1 else r2
         val (sec, st, nIn, nKept, stages, nBatches) = best
+        // the steal guard here is per SECOND, not per run (contrast
+        // the query rule's absolute <50): the replay saturates all
+        // cores for a minute-plus, so absolute ticks are never near
+        // zero (1.8k on the cleanest observed run) and an absolute
+        // guard would make the floor unfireable. Measured regimes:
+        // ~31 ticks/s on the clean pin run vs 80–160 under
+        // co-tenant load (32 cpus × 100 Hz = 3200 ticks/s capacity,
+        // so 50/s ≈ 1.5% stolen). Both runs must exceed 1.3× AND
+        // both must be sub-50/s — in a dirty window the floor
+        // abstains rather than alarm (the first drive of this rule
+        // without the guard flagged a 235 s steal-burst run as a
+        // "confirmed" breach).
+        def quiet(r: (Double, Long, Long, Long, Map[String, Double], Int)): Boolean =
+          quietWindow(r._1, r._2)
         val floorPart = curationSinkFloorSec match {
           case Some(f) if trimmed.endsWith("sf0.1") =>
-            // the steal guard here is per SECOND, not per run (contrast
-            // the query rule's absolute <50): the replay saturates all
-            // cores for a minute-plus, so absolute ticks are never near
-            // zero (1.8k on the cleanest observed run) and an absolute
-            // guard would make the floor unfireable. Measured regimes:
-            // ~31 ticks/s on the clean pin run vs 80–160 under
-            // co-tenant load (32 cpus × 100 Hz = 3200 ticks/s capacity,
-            // so 50/s ≈ 1.5% stolen). Both runs must exceed 1.3× AND
-            // both must be sub-50/s — in a dirty window the floor
-            // abstains rather than alarm (the first drive of this rule
-            // without the guard flagged a 235 s steal-burst run as a
-            // "confirmed" breach).
-            def quiet(r: (Double, Long, Long, Long, Map[String, Double], Int)): Boolean =
-              quietWindow(r._1, r._2)
             val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
               quiet(r1) && quiet(r2)
             s""","vs_floor":${fmt2(sec / f)},"breach":$breach"""
@@ -450,19 +518,46 @@ object Bench {
         val stageJson = stages.toSeq.sortBy(-_._2).map { case (k, v) =>
           "\"" + k + "\":" + fmt2(v)
         }.mkString("{", ",", "}")
-        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$floorPart}"""
+        // per-stage floors (round-14 verdict #2): a stage-local
+        // regression must not hide inside a flat total. A stage
+        // breaches only when BOTH replays read it > 1.3× its floor in
+        // quiet windows — each replay's stages come from its own
+        // StageClock.reset() window, so r1/r2 are independent samples.
+        val stagePart = if (!trimmed.endsWith("sf0.1") ||
+            curationStageFloorsSec.isEmpty) "" else {
+          val vsf = stages.collect {
+            case (s, v) if curationStageFloorsSec.contains(s) =>
+              "\"" + s + "\":" + fmt2(v / curationStageFloorsSec(s))
+          }.mkString("{", ",", "}")
+          val sb = curationStageFloorsSec.keys.filter { s =>
+            r1._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
+              r2._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
+              quiet(r1) && quiet(r2)
+          }.toSeq.sorted
+          s""","stage_vs_floor":$vsf,"stage_breaches":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        }
+        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$stagePart$floorPart}"""
       } catch { case t: Throwable =>
         System.err.println(s"BENCH STREAMING FAIL: ${t.getClass.getSimpleName}: ${t.getMessage}")
         s""","streaming":{"error":"${t.getClass.getSimpleName}"}"""
       }
     }
+    // steal accrued AFTER the two-pass sweep (confirm re-runs + the two
+    // streaming replays): `steal_ticks` keeps meaning exactly the sweep
+    // window the "<~150 whole-run ticks = clean" pin judgment was
+    // calibrated on, while the post-sweep share of wall-clock — a large
+    // fraction once streaming runs — gets its own visible reading
+    // instead of silently escaping the artifact (round-14 advice)
+    val postSweepSteal = stealTicks() - steal0 - steal
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
-    // full-precision artifact (incl. per-query steal windows) → a file,
-    // because the harness keeps only the LAST ~2000 chars of stdout: at
-    // 50+ queries the full line overflows that window and parses as
-    // nothing. The line printed LAST is a compact (3-decimal, no
-    // per-query steal) form that always fits the window.
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
+    // full-precision artifact (incl. per-query timings and steal
+    // windows) → a file, because the harness keeps only the LAST ~2000
+    // chars of stdout: at 106 queries even a 3-decimal per-query map is
+    // ~2.7k chars, which is how BENCH_r14.json landed with a truncated
+    // tail and "parsed": null. The line printed LAST is a SHORT summary
+    // (total, errors, breach lists, streaming block, artifact path)
+    // that always fits the window and always parses.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Exception => System.err.println(s"bench: could not write $outPath: $e") }
@@ -471,9 +566,7 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs3 = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"steal_ticks":$steal,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

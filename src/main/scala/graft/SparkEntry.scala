@@ -683,6 +683,15 @@ object SparkEntry {
     * The initial hash is PREPENDED to the byte list so an empty payload
     * reduces to it without tripping DuckDB's empty-list reduce error,
     * matching the stub (which hashes zero bytes, then runs the LCG).
+    *
+    * The `ord(char) = UTF-8 byte` identity holds ONLY for ASCII
+    * non-null text, and a violation would not fail — it would
+    * hash-MISMATCH silently (multi-byte chars fold as one codepoint
+    * here but as 2–4 signed bytes in the stub; NULL text nulls the
+    * whole row). The `chk` CTE makes that assumption MECHANICAL: any
+    * NULL or text whose char count differs from its UTF-8 byte count
+    * raises a loud DuckDB error naming the doc instead of silently
+    * diverging from the Spark stub.
     */
   private lazy val qm01Sql: String = {
     val two64 = "18446744073709551616::HUGEINT"
@@ -690,13 +699,19 @@ object SparkEntry {
       s"($h * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT) % $two64"
     val feat = (h: String) =>
       s"round((($h // 1099511627776::HUGEINT) % 1000)::DOUBLE / 1000.0, 4)"
-    s"""WITH f AS (
+    s"""WITH chk AS (
+       |  SELECT doc_id, CASE
+       |    WHEN text IS NULL OR length(text) <> octet_length(encode(text))
+       |      THEN error('qm01 oracle: non-ASCII or NULL text at doc_id ' || doc_id)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |f AS (
        |  SELECT doc_id AS media_id, octet_length(encode(text)) > 0 AS decode_ok,
        |    list_reduce(
        |      list_prepend(1125899906842597::HUGEINT,
        |        list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
        |      (acc, b) -> (31*acc + b) % $two64) AS h
-       |  FROM documents),
+       |  FROM chk),
        |l1 AS (SELECT media_id, decode_ok, ${lcg("h")} AS h1 FROM f),
        |l2 AS (SELECT media_id, decode_ok, h1, ${lcg("h1")} AS h2 FROM l1)
        |SELECT media_id, decode_ok,
@@ -816,6 +831,35 @@ object SparkEntry {
       |  fps, duration_sec
       |FROM (SELECT * FROM avi2 UNION ALL SELECT * FROM mp4)
       |ORDER BY media_id""".stripMargin
+
+  /** qm06's oracle — the MJPEG frame decode replayed from the fixture
+    * arithmetic alone: the frame at sampled index `i` is a uniform gray
+    * `16·bin + 8` with `bin = (media_id·7 + i·13) % 16`, and mid-bin
+    * uniform gray round-trips quality-0.95 JPEG EXACTLY (all 16 bins
+    * verified on the JDK codec), so the decoded histogram is one-hot:
+    * `bin` is the argmax, `f_max` is exactly 1.0. The even-sampling
+    * rule (`k·n/maxFrames` integer division) is replayed with `//`.
+    * What the oracle covers: the RIFF frame walk, the even sampling,
+    * the JPEG decode, the histogram. A regression in any of them moves
+    * `bin`, `f_max`, or the row set — all hash-compared.
+    */
+  private lazy val qm06Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, 2 + doc_id % 4 AS n
+      |  FROM documents WHERE doc_id < 64),
+      |ks AS (
+      |  SELECT media_id, n, CAST(k AS BIGINT) AS k
+      |  FROM media CROSS JOIN range(0, 3) AS t(k)
+      |  WHERE k < CASE WHEN n <= 3 THEN n ELSE 3 END),
+      |fi AS (
+      |  SELECT media_id,
+      |    CAST(CASE WHEN n <= 3 THEN k ELSE k * n // 3 END AS INTEGER) AS frame_idx
+      |  FROM ks)
+      |SELECT media_id, frame_idx, true AS decode_ok,
+      |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+      |  CAST((media_id * 7 + frame_idx * 13) % 16 AS INTEGER) AS bin,
+      |  CAST(1.0 AS DOUBLE) AS f_max
+      |FROM fi ORDER BY media_id, frame_idx""".stripMargin
 
   private lazy val qm04Sql: String = {
     val s1 = duckMixRound("z", 30, 0xbf58476d1ce4e5b9L)
@@ -2626,6 +2670,40 @@ object SparkEntry {
           round(col("fps"), 4).as("fps"),
           round(col("duration_sec"), 4).as("duration_sec"))
         .orderBy(col("media_id"))
+    }),
+
+    // oracle-checked (round 15): REAL video FRAME-PIXEL decode — the
+    // round-14 de-stub. Each doc becomes an MJPEG-in-AVI whose frames
+    // are real JPEGs of uniform MID-BIN grays; decodeVideoFrames walks
+    // the RIFF `movi` list, samples up to 3 frames evenly, and decodes
+    // each through ImageIO. Mid-bin uniform gray survives quality-0.95
+    // JPEG exactly (all 16 bins verified), so the decoded histogram is
+    // one-hot and the oracle (qm06Sql) regenerates bin/f_max from the
+    // gray-level arithmetic — a codec or frame-walk regression breaks
+    // the hash compare, not just a row count.
+    "qm06_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 64)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = 2 + (id % 4).toInt
+          val grays = (0 until n)
+            .map(j => ((id * 7 + j * 13) % 16).toInt * 16 + 8)
+          graft.multimodal.Multimodal.MediaRow(
+            id, "video",
+            graft.multimodal.Multimodal.syntheticMjpegAvi(16, 12, 10, grays),
+            None, None, None, None)
+        }
+      graft.multimodal.Multimodal.decodeVideoFrames(media, maxFrames = 3)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("decode_ok"),
+          col("width"), col("height"),
+          (array_position(col("feature"), array_max(col("feature"))) - 1)
+            .cast("int").as("bin"),
+          // cast BEFORE round: round on FloatType returns float residue
+          // no double oracle can match (the qm02 lesson)
+          round(array_max(col("feature")).cast("double"), 4).as("f_max"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     // oracle-checked (round 13): the multimodal→similarity composition —
@@ -4997,6 +5075,7 @@ object SparkEntry {
     "qm03_audio_decode" -> qm03Sql,
     "qm04_image_neardups" -> qm04Sql,
     "qm05_video_meta" -> qm05Sql,
+    "qm06_video_frames" -> qm06Sql,
 
     // SemDeDup replayed end to end: the qe08 deterministic-centroid
     // argmin assignment + the qe05 jitter plants, within-cell pair

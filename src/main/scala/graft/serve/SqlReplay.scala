@@ -290,8 +290,12 @@ object SqlReplay {
   private def pipelineSql(portable: Boolean): String = {
     // stage tables live under the reserved schema; the benchmark frame
     // is a session-scoped TEMP view (qualification is illegal there,
-    // and session scoping is exactly its isolation story)
+    // and session scoping is exactly its isolation story) — so it gets
+    // the reserved token as a NAME prefix instead: an unqualified
+    // `g61_bench` would CREATE OR REPLACE over a user's same-named
+    // temp view, the same hazard class the schema fixed for tables
     val v = if (portable) "g61" else "g65"
+    val bv = s"${ReplaySchema}_${v}_bench"
     val p = s"$ReplaySchema.$v"
     val fixtureNorm =
       s"""base AS (
@@ -344,7 +348,7 @@ object SqlReplay {
          |SELECT doc_id, source, t, nt FROM (
          |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(t)) AS keep FROM gate)
          |WHERE doc_id = keep""".stripMargin) ++ Seq(
-      s"""CREATE OR REPLACE TEMPORARY VIEW ${v}_bench AS
+      s"""CREATE OR REPLACE TEMPORARY VIEW $bv AS
          |WITH $fixtureNorm
          |SELECT doc_id, t FROM norm WHERE doc_id % 50 = 0""".stripMargin) ++
       stage(s"${p}_sh",
@@ -375,7 +379,7 @@ object SqlReplay {
            |  SELECT DISTINCT g3 FROM (
            |    SELECT explode(gs) AS g3 FROM (
            |      SELECT $shingles3 AS gs FROM (
-           |        SELECT split(t, '\\\\s+') AS w FROM ${v}_bench)) bs)),
+           |        SELECT split(t, '\\\\s+') AS w FROM $bv)) bs)),
            |repg AS (
            |  SELECT doc_id, g3 FROM (
            |    SELECT s.doc_id, s.g FROM ${p}_sh s JOIN reps r ON s.doc_id = r.doc_id)

@@ -40,6 +40,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.curationSinkFloorSec.forall(_ > 0))
   }
 
+  test("stage floors key real StageClock stages, positively and completely") {
+    // the stage names curationBatch actually bills — a floor keyed on a
+    // renamed stage would silently never check anything (same failure
+    // class as a misspelled query floor), and a stage WITHOUT a floor
+    // is a place a regression can hide inside a flat total
+    val stages = Set("gate", "band", "winnow", "assign", "cell", "write")
+    val orphans = Bench.curationStageFloorsSec.keySet -- stages
+    assert(orphans.isEmpty, s"stage floors keyed on unknown stages: $orphans")
+    val unpinned = stages -- Bench.curationStageFloorsSec.keySet
+    assert(unpinned.isEmpty, s"stages without a floor: $unpinned")
+    val nonPos = Bench.curationStageFloorsSec.collect { case (k, v) if v <= 0 => k }
+    assert(nonPos.isEmpty, s"non-positive stage floors: $nonPos")
+  }
+
   test("quietWindow scales the steal guard to the query's own duration") {
     // sub-second queries keep the original absolute <50 semantics
     assert(Bench.quietWindow(0.3, 49) && !Bench.quietWindow(0.3, 50))

@@ -242,4 +242,75 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).parse_ok)
     assert(!out(4L).parse_ok)
   }
+
+  test("real MJPEG frame decode: every mid-bin gray survives JPEG into a one-hot histogram (qm06)") {
+    // the assumption qm06's DuckDB oracle rests on, pinned mechanically:
+    // a uniform gray g = 16·bin + 8 round-trips quality-0.95 JPEG to a
+    // histogram that is EXACTLY 1.0 at `bin` — for all 16 bins
+    val rows = (0 until 16).map { bin =>
+      MediaRow(bin.toLong, "video",
+        Multimodal.syntheticMjpegAvi(16, 12, 10, Seq(bin * 16 + 8)),
+        None, None, None, None)
+    }.toDS()
+    val out = Multimodal.decodeVideoFrames(rows, maxFrames = 3)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.size === 16)
+    for (bin <- 0 until 16) {
+      val f = out(bin.toLong)
+      assert(f.decode_ok && f.width === 16 && f.height === 12 && f.frame_idx === 0)
+      assert(f.feature(bin) === 1.0f,
+        s"bin $bin: decoded histogram not one-hot (${f.feature.toSeq})")
+      assert(f.feature.count(_ != 0f) === 1)
+    }
+  }
+
+  test("MJPEG frame decode: even frame sampling, per-frame values, non-AVI fallbacks (qm06)") {
+    // 5 frames, maxFrames 3 → sampled indices k·5/3 = 0, 1, 3 (the
+    // deterministic rule the oracle replays); each frame its own gray
+    val grays = Seq(8, 40, 72, 104, 200) // bins 0, 2, 4, 6, 12
+    val rows = Seq(
+      MediaRow(0L, "video", Multimodal.syntheticMjpegAvi(16, 12, 10, grays),
+        None, None, None, None),
+      // header-only AVI (no movi frames) → one decode_ok=false row
+      MediaRow(1L, "video", Multimodal.syntheticAvi(320, 240, 30, 90),
+        None, None, None, None),
+      // MP4: real container, no JVM codec for its frames → false row
+      MediaRow(2L, "video", Multimodal.syntheticMp4(640, 360, 1000, 5000L, 120L),
+        None, None, None, None),
+      MediaRow(3L, "video", null, None, None, None, None),
+    ).toDS()
+    val out = Multimodal.decodeVideoFrames(rows, maxFrames = 3).collect()
+    val byId = out.groupBy(_.media_id)
+    val sampled = byId(0L).sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 1, 3))
+    assert(sampled.forall(_.decode_ok))
+    // argmax bin per sampled frame matches that frame's planted gray
+    // (sampled indices 0, 1, 3 → grays 8, 40, 104 → bins 0, 2, 6)
+    assert(sampled.map(_.feature.indexWhere(_ == 1.0f)).toSeq === Seq(0, 2, 6))
+    for (id <- 1L to 3L) {
+      assert(byId(id).length === 1)
+      assert(!byId(id).head.decode_ok && byId(id).head.frame_idx === -1)
+    }
+    // and the SAME bytes still parse as metadata (frame chunks do not
+    // break the avih walk)
+    val meta = Multimodal.decodeVideoMeta(rows.filter(_.media_id == 0L))
+      .head()
+    assert(meta.parse_ok && meta.n_frames === 5L && meta.width === 16)
+  }
+
+  test("MJPEG frame decode: corrupt frame chunk fails that frame only, not the task") {
+    val good = Multimodal.syntheticMjpegAvi(16, 12, 10, Seq(8, 40))
+    // zero out the SECOND frame's JPEG magic: locate its chunk and stomp it
+    val chunks = Multimodal.mjpegFrameChunks(good)
+    assert(chunks.size === 2)
+    val bad = good.clone()
+    val (off, _) = chunks(1)
+    bad(off) = 0; bad(off + 1) = 0
+    val out = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(0L, "video", bad, None, None, None, None)).toDS(), 8)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length === 2)
+    assert(out(0).decode_ok && out(0).feature(0) === 1.0f)
+    assert(!out(1).decode_ok && out(1).frame_idx === 1)
+  }
 }

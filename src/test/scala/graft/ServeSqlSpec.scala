@@ -76,16 +76,21 @@ class ServeSqlSpec extends SparkSpec {
       " " + target.split(" ").slice(10, 24).mkString(" ") + " " +
       (0 until 14).map(i => if (i % 5 == 4) "and" else s"$outStem$i").mkString(" ")
 
-  test("curation batch stages 3-5 replay in SQL: keeper set row-identical to the streaming sink") {
-    // The probe stages of CorpusIngest.curationBatch (band near-dup →
-    // winnow containment → semantic cell probe) are plain relational ops
-    // once the kernels (minhash_sig, md5 banding, relational winnowing,
-    // vec_dot) are SQL-registered — this is the DataFrame-only gap's
-    // closing proof: the SAME stored sidecar state + the SAME batch,
-    // probed through spark.sql, must keep exactly the docs the sink
-    // kept. Fixture text is single-spaced ASCII so the canon steps
-    // (NFC, ws-collapse) are no-ops on both paths; every drop arm is
-    // exercised: cross-corpus and within-batch, for all three stages.
+  test("curation batch stages 1-5 replay in SQL: keeper set row-identical to the streaming sink") {
+    // ALL FIVE sink stages in one spark.sql chain (round-15: stages 1-2
+    // joined the round-14 stages 3-5 twin): the quality gate (keepNarrow
+    // restated with array SQL), the exact-fingerprint probe (md5 of the
+    // NFC canon, stored-hash anti-join + within-batch min-doc_id
+    // window), then band near-dup → winnow containment → semantic cell
+    // probe over the gate/exact survivors — plain relational ops once
+    // the kernels (nfc_normalize, minhash_sig, md5 banding, relational
+    // winnowing, vec_dot) are SQL-registered. The SAME stored state +
+    // the SAME raw batch, probed through spark.sql, must keep exactly
+    // the docs the sink kept. Fixture text is single-spaced ASCII
+    // except the planted case/whitespace variant (which the canon must
+    // fold); every drop arm is exercised: quality junk, null embedding,
+    // cross-corpus and within-batch exact, and cross/within arms of all
+    // three probe stages.
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{array, col}
@@ -99,6 +104,7 @@ class ServeSqlSpec extends SparkSpec {
       .toDF("cell_id", "centroid")
     val tA = curText("alpha"); val tB = curText("bravo"); val tC = curText("charlie")
     val t16 = curText("golf"); val t18 = curText("hotel")
+    val t32 = curText("kilo")
     val batch1 = Seq(
       (11L, tB + " extra tail words here", Seq(0.0, 0.0, 0.6, 0.8)),   // cross band (vs 2)
       (12L, quoteOf(tC, "qtx", "qout"), Seq(0.0, 0.6, 0.0, 0.8)),      // cross winnow (vs 3)
@@ -109,7 +115,18 @@ class ServeSqlSpec extends SparkSpec {
       (18L, t18, Seq(0.0, 0.8, 0.0, 0.6)),                             // keeper
       (19L, quoteOf(t18, "wtx", "wout"), Seq(0.6, 0.0, 0.8, 0.0)),     // within winnow (vs 18)
       (20L, curText("india"), Seq(0.0, 0.0, 0.66, 0.75)),              // keeper
-      (21L, curText("juliet"), Seq(0.0, 0.0, 0.67, 0.74)))             // within cell (vs 20)
+      (21L, curText("juliet"), Seq(0.0, 0.0, 0.67, 0.74)),             // within cell (vs 20)
+      // stage-1/2 plants (round 15): quality junk, null embedding, a
+      // whitespace variant of stored tA (the canon's ws-collapse must
+      // fold it to tA's content_hash — cross exact; an UPPERCASE
+      // variant would instead die at stage 1, where the stopword check
+      // sees raw tokens), and an identical pair (within exact: min
+      // doc_id 32 survives and lands as a keeper)
+      (30L, Seq.fill(40)("aa").mkString(" "), Seq(0.0, 0.0, 0.0, 1.0)),  // quality junk (stage 1)
+      (31L, "  " + tA.replace(" ", "  ") + "  ", Seq(0.0, 0.0, 0.6, 0.8)), // cross exact (vs 1)
+      (32L, t32, Seq(0.8, 0.0, 0.0, 0.6)),                               // keeper (within-exact winner)
+      (33L, t32, Seq(0.0, 0.0, 0.8, 0.6)),                               // within exact (vs 32)
+      (34L, curText("mike"), null))                                      // null embedding (stage 1)
 
     // fixture sanity — each planted doc is catchable by exactly the
     // intended mechanism (the StreamingSpec capstone's cross-check)
@@ -147,14 +164,17 @@ class ServeSqlSpec extends SparkSpec {
     val sinkKept = spark.read.parquet(corpus)
       .filter(col("batch_id") === 1).select("doc_id")
       .as[Long].collect().sorted.toSeq
-    assert(sinkKept === Seq(15L, 16L, 18L, 20L), "sink keeper set drifted")
+    assert(sinkKept === Seq(15L, 16L, 18L, 20L, 32L), "sink keeper set drifted")
 
-    // SQL path over the same state: sidecars minus the batch being
+    // SQL path over the same state: the RAW batch (pre-gate) plus the
+    // stored corpus hashes and the sidecars minus the batch being
     // replayed (probeBands/probeWinnow/probeCells exclude the current
     // batch's own partitions; the pfx/cell IN-list pruning they add is
     // I/O-only and semantics-free, so the twin omits it)
-    batch1.toDF("doc_id", "text", "embedding").createOrReplaceTempView("cur_batch")
+    batch1.toDF("doc_id", "text", "embedding").createOrReplaceTempView("cur_raw")
     cents.createOrReplaceTempView("cur_cents")
+    spark.read.parquet(corpus).filter(col("batch_id") =!= 1)
+      .select("content_hash").createOrReplaceTempView("cur_hashes0")
     spark.read.parquet(s"$corpus/_graft_bands").filter(col("batch_id") =!= 1)
       .select("band", "bh").createOrReplaceTempView("cur_bands0")
     spark.read.parquet(s"$corpus/_graft_winnow").filter(col("batch_id") =!= 1)
@@ -170,11 +190,44 @@ class ServeSqlSpec extends SparkSpec {
         .map(j => s"CAST(element_at(s, ${j + 1}) AS STRING)").mkString(", ")
       s"md5(concat_ws('|', $mh)) AS band$b"
     }.mkString(",\n    ")
-    val sqlKept = spark.sql(
-      s"""WITH sigarr AS (
+    // stage 1 (keepNarrow restated over array SQL; minTokens=1 default
+    // is subsumed by the >= 30 Gopher floor) + stage 2 (the NFC-canon
+    // md5, stored-hash anti-join, within-batch min-doc_id window — the
+    // SeenCurationHashProcessor's deterministic keeper rule)
+    val stops = graft.functions.TextAnalysis.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    val stage12 =
+      s"""toks1 AS (
          |  SELECT doc_id, text, CAST(embedding AS ARRAY<DOUBLE>) AS embedding,
+         |    split(trim(text), '\\\\s+') AS tk
+         |  FROM cur_raw WHERE embedding IS NOT NULL),
+         |gate1 AS (
+         |  SELECT doc_id, text, embedding FROM toks1
+         |  WHERE size(tk) BETWEEN 30 AND 100000
+         |    AND round(aggregate(tk, 0L, (a, t) -> a + length(t))
+         |          / CAST(greatest(size(tk), 1) AS DOUBLE), 4) BETWEEN 3.0D AND 10.0D
+         |    AND round(size(filter(tk, t -> array_contains(array($stops), t)))
+         |          / CAST(greatest(size(tk), 1) AS DOUBLE), 4) >= 0.02D),
+         |hashed AS (
+         |  SELECT doc_id, text, embedding,
+         |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\\\s+', ' '))) AS content_hash
+         |  FROM gate1),
+         |cross2 AS (
+         |  SELECT DISTINCT h.doc_id FROM hashed h
+         |  JOIN cur_hashes0 s ON h.content_hash = s.content_hash),
+         |keep2 AS (
+         |  SELECT doc_id, text, embedding FROM (
+         |    SELECT f.doc_id, f.text, f.embedding,
+         |      min(f.doc_id) OVER (PARTITION BY f.content_hash) AS keeper
+         |    FROM (SELECT h.* FROM hashed h
+         |          LEFT ANTI JOIN cross2 c ON h.doc_id = c.doc_id) f)
+         |  WHERE doc_id = keeper)"""
+    val sqlKept = spark.sql(
+      s"""WITH ${stage12.stripMargin},
+         |sigarr AS (
+         |  SELECT doc_id, text, embedding,
          |    minhash_sig(nfc_normalize(text), 16, 3) AS s
-         |  FROM cur_batch),
+         |  FROM keep2),
          |sig AS (
          |  SELECT doc_id, text, embedding,
          |    $bandCols

@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // sort-based shuffle writer even for narrow shuffles — the
+    // bypass-merge writer's per-reducer file churn dominates tiny-data
+    // exchanges (Bench.scala's round-15 measurement; same rationale)
+    .config("spark.shuffle.sort.bypassMergeThreshold", "0")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()

@@ -2921,89 +2921,115 @@ class StreamingSpec extends SparkSpec {
     assert(otherDirs("_graft_cells", "cell=", Set("0")) > 0)
   }
 
-  test("curation sink: planted crash between corpus and sidecar writes — restart heals all four families to the no-failure state") {
-    // The four per-batch writes (corpus, bands, winnow, cells) are NOT
-    // atomic. Design claim: an uncommitted batch re-fires on restart and
-    // its dynamic overwrites (plus the start-time reconcile routines)
-    // heal every family — previously only the lost-checkpoint replay
-    // path was pinned. Plant a one-shot fault in the exact window
-    // (corpus written, sidecars not), restart, and compare every
-    // family's partition tree against a clean control run.
-    implicit val ctx = spark.sqlContext
-    val cents = curCents.toDF("cell_id", "centroid")
-    val batch0 = Seq(
-      (1L, curText("alpha"), Seq(1.0, 0.0, 0.0, 0.0)),
-      (2L, curText("bravo"), Seq(0.0, 1.0, 0.0, 0.0)))
-    val batch1 = Seq(
-      (10L, curText("delta"), Seq(0.0, 0.0, 1.0, 0.0)),
-      // near-dup of 2 → band-stage drop, so the healed state also
-      // proves the replayed probe ran (not just a blind rewrite)
-      (11L, curText("bravo") + " extra tail words here", Seq(0.0, 0.0, 0.6, 0.8)))
-    def familyState(corpus: String): Map[String, (Set[String], Set[String])] =
-      Seq("corpus" -> corpus,
-        "bands" -> new java.io.File(corpus, "_graft_bands").toString,
-        "winnow" -> new java.io.File(corpus, "_graft_winnow").toString,
-        "cells" -> new java.io.File(corpus, "_graft_cells").toString)
-        .map { case (fam, dir) =>
-          val df = spark.read.parquet(dir)
-          val rows = df.select(df.columns.sorted.map(col): _*)
-            .collect().map(_.toString).toSet
-          import scala.jdk.CollectionConverters._
-          val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-            .iterator().asScala
-            .filter(p => java.nio.file.Files.isDirectory(p))
-            .map(p => java.nio.file.Paths.get(dir).relativize(p).toString)
-            .filter(s => s.nonEmpty && !s.startsWith("_graft"))
-            .toSet
-          fam -> (parts, rows)
-        }.toMap
-    def run(corpus: String, cp: String,
-        ms: MemoryStream[(Long, String, Seq[Double])]): Unit =
-      graft.streaming.CorpusIngest.startCurationSink(
-        ms.toDF().toDF("doc_id", "text", "embedding"), corpus, cp, cents)
-        .awaitTermination()
-
-    // faulted run: batch 0 lands clean, batch 1 crashes mid-write
-    val corpusA = tmpDir("cur-crash-corpus"); val cpA = tmpDir("cur-crash-cp")
-    val msA = MemoryStream[(Long, String, Seq[Double])]
-    msA.addData(batch0: _*)
-    run(corpusA, cpA, msA)
-    graft.streaming.CorpusIngest.FaultInjection.arm("curation-after-corpus-write")
-    msA.addData(batch1: _*)
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      run(corpusA, cpA, msA)
+  // ---- planted-crash heal proofs, one per write boundary ----------
+  // The four per-batch writes (corpus, bands, winnow, cells) are NOT
+  // atomic — against the corpus OR among themselves. Design claim: an
+  // uncommitted batch re-fires on restart and its dynamic overwrites
+  // (plus the start-time reconcile routines) heal every family. Round
+  // 14 proved the corpus-written-sidecars-not window; these four tests
+  // plant a one-shot fault at EVERY boundary (including the
+  // all-written-checkpoint-uncommitted window, where the re-fire must
+  // be byte-idempotent) and compare every family's partition tree and
+  // rows against one shared no-fault control run.
+  private def crashBatch0 = Seq(
+    (1L, curText("alpha"), Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, curText("bravo"), Seq(0.0, 1.0, 0.0, 0.0)))
+  private def crashBatch1 = Seq(
+    (10L, curText("delta"), Seq(0.0, 0.0, 1.0, 0.0)),
+    // near-dup of 2 → band-stage drop, so the healed state also
+    // proves the replayed probe ran (not just a blind rewrite)
+    (11L, curText("bravo") + " extra tail words here", Seq(0.0, 0.0, 0.6, 0.8)))
+  private def crashFamilyState(corpus: String): Map[String, (Set[String], Set[String])] =
+    Seq("corpus" -> corpus,
+      "bands" -> new java.io.File(corpus, "_graft_bands").toString,
+      "winnow" -> new java.io.File(corpus, "_graft_winnow").toString,
+      "cells" -> new java.io.File(corpus, "_graft_cells").toString)
+      .map { case (fam, dir) =>
+        val df = spark.read.parquet(dir)
+        val rows = df.select(df.columns.sorted.map(col): _*)
+          .collect().map(_.toString).toSet
+        import scala.jdk.CollectionConverters._
+        val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .map(p => java.nio.file.Paths.get(dir).relativize(p).toString)
+          .filter(s => s.nonEmpty && !s.startsWith("_graft"))
+          .toSet
+        fam -> (parts, rows)
+      }.toMap
+  private def crashRun(corpus: String, cp: String,
+      ms: MemoryStream[(Long, String, Seq[Double])]): Unit =
+    graft.streaming.CorpusIngest.startCurationSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"),
+      corpus, cp, curCents.toDF("cell_id", "centroid"))
+      .awaitTermination()
+  // does the family's tree hold the crashed batch's partition yet?
+  private def crashFamHasBatch1(corpus: String, fam: String): Boolean =
+    if (fam == "corpus") new java.io.File(corpus, "epoch=0/batch_id=1").exists()
+    else {
+      val kids = new java.io.File(corpus, s"_graft_$fam").listFiles()
+      kids != null && kids.exists(f => f.isDirectory &&
+        new java.io.File(f, "epoch=0/batch_id=1").exists())
     }
-    assert(e.getMessage.contains("planted fault"), e.getMessage)
-    // the crash window is real: the corpus holds batch 1, the band
-    // index does not
-    assert(new java.io.File(corpusA, "epoch=0/batch_id=1").exists(),
-      "fixture: corpus partition for the crashed batch must exist")
-    assert(!new java.io.File(corpusA, "_graft_bands").listFiles()
-      .exists(f => f.isDirectory &&
-        new java.io.File(f, "epoch=0/batch_id=1").exists()),
-      "fixture: band index must NOT yet hold the crashed batch")
-    // restart, unarmed: the batch re-fires and heals
-    run(corpusA, cpA, msA)
-
-    // control: the same two batches, no fault
+  // shared control: the same two batches, no fault (built once — the
+  // expected state is identical for every boundary)
+  private lazy val crashControlState: Map[String, (Set[String], Set[String])] = {
+    implicit val ctx = spark.sqlContext
     val corpusB = tmpDir("cur-ctl-corpus"); val cpB = tmpDir("cur-ctl-cp")
     val msB = MemoryStream[(Long, String, Seq[Double])]
-    msB.addData(batch0: _*)
-    run(corpusB, cpB, msB)
-    msB.addData(batch1: _*)
-    run(corpusB, cpB, msB)
-
-    val a = familyState(corpusA); val b = familyState(corpusB)
-    for (fam <- Seq("corpus", "bands", "winnow", "cells")) {
-      assert(a(fam)._1 === b(fam)._1,
-        s"$fam partition tree diverges from the no-failure run")
-      assert(a(fam)._2 === b(fam)._2,
-        s"$fam rows diverge from the no-failure run")
-    }
-    // and the probe really ran on replay: the near-dup stayed out
-    assert(spark.read.parquet(corpusA).select("doc_id").as[Long]
-      .collect().toSet === Set(1L, 2L, 10L))
+    msB.addData(crashBatch0: _*)
+    crashRun(corpusB, cpB, msB)
+    msB.addData(crashBatch1: _*)
+    crashRun(corpusB, cpB, msB)
+    crashFamilyState(corpusB)
   }
+  // per boundary: (families already written at the crash, families not)
+  private val crashWindows: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("curation-after-corpus-write",
+      Seq("corpus"), Seq("bands", "winnow", "cells")),
+    ("curation-after-band-write",
+      Seq("corpus", "bands"), Seq("winnow", "cells")),
+    ("curation-after-winnow-write",
+      Seq("corpus", "bands", "winnow"), Seq("cells")),
+    ("curation-after-cells-write",
+      Seq("corpus", "bands", "winnow", "cells"), Seq.empty))
+
+  for ((point, written, notWritten) <- crashWindows)
+    test(s"curation sink: planted crash at $point — restart heals all four families to the no-failure state") {
+      implicit val ctx = spark.sqlContext
+      // faulted run: batch 0 lands clean, batch 1 crashes mid-write
+      val corpusA = tmpDir("cur-crash-corpus"); val cpA = tmpDir("cur-crash-cp")
+      val msA = MemoryStream[(Long, String, Seq[Double])]
+      msA.addData(crashBatch0: _*)
+      crashRun(corpusA, cpA, msA)
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      msA.addData(crashBatch1: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        crashRun(corpusA, cpA, msA)
+      }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      // the crash window is real: exactly the families before the
+      // boundary hold the crashed batch, the ones after do not
+      for (fam <- written)
+        assert(crashFamHasBatch1(corpusA, fam),
+          s"fixture: $fam must already hold the crashed batch at $point")
+      for (fam <- notWritten)
+        assert(!crashFamHasBatch1(corpusA, fam),
+          s"fixture: $fam must NOT yet hold the crashed batch at $point")
+      // restart, unarmed: the batch re-fires and heals
+      crashRun(corpusA, cpA, msA)
+
+      val a = crashFamilyState(corpusA); val b = crashControlState
+      for (fam <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(a(fam)._1 === b(fam)._1,
+          s"$fam partition tree diverges from the no-failure run")
+        assert(a(fam)._2 === b(fam)._2,
+          s"$fam rows diverge from the no-failure run")
+      }
+      // and the probe really ran on replay: the near-dup stayed out
+      assert(spark.read.parquet(corpusA).select("doc_id").as[Long]
+        .collect().toSet === Set(1L, 2L, 10L))
+    }
 
   test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
     // a null embedding cannot be cell-assigned; without the gate filter
