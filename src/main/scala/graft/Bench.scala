@@ -183,14 +183,17 @@ object Bench {
     * mechanical perf tripwire — a probe-pruning regression (probe bytes
     * growing with corpus size) lands directly in this number.
     *
-    * Round-14 pin: best replay across the round's three full-suite
-    * windows — 50.01 s at 119 steal ticks (2.4/s, genuinely clean; the
-    * other windows' bests read 60.58 s at 31/s and 85.89 s at 94/s) —
-    * × 1.10 = 55.0. The replay's readings swing ~70% with co-tenant
-    * load, which is why the breach rule requires BOTH runs quiet
-    * (< 50 steal ticks/s) as well as > 1.3×: dirty windows abstain.
+    * Round-15 pin: best replay per run across two post-optimization
+    * streaming-only runs — 27.75 s at 10.1 steal ticks/s and 28.77 s
+    * at 7.5/s, both genuinely quiet — × 1.10 = 30.5. Down from the
+    * round-14 floor of 55.0 (clean best 50.0): the write-clustering +
+    * sort-shuffle-writer + single-join-probe work, same-window A/B'd
+    * (62.6 → 46.9 → 33.4 → 27.8 s as each landed). The replay's
+    * readings swing ~70% with co-tenant load, which is why the breach
+    * rule requires BOTH runs quiet (< 50 steal ticks/s) as well as
+    * > 1.3×: dirty windows abstain.
     */
-  val curationSinkFloorSec: Option[Double] = Some(55.0)
+  val curationSinkFloorSec: Option[Double] = Some(30.5)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -203,16 +206,16 @@ object Bench {
     * wobbles with AQE/task placement even when the total is stable, so
     * the total's 1.10 margin would alarm on attribution jitter).
     *
-    * Round-15 pin: from the round's clean windows (48.4–49.3 s totals,
-    * 1.3–2.1 steal ticks/s) under the round-15 attribution fix —
-    * "assign" now bills the stage-4 materialization that round 14
-    * lumped into "cell" (the probe itself is ~3% of wall, not 44%).
-    * Stage minima across four clean replays: gate 9.5, band 10.3,
-    * winnow 5.5, assign 11.5, cell 1.5, write 16.6.
+    * Round-15 pin: stage minima across the two quiet pin runs' best
+    * replays (27.75 s / 28.77 s walls — see [[curationSinkFloorSec]]),
+    * under the round-15 attribution fix ("assign" bills the stage-4
+    * materialization round 14 lumped into "cell"): gate 3.25,
+    * band 3.04, winnow 0.96, assign 4.91, cell 7.33, write 5.34 —
+    * × 1.25.
     */
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 11.9, "band" -> 12.9, "winnow" -> 6.9,
-    "assign" -> 14.4, "cell" -> 1.9, "write" -> 20.8)
+    "gate" -> 4.1, "band" -> 3.8, "winnow" -> 1.2,
+    "assign" -> 6.1, "cell" -> 9.2, "write" -> 6.7)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
