@@ -493,8 +493,14 @@ object Bench {
         (filter.isEmpty || filter.exists(_.findFirstIn("curation_sink").isDefined))
     val streamJson = if (!runStreaming) "" else {
       try {
+        // SPARK_GRAFT_BENCH_STREAMING_RUNS=1 for single-replay
+        // datapoints (the occasional sf1 reading — ~20k docs per
+        // replay — doesn't need the two-window breach protocol, which
+        // only applies at the floor's own SF anyway)
+        val nRuns = sys.env.get("SPARK_GRAFT_BENCH_STREAMING_RUNS")
+          .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
         val r1 = curationReplay(spark, sfDir)
-        val r2 = curationReplay(spark, sfDir)
+        val r2 = if (nRuns >= 2) curationReplay(spark, sfDir) else r1
         val best = if (r1._1 <= r2._1) r1 else r2
         val (sec, st, nIn, nKept, stages, nBatches) = best
         // the steal guard here is per SECOND, not per run (contrast
