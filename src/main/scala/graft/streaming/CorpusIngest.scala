@@ -562,6 +562,35 @@ object CorpusIngest {
     * task count.
     */
   private val CorpusWriteTasks = 8
+
+  /** Cluster a frame for a dynamic-partition write (round 15,
+    * measured): an unclustered write scatters every task into every
+    * partition dir it holds rows for — one 500-doc curation replay
+    * left ~2.5k parquet files of ~1 KB across the sidecar families
+    * (8–30 per dir), and every later probe paid listing + footer per
+    * file, every write a permissions fork per file. Clustering by the
+    * VARYING partition columns gives each dir exactly one writer task
+    * (per-dir rows are batch-bounded by construction, so
+    * single-writer-per-dir holds at any corpus scale); all-constant
+    * partition columns (the corpus family's epoch/batch_id) get a
+    * fixed [[CorpusWriteTasks]] fan-out instead. `sortKeys` pins the
+    * in-file row order so file bytes are deterministic across replays
+    * (shuffle fetch order otherwise leaks into parquet row order).
+    * Conf-gated (`spark.graft.curation.compactWrites`, default on) as
+    * the A/B lever; row content is identical either way.
+    */
+  private def clusterForWrite(df: DataFrame, varying: Seq[String],
+      sortKeys: Seq[String]): DataFrame = {
+    val compact = df.sparkSession.conf
+      .getOption("spark.graft.curation.compactWrites").forall(_.toBoolean)
+    if (!compact) df
+    else {
+      val re =
+        if (varying.nonEmpty) df.repartition(varying.map(col): _*)
+        else df.repartition(CorpusWriteTasks)
+      if (sortKeys.isEmpty) re else re.sortWithinPartitions(sortKeys.map(col): _*)
+    }
+  }
   private val BandsMetaFile = "_graft_meta"
 
   /** Version tag of the TEXT CANON feeding shingle/fingerprint hashing
@@ -627,7 +656,9 @@ object CorpusIngest {
   private def backfillIndex(spark: SparkSession, corpusPath: String,
       missing: Set[(Long, Long)], idx: Path,
       rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
-    rows(spark.read.parquet(corpusPath).filter(inPartitionPairs(missing)))
+    clusterForWrite(
+        rows(spark.read.parquet(corpusPath).filter(inPartitionPairs(missing))),
+        partCols, Nil)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
@@ -674,7 +705,7 @@ object CorpusIngest {
       val healed = sig.filter(inPartitionPairs(stale))
         .drop(bandCols.map(c => s"__old_$c"): _*)
         .localCheckpoint(true)
-      try healed
+      try clusterForWrite(healed, Seq("epoch", "batch_id"), Seq("doc_id"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch", "batch_id")
@@ -764,7 +795,9 @@ object CorpusIngest {
       rebandStaleBatches(spark, corpusPath, k, bands, shingleN)
       val tmp = new Path(corpusDir, BandsDir + ".tmp")
       fs.delete(tmp, true)
-      bandIndexRows(spark.read.parquet(corpusPath), bands, prefixLen)
+      clusterForWrite(
+          bandIndexRows(spark.read.parquet(corpusPath), bands, prefixLen),
+          Seq("pfx", "epoch", "batch_id"), Nil)
         .write.mode("overwrite")
         .partitionBy("pfx", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -898,15 +931,17 @@ object CorpusIngest {
         val keepers = Dedup.incrementalNearDupFromSig(sig,
             probeBands(spark, corpusPath, epoch, batchId, pfxs),
             "doc_id", bands)
-        keepers
+        clusterForWrite(keepers, Nil, Seq("doc_id"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
-        Dedup.bandsLong(keepers, bands, Nil)
-          .withColumn("pfx", substring(col("bh"), 1, prefixLen))
+        clusterForWrite(
+            Dedup.bandsLong(keepers, bands, Nil)
+              .withColumn("pfx", substring(col("bh"), 1, prefixLen)),
+            Seq("pfx"), Seq("bh", "band"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .select("band", "bh", "pfx", "epoch", "batch_id")
@@ -1002,7 +1037,9 @@ object CorpusIngest {
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, WinnowDir + ".tmp")
       fs.delete(tmp, true)
-      winnowIndexRows(spark.read.parquet(corpusPath), k, w, prefixLen)
+      clusterForWrite(
+          winnowIndexRows(spark.read.parquet(corpusPath), k, w, prefixLen),
+          Seq("pfx", "epoch", "batch_id"), Nil)
         .write.mode("overwrite")
         .partitionBy("pfx", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -1118,15 +1155,17 @@ object CorpusIngest {
           .join(crossHit, Seq("doc_id"), "left_anti")
           .join(withinHit, Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
-        keepers
+        clusterForWrite(keepers, Nil, Seq("doc_id"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
-        keepers.select(col("doc_id")).join(fps, "doc_id")
-          .withColumn("pfx", substring(col("fp_hash"), 1, prefixLen))
+        clusterForWrite(
+            keepers.select(col("doc_id")).join(fps, "doc_id")
+              .withColumn("pfx", substring(col("fp_hash"), 1, prefixLen)),
+            Seq("pfx"), Seq("fp_hash", "doc_id"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .select("doc_id", "fp_hash", "pfx", "epoch", "batch_id")
@@ -1267,7 +1306,8 @@ object CorpusIngest {
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, CellsDir + ".tmp")
       fs.delete(tmp, true)
-      cellIndexRows(spark.read.parquet(corpusPath))
+      clusterForWrite(cellIndexRows(spark.read.parquet(corpusPath)),
+          Seq("cell", "epoch", "batch_id"), Nil)
         .write.mode("overwrite")
         .partitionBy("cell", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -1390,35 +1430,42 @@ object CorpusIngest {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cellsHit = assigned.select("cell").distinct()
           .collect().map(_.getInt(0)).toSeq
-        val vsCorpus = assigned
-          .join(probeCells(spark, corpusPath, epoch, batchId, cellsHit), "cell")
-          .filter(Similarity.pairScore(metric, col("emb"), col("__corpus_emb"))
-            >= threshold)
-          .select(col("doc_id"))
-        val vsBatch = assigned.select(col("doc_id"), col("cell"), col("emb"))
-          .join(assigned.select(col("doc_id").as("__b_id"), col("cell"),
-            col("emb").as("__b_emb")), "cell")
-          .filter(col("__b_id") < col("doc_id") &&
-            Similarity.pairScore(metric, col("emb"), col("__b_emb")) >= threshold)
+        // one candidate side for both drop arms (curationBatch's
+        // round-15 shape): stored vectors carry a sentinel id below
+        // every real doc_id, so a single cand_id < doc_id ∧ score ≥ τ
+        // predicate expresses both the vs-corpus and the
+        // smaller-batchmate rules — one join instead of two + union +
+        // a distinct the anti-join never needed
+        val dropped = assigned.select(col("doc_id"), col("cell"), col("emb"))
+          .join(
+            probeCells(spark, corpusPath, epoch, batchId, cellsHit)
+              .select(col("cell"), lit(Long.MinValue).as("__cand_id"),
+                col("__corpus_emb").as("__cand_emb"))
+              .union(assigned.select(col("cell"), col("doc_id").as("__cand_id"),
+                col("emb").as("__cand_emb"))), "cell")
+          .filter(col("__cand_id") < col("doc_id") &&
+            Similarity.pairScore(metric, col("emb"), col("__cand_emb"))
+              >= threshold)
           .select(col("doc_id"))
         // persisted: BOTH writes below consume keepers — unmaterialized,
-        // each would re-run the probe read, both cosine joins, and the
+        // each would re-run the probe read, the cosine join, and the
         // anti-join (the near-dup sink gets the same effect from
         // incrementalNearDupFromSig's eager checkpoint)
         val keepers = assigned
-          .join(vsCorpus.union(vsBatch).distinct(), Seq("doc_id"), "left_anti")
+          .join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("text"), col("emb").as("embedding"),
             col("cell"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        keepers
+        clusterForWrite(keepers, Nil, Seq("doc_id"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
-        keepers
-          .select(col("doc_id"), col("embedding").as("emb"), col("cell"))
+        clusterForWrite(
+            keepers.select(col("doc_id"), col("embedding").as("emb"), col("cell")),
+            Seq("cell"), Seq("doc_id"))
           .withColumn("epoch", lit(epoch))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -1539,7 +1586,9 @@ object CorpusIngest {
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, PostingsDir + ".tmp")
       fs.delete(tmp, true)
-      postingsIndexRows(spark.read.parquet(corpusPath), buckets)
+      clusterForWrite(
+          postingsIndexRows(spark.read.parquet(corpusPath), buckets),
+          Seq("bkt", "epoch", "batch_id"), Nil)
         .write.mode("overwrite")
         .partitionBy("bkt", "epoch", "batch_id")
         .parquet(tmp.toString)
@@ -1746,7 +1795,7 @@ object CorpusIngest {
               if (maintainPostings)
                 landed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               else landed0
-            landed
+            clusterForWrite(landed, Nil, Seq("doc_id"))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("epoch", "batch_id")
@@ -1758,12 +1807,13 @@ object CorpusIngest {
               // sidecar writes re-fires the batch; the double-failure
               // window heals at next start via ensurePostingsIndex
               val (fs2, corpusDir2) = fsFor(landed.sparkSession, corpusPath)
-              postingsIndexRows(landed, postingsBuckets)
+              clusterForWrite(postingsIndexRows(landed, postingsBuckets),
+                  Seq("bkt"), Nil)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bkt", "epoch", "batch_id")
                 .parquet(new Path(corpusDir2, PostingsDir).toString)
-              postingsStatsRows(landed)
+              clusterForWrite(postingsStatsRows(landed), Nil, Nil)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("epoch", "batch_id")
@@ -2144,34 +2194,10 @@ object CorpusIngest {
         .localCheckpoint(true)
     }
     toFree += (() => Dedup.freeLocalCheckpoint(finalKeepers))
-    // WRITE CLUSTERING (round-15; `spark.graft.curation.compactWrites`,
-    // default on — conf is the A/B lever): a dynamic-partition write
-    // from N unclustered tasks scatters up to N files into EVERY
-    // `pfx=`/`cell=` dir it touches — measured at sf0.001: ~2.5k
-    // parquet files of ~1 KB across the four families after one
-    // 500-doc replay (8–30 files per dir), and every later batch's
-    // probe pays listing + footer per file. Clustering each write by
-    // its VARYING partition column first means one task owns each dir
-    // (one file per dir per batch); per-dir row counts are
-    // batch-bounded by construction, so single-writer-per-dir holds at
-    // any corpus scale. The corpus family has only constant partition
-    // columns (epoch/batch_id), so it gets a fixed small task count
-    // instead. Row content is identical either way — only file layout
-    // changes. Within-partition sort by the natural key makes the file
-    // bytes deterministic (shuffle fetch order otherwise leaks into
-    // parquet row order), which the replay/heal byte-identity story
-    // wants.
-    val compact = spark.conf.getOption("spark.graft.curation.compactWrites")
-      .forall(_.toBoolean)
-    def clustered(df: DataFrame, varying: Option[String], sortKeys: Seq[String]): DataFrame = {
-      if (!compact) df
-      else varying match {
-        case Some(c) => df.repartition(col(c))
-          .sortWithinPartitions(sortKeys.map(col): _*)
-        case None => df.repartition(CorpusWriteTasks)
-          .sortWithinPartitions(sortKeys.map(col): _*)
-      }
-    }
+    // write clustering: see [[clusterForWrite]] — the measured
+    // many-tiny-files fix, one writer task per partition dir
+    def clustered(df: DataFrame, varying: Option[String], sortKeys: Seq[String]): DataFrame =
+      clusterForWrite(df, varying.toSeq, sortKeys)
     StageClock.time("write") {
     clustered(finalKeepers, None, Seq("doc_id"))
       .withColumn("epoch", lit(epoch))
@@ -2342,18 +2368,20 @@ object CorpusIngest {
           val buckets = postingsBucketsOf(fs, idx)
           val statsDir = new Path(corpusDir, PostingsStatsDir)
           sweepPairDirs(fs, idx, Some("bkt=*"), affected)
-          postingsIndexRows(keepersInAffected, buckets)
+          clusterForWrite(postingsIndexRows(keepersInAffected, buckets),
+              Seq("bkt", "epoch", "batch_id"), Nil)
             .write.mode("append")
             .partitionBy("bkt", "epoch", "batch_id")
             .parquet(idx.toString)
-          postingsStatsRows(keepersInAffected)
+          clusterForWrite(postingsStatsRows(keepersInAffected),
+              Seq("epoch", "batch_id"), Nil)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch", "batch_id")
             .parquet(statsDir.toString)
           sweepPairDirs(fs, statsDir, None, affected -- stillThere)
         }
-        keepersInAffected
+        clusterForWrite(keepersInAffected, Seq("epoch", "batch_id"), Seq("doc_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
@@ -2413,7 +2441,7 @@ object CorpusIngest {
     val rehashed = corpus.filter(inPartitionPairs(stale))
       .withColumn("content_hash", TextAnalysis.fingerprint(col("text")))
       .localCheckpoint(true)
-    rehashed
+    clusterForWrite(rehashed, Seq("epoch", "batch_id"), Seq("doc_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "batch_id")
@@ -2573,11 +2601,11 @@ object CorpusIngest {
           .distinct().as[(Long, Long)].collect().toSet
         val idx = new Path(corpusDir, indexDir)
         sweepPairDirs(fs, idx, Some(bucketGlob), affected)
-        indexRows(keepersInAffected)
+        clusterForWrite(indexRows(keepersInAffected), indexPartCols, Nil)
           .write.mode("append")
           .partitionBy(indexPartCols: _*)
           .parquet(idx.toString)
-        keepersInAffected
+        clusterForWrite(keepersInAffected, Seq("epoch", "batch_id"), Seq("doc_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
