@@ -455,12 +455,17 @@ object NativeExpressions {
     override def prettyName: String = "vec_dot"
 
     def compute(a: ArrayData, b: ArrayData): Double = {
-      val xs = a.toDoubleArray()
-      val ys = b.toDoubleArray()
-      val n = math.min(xs.length, ys.length)
+      // read elements IN PLACE (getDouble on the array data) instead of
+      // toDoubleArray: the copy allocated a fresh double[] per input
+      // per invocation, and cosine() calls this three times per pair —
+      // six array materializations per scored candidate, a measured
+      // 4.8% of sf1 batch CPU (UnsafeArrayData.toDoubleArray in the
+      // profile). Same ascending accumulation order, so results are
+      // bit-identical and every oracle is unaffected.
+      val n = math.min(a.numElements(), b.numElements())
       var acc = 0.0d
       var i = 0
-      while (i < n) { acc += xs(i) * ys(i); i += 1 }
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
       acc
     }
 
@@ -499,16 +504,17 @@ object NativeExpressions {
       centroids.map(c => c.map(x => x * x).sum)
 
     def compute(v: ArrayData): ArrayData = {
-      val xs = v.toDoubleArray()
+      // in-place reads, as in VecDotExpr: no per-row double[] copy
+      val vn = v.numElements()
       val m = centroids.length
       val scores = new Array[Double](m)
       var i = 0
       while (i < m) {
         val c = centroids(i)
-        val len = math.min(xs.length, c.length)
+        val len = math.min(vn, c.length)
         var dot = 0.0d
         var j = 0
-        while (j < len) { dot += xs(j) * c(j); j += 1 }
+        while (j < len) { dot += v.getDouble(j) * c(j); j += 1 }
         scores(i) = cNorm2(i) - 2.0d * dot
         i += 1
       }
