@@ -2601,15 +2601,28 @@ object CorpusIngest {
           .distinct().as[(Long, Long)].collect().toSet
         val idx = new Path(corpusDir, indexDir)
         sweepPairDirs(fs, idx, Some(bucketGlob), affected)
+        // crash windows, plantable like the sink boundaries': while the
+        // CORPUS still holds the losers, a re-run re-derives the same
+        // loser set and heals every window below — the design claim the
+        // parameterized compaction-crash tests prove per window
+        FaultInjection.maybeTrip("compaction-after-index-sweep")
         clusterForWrite(indexRows(keepersInAffected), indexPartCols, Nil)
           .write.mode("append")
           .partitionBy(indexPartCols: _*)
           .parquet(idx.toString)
+        FaultInjection.maybeTrip("compaction-after-index-append")
         clusterForWrite(keepersInAffected, Seq("epoch", "batch_id"), Seq("doc_id"))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("epoch", "batch_id")
           .parquet(corpusPath)
+        // past this point the corpus no longer holds the losers: a
+        // crash before the empty-partition sweep just means the next
+        // run finds zero duplicates and the sweep set is empty — the
+        // leftover all-loser partitions were already rewritten away by
+        // the dynamic overwrite above ONLY if they had keepers; fully
+        // emptied partitions are removed here
+        FaultInjection.maybeTrip("compaction-after-corpus-rewrite")
         (affected -- stillThere).foreach { case (e, b) =>
           val batchDir = new Path(corpusDir, s"epoch=$e/batch_id=$b")
           fs.delete(batchDir, true)

@@ -2313,6 +2313,74 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.CorpusIngest.compactNearDupCorpus(spark, corpus) === 0L)
   }
 
+  // ---- compaction crash lattice: every window of the shared
+  // loser-removal tail (sweepLosersAndReindex), proven per boundary
+  // like the sink writes'. Design claim under test: while the corpus
+  // still holds the losers, a re-run re-derives the identical loser
+  // set (candidates come from stored TEXT, never from the index), so
+  // a crash after the index sweep, after the index append, or after
+  // the corpus rewrite all heal by compacting again. The fixture
+  // plants one loser in a FULLY-loser partition (the rewrite never
+  // touches it — only the final delete does) and one in a MIXED
+  // partition (the rewrite heals it), so both partition shapes cross
+  // every window.
+  private def compactCrashBuild(corpus: String): Unit = {
+    import graft.functions.Dedup
+    def mkDoc(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+    val tA = mkDoc("alpha")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      Dedup.lshSignature(rows.toDF("doc_id", "text"), "text", 16, 4, 3)
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((10L, tA), (11L, mkDoc("bravo"))), 0L, 0L)
+    part(Seq((20L, tA + " trailing extra")), 1L, 0L)      // fully-loser partition
+    part(Seq((22L, tA + " other trailing"), (23L, mkDoc("delta"))), 2L, 0L) // mixed
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+  }
+  private def compactCrashState(corpus: String): (Set[Long], Set[String], Set[(Int, String, Long, Long)]) = {
+    val docs = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(corpus))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p))
+      .map(p => java.nio.file.Paths.get(corpus).relativize(p).toString)
+      .filter(s => s.nonEmpty && !s.startsWith("_graft")).toSet
+    val idx = spark.read.parquet(corpus + "/_graft_bands")
+      .select(col("band"), col("bh"), col("epoch").cast("long"),
+        col("batch_id").cast("long"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    (docs, parts, idx)
+  }
+  private lazy val compactCrashControl: (Set[Long], Set[String], Set[(Int, String, Long, Long)]) = {
+    val cb = tmpDir("cc-ctl")
+    compactCrashBuild(cb)
+    assert(graft.streaming.CorpusIngest.compactNearDupCorpus(spark, cb) === 2L)
+    compactCrashState(cb)
+  }
+
+  for (point <- Seq("compaction-after-index-sweep",
+      "compaction-after-index-append", "compaction-after-corpus-rewrite"))
+    test(s"compactNearDupCorpus: planted crash at $point — a re-run heals corpus and index to the no-fault state") {
+      val ca = tmpDir("cc-crash")
+      compactCrashBuild(ca)
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      val e = intercept[RuntimeException] {
+        graft.streaming.CorpusIngest.compactNearDupCorpus(spark, ca)
+      }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      // re-run, unarmed: heals whatever the window left torn. The
+      // removed count varies by window (after-corpus-rewrite already
+      // removed the mixed partition's loser), so assert the healed
+      // STATE, not the count.
+      graft.streaming.CorpusIngest.compactNearDupCorpus(spark, ca)
+      val a = compactCrashState(ca)
+      assert(a._1 === compactCrashControl._1, "healed doc set diverges from control")
+      assert(a._2 === compactCrashControl._2, "healed partition tree diverges from control")
+      assert(a._3 === compactCrashControl._3, "healed band index diverges from control")
+      // and stays a fixed point
+      assert(graft.streaming.CorpusIngest.compactNearDupCorpus(spark, ca) === 0L)
+    }
+
   test("compactSemanticCorpus: same-cell over-threshold cross-epoch pairs removed, cell index in step") {
     val corpus = tmpDir("compact-sem")
     val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
