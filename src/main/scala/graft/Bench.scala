@@ -325,6 +325,21 @@ object Bench {
   private[graft] def quietWindow(sec: Double, ticks: Long): Boolean =
     ticks < 50.0 * math.max(1.0, sec)
 
+  /** The confirm verdict for one breach candidate, over its
+    * (sec, stealTicks, crashed) samples: every sample crash-free, the
+    * MINIMUM elapsed still > 1.3× floor (the engine's best of N over
+    * the line means all N were), and the POOLED (Σsec, Σticks) window
+    * quiet. Pooling is the round-15 sub-second fix: /proc/stat is
+    * 10 ms-granular, so one 0.49 s window can sample 0 steal ticks
+    * inside a 51-ticks/s run and falsely certify quiet — three pooled
+    * windows give a sub-second query ≥ 1.5 s of steal sampling.
+    */
+  private[graft] def confirmedBreach(floor: Double,
+      runs: Seq[(Double, Long, Boolean)]): Boolean =
+    runs.nonEmpty && runs.forall(!_._3) &&
+      runs.map(_._1).min / floor > 1.3 &&
+      quietWindow(runs.map(_._1).sum, runs.map(_._2).sum)
+
   /** 2-decimal JSON number under Locale.ROOT (comma-decimal locales
     * would corrupt the JSON).
     */
@@ -379,6 +394,15 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // artifact-tail hygiene: freeing localCheckpoints is deliberate
+    // (every bench batch releases its frames), but each unpersist WARNs
+    // "RDD … was locally checkpointed, its lineage has been truncated" —
+    // dozens of lines of intended-behavior noise crowding the ~2000-char
+    // stdout window the driver keeps. Bench-harness-only silencing; the
+    // library itself never touches log config.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -460,20 +484,34 @@ object Bench {
     // onceRaw: a confirm-only crash stays a confirm_runs `failed:true`
     // fact — the query's successful min-of-2 time already counts in
     // `queries`/`total`, so adding its name to the top-level `errors`
-    // array would read as "query failed" to artifact consumers
-    val confirm = candidates.map(k => k -> onceRaw(k, SparkEntry.queries(k))).toMap
-    val breachList = candidates.filter { k =>
-      val (t3, s3, crashed) = confirm(k)
-      !crashed && t3 / floorMap(k) > 1.3 && quietWindow(t3, s3)
-    }
+    // array would read as "query failed" to artifact consumers.
+    //
+    // THREE samples per confirm, adjudicated on (min elapsed, POOLED
+    // window) — the round-15 sub-second blind spot: /proc/stat is
+    // 10 ms-granular, so a 0.49 s single confirm window can sample 0
+    // steal ticks inside a 51-ticks/s run and "certify" quiet under
+    // real load (BENCH_r15's qe21 breach did exactly that). Pooling
+    // three windows gives a 0.5 s query ≥ 1.5 s of steal sampling; the
+    // breach test uses min(samples) — the engine's BEST of three still
+    // over 1.3× means all three were — so extra samples only ever make
+    // the protocol harder to false-alarm, never easier.
+    val ConfirmSamples = 3
+    val confirm = candidates.map { k =>
+      k -> Vector.fill(ConfirmSamples)(onceRaw(k, SparkEntry.queries(k)))
+    }.toMap
+    val breachList = candidates.filter(k => confirmedBreach(floorMap(k), confirm(k)))
     val breaches = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a confirm run that CRASHED must be visible as such: its elapsed
     // time is time-to-exception, not a legit quiet sample, and reading
-    // it as "noise confirmed clean" inverts the protocol's intent
-    val confirmJson = confirm.map { case (k, (t3, s3, crashed)) =>
-      "\"" + k + "\":{\"sec\":" + t3 + ",\"steal\":" + s3 +
-        (if (crashed) ",\"failed\":true" else "") + "}"
+    // it as "noise confirmed clean" inverts the protocol's intent.
+    // `sec` stays the (min) scalar consumers already read; `secs` and
+    // the pooled `steal` carry the full three-sample evidence.
+    val confirmJson = confirm.map { case (k, runs) =>
+      "\"" + k + "\":{\"sec\":" + runs.map(_._1).min +
+        ",\"secs\":" + runs.map(_._1).mkString("[", ",", "]") +
+        ",\"steal\":" + runs.map(_._2).sum +
+        (if (runs.exists(_._3)) ",\"failed\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // streaming capstone: the composed curation sink's throughput, the
@@ -522,9 +560,15 @@ object Bench {
           quietWindow(r._1, r._2)
         val floorPart = curationSinkFloorSec match {
           case Some(f) if trimmed.endsWith("sf0.1") =>
-            val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
-              quiet(r1) && quiet(r2)
-            s""","vs_floor":${fmt2(sec / f)},"breach":$breach"""
+            // nRuns==1 aliases r2 to r1, so the two-independent-window
+            // rule would degenerate to a single-run confirmation
+            // (ADVICE r15): emit vs_floor only, no breach verdict
+            val breachPart = if (nRuns < 2) "" else {
+              val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
+                quiet(r1) && quiet(r2)
+              s""","breach":$breach"""
+            }
+            s""","vs_floor":${fmt2(sec / f)}$breachPart"""
           case _ => ""
         }
         val stageJson = stages.toSeq.sortBy(-_._2).map { case (k, v) =>
@@ -541,12 +585,28 @@ object Bench {
             case (s, v) if curationStageFloorsSec.contains(s) =>
               "\"" + s + "\":" + fmt2(v / curationStageFloorsSec(s))
           }.mkString("{", ",", "}")
-          val sb = curationStageFloorsSec.keys.filter { s =>
-            r1._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
-              r2._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
-              quiet(r1) && quiet(r2)
-          }.toSeq.sorted
-          s""","stage_vs_floor":$vsf,"stage_breaches":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+          // a floored stage that stopped being billed at all (label
+          // rename, StageClock drift) must be VISIBLE, not silently
+          // unfireable — getOrElse(s, 0.0) never exceeds 1.3× (ADVICE
+          // r15; BenchSpec pins the keys == CorpusIngest.BilledStages)
+          val orphans = curationStageFloorsSec.keys
+            .filterNot(stages.contains).toSeq.sorted
+          // same nRuns<2 degeneracy guard as the total's breach
+          // verdict: OMIT the verdict key rather than emit [] — an
+          // empty list reads as "evaluated, none", which a single
+          // aliased window cannot certify
+          val sbPart = if (nRuns < 2) "" else {
+            val sb = curationStageFloorsSec.keys.filter { s =>
+              r1._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
+                r2._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
+                quiet(r1) && quiet(r2)
+            }.toSeq.sorted
+            s""","stage_breaches":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+          }
+          val orphanPart =
+            if (orphans.isEmpty) ""
+            else s""","stage_floor_orphans":${orphans.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+          s""","stage_vs_floor":$vsf$sbPart$orphanPart"""
         }
         s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$stagePart$floorPart}"""
       } catch { case t: Throwable =>
@@ -578,7 +638,22 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
     spark.stop()
+    // BENCH_r14/r15 both landed "parsed": null despite a complete
+    // summary in the tail: under non-forked sbt, println routes through
+    // the run task's logger and arrives as "[info] {…}" with a trailing
+    // "[success] Total time…" line — no stdout line is bare JSON.
+    // FileDescriptor.out bypasses the System.setOut redirection and
+    // writes the bare line to the REAL process stdout (same fd the
+    // driver captures), unprefixable by any logger. Deliberately not
+    // closed: closing a FileOutputStream over FileDescriptor.out closes
+    // fd 1 itself. Printed AFTER spark.stop() so no executor/logger
+    // output can interleave mid-line.
+    System.out.flush(); System.err.flush()
+    val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd.write((summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fd.flush()
   }
 }

@@ -365,28 +365,38 @@ object Multimodal {
     */
   private[graft] def parseAviMeta(bytes: Array[Byte]): VideoMeta = {
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    def walk(start: Int, end: Int): Option[Int] = {
-      var off = start
-      while (off + 8 <= end) {
-        val cc = fourcc(off)
-        // Long, not Int: a declared u32 size >= 2^31 must not wrap negative
-        // (0xFFFFFFF8 as Int is -8, which would stop the offset advancing —
-        // an infinite loop on one corrupt blob). Mirror parseMp4Meta's
-        // malformed-size bail-out: stop the walk, keep nothing.
-        val size = u32le(bytes, off + 4)
-        val payload = off + 8L
-        if (cc == "avih") return Some(payload.toInt)
-        if (cc == "LIST" && payload + 4 <= end) {
-          val found = walk((payload + 4).toInt, math.min(end.toLong, payload + size).toInt)
-          if (found.isDefined) return found
+    // Explicit work stack, NOT recursion: a crafted AVI packing thousands
+    // of nested 12-byte LIST headers into ~100 KB would otherwise grow the
+    // JVM call stack without bound, and StackOverflowError is an Error —
+    // it escapes per-payload Exception guards and fails the whole task.
+    def walk(): Option[Int] = {
+      val stack = scala.collection.mutable.Stack[(Int, Int)]((12, bytes.length))
+      while (stack.nonEmpty) {
+        var (off, end) = stack.pop()
+        var walking = true
+        while (walking && off + 8 <= end) {
+          val cc = fourcc(off)
+          // Long, not Int: a declared u32 size >= 2^31 must not wrap negative
+          // (0xFFFFFFF8 as Int is -8, which would stop the offset advancing —
+          // an infinite loop on one corrupt blob). Mirror parseMp4Meta's
+          // malformed-size bail-out: stop the walk, keep nothing.
+          val size = u32le(bytes, off + 4)
+          val payload = off + 8L
+          if (cc == "avih") return Some(payload.toInt)
+          val next = payload + size + (size & 1L) // chunks are word-aligned
+          if (cc == "LIST" && payload + 4 <= end) {
+            // Siblings resume after the child subtree (depth-first order).
+            if (next > off && next <= end) stack.push((next.toInt, end))
+            off = (payload + 4).toInt
+            end = math.min(end.toLong, payload + size).toInt
+          } else if (next <= off || next > end) {
+            walking = false // truncated/malformed: must strictly advance
+          } else off = next.toInt
         }
-        val next = payload + size + (size & 1L) // chunks are word-aligned
-        if (next <= off || next > end) return None // truncated/malformed: must strictly advance
-        off = next.toInt
       }
       None
     }
-    walk(12, bytes.length) match {
+    walk() match {
       case Some(p) if p + 40 <= bytes.length =>
         val usPerFrame = u32le(bytes, p)
         val nFrames = u32le(bytes, p + 16)
@@ -424,25 +434,34 @@ object Multimodal {
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
-      var off = start
-      while (off + 8 <= end) {
+    // Explicit work stack, NOT recursion — same rationale as
+    // [[parseAviMeta]]: nested LIST headers are attacker-controlled depth,
+    // and a StackOverflowError would escape the Exception guard upstream.
+    // Chunk order is preserved (siblings resume after the child subtree).
+    val stack = scala.collection.mutable.Stack[(Int, Int, Boolean)](
+      (12, bytes.length, false))
+    while (stack.nonEmpty) {
+      var (off, end, inMovi) = stack.pop()
+      var walking = true
+      while (walking && off + 8 <= end) {
         val cc = fourcc(off)
         val size = u32le(bytes, off + 4)
         val payload = off + 8L
-        if (cc == "LIST" && payload + 4 <= end) {
-          val listType = fourcc(payload.toInt)
-          walk((payload + 4).toInt,
-            math.min(end.toLong, payload + size).toInt,
-            inMovi || listType == "movi")
-        } else if (inMovi && cc == "00dc" && payload + size <= end && size > 0)
-          out += ((payload.toInt, size.toInt))
         val next = payload + size + (size & 1L)
-        if (next <= off || next > end) return
-        off = next.toInt
+        if (cc == "LIST" && payload + 4 <= end) {
+          if (next > off && next <= end) stack.push((next.toInt, end, inMovi))
+          val childInMovi = inMovi || fourcc(payload.toInt) == "movi"
+          off = (payload + 4).toInt
+          end = math.min(end.toLong, payload + size).toInt
+          inMovi = childInMovi
+        } else {
+          if (inMovi && cc == "00dc" && payload + size <= end && size > 0)
+            out += ((payload.toInt, size.toInt))
+          if (next <= off || next > end) walking = false
+          else off = next.toInt
+        }
       }
     }
-    walk(12, bytes.length, inMovi = false)
     out.toSeq
   }
 
@@ -466,16 +485,25 @@ object Multimodal {
       rows.flatMap { r =>
         def failed = VideoFrame(r.media_id, -1, decode_ok = false, -1, -1,
           new Array[Float](FeatureDim))
+        // NonFatal OR StackOverflowError: the walk is iterative now, but
+        // ImageIO below can still blow the stack on crafted inputs, and the
+        // "never a task failure" contract must hold for untrusted bytes.
+        // (Plain Throwable would also swallow task-kill interrupts.)
+        def corruptGuard(t: Throwable): Boolean =
+          scala.util.control.NonFatal(t) || t.isInstanceOf[StackOverflowError]
         val chunks =
           if (r.bytes == null) Seq.empty
           else try mjpegFrameChunks(r.bytes)
-          catch { case _: Exception => Seq.empty }
+          catch { case t if corruptGuard(t) => Seq.empty }
         if (chunks.isEmpty) Iterator.single(failed)
         else {
           val n = chunks.size
           val idxs =
             if (n <= maxFrames) 0 until n
-            else (0 until maxFrames).map(k => k * n / maxFrames)
+            // Long multiply: k*n overflows Int when a ~200 MB blob carries
+            // tens of millions of tiny chunks and maxFrames is large —
+            // a negative index would throw outside the per-frame guard.
+            else (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt)
           idxs.iterator.map { i =>
             val (off, len) = chunks(i)
             try {
@@ -484,7 +512,7 @@ object Multimodal {
               if (img == null) failed.copy(frame_idx = i)
               else VideoFrame(r.media_id, i, decode_ok = true,
                 img.getWidth, img.getHeight, lumaHistogram(img))
-            } catch { case _: Exception => failed.copy(frame_idx = i) }
+            } catch { case t if corruptGuard(t) => failed.copy(frame_idx = i) }
           }
         }
       }

@@ -205,6 +205,22 @@ object CorpusIngest {
       !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Sidecar read with its declared schema. A dir holding no data files
+    * yet (fresh corpus: only the `_`-prefixed pinned-meta file, which
+    * the parquet source ignores) short-circuits to an empty relation —
+    * scanning it through the DataSource WARNs "All paths were ignored"
+    * once per micro-batch, pure noise that pollutes bench/driver
+    * artifact tails. One driver-side listStatus per batch, the same
+    * metadata cost the scan's own file listing would pay.
+    */
+  private def readSidecar(spark: SparkSession, dir: Path,
+      schema: StructType): DataFrame = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasData(fs, dir)) spark.read.schema(schema).parquet(dir.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** The one-time bootstrap read: the corpus's stored hash column (a
     * single-column pruned parquet scan), or empty when no corpus data
     * exists yet. Executed once per FRESH-checkpoint query start, never
@@ -647,22 +663,75 @@ object CorpusIngest {
     epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*") --
       epochBatchDirs(fs, idx, s"$bucketGlob/epoch=*/batch_id=*")
 
-  /** Backfill `missing` corpus batches into a sidecar index: read just
-    * those (epoch, batch_id) partitions (directory-pruned), derive the
-    * index rows, and dynamic-overwrite — which touches only the bucket
-    * leaves present in the derived rows, so an interrupted reconcile is
-    * re-runnable and never disturbs other batches' index partitions.
+  /** The in-flight-backfill marker: `<idx>/_backfill_pending`, one
+    * `epoch,batch_id` line per pair being backfilled. `_`-prefixed, so
+    * parquet readers and [[hasData]] never see it. Written BEFORE the
+    * backfill's dynamic overwrite, deleted after it commits — so a
+    * crash ANYWHERE inside the backfill leaves the marker, and the next
+    * start redoes exactly those pairs (the overwrite is idempotent:
+    * rows re-derive from the same corpus partitions). This closes the
+    * TORN-backfill residual documented on [[missingIndexBatches]]: a
+    * backfill that committed SOME bucket leaves of a batch used to make
+    * the pair look present to the existence diff and the tear went
+    * permanent; with the marker, presence is irrelevant — pending pairs
+    * are always redone in full.
+    */
+  private val PendingBackfillFile = "_backfill_pending"
+
+  private def readPendingBackfill(fs: FileSystem, idx: Path): Set[(Long, Long)] = {
+    val f = new Path(idx, PendingBackfillFile)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.flatMap { line =>
+        line.split(",", 2) match {
+          case Array(e, b) =>
+            for (el <- e.trim.toLongOption; bl <- b.trim.toLongOption)
+              yield (el, bl)
+          case _ => None
+        }
+      }.toSet
+    }
+  }
+
+  /** Backfill corpus batches the sidecar is missing — plus any batches
+    * a PRIOR interrupted backfill left marked pending — into the index:
+    * read just those (epoch, batch_id) partitions (directory-pruned),
+    * derive the index rows, and dynamic-overwrite, which touches only
+    * the bucket leaves present in the derived rows and never disturbs
+    * other batches' index partitions. Marker discipline above; the two
+    * [[FaultInjection]] windows (`backfill-<family>-marked`: marker
+    * durable, nothing written; `backfill-<family>-written`: leaves
+    * written, marker not yet cleared) are the plantable crash lattice
+    * for this restart-time writer.
     */
   private def backfillIndex(spark: SparkSession, corpusPath: String,
       missing: Set[(Long, Long)], idx: Path,
-      rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
+      rows: DataFrame => DataFrame, partCols: Seq[String],
+      family: String): Unit = {
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(idx, PendingBackfillFile)
+    val todo = missing ++ readPendingBackfill(fs, idx)
+    if (todo.isEmpty) {
+      // a content-empty marker (crash mid-create) carries no work; drop it
+      if (fs.exists(marker)) fs.delete(marker, false)
+      return
+    }
+    val out = fs.create(marker, true)
+    try out.write(todo.toSeq.sorted.map { case (e, b) => s"$e,$b" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    FaultInjection.maybeTrip(s"backfill-$family-marked")
     clusterForWrite(
-        rows(spark.read.parquet(corpusPath).filter(inPartitionPairs(missing))),
+        rows(spark.read.parquet(corpusPath).filter(inPartitionPairs(todo))),
         partCols, Nil)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(idx.toString)
+    FaultInjection.maybeTrip(s"backfill-$family-written")
+    fs.delete(marker, false)
   }
 
   /** Adoption-time canon/parameter heal for a banded corpus: recompute
@@ -770,10 +839,12 @@ object CorpusIngest {
         s"band index at $idx was built with ${got.getOrElse("unknown parameters")} " +
           s"but this sink uses $expected — use matching k/bands/shingleN/prefixLen " +
           "or rebuild the index (delete the directory to trigger a backfill)")
-      val missing = missingIndexBatches(fs, corpusDir, idx, "pfx=*")
-      if (missing.nonEmpty)
-        backfillIndex(spark, corpusPath, missing, idx,
-          bandIndexRows(_, bands, prefixLen), Seq("pfx", "epoch", "batch_id"))
+      // unconditional: an interrupted prior backfill leaves a pending
+      // marker that must be redone even when the existence diff is clean
+      backfillIndex(spark, corpusPath,
+        missingIndexBatches(fs, corpusDir, idx, "pfx=*"), idx,
+        bandIndexRows(_, bands, prefixLen), Seq("pfx", "epoch", "batch_id"),
+        "bands")
       // orphan sweep (the backfill's mirror): stale band rows for a
       // batch removed out-of-band would FALSELY drop future near-dups
       // of docs that no longer exist
@@ -793,6 +864,9 @@ object CorpusIngest {
       // exact-dedup corpus at this path) fails loudly on the re-band's
       // column check.
       rebandStaleBatches(spark, corpusPath, k, bands, shingleN)
+      // plantable: corpus partitions re-banded, index not yet built —
+      // the re-run finds zero stale rows and proceeds to the build
+      FaultInjection.maybeTrip("adopt-bands-after-reband")
       val tmp = new Path(corpusDir, BandsDir + ".tmp")
       fs.delete(tmp, true)
       clusterForWrite(
@@ -802,6 +876,9 @@ object CorpusIngest {
         .partitionBy("pfx", "epoch", "batch_id")
         .parquet(tmp.toString)
       writeMeta(tmp)
+      // plantable: complete index staged in .tmp, rename not yet done —
+      // the re-run deletes the stage and rebuilds (atomicity proof)
+      FaultInjection.maybeTrip("adopt-bands-before-rename")
       if (!fs.rename(tmp, idx)) {
         // lost a concurrent-adoption race; the winner's index must match
         fs.delete(tmp, true)
@@ -862,8 +939,8 @@ object CorpusIngest {
     */
   private[streaming] def probeBands(spark: SparkSession, corpusPath: String,
       epoch: Long, batchId: Long, pfxs: Seq[String]): DataFrame =
-    spark.read.schema(bandIndexSchema())
-      .parquet(new Path(new Path(corpusPath), BandsDir).toString)
+    readSidecar(spark, new Path(new Path(corpusPath), BandsDir),
+        bandIndexSchema())
       .filter(col("pfx").isin(pfxs: _*) &&
         !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
       .select(col("band"), col("bh"))
@@ -1027,10 +1104,10 @@ object CorpusIngest {
         s"winnow index at $idx was built with ${got.getOrElse("unknown parameters")} " +
           s"but this sink uses $expected — use matching k/w/prefixLen or " +
           "delete the index directory to trigger a rebuild")
-      val missing = missingIndexBatches(fs, corpusDir, idx, "pfx=*")
-      if (missing.nonEmpty)
-        backfillIndex(spark, corpusPath, missing, idx,
-          winnowIndexRows(_, k, w, prefixLen), Seq("pfx", "epoch", "batch_id"))
+      backfillIndex(spark, corpusPath,
+        missingIndexBatches(fs, corpusDir, idx, "pfx=*"), idx,
+        winnowIndexRows(_, k, w, prefixLen), Seq("pfx", "epoch", "batch_id"),
+        "winnow")
       sweepPairDirs(fs, idx, Some("pfx=*"),
         epochBatchDirs(fs, idx, "pfx=*/epoch=*/batch_id=*") --
           epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*"))
@@ -1044,6 +1121,7 @@ object CorpusIngest {
         .partitionBy("pfx", "epoch", "batch_id")
         .parquet(tmp.toString)
       writeMeta(tmp)
+      FaultInjection.maybeTrip("adopt-winnow-before-rename")
       if (!fs.rename(tmp, idx)) {
         fs.delete(tmp, true)
         require(readIndexMeta(fs, idx).contains(expected),
@@ -1062,8 +1140,8 @@ object CorpusIngest {
     */
   private[graft] def probeWinnow(spark: SparkSession, corpusPath: String,
       epoch: Long, batchId: Long, pfxs: Seq[String]): DataFrame =
-    spark.read.schema(winnowIndexSchema())
-      .parquet(new Path(new Path(corpusPath), WinnowDir).toString)
+    readSidecar(spark, new Path(new Path(corpusPath), WinnowDir),
+        winnowIndexSchema())
       .filter(col("pfx").isin(pfxs: _*) &&
         !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
       .select(col("doc_id").as("__cid"), col("fp_hash"))
@@ -1294,10 +1372,9 @@ object CorpusIngest {
         s"cell index at $idx was built under different centroids/shape " +
           s"(${readMeta(idx).getOrElse("unknown")} vs $expected) — use the " +
           "original centroids or delete the index to trigger a backfill")
-      val missing = missingIndexBatches(fs, corpusDir, idx, "cell=*")
-      if (missing.nonEmpty)
-        backfillIndex(spark, corpusPath, missing, idx,
-          cellIndexRows, Seq("cell", "epoch", "batch_id"))
+      backfillIndex(spark, corpusPath,
+        missingIndexBatches(fs, corpusDir, idx, "cell=*"), idx,
+        cellIndexRows, Seq("cell", "epoch", "batch_id"), "cells")
       // orphan sweep, as in the band/postings reconciles: stale cell
       // rows would falsely drop future semantic dups of deleted docs
       sweepPairDirs(fs, idx, Some("cell=*"),
@@ -1312,6 +1389,7 @@ object CorpusIngest {
         .partitionBy("cell", "epoch", "batch_id")
         .parquet(tmp.toString)
       writeMeta(tmp)
+      FaultInjection.maybeTrip("adopt-cells-before-rename")
       if (!fs.rename(tmp, idx)) {
         fs.delete(tmp, true)
         require(readMeta(idx).contains(expected),
@@ -1329,8 +1407,8 @@ object CorpusIngest {
     */
   private[streaming] def probeCells(spark: SparkSession, corpusPath: String,
       epoch: Long, batchId: Long, cells: Seq[Int]): DataFrame =
-    spark.read.schema(cellIndexSchema())
-      .parquet(new Path(new Path(corpusPath), CellsDir).toString)
+    readSidecar(spark, new Path(new Path(corpusPath), CellsDir),
+        cellIndexSchema())
       .filter(col("cell").isin(cells: _*) &&
         !(col("epoch") === lit(epoch) && col("batch_id") === lit(batchId)))
       .select(col("cell"), col("emb").as("__corpus_emb"))
@@ -1420,8 +1498,8 @@ object CorpusIngest {
               // collect and kills the query
               .filter(TextAnalysis.tokenCount(col("text")) >= minTokens &&
                 col("embedding").isNotNull)
-              .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-                col("embedding")),
+              .select(checkedDocId(col("doc_id").cast("long")).as("doc_id"),
+                col("text"), col("embedding")),
             benchGrams, benchGramN)
           .select(col("doc_id"), col("text"),
             col("embedding").cast("array<double>").as("emb"))
@@ -1559,19 +1637,21 @@ object CorpusIngest {
       try out.write(expected.getBytes("UTF-8")) finally out.close()
     }
     def reconcileInto(target: Path, glob: Option[String],
-        rows: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
+        rows: DataFrame => DataFrame, partCols: Seq[String],
+        family: String): Unit = {
       val present = glob.fold(epochBatchDirs(fs, target, "epoch=*/batch_id=*"))(g =>
         epochBatchDirs(fs, target, s"$g/epoch=*/batch_id=*"))
       val corpusDirs = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*")
-      val missing = corpusDirs -- present
-      if (missing.nonEmpty)
-        backfillIndex(spark, corpusPath, missing, target, rows, partCols)
+      // unconditional: an interrupted prior backfill leaves a pending
+      // marker that must be redone even when the existence diff is clean
+      backfillIndex(spark, corpusPath, corpusDirs -- present, target, rows,
+        partCols, family)
       // the mirror of the backfill: a corpus batch REMOVED outside this
       // sink (a pre-postings-aware compaction, a manual partition drop)
       // leaves sidecar rows scoring docs that no longer exist — sweep
       // them. Orphan-pair granularity; stale EXTRA rows inside a pair
-      // both sides still have are the torn-write residual documented on
-      // [[missingIndexBatches]].
+      // both sides still have are healed by the pending-backfill marker
+      // ([[PendingBackfillFile]]).
       sweepPairDirs(fs, target, glob, present -- corpusDirs)
     }
     if (fs.exists(idx)) {
@@ -1581,8 +1661,10 @@ object CorpusIngest {
           s"but this sink uses $expected — match the bucket count or delete the " +
           "sidecar to trigger a rebuild")
       reconcileInto(idx, Some("bkt=*"),
-        postingsIndexRows(_, buckets), Seq("bkt", "epoch", "batch_id"))
-      reconcileInto(statsDir, None, postingsStatsRows, Seq("epoch", "batch_id"))
+        postingsIndexRows(_, buckets), Seq("bkt", "epoch", "batch_id"),
+        "postings")
+      reconcileInto(statsDir, None, postingsStatsRows,
+        Seq("epoch", "batch_id"), "postings-stats")
     } else if (hasData(fs, corpusDir)) {
       val tmp = new Path(corpusDir, PostingsDir + ".tmp")
       fs.delete(tmp, true)
@@ -1593,6 +1675,7 @@ object CorpusIngest {
         .partitionBy("bkt", "epoch", "batch_id")
         .parquet(tmp.toString)
       writeMeta(tmp)
+      FaultInjection.maybeTrip("adopt-postings-before-rename")
       if (!fs.rename(tmp, idx)) {
         fs.delete(tmp, true)
         require(readMeta(idx).contains(expected),
@@ -1600,7 +1683,8 @@ object CorpusIngest {
       }
       // stats AFTER the data rename: a crash here leaves data without
       // stats, which the next start's reconcile backfills
-      reconcileInto(statsDir, None, postingsStatsRows, Seq("epoch", "batch_id"))
+      reconcileInto(statsDir, None, postingsStatsRows,
+        Seq("epoch", "batch_id"), "postings-stats")
     } else {
       fs.mkdirs(idx)
       writeMeta(idx)
@@ -1972,7 +2056,7 @@ object CorpusIngest {
     val gatedQ = docs
       .filter(TextAnalysis.tokenCount(col("text")) >= minTokens &&
         qualityGate(col("text")) && col("embedding").isNotNull)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+      .select(checkedDocId(col("doc_id").cast("long")).as("doc_id"), col("text"),
         col("embedding").cast("array<double>").as("embedding"),
         TextAnalysis.fingerprint(col("text")).as("content_hash"))
       .as[CurationDoc]
@@ -2043,6 +2127,17 @@ object CorpusIngest {
     }
   }
 
+  /** The exact stage labels [[curationBatch]] bills to [[StageClock]] —
+    * the single source of truth Bench's per-stage floors key against.
+    * A label rename here without a floor re-key would make that floor
+    * silently unfireable (`getOrElse(s, 0.0)` never exceeds 1.3×), so
+    * BenchSpec asserts `curationStageFloorsSec.keySet == BilledStages`
+    * and the bench artifact flags floored stages absent from
+    * `stage_sec` (`stage_floor_orphans`).
+    */
+  private[graft] val BilledStages: Set[String] =
+    Set("gate", "band", "winnow", "assign", "cell", "write")
+
   /** One-shot planted-fault hook for crash-window tests: the curation
     * sink's four partition writes (corpus, bands, winnow, cells) are
     * NOT atomic, and the recovery story — an uncommitted batch re-fires
@@ -2059,15 +2154,44 @@ object CorpusIngest {
     * no), `curation-after-winnow-write` (cells missing alone), and
     * `curation-after-cells-write` (everything written, checkpoint
     * uncommitted — the re-fire must be byte-idempotent).
+    *
+    * Round-15 extended the lattice to compaction's loser-removal tail
+    * (three windows in [[sweepLosersAndReindex]]); round 16 extends it
+    * to the RESTART-TIME writers, which run at every query start:
+    * `backfill-{bands,winnow,cells,postings,postings-stats}-{marked,
+    * written}` (the reconcile backfill's pending-marker windows — see
+    * [[backfillIndex]]) and `adopt-bands-after-reband` /
+    * `adopt-{bands,winnow,cells,postings}-before-rename` (the adoption
+    * build's staged-.tmp atomicity windows).
     */
   private[graft] object FaultInjection {
     private val tripAt =
       new java.util.concurrent.atomic.AtomicReference[String](null)
     def arm(point: String): Unit = tripAt.set(point)
-    def maybeTrip(point: String): Unit =
-      if (tripAt.compareAndSet(point, null))
+    def maybeTrip(point: String): Unit = {
+      // VALUE equality first: compareAndSet alone compares references,
+      // which happened to work while every window name was an interned
+      // literal on both sides — the interpolated backfill-<family>-*
+      // names are distinct String instances and would never trip
+      val armed = tripAt.get()
+      if (armed != null && armed == point && tripAt.compareAndSet(armed, null))
         throw new RuntimeException(s"planted fault: $point")
+    }
   }
+
+  /** `doc_id == Long.MinValue` is reserved: the one-join probe tags
+    * stored-corpus vectors with a sentinel candidate id of
+    * `Long.MinValue`, and the single `__cand_id < doc_id` predicate
+    * admits every stored vector only because the sentinel sorts
+    * strictly below every REAL id. A batch doc carrying the sentinel
+    * id would silently skip its vs-corpus comparisons (the pre-fold
+    * two-join shape compared it), so the sink boundary rejects it
+    * loudly instead — codegen'd `when`/`raise_error`, no row-level UDF.
+    */
+  private def checkedDocId(c: Column): Column =
+    when(c === Long.MinValue, raise_error(lit(
+      "doc_id == Long.MinValue is reserved (corpus-candidate sentinel id)")))
+      .otherwise(c)
 
   /** One [[startCurationSink]] micro-batch: stages 3–5 (the probe
     * stages) plus the four partition writes. Extracted so the stage

@@ -44,8 +44,11 @@ class BenchSpec extends AnyFunSuite {
     // the stage names curationBatch actually bills — a floor keyed on a
     // renamed stage would silently never check anything (same failure
     // class as a misspelled query floor), and a stage WITHOUT a floor
-    // is a place a regression can hide inside a flat total
-    val stages = Set("gate", "band", "winnow", "assign", "cell", "write")
+    // is a place a regression can hide inside a flat total. DERIVED
+    // from CorpusIngest, not a second hardcoded copy (ADVICE r15: two
+    // copies of the set drift together) — CorpusIngest.BilledStages is
+    // the single source of truth curationBatch's labels are kept to.
+    val stages = graft.streaming.CorpusIngest.BilledStages
     val orphans = Bench.curationStageFloorsSec.keySet -- stages
     assert(orphans.isEmpty, s"stage floors keyed on unknown stages: $orphans")
     val unpinned = stages -- Bench.curationStageFloorsSec.keySet
@@ -62,5 +65,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.quietWindow(80.0, 3999) && !Bench.quietWindow(80.0, 4001))
     // the clean-regime reading (~31 ticks/s) passes; contended (80+/s) fails
     assert(Bench.quietWindow(60.0, 1860) && !Bench.quietWindow(60.0, 4800))
+  }
+
+  test("confirmedBreach pools sub-second sample windows before certifying quiet") {
+    // floor 0.371 (BENCH_r15's qe21 shape): three 0.49 s samples at
+    // 1.33× with ZERO observed ticks pool to a 1.47 s quiet window —
+    // a genuinely quiet confirmed breach still fires
+    val floor = 0.371
+    assert(Bench.confirmedBreach(floor,
+      Seq((0.493, 0L, false), (0.50, 0L, false), (0.52, 0L, false))))
+    // the round-15 artifact's actual blind spot: the same three
+    // readings inside a ~52-ticks/s run — each individual 0.49 s window
+    // could sample ~0 ticks by /proc/stat granularity luck, but pooled
+    // sampling sees the load (78 ticks over 1.51 s ≈ 52/s) and the
+    // confirm ABSTAINS instead of certifying
+    assert(!Bench.confirmedBreach(floor,
+      Seq((0.493, 26L, false), (0.50, 26L, false), (0.52, 26L, false))))
+    // min-of-samples is the breach statistic: one clean sample back at
+    // the floor kills the breach even when two others read high
+    assert(!Bench.confirmedBreach(floor,
+      Seq((0.60, 0L, false), (0.38, 0L, false), (0.55, 0L, false))))
+    // a crashed sample can never certify a breach
+    assert(!Bench.confirmedBreach(floor,
+      Seq((0.493, 0L, false), (0.50, 0L, true), (0.52, 0L, false))))
+    assert(!Bench.confirmedBreach(floor, Nil))
   }
 }

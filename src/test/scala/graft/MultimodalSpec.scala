@@ -313,4 +313,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).decode_ok && out(0).feature(0) === 1.0f)
     assert(!out(1).decode_ok && out(1).frame_idx === 1)
   }
+
+  test("deeply nested LIST headers (crafted ~100KB AVI) walk without stack growth") {
+    // ADVICE r15: the recursive chunk walk overflowed the JVM stack on a
+    // crafted AVI of thousands of nested 12-byte LIST headers, and
+    // StackOverflowError is an Error — it escaped the per-payload
+    // Exception guard and failed the task, violating the untrusted-bytes
+    // contract. The walk is iterative now; this fixture is the attack.
+    val depth = 8000 // ~96 KB of headers, far past default JVM stack depth
+    val tail = 12 // one 00dc-shaped chunk at the innermost level
+    val total = 12 + depth * 12 + tail
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (i <- 0 until depth) {
+      // each LIST declares the remaining bytes as its payload; the first
+      // is `movi` so the innermost chunk is in-scope for frame capture
+      val remaining = total - 12 - (i + 1) * 12 + 4
+      b.put("LIST".getBytes("US-ASCII")).putInt(remaining)
+        .put((if (i == 0) "movi" else "rec ").getBytes("US-ASCII"))
+    }
+    b.put("00dc".getBytes("US-ASCII")).putInt(4).putInt(0)
+    val bytes = b.array()
+    // both walkers complete promptly and correctly
+    val chunks = Multimodal.mjpegFrameChunks(bytes)
+    assert(chunks.size === 1 && chunks.head._2 === 4)
+    assert(!Multimodal.parseVideoMeta(bytes).parse_ok) // no avih anywhere
+    // and through the full decode leg: one decode_ok=false row (the
+    // chunk bytes are not a JPEG), never a task failure
+    val out = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(0L, "video", bytes, None, None, None, None)).toDS(), 8)
+      .collect()
+    assert(out.length === 1 && !out.head.decode_ok)
+  }
+
+  test("even-sampling index arithmetic survives huge chunk counts (k*n Int overflow)") {
+    // ADVICE r15: idx = k*n/maxFrames in Int overflows negative for
+    // ~22M chunks × k≥98 — exercise the exact expression shape via the
+    // same Long math decodeVideoFrames now uses
+    val n = 22000000
+    val maxFrames = 100
+    val idxs = (0 until maxFrames).map(k => (k.toLong * n / maxFrames).toInt)
+    assert(idxs.forall(i => i >= 0 && i < n))
+    assert(idxs === idxs.sorted && idxs.distinct.size === maxFrames)
+  }
 }

@@ -1086,6 +1086,40 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("curation sink rejects the reserved sentinel doc_id (Long.MinValue) loudly, not silently") {
+    // ADVICE r15: the one-join probe's stored-corpus candidates carry a
+    // Long.MinValue sentinel id, and the `__cand_id < doc_id` predicate
+    // admits them only because the sentinel sorts below every real id —
+    // a BATCH doc with doc_id == Long.MinValue would silently skip its
+    // vs-corpus comparisons (the old two-join shape compared it). The
+    // sink boundary must fail the batch loudly instead.
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("sentinel-corpus")
+    val cents = curCents.toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData((Long.MinValue, curText("alpha"), Seq(1.0, 0.0, 0.0, 0.0)))
+    val err = intercept[Exception] {
+      graft.streaming.CorpusIngest.startCurationSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir("sentinel-cp"), cents).awaitTermination()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c =>
+      c.getMessage != null && c.getMessage.contains("reserved")),
+      s"expected a loud reserved-sentinel failure, got: ${err.getMessage}")
+    // and a REAL minimal id right above the sentinel still ingests
+    val corpus2 = tmpDir("sentinel-corpus2")
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData((Long.MinValue + 1, curText("bravo"), Seq(0.0, 1.0, 0.0, 0.0)))
+    graft.streaming.CorpusIngest.startCurationSink(
+      ms2.toDF().toDF("doc_id", "text", "embedding"),
+      corpus2, tmpDir("sentinel-cp2"), cents)
+      .awaitTermination()
+    assert(spark.read.parquet(corpus2)
+      .select("doc_id").as[Long].collect().toSeq === Seq(Long.MinValue + 1))
+  }
+
   test("exact sink state evidence: seen-set rows live in the RocksDB store and grow with distinct hashes") {
     // The scale claim on the sink ("seen-set in transformWithState
     // ValueState, RocksDB-backed — per-executor local disk, not JVM
@@ -2808,7 +2842,19 @@ class StreamingSpec extends SparkSpec {
       (13L, semText, Seq(0.995, 0.0995, 0.0, 0.0)),  // SEMANTIC dup of 1 (stage 5)
       (14L, junkText, Seq(0.0, 0.0, 0.6, 0.8)),      // junk (stage 1)
       (15L, curText("foxtrot"), Seq(0.0, 0.0, 0.0, 1.0)))  // fresh → lands
-    run(cp1)
+    // this batch runs with StageClock on: the set of labels curationBatch
+    // ACTUALLY bills must equal the declared BilledStages constant the
+    // bench stage-floors key against — a label rename that kept the
+    // constant stale would make its floor silently unfireable (its
+    // reading would read 0.0 forever). Checked against a REAL run, not
+    // a second hardcoded copy (ADVICE r15).
+    val sc = graft.streaming.CorpusIngest.StageClock
+    sc.reset(); sc.enabled.set(true)
+    try run(cp1) finally sc.enabled.set(false)
+    assert(sc.secondsByStage.keySet ===
+      graft.streaming.CorpusIngest.BilledStages,
+      "curationBatch billed a different stage set than BilledStages declares")
+    sc.reset()
     assert(ids() === Set(1L, 2L, 3L, 15L))
 
     // stage attribution, cross-checked deterministically in batch mode:
@@ -3097,6 +3143,125 @@ class StreamingSpec extends SparkSpec {
       // and the probe really ran on replay: the near-dup stayed out
       assert(spark.read.parquet(corpusA).select("doc_id").as[Long]
         .collect().toSet === Set(1L, 2L, 10L))
+    }
+
+  // ---- restart-time writer crash lattice (round-16): the ensure/
+  // backfill/adoption paths run at EVERY sink start and write — the
+  // round-15 write clustering reached them, proving they're load-
+  // bearing, but they had no planted-fault coverage of their own.
+  private def rmRfDir(dir: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+  // delete a sidecar family's (epoch, batch_id) leaves across ALL its
+  // bucket dirs — the double-failure state missingIndexBatches exists
+  // to reconcile (corpus partition present, index partition absent)
+  private def deleteFamilyBatch(corpus: String, fam: String,
+      epoch: Long, batch: Long): Unit = {
+    val root = new java.io.File(corpus, s"_graft_$fam")
+    for (b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        if b.isDirectory && b.getName.contains("=")) {
+      rmRfDir(new java.io.File(b, s"epoch=$epoch/batch_id=$batch"))
+    }
+  }
+
+  private val adoptionWindows: Seq[(String, String)] = Seq(
+    ("bands", "adopt-bands-after-reband"),
+    ("bands", "adopt-bands-before-rename"),
+    ("winnow", "adopt-winnow-before-rename"),
+    ("cells", "adopt-cells-before-rename"))
+
+  for ((fam, point) <- adoptionWindows)
+    test(s"adoption crash lattice: planted crash at $point — the next start rebuilds $fam to the no-fault state") {
+      implicit val ctx = spark.sqlContext
+      // a healthy two-batch corpus, then the family's sidecar vanishes
+      // (the round-7-layout adoption scenario)
+      val corpus = tmpDir("adopt-crash-corpus"); val cp = tmpDir("adopt-crash-cp")
+      val ms = MemoryStream[(Long, String, Seq[Double])]
+      ms.addData(crashBatch0: _*)
+      crashRun(corpus, cp, ms)
+      ms.addData(crashBatch1: _*)
+      crashRun(corpus, cp, ms)
+      rmRfDir(new java.io.File(corpus, s"_graft_$fam"))
+      // crashed adoption: the ensure* runs at query START, so the fault
+      // fires from startCurationSink itself (driver-side, pre-stream)
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      val e = intercept[RuntimeException] { crashRun(corpus, cp, ms) }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      assert(!new java.io.File(corpus, s"_graft_$fam").exists(),
+        "fixture: a crashed adoption must never have renamed a live index in")
+      // restart, unarmed: adoption re-runs from scratch and heals
+      crashRun(corpus, cp, ms)
+      val a = crashFamilyState(corpus); val b = crashControlState
+      for (f <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(a(f)._1 === b(f)._1, s"$f partition tree diverges after adoption heal")
+        assert(a(f)._2 === b(f)._2, s"$f rows diverge after adoption heal")
+      }
+      assert(!new java.io.File(corpus, s"_graft_$fam.tmp").exists(),
+        "healed adoption must leave no .tmp stage behind")
+    }
+
+  private val backfillFamilies = Seq("bands", "winnow", "cells")
+
+  for (fam <- backfillFamilies)
+    test(s"backfill crash lattice ($fam): marker-window crash, then a TORN write, both heal to the no-fault state") {
+      implicit val ctx = spark.sqlContext
+      val corpus = tmpDir("bf-crash-corpus"); val cp = tmpDir("bf-crash-cp")
+      val ms = MemoryStream[(Long, String, Seq[Double])]
+      ms.addData(crashBatch0: _*)
+      crashRun(corpus, cp, ms)
+      ms.addData(crashBatch1: _*)
+      crashRun(corpus, cp, ms)
+      val marker = new java.io.File(corpus, s"_graft_$fam/_backfill_pending")
+
+      // window 1 — marked, nothing written: the double-failure missing
+      // batch is detected, the pending marker lands, then the crash
+      deleteFamilyBatch(corpus, fam, 0L, 1L)
+      val leavesAfter = Option(new java.io.File(corpus, s"_graft_$fam").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+        .map(b => b.getName -> new java.io.File(b, "epoch=0/batch_id=1").exists()).toSeq
+      assert(leavesAfter.nonEmpty && leavesAfter.forall(!_._2),
+        s"fixture: batch_id=1 leaves must be gone after the delete: $leavesAfter")
+      graft.streaming.CorpusIngest.FaultInjection.arm(s"backfill-$fam-marked")
+      val e1 = intercept[RuntimeException] { crashRun(corpus, cp, ms) }
+      assert(e1.getMessage.contains("planted fault"), e1.getMessage)
+      assert(marker.exists(), "fixture: the pending marker must be durable at the crash")
+      crashRun(corpus, cp, ms) // restart, unarmed → backfill redone
+      assert(!marker.exists(), "a completed backfill must clear its marker")
+      val a1 = crashFamilyState(corpus)
+      for (f <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(a1(f)._1 === crashControlState(f)._1, s"$f tree diverges after marked-window heal")
+        assert(a1(f)._2 === crashControlState(f)._2, s"$f rows diverge after marked-window heal")
+      }
+
+      // window 2 — written, marker uncleared, then a TEAR: pre-marker,
+      // a backfill that committed SOME bucket leaves made the batch
+      // look present to the existence diff and the tear went permanent
+      // (the documented missingIndexBatches residual). With the marker
+      // the redo is unconditional.
+      deleteFamilyBatch(corpus, fam, 0L, 1L)
+      graft.streaming.CorpusIngest.FaultInjection.arm(s"backfill-$fam-written")
+      val e2 = intercept[RuntimeException] { crashRun(corpus, cp, ms) }
+      assert(e2.getMessage.contains("planted fault"), e2.getMessage)
+      assert(marker.exists(), "fixture: the marker must still be set after the write")
+      // simulate the tear: drop ONE bucket's leaf of the just-backfilled
+      // batch, leaving the others in place
+      val bucket = Option(new java.io.File(corpus, s"_graft_$fam").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.contains("=") &&
+          new java.io.File(f, "epoch=0/batch_id=1").exists())
+        .minBy(_.getName)
+      rmRfDir(new java.io.File(bucket, "epoch=0/batch_id=1"))
+      crashRun(corpus, cp, ms) // restart, unarmed → marker forces the full redo
+      assert(!marker.exists())
+      val a2 = crashFamilyState(corpus)
+      for (f <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(a2(f)._1 === crashControlState(f)._1, s"$f tree diverges after torn-write heal")
+        assert(a2(f)._2 === crashControlState(f)._2, s"$f rows diverge after torn-write heal")
+      }
     }
 
   test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
