@@ -220,6 +220,32 @@ object Bench {
     "gate" -> 3.9, "band" -> 3.7, "winnow" -> 1.1,
     "assign" -> 5.3, "cell" -> 9.1, "write" -> 6.5)
 
+  /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
+    * round-15 verdict asked for: the sf0.1 floor cannot catch a
+    * regression that only appears when batches are big enough to
+    * amortize fixed costs (a probe that silently goes corpus-linear
+    * reads FLAT at sf0.1's 500-doc batches). Pinned round 16 from two
+    * quiet windows (both-replay rule): best replays 25.11 s
+    * (17.6 steal ticks/s) and 29.12 s (48.7/s), 20k docs in 4 batches →
+    * min × 1.10 = 27.6. The headline scale evidence: the sf1 replay
+    * walls EQUAL the sf0.1 replay's (~25–36 s) on 10× the docs — the
+    * capstone is restart-overhead-bound, per-doc cost batch-
+    * proportional (797 docs/s vs 62–78 at sf0.1). Applied when
+    * `SPARK_GRAFT_SF_DIR` ends in `sf1` (the replay itself is opt-in
+    * there via SPARK_GRAFT_BENCH_STREAMING=1).
+    */
+  val curationSinkFloorSecSf1: Option[Double] = Some(27.6)
+
+  /** sf1 twin of [[curationStageFloorsSec]]: per-stage minima across
+    * the same two quiet round-16 windows × the stage margin 1.25
+    * (gate 4.27, band 2.67, winnow 1.06, assign 4.55, cell 5.28,
+    * write 4.55). Keys are [[graft.streaming.CorpusIngest.BilledStages]]
+    * (BenchSpec-pinned).
+    */
+  val curationStageFloorsSecSf1: Map[String, Double] = Map(
+    "gate" -> 5.3, "band" -> 3.3, "winnow" -> 1.3,
+    "assign" -> 5.7, "cell" -> 6.6, "write" -> 5.7)
+
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
     * reconcile + state restore per batch) without the bench being ONLY
@@ -403,6 +429,15 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // same class of noise from the WRITE path: a dynamic overwrite into
+    // a sidecar dir that holds only the `_`-prefixed meta file (every
+    // replay's first batch) routes through DataSource path resolution,
+    // which WARNs "All paths were ignored" — the probes' empty-dir
+    // short-circuit can't reach it. DataSource's only WARNs are this
+    // flavor; bench-harness-only silencing.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.datasources.DataSource",
+      org.apache.logging.log4j.Level.ERROR)
     // dev: SPARK_GRAFT_BENCH_FILTER=regex to time a subset
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -558,8 +593,14 @@ object Bench {
         // "confirmed" breach).
         def quiet(r: (Double, Long, Long, Long, Map[String, Double], Int)): Boolean =
           quietWindow(r._1, r._2)
-        val floorPart = curationSinkFloorSec match {
-          case Some(f) if trimmed.endsWith("sf0.1") =>
+        // sf-matched floor selection: the sf0.1 floors are the per-round
+        // tripwire; the sf1 twins fire on the opt-in 100×-scale runs
+        val (sinkFloor, stageFloors) =
+          if (trimmed.endsWith("sf0.1")) (curationSinkFloorSec, curationStageFloorsSec)
+          else if (trimmed.endsWith("sf1")) (curationSinkFloorSecSf1, curationStageFloorsSecSf1)
+          else (None, Map.empty[String, Double])
+        val floorPart = sinkFloor match {
+          case Some(f) =>
             // nRuns==1 aliases r2 to r1, so the two-independent-window
             // rule would degenerate to a single-run confirmation
             // (ADVICE r15): emit vs_floor only, no breach verdict
@@ -579,26 +620,25 @@ object Bench {
         // breaches only when BOTH replays read it > 1.3× its floor in
         // quiet windows — each replay's stages come from its own
         // StageClock.reset() window, so r1/r2 are independent samples.
-        val stagePart = if (!trimmed.endsWith("sf0.1") ||
-            curationStageFloorsSec.isEmpty) "" else {
+        val stagePart = if (stageFloors.isEmpty) "" else {
           val vsf = stages.collect {
-            case (s, v) if curationStageFloorsSec.contains(s) =>
-              "\"" + s + "\":" + fmt2(v / curationStageFloorsSec(s))
+            case (s, v) if stageFloors.contains(s) =>
+              "\"" + s + "\":" + fmt2(v / stageFloors(s))
           }.mkString("{", ",", "}")
           // a floored stage that stopped being billed at all (label
           // rename, StageClock drift) must be VISIBLE, not silently
           // unfireable — getOrElse(s, 0.0) never exceeds 1.3× (ADVICE
           // r15; BenchSpec pins the keys == CorpusIngest.BilledStages)
-          val orphans = curationStageFloorsSec.keys
+          val orphans = stageFloors.keys
             .filterNot(stages.contains).toSeq.sorted
           // same nRuns<2 degeneracy guard as the total's breach
           // verdict: OMIT the verdict key rather than emit [] — an
           // empty list reads as "evaluated, none", which a single
           // aliased window cannot certify
           val sbPart = if (nRuns < 2) "" else {
-            val sb = curationStageFloorsSec.keys.filter { s =>
-              r1._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
-                r2._5.getOrElse(s, 0.0) / curationStageFloorsSec(s) > 1.3 &&
+            val sb = stageFloors.keys.filter { s =>
+              r1._5.getOrElse(s, 0.0) / stageFloors(s) > 1.3 &&
+                r2._5.getOrElse(s, 0.0) / stageFloors(s) > 1.3 &&
                 quiet(r1) && quiet(r2)
             }.toSeq.sorted
             s""","stage_breaches":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""

@@ -55,6 +55,11 @@ class BenchSpec extends AnyFunSuite {
     assert(unpinned.isEmpty, s"stages without a floor: $unpinned")
     val nonPos = Bench.curationStageFloorsSec.collect { case (k, v) if v <= 0 => k }
     assert(nonPos.isEmpty, s"non-positive stage floors: $nonPos")
+    // the sf1 twin maps obey the same contract
+    assert(Bench.curationStageFloorsSecSf1.keySet === stages,
+      "sf1 stage floors must key exactly the billed stages")
+    assert(Bench.curationStageFloorsSecSf1.values.forall(_ > 0))
+    assert(Bench.curationSinkFloorSecSf1.forall(_ > 0))
   }
 
   test("quietWindow scales the steal guard to the query's own duration") {
