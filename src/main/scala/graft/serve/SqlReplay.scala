@@ -693,4 +693,93 @@ object SqlReplay {
     Tables.createTempViews(spark, sfDir)
     runText(spark, sql(name))
   }
+
+  /** Unrolled min-label propagation as inline CTEs over `edges(a, b)`
+    * (symmetric pairs, any orderable key type incl. the compaction
+    * routines' (doc_id, epoch, batch_id) structs): `w$rounds` maps
+    * every edge-touched id to its component minimum for components of
+    * diameter ≤ 2^rounds (each round is one neighborhood-min plus one
+    * pointer jump — [[componentsStmts]]' recurrence, stated inline for
+    * fixture-scale replays; production-scale uses the CTAS form or the
+    * DataFrame fixpoint). CASE, not LEAST: LEAST on struct keys is the
+    * only piece of the recurrence Spark's function registry gates by
+    * type, and the CASE form is orderable-universal.
+    */
+  private def componentCtes(rounds: Int): String =
+    (Seq("w0 AS (SELECT DISTINCT a AS id, a AS label FROM edges)") ++
+      (1 to rounds).flatMap { r =>
+        Seq(
+          s"""n$r AS (
+             |  SELECT x.id, MIN(x.label) AS label FROM (
+             |    SELECT id, label FROM w${r - 1}
+             |    UNION ALL
+             |    SELECT e.b AS id, w.label
+             |    FROM w${r - 1} w JOIN edges e ON e.a = w.id) x
+             |  GROUP BY x.id)""".stripMargin,
+          s"""w$r AS (
+             |  SELECT a.id,
+             |    CASE WHEN b.label < a.label THEN b.label ELSE a.label END AS label
+             |  FROM n$r a JOIN n$r b ON a.label = b.id)""".stripMargin)
+      }).mkString(",\n")
+
+  /** The compaction routines' LOSER-SET derivation as one Spark SQL
+    * text over a caller-registered view of the PRE-compaction corpus —
+    * the maintenance-path twin of the five-stage ingest twin: the rows
+    * `compactNearDupCorpus` / `compactSemanticCorpus` remove must be
+    * derivable through `spark.sql` from the same stored state.
+    *
+    *  - `"neardup"`: candidate pairs from the STORED `band0..3`
+    *    columns (one (band, bh) bucket shared ⇒ pair — exactly
+    *    [[graft.functions.Dedup.bandsLong]]'s explode + equi-join);
+    *  - `"semantic"`: same-cell pairs over the stored (`cell`,
+    *    `embedding`) columns scored with the sink's 6-dp-rounded,
+    *    NaN-never-matches cosine (vec_dot kernel) against `threshold`.
+    *
+    * Both cluster transitively (unrolled min-label propagation; the
+    * keeper is the lexicographic minimum (doc_id, epoch, batch_id)
+    * struct — the routines' smallest-key-wins rule) and return the
+    * losers as (doc_id, epoch, batch_id) rows ordered by doc_id.
+    * Requires [[GraftExtensions.register]] for `vec_dot` (semantic).
+    */
+  def compactionLoserSql(kind: String, view: String, rounds: Int = 3,
+      threshold: Double = 0.9): String = {
+    val key = (q: String) =>
+      s"""named_struct('doc_id', CAST($q.doc_id AS BIGINT),
+         |      'epoch', CAST($q.epoch AS BIGINT),
+         |      'batch_id', CAST($q.batch_id AS BIGINT))""".stripMargin
+    val pairs = kind match {
+      case "neardup" =>
+        s"""eb AS (
+           |  SELECT ${key("s")} AS k, s.band, s.bh FROM (
+           |    SELECT doc_id, epoch, batch_id,
+           |      stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bh)
+           |    FROM $view) s),
+           |prs AS (
+           |  SELECT DISTINCT a.k AS ka, b.k AS kb
+           |  FROM eb a JOIN eb b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.k < b.k)""".stripMargin
+      case "semantic" =>
+        s"""v AS (
+           |  SELECT ${key(view)} AS k, cell,
+           |    CAST(embedding AS ARRAY<DOUBLE>) AS e
+           |  FROM $view),
+           |prs AS (
+           |  SELECT DISTINCT a.k AS ka, b.k AS kb
+           |  FROM v a JOIN v b ON a.cell = b.cell AND a.k < b.k
+           |  WHERE nanvl(round(
+           |      CASE WHEN sqrt(vec_dot(a.e, a.e)) * sqrt(vec_dot(b.e, b.e)) = 0D THEN 0D
+           |           ELSE vec_dot(a.e, b.e)
+           |                / (sqrt(vec_dot(a.e, a.e)) * sqrt(vec_dot(b.e, b.e))) END, 6),
+           |      CAST('-Infinity' AS DOUBLE)) >= ${threshold}D)""".stripMargin
+      case other => throw new IllegalArgumentException(
+        s"compactionLoserSql kind must be 'neardup' or 'semantic', got '$other'")
+    }
+    s"""WITH $pairs,
+       |edges AS (SELECT ka AS a, kb AS b FROM prs
+       |          UNION ALL SELECT kb, ka FROM prs),
+       |${componentCtes(rounds)}
+       |SELECT id.doc_id AS doc_id, id.epoch AS epoch, id.batch_id AS batch_id
+       |FROM w$rounds WHERE NOT (label = id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

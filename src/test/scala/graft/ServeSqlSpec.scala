@@ -314,4 +314,100 @@ class ServeSqlSpec extends SparkSpec {
     assert(sqlKept === sinkKept,
       s"SQL stage 3-5 replay diverged: sql=$sqlKept sink=$sinkKept")
   }
+
+  test("compaction loser derivation replays in SQL: near-dup loser set identical, incl. a transitive chain") {
+    // The maintenance-path twin (round-16): the rows compactNearDupCorpus
+    // removes must be derivable through spark.sql from the same stored
+    // band columns — pairs by shared (band, bh), transitive min-label
+    // clustering, smallest (doc_id, epoch, batch_id) struct kept. The
+    // fixture plants a 3-doc cross-epoch CHAIN (A~A', A'~A'' where the
+    // ends may only connect through the middle), so the twin proves the
+    // component closure, not just the direct pairs.
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.Dedup
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = tmpDir("cmpsql-nd")
+    def mkDoc(stem: String): String = (0 until 60).map(i => s"$stem$i").mkString(" ")
+    val tA = mkDoc("alpha")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      Dedup.lshSignature(rows.toDF("doc_id", "text"), "text", 16, 4, 3)
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((10L, tA), (11L, mkDoc("bravo"))), 0L, 0L)
+    part(Seq((20L, tA + " trailing extra")), 1L, 0L)
+    part(Seq((22L, tA + " other trailing"), (23L, mkDoc("delta"))), 2L, 0L)
+    graft.streaming.CorpusIngest.buildBandIndex(spark, corpus)
+
+    // register the PRE-compaction corpus (materialized — the view must
+    // survive the compaction's partition rewrites underneath it)
+    val before = spark.read.parquet(corpus)
+      .select((Seq("doc_id", "epoch", "batch_id") ++
+        (0 until 4).map(b => s"band$b")).map(col): _*)
+      .localCheckpoint(true)
+    before.createOrReplaceTempView("cmpsql_nd_corpus")
+    val beforeIds = before.select("doc_id").as[Long].collect().toSet
+
+    val removed = graft.streaming.CorpusIngest.compactNearDupCorpus(spark, corpus)
+    val afterIds = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val actualLosers = (beforeIds -- afterIds).toSeq.sorted
+    assert(removed === actualLosers.size.toLong)
+    assert(actualLosers === Seq(20L, 22L), "fixture drifted: expected the two chained near-dups to lose")
+
+    val sqlLosers = SqlReplay.runText(spark,
+        SqlReplay.compactionLoserSql("neardup", "cmpsql_nd_corpus"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sqlLosers === actualLosers,
+      s"SQL loser twin diverged: sql=$sqlLosers actual=$actualLosers")
+    graft.functions.Dedup.freeLocalCheckpoint(before)
+  }
+
+  test("compaction loser derivation replays in SQL: semantic loser set identical across a 2-hop cosine chain") {
+    // Same twin for compactSemanticCorpus: same-cell pairs scored with
+    // the 6-dp cosine kernel, transitively clustered. The fixture is a
+    // 2-hop chain at 24° steps under threshold 0.9 (cos 24° ≈ 0.914 ≥
+    // 0.9, cos 48° ≈ 0.669 < 0.9): a~b and b~c pair, a~c does NOT — so
+    // c is a loser ONLY through the transitive closure.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = tmpDir("cmpsql-sem")
+    // both centroids on the x half-plane: all three vectors land in cell 0
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    def rad(d: Double) = math.toRadians(d)
+    val a = Seq(1.0, 0.0)
+    val b = Seq(math.cos(rad(24)), math.sin(rad(24)))
+    val c = Seq(math.cos(rad(48)), math.sin(rad(48)))
+    def part(rows: Seq[(Long, String, Seq[Double], Int)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text", "embedding", "cell")
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((10L, "aye", a, 0), (11L, "off-axis", Seq(-0.9, 0.1), 1)), 0L, 0L)
+    part(Seq((20L, "bee", b, 0)), 1L, 0L)
+    part(Seq((22L, "sea", c, 0)), 2L, 0L)
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, centroids)
+
+    val before = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("epoch"), col("batch_id"), col("cell"),
+        col("embedding"))
+      .localCheckpoint(true)
+    before.createOrReplaceTempView("cmpsql_sem_corpus")
+    val beforeIds = before.select("doc_id").as[Long].collect().toSet
+
+    val removed = graft.streaming.CorpusIngest.compactSemanticCorpus(
+      spark, corpus, threshold = 0.9)
+    val afterIds = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val actualLosers = (beforeIds -- afterIds).toSeq.sorted
+    assert(removed === actualLosers.size.toLong)
+    assert(actualLosers === Seq(20L, 22L),
+      "fixture drifted: the 2-hop chain must lose both non-minimum docs")
+
+    val sqlLosers = SqlReplay.runText(spark,
+        SqlReplay.compactionLoserSql("semantic", "cmpsql_sem_corpus", threshold = 0.9))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sqlLosers === actualLosers,
+      s"SQL semantic loser twin diverged: sql=$sqlLosers actual=$actualLosers")
+    graft.functions.Dedup.freeLocalCheckpoint(before)
+  }
 }
