@@ -2672,15 +2672,18 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // oracle-checked (round 15): REAL video FRAME-PIXEL decode — the
-    // round-14 de-stub. Each doc becomes an MJPEG-in-AVI whose frames
-    // are real JPEGs of uniform MID-BIN grays; decodeVideoFrames walks
-    // the RIFF `movi` list, samples up to 3 frames evenly, and decodes
-    // each through ImageIO. Mid-bin uniform gray survives quality-0.95
-    // JPEG exactly (all 16 bins verified), so the decoded histogram is
+    // oracle-checked (round 15; MP4 parity round 16): REAL video
+    // FRAME-PIXEL decode — the round-14 de-stub. Each doc becomes an
+    // MJPEG container whose frames are real JPEGs of uniform MID-BIN
+    // grays — MJPEG-in-AVI for even ids (RIFF `movi` chunk walk),
+    // MJPEG-in-MP4 for odd ids (ISO `stsz`/`stco` sample walk) — and
+    // decodeVideoFrames samples up to 3 frames evenly and decodes each
+    // through ImageIO. Mid-bin uniform gray survives quality-0.95 JPEG
+    // exactly (all 16 bins verified), so the decoded histogram is
     // one-hot and the oracle (qm06Sql) regenerates bin/f_max from the
-    // gray-level arithmetic — a codec or frame-walk regression breaks
-    // the hash compare, not just a row count.
+    // gray-level arithmetic, container-independent — a codec or
+    // frame-walk regression in EITHER container breaks the hash
+    // compare, not just a row count.
     "qm06_video_frames" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d).filter(col("doc_id") < 64)
@@ -2689,10 +2692,14 @@ object SparkEntry {
           val n = 2 + (id % 4).toInt
           val grays = (0 until n)
             .map(j => ((id * 7 + j * 13) % 16).toInt * 16 + 8)
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.Multimodal.syntheticMjpegAvi(16, 12, 10, grays)
+            else
+              graft.multimodal.Multimodal.syntheticMjpegMp4(
+                16, 12, timescale = 600, duration = 60L * n, grays)
           graft.multimodal.Multimodal.MediaRow(
-            id, "video",
-            graft.multimodal.Multimodal.syntheticMjpegAvi(16, 12, 10, grays),
-            None, None, None, None)
+            id, "video", bytes, None, None, None, None)
         }
       graft.multimodal.Multimodal.decodeVideoFrames(media, maxFrames = 3)
         .toDF()

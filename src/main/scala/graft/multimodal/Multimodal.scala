@@ -465,6 +465,95 @@ object Multimodal {
     out.toSeq
   }
 
+  /** (offset, length) of each video SAMPLE in an MJPEG-in-MP4: walk the
+    * ISO boxes to the first VIDEO trak (nonzero `tkhd` dims — the
+    * [[parseMp4Meta]] audio-trak discipline), read its `stsz` per-sample
+    * sizes and `stco` chunk offsets, and accept only the 1-sample-per-
+    * chunk layout (every `stsc` entry `samples_per_chunk == 1`, or no
+    * `stsc` with matching counts) — the layout MJPEG-in-MP4 writers
+    * emit and the only one where `stco` alone locates every sample.
+    * Anything else (interleaved multi-sample chunks, compressed-offset
+    * `co64`, v1 boxes) returns empty → one `decode_ok=false` row, never
+    * a guess. Iterative walk (explicit stack), offsets guarded against
+    * the payload length: untrusted bytes can never loop, overflow, or
+    * recurse a task to death.
+    */
+  private[graft] def mp4FrameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(4) != "ftyp") return Seq.empty
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    // per-trak state, reset at each `trak` header (trak boxes never nest)
+    var tw = 0; var th = 0
+    var sizes: Array[Int] = null
+    var offs: Array[Int] = null
+    var stscOk = true // no stsc seen yet = acceptable iff counts match
+    var found: Seq[(Int, Int)] = Seq.empty
+    def closeTrak(): Unit = {
+      if (found.isEmpty && tw > 0 && th > 0 && sizes != null && offs != null &&
+          sizes.length == offs.length && stscOk && sizes.nonEmpty) {
+        val chunks = offs.zip(sizes)
+        if (chunks.forall { case (o, s) =>
+            o >= 0 && s > 0 && o.toLong + s <= bytes.length })
+          found = chunks.toSeq
+      }
+      tw = 0; th = 0; sizes = null; offs = null; stscOk = true
+    }
+    def u32at(p: Int): Long = u32be(bytes, p)
+    def intList(p: Int, n: Long, end: Int): Array[Int] =
+      if (n < 0 || n > (end - p) / 4) null
+      else Array.tabulate(n.toInt)(i => u32at(p + 4 * i).toInt)
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((0, bytes.length))
+    while (stack.nonEmpty) {
+      var (off, end) = stack.pop()
+      var walking = true
+      while (walking && off + 8 <= end) {
+        val size = u32at(off)
+        if (size < 8) { walking = false }
+        else {
+          val cc = fourcc(off + 4)
+          val p = off + 8
+          val next = off + size // Long: cannot wrap
+          if (cc == "trak") closeTrak() // a new trak begins
+          if (containers(cc)) {
+            if (next > off && next <= end) stack.push((next.toInt, end))
+            end = math.min(end.toLong, off + size).toInt
+            off = p
+          } else {
+            cc match {
+              case "tkhd" if p + 4 <= end =>
+                val v = bytes(p) & 0xff
+                val dimOff = p + (if (v == 1) 88 else 76)
+                if (dimOff + 8 <= end) {
+                  tw = (u32at(dimOff) >> 16).toInt
+                  th = (u32at(dimOff + 4) >> 16).toInt
+                }
+              case "stsz" if p + 12 <= end =>
+                val fixed = u32at(p + 4)
+                val n = u32at(p + 8)
+                sizes =
+                  if (fixed > 0 && fixed <= Int.MaxValue)
+                    if (n >= 0 && n <= (1L << 22)) Array.fill(n.toInt)(fixed.toInt) else null
+                  else intList(p + 12, n, math.min(end.toLong, off + size).toInt)
+              case "stco" if p + 8 <= end =>
+                offs = intList(p + 8, u32at(p + 4),
+                  math.min(end.toLong, off + size).toInt)
+              case "stsc" if p + 8 <= end =>
+                val n = u32at(p + 4)
+                val entryEnd = math.min(end.toLong, off + size).toInt
+                stscOk = n >= 0 && n <= (entryEnd - p - 8) / 12 &&
+                  (0L until n).forall(i => u32at(p + 8 + 12 * i.toInt + 4) == 1L)
+              case _ => ()
+            }
+            if (next <= off || next > end) walking = false
+            else off = next.toInt
+          }
+        }
+      }
+    }
+    closeTrak()
+    found
+  }
+
   /** REAL video frame-pixel decode for MJPEG-in-AVI — the round-14
     * de-stub: MJPEG frames are plain JPEGs, so the JDK's ImageIO
     * decodes them without a video codec; the RIFF walk locates the
@@ -491,10 +580,17 @@ object Multimodal {
         // (Plain Throwable would also swallow task-kill interrupts.)
         def corruptGuard(t: Throwable): Boolean =
           scala.util.control.NonFatal(t) || t.isInstanceOf[StackOverflowError]
+        // container sniff: RIFF/AVI → `00dc` chunk walk; ISO `ftyp` →
+        // video-trak stsz/stco sample walk (round-16 MP4 parity) —
+        // MJPEG samples are plain JPEGs in both containers
         val chunks =
           if (r.bytes == null) Seq.empty
-          else try mjpegFrameChunks(r.bytes)
-          catch { case t if corruptGuard(t) => Seq.empty }
+          else try {
+            if (r.bytes.length >= 12 &&
+                new String(r.bytes, 4, 4, "US-ASCII") == "ftyp")
+              mp4FrameChunks(r.bytes)
+            else mjpegFrameChunks(r.bytes)
+          } catch { case t if corruptGuard(t) => Seq.empty }
         if (chunks.isEmpty) Iterator.single(failed)
         else {
           val n = chunks.size
@@ -531,14 +627,22 @@ object Multimodal {
     */
   private[graft] def parseMp4Meta(bytes: Array[Byte]): VideoMeta = {
     val containers = Set("moov", "mdia", "minf", "stbl")
+    // container-nesting cap: ISO files nest a handful deep; a crafted
+    // blob of thousands of nested `moov` headers would otherwise grow
+    // the call stack without bound (the mjpegFrameChunks hazard, MP4
+    // form) — beyond the cap the walk abandons the subtree, keeping
+    // whatever it has found (same degrade-to-failed posture as every
+    // malformed-size bail-out here)
+    val MaxDepth = 64
     var timescale = 0L; var duration = 0L
     var w = 0; var h = 0; var nFrames = 0L
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     // Walk one trak subtree, returning (width, height, stsz sample_count)
     // scoped to that trak alone.
-    def walkTrak(start: Int, end: Int): (Int, Int, Long) = {
+    def walkTrak(start: Int, end: Int, depth: Int): (Int, Int, Long) = {
       var tw = 0; var th = 0; var samples = 0L
-      def go(start: Int, end: Int): Unit = {
+      def go(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > MaxDepth) return
         var off = start
         while (off + 8 <= end) {
           // Long, not Int: a declared u32 size in [2^31-off, 2^31) passes
@@ -550,7 +654,8 @@ object Multimodal {
           val cc = fourcc(off + 4)
           val p = off + 8
           cc match {
-            case c if containers(c) => go(p, math.min(end.toLong, off + size).toInt)
+            case c if containers(c) =>
+              go(p, math.min(end.toLong, off + size).toInt, depth + 1)
             case "tkhd" if tw == 0 && p + 4 <= end => // guard the version read
               val v = bytes(p) & 0xff
               // v0: 4 ver/flags + 8 times + 4 id + 4 rsvd + 4 dur + 8 rsvd
@@ -570,10 +675,11 @@ object Multimodal {
           off = next.toInt
         }
       }
-      go(start, end)
+      go(start, end, depth)
       (tw, th, samples)
     }
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > MaxDepth) return
       var off = start
       while (off + 8 <= end) {
         val size = u32be(bytes, off) // Long — see walkTrak's overflow note
@@ -581,9 +687,11 @@ object Multimodal {
         val cc = fourcc(off + 4)
         val p = off + 8
         cc match {
-          case c if containers(c) => walk(p, math.min(end.toLong, off + size).toInt)
+          case c if containers(c) =>
+            walk(p, math.min(end.toLong, off + size).toInt, depth + 1)
           case "trak" =>
-            val (tw, th, samples) = walkTrak(p, math.min(end.toLong, off + size).toInt)
+            val (tw, th, samples) =
+              walkTrak(p, math.min(end.toLong, off + size).toInt, depth + 1)
             if (tw > 0 && th > 0 && w == 0) { // first video trak wins
               w = tw; h = th; nFrames = samples
             }
@@ -603,7 +711,7 @@ object Multimodal {
         off = next.toInt
       }
     }
-    walk(0, bytes.length)
+    walk(0, bytes.length, 0)
     if (timescale <= 0 || w <= 0) videoMetaFailed
     else {
       val durSec = duration.toDouble / timescale
@@ -677,21 +785,26 @@ object Multimodal {
     * a relational oracle can regenerate from the gray-level arithmetic
     * alone while the Spark side still exercises a real JPEG decode.
     */
+  /** One quality-0.95 JPEG of a uniform gray raster — the shared frame
+    * payload for both MJPEG fixture writers.
+    */
+  private def grayJpeg(width: Int, height: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    jpegBytes(img)
+  }
+
   def syntheticMjpegAvi(width: Int, height: Int, fps: Int,
       grays: Seq[Int]): Array[Byte] = {
     require(fps > 0 && grays.nonEmpty)
-    val frames = grays.map { g =>
-      val img = new java.awt.image.BufferedImage(
-        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (g << 16) | (g << 8) | g
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      jpegBytes(img)
-    }
+    val frames = grays.map(grayJpeg(width, height, _))
     val avih = java.nio.ByteBuffer.allocate(56)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     avih.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0x10)
@@ -750,7 +863,8 @@ object Multimodal {
     * traks, per spec) and a `stbl`/`stsz` carrying the sample count.
     */
   private[graft] def mp4Trak(width: Int, height: Int, trackId: Int,
-      duration: Long, nSamples: Long): Array[Byte] = {
+      duration: Long, nSamples: Long,
+      stblOverride: Option[Array[Byte]] = None): Array[Byte] = {
     val tkhd = {
       val b = java.nio.ByteBuffer.allocate(84)
       b.putInt(7) // version 0, flags = enabled|in_movie|in_preview
@@ -766,8 +880,55 @@ object Multimodal {
       b.putInt(0).putInt(0).putInt(nSamples.toInt) // v/flags, sample_size=0, count
       b.array()
     }
-    val stbl = isoBox("stbl", isoBox("stsz", stsz))
+    val stbl = stblOverride.getOrElse(isoBox("stbl", isoBox("stsz", stsz)))
     isoBox("trak", isoBox("tkhd", tkhd) ++ isoBox("mdia", isoBox("minf", stbl)))
+  }
+
+  /** Deterministic synthetic MJPEG-in-MP4 — [[syntheticMjpegAvi]]'s
+    * one-hot oracle trick in ISO BMFF: a real `ftyp`/`moov`/`mdat`
+    * file whose video trak carries per-sample JPEG sizes in `stsz`,
+    * a 1-sample-per-chunk `stsc`, and absolute `stco` offsets pointing
+    * each sample at its JPEG inside `mdat` — exactly the layout
+    * [[mp4FrameChunks]] accepts. Frames are quality-0.95 uniform
+    * mid-bin grays, so decoded histograms stay exactly one-hot.
+    */
+  def syntheticMjpegMp4(width: Int, height: Int, timescale: Int,
+      duration: Long, grays: Seq[Int]): Array[Byte] = {
+    require(grays.nonEmpty)
+    val frames = grays.map(grayJpeg(width, height, _))
+    val n = frames.size
+    def fileFor(offsets: Seq[Int]): Array[Byte] = {
+      val stsz = {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+        b.putInt(0).putInt(0).putInt(n) // v/flags, sample_size=0 (per-sample), count
+        frames.foreach(f => b.putInt(f.length))
+        b.array()
+      }
+      val stsc = {
+        val b = java.nio.ByteBuffer.allocate(8 + 12)
+        b.putInt(0).putInt(1) // v/flags, entry_count=1
+          .putInt(1).putInt(1).putInt(1) // first_chunk, samples_per_chunk, sdi
+        b.array()
+      }
+      val stco = {
+        val b = java.nio.ByteBuffer.allocate(8 + 4 * n)
+        b.putInt(0).putInt(n)
+        offsets.foreach(b.putInt)
+        b.array()
+      }
+      val stbl = isoBox("stbl",
+        isoBox("stsz", stsz) ++ isoBox("stsc", stsc) ++ isoBox("stco", stco))
+      val trak = mp4Trak(width, height, trackId = 1, duration, n, Some(stbl))
+      val moov = isoBox("moov",
+        isoBox("mvhd", mvhdV0(timescale, duration, nextTrackId = 2)) ++ trak)
+      isoBox("ftyp", "isomisom".getBytes("US-ASCII")) ++ moov ++
+        isoBox("mdat", frames.toArray.flatten)
+    }
+    // two passes: stco is fixed-width, so the mdat payload position is
+    // independent of the offset VALUES — measure with zeros, then fill
+    val probe = fileFor(Seq.fill(n)(0))
+    val base = probe.length - frames.map(_.length).sum
+    fileFor(frames.scanLeft(base)((acc, f) => acc + f.length).init)
   }
 
   /** Synthetic MP4 with BOTH a video trak and an audio trak (0×0 tkhd

@@ -314,6 +314,59 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(1).decode_ok && out(1).frame_idx === 1)
   }
 
+  test("MJPEG-in-MP4 frame decode: stsz/stco sample walk, one-hot histograms, corrupt frame isolated (qm06 parity)") {
+    // round-16 MP4 parity: the same mid-bin-gray one-hot oracle trick,
+    // located through the ISO stsz (per-sample sizes) + stco (1-sample
+    // chunks) tables instead of RIFF 00dc chunks
+    val grays = Seq(8, 40, 136, 248) // bins 0, 2, 8, 15
+    val mp4 = Multimodal.syntheticMjpegMp4(16, 12, timescale = 600,
+      duration = 600, grays)
+    val chunks = Multimodal.mp4FrameChunks(mp4)
+    assert(chunks.size === 4, s"expected 4 samples, got $chunks")
+    val out = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(0L, "video", mp4, None, None, None, None)).toDS(), 8)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length === 4 && out.forall(_.decode_ok))
+    for ((g, f) <- grays.zip(out)) {
+      assert(f.width === 16 && f.height === 12)
+      val bin = f.feature.indexOf(f.feature.max)
+      assert(bin === g / 16, s"gray $g decoded to bin $bin")
+      assert(f.feature(bin) === 1.0f, "histogram must be one-hot")
+    }
+    // the same bytes still parse as metadata (stsz count = frames)
+    val meta = Multimodal.decodeVideoMeta(
+      Seq(MediaRow(0L, "video", mp4, None, None, None, None)).toDS()).head()
+    assert(meta.parse_ok && meta.container === "mp4" && meta.n_frames === 4L)
+    // corrupt ONE sample's JPEG magic: that frame fails, others decode
+    val bad = mp4.clone()
+    val (off, _) = chunks(2)
+    bad(off) = 0; bad(off + 1) = 0
+    val out2 = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(1L, "video", bad, None, None, None, None)).toDS(), 8)
+      .collect().sortBy(_.frame_idx)
+    assert(out2.count(_.decode_ok) === 3 && !out2(2).decode_ok)
+  }
+
+  test("mp4FrameChunks refuses layouts it cannot locate samples in (multi-sample chunks)") {
+    val mp4 = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, Seq(8, 40))
+    // find the stsc box and patch samples_per_chunk 1 -> 2: stco alone
+    // no longer locates every sample, so the walk must return empty
+    // (decode_ok=false), never guess offsets
+    def be(p: Int): Int = java.nio.ByteBuffer.wrap(mp4, p, 4).getInt
+    val stscAt = (0 until mp4.length - 4)
+      .find(i => new String(mp4, i, 4, "US-ASCII") == "stsc").get
+    val patched = mp4.clone()
+    // box: [size][stsc][v/flags][entry_count][first_chunk][samples_per_chunk]...
+    val spcOff = stscAt + 4 + 8 + 4
+    assert(be(spcOff) === 1)
+    patched(spcOff + 3) = 2
+    assert(Multimodal.mp4FrameChunks(patched).isEmpty)
+    val out = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(0L, "video", patched, None, None, None, None)).toDS(), 8)
+      .collect()
+    assert(out.length === 1 && !out.head.decode_ok)
+  }
+
   test("deeply nested LIST headers (crafted ~100KB AVI) walk without stack growth") {
     // ADVICE r15: the recursive chunk walk overflowed the JVM stack on a
     // crafted AVI of thousands of nested 12-byte LIST headers, and
