@@ -682,15 +682,19 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
     spark.stop()
     // BENCH_r14/r15 both landed "parsed": null despite a complete
-    // summary in the tail: under non-forked sbt, println routes through
-    // the run task's logger and arrives as "[info] {…}" with a trailing
-    // "[success] Total time…" line — no stdout line is bare JSON.
-    // FileDescriptor.out bypasses the System.setOut redirection and
-    // writes the bare line to the REAL process stdout (same fd the
-    // driver captures), unprefixable by any logger. Deliberately not
-    // closed: closing a FileOutputStream over FileDescriptor.out closes
-    // fd 1 itself. Printed AFTER spark.stop() so no executor/logger
-    // output can interleave mid-line.
+    // summary in the tail. Round-16 finding: on this host EVEN a raw
+    // FileDescriptor.out write arrives in the captured stream as
+    // "[info] {…}" (verified across three bench logs) — sbt's batch
+    // mode relays the JVM's fd 1 through a line-prefixer process, so
+    // no program-side emission can produce a bare-JSON line, and sbt's
+    // own "[success] Total time…" trailer always follows it. What IS
+    // program-side fixable is done: the line is short (always complete
+    // within a ~2000-char tail window) and the tail is WARN-free. The
+    // residual is driver-side: strip the ^\[(info|error)\] prefix
+    // before json-parsing the tail. The FD write stays (strictly no
+    // worse than println, and bare where sbt only redirects
+    // System.out); not closed — closing it closes fd 1 itself. Written
+    // AFTER spark.stop() so nothing interleaves mid-line.
     System.out.flush(); System.err.flush()
     val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     fd.write((summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

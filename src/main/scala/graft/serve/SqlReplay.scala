@@ -733,7 +733,11 @@ object SqlReplay {
     *    [[graft.functions.Dedup.bandsLong]]'s explode + equi-join);
     *  - `"semantic"`: same-cell pairs over the stored (`cell`,
     *    `embedding`) columns scored with the sink's 6-dp-rounded,
-    *    NaN-never-matches cosine (vec_dot kernel) against `threshold`.
+    *    NaN-never-matches cosine (vec_dot kernel) against `threshold`;
+    *  - `"containment"`: winnowing fingerprints recomputed from stored
+    *    TEXT (k-gram md5 window-min over full w-frames, `wk`/`ww`),
+    *    df-capped (`maxDf`) shared-fingerprint pairs at `minShared` —
+    *    `compactContainmentCorpus`'s candidate rule.
     *
     * Both cluster transitively (unrolled min-label propagation; the
     * keeper is the lexicographic minimum (doc_id, epoch, batch_id)
@@ -742,7 +746,8 @@ object SqlReplay {
     * Requires [[GraftExtensions.register]] for `vec_dot` (semantic).
     */
   def compactionLoserSql(kind: String, view: String, rounds: Int = 3,
-      threshold: Double = 0.9): String = {
+      threshold: Double = 0.9, wk: Int = 3, ww: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): String = {
     val key = (q: String) =>
       s"""named_struct('doc_id', CAST($q.doc_id AS BIGINT),
          |      'epoch', CAST($q.epoch AS BIGINT),
@@ -771,8 +776,40 @@ object SqlReplay {
            |           ELSE vec_dot(a.e, b.e)
            |                / (sqrt(vec_dot(a.e, a.e)) * sqrt(vec_dot(b.e, b.e))) END, 6),
            |      CAST('-Infinity' AS DOUBLE)) >= ${threshold}D)""".stripMargin
+      case "containment" =>
+        // winnowing fingerprints recomputed from STORED TEXT (exactly
+        // compactContainmentCorpus's derivation): lower+trim canon,
+        // k-gram md5s, per-window MIN hash over full w-frames (the
+        // composite tie-break key only orders equal hashes, so min(h)
+        // yields the identical fp_hash set), df-capped shared-fp pairs
+        val gram = (0 until wk).map(j => s"t[i + $j]").mkString(", ")
+        s"""toks AS (
+           |  SELECT ${key(view)} AS k,
+           |    split(trim(lower(text)), '\\\\s+') AS t
+           |  FROM $view),
+           |grams AS (
+           |  SELECT k, pos, md5(g) AS h, size(t) - ${wk - 1} AS ngr
+           |  FROM (SELECT k, t FROM toks WHERE size(t) >= $wk)
+           |  LATERAL VIEW posexplode(transform(sequence(0, size(t) - $wk),
+           |    i -> concat_ws(' ', $gram))) x AS pos, g),
+           |winfp AS (
+           |  SELECT DISTINCT k, fp FROM (
+           |    SELECT k, pos, ngr,
+           |      min(h) OVER (PARTITION BY k ORDER BY pos
+           |        ROWS BETWEEN CURRENT ROW AND ${ww - 1} FOLLOWING) AS fp
+           |    FROM grams)
+           |  WHERE pos <= ngr - $ww),
+           |dfed AS (
+           |  SELECT k, fp FROM (
+           |    SELECT k, fp, COUNT(1) OVER (PARTITION BY fp) AS df FROM winfp)
+           |  WHERE df <= $maxDf),
+           |prs AS (
+           |  SELECT a.k AS ka, b.k AS kb
+           |  FROM dfed a JOIN dfed b ON a.fp = b.fp AND a.k < b.k
+           |  GROUP BY a.k, b.k
+           |  HAVING COUNT(1) >= $minShared)""".stripMargin
       case other => throw new IllegalArgumentException(
-        s"compactionLoserSql kind must be 'neardup' or 'semantic', got '$other'")
+        s"compactionLoserSql kind must be 'neardup', 'semantic' or 'containment', got '$other'")
     }
     s"""WITH $pairs,
        |edges AS (SELECT ka AS a, kb AS b FROM prs

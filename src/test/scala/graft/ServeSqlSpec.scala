@@ -410,4 +410,54 @@ class ServeSqlSpec extends SparkSpec {
       s"SQL semantic loser twin diverged: sql=$sqlLosers actual=$actualLosers")
     graft.functions.Dedup.freeLocalCheckpoint(before)
   }
+
+  test("compaction loser derivation replays in SQL: containment loser set identical through a quote chain") {
+    // Third family: compactContainmentCorpus's winnow-fingerprint pairs
+    // recomputed from stored text in SQL. Doc 9 quotes doc 1's 20-token
+    // run; doc 12 quotes a DIFFERENT run of doc 9 (not present in 1),
+    // so 12 only loses through the transitive closure 1~9~12.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    GraftExtensions.register(spark)
+    val corpus = tmpDir("cmpsql-cont")
+    val run20 = (0 until 20).map(i => s"c$i").mkString(" ")
+    val tail20 = (0 until 20).map(i => s"t$i").mkString(" ")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq(
+      (1L, run20 + " original framing words"),
+      (2L, (0 until 20).map(i => s"d$i").mkString(" "))), 0L, 0L)
+    part(Seq((9L, "quoted " + run20 + " then " + tail20)), 1L, 0L)
+    part(Seq((12L, "elsewhere " + tail20 + " reused verbatim")), 2L, 0L)
+    // adopt (builds the winnow index + pins k/w meta)
+    val ms = MemoryStream[(Long, String)]
+    graft.streaming.CorpusIngest.startContainmentCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, tmpDir("cmpsql-cont-cp"),
+      minTokens = 1).awaitTermination()
+
+    val before = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("epoch"), col("batch_id"), col("text"))
+      .localCheckpoint(true)
+    before.createOrReplaceTempView("cmpsql_cont_corpus")
+    val beforeIds = before.select("doc_id").as[Long].collect().toSet
+
+    val removed = graft.streaming.CorpusIngest.compactContainmentCorpus(spark, corpus)
+    val afterIds = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    val actualLosers = (beforeIds -- afterIds).toSeq.sorted
+    assert(removed === actualLosers.size.toLong)
+    assert(actualLosers === Seq(9L, 12L),
+      "fixture drifted: both quoting docs must lose through the chain")
+
+    val sqlLosers = SqlReplay.runText(spark,
+        SqlReplay.compactionLoserSql("containment", "cmpsql_cont_corpus"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sqlLosers === actualLosers,
+      s"SQL containment loser twin diverged: sql=$sqlLosers actual=$actualLosers")
+    graft.functions.Dedup.freeLocalCheckpoint(before)
+  }
 }

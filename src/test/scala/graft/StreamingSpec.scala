@@ -2218,6 +2218,67 @@ class StreamingSpec extends SparkSpec {
     assert(postingsStats(corpus) === ((1L, 3L)))
   }
 
+  test("backfill crash lattice (postings + stats): marker-window and torn-write crashes heal on the next build") {
+    // the round-16 restart-writer lattice, postings family: the same
+    // pending-marker windows as bands/winnow/cells, exercised through
+    // ensurePostingsIndex's reconcile (both the bucketed postings and
+    // the unbucketed stats sidecar)
+    import graft.functions.TextAnalysis
+    val corpus = tmpDir("postings-crash")
+    def part(rows: Seq[(Long, String)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("content_hash"),
+          lit(epoch).as("epoch"), lit(batch).as("batch_id"))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq((1L, "apple pie crust")), 0L, 0L)
+    part(Seq((2L, "banana bread loaf"), (3L, "cherry tart shell")), 0L, 1L)
+    def build(): Unit =
+      graft.streaming.CorpusIngest.buildPostingsIndex(spark, corpus, buckets = 4)
+    build()
+    val ctlRows = postingsRows(corpus)
+    val ctlStats = postingsStats(corpus)
+    assert(ctlRows.map(_._1) === Set(1L, 2L, 3L) && ctlStats._1 === 3L)
+    val marker = new java.io.File(corpus, "_graft_postings/_backfill_pending")
+
+    // marked window: missing batch detected, marker durable, nothing written
+    deleteFamilyBatch(corpus, "postings", 0L, 1L)
+    graft.streaming.CorpusIngest.FaultInjection.arm("backfill-postings-marked")
+    val e1 = intercept[RuntimeException] { build() }
+    assert(e1.getMessage.contains("planted fault"), e1.getMessage)
+    assert(marker.exists())
+    build()
+    assert(!marker.exists() && postingsRows(corpus) === ctlRows &&
+      postingsStats(corpus) === ctlStats)
+
+    // written window + a tear: one bucket's backfilled leaf dropped
+    // post-crash — pre-marker this passed the existence diff forever
+    deleteFamilyBatch(corpus, "postings", 0L, 1L)
+    graft.streaming.CorpusIngest.FaultInjection.arm("backfill-postings-written")
+    val e2 = intercept[RuntimeException] { build() }
+    assert(e2.getMessage.contains("planted fault"), e2.getMessage)
+    assert(marker.exists())
+    val bkt = Option(new java.io.File(corpus, "_graft_postings").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt=") &&
+        new java.io.File(f, "epoch=0/batch_id=1").exists())
+      .minBy(_.getName)
+    rmRfDir(new java.io.File(bkt, "epoch=0/batch_id=1"))
+    build()
+    assert(!marker.exists() && postingsRows(corpus) === ctlRows &&
+      postingsStats(corpus) === ctlStats)
+
+    // the unbucketed STATS sidecar has its own marker discipline
+    val statsMarker = new java.io.File(corpus, "_graft_postings_stats/_backfill_pending")
+    rmRfDir(new java.io.File(corpus, "_graft_postings_stats/epoch=0/batch_id=1"))
+    graft.streaming.CorpusIngest.FaultInjection.arm("backfill-postings-stats-marked")
+    val e3 = intercept[RuntimeException] { build() }
+    assert(e3.getMessage.contains("planted fault"), e3.getMessage)
+    assert(statsMarker.exists())
+    build()
+    assert(!statsMarker.exists() && postingsStats(corpus) === ctlStats)
+  }
+
   test("bm25OverCorpus probe is term-bucket-pruned and plans zero corpus-text reads") {
     implicit val ctx = spark.sqlContext
     val corpus = tmpDir("postings-prune")
