@@ -2162,7 +2162,9 @@ object CorpusIngest {
     * written}` (the reconcile backfill's pending-marker windows — see
     * [[backfillIndex]]) and `adopt-bands-after-reband` /
     * `adopt-{bands,winnow,cells,postings}-before-rename` (the adoption
-    * build's staged-.tmp atomicity windows).
+    * build's staged-.tmp atomicity windows), plus
+    * `delete-after-{index-sweep,index-append,corpus-rewrite}` in
+    * [[deleteDocs]] (healed by re-running with the same tombstone ids).
     */
   private[graft] object FaultInjection {
     private val tripAt =
@@ -2873,5 +2875,204 @@ object CorpusIngest {
         col("doc_id.epoch").as("epoch"), col("doc_id.batch_id").as("batch_id"))
     sweepLosersAndReindex(spark, corpusPath, corpus, losers, CellsDir,
       "cell=*", cellIndexRows, Seq("cell", "epoch", "batch_id"))
+  }
+
+  // -------------------------------------------- targeted maintenance ops
+
+  private def metaInt(meta: String, key: String): Int =
+    meta.split("\\s+").collectFirst {
+      case s if s.startsWith(s"$key=") => s.stripPrefix(s"$key=").toInt
+    }.getOrElse(throw new IllegalStateException(
+      s"unparseable sidecar meta '$meta' (missing $key=)"))
+
+  /** Targeted document removal — the compliance/takedown maintenance op
+    * (erasure requests, licensing takedowns, opt-outs) a training-data
+    * corpus needs as much as dedup: delete every stored row whose
+    * `doc_id` is in `docIds` from the corpus AND from every probe
+    * sidecar present (bands / winnow / cells / postings+stats —
+    * auto-detected, parameters from each sidecar's pinned meta), leaving
+    * each index consistent with exactly the surviving rows. Ids not in
+    * the corpus are no-ops; an id stored in several partitions
+    * (concurrent-epoch duplicates) loses every copy — erasure, not
+    * dedup.
+    *
+    * Consequence worth stating: a future near-duplicate of a deleted
+    * doc will now LAND (its bands/fps/cell rows are gone) — that is the
+    * point of erasure, and the tested behavior.
+    *
+    * Crash posture (the compaction discipline, re-keyed to caller
+    * input): all sidecar sweeps+appends run while the corpus still
+    * holds the doomed rows, the corpus dynamic overwrite follows, fully
+    * emptied partitions are removed last. Any window heals by
+    * RE-RUNNING with the same ids (idempotent — drive deletions from a
+    * durable tombstone list, which a compliance pipeline keeps anyway);
+    * plantable windows `delete-after-index-sweep` /
+    * `delete-after-index-append` / `delete-after-corpus-rewrite`.
+    *
+    * Scale shape: one id semi-join locates the affected (epoch,
+    * batch_id) partitions (flat predicate, ceiling-guarded); rewrites
+    * touch only those partitions; each sidecar rebuild derives from the
+    * partition-pruned keeper rows. Returns removed-row count.
+    */
+  def deleteDocs(spark: SparkSession, corpusPath: String,
+      docIds: DataFrame): Long = {
+    import spark.implicits._
+    require(docIds.columns.contains("doc_id"),
+      s"deleteDocs needs a doc_id column; got ${docIds.columns.mkString(", ")}")
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val losers = corpus.select(col("doc_id"), col("epoch"), col("batch_id"))
+      .join(ids, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = losers.select(col("epoch"), col("batch_id"))
+        .distinct().as[(Long, Long)].collect().toSet
+      if (affected.isEmpty) return 0L
+      guardAffectedPairs(spark, affected.size, "deleteDocs")
+      val removed = losers.count()
+      val keepersInAffected = corpus.filter(inPartitionPairs(affected))
+        .join(losers, Seq("doc_id", "epoch", "batch_id"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val stillThere = keepersInAffected.select(col("epoch"), col("batch_id"))
+          .distinct().as[(Long, Long)].collect().toSet
+        // every present sidecar: (dir, bucket glob, rebuild rows, part cols)
+        val bandsIdx = new Path(corpusDir, BandsDir)
+        val winnowIdx = new Path(corpusDir, WinnowDir)
+        val cellsIdx = new Path(corpusDir, CellsDir)
+        val sidecars = Seq.newBuilder[(Path, String, DataFrame => DataFrame, Seq[String])]
+        readIndexMeta(fs, bandsIdx).foreach { m =>
+          sidecars += ((bandsIdx, "pfx=*",
+            bandIndexRows(_, metaInt(m, "bands"), metaInt(m, "prefixLen")),
+            Seq("pfx", "epoch", "batch_id")))
+        }
+        readIndexMeta(fs, winnowIdx).foreach { m =>
+          sidecars += ((winnowIdx, "pfx=*",
+            winnowIndexRows(_, metaInt(m, "k"), metaInt(m, "w"),
+              metaInt(m, "prefixLen")),
+            Seq("pfx", "epoch", "batch_id")))
+        }
+        readIndexMeta(fs, cellsIdx).foreach { _ =>
+          sidecars += ((cellsIdx, "cell=*", cellIndexRows,
+            Seq("cell", "epoch", "batch_id")))
+        }
+        val built = sidecars.result()
+        built.foreach { case (idx, glob, _, _) =>
+          sweepPairDirs(fs, idx, Some(glob), affected)
+        }
+        FaultInjection.maybeTrip("delete-after-index-sweep")
+        built.foreach { case (idx, _, rows, partCols) =>
+          clusterForWrite(rows(keepersInAffected), partCols, Nil)
+            .write.mode("append")
+            .partitionBy(partCols: _*)
+            .parquet(idx.toString)
+        }
+        // postings has its own stats twin — the compactCorpus shape
+        val postingsIdx = new Path(corpusDir, PostingsDir)
+        if (fs.exists(postingsIdx)) {
+          val buckets = postingsBucketsOf(fs, postingsIdx)
+          val statsDir = new Path(corpusDir, PostingsStatsDir)
+          sweepPairDirs(fs, postingsIdx, Some("bkt=*"), affected)
+          clusterForWrite(postingsIndexRows(keepersInAffected, buckets),
+              Seq("bkt", "epoch", "batch_id"), Nil)
+            .write.mode("append")
+            .partitionBy("bkt", "epoch", "batch_id")
+            .parquet(postingsIdx.toString)
+          clusterForWrite(postingsStatsRows(keepersInAffected),
+              Seq("epoch", "batch_id"), Nil)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "batch_id")
+            .parquet(statsDir.toString)
+          sweepPairDirs(fs, statsDir, None, affected -- stillThere)
+        }
+        FaultInjection.maybeTrip("delete-after-index-append")
+        clusterForWrite(keepersInAffected, Seq("epoch", "batch_id"), Seq("doc_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch", "batch_id")
+          .parquet(corpusPath)
+        FaultInjection.maybeTrip("delete-after-corpus-rewrite")
+        (affected -- stillThere).foreach { case (e, b) =>
+          val batchDir = new Path(corpusDir, s"epoch=$e/batch_id=$b")
+          fs.delete(batchDir, true)
+          val epochDir = batchDir.getParent
+          if (fs.exists(epochDir) && fs.listStatus(epochDir).isEmpty)
+            fs.delete(epochDir, true)
+        }
+        removed
+      } finally Dedup.freeLocalCheckpoint(keepersInAffected)
+    } finally losers.unpersist(false)
+  }
+
+  /** Centroid refresh — the maintenance op the [[CentroidDrift]]
+    * monitor's alert points at ("this cell's center of mass has moved:
+    * re-fit and rebuild the `_graft_cells` sidecar"), previously a
+    * manual procedure: re-assign every stored doc's `cell` under
+    * `newCentroids`, rewrite only the partitions where any assignment
+    * changed (the [[rehashCorpus]] stale-partition discipline), then
+    * rebuild the cell sidecar atomically under the NEW pinned centroid
+    * bytes. After it returns, sinks/probes started with `newCentroids`
+    * match the corpus; anything still holding the old centroids is
+    * REFUSED by the meta pin — the drift rail working as designed.
+    *
+    * Crash posture: the old sidecar is deleted FIRST (its pin is the
+    * one thing that could silently mislead a probe), so any crash
+    * leaves either a missing sidecar (rebuilt from stored cells at the
+    * next sink start or [[buildCellIndex]]) or a partially re-assigned
+    * corpus whose sidecar derives from its OWN stored cells — self-
+    * consistent but mixed-assignment until this op is RE-RUN with the
+    * same centroids (idempotent: converged partitions rewrite nothing).
+    *
+    * Scale shape: the staleness probe is one narrow scan (argmin
+    * against a broadcast centroid matrix + compare — no shuffle); the
+    * rewrite touches only changed partitions via the flat pair
+    * predicate; the rebuild is the adoption path's one atomic pass.
+    * Returns the number of rows whose cell assignment changed.
+    */
+  def refitCellIndex(spark: SparkSession, corpusPath: String,
+      newCentroids: DataFrame): Long = {
+    import spark.implicits._
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    val cm = Similarity.Ivf.centroidMatrix(newCentroids)
+    val corpus = spark.read.parquet(corpusPath)
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    require(corpus.columns.contains("cell") && corpus.columns.contains("embedding"),
+      s"corpus at $corpusPath has no (embedding, cell) columns — " +
+        "refitCellIndex is for semantic/curation-sink corpora")
+    val reassigned = corpus.withColumn("__new_cell",
+      element_at(NativeExpressions.nearestCells(
+        col("embedding").cast("array<double>"), cm, 1), 1))
+    val stale = reassigned.filter(!(col("cell") <=> col("__new_cell")))
+    val staleCount = stale.count()
+    val stalePairs = stale.select(col("epoch"), col("batch_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    // drop the OLD pin before anything else: a stale pin is the only
+    // state that can make a probe silently wrong; a missing sidecar
+    // just rebuilds
+    fs.delete(new Path(corpusDir, CellsDir), true)
+    if (stalePairs.nonEmpty) {
+      guardAffectedPairs(spark, stalePairs.size, "refitCellIndex")
+      val healed = stale
+        .withColumn("cell", col("__new_cell").cast("int")).drop("__new_cell")
+        .union(reassigned.filter(col("cell") <=> col("__new_cell"))
+          .drop("__new_cell")
+          .filter(inPartitionPairs(stalePairs)))
+        .localCheckpoint(true)
+      try clusterForWrite(healed, Seq("epoch", "batch_id"), Seq("doc_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "batch_id")
+        .parquet(corpusPath)
+      finally Dedup.freeLocalCheckpoint(healed)
+    }
+    ensureCellIndex(spark, corpusPath, cm)
+    staleCount
   }
 }

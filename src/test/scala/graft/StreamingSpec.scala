@@ -3325,6 +3325,151 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+  test("deleteDocs: targeted erasure removes every copy from corpus + all sidecars; a near-dup of the erased doc then LANDS") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("del-corpus"); val cp = tmpDir("del-cp")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(crashBatch0: _*)
+    crashRun(corpus, cp, ms)
+    ms.addData(crashBatch1: _*)
+    crashRun(corpus, cp, ms)
+    assert(ids(corpus) === Set(1L, 2L, 10L))
+
+    // erase doc 2 (plus an id the corpus never had — a no-op)
+    val removed = graft.streaming.CorpusIngest.deleteDocs(
+      spark, corpus, Seq(2L, 99L).toDF("doc_id"))
+    assert(removed === 1L)
+    assert(ids(corpus) === Set(1L, 10L))
+    // every sidecar is consistent with exactly the surviving rows:
+    // winnow/cells checked by id, bands by full recompute equality
+    assert(spark.read.parquet(s"$corpus/_graft_winnow")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 10L))
+    assert(spark.read.parquet(s"$corpus/_graft_cells")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 10L))
+    val idxBands = spark.read.parquet(s"$corpus/_graft_bands")
+      .select(col("band"), col("bh"), col("epoch").cast("long"),
+        col("batch_id").cast("long"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    val recomputed = graft.functions.Dedup.bandsLong(
+        spark.read.parquet(corpus)
+          .withColumn("epoch", col("epoch").cast("long"))
+          .withColumn("batch_id", col("batch_id").cast("long")),
+        4, Seq("epoch", "batch_id"))
+      .select(col("band"), col("bh"), col("epoch"), col("batch_id"))
+      .as[(Int, String, Long, Long)].collect().toSet
+    assert(idxBands === recomputed, "deleteDocs left the band index stale")
+    // idempotent
+    assert(graft.streaming.CorpusIngest.deleteDocs(
+      spark, corpus, Seq(2L).toDF("doc_id")) === 0L)
+    // THE erasure consequence: a near-dup of the erased doc 2 now LANDS
+    // (its band/fp/cell rows are gone), while a near-dup of the KEPT
+    // doc 1 still drops — the probes didn't break, the target vanished
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData(
+      (30L, curText("bravo") + " erased target tail", Seq(0.0, 0.0, 0.6, 0.8)),
+      (31L, curText("alpha") + " extra tail words here", Seq(0.0, 0.6, 0.0, 0.8)))
+    crashRun(corpus, tmpDir("del-cp2"), ms2) // fresh checkpoint: new query
+    assert(ids(corpus) === Set(1L, 10L, 30L),
+      "near-dup of the ERASED doc must land; near-dup of the KEPT doc must drop")
+  }
+
+  for (point <- Seq("delete-after-index-sweep", "delete-after-index-append",
+      "delete-after-corpus-rewrite"))
+    test(s"deleteDocs: planted crash at $point — a re-run with the same ids heals to the clean-delete state") {
+      implicit val ctx = spark.sqlContext
+      // control: the same build with a clean delete
+      def build(): String = {
+        val corpus = tmpDir("del-crash"); val cp = tmpDir("del-crash-cp")
+        val ms = MemoryStream[(Long, String, Seq[Double])]
+        ms.addData(crashBatch0: _*)
+        crashRun(corpus, cp, ms)
+        ms.addData(crashBatch1: _*)
+        crashRun(corpus, cp, ms)
+        corpus
+      }
+      val ctl = build()
+      assert(graft.streaming.CorpusIngest.deleteDocs(
+        spark, ctl, Seq(2L).toDF("doc_id")) === 1L)
+      val want = crashFamilyState(ctl)
+
+      val corpus = build()
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      val e = intercept[RuntimeException] {
+        graft.streaming.CorpusIngest.deleteDocs(spark, corpus, Seq(2L).toDF("doc_id"))
+      }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      // the heal contract: RE-RUN with the same ids (the durable
+      // tombstone list) — idempotent through every window
+      graft.streaming.CorpusIngest.deleteDocs(spark, corpus, Seq(2L).toDF("doc_id"))
+      val got = crashFamilyState(corpus)
+      for (fam <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(got(fam)._1 === want(fam)._1, s"$fam tree diverges after heal at $point")
+        assert(got(fam)._2 === want(fam)._2, s"$fam rows diverge after heal at $point")
+      }
+    }
+
+  test("deleteDocs: exact corpus with postings — erased doc leaves postings and stats, BM25 never scores it") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("del-post"); val cp = tmpDir("del-post-cp")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "apple pie crust"), (2L, "banana bread loaf"),
+      (3L, "cherry tart shell"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, cp,
+      maintainPostings = true, postingsBuckets = 4).awaitTermination()
+    assert(postingsStats(corpus)._1 === 3L)
+    assert(graft.streaming.CorpusIngest.deleteDocs(
+      spark, corpus, Seq(2L).toDF("doc_id")) === 1L)
+    assert(postingsRows(corpus).map(_._1) === Set(1L, 3L))
+    assert(postingsStats(corpus)._1 === 2L)
+    val hits = graft.streaming.CorpusIngest.bm25OverCorpus(
+        spark, corpus, Seq((100L, "banana")).toDF("query_id", "term"),
+        "query_id", "term", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!hits.contains(2L), "BM25 scored an erased doc")
+  }
+
+  test("refitCellIndex: drift response — corpus cells re-assigned under new centroids, sidecar re-pinned, old centroids refused") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("refit-corpus")
+    val centsA = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val centsB = Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0))).toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(
+      (1L, "x axis doc", Seq(1.0, 0.1)),
+      (2L, "y axis doc", Seq(0.1, 1.0)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("refit-cp"), centsA).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id", "cell")
+      .as[(Long, Int)].collect().toSet === Set((1L, 0), (2L, 1)))
+
+    // the drift alert fired; ops re-fit — here the cells literally swap
+    val changed = graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB)
+    assert(changed === 2L)
+    assert(spark.read.parquet(corpus).select("doc_id", "cell")
+      .as[(Long, Int)].collect().toSet === Set((1L, 1), (2L, 0)))
+    assert(spark.read.parquet(s"$corpus/_graft_cells")
+      .select("doc_id", "cell").as[(Long, Int)].collect().toSet
+      === Set((1L, 1), (2L, 0)), "sidecar out of step after refit")
+    // idempotent
+    assert(graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB) === 0L)
+    // the pin rail: new-centroid sinks work, old-centroid sinks refuse
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData((3L, "diag doc", Seq(1.0, 1.0)))
+    graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+      ms2.toDF().toDF("doc_id", "text", "embedding"), corpus,
+      tmpDir("refit-cp2"), centsB).awaitTermination()
+    assert(ids(corpus) === Set(1L, 2L, 3L))
+    val ms3 = MemoryStream[(Long, String, Seq[Double])]
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms3.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir("refit-cp3"), centsA)
+    }
+    assert(err.getMessage.contains("centroids"), err.getMessage)
+  }
+
   test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
     // a null embedding cannot be cell-assigned; without the gate filter
     // the null cell NPEs the DRIVER-side cellsHit collect and kills the
