@@ -2913,6 +2913,17 @@ object CorpusIngest {
     * batch_id) partitions (flat predicate, ceiling-guarded); rewrites
     * touch only those partitions; each sidecar rebuild derives from the
     * partition-pruned keeper rows. Returns removed-row count.
+    *
+    * EXACT-sink streaming state is NOT rewritten here (this op cannot
+    * reach another query's RocksDB store): a LIVE checkpoint's seen-set
+    * still holds the erased doc's `content_hash`, so a re-submission of
+    * the same text is still dropped there. After erasure, restart
+    * exact-dedup sinks on a FRESH checkpoint (the [[rehashCorpus]]
+    * discipline) — the fresh-start bootstrap re-reads the stored hash
+    * column, where the erased doc no longer exists, and the text is
+    * re-admittable. The probe-sidecar sinks (band/winnow/cell,
+    * including the curation capstone's stages 3–5) have no such
+    * residue: their probes read the sidecars this op rewrites.
     */
   def deleteDocs(spark: SparkSession, corpusPath: String,
       docIds: DataFrame): Long = {

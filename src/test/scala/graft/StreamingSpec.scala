@@ -3408,6 +3408,34 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+  test("deleteDocs: exact-sink state residue — live checkpoint still drops the erased text; a fresh checkpoint re-admits it") {
+    // the one erasure residue deleteDocs cannot reach (another query's
+    // RocksDB store): document-and-pin BOTH sides of the contract
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("del-state"); val cp = tmpDir("del-state-cp")
+    val ms = MemoryStream[(Long, String)]
+    def run(cp2: String, stream: MemoryStream[(Long, String)]): Unit =
+      graft.streaming.CorpusIngest.startDedupedCorpusSink(
+        stream.toDF().toDF("doc_id", "text"), corpus, cp2).awaitTermination()
+    ms.addData((1L, "erase me completely"), (2L, "keep me around"))
+    run(cp, ms)
+    assert(graft.streaming.CorpusIngest.deleteDocs(
+      spark, corpus, Seq(1L).toDF("doc_id")) === 1L)
+    // LIVE checkpoint: the seen-set still holds the erased hash → the
+    // re-submission is dropped (documented residue)
+    ms.addData((10L, "erase me completely"))
+    run(cp, ms)
+    assert(ids(corpus) === Set(2L),
+      "live-checkpoint re-submission must still drop (state residue)")
+    // FRESH checkpoint: the bootstrap re-reads stored hashes, where the
+    // erased doc no longer exists → the text is re-admittable
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((11L, "erase me completely"))
+    run(tmpDir("del-state-cp2"), ms2)
+    assert(ids(corpus) === Set(2L, 11L),
+      "fresh-checkpoint re-submission of an ERASED text must land")
+  }
+
   test("deleteDocs: exact corpus with postings — erased doc leaves postings and stats, BM25 never scores it") {
     implicit val ctx = spark.sqlContext
     val corpus = tmpDir("del-post"); val cp = tmpDir("del-post-cp")
