@@ -312,6 +312,50 @@ class PropertySpec extends SparkSpec {
     assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a walker is looping")
   }
 
+  test("frame-chunk walkers terminate fast and never throw on arbitrary bytes (AVI + MP4)") {
+    // the round-16 frame locators get the same fuzz net as the metadata
+    // walkers: random payloads, magic-headed random guts, and every
+    // truncation of REAL frame-carrying containers (where stsz/stco
+    // tables exist but get cut mid-entry) must return a (possibly
+    // empty) chunk list with in-bounds offsets — never throw, never loop
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(1337)
+    def randBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val avi = Multimodal.syntheticMjpegAvi(16, 12, 10, Seq(8, 40, 136))
+    val mp4 = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, Seq(8, 40, 136))
+    val cases: Seq[Array[Byte]] =
+      (0 until 200).map(_ => randBytes(rnd.nextInt(256))) ++
+      (0 until 200).map { _ =>
+        val b = randBytes(64 + rnd.nextInt(192))
+        System.arraycopy("RIFF".getBytes("US-ASCII"), 0, b, 0, 4)
+        System.arraycopy("AVI ".getBytes("US-ASCII"), 0, b, 8, 4)
+        b
+      } ++
+      (0 until 200).map { _ =>
+        val b = randBytes(64 + rnd.nextInt(192))
+        System.arraycopy(mp4, 0, b, 0, math.min(12, b.length))
+        b
+      } ++
+      (1 until avi.length by 7).map(avi.take) ++
+      (1 until mp4.length by 7).map(mp4.take)
+    val t0 = System.nanoTime()
+    var bad = 0
+    cases.foreach { bytes =>
+      try {
+        for ((off, len) <- Multimodal.mjpegFrameChunks(bytes) ++
+            Multimodal.mp4FrameChunks(bytes)) {
+          assert(off >= 0 && len > 0 && off.toLong + len <= bytes.length,
+            s"out-of-bounds chunk ($off, $len) for ${bytes.length} bytes")
+        }
+      } catch { case _: Exception => bad += 1 }
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(bad === 0, s"$bad/${cases.length} fuzz cases threw or went out of bounds")
+    assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a frame walker is looping")
+  }
+
   test("Misra-Gries bound survives arbitrary stream splits and merge orders (seeded fuzz)") {
     import graft.functions.HeavyHittersAgg._
     // the mergeable-summaries claim (Agarwal et al. 2012): however the
