@@ -3068,6 +3068,9 @@ object CorpusIngest {
     // state that can make a probe silently wrong; a missing sidecar
     // just rebuilds
     fs.delete(new Path(corpusDir, CellsDir), true)
+    // plantable: old pin gone, corpus still on old assignments — a
+    // re-run re-detects every stale row and converges
+    FaultInjection.maybeTrip("refit-after-pin-delete")
     if (stalePairs.nonEmpty) {
       guardAffectedPairs(spark, stalePairs.size, "refitCellIndex")
       val healed = stale
@@ -3083,6 +3086,9 @@ object CorpusIngest {
         .parquet(corpusPath)
       finally Dedup.freeLocalCheckpoint(healed)
     }
+    // plantable: corpus re-assigned, sidecar not yet rebuilt — a re-run
+    // finds zero stale rows and the adoption build restores the index
+    FaultInjection.maybeTrip("refit-after-corpus-rewrite")
     ensureCellIndex(spark, corpusPath, cm)
     staleCount
   }

@@ -3498,6 +3498,49 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("centroids"), err.getMessage)
   }
 
+  for (point <- Seq("refit-after-pin-delete", "refit-after-corpus-rewrite"))
+    test(s"refitCellIndex: planted crash at $point — a re-run with the same centroids converges") {
+      implicit val ctx = spark.sqlContext
+      val centsA = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+      val centsB = Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0))).toDF("cell_id", "centroid")
+      def build(): String = {
+        val corpus = tmpDir("refit-crash")
+        val ms = MemoryStream[(Long, String, Seq[Double])]
+        ms.addData((1L, "x axis doc", Seq(1.0, 0.1)), (2L, "y axis doc", Seq(0.1, 1.0)))
+        graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+          ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+          tmpDir("refit-crash-cp"), centsA).awaitTermination()
+        corpus
+      }
+      def state(corpus: String) = (
+        spark.read.parquet(corpus).select("doc_id", "cell")
+          .as[(Long, Int)].collect().toSet,
+        spark.read.parquet(s"$corpus/_graft_cells").select("doc_id", "cell")
+          .as[(Long, Int)].collect().toSet)
+      val ctl = build()
+      assert(graft.streaming.CorpusIngest.refitCellIndex(spark, ctl, centsB) === 2L)
+      val want = state(ctl)
+
+      val corpus = build()
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      val e = intercept[RuntimeException] {
+        graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB)
+      }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      assert(!new java.io.File(corpus, "_graft_cells").exists(),
+        "fixture: the old pin must be gone at every refit crash window")
+      // the heal contract: re-run with the same centroids
+      graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB)
+      assert(state(corpus) === want, s"refit heal diverged at $point")
+      // and the pin rail holds post-heal: only new-centroid sinks start
+      val ms2 = MemoryStream[(Long, String, Seq[Double])]
+      intercept[IllegalArgumentException] {
+        graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+          ms2.toDF().toDF("doc_id", "text", "embedding"), corpus,
+          tmpDir("refit-crash-cp2"), centsA)
+      }
+    }
+
   test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
     // a null embedding cannot be cell-assigned; without the gate filter
     // the null cell NPEs the DRIVER-side cellsHit collect and kills the
