@@ -398,6 +398,7 @@ object Bench {
     } catch { case _: Exception => 0L }
 
   def main(args: Array[String]): Unit = {
+    val t0All = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -682,6 +683,7 @@ object Bench {
     // (total, errors, breach lists, streaming block, artifact path)
     // that always fits the window and always parses.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY_OUT", "bench_summary.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Exception => System.err.println(s"bench: could not write $outPath: $e") }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de/fr/…)
@@ -689,9 +691,32 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // clean-window context rides WITH the totals (round-16 verdict:
+    // the driver artifact keeps landing in dirty co-tenant windows and
+    // its raw total then masquerades as a regression): floor_total is
+    // the pinned clean-window expectation for exactly the floored
+    // queries that ran, floored_total their observed sum this window,
+    // and steal_rate the window's own dirtiness in ticks/s (clean
+    // regime ≈ 6–7/s; 32 cpus × 100 Hz = 3200/s capacity) — so any
+    // consumer can compute "engine vs weather" mechanically
+    val flooredRan = results.collect {
+      case (k, (v, _)) if v >= 0 && floorMap.contains(k) => (k, v)
+    }
+    val floorTotal = flooredRan.map { case (k, _) => floorMap(k) }.sum
+    val flooredTotal = flooredRan.map(_._2).sum
+    val sweepWall = (System.nanoTime() - t0All) / 1e9
+    val windowPart =
+      s""","floor_total":${fmt2(floorTotal)},"floored_total":${fmt2(flooredTotal)},"vs_floor_total":${if (floorTotal > 0) fmt2(flooredTotal / floorTotal) else "null"},"wall_sec":${fmt2(sweepWall)},"steal_rate_per_sec":${if (sweepWall > 0) fmt2((steal + postSweepSteal) / sweepWall) else "null"}"""
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
-    spark.stop()
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","summary_path":"$sumPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal$windowPart,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
+    // the summary goes to a sentinel FILE before teardown (round-16
+    // verdict #5 + ADVICE: stdout is conclusively unparseable on this
+    // host — sbt's fd-1 line-prefixer — and a summary emitted only
+    // after spark.stop() dies with any teardown exception)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sumPath), summary + "\n")
+    catch { case e: Exception => System.err.println(s"bench: could not write $sumPath: $e") }
+    try spark.stop()
+    catch { case e: Exception => System.err.println(s"bench: spark.stop failed: $e") }
     // BENCH_r14/r15 both landed "parsed": null despite a complete
     // summary in the tail. Round-16 finding: on this host EVEN a raw
     // FileDescriptor.out write arrives in the captured stream as

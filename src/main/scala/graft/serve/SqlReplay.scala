@@ -819,4 +819,58 @@ object SqlReplay {
        |FROM w$rounds WHERE NOT (label = id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** [[graft.streaming.CorpusIngest.refitCellIndex]]'s re-assignment —
+    * the CHANGED-set derivation — as one Spark SQL text over a
+    * caller-registered view of the pre-refit corpus (`doc_id, epoch,
+    * batch_id, cell, embedding`) and one of the NEW centroids
+    * (`cell_id, centroid`): the rows whose cell assignment the refit
+    * rewrites, with old and new cells. Closes the last DataFrame-only
+    * maintenance computation (round-16 verdict #6) — the argmin is the
+    * qe08 deterministic-centroid shape through `vec_dot`.
+    *
+    * Semantics pinned to the `nearest_cells` kernel, case by case:
+    *  - score is `‖c‖² − 2·v·c` (the `‖v‖²` term is argmin-invariant
+    *    and the kernel drops it too); `vec_dot` truncates to the
+    *    shorter operand exactly like the kernel's dot loop, and
+    *    `vec_dot(ce, ce)` is the kernel's full-length `cNorm2`;
+    *  - TIES break to the LOWEST cell_id (the kernel's first-index
+    *    scan; `ORDER BY score, cell_id`);
+    *  - a NaN embedding makes every score NaN: Spark SQL ordering
+    *    treats NaN values as equal (and greater than any number), so
+    *    the tie-break again yields the lowest cell — the kernel's
+    *    explicit NaN fallback, reproduced by the dialect's own
+    *    ordering rules; a NaN in ONE centroid sorts that score last,
+    *    matching the kernel's comparisons-are-false skip.
+    *
+    * Requires [[GraftExtensions.register]] for `vec_dot`. Replay/audit
+    * scale (the cross join is docs × centroids — the probe the refit
+    * itself runs as one broadcast argmin scan).
+    */
+  def refitChangedSql(view: String, centroidsView: String): String =
+    s"""WITH v AS (
+       |  SELECT doc_id, epoch, batch_id, cell,
+       |    CAST(embedding AS ARRAY<DOUBLE>) AS e
+       |  FROM $view),
+       |c AS (
+       |  SELECT CAST(cell_id AS INT) AS cell_id,
+       |    CAST(centroid AS ARRAY<DOUBLE>) AS ce
+       |  FROM $centroidsView),
+       |scored AS (
+       |  SELECT v.doc_id, v.epoch, v.batch_id, v.cell, c.cell_id,
+       |    vec_dot(c.ce, c.ce) - 2D * vec_dot(v.e, c.ce) AS score
+       |  FROM v CROSS JOIN c),
+       |assigned AS (
+       |  SELECT doc_id, epoch, batch_id, cell, cell_id AS new_cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (
+       |          PARTITION BY doc_id, epoch, batch_id
+       |          ORDER BY score ASC, cell_id ASC) AS rn
+       |        FROM scored)
+       |  WHERE rn = 1)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(epoch AS BIGINT) AS epoch,
+       |  CAST(batch_id AS BIGINT) AS batch_id,
+       |  CAST(cell AS INT) AS old_cell, new_cell
+       |FROM assigned WHERE NOT (cell <=> new_cell)
+       |ORDER BY doc_id""".stripMargin
 }

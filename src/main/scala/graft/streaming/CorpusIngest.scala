@@ -984,6 +984,9 @@ object CorpusIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     requireDocSchema(docs)
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8], got $prefixLen")
+    // an interrupted erasure must finish before the ensure step's
+    // backfill can re-derive sidecar rows from still-doomed corpus rows
+    resumePendingErasure(docs.sparkSession, corpusPath)
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     ensureBandIndex(docs.sparkSession, corpusPath, k, bands, shingleN, prefixLen)
     val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
@@ -1181,6 +1184,7 @@ object CorpusIngest {
     require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8], got $prefixLen")
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    resumePendingErasure(docs.sparkSession, corpusPath)
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     ensureWinnowIndex(docs.sparkSession, corpusPath, k, w, prefixLen)
     val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
@@ -1478,6 +1482,7 @@ object CorpusIngest {
     // nothing; dot products are magnitude-scaled, any finite bound goes
     if (metric == "cosine") require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
+    resumePendingErasure(docs.sparkSession, corpusPath)
     val epoch = queryEpoch(docs.sparkSession, corpusPath, checkpoint)
     val cm = Similarity.Ivf.centroidMatrix(centroids)
     ensureCellIndex(docs.sparkSession, corpusPath, cm)
@@ -1818,9 +1823,14 @@ object CorpusIngest {
             "started with maintainPostings=false — pass maintainPostings=true " +
             "(same bucket count) or delete the sidecar")
     }
+    // finish any interrupted erasure first (it may bump the erasure
+    // epoch), THEN the rail: a resume that heals an erasure must refuse
+    // itself — its seen-state predates the erasure by construction
+    resumePendingErasure(spark, corpusPath)
     val cp = new Path(checkpoint)
     val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = pinnedEpoch(cpFs, cp).isEmpty
+    checkErasureRail(spark, corpusPath, cpFs, cp, fresh, "exact-dedup sink")
     val epoch = queryEpoch(spark, corpusPath, checkpoint)
     if (maintainPostings) ensurePostingsIndex(spark, corpusPath, postingsBuckets)
     if (fresh) {
@@ -2035,9 +2045,13 @@ object CorpusIngest {
       s"metric must be 'cosine' or 'dot', got '$metric'")
     if (metric == "cosine") require(semThreshold > 0.0 && semThreshold <= 1.0,
       s"cosine semThreshold must be in (0, 1], got $semThreshold")
+    // same order as the exact sink: heal, then rail (the capstone's
+    // exact stage keeps the same RocksDB seen-state)
+    resumePendingErasure(spark, corpusPath)
     val cp = new Path(checkpoint)
     val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh = pinnedEpoch(cpFs, cp).isEmpty
+    checkErasureRail(spark, corpusPath, cpFs, cp, fresh, "curation sink")
     val epoch = queryEpoch(spark, corpusPath, checkpoint)
     val cm = Similarity.Ivf.centroidMatrix(centroids)
     ensureBandIndex(spark, corpusPath, k, bands, shingleN, bandPrefixLen)
@@ -2885,6 +2899,157 @@ object CorpusIngest {
     }.getOrElse(throw new IllegalStateException(
       s"unparseable sidecar meta '$meta' (missing $key=)"))
 
+  // ------------------------------------------------ erasure bookkeeping
+
+  /** In-flight-erasure marker: `<corpus>/_erasure_pending`, a parquet
+    * directory holding the doomed `doc_id`s (`_`-prefixed, so corpus
+    * readers and [[hasData]] never see it). Written BEFORE the first
+    * sidecar sweep, deleted after the final partition cleanup — so a
+    * crash ANYWHERE inside [[deleteDocs]] leaves the ids durable on
+    * disk and the next sink start (every `start*` sink calls
+    * [[resumePendingErasure]] before its reconcile) finishes the
+    * erasure before any backfill could re-derive sidecar rows from
+    * corpus partitions that still hold the doomed docs (round-16
+    * ADVICE: healing previously depended entirely on the operator's
+    * external tombstone list — compliance-critical). Staged write
+    * (`.tmp` + `_SUCCESS` gate + rename), so a torn marker is never
+    * read as a shorter id list: (1) stage the combined set — a crash
+    * leaves the old final intact and the uncommitted stage ignored;
+    * (2) drop the old final — the committed stage is readable;
+    * (3) rename — either copy is readable at every instant.
+    */
+  private[streaming] val PendingErasureDir = "_erasure_pending"
+
+  private def readPendingErasure(spark: SparkSession, fs: FileSystem,
+      corpusDir: Path): Option[DataFrame] = {
+    import spark.implicits._
+    val fin = new Path(corpusDir, PendingErasureDir)
+    val tmp = new Path(corpusDir, PendingErasureDir + ".tmp")
+    val parts = Seq(fin).filter(hasData(fs, _)) ++
+      Seq(tmp).filter(t => fs.exists(new Path(t, "_SUCCESS")) && hasData(fs, t))
+    if (parts.isEmpty) None
+    else {
+      // materialize on the driver: the returned frame's consumers
+      // (deleteDocs' loser join, the marker REWRITE itself) outlive the
+      // marker files this plan reads, and a lazy recompute mid-rewrite
+      // could see a half-written stage. Erasure lists are
+      // compliance-bounded (ids, not docs), so driver residence is the
+      // same order as the affected-pair collect the op already does.
+      val vals = parts.map(p => spark.read.parquet(p.toString)
+          .select(col("doc_id").cast("long").as("doc_id")))
+        .reduce(_ unionByName _).distinct().as[Long].collect()
+      Some(vals.toSeq.toDF("doc_id"))
+    }
+  }
+
+  private def writePendingErasure(fs: FileSystem, corpusDir: Path,
+      ids: DataFrame): Unit = {
+    val fin = new Path(corpusDir, PendingErasureDir)
+    val tmp = new Path(corpusDir, PendingErasureDir + ".tmp")
+    fs.delete(tmp, true)
+    // one file: erasure lists are compliance-scale (bounded), and the
+    // marker is read whole at heal time — no reason to spray parts
+    ids.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(fin, true)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"could not commit erasure marker at $fin")
+  }
+
+  private def clearPendingErasure(fs: FileSystem, corpusDir: Path): Unit = {
+    fs.delete(new Path(corpusDir, PendingErasureDir), true)
+    fs.delete(new Path(corpusDir, PendingErasureDir + ".tmp"), true)
+  }
+
+  /** Corpus-level erasure epoch: `<corpus>/_graft_erasure_epoch`, a
+    * counter [[deleteDocs]] bumps after each COMMITTED erasure (and
+    * after settling an interrupted one). The exact-dedup sinks — the
+    * two with a RocksDB seen-hash state this op cannot rewrite — pin
+    * the counter in their checkpoint at fresh start and REFUSE to
+    * resume past an unseen bump ([[checkErasureRail]]): a live exact
+    * checkpoint's seen-set still holds the erased `content_hash`, so
+    * without the rail it keeps silently dropping re-submissions of the
+    * erased text until an operator remembers the fresh-restart
+    * discipline (round-16 verdict #3 — previously manual). Missing
+    * file == 0 on both sides (pre-rail corpora and checkpoints resume
+    * exactly as before until the first erasure).
+    */
+  private val ErasureEpochFile = "_graft_erasure_epoch"
+  private val CpErasureEpochFile = "graft-erasure-epoch"
+
+  private def readCounter(fs: FileSystem, f: Path): Long =
+    if (!fs.exists(f)) 0L
+    else {
+      val in = fs.open(f)
+      val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      // garbled (crash mid-write of a non-staged legacy file) == 0:
+      // conservative for the checkpoint side (refuses), harmless for
+      // the corpus side (the staged write below never tears)
+      txt.toLongOption.getOrElse(0L)
+    }
+
+  private def writeCounter(fs: FileSystem, f: Path, v: Long): Unit = {
+    val tmp = new Path(f.getParent, f.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new IllegalStateException(s"could not commit counter at $f")
+  }
+
+  private def erasureEpochOf(fs: FileSystem, corpusDir: Path): Long =
+    readCounter(fs, new Path(corpusDir, ErasureEpochFile))
+
+  private def bumpErasureEpoch(fs: FileSystem, corpusDir: Path): Unit = {
+    val f = new Path(corpusDir, ErasureEpochFile)
+    writeCounter(fs, f, readCounter(fs, f) + 1L)
+  }
+
+  /** The exact-sink side of the erasure rail: pin the corpus's erasure
+    * epoch on a FRESH start (whose initial-state bootstrap reads the
+    * post-erasure hash column, so it owes nothing to older erasures);
+    * REFUSE a resume whose pinned epoch is behind the corpus's —
+    * refuse, not auto-heal, because this query cannot rewrite its own
+    * RocksDB seen-state either, and a loud stop with the exact fix
+    * beats silently dropping erased-then-resubmitted text forever.
+    */
+  private def checkErasureRail(spark: SparkSession, corpusPath: String,
+      cpFs: FileSystem, cp: Path, fresh: Boolean, what: String): Unit = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val corpusCtr = erasureEpochOf(fs, corpusDir)
+    val marker = new Path(cp, CpErasureEpochFile)
+    if (fresh) {
+      cpFs.mkdirs(cp)
+      writeCounter(cpFs, marker, corpusCtr)
+    } else require(corpusCtr <= readCounter(cpFs, marker),
+      s"$what: corpus at $corpusPath has erasure epoch $corpusCtr but this " +
+        s"checkpoint pinned ${readCounter(cpFs, marker)} — deleteDocs ran " +
+        "while this checkpoint was live, and its streaming exact-dedup " +
+        "seen-state still holds the erased content hashes (a re-submission " +
+        "of erased text would be silently dropped forever). Restart on a " +
+        "FRESH checkpoint: the fresh-start bootstrap re-reads the stored " +
+        "hash column, where the erased docs no longer exist.")
+  }
+
+  /** Finish any erasure a crash left in flight — every `start*` sink
+    * calls this BEFORE its reconcile/ensure step (a reconcile backfill
+    * re-derives sidecar rows from corpus partitions, which still hold
+    * the doomed docs inside the crash window — it would resurrect them
+    * into the sidecars), and it is one `exists` probe when no marker
+    * is present. Batch read paths (bm25/ann/hybridOverCorpus) do NOT
+    * resume — a read cannot own a compliance mutation; until the next
+    * sink start or [[deleteDocs]] re-run they see the documented
+    * mid-erasure state (sidecars possibly missing rows the corpus
+    * still holds — conservative for dedup probes, which only lose
+    * drop candidates, never keepers).
+    */
+  def resumePendingErasure(spark: SparkSession, corpusPath: String): Long = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    readPendingErasure(spark, fs, corpusDir) match {
+      case Some(ids) => deleteDocs(spark, corpusPath, ids)
+      case None => 0L
+    }
+  }
+
   /** Targeted document removal — the compliance/takedown maintenance op
     * (erasure requests, licensing takedowns, opt-outs) a training-data
     * corpus needs as much as dedup: delete every stored row whose
@@ -2901,13 +3066,17 @@ object CorpusIngest {
     * point of erasure, and the tested behavior.
     *
     * Crash posture (the compaction discipline, re-keyed to caller
-    * input): all sidecar sweeps+appends run while the corpus still
-    * holds the doomed rows, the corpus dynamic overwrite follows, fully
-    * emptied partitions are removed last. Any window heals by
-    * RE-RUNNING with the same ids (idempotent — drive deletions from a
-    * durable tombstone list, which a compliance pipeline keeps anyway);
-    * plantable windows `delete-after-index-sweep` /
-    * `delete-after-index-append` / `delete-after-corpus-rewrite`.
+    * input): the doomed ids go durable in the [[PendingErasureDir]]
+    * marker first, then all sidecar sweeps+appends run while the
+    * corpus still holds the doomed rows, the corpus dynamic overwrite
+    * follows, fully emptied partitions are removed last, and the
+    * marker clears after the erasure epoch bumps. Any window heals
+    * AUTOMATICALLY at the next sink start ([[resumePendingErasure]])
+    * or by re-running with the same ids (idempotent — the marker IS a
+    * durable tombstone list, unioned into any later call's ids);
+    * plantable windows `delete-after-marker` /
+    * `delete-after-index-sweep` / `delete-after-index-append` /
+    * `delete-after-corpus-rewrite`.
     *
     * Scale shape: one id semi-join locates the affected (epoch,
     * batch_id) partitions (flat predicate, ceiling-guarded); rewrites
@@ -2917,10 +3086,13 @@ object CorpusIngest {
     * EXACT-sink streaming state is NOT rewritten here (this op cannot
     * reach another query's RocksDB store): a LIVE checkpoint's seen-set
     * still holds the erased doc's `content_hash`, so a re-submission of
-    * the same text is still dropped there. After erasure, restart
-    * exact-dedup sinks on a FRESH checkpoint (the [[rehashCorpus]]
-    * discipline) — the fresh-start bootstrap re-reads the stored hash
-    * column, where the erased doc no longer exists, and the text is
+    * the same text is still dropped there. That residue is now
+    * MECHANICAL, not a manual discipline: a committed erasure bumps
+    * the corpus's [[ErasureEpochFile]], and the exact-dedup sinks
+    * REFUSE to resume a checkpoint pinned behind it
+    * ([[checkErasureRail]]) — the operator restarts on a fresh
+    * checkpoint, whose bootstrap re-reads the stored hash column,
+    * where the erased doc no longer exists, and the text is
     * re-admittable. The probe-sidecar sinks (band/winnow/cell,
     * including the curation capstone's stages 3–5) have no such
     * residue: their probes read the sidecars this op rewrites.
@@ -2931,19 +3103,37 @@ object CorpusIngest {
     require(docIds.columns.contains("doc_id"),
       s"deleteDocs needs a doc_id column; got ${docIds.columns.mkString(", ")}")
     val (fs, corpusDir) = fsFor(spark, corpusPath)
-    if (!hasData(fs, corpusDir)) return 0L
+    // a marker can outlive its work (crash after the last partition
+    // delete, before the clear): settle it — an interrupted erasure DID
+    // mutate state after the guard passed, so the epoch must still
+    // bump (a live exact checkpoint may hold its hashes) even when the
+    // re-run finds nothing left to do
+    val pending = readPendingErasure(spark, fs, corpusDir)
+    def settlePending(): Unit = if (pending.nonEmpty) {
+      bumpErasureEpoch(fs, corpusDir)
+      clearPendingErasure(fs, corpusDir)
+    }
+    if (!hasData(fs, corpusDir)) { settlePending(); return 0L }
     val corpus = spark.read.parquet(corpusPath)
       .withColumn("epoch", col("epoch").cast("long"))
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val ids = pending.foldLeft(
+        docIds.select(col("doc_id").cast("long").as("doc_id")))(
+        _ unionByName _)
+      .distinct()
     val losers = corpus.select(col("doc_id"), col("epoch"), col("batch_id"))
       .join(ids, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val affected = losers.select(col("epoch"), col("batch_id"))
         .distinct().as[(Long, Long)].collect().toSet
-      if (affected.isEmpty) return 0L
+      if (affected.isEmpty) { settlePending(); return 0L }
       guardAffectedPairs(spark, affected.size, "deleteDocs")
+      // the ids go durable BEFORE the first mutation: from here on, a
+      // crash anywhere is healed by the next sink start's
+      // resumePendingErasure, not by operator memory
+      writePendingErasure(fs, corpusDir, ids)
+      FaultInjection.maybeTrip("delete-after-marker")
       val removed = losers.count()
       val keepersInAffected = corpus.filter(inPartitionPairs(affected))
         .join(losers, Seq("doc_id", "epoch", "batch_id"), "left_anti")
@@ -3015,6 +3205,12 @@ object CorpusIngest {
           if (fs.exists(epochDir) && fs.listStatus(epochDir).isEmpty)
             fs.delete(epochDir, true)
         }
+        // bump BEFORE clearing the marker: a crash between the two
+        // leaves a settled-but-marked state whose re-run takes the
+        // affected-empty path above and settles again (one redundant
+        // bump — refusals stay correct, never missed)
+        bumpErasureEpoch(fs, corpusDir)
+        clearPendingErasure(fs, corpusDir)
         removed
       } finally Dedup.freeLocalCheckpoint(keepersInAffected)
     } finally losers.unpersist(false)
@@ -3064,7 +3260,17 @@ object CorpusIngest {
     val staleCount = stale.count()
     val stalePairs = stale.select(col("epoch"), col("batch_id"))
       .distinct().as[(Long, Long)].collect().toSet
-    // drop the OLD pin before anything else: a stale pin is the only
+    // ceiling check BEFORE the first mutation (round-16 ADVICE): the
+    // guard throws deterministically on every re-run, so if it fired
+    // after the pin delete the refusal window would leave the corpus
+    // on OLD assignments with NO pin — and a sink started with the new
+    // centroids would adopt an index rebuilt from those old stored
+    // cells while pinning the new centroid bytes, exactly the silent
+    // probe-inconsistency the pin rail exists to prevent. A refusal
+    // must mutate nothing.
+    if (stalePairs.nonEmpty)
+      guardAffectedPairs(spark, stalePairs.size, "refitCellIndex")
+    // drop the OLD pin before any rewrite: a stale pin is the only
     // state that can make a probe silently wrong; a missing sidecar
     // just rebuilds
     fs.delete(new Path(corpusDir, CellsDir), true)
@@ -3072,7 +3278,6 @@ object CorpusIngest {
     // re-run re-detects every stale row and converges
     FaultInjection.maybeTrip("refit-after-pin-delete")
     if (stalePairs.nonEmpty) {
-      guardAffectedPairs(spark, stalePairs.size, "refitCellIndex")
       val healed = stale
         .withColumn("cell", col("__new_cell").cast("int")).drop("__new_cell")
         .union(reassigned.filter(col("cell") <=> col("__new_cell"))

@@ -460,4 +460,63 @@ class ServeSqlSpec extends SparkSpec {
       s"SQL containment loser twin diverged: sql=$sqlLosers actual=$actualLosers")
     graft.functions.Dedup.freeLocalCheckpoint(before)
   }
+
+  test("refitCellIndex's re-assignment replays in SQL: changed set identical, with planted NaN-embedding and tie rows") {
+    // The last DataFrame-only maintenance computation gets its SQL twin
+    // (round-16 verdict #6). The fixture forces every kernel edge the
+    // scaladoc pins: doc 2 is EQUIDISTANT from both new centroids (tie
+    // → lowest cell), doc 4 carries a NaN embedding (kernel fallback →
+    // lowest cell, unchanged under both centroid sets), docs 1/3 swap
+    // cells under the rotation.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val corpus = tmpDir("refitsql")
+    val centsA = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val centsB = Seq((0, Seq(-1.0, 1.0)), (1, Seq(1.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    def part(rows: Seq[(Long, String, Seq[Double], Int)], epoch: Long, batch: Long): Unit =
+      rows.toDF("doc_id", "text", "embedding", "cell")
+        .withColumn("epoch", lit(epoch)).withColumn("batch_id", lit(batch))
+        .write.mode("append").partitionBy("epoch", "batch_id").parquet(corpus)
+    part(Seq(
+      (1L, "x leaning doc", Seq(1.0, 0.1), 0),
+      (4L, "nan embedding doc", Seq(Double.NaN, 1.0), 0)), 0L, 0L)
+    part(Seq(
+      (2L, "tie doc on the y axis", Seq(0.0, 1.0), 1),
+      (3L, "negative x doc", Seq(-1.0, 0.2), 1)), 1L, 0L)
+    graft.streaming.CorpusIngest.buildCellIndex(spark, corpus, centsA)
+
+    val before = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("epoch").cast("long"),
+        col("batch_id").cast("long"), col("cell"), col("embedding"))
+      .toDF("doc_id", "epoch", "batch_id", "cell", "embedding")
+      .localCheckpoint(true)
+    before.createOrReplaceTempView("refitsql_corpus")
+    centsB.createOrReplaceTempView("refitsql_cents")
+    val beforeCells = before.select("doc_id", "cell")
+      .as[(Long, Int)].collect().toMap
+
+    // the twin runs BEFORE the mutation, off the same stored state the
+    // refit's staleness probe reads
+    val sqlChanged = SqlReplay.runText(spark,
+        SqlReplay.refitChangedSql("refitsql_corpus", "refitsql_cents"))
+      .select("doc_id", "old_cell", "new_cell")
+      .as[(Long, Int, Int)].collect().toSeq
+
+    val changed = graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB)
+    val afterCells = spark.read.parquet(corpus).select("doc_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val actualChanged = beforeCells.collect {
+      case (id, oc) if afterCells(id) != oc => (id, oc, afterCells(id))
+    }.toSeq.sortBy(_._1)
+    assert(changed === actualChanged.size.toLong)
+    assert(actualChanged === Seq((1L, 0, 1), (2L, 1, 0), (3L, 1, 0)),
+      "fixture drifted: rotation must swap 1/3 and tie-break 2 to cell 0")
+    assert(afterCells(4L) === 0, "NaN row must stay on the kernel's fallback cell")
+    assert(sqlChanged === actualChanged,
+      s"SQL refit twin diverged: sql=$sqlChanged actual=$actualChanged")
+    graft.functions.Dedup.freeLocalCheckpoint(before)
+  }
 }

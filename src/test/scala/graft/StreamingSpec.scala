@@ -3408,32 +3408,102 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
-  test("deleteDocs: exact-sink state residue — live checkpoint still drops the erased text; a fresh checkpoint re-admits it") {
-    // the one erasure residue deleteDocs cannot reach (another query's
-    // RocksDB store): document-and-pin BOTH sides of the contract
+  // shared control for the auto-heal lattice below: a CLEAN delete plus
+  // the same follow-up batch — the expected end state is identical for
+  // every crash window, so it is built once
+  private def eraseHealBatch = Seq(
+    // near-dup of the ERASED doc 2 → must LAND (its probe rows are
+    // gone); near-dup of the KEPT doc 1 → must still drop
+    (30L, curText("bravo") + " erased target tail", Seq(0.0, 0.0, 0.6, 0.8)),
+    (31L, curText("alpha") + " extra tail words here", Seq(0.0, 0.6, 0.0, 0.8)))
+  private lazy val eraseHealControl: (Map[String, (Set[String], Set[String])], Set[Long]) = {
     implicit val ctx = spark.sqlContext
-    val corpus = tmpDir("del-state"); val cp = tmpDir("del-state-cp")
-    val ms = MemoryStream[(Long, String)]
+    val corpus = tmpDir("del-auto-ctl")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(crashBatch0: _*)
+    crashRun(corpus, tmpDir("del-auto-ctl-cp"), ms)
+    assert(graft.streaming.CorpusIngest.deleteDocs(
+      spark, corpus, Seq(2L).toDF("doc_id")) === 1L)
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData(eraseHealBatch: _*)
+    crashRun(corpus, tmpDir("del-auto-ctl-cp2"), ms2)
+    (crashFamilyState(corpus), ids(corpus))
+  }
+
+  for (point <- Seq("delete-after-marker", "delete-after-index-sweep",
+      "delete-after-index-append", "delete-after-corpus-rewrite"))
+    test(s"deleteDocs: crash at $point — the NEXT SINK START finishes the erasure via the pending marker, no manual re-run") {
+      implicit val ctx = spark.sqlContext
+      val corpus = tmpDir("del-auto"); val cp = tmpDir("del-auto-cp")
+      val ms = MemoryStream[(Long, String, Seq[Double])]
+      ms.addData(crashBatch0: _*)
+      crashRun(corpus, cp, ms)
+      graft.streaming.CorpusIngest.FaultInjection.arm(point)
+      val e = intercept[RuntimeException] {
+        graft.streaming.CorpusIngest.deleteDocs(spark, corpus, Seq(2L).toDF("doc_id"))
+      }
+      assert(e.getMessage.contains("planted fault"), e.getMessage)
+      assert(new java.io.File(corpus, "_erasure_pending").exists,
+        "fixture: the pending marker must be durable inside every crash window")
+      // resuming the ORIGINAL curation checkpoint heals the erasure
+      // FIRST, then the rail refuses the resume itself — its RocksDB
+      // seen-state predates the erasure by construction
+      ms.addData(eraseHealBatch: _*)
+      val railErr = intercept[IllegalArgumentException] { crashRun(corpus, cp, ms) }
+      assert(railErr.getMessage.contains("erasure epoch"), railErr.getMessage)
+      assert(ids(corpus) === Set(1L), s"erasure unfinished after auto-heal at $point")
+      assert(!new java.io.File(corpus, "_erasure_pending").exists,
+        "marker must clear once the heal commits")
+      // a FRESH-checkpoint start sails through; state equals the
+      // clean-delete control family by family, and the consequence
+      // holds (near-dup of erased lands, near-dup of kept drops)
+      val ms2 = MemoryStream[(Long, String, Seq[Double])]
+      ms2.addData(eraseHealBatch: _*)
+      crashRun(corpus, tmpDir("del-auto-cp2"), ms2)
+      assert(ids(corpus) === eraseHealControl._2)
+      val got = crashFamilyState(corpus)
+      for (fam <- Seq("corpus", "bands", "winnow", "cells")) {
+        assert(got(fam)._1 === eraseHealControl._1(fam)._1,
+          s"$fam tree diverges after auto-heal at $point")
+        assert(got(fam)._2 === eraseHealControl._1(fam)._2,
+          s"$fam rows diverge after auto-heal at $point")
+      }
+    }
+
+  test("deleteDocs: erasure rail — a live exact checkpoint is REFUSED after erasure; a fresh one re-admits the text; no-erasure restarts unaffected") {
+    // round-16 verdict #3: the one erasure residue deleteDocs cannot
+    // reach (another query's RocksDB seen-state) used to be a manual
+    // fresh-restart discipline; the rail makes it mechanical — the
+    // stale checkpoint stops loudly instead of silently dropping
+    // re-submissions of erased text forever
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("del-rail"); val cp = tmpDir("del-rail-cp")
     def run(cp2: String, stream: MemoryStream[(Long, String)]): Unit =
       graft.streaming.CorpusIngest.startDedupedCorpusSink(
         stream.toDF().toDF("doc_id", "text"), corpus, cp2).awaitTermination()
+    val ms = MemoryStream[(Long, String)]
     ms.addData((1L, "erase me completely"), (2L, "keep me around"))
     run(cp, ms)
+    // no-erasure resume: unaffected by the rail
+    ms.addData((3L, "a third doc entirely"))
+    run(cp, ms)
+    assert(ids(corpus) === Set(1L, 2L, 3L))
     assert(graft.streaming.CorpusIngest.deleteDocs(
       spark, corpus, Seq(1L).toDF("doc_id")) === 1L)
-    // LIVE checkpoint: the seen-set still holds the erased hash → the
-    // re-submission is dropped (documented residue)
+    // the rail: the stale checkpoint is refused LOUDLY — its seen-set
+    // still holds the erased hash and would drop this re-submission
     ms.addData((10L, "erase me completely"))
-    run(cp, ms)
-    assert(ids(corpus) === Set(2L),
-      "live-checkpoint re-submission must still drop (state residue)")
+    val e = intercept[IllegalArgumentException] { run(cp, ms) }
+    assert(e.getMessage.contains("erasure epoch"), e.getMessage)
+    assert(ids(corpus) === Set(2L, 3L), "a refused start must not ingest")
     // FRESH checkpoint: the bootstrap re-reads stored hashes, where the
-    // erased doc no longer exists → the text is re-admittable
+    // erased doc no longer exists → the text is re-admitted, while a
+    // re-submission of KEPT text still deduplicates
     val ms2 = MemoryStream[(Long, String)]
-    ms2.addData((11L, "erase me completely"))
-    run(tmpDir("del-state-cp2"), ms2)
-    assert(ids(corpus) === Set(2L, 11L),
-      "fresh-checkpoint re-submission of an ERASED text must land")
+    ms2.addData((11L, "erase me completely"), (12L, "keep me around"))
+    run(tmpDir("del-rail-cp2"), ms2)
+    assert(ids(corpus) === Set(2L, 3L, 11L),
+      "fresh checkpoint must re-admit erased text and still drop kept-text dups")
   }
 
   test("deleteDocs: exact corpus with postings — erased doc leaves postings and stats, BM25 never scores it") {
@@ -3496,6 +3566,50 @@ class StreamingSpec extends SparkSpec {
         tmpDir("refit-cp3"), centsA)
     }
     assert(err.getMessage.contains("centroids"), err.getMessage)
+  }
+
+  test("refitCellIndex: a ceiling refusal mutates NOTHING — pin intact, old-centroid sinks still start") {
+    // round-16 ADVICE: the guard used to fire AFTER the pin delete, so
+    // a refusal (which repeats deterministically on every re-run) left
+    // the corpus on OLD assignments with NO pin — and a new-centroid
+    // sink would adopt an index rebuilt from those old stored cells
+    implicit val ctx = spark.sqlContext
+    val centsA = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("cell_id", "centroid")
+    val centsB = Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0))).toDF("cell_id", "centroid")
+    val corpus = tmpDir("refit-guard")
+    // two sink sessions → two epochs → two affected pairs > ceiling 1
+    for ((id, emb, tag) <- Seq((1L, Seq(1.0, 0.1), "alpha"), (2L, Seq(0.1, 1.0), "bravo"))) {
+      val ms = MemoryStream[(Long, String, Seq[Double])]
+      ms.addData((id, s"unique $tag axis doc text", emb))
+      graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir(s"refit-guard-cp-$tag"), centsA).awaitTermination()
+    }
+    def state() = (
+      spark.read.parquet(corpus).select("doc_id", "cell")
+        .as[(Long, Int)].collect().toSet,
+      spark.read.parquet(s"$corpus/_graft_cells").select("doc_id", "cell")
+        .as[(Long, Int)].collect().toSet)
+    val before = state()
+    spark.conf.set(graft.streaming.CorpusIngest.MaxCompactionPairsKey, "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB)
+      }
+      assert(e.getMessage.contains("refitCellIndex"), e.getMessage)
+      assert(new java.io.File(corpus, "_graft_cells").exists,
+        "a ceiling refusal must not delete the centroid pin")
+      assert(state() === before, "a ceiling refusal must not mutate corpus or sidecar")
+      // the untouched pin still serves OLD-centroid sinks
+      val ms2 = MemoryStream[(Long, String, Seq[Double])]
+      ms2.addData((3L, "third unique doc text entirely", Seq(0.6, 0.8)))
+      graft.streaming.CorpusIngest.startSemanticDedupCorpusSink(
+        ms2.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir("refit-guard-cp3"), centsA).awaitTermination()
+      assert(state()._1.map(_._1) === Set(1L, 2L, 3L))
+    } finally spark.conf.unset(graft.streaming.CorpusIngest.MaxCompactionPairsKey)
+    // ceiling lifted: the same refit converges (all three docs swap)
+    assert(graft.streaming.CorpusIngest.refitCellIndex(spark, corpus, centsB) === 3L)
   }
 
   for (point <- Seq("refit-after-pin-delete", "refit-after-corpus-rewrite"))
