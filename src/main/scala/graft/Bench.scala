@@ -107,59 +107,64 @@ object Bench {
     * adjudication) normalized: no re-pin, elevation was host drift.
     */
   val floors: Map[String, Double] = Map(
+    // round-17 re-pin (downward only): min across the round's two clean
+    // full-suite windows (136.0 s @ 8.9 ticks/s, 142.4 s @ 6.4/s) x 1.10
+    // after the codegen-cache + artifact-isolation builder confs — 73 of
+    // 106 floors tightened (qd36 0.62x, qd65 0.64x, qd59 0.65x ...).
     "q01_standings" -> 1.003, "q02_points_ladder" -> 0.627,
-    "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.337,
-    "q18_rank_standings" -> 0.637, "q21_region_rollup" -> 1.114,
-    "q22_window_monthly" -> 1.57, "q26_rollup" -> 1.667,
-    "q31_topk_per_group" -> 1.004, "q37_asof_join" -> 0.652,
+    "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.323,
+    "q18_rank_standings" -> 0.512, "q21_region_rollup" -> 1.015,
+    "q22_window_monthly" -> 1.501, "q26_rollup" -> 1.667,
+    "q31_topk_per_group" -> 0.969, "q37_asof_join" -> 0.574,
     "q38_sliding_window" -> 0.732, "q40_range_join" -> 2.81,
-    "q41_topk_aggregator" -> 1.011, "qd01_exact_dedup" -> 0.402,
-    "qd02_token_count" -> 0.287, "qd03_quality" -> 0.569,
+    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.315,
+    "qd02_token_count" -> 0.287, "qd03_quality" -> 0.516,
     "qd04_langid" -> 0.57, "qd05_fingerprint" -> 0.296,
-    "qd08_simhash" -> 0.212, "qd09_minhash_neardups" -> 2.094,
-    "qd10_corpus_pipeline" -> 0.848, "qd11_minhash_neardups_fast" -> 0.61,
-    "qd12_simhash_neardups" -> 0.588, "qd13_chunking" -> 0.366,
-    "qd14_neardup_clusters" -> 2.602, "qd19_pretraining_pipeline" -> 0.701,
-    "qd21_simhash_neardups_portable" -> 0.983, "qd22_decontaminate" -> 0.507,
-    "qd24_sequence_packing" -> 0.305, "qd26_incremental_dedup" -> 0.502,
-    "qd27_mix_pipeline" -> 0.821, "qd28_vocab" -> 0.271,
-    "qd29_unigram_logprob" -> 1.027, "qd30_dsir" -> 1.651,
+    "qd08_simhash" -> 0.212, "qd09_minhash_neardups" -> 1.969,
+    "qd10_corpus_pipeline" -> 0.693, "qd11_minhash_neardups_fast" -> 0.594,
+    "qd12_simhash_neardups" -> 0.525, "qd13_chunking" -> 0.319,
+    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.665,
+    "qd21_simhash_neardups_portable" -> 0.931, "qd22_decontaminate" -> 0.432,
+    "qd24_sequence_packing" -> 0.292, "qd26_incremental_dedup" -> 0.396,
+    "qd27_mix_pipeline" -> 0.821, "qd28_vocab" -> 0.237,
+    "qd29_unigram_logprob" -> 0.855, "qd30_dsir" -> 1.651,
     "qd31_wordpiece" -> 0.552, "qd32_dup_passages" -> 0.91,
-    "qd33_curation_pipeline" -> 4.643, "qd34_scrub_spans" -> 1.418,
-    "qd35_dup_ngram_frac" -> 1.068, "qd36_dsir_fast" -> 1.506,
-    "qd37_incremental_neardup" -> 1.425, "qd38_contamination_report" -> 0.521,
-    "qd39_gopher_filter" -> 1.758, "qd40_corpus_datacard" -> 1.186,
-    "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.392,
-    "qd43_source_overlap_fast" -> 1.277, "qd45_fuzzy_decontaminate" -> 1.445,
-    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.45,
-    "qd50_temperature_mix" -> 0.533, "qd44_source_overlap_sketch" -> 2.148,
-    "qr01_bm25_topk" -> 2.01, "qr02_bm25_sidecar" -> 0.912,
-    "qr03_hybrid_sidecar" -> 1.306, "qe01_cosine_topk" -> 0.217,
+    "qd33_curation_pipeline" -> 3.387, "qd34_scrub_spans" -> 1.354,
+    "qd35_dup_ngram_frac" -> 1.068, "qd36_dsir_fast" -> 0.935,
+    "qd37_incremental_neardup" -> 1.425, "qd38_contamination_report" -> 0.419,
+    "qd39_gopher_filter" -> 1.633, "qd40_corpus_datacard" -> 1.184,
+    "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.328,
+    "qd43_source_overlap_fast" -> 1.266, "qd45_fuzzy_decontaminate" -> 1.419,
+    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.438,
+    "qd50_temperature_mix" -> 0.507, "qd44_source_overlap_sketch" -> 2.13,
+    "qr01_bm25_topk" -> 1.812, "qr02_bm25_sidecar" -> 0.794,
+    "qr03_hybrid_sidecar" -> 1.152, "qe01_cosine_topk" -> 0.215,
     "qe02_knn_join" -> 0.443, "qe03_ann_lsh" -> 0.349,
     "qe08_ivf_ann_oracle" -> 0.405, "qe10_semantic_dedup" -> 1.138,
-    "qe11_quantized_ivf" -> 0.798, "qe12_pq_ann" -> 0.559,
-    "qe13_ivfpq_ann" -> 0.698, "qe14_pq_ann_learned" -> 1.257,
-    "qe15_mrl_rerank" -> 0.461, "qe16_hybrid_rrf" -> 2.603,
-    "qe17_cluster_cap_sample" -> 0.397, "qe18_ivf_mrl_funnel" -> 0.514,
-    "qe19_ann_sidecar" -> 0.629, "qe20_kmeans_fit" -> 0.721,
-    "qe21_class_mean" -> 0.371, "qe22_source_affinity" -> 0.593,
-    "qe23_kmeans_ivf" -> 0.636, "qe24_semantic_decontaminate" -> 0.458,
-    "qe25_cell_stats" -> 0.591, "qe26_random_projection" -> 0.948,
+    "qe11_quantized_ivf" -> 0.778, "qe12_pq_ann" -> 0.549,
+    "qe13_ivfpq_ann" -> 0.65, "qe14_pq_ann_learned" -> 1.223,
+    "qe15_mrl_rerank" -> 0.461, "qe16_hybrid_rrf" -> 2.336,
+    "qe17_cluster_cap_sample" -> 0.397, "qe18_ivf_mrl_funnel" -> 0.379,
+    "qe19_ann_sidecar" -> 0.58, "qe20_kmeans_fit" -> 0.649,
+    "qe21_class_mean" -> 0.371, "qe22_source_affinity" -> 0.544,
+    "qe23_kmeans_ivf" -> 0.636, "qe24_semantic_decontaminate" -> 0.455,
+    "qe25_cell_stats" -> 0.591, "qe26_random_projection" -> 0.94,
     "qe27_embedding_outliers" -> 0.634, "qd51_winnowing" -> 0.496,
-    "qd52_corpus_diff" -> 0.372, "qd53_containment" -> 7.791,
-    "qd54_min_k_prob" -> 1.57, "qd55_ngram_diversity" -> 3.758,
-    "qd56_source_containment" -> 4.88, "qd57_stream_packing" -> 0.782,
-    "qd58_winsorize" -> 0.443, "qd59_containment_fast" -> 2.13,
-    "qd60_collocations" -> 3.885, "qd61_full_pipeline" -> 13.863,
-    "qd65_full_pipeline_fast" -> 4.164, "qd62_bigram_nll_gate" -> 6.824,
-    "qd63_quality_keepers" -> 2.849, "qd64_zipf_fit" -> 0.749,
-    "qd66_curriculum_packing" -> 2.188, "qe28_int4_fidelity" -> 1.124,
-    "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 3.124,
-    "qr09_prf_expansion" -> 5.765, "qr10_mmr_rerank" -> 0.991,
-    "qr04_retrieval_eval" -> 2.605, "qr05_hard_negatives" -> 2.089,
-    "qr06_tfidf_keywords" -> 1.113, "qm03_audio_decode" -> 0.231,
-    "q42_zorder" -> 0.346, "qs01_hourly_events" -> 0.386,
-    "qs02_sessionize" -> 0.75, "qs03_session_window" -> 0.781)
+    "qd52_corpus_diff" -> 0.322, "qd53_containment" -> 7.791,
+    "qd54_min_k_prob" -> 1.374, "qd55_ngram_diversity" -> 3.691,
+    "qd56_source_containment" -> 4.348, "qd57_stream_packing" -> 0.782,
+    "qd58_winsorize" -> 0.379, "qd59_containment_fast" -> 1.387,
+    "qd60_collocations" -> 3.429, "qd61_full_pipeline" -> 13.024,
+    "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 6.824,
+    "qd63_quality_keepers" -> 2.654, "qd64_zipf_fit" -> 0.607,
+    "qd66_curriculum_packing" -> 1.918, "qe28_int4_fidelity" -> 1.034,
+    "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
+    "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
+    "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,
+    "qr06_tfidf_keywords" -> 1.106, "qm03_audio_decode" -> 0.2,
+    "q42_zorder" -> 0.307, "qs01_hourly_events" -> 0.369,
+    "qs02_sessionize" -> 0.644, "qs03_session_window" -> 0.779
+  )
 
   /** Per-query sf1 floor seconds for the top headline queries — the
     * 100×-scale tripwire (round-13 verdict: every sf1 reading lived as
@@ -184,7 +189,15 @@ object Bench {
     "qd62_bigram_nll_gate" -> 72.2, "qd63_quality_keepers" -> 19.4,
     "qd53_containment" -> 82.2, "qe28_int4_fidelity" -> 11.31,
     "qd66_curriculum_packing" -> 7.59, "qr09_prf_expansion" -> 9.81,
-    "qe14_pq_ann_learned" -> 3.79, "qd41_source_overlap" -> 48.7)
+    "qe14_pq_ann_learned" -> 3.79, "qd41_source_overlap" -> 48.7,
+    // round-17 extension to the top-20 (verdict #7): the next-heaviest
+    // sf0.1 queries pinned from two quiet sf1 windows (steal 2.4/s and
+    // 10.9/s; per-query pair spreads ≤ 10%) — min-of-2 × 1.10
+    "qd55_ngram_diversity" -> 39.56, "qd60_collocations" -> 38.58,
+    "qd56_source_containment" -> 45.43, "qd14_neardup_clusters" -> 16.57,
+    "qd39_gopher_filter" -> 9.17, "qd44_source_overlap_sketch" -> 5.72,
+    "qd33_curation_pipeline" -> 3.99, "qr08_retrieval_pipeline" -> 4.94,
+    "qe16_hybrid_rrf" -> 3.54, "qr04_retrieval_eval" -> 3.55)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
@@ -207,7 +220,12 @@ object Bench {
     * which is why the breach rule requires BOTH runs quiet (< 50 steal
     * ticks/s) as well as > 1.3×: dirty windows abstain.
     */
-  val curationSinkFloorSec: Option[Double] = Some(28.2)
+  // Round-17 re-pin after the codegen-cache + artifact-isolation confs
+  // (see the builder): three quiet windows — 18.04 s (3.3 steal
+  // ticks/s) and 19.55 s (10.8/s) isolated, 15.51 s (4.5/s) inside the
+  // clean full-suite run — all with ZERO warm-replay Janino compiles;
+  // min × 1.10 = 17.1 (was 28.2).
+  val curationSinkFloorSec: Option[Double] = Some(17.1)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -220,16 +238,17 @@ object Bench {
     * wobbles with AQE/task placement even when the total is stable, so
     * the total's 1.10 margin would alarm on attribution jitter).
     *
-    * Round-15 pin: stage minima across the three quiet windows' best
-    * replays (27.75 / 28.77 / 25.67 s walls — see
-    * [[curationSinkFloorSec]]), under the round-15 attribution fix
-    * ("assign" bills the stage-4 materialization round 14 lumped into
-    * "cell"): gate 3.08, band 2.93, winnow 0.89, assign 4.27,
-    * cell 7.27, write 5.23 — × 1.25.
+    * Round-17 pin: stage minima across the three quiet post-conf
+    * windows (18.04 / 19.55 / 15.51 s walls — see
+    * [[curationSinkFloorSec]]): gate 2.31, band 1.37, winnow 0.44,
+    * assign 1.53, cell 3.71, write 4.20 — × 1.25. ("start" is billed
+    * in stage_sec for attribution but not floored: it reads 0.2 s and
+    * is dominated by filesystem round-trips that vary with tmpfs
+    * state.)
     */
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 3.9, "band" -> 3.7, "winnow" -> 1.1,
-    "assign" -> 5.3, "cell" -> 9.1, "write" -> 6.5)
+    "gate" -> 2.9, "band" -> 1.7, "winnow" -> 0.55,
+    "assign" -> 1.9, "cell" -> 4.6, "write" -> 5.25)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
@@ -245,17 +264,24 @@ object Bench {
     * `SPARK_GRAFT_SF_DIR` ends in `sf1` (the replay itself is opt-in
     * there via SPARK_GRAFT_BENCH_STREAMING=1).
     */
-  val curationSinkFloorSecSf1: Option[Double] = Some(27.6)
+  // Round-17 re-pin (same conf change): two quiet windows 14.25 s
+  // (~1 steal tick/s) and 15.09 s (4/s), zero warm-replay compiles,
+  // 20k docs → 1325–1403 docs/s — min × 1.10 = 15.7 (was 27.6). The
+  // sf1 wall is now BELOW the sf0.1 wall on 10× the docs: with the
+  // classloader-invalidation churn gone, what remains is genuinely
+  // batch-proportional work plus per-restart machinery the bigger
+  // batches amortize better.
+  val curationSinkFloorSecSf1: Option[Double] = Some(15.7)
 
   /** sf1 twin of [[curationStageFloorsSec]]: per-stage minima across
-    * the same two quiet round-16 windows × the stage margin 1.25
-    * (gate 4.27, band 2.67, winnow 1.06, assign 4.55, cell 5.28,
-    * write 4.55). Keys are [[graft.streaming.CorpusIngest.BilledStages]]
+    * the same two quiet round-17 windows × the stage margin 1.25
+    * (gate 2.95, band 1.48, winnow 0.46, assign 1.57, cell 1.87,
+    * write 3.63). Keys are [[graft.streaming.CorpusIngest.BilledStages]]
     * (BenchSpec-pinned).
     */
   val curationStageFloorsSecSf1: Map[String, Double] = Map(
-    "gate" -> 5.3, "band" -> 3.3, "winnow" -> 1.3,
-    "assign" -> 5.7, "cell" -> 6.6, "write" -> 5.7)
+    "gate" -> 3.7, "band" -> 1.9, "winnow" -> 0.6,
+    "assign" -> 2.0, "cell" -> 2.3, "write" -> 4.5)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
@@ -418,6 +444,32 @@ object Bench {
       // default threshold and already use the sort writer — the
       // setting only removes the small-shuffle penalty box.
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // Round-17, measured: the capstone's per-batch Janino cost
+      // (round-16 profile: ~13% of sf1 CPU) was mostly CACHE THRASH,
+      // not literal novelty — a micro-batch cycle compiles more than
+      // the default 100-entry generated-class cache holds, so
+      // IDENTICAL fragments recompile every batch. 1000 entries:
+      // sf0.1 replay 30.7 → 25.0 s warm (quiet windows, −18%), sf1
+      // 23.8 → 23.0 s; 5000 gave nothing more. Read once at first
+      // codegen (static init), so it must be a builder-time conf.
+      // Cluster note: per-JVM cache of small generated classes —
+      // ~1000 entries is a few tens of MB, negligible on executors.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // Round-17, measured — the decisive one: the codegen cache is
+      // keyed on (CLASSLOADER, source), and Spark 4's session artifact
+      // isolation gives each streaming query start an isolated
+      // classloader, so EVERY restart invalidated the whole cache
+      // (572 steady-state Janino compiles per warm sf0.1 replay even
+      // with the bigger cache — ~143/restart ≈ the full fragment
+      // count). This engine registers no session artifacts (no
+      // addArtifact, no session-scoped UDF jars), so isolation buys
+      // nothing; disabling it restores Spark-3.x shared loading:
+      // warm-replay compiles 572 → 0, sf0.1 replay 25.0 → 19.6 s
+      // (0.69× floor), sf1 23.0 → 15.1 s = 1325 docs/s (0.55× floor),
+      // keeper sets byte-identical across arms. Deployment conf for
+      // clusters running this engine's streaming sinks; leave ON if
+      // the hosting session loads per-session artifact jars.
+      .config("spark.sql.artifact.isolation.enabled", "false")
     // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies confs before the
     // sweep — the A/B lever for conf-gated physical experiments
     // (e.g. spark.graft.curation.compactWrites) without recompiling.
@@ -587,8 +639,20 @@ object Bench {
         // only applies at the floor's own SF anyway)
         val nRuns = sys.env.get("SPARK_GRAFT_BENCH_STREAMING_RUNS")
           .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+        // per-replay Janino compile counts (cumulative JVM metric,
+        // differenced): the mechanical read on plan-novelty/cache
+        // residuals — run 1 carries the cold compiles, run 2's count
+        // is the steady-state per-replay recompile churn the
+        // codegen.cache.maxEntries builder conf exists to kill
+        def janinoCompiles(): Long = org.apache.spark.metrics.source
+          .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+        val c0 = janinoCompiles()
         val r1 = curationReplay(spark, sfDir)
+        val c1 = janinoCompiles()
         val r2 = if (nRuns >= 2) curationReplay(spark, sfDir) else r1
+        val c2 = janinoCompiles()
+        val compiles =
+          if (nRuns >= 2) Seq(c1 - c0, c2 - c1) else Seq(c1 - c0)
         val best = if (r1._1 <= r2._1) r1 else r2
         val (sec, st, nIn, nKept, stages, nBatches) = best
         // the steal guard here is per SECOND, not per run (contrast
@@ -660,7 +724,7 @@ object Bench {
             else s""","stage_floor_orphans":${orphans.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
           s""","stage_vs_floor":$vsf$sbPart$orphanPart"""
         }
-        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"stage_sec":$stageJson$stagePart$floorPart}"""
+        s""","streaming":{"docs":$nIn,"kept":$nKept,"batches":$nBatches,"sec":${fmt2(sec)},"docs_per_sec":${fmt2(nIn / sec)},"runs":[${fmt2(r1._1)},${fmt2(r2._1)}],"run_steal":[${r1._2},${r2._2}],"janino_compiles":${compiles.mkString("[", ",", "]")},"stage_sec":$stageJson$stagePart$floorPart}"""
       } catch { case t: Throwable =>
         System.err.println(s"BENCH STREAMING FAIL: ${t.getClass.getSimpleName}: ${t.getMessage}")
         s""","streaming":{"error":"${t.getClass.getSimpleName}"}"""

@@ -2045,22 +2045,29 @@ object CorpusIngest {
       s"metric must be 'cosine' or 'dot', got '$metric'")
     if (metric == "cosine") require(semThreshold > 0.0 && semThreshold <= 1.0,
       s"cosine semThreshold must be in (0, 1], got $semThreshold")
-    // same order as the exact sink: heal, then rail (the capstone's
-    // exact stage keeps the same RocksDB seen-state)
-    resumePendingErasure(spark, corpusPath)
     val cp = new Path(checkpoint)
     val cpFs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = pinnedEpoch(cpFs, cp).isEmpty
-    checkErasureRail(spark, corpusPath, cpFs, cp, fresh, "curation sink")
-    val epoch = queryEpoch(spark, corpusPath, checkpoint)
     val cm = Similarity.Ivf.centroidMatrix(centroids)
-    ensureBandIndex(spark, corpusPath, k, bands, shingleN, bandPrefixLen)
-    ensureWinnowIndex(spark, corpusPath, winnowK, winnowW, winnowPrefixLen)
-    ensureCellIndex(spark, corpusPath, cm)
-    if (fresh) {
-      val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
-      writeAbsorbed(cpFs, cp,
-        epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
+    // billed as "start" (not floor-pinned): the sf1 floors showed the
+    // capstone is RESTART-overhead-bound (797 docs/s, wall flat on 10×
+    // docs), so the per-start reconcile work needs its own visible
+    // share in every replay's stage_sec before it can be attacked
+    val epoch = StageClock.time("start") {
+      // same order as the exact sink: heal, then rail (the capstone's
+      // exact stage keeps the same RocksDB seen-state)
+      resumePendingErasure(spark, corpusPath)
+      val fresh = pinnedEpoch(cpFs, cp).isEmpty
+      checkErasureRail(spark, corpusPath, cpFs, cp, fresh, "curation sink")
+      val e = queryEpoch(spark, corpusPath, checkpoint)
+      ensureBandIndex(spark, corpusPath, k, bands, shingleN, bandPrefixLen)
+      ensureWinnowIndex(spark, corpusPath, winnowK, winnowW, winnowPrefixLen)
+      ensureCellIndex(spark, corpusPath, cm)
+      if (fresh) {
+        val (corpusFs, corpusDir) = fsFor(spark, corpusPath)
+        writeAbsorbed(cpFs, cp,
+          epochBatchDirs(corpusFs, corpusDir, "epoch=*/batch_id=*"))
+      }
+      e
     }
     // null-embedding docs fall to the quality gate with the junk (the
     // CentroidDrift monitor's null tolerance): they cannot be
@@ -2082,11 +2089,13 @@ object CorpusIngest {
       ensureRocksDb(spark)
       var cached: Seq[DataFrame] = Nil
       try {
-        val benchGrams = benchGramSet(benchmark, benchTextCol, benchGramN)
+        val benchGrams = StageClock.time("start")(
+          benchGramSet(benchmark, benchTextCol, benchGramN))
         cached = benchGrams.toSeq
-        val foreignHashes = foreignEpochHashes(spark, corpusPath, checkpoint, epoch)
+        val foreignHashes = StageClock.time("start")(
+          foreignEpochHashes(spark, corpusPath, checkpoint, epoch))
         cached = cached ++ foreignHashes
-        val q = exactKeepers.writeStream
+        val q = StageClock.time("start")(exactKeepers.writeStream
           .outputMode("append")
           .trigger(trigger)
           .option("checkpointLocation", checkpoint)
@@ -2097,7 +2106,7 @@ object CorpusIngest {
               winnowK, winnowW, minShared, maxDf, winnowPrefixLen,
               cm, semThreshold, metric)
           }
-          .start()
+          .start())
         unpersistOnTermination(spark, q, cached)
       } catch {
         case t: Throwable =>
@@ -2149,6 +2158,11 @@ object CorpusIngest {
     * and the bench artifact flags floored stages absent from
     * `stage_sec` (`stage_floor_orphans`).
     */
+  // [[startCurationSink]] additionally bills an un-floored "start"
+  // label (the per-restart reconcile/ensure/plan prefix — the sf1
+  // floors showed the capstone regime is restart-sensitive, so the
+  // share must be visible in stage_sec even though its absolute value
+  // (~0.2 s) is filesystem-jitter-dominated and floor-unworthy)
   private[graft] val BilledStages: Set[String] =
     Set("gate", "band", "winnow", "assign", "cell", "write")
 

@@ -32,8 +32,8 @@ class BenchSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"sf1 floors keyed on non-headline names: $orphans")
     val nonPos = Bench.floorsSf1.collect { case (k, v) if v <= 0 => k }
     assert(nonPos.isEmpty, s"non-positive sf1 floors: $nonPos")
-    assert(Bench.floorsSf1.size >= 10,
-      "the sf1 tripwire covers the top-10 headline queries")
+    assert(Bench.floorsSf1.size >= 20,
+      "the sf1 tripwire covers the top-20 headline queries (round 17)")
   }
 
   test("the streaming floor pin is positive when present") {

@@ -356,6 +356,51 @@ class PropertySpec extends SparkSpec {
     assert(sec < 10.0, f"fuzz sweep took $sec%.1f s — a frame walker is looping")
   }
 
+  test("bit-flip mutations of VALID containers keep every walker bounded and throw-free (AVI + MP4)") {
+    // round-16 verdict stretch #8: the arbitrary-bytes net above rarely
+    // survives the magic checks, so it exercises the OUTER guards;
+    // flipping 1–4 bits in a VALID frame-carrying container lands in
+    // the deeper states — half-valid headers, corrupted size fields,
+    // sample tables whose counts/offsets lie — where a missing bounds
+    // check would loop or throw past the seam's contract
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(1717) // fixed seed — deterministic
+    val avi = Multimodal.syntheticMjpegAvi(16, 12, 10, Seq(8, 40, 136))
+    val mp4 = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, Seq(8, 40, 136))
+    def mutants(base: Array[Byte], n: Int): Seq[Array[Byte]] =
+      (0 until n).map { _ =>
+        val b = base.clone()
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          val i = rnd.nextInt(b.length)
+          b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        b
+      }
+    val cases = mutants(avi, 800) ++ mutants(mp4, 800)
+    val t0 = System.nanoTime()
+    var bad = 0
+    cases.foreach { bytes =>
+      try {
+        assert(Multimodal.parseVideoMeta(bytes) != null)
+        for ((off, len) <- Multimodal.mjpegFrameChunks(bytes) ++
+            Multimodal.mp4FrameChunks(bytes)) {
+          assert(off >= 0 && len > 0 && off.toLong + len <= bytes.length,
+            s"out-of-bounds chunk ($off, $len) for ${bytes.length} bytes")
+        }
+      } catch { case _: Exception => bad += 1 }
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(bad === 0, s"$bad/${cases.length} mutation cases threw or went out of bounds")
+    assert(sec < 20.0, f"mutation sweep took $sec%.1f s — a walker is looping")
+    // a sample of mutants through the full Dataset decode leg: rows
+    // come back decode_ok true-or-false, tasks never fail
+    val sample = (mutants(avi, 12) ++ mutants(mp4, 12)).zipWithIndex
+      .map { case (b, i) =>
+        Multimodal.MediaRow(i.toLong, "video", b, None, None, None, None) }
+    val out = Multimodal.decodeVideoFrames(sample.toDS(), 4).collect()
+    assert(out.nonEmpty) // every row yields at least a decode_ok=false stub
+  }
+
   test("Misra-Gries bound survives arbitrary stream splits and merge orders (seeded fuzz)") {
     import graft.functions.HeavyHittersAgg._
     // the mergeable-summaries claim (Agarwal et al. 2012): however the

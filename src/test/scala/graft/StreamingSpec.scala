@@ -2912,8 +2912,11 @@ class StreamingSpec extends SparkSpec {
     val sc = graft.streaming.CorpusIngest.StageClock
     sc.reset(); sc.enabled.set(true)
     try run(cp1) finally sc.enabled.set(false)
+    // "start" is the sink-START attribution label (restart-overhead
+    // visibility, round 17) — billed in stage_sec but deliberately
+    // un-floored, so it rides alongside BilledStages here
     assert(sc.secondsByStage.keySet ===
-      graft.streaming.CorpusIngest.BilledStages,
+      graft.streaming.CorpusIngest.BilledStages + "start",
       "curationBatch billed a different stage set than BilledStages declares")
     sc.reset()
     assert(ids() === Set(1L, 2L, 3L, 15L))
