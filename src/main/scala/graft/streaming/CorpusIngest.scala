@@ -60,6 +60,21 @@ import graft.functions.{Dedup, NativeExpressions, Similarity, TextAnalysis}
   * partitions that held them. (The NEAR-dup and semantic sinks
   * re-probe all epochs' index buckets per batch and never had this
   * gap.)
+  *
+  * DEPLOYMENT CONFS (measured round 17, set at session-builder time —
+  * both are read once at first codegen and cannot be flipped later):
+  *  - `spark.sql.codegen.cache.maxEntries=1000` — a curation
+  *    micro-batch cycle compiles more whole-stage fragments than the
+  *    100-entry default cache holds, so identical fragments recompile
+  *    every batch (measured −18% replay wall);
+  *  - `spark.sql.artifact.isolation.enabled=false` — Spark 4's
+  *    session-artifact isolation gives each streaming query start an
+  *    isolated classloader, and the codegen cache is keyed on
+  *    (classloader, source), so EVERY restart recompiles every
+  *    fragment (measured: 572 Janino compiles per warm replay → 0;
+  *    sf1 throughput 840 → 1400 docs/s). These sinks register no
+  *    session artifacts, so isolation buys nothing here; keep it ON
+  *    only if the hosting session loads per-session artifact jars.
   */
 object CorpusIngest {
 
