@@ -185,11 +185,14 @@ object Bench {
     // move down to reading × 1.10 (qd61 21.4 s, qd65 8.0, qd62 65.6,
     // qd63 17.6, qd53 74.8, qd41 44.3). qe28/qd66/qr09/qe14 read at or
     // above their round-14 floors in these windows and keep them.
-    "qd61_full_pipeline" -> 23.5, "qd65_full_pipeline_fast" -> 8.8,
-    "qd62_bigram_nll_gate" -> 72.2, "qd63_quality_keepers" -> 19.4,
-    "qd53_containment" -> 82.2, "qe28_int4_fidelity" -> 11.31,
-    "qd66_curriculum_packing" -> 7.59, "qr09_prf_expansion" -> 9.81,
-    "qe14_pq_ann_learned" -> 3.79, "qd41_source_overlap" -> 48.7,
+    // round-17 re-pin of the carried ten (downward only): two quiet
+    // sf1 windows (steal 5.9/s and 2.1/s) after the codegen-cache +
+    // artifact-isolation confs — all ten tightened 3–33%
+    "qd61_full_pipeline" -> 22.74, "qd65_full_pipeline_fast" -> 6.33,
+    "qd62_bigram_nll_gate" -> 69.89, "qd63_quality_keepers" -> 17.86,
+    "qd53_containment" -> 76.05, "qe28_int4_fidelity" -> 9.76,
+    "qd66_curriculum_packing" -> 6.25, "qr09_prf_expansion" -> 7.74,
+    "qe14_pq_ann_learned" -> 2.76, "qd41_source_overlap" -> 42.45,
     // round-17 extension to the top-20 (verdict #7): the next-heaviest
     // sf0.1 queries pinned from two quiet sf1 windows (steal 2.4/s and
     // 10.9/s; per-query pair spreads ≤ 10%) — min-of-2 × 1.10

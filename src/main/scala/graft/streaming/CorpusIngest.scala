@@ -3326,4 +3326,98 @@ object CorpusIngest {
     ensureCellIndex(spark, corpusPath, cm)
     staleCount
   }
+
+  /** Read-only corpus consistency audit — the DETECT side of the
+    * maintenance story whose RESPONSE ops already exist (start-time
+    * reconcile/backfill, [[deleteDocs]], [[refitCellIndex]],
+    * [[compactCorpus]] and kin): one row per component with
+    * `status` ∈ {ok, attention} and a human-readable `detail` naming
+    * the heal path. An operator runs it after an incident (or on a
+    * schedule) instead of hand-diffing partition trees.
+    *
+    * Checks, all O(directories) driver-side metadata — NO data scans,
+    * so it is safe against a 100 TB corpus:
+    *  - corpus layout (two-level epoch/batch_id partitioning present);
+    *  - pending-erasure marker (an interrupted [[deleteDocs]] — heals
+    *    at the next sink start) and the erasure epoch;
+    *  - per sidecar present (bands/winnow/cells/postings): meta pin
+    *    readable, pending-backfill marker, corpus partitions the
+    *    sidecar is missing (existence diff — the start-time backfill's
+    *    input), orphan sidecar partitions for batches the corpus no
+    *    longer has (the orphan sweep's input);
+    *  - the postings stats twin tracks the postings sidecar.
+    *
+    * "attention" is informational, not fatal: every flagged state is
+    * one the engine heals mechanically (the detail says where); the
+    * audit exists so an operator can VERIFY that healing happened
+    * after an incident instead of trusting it.
+    */
+  def auditCorpus(spark: SparkSession, corpusPath: String): DataFrame = {
+    import spark.implicits._
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    val out = Seq.newBuilder[(String, String, String)]
+    if (!fs.exists(corpusDir)) {
+      out += (("corpus", "attention", s"no directory at $corpusPath"))
+      return out.result().toDF("component", "status", "detail")
+    }
+    val corpusPairs = epochBatchDirs(fs, corpusDir, "epoch=*/batch_id=*")
+    if (hasData(fs, corpusDir) && corpusPairs.isEmpty)
+      out += (("corpus", "attention",
+        "data present but no epoch=*/batch_id=* partitions — legacy " +
+          "single-level layout; migrate before pointing an epoch-aware sink here"))
+    else
+      out += (("corpus", "ok",
+        s"${corpusPairs.size} (epoch, batch_id) partitions"))
+    readPendingErasure(spark, fs, corpusDir) match {
+      case Some(ids) => out += (("erasure", "attention",
+        s"pending-erasure marker holds ${ids.count()} ids — an interrupted " +
+          "deleteDocs; finishes at the next sink start or deleteDocs re-run"))
+      case None => out += (("erasure", "ok",
+        s"no pending marker; erasure epoch ${erasureEpochOf(fs, corpusDir)}"))
+    }
+    val sidecars = Seq(
+      ("bands", BandsDir, "pfx=*"), ("winnow", WinnowDir, "pfx=*"),
+      ("cells", CellsDir, "cell=*"), ("postings", PostingsDir, "bkt=*"))
+    for ((fam, dirName, glob) <- sidecars) {
+      val idx = new Path(corpusDir, dirName)
+      if (!fs.exists(idx)) out += ((fam, "ok", "sidecar absent"))
+      else {
+        val meta = readIndexMeta(fs, idx)
+        val pending = readPendingBackfill(fs, idx)
+        val idxPairs = epochBatchDirs(fs, idx, s"$glob/epoch=*/batch_id=*")
+        val missing = corpusPairs -- idxPairs
+        val orphans = idxPairs -- corpusPairs
+        val issues = Seq(
+          if (meta.isEmpty) Some("meta pin missing/unreadable — delete the " +
+            "sidecar to trigger a rebuild") else None,
+          if (pending.nonEmpty) Some(s"pending-backfill marker " +
+            s"(${pending.size} pairs) — an interrupted reconcile; redone at " +
+            "the next sink start") else None,
+          if (missing.nonEmpty) Some(s"${missing.size} corpus partitions " +
+            "unindexed — backfilled at the next sink start") else None,
+          if (orphans.nonEmpty) Some(s"${orphans.size} orphan index " +
+            "partitions for batches the corpus no longer has — swept at the " +
+            "next sink start") else None).flatten
+        if (issues.isEmpty) out += ((fam, "ok",
+          s"meta '${meta.getOrElse("")}'; ${idxPairs.size} pairs in step"))
+        else out += ((fam, "attention", issues.mkString("; ")))
+      }
+    }
+    val postingsIdx = new Path(corpusDir, PostingsDir)
+    val statsDir = new Path(corpusDir, PostingsStatsDir)
+    if (fs.exists(postingsIdx) || fs.exists(statsDir)) {
+      val statsPairs = epochBatchDirs(fs, statsDir, "epoch=*/batch_id=*")
+      val missingS = corpusPairs -- statsPairs
+      if (!fs.exists(postingsIdx))
+        out += (("postings-stats", "attention",
+          "stats twin present without a postings sidecar — stale leftover; " +
+            "delete it or rebuild postings"))
+      else if (!fs.exists(statsDir) || missingS.nonEmpty)
+        out += (("postings-stats", "attention",
+          s"${missingS.size} corpus partitions missing stats rows — " +
+            "rebuilt at the next exact-sink start (ensurePostingsIndex)"))
+      else out += (("postings-stats", "ok", s"${statsPairs.size} pairs in step"))
+    }
+    out.result().toDF("component", "status", "detail")
+  }
 }

@@ -3658,6 +3658,88 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+  test("auditCorpus: healthy corpus reads all-ok; flags pending erasure, unindexed pairs, orphans; heals read ok again") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("audit-corpus"); val cp = tmpDir("audit-cp")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(crashBatch0: _*)
+    crashRun(corpus, cp, ms)
+    def audit(): Map[String, (String, String)] =
+      graft.streaming.CorpusIngest.auditCorpus(spark, corpus)
+        .as[(String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val a0 = audit()
+    for (c <- Seq("corpus", "erasure", "bands", "winnow", "cells", "postings"))
+      assert(a0(c)._1 === "ok", s"$c: ${a0(c)}")
+    assert(!a0.contains("postings-stats"), "no stats row without a postings sidecar")
+
+    // an interrupted erasure: marker + swept-but-unrebuilt sidecars
+    graft.streaming.CorpusIngest.FaultInjection.arm("delete-after-index-sweep")
+    intercept[RuntimeException] {
+      graft.streaming.CorpusIngest.deleteDocs(spark, corpus, Seq(2L).toDF("doc_id"))
+    }
+    val a1 = audit()
+    assert(a1("erasure")._1 === "attention" &&
+      a1("erasure")._2.contains("pending-erasure"), a1("erasure").toString)
+    for (f <- Seq("bands", "winnow", "cells"))
+      assert(a1(f)._1 === "attention" && a1(f)._2.contains("unindexed"),
+        s"$f: ${a1(f)}")
+    // the audit names the heal; the heal is the next sink start
+    val ms2 = MemoryStream[(Long, String, Seq[Double])]
+    ms2.addData((50L, curText("golf"), Seq(0.0, 0.0, 0.0, 1.0)))
+    crashRun(corpus, tmpDir("audit-cp2"), ms2)
+    val a2 = audit()
+    assert(a2.values.forall(_._1 == "ok"), a2.toString)
+
+    // out-of-band corpus partition removal → orphan index pairs flagged,
+    // swept at the next start
+    val doomed = new java.io.File(corpus, "epoch=1/batch_id=0")
+    assert(doomed.exists, "fixture: the heal sink's partition must exist")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(doomed)
+    val a3 = audit()
+    for (f <- Seq("bands", "winnow", "cells"))
+      assert(a3(f)._1 === "attention" && a3(f)._2.contains("orphan"),
+        s"$f: ${a3(f)}")
+    val ms3 = MemoryStream[(Long, String, Seq[Double])]
+    ms3.addData((60L, curText("hotel"), Seq(0.0, 0.0, 1.0, 0.0)))
+    crashRun(corpus, tmpDir("audit-cp3"), ms3)
+    assert(audit().values.forall(_._1 == "ok"), audit().toString)
+  }
+
+  test("auditCorpus: postings corpus — stats twin tracked, hand-broken stats flagged, exact-sink start heals") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("audit-post"); val cp = tmpDir("audit-post-cp")
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "alpha doc text"), (2L, "bravo doc text"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms.toDF().toDF("doc_id", "text"), corpus, cp,
+      maintainPostings = true, postingsBuckets = 4).awaitTermination()
+    def audit(): Map[String, (String, String)] =
+      graft.streaming.CorpusIngest.auditCorpus(spark, corpus)
+        .as[(String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val a0 = audit()
+    assert(a0("postings")._1 === "ok" && a0("postings-stats")._1 === "ok", a0.toString)
+    // hand-break the stats twin
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(corpus, "_graft_postings_stats/epoch=0"))
+    val a1 = audit()
+    assert(a1("postings-stats")._1 === "attention" &&
+      a1("postings-stats")._2.contains("missing stats"), a1("postings-stats").toString)
+    // the named heal: an exact-sink start (ensurePostingsIndex reconciles)
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((3L, "charlie doc text"))
+    graft.streaming.CorpusIngest.startDedupedCorpusSink(
+      ms2.toDF().toDF("doc_id", "text"), corpus, tmpDir("audit-post-cp2"),
+      maintainPostings = true, postingsBuckets = 4).awaitTermination()
+    assert(audit().values.forall(_._1 == "ok"), audit().toString)
+  }
+
   test("semantic-probing sinks tolerate null-embedding docs: the doc is gated, the query survives") {
     // a null embedding cannot be cell-assigned; without the gate filter
     // the null cell NPEs the DRIVER-side cellsHit collect and kills the
