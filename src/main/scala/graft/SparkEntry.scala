@@ -1390,7 +1390,19 @@ object SparkEntry {
       // reference (measured 58 s vs 0.4 s at sf0.1), while staged
       // columns are multi-referenced non-cheap expressions that
       // CollapseProject keeps materialized once per row
+      // sort FIRST, on the cheap projection (round 17, measured at
+      // sf3): a trailing global orderBy RANGE-SAMPLES ITS CHILD, so a
+      // sort above the heavy quantize/pack/unpack chain executes that
+      // chain twice (sample pass + real pass) — and the scan's
+      // byte-based file splits give a compute-dense-per-byte table
+      // like embeddings only 1–4 tasks regardless of cores, so the
+      // duplicated chain also runs near-serially. Sorting the (id,
+      // vec) projection instead samples only the scan, and the range
+      // exchange fans the heavy chain out across all shuffle
+      // partitions: 32.6 → 2.6 s at sf3, rows identical (Project
+      // preserves sort order; no rule pushes a projection below Sort)
       emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .orderBy(col("vec_id"))
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
         .withColumn("codes", Similarity.quantizeInt4(col("v")))
@@ -1402,7 +1414,6 @@ object SparkEntry {
         .select(col("vec_id"),
           size(col("packed")).as("packed_bytes"),
           round(Similarity.cosine(col("v"), col("deq")), 6).as("fidelity"))
-        .orderBy(col("vec_id"))
     }),
 
     "qe04_norm_stats" -> ((s, d) => {

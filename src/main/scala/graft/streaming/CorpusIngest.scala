@@ -3245,6 +3245,26 @@ object CorpusIngest {
     } finally losers.unpersist(false)
   }
 
+  /** Predicate form of [[deleteDocs]] — compliance requests usually
+    * arrive as a PREDICATE ("every doc from source X", "texts
+    * containing this license string", "this exact text") rather than a
+    * doc_id list: evaluate `predicate` over the stored corpus once
+    * (one pruned scan — only `doc_id` plus the predicate's columns are
+    * read), then route the matching ids through [[deleteDocs]], which
+    * owns the marker/epoch/crash discipline. Returns removed-row
+    * count. The id set is captured AT CALL TIME: docs landing after
+    * this scan are not covered (re-run for a standing policy — or
+    * gate them at ingest, where the quality/contamination gates
+    * already live).
+    */
+  def deleteDocsWhere(spark: SparkSession, corpusPath: String,
+      predicate: Column): Long = {
+    val (fs, corpusDir) = fsFor(spark, corpusPath)
+    if (!hasData(fs, corpusDir)) return 0L
+    deleteDocs(spark, corpusPath,
+      spark.read.parquet(corpusPath).filter(predicate).select(col("doc_id")))
+  }
+
   /** Centroid refresh — the maintenance op the [[CentroidDrift]]
     * monitor's alert points at ("this cell's center of mass has moved:
     * re-fit and rebuild the `_graft_cells` sidecar"), previously a

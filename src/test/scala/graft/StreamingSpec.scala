@@ -3658,6 +3658,35 @@ class StreamingSpec extends SparkSpec {
       }
     }
 
+  test("deleteDocsWhere: predicate erasure routes through the full deleteDocs discipline") {
+    implicit val ctx = spark.sqlContext
+    val corpus = tmpDir("delw-corpus"); val cp = tmpDir("delw-cp")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(crashBatch0: _*)
+    crashRun(corpus, cp, ms)
+    ms.addData(crashBatch1: _*)
+    crashRun(corpus, cp, ms)
+    assert(ids(corpus) === Set(1L, 2L, 10L))
+    // the compliance shape: erase by CONTENT, not by id
+    val removed = graft.streaming.CorpusIngest.deleteDocsWhere(
+      spark, corpus, col("text").contains(curText("bravo").take(20)))
+    assert(removed === 1L)
+    assert(ids(corpus) === Set(1L, 10L))
+    assert(spark.read.parquet(s"$corpus/_graft_winnow")
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 10L),
+      "sidecars must follow the predicate erasure")
+    // marker/epoch discipline engaged: the erasure epoch bumped, so a
+    // no-op second call is 0 and the audit reads clean
+    assert(graft.streaming.CorpusIngest.deleteDocsWhere(
+      spark, corpus, col("text").contains(curText("bravo").take(20))) === 0L)
+    val audit = graft.streaming.CorpusIngest.auditCorpus(spark, corpus)
+      .as[(String, String, String)].collect().map(t => t._1 -> t._2).toMap
+    assert(audit.values.forall(_ == "ok"), audit.toString)
+    // predicate matching nothing is a no-op
+    assert(graft.streaming.CorpusIngest.deleteDocsWhere(
+      spark, corpus, col("doc_id") === 999L) === 0L)
+  }
+
   test("auditCorpus: healthy corpus reads all-ok; flags pending erasure, unindexed pairs, orphans; heals read ok again") {
     implicit val ctx = spark.sqlContext
     val corpus = tmpDir("audit-corpus"); val cp = tmpDir("audit-cp")
