@@ -46,6 +46,7 @@ object Bench {
     "qd60_collocations", "qd61_full_pipeline", "qd65_full_pipeline_fast",
     "qd62_bigram_nll_gate",
     "qd63_quality_keepers", "qd64_zipf_fit", "qd66_curriculum_packing",
+    "qd67_bpe_train", "qd68_bpe_encode",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",

@@ -3162,6 +3162,27 @@ object SparkEntry {
           "text", nBuckets = 4, contextLen = 128)
         .orderBy(col("seq_id"), col("pos_in_seq"))),
 
+    // oracle-checked: distributed BPE tokenizer TRAINING (Sennrich et
+    // al. 2016) — the learning step beside qd28's vocab counts and
+    // qd31's fixed-vocab encode: one corpus pass builds the word-
+    // frequency table (how SentencePiece/HF trainers scale), then 8
+    // merge iterations over that vocab-sized table (pair-count argmax
+    // with a deterministic tie break, greedy left-to-right apply). The
+    // oracle unrolls the whole loop as DuckDB CTEs — the learned merge
+    // table is engine-portable by construction.
+    "qd67_bpe_train" -> ((s, d) =>
+      graft.functions.Bpe.train(Tables.documents(s, d), "text", numMerges = 8)),
+
+    // oracle-checked: per-doc fertility under the qd67-trained BPE —
+    // qd31's metric with LEARNED merges in place of the fixed wordpiece
+    // vocab. Encode applies merges to the DISTINCT-word table only
+    // (per-word, not per-occurrence cost), broadcast-joined back to the
+    // doc word stream.
+    "qd68_bpe_encode" -> ((s, d) =>
+      graft.functions.Bpe.trainAndEncode(Tables.documents(s, d), "doc_id",
+          "text", numMerges = 8)
+        .orderBy(col("doc_id"))),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -5336,6 +5357,17 @@ object SparkEntry {
          |  FROM sp)
          |SELECT seq_id, doc_id, from_tok, take, pos_in_seq, bucket
          |FROM sl ORDER BY seq_id, pos_in_seq""".stripMargin,
+
+    // the BPE training loop replayed: 8 unrolled merge iterations —
+    // pair counts from positional list indexing over the double-space
+    // segmentation strings, count-desc/lexicographic argmax, greedy
+    // left-to-right replace-apply (DuckDB replace ≡ Spark
+    // StringReplace; BpeSpec pins the overlap contract on both)
+    "qd67_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
+
+    // the encode leg: the same unrolled merges, per-word piece counts
+    // from the final segmentation, per-doc join + fertility arithmetic
+    "qd68_bpe_encode" -> graft.functions.Bpe.encodeOracleSql(8),
 
     // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
     // rank, 6-dp decimal ln moments summed exactly, and the identical
