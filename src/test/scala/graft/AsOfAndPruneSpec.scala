@@ -97,6 +97,29 @@ class AsOfAndPruneSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("countInInterval ≡ pointInInterval + count; zero-point windows absent; daily side broadcast") {
+    val intervals = Seq(
+      (1L, "2024-01-01", "2024-01-20"),
+      (2L, "2024-02-01", "2024-02-03"), // contains no points → NO row
+      (3L, "2024-01-18", "2024-01-25"), // overlaps interval 1's points
+    ).toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = Seq("2024-01-01", "2024-01-01", "2024-01-20", "2024-01-21",
+        "2023-12-31")
+      .toDF("p").select(col("p").cast("date").as("p"))
+    val fast = TimeSeriesOps.countInInterval(points, intervals, "p", "s", "e")
+    val slow = TimeSeriesOps.pointInInterval(points, intervals, "p", "s", "e",
+        chunkDays = 7)
+      .groupBy("iid", "s", "e").agg(count(lit(1)).as("n_points"))
+    assert(fast.select("iid", "n_points").as[(Long, Long)].collect().toSet ===
+      slow.select("iid", "n_points").as[(Long, Long)].collect().toSet)
+    // interval 2 (zero points in window) yields no row in either form
+    assert(!fast.select("iid").as[Long].collect().contains(2L))
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("TopK aggregator equals the window top-k and plans with partial aggregation") {
     import graft.functions.TopKAgg
     val li = Tables.lineitem(spark, sf0001)
