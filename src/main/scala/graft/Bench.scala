@@ -495,6 +495,22 @@ object Bench {
       // clusters running this engine's streaming sinks; leave ON if
       // the hosting session loads per-session artifact jars.
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // Round-17 continuation, measured: ObjectHashAggregate (every
+      // typed/imperative aggregator — TopK, MisraGries, VecMean, KLL
+      // percentile sketches) falls back to SORT-BASED aggregation once
+      // a task sees more than this many distinct keys; the default 128
+      // means any realistic group count sorts the task's whole input.
+      // sf3 probe (TopKProbe): q41 typed form 10.97 → 1.54 s, udaf
+      // form 3.35 → 1.47 s; in-suite sf3 q41 3.06 → 1.53 s,
+      // qe20/21/22 −8–16%; sf0.1 set −5–10% (group counts there are
+      // small — this is a SCALE conf). Memory rule for clusters: the
+      // hash map holds one state buffer per ACTUAL distinct key per
+      // task (the threshold is a cap, not a reservation) — 1M keys ×
+      // the engine's largest bounded state (dim-64 VecMean ≈ 0.5 KB)
+      // ≈ 0.5 GB worst case; keep fallback for workloads whose
+      // per-task key cardinality genuinely exceeds memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
     // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies confs before the
     // sweep — the A/B lever for conf-gated physical experiments
     // (e.g. spark.graft.curation.compactWrites) without recompiling.
