@@ -240,7 +240,21 @@ object Bench {
   // ticks/s) and 19.55 s (10.8/s) isolated, 15.51 s (4.5/s) inside the
   // clean full-suite run — all with ZERO warm-replay Janino compiles;
   // min × 1.10 = 17.1 (was 28.2).
-  val curationSinkFloorSec: Option[Double] = Some(17.1)
+  //
+  // Round-17 continuation re-pin UPWARD (the qe25 protocol: clean
+  // windows persistently ≥ 1.25× → re-pin with the evidence): the host
+  // REBOOTED/RE-PLACED between sessions (uptime 1 h 52 m at detection;
+  // idle load-avg 5.5 from co-tenants) and on the new placement the
+  // replay reads 24.76 s in-suite (8.5 steal ticks/s) and
+  // 34.52–35.6 s isolated (2.1–3.1/s — genuinely clean by the < 5/s
+  // bar) on BOTH current code and the round-start commit, interleaved
+  // same-window control (base 33.0–37.5 s vs current 33.5–40.5 s —
+  // engine exonerated; batch-query totals read their best-ever 132.2 s
+  // in the same windows, so the shift is specific to the replay's
+  // tiny-job/scheduling-latency profile, invisible to steal ticks;
+  // fsync probed healthy at 0.33 ms). min × 1.10 = 27.2 (was 17.1 on
+  // the old placement — floors are per-placement calibration).
+  val curationSinkFloorSec: Option[Double] = Some(27.2)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -261,9 +275,12 @@ object Bench {
     * is dominated by filesystem round-trips that vary with tmpfs
     * state.)
     */
+  // Continuation re-pin with the total (stage minima across the five
+  // quiet new-placement windows × 1.25): gate 4.23, band 2.04,
+  // winnow 0.66, assign 2.93, cell 6.61, write 5.35.
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 2.9, "band" -> 1.7, "winnow" -> 0.55,
-    "assign" -> 1.9, "cell" -> 4.6, "write" -> 5.25)
+    "gate" -> 5.3, "band" -> 2.55, "winnow" -> 0.83,
+    "assign" -> 3.7, "cell" -> 8.3, "write" -> 6.7)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
@@ -286,7 +303,14 @@ object Bench {
   // classloader-invalidation churn gone, what remains is genuinely
   // batch-proportional work plus per-restart machinery the bigger
   // batches amortize better.
-  val curationSinkFloorSecSf1: Option[Double] = Some(15.7)
+  //
+  // Continuation re-pin UPWARD with [[curationSinkFloorSec]] (same
+  // host re-placement, same control evidence): two very quiet windows
+  // 30.65 s (1.2 steal ticks/s) and 32.52 s (1.9/s), 20k docs →
+  // 615–652 docs/s — min × 1.10 = 33.7 (was 15.7). The sf1 wall still
+  // tracks the sf0.1 wall on 10× the docs (the scale shape survives
+  // the placement; only the per-tiny-job constant moved).
+  val curationSinkFloorSecSf1: Option[Double] = Some(33.7)
 
   /** sf1 twin of [[curationStageFloorsSec]]: per-stage minima across
     * the same two quiet round-17 windows × the stage margin 1.25
@@ -294,9 +318,12 @@ object Bench {
     * write 3.63). Keys are [[graft.streaming.CorpusIngest.BilledStages]]
     * (BenchSpec-pinned).
     */
+  // Continuation re-pin with the sf1 total (stage minima across the
+  // two new-placement windows × 1.25): gate 6.98, band 3.71,
+  // winnow 1.10, assign 4.02, cell 4.67, write 5.49.
   val curationStageFloorsSecSf1: Map[String, Double] = Map(
-    "gate" -> 3.7, "band" -> 1.9, "winnow" -> 0.6,
-    "assign" -> 2.0, "cell" -> 2.3, "write" -> 4.5)
+    "gate" -> 8.7, "band" -> 4.6, "winnow" -> 1.4,
+    "assign" -> 5.0, "cell" -> 5.8, "write" -> 6.9)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
