@@ -3204,6 +3204,27 @@ object SparkEntry {
           "text", numMerges = 8)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: unigram-LM subword tokenizer TRAINING via Viterbi
+    // hard-EM (Kudo 2018 — the SentencePiece model), qd67's sibling:
+    // BPE learns merges bottom-up, this starts from a substring seed
+    // vocabulary and re-estimates piece probabilities from its own best
+    // segmentations. Every step engine-portable (scaled-integer 6-dp
+    // log-probs, all-ties broken deterministically), so the WHOLE EM
+    // loop — seed counts, two Viterbi rounds, hard pruning — replays as
+    // unrolled DuckDB CTEs with an all-paths enumeration proof.
+    "qd69_unigram_train" -> ((s, d) =>
+      graft.functions.UnigramLm.train(Tables.documents(s, d), "text",
+        maxPieceLen = 4, topM = 40, iters = 2)),
+
+    // oracle-checked: per-doc fertility under the qd69-trained unigram
+    // model — qd68's shape with Viterbi segmentation in place of BPE
+    // merges (segment the DISTINCT-word table once, broadcast-join
+    // piece counts back).
+    "qd70_unigram_fertility" -> ((s, d) =>
+      graft.functions.UnigramLm.trainAndFertility(Tables.documents(s, d),
+          "doc_id", "text", maxPieceLen = 4, topM = 40, iters = 2)
+        .orderBy(col("doc_id"))),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -5402,6 +5423,19 @@ object SparkEntry {
     // the encode leg: the same unrolled merges, per-word piece counts
     // from the final segmentation, per-doc join + fertility arithmetic
     "qd68_bpe_encode" -> graft.functions.Bpe.encodeOracleSql(8),
+
+    // the unigram hard-EM loop replayed: substring seed counts, two
+    // unrolled EM iterations (scaled-integer scores, ALL segmentations
+    // of every word enumerated by recursive CTE and ranked with the
+    // kernel's exact order — an all-paths proof of the Viterbi DP),
+    // keep-alive floor, hard pruning, final model scores
+    "qd69_unigram_train" ->
+      graft.functions.UnigramLm.trainOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
+
+    // the fertility leg: one more all-paths Viterbi under the final
+    // model, per-word piece counts, per-doc join + fertility arithmetic
+    "qd70_unigram_fertility" ->
+      graft.functions.UnigramLm.fertilityOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
 
     // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
     // rank, 6-dp decimal ln moments summed exactly, and the identical

@@ -807,6 +807,100 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // -------------------------------------------------- unigram Viterbi
+
+  /** Viterbi segmentation of ONE word under a unigram piece model
+    * (Kudo 2018) — the per-row kernel of [[UnigramLm]]'s hard-EM
+    * trainer. `pieces` carries SCALED-INTEGER log-probs (ln rounded to
+    * 6 dp × 10⁶, computed driver-side with BigDecimal HALF_UP — the
+    * qd29 rounding discipline), so the DP accumulates exact longs and
+    * the argmax is bit-reproducible in DuckDB's unrolled-CTE replay:
+    * maximize total score; ties → fewer pieces; ties → lexicographically
+    * smallest segmentation string (the order is DP-composable: two
+    * segmentations of the same prefix first differ at a space-vs-letter
+    * position, so appending a common suffix never flips it). String
+    * ties compare UTF-16 code units — identical to DuckDB's UTF-8 memcmp
+    * for ASCII and the BMP-below-surrogates range this corpus lives in.
+    * Returns the pieces space-joined. A character NO piece covers is
+    * emitted as its own single-char piece at a large negative penalty
+    * (the char-fallback convention of production tokenizers) — total by
+    * construction; the trainer seeds every single char, so the fallback
+    * only fires for foreign vocab/word pairs (spec-pinned, never on the
+    * oracle path).
+    */
+  case class UnigramViterbiExpr(child: Expression, pieces: Seq[(String, Long)])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unigram_viterbi"
+
+    // far below any real path sum (scores are ≥ -30e6 per piece, words
+    // are short), far above Long overflow territory for any word length
+    private final val UnknownCharPenalty = -1000000000000L
+
+    @transient private lazy val scoreMap: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](math.max(16, pieces.size * 2))
+      pieces.foreach { case (p, s) => m.put(p, s) }
+      m
+    }
+    @transient private lazy val maxLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_._1.length).max
+
+    def compute(s: UTF8String): UTF8String = {
+      val w = s.toString
+      val n = w.length
+      if (n == 0) return UTF8String.fromString("")
+      val score = new Array[Long](n + 1)
+      val np = new Array[Int](n + 1)
+      val seg = new Array[String](n + 1)
+      seg(0) = ""
+      var i = 1
+      while (i <= n) {
+        val lm = math.min(maxLen, i)
+        var l = 1
+        while (l <= lm) {
+          if (seg(i - l) != null) {
+            val sc = scoreMap.get(w.substring(i - l, i))
+            if (sc != null) {
+              val cs = score(i - l) + sc
+              val cn = np(i - l) + 1
+              val cseg =
+                if (seg(i - l).isEmpty) w.substring(i - l, i)
+                else seg(i - l) + " " + w.substring(i - l, i)
+              if (seg(i) == null || cs > score(i) ||
+                  (cs == score(i) && (cn < np(i) ||
+                    (cn == np(i) && cseg < seg(i))))) {
+                score(i) = cs; np(i) = cn; seg(i) = cseg
+              }
+            }
+          }
+          l += 1
+        }
+        if (seg(i) == null) {
+          // char-fallback: seg(i-1) is set by induction (this branch
+          // makes every position total)
+          val ch = w.substring(i - 1, i)
+          score(i) = score(i - 1) + UnknownCharPenalty
+          np(i) = np(i - 1) + 1
+          seg(i) = if (seg(i - 1).isEmpty) ch else seg(i - 1) + " " + ch
+        }
+        i += 1
+      }
+      UTF8String.fromString(seg(n))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unigramViterbi", this,
+        classOf[UnigramViterbiExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ NFC normalize
 
   /** Unicode NFC normalization (canonical composition) as a codegen'd
@@ -945,6 +1039,9 @@ object NativeExpressions {
 
   def wordpieceCount(c: Column, vocab: Seq[String]): Column =
     column(WordpieceCountExpr(expression(c), vocab))
+
+  def unigramViterbi(c: Column, pieces: Seq[(String, Long)]): Column =
+    column(UnigramViterbiExpr(expression(c), pieces))
 
   def md5BucketBigrams(c: Column, buckets: Int): Column =
     column(Md5BucketBigramsExpr(expression(c), buckets))
