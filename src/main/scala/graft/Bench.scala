@@ -47,7 +47,7 @@ object Bench {
     "qd62_bigram_nll_gate",
     "qd63_quality_keepers", "qd64_zipf_fit", "qd66_curriculum_packing",
     "qd67_bpe_train", "qd68_bpe_encode",
-    "qd69_unigram_train", "qd70_unigram_fertility",
+    "qd69_unigram_train", "qd70_unigram_fertility", "qd71_mix_waterfill",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -169,6 +169,9 @@ object Bench {
     // qd69/qd70 pinned this round: two quiet subset windows
     // (1.249/1.245 and 1.411/1.410 s at steal 95/22) x 1.10
     "qd69_unigram_train" -> 1.37, "qd70_unigram_fertility" -> 1.55,
+    // qd71 pinned this round: two near-zero-steal subset windows
+    // (0.673/0.745 s at steal 9/4) x 1.10
+    "qd71_mix_waterfill" -> 0.74,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,

@@ -3204,6 +3204,18 @@ object SparkEntry {
           "text", numMerges = 8)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: water-filling token-budget allocation — the
+    // redistribution step qd50's temperature mix omits (its capped
+    // sources' budget share is simply lost): take_s = min(a_s, λ·w_s)
+    // with the water level λ solved so Σ take = B, via the sorted-ratio
+    // prefix-sum closed form. Exact micro-unit weights + IEEE-only
+    // float derivation, so the whole solve replays in SQL. B=25000 ≈
+    // 92% of sf0.01's corpus → 2 capped / 18 uncapped (both branches
+    // non-vacuous at the driver's SF).
+    "qd71_mix_waterfill" -> ((s, d) =>
+      graft.functions.Curation.waterFillMix(Tables.documents(s, d),
+        "source", "text", alpha = 0.5, tokenBudget = 25000L)),
+
     // oracle-checked: unigram-LM subword tokenizer TRAINING via Viterbi
     // hard-EM (Kudo 2018 — the SentencePiece model), qd67's sibling:
     // BPE learns merges bottom-up, this starts from a substring seed
@@ -5423,6 +5435,45 @@ object SparkEntry {
     // the encode leg: the same unrolled merges, per-word piece counts
     // from the final segmentation, per-doc join + fertility arithmetic
     "qd68_bpe_encode" -> graft.functions.Bpe.encodeOracleSql(8),
+
+    // the water-fill solve replayed: round-6 sqrt weights in
+    // DECIMAL(18,6), ratio sort, exclusive window prefix sums, the
+    // cap condition, λ* from the capped set, floor(λ·w) takes
+    "qd71_mix_waterfill" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(SUM(COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)) AS BIGINT) AS a
+        |  FROM documents GROUP BY source
+        |  HAVING CAST(SUM(COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0)) AS BIGINT) > 0),
+        |w AS (SELECT source, a,
+        |        CAST(ROUND(sqrt(CAST(a AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pw
+        |      FROM m),
+        |r AS (SELECT *, a / CAST(pw AS DOUBLE) AS ratio FROM w),
+        |t AS (SELECT CAST(SUM(pw) AS DECIMAL(38,6)) AS wtot FROM r),
+        |pre AS (
+        |  SELECT r.*,
+        |    COALESCE(CAST(SUM(a)  OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS apre,
+        |    COALESCE(CAST(SUM(pw) OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DECIMAL(38,6)), 0) AS wpre
+        |  FROM r),
+        |fl AS (
+        |  SELECT pre.*,
+        |    CASE WHEN CAST(t.wtot - pre.wpre AS DOUBLE) <= 0 THEN TRUE
+        |         ELSE pre.ratio < (25000 - pre.apre) / CAST(t.wtot - pre.wpre AS DOUBLE)
+        |    END AS capped
+        |  FROM pre CROSS JOIN t),
+        |lam AS (
+        |  SELECT CASE WHEN CAST(t.wtot - COALESCE(cw.wc, 0) AS DOUBLE) <= 0 THEN 0.0
+        |              ELSE (25000 - COALESCE(cw.ac, 0)) / CAST(t.wtot - COALESCE(cw.wc, 0) AS DOUBLE)
+        |         END AS l
+        |  FROM t LEFT JOIN (
+        |    SELECT CAST(SUM(a) AS BIGINT) AS ac, CAST(SUM(pw) AS DECIMAL(38,6)) AS wc
+        |    FROM fl WHERE capped) cw ON TRUE)
+        |SELECT fl.source, fl.a AS n_tokens, CAST(fl.pw AS DOUBLE) AS weight, fl.capped,
+        |  CASE WHEN fl.capped THEN fl.a
+        |       ELSE CAST(FLOOR(lam.l * CAST(fl.pw AS DOUBLE)) AS BIGINT) END AS take_tokens
+        |FROM fl CROSS JOIN lam ORDER BY fl.source""".stripMargin,
 
     // the unigram hard-EM loop replayed: substring seed counts, two
     // unrolled EM iterations (scaled-integer scores, ALL segmentations

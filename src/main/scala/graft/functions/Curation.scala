@@ -676,4 +676,83 @@ object Curation {
     */
   def corpusDiffSummary(diff: DataFrame): DataFrame =
     diff.groupBy(col("status")).agg(count(lit(1)).cast("long").as("n_docs"))
+
+  /** Water-filling token-budget allocator — the redistribution step
+    * [[temperatureMix]] deliberately omits: its per-source target
+    * `w_s · B` simply truncates at availability (`rate ≤ 1`), so the
+    * budget share of every capped source is LOST and Σ kept < B. This
+    * op solves the allocation that actually exhausts the budget:
+    *
+    *   take_s = min(a_s, λ·w_s)   with λ chosen so Σ take_s = B
+    *
+    * (a_s = per-source available tokens, w_s ∝ a_s^α the tempered
+    * weight) — classic water-filling: sort sources by a_s/w_s
+    * ascending; a source caps iff its ratio is below the water level
+    * λ, and removing a capped source RAISES the level for the rest
+    * (proof in the spec fixtures), so the capped set is a prefix and
+    * one pass of prefix sums finds it: a source caps iff
+    * `r_k < (B − A_{k−1}) / (W − W_{k−1})` (exclusive prefix sums over
+    * the sorted order — once false it stays false, because a rejected
+    * cap can only LOWER the as-if level while ratios keep rising).
+    *
+    * Determinism discipline (everything engine-portable, so the whole
+    * solve replays in SQL): weights are round-6 `a^α` held in exact
+    * micro-units (the qd50 DECIMAL(18,6) convention), prefix sums are
+    * exact integer/DECIMAL, and every double is derived from exact
+    * values by IEEE ops both engines share (casts, divides, floor) —
+    * no float accumulation anywhere. The S-row masses collect is the
+    * plan (the [[temperatureMix]] precedent); S = source count.
+    * Zero-token sources are excluded (nothing to allocate). `take` of
+    * uncapped sources floors λ·w_s, so Σ take ∈ (B − S, B].
+    *
+    * NOTE the qd71 oracle fixes α = 0.5 (replayed as `sqrt` — exempt
+    * from pow's last-ulp looseness); other α values are JVM-exact but
+    * their oracle would lean on `pow(x, α)` agreeing to 6 dp, which
+    * qd50 has validated on this corpus for driver-side Math.pow only.
+    */
+  def waterFillMix(docs: DataFrame, sourceCol: String, textCol: String,
+      alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val masses = docs.select(col(sourceCol).as("source"),
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+          .cast("long").as("__nt"))
+      .groupBy("source").agg(sum(col("__nt")).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0L)
+    // round-6 a^alpha in exact micro-units
+    def wUnits(a: Long): Long =
+      (BigDecimal(math.pow(a.toDouble, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000L).toLongExact
+    val sorted = masses
+      .map { case (s, a) =>
+        val wu = wUnits(a); (s, a, wu, a.toDouble / (wu / 1e6))
+      }
+      .sortBy { case (s, _, _, r) => (r, s) }
+    val totW = sorted.map(_._3).sum
+    // capped flag via UNCONDITIONAL exclusive prefix sums (the exact
+    // SQL-window formulation; prefix-closure makes it equivalent to
+    // the greedy)
+    var aPre = 0L; var wPre = 0L
+    val flagged = sorted.map { case (s, a, wu, r) =>
+      val den = totW - wPre
+      val capped = den <= 0L || r < (tokenBudget - aPre).toDouble / (den / 1e6)
+      aPre += a; wPre += wu
+      (s, a, wu, capped)
+    }
+    val aC = flagged.collect { case (_, a, _, true) => a }.sum
+    val wC = flagged.collect { case (_, _, w, true) => w }.sum
+    val denStar = totW - wC
+    val lamStar =
+      if (denStar <= 0L) 0.0 else (tokenBudget - aC).toDouble / (denStar / 1e6)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    flagged.toSeq
+      .map { case (s, a, wu, capped) =>
+        val take = if (capped) a else math.floor(lamStar * (wu / 1e6)).toLong
+        (s, a, wu / 1e6, capped, take)
+      }
+      .toDF("source", "n_tokens", "weight", "capped", "take_tokens")
+      .orderBy(col("source"))
+  }
 }

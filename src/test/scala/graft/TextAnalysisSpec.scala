@@ -276,6 +276,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("waterFillMix: hand fixture caps the scarce source and redistributes to the rest") {
+    // A: 1 token, B: 100 tokens, α=0.5 → w=(1,10), r=(1,10). Budget 50:
+    // level λ(0)=50/11≈4.54 > r_A → A caps at 1; λ*=(50-1)/10=4.9;
+    // B takes floor(4.9·10)=49. Budget exhausted: 1+49=50.
+    val docs = (Seq(("A", "x")) ++ Seq(("B", Seq.fill(100)("w").mkString(" "))))
+      .toDF("source", "text")
+    val got = Curation.waterFillMix(docs, "source", "text", 0.5, 50L)
+      .select("source", "n_tokens", "capped", "take_tokens")
+      .as[(String, Long, Boolean, Long)].collect().toSeq
+    assert(got === Seq(("A", 1L, true, 1L), ("B", 100L, false, 49L)))
+  }
+
+  test("waterFillMix: budget beyond availability caps everything; zero-token sources excluded") {
+    val docs = Seq(("A", "x y"), ("B", "p q r"), ("Z", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val got = Curation.waterFillMix(docs, "source", "text", 0.5, 1000L)
+      .select("source", "capped", "take_tokens")
+      .as[(String, Boolean, Long)].collect().toSeq
+    assert(got === Seq(("A", true, 2L), ("B", true, 3L)))
+  }
+
+  test("waterFillMix: budget exhaustion and per-source bounds on real docs") {
+    val docs = Tables.documents(spark, sf0001)
+    val b = 1500L
+    val rows = Curation.waterFillMix(docs, "source", "text", 0.5, b)
+      .select("n_tokens", "capped", "take_tokens")
+      .as[(Long, Boolean, Long)].collect()
+    val s = rows.length
+    val take = rows.map(_._3).sum
+    // floors lose < 1 token per uncapped source
+    assert(take <= b && take > b - s, s"sum take $take vs budget $b ($s sources)")
+    rows.foreach { case (a, capped, t) =>
+      assert(t <= a)
+      if (capped) assert(t === a) // capped ⇒ take == avail
+    }
+  }
+
   test("temperatureMix: α=1 is natural shares, α=0 uniform weights; kept set honors thresholds; accounting consistent") {
     val docs = Tables.documents(spark, sf0001)
     // α=1: tempered weight == natural fraction (6 dp) for every source
