@@ -230,6 +230,60 @@ object SparkEntry {
        |WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** qd72's oracle: the recall probe in DuckDB — the md5 doc-Bernoulli
+    * sample, brute-force all-pairs Jaccard truth over it, qd09's
+    * banding pipeline on the same sample, and the left-join found flag.
+    */
+  private lazy val qd72Sql: String = {
+    val mhCols = (0 until 16)
+      .map(j => s"    list_min(list_transform(g, x -> md5(x || '#$j'))) AS mh$j")
+      .mkString(",\n")
+    val bandCols = (0 until 4)
+      .map(b => s"    md5(concat_ws('|', ${(4 * b until 4 * b + 4).map(j => s"mh$j").mkString(", ")})) AS band$b")
+      .mkString(",\n")
+    val ebUnion = (0 until 4)
+      .map(b => s"  SELECT doc_id, $b AS band, band$b AS bh FROM bands")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH sdocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) < 50),
+       |sh AS (
+       |  SELECT doc_id, $duckShingles3 AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(nfc_normalize(text)), '\\s+') AS w FROM sdocs)),
+       |tp AS (
+       |  SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      len(list_intersect(a.g, b.g))
+       |        / GREATEST(len(list_distinct(list_concat(a.g, b.g))), 1) AS j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE j >= 0.5),
+       |sig AS (
+       |  SELECT doc_id,
+       |$mhCols
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM sig),
+       |eb AS (
+       |$ebUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM eb a JOIN eb b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |lsh AS (
+       |  SELECT p.id_a, p.id_b
+       |  FROM cand p
+       |  JOIN sh sa ON sa.doc_id = p.id_a
+       |  JOIN sh sb ON sb.doc_id = p.id_b
+       |  WHERE len(list_intersect(sa.g, sb.g))
+       |      / GREATEST(len(list_distinct(list_concat(sa.g, sb.g))), 1) >= 0.5)
+       |SELECT tp.id_a, tp.id_b, tp.jaccard,
+       |  (l.id_a IS NOT NULL) AS found_by_lsh
+       |FROM tp LEFT JOIN lsh l ON tp.id_a = l.id_a AND tp.id_b = l.id_b
+       |ORDER BY tp.id_a, tp.id_b""".stripMargin
+  }
+
   /** qd37's oracle: the incremental near-dup probe in DuckDB — portable
     * md5 minhash signatures + LSH bands for corpus AND batch, the
     * band-bucket hit against the corpus, and the within-batch
@@ -1849,6 +1903,18 @@ object SparkEntry {
     // pairs here).
     "qd09_minhash_neardups" -> ((s, d) =>
       Dedup.minHashNearDups(Tables.documents(s, d), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // oracle-checked: LSH recall probe — ground-truth all-pairs Jaccard
+    // on a deterministic 50% md5 sample vs the SAME-config qd09 banding:
+    // one row per truth pair with a found_by_lsh flag (estimated recall
+    // = avg(found)). The banding curve P = 1-(1-j^r)^b measured on this
+    // corpus: pairs just under the ≈0.71 LSH threshold are the expected
+    // misses, so both flag values are non-vacuous at the driver's SF.
+    "qd72_lsh_recall_probe" -> ((s, d) =>
+      Dedup.lshRecallProbe(Tables.documents(s, d), "doc_id", "text",
+        sampleBuckets = 50, totalBuckets = 100,
         k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -4357,6 +4423,9 @@ object SparkEntry {
     // Mirrors Dedup.{withMinHash(portable),withLshBands,lshCandidatePairs,
     // minHashNearDups} stage for stage.
     "qd09_minhash_neardups" -> qd09Sql,
+    // the recall probe replayed: sampled truth pairs by brute-force
+    // set Jaccard, qd09's banding over the same sample, found flag
+    "qd72_lsh_recall_probe" -> qd72Sql,
 
     "qd37_incremental_neardup" -> qd37Sql,
 

@@ -1147,4 +1147,49 @@ object Dedup {
     docs.unpersist(false)
     out
   }
+
+  /** LSH recall probe — the QA operator for the banded-MinHash scale
+    * path: on a deterministic document sample, compute GROUND-TRUTH
+    * near-dup pairs by brute-force all-pairs Jaccard (the qe09
+    * precedent: an exact baseline is allowed its nested loop because
+    * the SAMPLE bounds it) and flag which of them the production
+    * banding ([[minHashNearDups]], identical parameters and
+    * verification kernel) actually surfaces. The banding curve
+    * P(candidate) = 1 − (1 − j^r)^b is theory; this measures it on
+    * YOUR corpus and config — the number that tells you how much
+    * near-dup mass a dedup run leaves behind (pairs just under the
+    * LSH threshold are the expected misses).
+    *
+    * Returns one row per TRUTH pair: (id_a, id_b, jaccard,
+    * found_by_lsh); estimated recall = avg(found_by_lsh). Sampling is
+    * the md5 doc Bernoulli (qd25's primitive: `sampleBuckets` of
+    * `totalBuckets`), so the probe is reproducible and its cost knob
+    * explicit: m sampled docs cost O(m²) comparisons — size the
+    * sample rate p so m stays in the thousands at any corpus size;
+    * pairs survive sampling at rate p², and the per-pair recall
+    * estimator is unbiased (candidate generation is per-pair
+    * deterministic given the signatures).
+    */
+  def lshRecallProbe(df: DataFrame, idCol: String, textCol: String,
+      sampleBuckets: Int, totalBuckets: Int = 100,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5, portable: Boolean = false): DataFrame = {
+    require(sampleBuckets > 0 && sampleBuckets <= totalBuckets)
+    val sample = df.filter(
+      NativeExpressions.md5Bucket(col(idCol).cast("string"), totalBuckets)
+        < lit(sampleBuckets))
+    val sh = sample.select(col(idCol).as("__id"),
+      NativeExpressions.shingleHashes(shingleCanon(col(textCol)), shingleN).as("__sh"))
+    val truth = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+      .crossJoin(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__j", NativeExpressions.sortedJaccard(col("__sha"), col("__shb")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+    val lsh = minHashNearDups(sample, idCol, textCol, k, bands, shingleN,
+        minJaccard, portable)
+      .select(col("id_a"), col("id_b"), lit(true).as("found_by_lsh"))
+    truth.join(lsh, Seq("id_a", "id_b"), "left")
+      .withColumn("found_by_lsh", coalesce(col("found_by_lsh"), lit(false)))
+  }
 }

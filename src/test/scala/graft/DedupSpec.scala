@@ -761,4 +761,57 @@ class DedupSpec extends SparkSpec {
     assert(run(portable = false).sortBy(r => (r._1, r._2)).toSeq ===
       got.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("lshRecallProbe: sampling respected, flags consistent with the banding, misses surface") {
+    import graft.functions.NativeExpressions
+    // find ids on each side of the 50-bucket sample line
+    val buckets = spark.range(0, 200)
+      .select(col("id"), NativeExpressions.md5Bucket(col("id").cast("string"), 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val inIds = (0L until 200L).filter(buckets(_) < 50)
+    val outIds = (0L until 200L).filter(buckets(_) >= 50)
+    assert(inIds.size >= 25 && outIds.size >= 2)
+
+    val baseWords = (0 until 40).map(i => s"base$i")
+    def variant(seed: Int): String =
+      // keep the first 28 base words, replace the tail -> shingle
+      // jaccard ≈ 26/50 ≈ 0.52: above the 0.5 truth threshold, well
+      // under the ≈0.71 banding threshold, so the 4x4 bands miss a
+      // P=1-(1-j^4)^4 ≈ 0.32 fraction... i.e. ~2/3 of these plants
+      (baseWords.take(28) ++ (0 until 12).map(j => s"v${seed}u$j")).mkString(" ")
+
+    val base = baseWords.mkString(" ")
+    val nearClone = (baseWords.take(39) :+ "clonetail").mkString(" ") // j ≈ 0.9
+    val docs =
+      Seq((inIds(0), base), (inIds(1), nearClone)) ++           // found plant
+      (2 until 22).map(i => (inIds(i), variant(i))) ++          // miss plants
+      Seq((outIds(0), base), (outIds(1), nearClone))            // OUT of sample
+    val df = docs.toDF("doc_id", "text")
+
+    val probe = graft.functions.Dedup.lshRecallProbe(df, "doc_id", "text",
+      sampleBuckets = 50, totalBuckets = 100, minJaccard = 0.5, portable = true)
+      .select("id_a", "id_b", "found_by_lsh")
+      .as[(Long, Long, Boolean)].collect().toSeq
+
+    // sampling: the out-of-sample clone pair never appears
+    assert(!probe.exists(p => p._1 == outIds(0) || p._2 == outIds(0) ||
+      p._1 == outIds(1) || p._2 == outIds(1)))
+    // the 0.9-jaccard pair is truth and found
+    val clonePair = probe.filter(p =>
+      Set(p._1, p._2) == Set(inIds(0), inIds(1)).map(identity))
+    assert(clonePair.map(_._3) === Seq(true))
+    // the probe's flags ARE the banding's verdicts: found set == the
+    // production pair set over the same sample
+    val sample = df.filter(
+      NativeExpressions.md5Bucket(col("doc_id").cast("string"), 100) < lit(50))
+    val lshPairs = graft.functions.Dedup.minHashNearDups(sample, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, minJaccard = 0.5, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    probe.foreach { case (a, b, f) => assert(f === lshPairs.contains((a, b)), s"($a,$b)") }
+    // the mid-jaccard plants exercise BOTH flag values (the banding
+    // curve leaves ~2/3 of j≈0.52 pairs uncandidated; deterministic
+    // given the md5 signatures)
+    assert(probe.exists(!_._3), "expected at least one banding miss")
+    assert(probe.exists(_._3))
+  }
 }
