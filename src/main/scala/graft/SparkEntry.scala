@@ -114,6 +114,56 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk, neighbor_id""".stripMargin
 
+  /** qe29's oracle: brute-force top-10 truth vs the qe08 IVF pipeline
+    * (same probes/cells/kernel, k=10), per-query hit count + recall.
+    */
+  private lazy val duckQe29Sql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 40 = 0),
+       |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ROUND(list_dot_product(c.v, q.qv)
+       |          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM c, q WHERE c.vec_id <> q.query_id)
+       |  WHERE rnk <= 10),
+       |corpus_cells AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT c.vec_id, c.v, cent.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(cent.cv, cent.cv)
+       |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+       |    FROM c, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT q.query_id, q.qv, cent.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(cent.cv, cent.cv)
+       |                   - 2 * list_dot_product(q.qv, cent.cv), cent.cell_id) AS rn
+       |    FROM q, cent)
+       |  WHERE rn <= 2),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, cc.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        ROUND(list_dot_product(cc.v, p.qv)
+       |          / (sqrt(list_dot_product(cc.v, cc.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+       |        cc.vec_id) AS rnk
+       |    FROM corpus_cells cc JOIN probes p
+       |      ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id)
+       |  WHERE rnk <= 10)
+       |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / GREATEST(COUNT(*), 1), 4) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   /** Two deterministic Lloyd iterations as a CTE chain ending in
     * `cent2` (cell_id, cv) and `a2` (the final assignment) — qe20
     * SELECTs the centroids, qe23 feeds them into qe08's IVF pattern.
@@ -3034,6 +3084,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
+    // oracle-checked: ANN recall probe — qd72's dense twin: per-query
+    // recall@10 of the qe08-config IVF (deterministic vec_id<8
+    // centroids, nProbe=2 of 8 cells) against the exact brute-force
+    // top-10. Both legs share the cosine kernel and tie-break, so
+    // hits/misses are pure cell geometry; nProbe=2 leaves out-of-probe
+    // neighbors, so sub-1.0 recalls are non-vacuous at the driver's SF.
+    "qe29_ann_recall_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Similarity.annRecallProbe(emb.filter(col("vec_id") % 40 === 0), emb,
+          "vec_id", "embedding", centroids, k = 10, nProbe = 2)
+        .orderBy(col("query_id"))
+    }),
+
     // oracle-checked: semantic dedup (SemDeDup, Abbas et al. 2023) —
     // deterministic centroids (vec_id < 8, the qe08 pattern), jittered
     // near-dup plants (the qe05 pattern), within-cluster cosine ≥ 0.95
@@ -5045,6 +5111,9 @@ object SparkEntry {
          |ORDER BY cell_id, rnk""".stripMargin,
 
     "qe08_ivf_ann_oracle" -> duckQe08Sql,
+    // the recall probe replayed: brute-force truth window, qe08's IVF
+    // pipeline at k=10, per-query hit count + recall arithmetic
+    "qe29_ann_recall_probe" -> duckQe29Sql,
 
     // the cell-sidecar path scores the SAME vectors with the SAME
     // kernel under the SAME pinned centroids — qe08's oracle verbatim

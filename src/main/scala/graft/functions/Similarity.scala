@@ -624,6 +624,38 @@ object Similarity {
     }
   }
 
+  /** ANN recall probe — the dense twin of
+    * [[Dedup.lshRecallProbe]]: per query, recall@k of the IVF search
+    * ([[Ivf.search]], your centroids/nProbe config) against the exact
+    * brute-force top-k ([[knnJoin]]) over the same corpus. nProbe
+    * theory says the probe misses neighbors living outside the
+    * nearest `nProbe` cells; this measures how many, per query, on
+    * YOUR data — the number that sizes the nProbe/latency trade
+    * before a config ships. Returns `(query_id, n_truth, n_hit,
+    * recall)`; both legs share the cosine kernel and tie-break, so a
+    * hit/miss is a pure function of cell geometry, never score
+    * jitter.
+    *
+    * Cost: the truth leg is the bounded brute force (the qe09/qd72
+    * precedent) — queries are the explicit knob; the IVF leg prices
+    * like production serving. At 100 TB probe a SAMPLE of queries,
+    * not the corpus.
+    */
+  def annRecallProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val truth = knnJoin(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Ivf.search(queries, corpus, idCol, vecCol, centroids, k, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") /
+          greatest(col("n_truth"), lit(1L)).cast("double"), 4))
+  }
+
   /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011, "Product
     * Quantization for Nearest Neighbor Search"): split the D-dim space
     * into `nSub` subspaces, quantize each sub-vector to one of `nCodes`

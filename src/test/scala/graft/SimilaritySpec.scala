@@ -86,6 +86,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("annRecallProbe: all-cells probe reads 1.0; a planted out-of-probe neighbor reads the miss") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
+    val queries = emb.filter(col("vec_id") < 3)
+    // nProbe = all cells ⇒ IVF ≡ brute force ⇒ recall 1.0 everywhere
+    val full = Similarity.annRecallProbe(queries, emb, "vec_id", "embedding",
+        centroids, k = 5, nProbe = 4)
+      .select("query_id", "n_truth", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(full.nonEmpty)
+    full.foreach { case (_, nt, nh, r) => assert(nt === nh && r === 1.0) }
+
+    // planted geometry: query probes cell 0 only (nProbe=1) but its
+    // true nearest neighbor lives in cell 1 → recall 0 at k=1
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell_id", "centroid")
+    val corpus = Seq(
+      (10L, Seq(0.6, 0.8)),   // cell 1 — the TRUE nearest to q
+      (11L, Seq(1.0, -0.5)),  // cell 0 filler
+      (12L, Seq(1.0, -0.9))). // cell 0 filler
+      toDF("vec_id", "embedding")
+    val q = Seq((99L, Seq(1.0, 0.9))).toDF("vec_id", "embedding") // probes cell 0
+    val miss = Similarity.annRecallProbe(q, corpus, "vec_id", "embedding",
+        cents, k = 1, nProbe = 1)
+      .select("n_truth", "n_hit", "recall").as[(Long, Long, Double)].head()
+    assert(miss === ((1L, 0L, 0.0)))
+    // widening the probe to both cells recovers it
+    val rec = Similarity.annRecallProbe(q, corpus, "vec_id", "embedding",
+        cents, k = 1, nProbe = 2)
+      .select("recall").as[Double].head()
+    assert(rec === 1.0)
+  }
+
   test("IVF fit on a sample still yields a usable full-coverage index") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4,
