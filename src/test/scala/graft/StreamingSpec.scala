@@ -2847,6 +2847,54 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("fertility-drift monitor: unseen-domain words fire one edge-triggered alert; trained-domain batches stay quiet; recovery re-arms") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // train merges on a small corpus; its own words re-segment to few
+      // pieces (low fertility), foreign words fall back to chars
+      val trainDocs = (Seq.fill(6)("lower lowest lowly") ++
+        Seq.fill(6)("newest newer newly")).toDF("text")
+      val merges = graft.functions.Bpe.train(trainDocs, "text", numMerges = 12)
+        .select("lhs", "rhs").as[(String, String)].collect().toSeq
+      val baseline = graft.functions.Bpe.encodeFertility(
+          trainDocs.withColumn("doc_id", monotonically_increasing_id()),
+          "doc_id", "text", merges)
+        .agg(sum(col("n_pieces")).cast("double") / sum(col("n_words")))
+        .as[Double].head()
+      assert(baseline < 4.0, s"trained-domain baseline should be low: $baseline")
+
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.FertilityDrift.fertilityDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text",
+          merges, baseline, tolFrac = 0.5, minWords = 30L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("fdrift").start()
+      val inDomain = Seq.fill(12)("lower newest lowly").mkString(" ")   // 36 words
+      val foreign = Seq.fill(12)("zqxjkwv mbfgpzd qzzjxkw").mkString(" ") // char-fallback
+      def feed(texts: String*): Unit = {
+        ms.addData(texts.map(t => ("web", t)): _*)
+        q.processAllAvailable()
+      }
+      feed(inDomain)                    // trained domain → quiet
+      feed(foreign)                     // fertility spike → ALERT
+      feed(foreign)                     // still drifted → latched
+      feed("zq mb")                     // sub-minWords trickle: no re-arm
+      feed(null, inDomain)              // null-safe; recovery → re-arm
+      feed(foreign)                     // second spike → ALERT
+      q.stop()
+      val rows = spark.table("fdrift")
+        .as[graft.streaming.FertilityDrift.FertilityReport].collect()
+      assert(rows.count(_.alert) === 2, rows.mkString("\n"))
+      val quiet = rows.filter(r => !r.alert && r.batch_words >= 30L)
+      assert(quiet.exists(_.fertility <= baseline * 1.5), rows.mkString("\n"))
+      assert(rows.filter(_.alert).forall(_.fertility > baseline * 1.5),
+        rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- streaming capstone: the composed curation sink -------------------
 
   /** Quality-passing synthetic text: 50 tokens, every 5th a stopword
