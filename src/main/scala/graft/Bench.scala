@@ -48,7 +48,7 @@ object Bench {
     "qd63_quality_keepers", "qd64_zipf_fit", "qd66_curriculum_packing",
     "qd67_bpe_train", "qd68_bpe_encode",
     "qd69_unigram_train", "qd70_unigram_fertility", "qd71_mix_waterfill",
-    "qd72_lsh_recall_probe", "qe29_ann_recall_probe",
+    "qd72_lsh_recall_probe", "qe29_ann_recall_probe", "qd73_bpe_packing",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -180,6 +180,9 @@ object Bench {
     // qe29 pinned this round: two near-zero-steal subset windows
     // (1.448/1.492 s at steal 8/10) x 1.10
     "qe29_ann_recall_probe" -> 1.59,
+    // qd73 pinned this round: two near-zero-steal subset windows
+    // (2.228/2.092 s at steal 8/8) x 1.10
+    "qd73_bpe_packing" -> 2.30,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,

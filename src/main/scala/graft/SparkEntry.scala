@@ -2087,6 +2087,26 @@ object SparkEntry {
           "source", "doc_id", "n_tok", budget = 512L)
         .orderBy(col("source"), col("doc_id"))),
 
+    // oracle-checked: context-window packing by TRAINED-tokenizer
+    // counts — qd24 packs by whitespace tokens, but a data loader
+    // budgets the sequence in SUBWORD pieces, so the production packer
+    // runs on the qd68 fertility leg's n_pieces: train the qd67 merges,
+    // encode the distinct-word table, roll per-doc piece counts, pack
+    // greedily at 512. Composition adds no new semantics; the oracle
+    // chains the BPE-encode CTEs into qd24's recursive pack walk.
+    "qd73_bpe_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.functions.Bpe.train(docs, "text", numMerges = 8)
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val counts = graft.functions.Bpe.encodeFertility(docs, "doc_id", "text", m)
+        .select(col("doc_id"), col("n_pieces"))
+      graft.functions.Curation.packSequences(
+          docs.select(col("source"), col("doc_id")).join(counts, "doc_id"),
+          "source", "doc_id", "n_pieces", budget = 512L)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // per-source sampling weights (Pile/LLaMA mixture recipes) via the
     // portable md5 bucket — reproducible across engines and runs
     "qd25_weighted_sample" -> ((s, d) =>
@@ -3788,6 +3808,26 @@ object SparkEntry {
          |  FROM documents),
          |${duckPackWalk(512)}
          |SELECT source, doc_id, n_tok, bin_id
+         |FROM walk ORDER BY source, doc_id""".stripMargin,
+
+    // the BPE-count packer replayed: qd67's unrolled merge CTEs →
+    // per-word pieces → per-doc piece counts → qd24's recursive walk
+    "qd73_bpe_packing" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.oracleCtes(8)},
+         |enc AS (SELECT word, CAST(len(str_split(trim(toks), '  ')) AS BIGINT) AS pieces
+         |        FROM toks8),
+         |docw AS (
+         |  SELECT doc_id, source, word FROM (
+         |    SELECT doc_id, source,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |    FROM documents)
+         |  WHERE len(word) > 0),
+         |t AS (
+         |  SELECT source, doc_id, CAST(SUM(pieces) AS BIGINT) AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM docw JOIN enc USING (word) GROUP BY source, doc_id),
+         |${duckPackWalk(512)}
+         |SELECT source, doc_id, n_tok AS n_pieces, bin_id
          |FROM walk ORDER BY source, doc_id""".stripMargin,
 
     "qd25_weighted_sample" ->
