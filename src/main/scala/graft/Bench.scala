@@ -109,6 +109,39 @@ object Bench {
     * a clean window confirms it. qd19/qd37/qd38 (the round-13 open
     * adjudication) normalized: no re-pin, elevation was host drift.
     */
+  /** Placement fingerprint every floor family below was calibrated
+    * under (ADVICE r17 #4: the re-pin protocol was a one-way upward
+    * ratchet — floors loosened 60–115% on a slow host re-placement
+    * would silently tolerate a real regression if a later session
+    * landed on a fast placement). The kernel boot id changes on every
+    * host re-placement/reboot, which is exactly the event that
+    * invalidates per-placement calibration: when the current boot id
+    * differs from this pin, the bench still runs the full candidate/
+    * confirm protocol but reports any verdicts under
+    * `floor_breaches_stale_placement` (and `breach_stale_placement`
+    * for the streaming twins) instead of `floor_breaches` — "the
+    * floors predate this placement; re-pin before adjudicating",
+    * machine-readable in the artifact either way via the
+    * `floor_placement` object. Re-pinning floors on a new placement
+    * means updating this id in the same commit.
+    *
+    * Round-18 pin: boot 60f5b14a — the post-reboot placement whose
+    * first quiet windows re-confirmed the round-17 continuation
+    * floors (see SCALE.md round 18).
+    */
+  val floorPlacementBootId: Option[String] =
+    Some("60f5b14a-9e14-4cce-8b2f-268c2dd05862")
+
+  /** /proc/sys/kernel/random/boot_id — None when unreadable (non-Linux
+    * dev box), which disables staleness routing rather than guessing.
+    */
+  private[graft] def currentBootId: Option[String] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/sys/kernel/random/boot_id")
+      try Some(src.getLines().next().trim).filter(_.nonEmpty)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   val floors: Map[String, Double] = Map(
     // round-17 re-pin (downward only): min across the round's two clean
     // full-suite windows (136.0 s @ 8.9 ticks/s, 142.4 s @ 6.4/s) x 1.10
@@ -685,7 +718,20 @@ object Bench {
       k -> Vector.fill(ConfirmSamples)(onceRaw(k, SparkEntry.queries(k)))
     }.toMap
     val breachList = candidates.filter(k => confirmedBreach(floorMap(k), confirm(k)))
-    val breaches = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // placement-staleness routing (ADVICE r17 #4): on a placement the
+    // floors were not pinned under, a confirmed verdict is evidence
+    // that a RE-PIN is due, not that the engine regressed — it ships
+    // under a _stale_placement key so no consumer reads it as a breach,
+    // and the floor_placement object makes the staleness itself loud.
+    val bootNow = currentBootId
+    val placementStale =
+      floorPlacementBootId.exists(p => bootNow.exists(_ != p))
+    val breachesArr = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val breaches = if (placementStale) "[]" else breachesArr
+    val stalePart =
+      if (placementStale) s""","floor_breaches_stale_placement":$breachesArr"""
+      else ""
+    val placementJson = s""","floor_placement":{"pinned":${floorPlacementBootId.map("\"" + _ + "\"").getOrElse("null")},"current":${bootNow.map("\"" + _ + "\"").getOrElse("null")},"stale":$placementStale}"""
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a confirm run that CRASHED must be visible as such: its elapsed
     // time is time-to-exception, not a legit quiet sample, and reading
@@ -770,7 +816,8 @@ object Bench {
             val breachPart = if (nRuns < 2) "" else {
               val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
                 quiet(r1) && quiet(r2)
-              s""","breach":$breach"""
+              val key = if (placementStale) "breach_stale_placement" else "breach"
+              s""","$key":$breach"""
             }
             s""","vs_floor":${fmt2(sec / f)}$breachPart"""
           case _ => ""
@@ -804,7 +851,10 @@ object Bench {
                 r2._5.getOrElse(s, 0.0) / stageFloors(s) > 1.3 &&
                 quiet(r1) && quiet(r2)
             }.toSeq.sorted
-            s""","stage_breaches":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+            val key =
+              if (placementStale) "stage_breaches_stale_placement"
+              else "stage_breaches"
+            s""","$key":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
           }
           val orphanPart =
             if (orphans.isEmpty) ""
@@ -825,7 +875,7 @@ object Bench {
     // instead of silently escaping the artifact (round-14 advice)
     val postSweepSteal = stealTicks() - steal0 - steal
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal,"query_steal_ticks":$perQuerySteal,"vs_floor":$vsFloor,"breach_candidates":$candJson,"confirm_runs":$confirmJson,"floor_breaches":$breaches$stalePart$placementJson$streamJson,"sf":"$sfDir"}"""
     // full-precision artifact (incl. per-query timings and steal
     // windows) → a file, because the harness keeps only the LAST ~2000
     // chars of stdout: at 106 queries even a 3-decimal per-query map is
@@ -859,7 +909,7 @@ object Bench {
     val windowPart =
       s""","floor_total":${fmt2(floorTotal)},"floored_total":${fmt2(flooredTotal)},"vs_floor_total":${if (floorTotal > 0) fmt2(flooredTotal / floorTotal) else "null"},"wall_sec":${fmt2(sweepWall)},"steal_rate_per_sec":${if (sweepWall > 0) fmt2((steal + postSweepSteal) / sweepWall) else "null"}"""
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","summary_path":"$sumPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal$windowPart,"breach_candidates":$candJson,"floor_breaches":$breaches$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries_path":"$outPath","summary_path":"$sumPath","errors":$errs,"steal_ticks":$steal,"post_sweep_steal_ticks":$postSweepSteal$windowPart,"breach_candidates":$candJson,"floor_breaches":$breaches$stalePart$placementJson$streamJson,"sf":"$sfDir"}"""
     // the summary goes to a sentinel FILE before teardown (round-16
     // verdict #5 + ADVICE: stdout is conclusively unparseable on this
     // host — sbt's fd-1 line-prefixer — and a summary emitted only

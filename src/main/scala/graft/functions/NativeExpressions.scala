@@ -822,11 +822,14 @@ object NativeExpressions {
     * ties compare UTF-16 code units — identical to DuckDB's UTF-8 memcmp
     * for ASCII and the BMP-below-surrogates range this corpus lives in.
     * Returns the pieces space-joined. A character NO piece covers is
-    * emitted as its own single-char piece at a large negative penalty
-    * (the char-fallback convention of production tokenizers) — total by
-    * construction; the trainer seeds every single char, so the fallback
-    * only fires for foreign vocab/word pairs (spec-pinned, never on the
-    * oracle path).
+    * emitted as its own single-CODE-POINT piece at a large negative
+    * penalty (the char-fallback convention of production tokenizers) —
+    * total by construction; an astral character (surrogate pair) falls
+    * back as the whole two-unit code point, never a lone surrogate, so
+    * fallback pieces are always well-formed strings matching the
+    * code-point seed. The trainer seeds every single character, so the
+    * fallback only fires for foreign vocab/word pairs (spec-pinned,
+    * never on the oracle path).
     */
   case class UnigramViterbiExpr(child: Expression, pieces: Seq[(String, Long)])
       extends UnaryExpression {
@@ -876,12 +879,22 @@ object NativeExpressions {
           l += 1
         }
         if (seg(i) == null) {
-          // char-fallback: seg(i-1) is set by induction (this branch
-          // makes every position total)
-          val ch = w.substring(i - 1, i)
-          score(i) = score(i - 1) + UnknownCharPenalty
-          np(i) = np(i - 1) + 1
-          seg(i) = if (seg(i - 1).isEmpty) ch else seg(i - 1) + " " + ch
+          // char-fallback on the full CODE POINT ending here (every
+          // seg(j), j < i, is set by induction — this branch makes
+          // every position total). For non-BMP input the code point is
+          // TWO UTF-16 units: falling back a single unit would emit a
+          // lone surrogate, diverging from the code-point-based seed
+          // (`.` regex) and the DuckDB oracle's code-point substr —
+          // so a low surrogate preceded by its high half falls back
+          // two units, emitting the astral character whole.
+          val start =
+            if (i >= 2 && Character.isLowSurrogate(w.charAt(i - 1)) &&
+                Character.isHighSurrogate(w.charAt(i - 2))) i - 2
+            else i - 1
+          val ch = w.substring(start, i)
+          score(i) = score(start) + UnknownCharPenalty
+          np(i) = np(start) + 1
+          seg(i) = if (seg(start).isEmpty) ch else seg(start) + " " + ch
         }
         i += 1
       }

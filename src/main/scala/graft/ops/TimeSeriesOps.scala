@@ -118,15 +118,22 @@ object TimeSeriesOps {
     * dropped 41.5 s → 1.4 s, identical output (same oracle SQL).
     *
     * Inner-join semantics match [[pointInInterval]] + count: an
-    * interval whose window contains zero points yields NO row.
+    * interval whose window contains zero points yields NO row. That
+    * includes INVERTED intervals (start > end): [[pointInInterval]]'s
+    * `start <= p AND p <= end` filter can never match one, whereas
+    * Spark's `sequence(start, end)` would silently auto-step −1 through
+    * the descending range and count the wrong window — so inverted
+    * rows are filtered out before the explode, keeping the two
+    * formulations row-identical on any input.
     */
   def countInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String): DataFrame = {
     val daily = points
       .groupBy(col(pointCol).as("__day"))
       .agg(count(lit(1)).as("__day_n"))
-    val iDays = intervals.withColumn("__day",
-      explode(sequence(col(startCol), col(endCol))))
+    val iDays = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__day", explode(sequence(col(startCol), col(endCol))))
     val iCols = intervals.columns.map(col).toSeq
     iDays.join(broadcast(daily), Seq("__day"))
       .groupBy(iCols: _*)

@@ -102,6 +102,7 @@ class AsOfAndPruneSpec extends SparkSpec {
       (1L, "2024-01-01", "2024-01-20"),
       (2L, "2024-02-01", "2024-02-03"), // contains no points → NO row
       (3L, "2024-01-18", "2024-01-25"), // overlaps interval 1's points
+      (4L, "2024-01-20", "2024-01-01"), // INVERTED (start > end) → NO row
     ).toDF("iid", "s", "e")
       .select(col("iid"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
     val points = Seq("2024-01-01", "2024-01-01", "2024-01-20", "2024-01-21",
@@ -113,8 +114,13 @@ class AsOfAndPruneSpec extends SparkSpec {
       .groupBy("iid", "s", "e").agg(count(lit(1)).as("n_points"))
     assert(fast.select("iid", "n_points").as[(Long, Long)].collect().toSet ===
       slow.select("iid", "n_points").as[(Long, Long)].collect().toSet)
-    // interval 2 (zero points in window) yields no row in either form
-    assert(!fast.select("iid").as[Long].collect().contains(2L))
+    // interval 2 (zero points in window) yields no row in either form;
+    // interval 4 (inverted window) must not sequence()-walk the
+    // descending range — pointInInterval's start<=p<=end can never
+    // match it, and the fast form agrees
+    val fastIds = fast.select("iid").as[Long].collect()
+    assert(!fastIds.contains(2L))
+    assert(!fastIds.contains(4L))
     val plan = fast.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)

@@ -95,4 +95,18 @@ class BenchSpec extends AnyFunSuite {
       Seq((0.493, 0L, false), (0.50, 0L, true), (0.52, 0L, false))))
     assert(!Bench.confirmedBreach(floor, Nil))
   }
+
+  test("floor placement fingerprint is pinned and readable on this host") {
+    // ADVICE r17 #4: floors are per-placement calibration, so the pin
+    // must carry the placement it was taken on. The pinned id must be
+    // a well-formed boot id, and the bench must be able to read the
+    // live one (staleness routing is only disabled when /proc is
+    // genuinely unavailable).
+    val uuidRe = "^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$".r
+    assert(Bench.floorPlacementBootId.nonEmpty,
+      "floors without a placement fingerprint regress to the one-way ratchet")
+    assert(Bench.floorPlacementBootId.forall(id => uuidRe.findFirstIn(id).isDefined))
+    assert(Bench.currentBootId.forall(id => uuidRe.findFirstIn(id).isDefined))
+    assert(Bench.currentBootId.nonEmpty, "boot id unreadable on this host")
+  }
 }

@@ -68,6 +68,18 @@ class UnigramLmSpec extends SparkSpec {
     assert(viterbi("x", Seq(("a", -1L))) === "x")
   }
 
+  test("char fallback emits whole code points, never lone surrogates") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, two UTF-16 units
+    // uncovered astral char falls back as ONE two-unit piece
+    assert(viterbi(s"a${clef}b", Seq(("a", -1L), ("b", -1L))) === s"a $clef b")
+    // astral-only word: one piece, not two surrogate halves
+    assert(viterbi(clef + clef, Seq(("a", -1L))) === s"$clef $clef")
+    // a vocab piece CONTAINING the astral char still matches whole
+    assert(viterbi(s"$clef", Seq((clef, -1L))) === clef)
+    // and mixed: vocab covers the astral char, fallback covers the rest
+    assert(viterbi(s"x$clef", Seq((clef, -1L))) === s"x $clef")
+  }
+
   test("seed vocab: topM + all single chars, overlap-counted") {
     val words = Seq("aaa").toDF("text")
     val v = UnigramLm.seedVocab(
