@@ -49,6 +49,7 @@ object Bench {
     "qd67_bpe_train", "qd68_bpe_encode",
     "qd69_unigram_train", "qd70_unigram_fertility", "qd71_mix_waterfill",
     "qd72_lsh_recall_probe", "qe29_ann_recall_probe", "qd73_bpe_packing",
+    "qd74_bpe_train_fast", "qe30_ivf_size_nprobe",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",

@@ -164,6 +164,75 @@ object SparkEntry {
        |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
+  /** qe30's oracle: qe29's arithmetic extended per-nProbe — probes keep
+    * their rank (rn ≤ 8), a config table fans each candidate to every
+    * n_probe ≥ its probe rank, one window per (query, n_probe) ranks
+    * top-10, and the sweep aggregates 4-dp per-query recalls as exact
+    * DECIMAL sums before one final IEEE divide. `chosen` = the minimal
+    * config whose mean recall meets 0.95.
+    */
+  private lazy val duckQe30Sql: String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 40 = 0),
+       |cent AS (SELECT CAST(vec_id AS INTEGER) AS cell_id, v AS cv FROM c WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        ROUND(list_dot_product(c.v, q.qv)
+       |          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM c, q WHERE c.vec_id <> q.query_id)
+       |  WHERE rnk <= 10),
+       |corpus_cells AS (
+       |  SELECT vec_id, v, cell_id FROM (
+       |    SELECT c.vec_id, c.v, cent.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY list_dot_product(cent.cv, cent.cv)
+       |                   - 2 * list_dot_product(c.v, cent.cv), cent.cell_id) AS rn
+       |    FROM c, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, cell_id, CAST(rn AS INTEGER) AS probe_rank FROM (
+       |    SELECT q.query_id, q.qv, cent.cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(cent.cv, cent.cv)
+       |                   - 2 * list_dot_product(q.qv, cent.cv), cent.cell_id) AS rn
+       |    FROM q, cent)
+       |  WHERE rn <= 8),
+       |cfg AS (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS n_probe),
+       |approx AS (
+       |  SELECT query_id, n_probe, neighbor_id FROM (
+       |    SELECT p.query_id, cfg.n_probe, cc.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id, cfg.n_probe ORDER BY
+       |        ROUND(list_dot_product(cc.v, p.qv)
+       |          / (sqrt(list_dot_product(cc.v, cc.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+       |        cc.vec_id) AS rnk
+       |    FROM corpus_cells cc
+       |    JOIN probes p ON cc.cell_id = p.cell_id AND cc.vec_id <> p.query_id
+       |    JOIN cfg ON cfg.n_probe >= p.probe_rank)
+       |  WHERE rnk <= 10),
+       |perq AS (
+       |  SELECT cfg.n_probe, t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM truth t CROSS JOIN cfg
+       |  LEFT JOIN approx a ON a.query_id = t.query_id
+       |    AND a.n_probe = cfg.n_probe AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY cfg.n_probe, t.query_id),
+       |pr AS (SELECT n_probe, query_id,
+       |         ROUND(CAST(n_hit AS DOUBLE) / GREATEST(n_truth, 1), 4) AS recall
+       |       FROM perq),
+       |sw AS (
+       |  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |    ROUND(CAST(SUM(CAST(recall AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_recall,
+       |    MIN(recall) AS min_recall
+       |  FROM pr GROUP BY n_probe),
+       |fin AS (SELECT *, mean_recall >= 0.95 AS meets_target FROM sw),
+       |best AS (SELECT MIN(n_probe) AS b FROM fin WHERE meets_target)
+       |SELECT n_probe, n_queries, mean_recall, min_recall, meets_target,
+       |  (meets_target AND n_probe = (SELECT b FROM best)) AS chosen
+       |FROM fin ORDER BY n_probe""".stripMargin
+
   /** Two deterministic Lloyd iterations as a CTE chain ending in
     * `cent2` (cell_id, cv) and `a2` (the final assignment) — qe20
     * SELECTs the centroids, qe23 feeds them into qe08's IVF pattern.
@@ -2094,9 +2163,14 @@ object SparkEntry {
     // encode the distinct-word table, roll per-doc piece counts, pack
     // greedily at 512. Composition adds no new semantics; the oracle
     // chains the BPE-encode CTEs into qd24's recursive pack walk.
+    // Round 18: the composition runs the PRODUCTION-VOCAB path end to
+    // end — trainFast's in-memory merge loop + the BpeCountExpr kernel
+    // encode — against the same unrolled-CTE oracle, machine-proving
+    // fast ≡ distributed every round (the q44/q40 shared-oracle
+    // discipline).
     "qd73_bpe_packing" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val m = graft.functions.Bpe.train(docs, "text", numMerges = 8)
+      val m = graft.functions.Bpe.trainFast(docs, "text", numMerges = 8)
         .select("lhs", "rhs").collect()
         .map(r => (r.getString(0), r.getString(1))).toSeq
       val counts = graft.functions.Bpe.encodeFertility(docs, "doc_id", "text", m)
@@ -3120,6 +3194,24 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // oracle-checked: IVF config sizing — qe29's measurement turned
+    // into a decision (round-17 verdict #2): ONE grouped sweep over
+    // every nProbe in [1, 8] (candidates fan to configs via their
+    // probe rank — no per-config re-run), mean/min recall@10 per
+    // config against the brute-force truth, and `chosen` marks the
+    // minimal config meeting mean recall ≥ 0.95. Monotonicity and
+    // exactness-at-nProbe=nCells are SimilaritySpec-pinned.
+    "qe30_ivf_size_nprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell_id"),
+          col("embedding").cast("array<double>").as("centroid"))
+      Similarity.sizeNProbe(emb.filter(col("vec_id") % 40 === 0), emb,
+          "vec_id", "embedding", centroids, k = 10, targetRecall = 0.95,
+          maxNProbe = 8)
+        .orderBy(col("n_probe"))
+    }),
+
     // oracle-checked: semantic dedup (SemDeDup, Abbas et al. 2023) —
     // deterministic centroids (vec_id < 8, the qe08 pattern), jittered
     // near-dup plants (the qe05 pattern), within-cluster cosine ≥ 0.95
@@ -3345,6 +3437,19 @@ object SparkEntry {
     // table is engine-portable by construction.
     "qd67_bpe_train" -> ((s, d) =>
       graft.functions.Bpe.train(Tables.documents(s, d), "text", numMerges = 8)),
+
+    // oracle-checked: the PRODUCTION-VOCAB trainer against qd67's own
+    // unrolled-CTE oracle VERBATIM — one corpus pass builds the word
+    // table, the exact merge loop then runs in memory (lazy-deletion
+    // heap + incremental pair deltas; Bpe.trainFastLocal has the
+    // batching-rejection rationale). Semantics are machine-proved
+    // identical to the distributed loop every round; the win is
+    // s/merge (~10⁴× — the distributed loop pays ~0.14 s of job
+    // latency per merge, a 75-minute 32k vocabulary), measured in
+    // SCALE.md round 18.
+    "qd74_bpe_train_fast" -> ((s, d) =>
+      graft.functions.Bpe.trainFast(Tables.documents(s, d), "text",
+        numMerges = 8)),
 
     // oracle-checked: per-doc fertility under the qd67-trained BPE —
     // qd31's metric with LEARNED merges in place of the fixed wordpiece
@@ -5155,6 +5260,9 @@ object SparkEntry {
     // pipeline at k=10, per-query hit count + recall arithmetic
     "qe29_ann_recall_probe" -> duckQe29Sql,
 
+    // the per-nProbe sweep + minimal-meeting-config choice replayed
+    "qe30_ivf_size_nprobe" -> duckQe30Sql,
+
     // the cell-sidecar path scores the SAME vectors with the SAME
     // kernel under the SAME pinned centroids — qe08's oracle verbatim
     // is exactly the claim being checked
@@ -5609,6 +5717,11 @@ object SparkEntry {
     // left-to-right replace-apply (DuckDB replace ≡ Spark
     // StringReplace; BpeSpec pins the overlap contract on both)
     "qd67_bpe_train" -> graft.functions.Bpe.trainOracleSql(8),
+
+    // the production-vocab trainer shares qd67's oracle VERBATIM — the
+    // in-memory merge loop is machine-proved ≡ the distributed one
+    // (and ≡ the reference algorithm) every round
+    "qd74_bpe_train_fast" -> graft.functions.Bpe.trainOracleSql(8),
 
     // the encode leg: the same unrolled merges, per-word piece counts
     // from the final segmentation, per-doc join + fertility arithmetic

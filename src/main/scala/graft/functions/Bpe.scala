@@ -116,6 +116,226 @@ object Bpe {
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt").orderBy("rank")
   }
 
+  /** UTF-8 binary string compare (code-point order) — the collation of
+    * Spark's `orderBy` on strings (UTF8String binary) and DuckDB's
+    * memcmp, so [[trainFastLocal]]'s tie-break is bit-identical to
+    * [[train]]'s `orderBy(cnt desc, lhs, rhs)`. Java String.compareTo
+    * is UTF-16 order, which DIVERGES for astral-vs-[U+E000,U+FFFF]
+    * pairs — never use it here.
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    import org.apache.spark.unsafe.types.UTF8String
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
+
+  /** The exact BPE merge loop of [[train]], run in memory over a
+    * collected word-frequency table — the production-vocab trainer.
+    *
+    * Why this is the 32k-vocab answer and not "batch top-T merges per
+    * pass": the distributed loop's cost is ~0.14 s of Spark job
+    * latency PER MERGE (flat in corpus size — the work is vocab-sized
+    * — but driver-sequenced), so a real 32k-merge vocabulary is ~75
+    * minutes of pure scheduling. Batching non-overlapping merges cuts
+    * the constant but CHANGES the algorithm: a merged symbol can form
+    * a new pair whose count exceeds the batch's lower entries (merge
+    * (a,a) at count 100 creates (aa,a) at up to 50, which sequential
+    * BPE would pick over a count-40 batch-mate), so batched output
+    * diverges from the reference algorithm the qd67 oracle pins. This
+    * path instead keeps EXACT sequential semantics and removes the
+    * per-merge job: the word table is vocab-sized by construction
+    * (SentencePiece/HF trainers hold exactly this table in memory),
+    * and a lazy-deletion max-heap with incremental pair-count deltas
+    * makes each merge O(affected words), ~microseconds — s/merge drops
+    * ~10⁴× and is SUBLINEAR in K (later merges touch ever-fewer
+    * words; see SCALE.md round 18 / [[graft.tools.BpeProbe]]).
+    *
+    * Exactness contract: same pair counting (adjacent positions,
+    * overlap-counted, freq-weighted), same argmax (count desc, then
+    * (lhs, rhs) ascending in UTF-8 binary order — [[utf8Cmp]]), same
+    * greedy left-to-right apply ([[NativeExpressions.BpeMergeKernel]]'s
+    * loop shape), same early exhaustion. BpeSpec pins
+    * `trainFast ≡ train` on corpus data and fuzzed corpora, and qd74
+    * replays it against [[train]]'s own unrolled-CTE oracle verbatim.
+    */
+  private[graft] def trainFastLocal(wordFreqs: Seq[(String, Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    // symbols interned to ints; pairs packed to one long — the hot maps
+    // are then LongMap (no per-op tuple/string allocation); strings are
+    // touched only for tie-break compares and the final merge table
+    val symId = mutable.HashMap.empty[String, Int]
+    val symStr = mutable.ArrayBuffer.empty[String]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { symStr += s; symStr.length - 1 })
+    @inline def pack(l: Int, r: Int): Long = (l.toLong << 32) | (r & 0xffffffffL)
+
+    // per-word symbol arrays, code-point seeded (the `(.)` regex unit)
+    val freqs = new Array[Long](wordFreqs.size)
+    val words = new Array[Array[Int]](wordFreqs.size)
+    var wi = 0
+    wordFreqs.foreach { case (w, f) =>
+      val syms = mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < w.length) {
+        val cw = Character.charCount(w.codePointAt(i))
+        syms += intern(w.substring(i, i + cw))
+        i += cw
+      }
+      words(wi) = syms.toArray
+      freqs(wi) = f
+      wi += 1
+    }
+    val pairCnt = mutable.LongMap.empty[Long]
+    // occurrence postings: word indices that (at some point) contained
+    // the pair — lazily cleaned (a stale index is skipped at apply time)
+    val pairWords = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+    def addWordPairs(idx: Int): Unit = {
+      val s = words(idx)
+      val f = freqs(idx)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = pack(s(j), s(j + 1))
+        pairCnt(p) = pairCnt.getOrElse(p, 0L) + f
+        pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += idx
+        j += 1
+      }
+    }
+    def removeWordPairs(idx: Int, touched: mutable.Set[Long]): Unit = {
+      val s = words(idx)
+      val f = freqs(idx)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = pack(s(j), s(j + 1))
+        touched += p
+        val n = pairCnt.getOrElse(p, 0L) - f
+        if (n <= 0L) pairCnt.subtractOne(p) else pairCnt(p) = n
+        j += 1
+      }
+    }
+    // lazy-deletion max-heap: (cnt desc, lhs asc, rhs asc in UTF-8
+    // binary order) — an entry is live iff its count equals the pair's
+    // CURRENT count. Tie compares touch the interned strings only on
+    // equal counts.
+    val ord = new Ordering[(Long, Long)] {
+      def compare(x: (Long, Long), y: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val cl = utf8Cmp(symStr((y._2 >>> 32).toInt), symStr((x._2 >>> 32).toInt))
+          if (cl != 0) cl
+          else utf8Cmp(symStr(y._2.toInt), symStr(x._2.toInt))
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Long)](ord)
+    var idx = 0
+    while (idx < words.length) { addWordPairs(idx); idx += 1 }
+    pairCnt.foreach { case (p, c) => heap.enqueue((c, p)) }
+
+    // per-merge dedupe of postings without a fresh set per rank: a word
+    // is processed once per rank iff its marker is stale
+    val seenAt = Array.fill(words.length)(-1)
+
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // pop until the top entry is live
+      var topCnt = -1L
+      var topPair = -1L
+      while (topCnt < 0 && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCnt.getOrElse(e._2, -1L) == e._1) { topCnt = e._1; topPair = e._2 }
+      }
+      if (topCnt < 0) exhausted = true
+      else {
+        val li = (topPair >>> 32).toInt
+        val ri = topPair.toInt
+        val l = symStr(li)
+        val r = symStr(ri)
+        merges += ((rank.toLong, l, r, l + r, topCnt))
+        val mi = intern(l + r)
+        val touched = mutable.Set.empty[Long]
+        val postings = pairWords.remove(topPair).getOrElse(mutable.ArrayBuffer.empty)
+        postings.foreach { w =>
+          if (seenAt(w) != rank) {
+            seenAt(w) = rank
+            val s = words(w)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) {
+              if (s(j) == li && s(j + 1) == ri) has = true
+              j += 1
+            }
+            if (has) {
+              removeWordPairs(w, touched)
+              // greedy left-to-right non-overlapping apply (the
+              // BpeMergeKernel/replace scan), in place
+              val out = new Array[Int](s.length)
+              var read = 0
+              var write = 0
+              while (read < s.length) {
+                if (read < s.length - 1 && s(read) == li && s(read + 1) == ri) {
+                  out(write) = mi
+                  read += 2
+                } else {
+                  out(write) = s(read)
+                  read += 1
+                }
+                write += 1
+              }
+              words(w) = java.util.Arrays.copyOf(out, write)
+              addWordPairs(w)
+              val ns = words(w)
+              var k = 0
+              while (k < ns.length - 1) {
+                touched += pack(ns(k), ns(k + 1))
+                k += 1
+              }
+            }
+          }
+        }
+        // the applied pair must be fully consumed (greedy L2R removes
+        // every adjacency); its entry is gone from pairCnt, so any
+        // stale heap entries die on the liveness check
+        require(!pairCnt.contains(topPair),
+          s"BPE invariant: pair ($l,$r) survived its own merge")
+        touched.foreach { p =>
+          pairCnt.get(p).foreach(c => heap.enqueue((c, p)))
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[train]]'s production-vocab twin: ONE distributed corpus pass
+    * builds the word-frequency table, the exact merge loop then runs
+    * in memory ([[trainFastLocal]] — semantics identical, proof in the
+    * Scaladoc there). `maxDistinctWords` bounds the driver collect the
+    * way [[Similarity.Pq.fitCodebooks]]'s `maxFitRows` bounds its
+    * sketch: above the cap the trainer keeps the top words by
+    * (freq desc, word asc) — the standard trainer vocabulary cap (HF
+    * `tokenizers` exposes it as min_frequency/limit_alphabet), a
+    * DOCUMENTED approximation that only engages past the cap; below it
+    * (every oracle/test scale, and any corpus whose distinct-word
+    * count fits a driver — millions of rows, corpus-size-independent)
+    * output is bit-identical to [[train]].
+    */
+  def trainFast(df: DataFrame, textCol: String, numMerges: Int,
+      maxDistinctWords: Int = 1 << 22): DataFrame = {
+    require(maxDistinctWords >= 1)
+    val spark = df.sparkSession
+    val wf = wordTable(df, textCol)
+      .select(col("word"), col("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxDistinctWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    trainFastLocal(wf, numMerges)
+      .toDF("rank", "lhs", "rhs", "merged", "cnt").orderBy("rank")
+  }
+
   /** Apply a learned merge list to a word table's `toks` column in rank
     * order (each merge fully applied before the next — encode is the
     * exact replay of training's apply step, so training-corpus words
@@ -128,22 +348,27 @@ object Bpe {
 
   /** Per-document BPE fertility under a learned merge list: `(id,
     * n_words, n_pieces, fertility)` — qd31's metric with a trained BPE
-    * in place of the fixed wordpiece vocab. Scale shape: merges apply
-    * to the DISTINCT-word table (vocab-sized) once, then the per-doc
-    * word stream joins that small table (broadcast — encode cost is
-    * per-distinct-word, not per-occurrence) and aggregates.
+    * in place of the fixed wordpiece vocab. Scale shape: the encode
+    * runs over the DISTINCT-word table (vocab-sized) once, then the
+    * per-doc word stream joins that small table (broadcast — encode
+    * cost is per-distinct-word, not per-occurrence) and aggregates.
+    *
+    * The per-word encode is [[NativeExpressions.BpeCountExpr]] — the
+    * merge list rides as a reference object, so plan size and Janino
+    * cost are CONSTANT in K, where the literal [[applyMerges]] chain
+    * (the original formulation, kept for the spec cross-check) grows
+    * the plan linearly and dies at production K. Kernel ≡ chain is
+    * BpeSpec-pinned and oracle-pinned (qd68/qd73/qd74 replay the
+    * unrolled-CTE oracle against the kernel path verbatim).
     */
   def encodeFertility(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val docWords = df
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-    val encoded = applyMerges(
-        docWords.select(col("word")).distinct().withColumn("toks",
-          concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "))),
-        merges)
+    val encoded = docWords.select(col("word")).distinct()
       .select(col("word"),
-        size(split(trim(col("toks")), "  ")).cast("long").as("pieces"))
+        NativeExpressions.bpePieceCount(col("word"), merges).as("pieces"))
     docWords.join(broadcast(encoded), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
@@ -159,6 +384,19 @@ object Bpe {
   def trainAndEncode(df: DataFrame, idCol: String, textCol: String,
       numMerges: Int): DataFrame = {
     val m = train(df, textCol, numMerges).select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    encodeFertility(df, idCol, textCol, m)
+  }
+
+  /** The production-vocab end-to-end: [[trainFast]]'s in-memory merge
+    * loop + the kernel encode — same output as [[trainAndEncode]]
+    * (qd73 replays this composition against the unrolled-CTE oracle),
+    * at s/merge and plan cost that survive K = 32k.
+    */
+  def trainAndEncodeFast(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int, maxDistinctWords: Int = 1 << 22): DataFrame = {
+    val m = trainFast(df, textCol, numMerges, maxDistinctWords)
+      .select("lhs", "rhs").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     encodeFertility(df, idCol, textCol, m)
   }

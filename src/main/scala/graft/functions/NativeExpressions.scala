@@ -914,6 +914,165 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ---------------------------------------------------- BPE merge encode
+
+  /** Shared encode kernel for the BPE merge-list expressions: apply a
+    * rank-ordered merge list to ONE whitespace-free word, exactly
+    * replaying [[Bpe.applyMerges]]'s literal `replace` chain (code-point
+    * seed; each rank applied fully, greedy left-to-right non-overlapping,
+    * before the next; an absent rank is the identity, exactly as
+    * `replace` of an absent pattern is).
+    *
+    * The chain equivalence that makes the rank-jump loop exact: if the
+    * minimal merge rank present in the current state is r > last, every
+    * rank in (last, r) is a no-op in the chain too — the state cannot
+    * change while only no-ops apply — so jumping straight to r replays
+    * the chain verbatim, including the subtle case where applying rank r
+    * RE-creates a pair of some rank q < r (the chain has already passed
+    * q and never revisits it; the `> last` guard encodes exactly that).
+    * This is what makes the kernel safe to swap for the literal chain at
+    * ANY K: the chain's plan grows (and Janino recompiles) linearly in
+    * K, while here the merge list rides the closure as a hash map and
+    * per-word cost is O(pieces² ) scans of it — flat in K (BpeSpec pins
+    * kernel ≡ chain; qd68/qd73 pin it against the unrolled SQL oracle).
+    *
+    * Duplicate pairs in a user-supplied list keep their FIRST rank
+    * (training can never emit a duplicate: a selected pair's count
+    * drops to zero and new adjacencies always involve a newly created
+    * symbol, so re-selection is structurally impossible).
+    */
+  private[graft] final class BpeMergeKernel(merges: Seq[(String, String)])
+      extends Serializable {
+    private val mergesArr: Array[(String, String)] = merges.toArray
+    private val rankOf: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](math.max(16, merges.size * 2))
+      var i = 0
+      while (i < mergesArr.length) {
+        val (l, r) = mergesArr(i)
+        m.putIfAbsent(l + " " + r, Integer.valueOf(i + 1))
+        i += 1
+      }
+      m
+    }
+
+    /** Merged symbol array + live length; the two public views share it. */
+    private def run(word: String): (Array[String], Int) = {
+      val n = word.length
+      val syms = new Array[String](math.max(1, n))
+      var len = 0
+      var i = 0
+      while (i < n) { // code-point seed (the `(.)` regex unit)
+        val w = Character.charCount(word.codePointAt(i))
+        syms(len) = word.substring(i, i + w)
+        len += 1
+        i += w
+      }
+      var last = 0
+      var done = len < 2
+      while (!done) {
+        var best = Integer.MAX_VALUE
+        var j = 0
+        while (j < len - 1) {
+          val r = rankOf.get(syms(j) + " " + syms(j + 1))
+          if (r != null && r > last && r < best) best = r.intValue()
+          j += 1
+        }
+        if (best == Integer.MAX_VALUE) done = true
+        else {
+          val (l, r) = mergesArr(best - 1)
+          var read = 0
+          var write = 0
+          while (read < len) {
+            if (read < len - 1 && syms(read) == l && syms(read + 1) == r) {
+              syms(write) = l + r
+              read += 2
+            } else {
+              syms(write) = syms(read)
+              read += 1
+            }
+            write += 1
+          }
+          len = write
+          last = best
+          done = len < 2
+        }
+      }
+      (syms, len)
+    }
+
+    def count(word: String): Long = run(word)._2.toLong
+
+    def segment(word: String): String = {
+      val (syms, len) = run(word)
+      if (len == 0) ""
+      else {
+        val sb = new java.lang.StringBuilder(word.length + len)
+        var i = 0
+        while (i < len) {
+          if (i > 0) sb.append(' ')
+          sb.append(syms(i))
+          i += 1
+        }
+        sb.toString
+      }
+    }
+  }
+
+  /** Piece count of ONE word under a frozen BPE merge list — the encode
+    * kernel of [[Bpe.encodeFertility]] and the streaming
+    * [[graft.streaming.FertilityDrift]] monitor. Plan size and codegen
+    * cost are CONSTANT in the merge count (the list rides as a
+    * reference object), unlike the literal K-deep `replace` chain it
+    * replaces, which at production vocabularies (K = 32k merges) blows
+    * up analysis and Janino long before the data does.
+    */
+  case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_piece_count"
+
+    @transient private lazy val kernel = new BpeMergeKernel(merges)
+
+    def compute(s: UTF8String): Long = kernel.count(s.toString)
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeCountExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Space-joined BPE segmentation of ONE word — [[BpeCountExpr]]'s
+    * string view, byte-identical to `trim()` of the delimiter-doubled
+    * `toks` column [[Bpe.applyMerges]] produces (BpeSpec pins it).
+    */
+  case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "bpe_segment"
+
+    @transient private lazy val kernel = new BpeMergeKernel(merges)
+
+    def compute(s: UTF8String): UTF8String =
+      UTF8String.fromString(kernel.segment(s.toString))
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeSegment", this, classOf[BpeSegmentExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ NFC normalize
 
   /** Unicode NFC normalization (canonical composition) as a codegen'd
@@ -1055,6 +1214,12 @@ object NativeExpressions {
 
   def unigramViterbi(c: Column, pieces: Seq[(String, Long)]): Column =
     column(UnigramViterbiExpr(expression(c), pieces))
+
+  def bpePieceCount(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeCountExpr(expression(c), merges))
+
+  def bpeSegment(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeSegmentExpr(expression(c), merges))
 
   def md5BucketBigrams(c: Column, buckets: Int): Column =
     column(Md5BucketBigramsExpr(expression(c), buckets))

@@ -20,13 +20,15 @@ import graft.functions.TextAnalysis
   * long before quality gates or volume monitors flinch, and every
   * extra piece is paid at training time in sequence length.
   *
-  * The model rides the plan as literals (the qd68 discipline): the
-  * per-word piece count is the SAME delimiter-doubled `replace` chain
-  * as [[graft.functions.Bpe.applyMerges]], applied inside a `transform`
-  * lambda — a pure narrow projection, codegen'd, no vocabulary state
-  * on the stream side. The only shuffle is the keyed
-  * `transformWithState` on the source; state is one latch per source;
-  * report volume = sources per batch.
+  * The model rides the plan as a reference object (the qd68 kernel
+  * discipline): the per-word piece count is
+  * [[graft.functions.NativeExpressions.BpeCountExpr]] — the exact
+  * replay of [[graft.functions.Bpe.applyMerges]]'s chain, at plan size
+  * constant in the merge count — applied inside a `transform` lambda:
+  * a pure narrow projection, codegen'd, no vocabulary state on the
+  * stream side. The only shuffle is the keyed `transformWithState` on
+  * the source; state is one latch per source; report volume = sources
+  * per batch.
   */
 object FertilityDrift {
 
@@ -73,19 +75,18 @@ object FertilityDrift {
     }
   }
 
-  /** Per-word BPE piece count as a pure column: the char seed +
-    * rank-ordered `replace` chain of [[graft.functions.Bpe]], then the
-    * double-space split length.
+  /** Per-word BPE piece count as a pure column:
+    * [[graft.functions.NativeExpressions.BpeCountExpr]] — the merge
+    * list rides as a reference object, so the expression tree (and
+    * Janino's method size) is CONSTANT in the merge count. The
+    * original formulation folded one nested `replace()` per merge
+    * inside the `transform` lambda, growing the tree linearly in K —
+    * fine at the spec's K=3, fatal at a production-scale frozen list
+    * (ADVICE r17; kernel ≡ chain is BpeSpec-pinned).
     */
   private def pieceCount(word: org.apache.spark.sql.Column,
-      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
-    val seed = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
-    val folded = merges.foldLeft(seed) { case (c, (l, r)) =>
-      org.apache.spark.sql.functions.replace(
-        c, lit(s" $l  $r "), lit(s" ${l + r} "))
-    }
-    size(split(trim(folded), "  ")).cast("long")
-  }
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    graft.functions.NativeExpressions.bpePieceCount(word, merges)
 
   /** Monitor a raw document stream: per doc, words + pieces under the
     * frozen `merges` (narrow projection), folded per source per batch

@@ -83,4 +83,181 @@ class BpeSpec extends SparkSpec {
       .select("rank", "merged").as[(Long, String)].collect().toSeq
     assert(one === many)
   }
+
+  // ---------------------------------------------------------------------
+  // production-vocab paths: trainFast (in-memory exact loop) and the
+  // BpeCountExpr/BpeSegmentExpr kernel (constant-plan-size encode)
+
+  /** Naive reference trainer: full pair recount every iteration, same
+    * tie-break (cnt desc, lhs/rhs ascending UTF-8), same greedy
+    * left-to-right apply — the spec's independent oracle for
+    * [[Bpe.trainFastLocal]]'s incremental heap bookkeeping.
+    */
+  private def naiveTrain(wordFreqs: Seq[(String, Long)],
+      k: Int): Seq[(Long, String, String, String, Long)] = {
+    def seed(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cw = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cw); i += cw
+      }
+      b.result()
+    }
+    var words = wordFreqs.map { case (w, f) => (seed(w), f) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    var stop = false
+    while (rank <= k && !stop) {
+      val cnts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, f) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          cnts.updateWith((p(0), p(1)))(c => Some(c.getOrElse(0L) + f))
+        }
+      }
+      if (cnts.isEmpty) stop = true
+      else {
+        import graft.functions.Bpe.{utf8Cmp => cmp}
+        val ((l, r), c) = cnts.toSeq.reduceLeft { (a, b) =>
+          val byCnt = java.lang.Long.compare(b._2, a._2)
+          val take =
+            if (byCnt != 0) byCnt < 0
+            else {
+              val cl = cmp(b._1._1, a._1._1)
+              if (cl != 0) cl > 0 else cmp(b._1._2, a._1._2) > 0
+            }
+          if (take) a else b
+        }
+        out += ((rank, l, r, l + r, c))
+        words = words.map { case (s, f) =>
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+              nb += l + r; i += 2
+            } else { nb += s(i); i += 1 }
+          }
+          (nb.result(), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("trainFast ≡ train on corpus data (K=8 and K=32, full tuples)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(200)
+    for (k <- Seq(8, 32)) {
+      val slow = Bpe.train(docs, "text", k)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      val fast = Bpe.trainFast(docs, "text", k)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(fast === slow, s"k=$k")
+    }
+  }
+
+  test("trainFastLocal ≡ naive recount reference on fuzzed corpora") {
+    // 40 random corpora over a 3-char alphabet (dense ties — the
+    // tie-break and the incremental-delta bookkeeping both get hammered)
+    for (seed <- 0 until 40) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until (3 + rnd.nextInt(18))).map { _ =>
+        val w = (0 until (1 + rnd.nextInt(6)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w, 1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(12)
+      assert(Bpe.trainFastLocal(words, k) === naiveTrain(words, k),
+        s"seed=$seed k=$k words=$words")
+    }
+  }
+
+  test("trainFast honors the distinct-word cap deterministically") {
+    // cap 2 keeps the top-2 words by (freq desc, word asc): 'bb' (3)
+    // and 'ab' (2, beats 'cb' lexicographically at freq 2)
+    val docs = Seq("bb bb bb ab ab cb cb", "").toDF("text")
+    val capped = Bpe.trainFast(docs, "text", 3, maxDistinctWords = 2)
+      .select("lhs", "rhs", "cnt").as[(String, String, Long)].collect().toSeq
+    assert(capped === Bpe.trainFastLocal(Seq(("bb", 3L), ("ab", 2L)), 3)
+      .map(m => (m._2, m._3, m._5)))
+  }
+
+  test("encode kernel ≡ literal replace chain on corpus words") {
+    import graft.functions.NativeExpressions
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(200)
+    val merges = Bpe.train(docs, "text", 16).select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    val words = Bpe.wordTable(docs, "text")
+    // the chain's toks column is TWO-space delimited; normalize to the
+    // kernel's single-space join for the comparison
+    val viaChain = Bpe.applyMerges(words, merges)
+      .select(col("word"),
+        array_join(split(trim(col("toks")), "  "), " ").as("seg"))
+    val viaKernel = words
+      .select(col("word"), NativeExpressions.bpeSegment(col("word"), merges).as("seg"),
+        NativeExpressions.bpePieceCount(col("word"), merges).as("n"))
+    val joined = viaChain.as("c").join(viaKernel.as("k"), "word")
+      .select(col("word"), col("c.seg"), col("k.seg"), col("k.n"))
+      .as[(String, String, String, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (w, chain, kernel, n) =>
+      assert(kernel === chain, s"word=$w")
+      assert(n === chain.split(" ").length.toLong, s"word=$w")
+    }
+  }
+
+  test("kernel replays chain rank order, not min-rank-first") {
+    import graft.functions.NativeExpressions
+    // rank 1 = (x, abc): at chain time no 'abc' symbol exists, so it is
+    // a NO-OP; rank 3 then CREATES 'abc'. A min-rank-first encoder
+    // would go back and merge (x, abc) — the chain (and the kernel's
+    // `> last` guard) never revisits a passed rank.
+    val merges = Seq(("x", "abc"), ("b", "c"), ("a", "bc"))
+    val got = Seq("xabc").toDF("w")
+      .select(NativeExpressions.bpeSegment(col("w"), merges).as("s"))
+      .as[String].head()
+    assert(got === "x abc")
+    // and the chain itself agrees
+    val chain = Bpe.applyMerges(
+        Seq(("xabc", 1L)).toDF("word", "freq").withColumn("toks",
+          concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  "))),
+        merges)
+      .select(array_join(split(trim(col("toks")), "  "), " ")).as[String].head()
+    assert(chain === "x abc")
+  }
+
+  test("kernel edges: empty word, no merges, astral code-point seed") {
+    import graft.functions.NativeExpressions
+    val clef = new String(Character.toChars(0x1D11E))
+    val rows = Seq("", "a", s"${clef}a").toDF("w")
+      .select(col("w"), NativeExpressions.bpeSegment(col("w"), Nil).as("s"),
+        NativeExpressions.bpePieceCount(col("w"), Nil).as("n"))
+      .as[(String, String, Long)].collect().toMap2
+    assert(rows("") === ("", 0L))
+    assert(rows("a") === ("a", 1L))
+    // the seed is per CODE POINT (the `(.)` regex unit): the astral
+    // char is one symbol, not two surrogate halves
+    assert(rows(s"${clef}a") === (s"$clef a", 2L))
+  }
+
+  test("trainAndEncodeFast ≡ trainAndEncode on the Sennrich fixture") {
+    val withIds = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest lowest")).toDF("doc_id", "text")
+    val slow = Bpe.trainAndEncode(withIds, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_pieces", "fertility")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val fast = Bpe.trainAndEncodeFast(withIds, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_pieces", "fertility")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(fast === slow)
+  }
+
+  private implicit class Map2Ops(rows: Array[(String, String, Long)]) {
+    def toMap2: Map[String, (String, Long)] =
+      rows.map { case (w, s, n) => w -> ((s, n)) }.toMap
+  }
 }

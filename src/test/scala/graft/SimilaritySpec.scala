@@ -119,6 +119,50 @@ class SimilaritySpec extends SparkSpec {
     assert(rec === 1.0)
   }
 
+  test("sizeNProbe: monotone in nProbe, exact at all cells, per-config ≡ annRecallProbe, chosen = minimal meeting config") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val sweep = Similarity.sizeNProbe(queries, emb, "vec_id", "embedding",
+        centroids, k = 5, targetRecall = 0.9, maxNProbe = 4)
+      .orderBy("n_probe")
+      .select("n_probe", "n_queries", "mean_recall", "min_recall",
+        "meets_target", "chosen")
+      .as[(Int, Long, Double, Double, Boolean, Boolean)].collect().toSeq
+    assert(sweep.map(_._1) === Seq(1, 2, 3, 4))
+    // recall is monotone non-decreasing in nProbe (candidate sets grow;
+    // a truth member in the candidate set always makes the approx top-k)
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3, s"mean recall not monotone: $sweep")
+      assert(a._4 <= b._4, s"min recall not monotone: $sweep")
+    }
+    // probing every cell IS the brute force
+    assert(sweep.last._3 === 1.0 && sweep.last._4 === 1.0)
+    // each sweep row equals an independent annRecallProbe at that config
+    for (p <- 1 to 4) {
+      val probe = Similarity.annRecallProbe(queries, emb, "vec_id",
+          "embedding", centroids, k = 5, nProbe = p)
+        .select("recall").as[Double].collect()
+      val meanVia = (probe.map(BigDecimal(_)).sum / probe.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val row = sweep(p - 1)
+      assert(row._2 === probe.length.toLong, s"nProbe=$p")
+      assert(math.abs(row._3 - meanVia) < 1e-9, s"nProbe=$p: ${row._3} vs $meanVia")
+      assert(row._4 === probe.min, s"nProbe=$p")
+    }
+    // chosen = the minimal config meeting the target, exactly one when
+    // any config meets it (nProbe=4 reads 1.0, so one always does here)
+    val meeting = sweep.filter(_._5)
+    assert(meeting.nonEmpty)
+    assert(sweep.count(_._6) === 1)
+    assert(sweep.find(_._6).map(_._1) === meeting.headOption.map(_._1))
+    // and an unreachable target chooses nothing (no silent fallback)
+    val none = Similarity.sizeNProbe(queries, emb, "vec_id", "embedding",
+        centroids, k = 5, targetRecall = 1.1, maxNProbe = 4)
+      .select("meets_target", "chosen").as[(Boolean, Boolean)].collect()
+    assert(none.forall(r => !r._1 && !r._2))
+  }
+
   test("IVF fit on a sample still yields a usable full-coverage index") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4,
