@@ -3444,9 +3444,9 @@ object SparkEntry {
     // heap + incremental pair deltas; Bpe.trainFastLocal has the
     // batching-rejection rationale). Semantics are machine-proved
     // identical to the distributed loop every round; the win is
-    // s/merge (~10⁴× — the distributed loop pays ~0.14 s of job
-    // latency per merge, a 75-minute 32k vocabulary), measured in
-    // SCALE.md round 18.
+    // s/merge — sublinear in K vs the distributed loop's flat
+    // ~0.9 s/merge of per-iteration job latency (measured ladder in
+    // SCALE.md round 18: ~40× at K=1024, widening with K).
     "qd74_bpe_train_fast" -> ((s, d) =>
       graft.functions.Bpe.trainFast(Tables.documents(s, d), "text",
         numMerges = 8)),
@@ -3472,6 +3472,17 @@ object SparkEntry {
     "qd71_mix_waterfill" -> ((s, d) =>
       graft.functions.Curation.waterFillMix(Tables.documents(s, d),
         "source", "text", alpha = 0.5, tokenBudget = 25000L)),
+
+    // oracle-checked: qd50's temperature mix with the lost capped share
+    // REDISTRIBUTED (round-17 verdict #3) — the same tempered weights
+    // routed through qd71's water-fill solve, then qd50's md5-Bernoulli
+    // keep at threshold round(min(1, take/a)·10⁴). B=25000 binds 2 of
+    // 20 caps at the driver's SF, so the redistribution branch is
+    // non-vacuous; CurationSpec pins Σ take ∈ (B−S, B] vs the plain
+    // recipe's lost share.
+    "qd75_temperature_waterfill" -> ((s, d) =>
+      graft.functions.Curation.temperatureMixWaterFill(Tables.documents(s, d),
+        "source", "doc_id", "text", alpha = 0.5, tokenBudget = 25000L)),
 
     // oracle-checked: unigram-LM subword tokenizer TRAINING via Viterbi
     // hard-EM (Kudo 2018 — the SentencePiece model), qd67's sibling:
@@ -5765,6 +5776,65 @@ object SparkEntry {
         |  CASE WHEN fl.capped THEN fl.a
         |       ELSE CAST(FLOOR(lam.l * CAST(fl.pw AS DOUBLE)) AS BIGINT) END AS take_tokens
         |FROM fl CROSS JOIN lam ORDER BY fl.source""".stripMargin,
+
+    // qd71's solve re-used under qd50's doc-Bernoulli keep: same
+    // weights/prefix-sums/λ*, plus the per-source threshold
+    // round(min(1, take/a)·10⁴) and the kept accounting
+    "qd75_temperature_waterfill" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(COALESCE(len(regexp_split_to_array(trim(text), '\s+')), 0) AS BIGINT) AS nt,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS INTEGER) AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(nt) AS BIGINT) AS a
+        |  FROM d GROUP BY source
+        |  HAVING CAST(SUM(nt) AS BIGINT) > 0),
+        |w AS (SELECT source, n_docs, a,
+        |        CAST(ROUND(sqrt(CAST(a AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pw
+        |      FROM m),
+        |r AS (SELECT *, a / CAST(pw AS DOUBLE) AS ratio FROM w),
+        |t AS (SELECT CAST(SUM(pw) AS DECIMAL(38,6)) AS wtot FROM r),
+        |pre AS (
+        |  SELECT r.*,
+        |    COALESCE(CAST(SUM(a)  OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS apre,
+        |    COALESCE(CAST(SUM(pw) OVER (ORDER BY ratio, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DECIMAL(38,6)), 0) AS wpre
+        |  FROM r),
+        |fl AS (
+        |  SELECT pre.*,
+        |    CASE WHEN CAST(t.wtot - pre.wpre AS DOUBLE) <= 0 THEN TRUE
+        |         ELSE pre.ratio < (25000 - pre.apre) / CAST(t.wtot - pre.wpre AS DOUBLE)
+        |    END AS capped
+        |  FROM pre CROSS JOIN t),
+        |lam AS (
+        |  SELECT CASE WHEN CAST(t.wtot - COALESCE(cw.wc, 0) AS DOUBLE) <= 0 THEN 0.0
+        |              ELSE (25000 - COALESCE(cw.ac, 0)) / CAST(t.wtot - COALESCE(cw.wc, 0) AS DOUBLE)
+        |         END AS l
+        |  FROM t LEFT JOIN (
+        |    SELECT CAST(SUM(a) AS BIGINT) AS ac, CAST(SUM(pw) AS DECIMAL(38,6)) AS wc
+        |    FROM fl WHERE capped) cw ON TRUE),
+        |alloc AS (
+        |  SELECT fl.source, fl.n_docs, fl.a, CAST(fl.pw AS DOUBLE) AS weight, fl.capped,
+        |    CASE WHEN fl.capped THEN fl.a
+        |         ELSE CAST(FLOOR(lam.l * CAST(fl.pw AS DOUBLE)) AS BIGINT) END AS take_tokens
+        |  FROM fl CROSS JOIN lam),
+        |tk AS (
+        |  SELECT alloc.*,
+        |    CAST(ROUND(LEAST(1.0, CAST(take_tokens AS DOUBLE) / a) * 10000) AS INTEGER) AS threshold
+        |  FROM alloc),
+        |k AS (
+        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |    CAST(SUM(d.nt) AS BIGINT) AS kept_tokens
+        |  FROM d JOIN tk ON d.source = tk.source WHERE d.b < tk.threshold
+        |  GROUP BY d.source)
+        |SELECT tk.source, tk.n_docs, tk.a AS n_tokens, tk.weight, tk.capped,
+        |  tk.take_tokens, tk.threshold,
+        |  COALESCE(k.kept_docs, 0) AS kept_docs,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+        |FROM tk LEFT JOIN k ON tk.source = k.source ORDER BY tk.source""".stripMargin,
 
     // the unigram hard-EM loop replayed: substring seed counts, two
     // unrolled EM iterations (scaled-integer scores, ALL segmentations

@@ -720,6 +720,23 @@ object Curation {
       .groupBy("source").agg(sum(col("__nt")).as("a"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .filter(_._2 > 0L)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    waterFillSolve(masses.toSeq, alpha, tokenBudget)
+      .map { case (s, a, wu, capped, take) => (s, a, wu / 1e6, capped, take) }
+      .toDF("source", "n_tokens", "weight", "capped", "take_tokens")
+      .orderBy(col("source"))
+  }
+
+  /** The water-level solve behind [[waterFillMix]], over collected
+    * (source, token-mass) rows with mass > 0 — returns
+    * (source, a, weightMicroUnits, capped, take). Exactness discipline
+    * documented on [[waterFillMix]]; shared by
+    * [[temperatureMixWaterFill]] so the temperature path's
+    * redistribution is THE SAME solve qd71 oracle-proves.
+    */
+  private[graft] def waterFillSolve(masses: Seq[(String, Long)], alpha: Double,
+      tokenBudget: Long): Seq[(String, Long, Long, Boolean, Long)] = {
     // round-6 a^alpha in exact micro-units
     def wUnits(a: Long): Long =
       (BigDecimal(math.pow(a.toDouble, alpha))
@@ -745,14 +762,69 @@ object Curation {
     val denStar = totW - wC
     val lamStar =
       if (denStar <= 0L) 0.0 else (tokenBudget - aC).toDouble / (denStar / 1e6)
+    flagged.map { case (s, a, wu, capped) =>
+      val take = if (capped) a else math.floor(lamStar * (wu / 1e6)).toLong
+      (s, a, wu, capped, take)
+    }
+  }
+
+  /** [[temperatureMix]] with the lost capped-budget share REDISTRIBUTED
+    * (round-17 verdict #3): the plain temperature recipe computes
+    * per-source targets t_s = w_s·B and caps the keep rate at 1, so
+    * when a small source's target exceeds its natural mass the excess
+    * share simply VANISHES — Σ kept target < B whenever any cap binds.
+    * This variant allocates the SAME tempered weights (w_s ∝ round-6
+    * a_s^α micro-units) through [[waterFillSolve]] instead:
+    * take_s = min(a_s, λ·w_s) with the water level λ solved so the
+    * freed share flows to the uncapped sources — Σ take ∈ (B−S, B]
+    * always (exact B up to the per-source floor(), CurationSpec pins
+    * both the sum window and lost-vs-recovered against
+    * [[temperatureMix]] under binding caps). The keep predicate stays
+    * the deterministic unsalted md5 doc-Bernoulli at threshold
+    * round(min(1, take_s/a_s)·10⁴) — qd50's convention, so the two
+    * recipes differ ONLY in the allocation row.
+    *
+    * Zero-token sources are excluded (nothing to allocate — qd71's
+    * convention). Like qd71, the α = 0.5 configuration replays in SQL
+    * as `sqrt`, exempt from cross-engine pow looseness (qd75).
+    */
+  def temperatureMixWaterFill(docs: DataFrame, sourceCol: String,
+      idCol: String, textCol: String, alpha: Double,
+      tokenBudget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val base = docs.select(col(sourceCol).as("source"),
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+        .cast("long").as("__nt"),
+      NativeExpressions.md5Bucket(col(idCol).cast("string"), 10000).as("__b"))
+    val masses = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0L)
+    val nDocs = masses.map(m => m._1 -> m._2).toMap
+    val alloc = waterFillSolve(masses.map(m => (m._1, m._3)).toSeq,
+      alpha, tokenBudget)
     val spark = docs.sparkSession
     import spark.implicits._
-    flagged.toSeq
-      .map { case (s, a, wu, capped) =>
-        val take = if (capped) a else math.floor(lamStar * (wu / 1e6)).toLong
-        (s, a, wu / 1e6, capped, take)
+    val planDf = alloc
+      .map { case (s, a, wu, capped, take) =>
+        val threshold =
+          math.round(math.min(1.0, take.toDouble / a) * 10000).toInt
+        (s, nDocs(s), a, wu / 1e6, capped, take, threshold)
       }
-      .toDF("source", "n_tokens", "weight", "capped", "take_tokens")
+      .toDF("source", "n_docs", "n_tokens", "weight", "capped",
+        "take_tokens", "threshold")
+    val kept = base
+      .join(broadcast(planDf.select(col("source"), col("threshold"))), "source")
+      .filter(col("__b") < col("threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("__nt")).as("kept_tokens"))
+    broadcast(planDf).join(kept, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("capped"), col("take_tokens"), col("threshold"),
+        col("kept_docs"), col("kept_tokens"))
       .orderBy(col("source"))
   }
 }

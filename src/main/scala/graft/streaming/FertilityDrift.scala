@@ -96,7 +96,41 @@ object FertilityDrift {
     */
   def fertilityDriftStream(docs: DataFrame, sourceCol: String,
       textCol: String, merges: Seq[(String, String)], baseline: Double,
+      tolFrac: Double = 0.25, minWords: Long = 50L): Dataset[FertilityReport] =
+    fertilityDriftStreamWith(docs, sourceCol, textCol,
+      w => pieceCount(w, merges), baseline, tolFrac, minWords)
+
+  /** The unigram-LM twin (round-17 verdict #4 — the monitor froze only
+    * the BPE family while qd69/qd70 train unigram models): identical
+    * latch/threshold walk, with the per-word piece count from
+    * [[graft.functions.NativeExpressions.UnigramViterbiExpr]] under the
+    * frozen `vocab` — the (piece, cnt) model table qd69 emits; scores
+    * are derived here exactly as [[graft.functions.UnigramLm.fertility]]
+    * does, so the training-time baseline and the stream-side metric are
+    * the same arithmetic. The model rides the expression as scaled-
+    * integer literals; foreign-domain words segment through the
+    * char-fallback (more pieces), which is precisely the drift signal.
+    */
+  def unigramFertilityDriftStream(docs: DataFrame, sourceCol: String,
+      textCol: String, vocab: Seq[(String, Long)], baseline: Double,
       tolFrac: Double = 0.25, minWords: Long = 50L): Dataset[FertilityReport] = {
+    val sc = graft.functions.UnigramLm.scores(vocab)
+    fertilityDriftStreamWith(docs, sourceCol, textCol,
+      w => size(split(graft.functions.NativeExpressions.unigramViterbi(w, sc),
+        " ")).cast("long"),
+      baseline, tolFrac, minWords)
+  }
+
+  /** Shared stream body, parameterized over the per-word piece-count
+    * column (any frozen tokenizer family plugs in here — both counts
+    * are reference-object kernels, so the plan stays constant-size in
+    * the model).
+    */
+  private def fertilityDriftStreamWith(docs: DataFrame, sourceCol: String,
+      textCol: String,
+      pieceCountOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      baseline: Double, tolFrac: Double,
+      minWords: Long): Dataset[FertilityReport] = {
     require(baseline > 0.0, s"baseline fertility must be positive, got $baseline")
     require(tolFrac >= 0.0, s"tolFrac must be non-negative, got $tolFrac")
     val spark = docs.sparkSession
@@ -109,7 +143,7 @@ object FertilityDrift {
     docs.select(col(sourceCol).cast("string").as("__s"),
         size(words).cast("long").as("__w"),
         coalesce(aggregate(
-          transform(words, w => pieceCount(w, merges)),
+          transform(words, w => pieceCountOf(w)),
           lit(0L), (acc, p) => acc + p), lit(0L)).as("__p"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)

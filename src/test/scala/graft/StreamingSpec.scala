@@ -2895,6 +2895,56 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("fertility-drift monitor, unigram twin: same edge-trigger/latch/re-arm walk under a frozen qd69-style model") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // train a unigram model on a small corpus; its own words segment
+      // into few pieces, foreign words hit the char-fallback
+      val trainDocs = (Seq.fill(6)("lower lowest lowly") ++
+        Seq.fill(6)("newest newer newly")).toDF("text")
+      val vocab = graft.functions.UnigramLm.trainVocab(
+        trainDocs, "text", maxPieceLen = 4, topM = 30, iters = 2)
+      val baseline = graft.functions.UnigramLm.fertility(
+          trainDocs.withColumn("doc_id", monotonically_increasing_id()),
+          "doc_id", "text", vocab)
+        .agg(sum(col("n_pieces")).cast("double") / sum(col("n_words")))
+        .as[Double].head()
+      assert(baseline < 4.0, s"trained-domain baseline should be low: $baseline")
+
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.FertilityDrift.unigramFertilityDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text",
+          vocab, baseline, tolFrac = 0.5, minWords = 30L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("fdrift_uni").start()
+      val inDomain = Seq.fill(12)("lower newest lowly").mkString(" ")
+      val foreign = Seq.fill(12)("zqxjkwv mbfgpzd qzzjxkw").mkString(" ")
+      def feed(texts: String*): Unit = {
+        ms.addData(texts.map(t => ("web", t)): _*)
+        q.processAllAvailable()
+      }
+      feed(inDomain)       // trained domain → quiet
+      feed(foreign)        // char-fallback fertility spike → ALERT
+      feed(foreign)        // still drifted → latched
+      feed("zq mb")        // sub-minWords trickle: no re-arm
+      feed(null, inDomain) // null-safe; recovery → re-arm
+      feed(foreign)        // second spike → ALERT
+      q.stop()
+      val rows = spark.table("fdrift_uni")
+        .as[graft.streaming.FertilityDrift.FertilityReport].collect()
+      assert(rows.count(_.alert) === 2, rows.mkString("\n"))
+      val quiet = rows.filter(r => !r.alert && r.batch_words >= 30L)
+      assert(quiet.exists(_.fertility <= baseline * 1.5), rows.mkString("\n"))
+      assert(rows.filter(_.alert).forall(_.fertility > baseline * 1.5),
+        rows.mkString("\n"))
+      // the trained-domain batch (36 words) reported and stayed quiet
+      assert(rows.exists(r => !r.alert && r.batch_words === 36L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- streaming capstone: the composed curation sink -------------------
 
   /** Quality-passing synthetic text: 50 tokens, every 5th a stopword

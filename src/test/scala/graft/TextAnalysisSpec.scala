@@ -313,6 +313,60 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixWaterFill: recovers the share temperatureMix loses under binding caps; thresholds/accounting consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    // ~95% of the corpus: sf0.001's sources are near-uniform (1.2k–1.7k
+    // tokens), so the √-flattened fair share only exceeds the smallest
+    // sources' availability close to full budget — 95% binds 3 caps,
+    // making the redistribution branch non-vacuous (asserted below)
+    val total = docs.agg(sum(
+      graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")))
+      .as[Long].head()
+    val b = (total * 95L) / 100L
+    val wf = Curation.temperatureMixWaterFill(docs, "source", "doc_id",
+      "text", alpha = 0.5, tokenBudget = b).collect()
+    val s = wf.length
+    assert(wf.exists(_.getAs[Boolean]("capped")),
+      "fixture must bind at least one cap or the test is vacuous")
+    assert(wf.exists(r => !r.getAs[Boolean]("capped")))
+    // the redistribution law: Σ take ∈ (B−S, B]
+    val take = wf.map(_.getAs[Long]("take_tokens")).sum
+    assert(take <= b && take > b - s, s"sum take $take vs budget $b")
+    // the plain recipe's allocation Σ min(target, avail) LOSES the
+    // bound caps' excess — strictly less than the water-fill total
+    val plain = Curation.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.5, tokenBudget = b).collect()
+    val plainAlloc = plain.map(r =>
+      math.min(r.getAs[Long]("target_tokens"), r.getAs[Long]("n_tokens"))).sum
+    assert(plainAlloc < take,
+      s"plain recipe allocated $plainAlloc, water-fill $take — caps not binding?")
+    // same allocation row as waterFillMix (THE SAME solve, by sharing)
+    val base = Curation.waterFillMix(docs, "source", "text", 0.5, b)
+      .select("source", "capped", "take_tokens")
+      .as[(String, Boolean, Long)].collect().toMap2
+    wf.foreach { r =>
+      val (c, t) = base(r.getAs[String]("source"))
+      assert(r.getAs[Boolean]("capped") === c && r.getAs[Long]("take_tokens") === t)
+    }
+    // thresholds: capped ⇒ keep-everything (10⁴); kept accounting
+    // re-derives from the published threshold (pure function of doc_id)
+    wf.foreach { r =>
+      val thr = r.getAs[Int]("threshold")
+      if (r.getAs[Boolean]("capped")) assert(thr === 10000, r.toString)
+      val kd = docs.filter(col("source") === r.getAs[String]("source")).filter(
+        graft.functions.NativeExpressions.md5Bucket(
+          col("doc_id").cast("string"), 10000) < thr).count()
+      assert(kd === r.getAs[Long]("kept_docs"), s"${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  private implicit class WfMapOps(rows: Array[(String, Boolean, Long)]) {
+    def toMap2: Map[String, (Boolean, Long)] =
+      rows.map { case (s, c, t) => s -> ((c, t)) }.toMap
+  }
+
   test("temperatureMix: α=1 is natural shares, α=0 uniform weights; kept set honors thresholds; accounting consistent") {
     val docs = Tables.documents(spark, sf0001)
     // α=1: tempered weight == natural fraction (6 dp) for every source
