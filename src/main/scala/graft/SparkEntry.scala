@@ -1540,14 +1540,15 @@ object SparkEntry {
     // 100 TB embedding table, oracle-replayed in DuckDB list ops
     "qe07_quantize_fidelity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // sort-below-derivation (SortAuditProbe): quantize once, not twice
       emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .orderBy(col("vec_id"))
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
         .withColumn("q", Similarity.quantizeInt8(col("v")))
         .withColumn("deq", Similarity.dequantizeInt8(col("q"), col("mn"), col("mx")))
         .select(col("vec_id"),
           round(Similarity.cosine(col("v"), col("deq")), 6).as("fidelity"))
-        .orderBy(col("vec_id"))
     }),
 
     // oracle-checked: int4 quantization fidelity — qe07's 16-level
@@ -2001,17 +2002,20 @@ object SparkEntry {
     }),
 
     "qd07_minhash_sig" -> ((s, d) => {
-      val sig = Dedup.withMinHash(Tables.documents(s, d), "text", k = 8,
-        shingleN = 2, portable = true)
+      // sort-below-derivation (the qe28 fix shape, found by the round-18
+      // SortAuditProbe sweep): the global sort's sampling pass re-runs
+      // its narrow child, so sorting the SOURCE and letting the kernel
+      // projection preserve the order computes the signatures once
+      val sig = Dedup.withMinHash(Tables.documents(s, d).orderBy(col("doc_id")),
+        "text", k = 8, shingleN = 2, portable = true)
       sig.select(col("doc_id") +: (0 until 8).map(j => col(s"mh$j")): _*)
-        .orderBy(col("doc_id"))
     }),
 
     // rows-only (no portable SQL): xxhash64-based SimHash signatures
     "qd08_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
-        .orderBy(col("doc_id"))),
+      // sort-below-derivation (SortAuditProbe): hash once, not twice
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))),
 
     // full MinHash-LSH near-dup pipeline, oracle-checked end to end: the
     // portable md5 signature path (native kernel == the DuckDB-expressible
@@ -2097,9 +2101,9 @@ object SparkEntry {
     // oracle-checked: engine-portable SimHash signatures (md5-vote
     // variant — qd08's xxhash path stays the production default)
     "qd20_simhash_portable" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simHash64Portable("text").as("simhash_hex"))
-        .orderBy(col("doc_id"))),
+      // sort-below-derivation (SortAuditProbe): hash once, not twice
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"), Dedup.simHash64Portable("text").as("simhash_hex"))),
 
     // rows-only: SimHash near-dup pairs — Manku multi-table blocking
     // (exact recall at Hamming≤3 by pigeonhole) then Hamming verification.
@@ -2304,6 +2308,11 @@ object SparkEntry {
           round(graft.functions.NativeExpressions.deflateRatio(col("text")), 4)
             .as("deflate_ratio"),
           graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        // sort key is kernel-DERIVED, so the sort cannot hoist below the
+        // deflate: a result-sized hash exchange bounds the range-sampling
+        // pass instead — deflate runs once, only report rows reshuffle
+        // (SortAuditProbe, round 18)
+        .repartition(col("doc_id"))
         .orderBy(col("deflate_ratio"), col("doc_id"))),
 
     // oracle-checked: temperature-scaled source mixing (Gopher §A3.1) —
@@ -2323,6 +2332,8 @@ object SparkEntry {
     "qd51_winnowing" -> ((s, d) =>
       Dedup.winnowFingerprints(Tables.documents(s, d), "doc_id", "text",
           k = 3, w = 4)
+        // derived sort key (fp_pos): boundary-exchange, winnow once
+        .repartition(col("doc_id"))
         .orderBy(col("doc_id"), col("fp_pos"))),
 
     // oracle-checked: corpus snapshot diff — the dataset-versioning
@@ -2517,16 +2528,20 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val means = graft.functions.Clustering.classMeans(
         emb.filter(col("vec_id") % 4 =!= 0), "label", "embedding")
+      // sort-below-derivation (SortAuditProbe): score once, not twice
       graft.functions.Clustering
-        .nearestClassMean(emb.filter(col("vec_id") % 4 === 0), "embedding", means)
+        .nearestClassMean(emb.filter(col("vec_id") % 4 === 0)
+          .orderBy(col("vec_id")), "embedding", means)
         .select(col("vec_id"), col("label"), col("predicted"), col("score"))
-        .orderBy(col("vec_id"))
     }),
 
     // oracle-checked: per-source embedding affinity matrix — the dense
     // twin of qd41's n-gram overlap matrix: cosine between per-source
     // mean unit vectors. One docs⋈embeddings equi-join + one S×dim
     // aggregation + an S×S pair join — never doc×doc.
+    // SortAuditProbe adjudicated exemption: the final sort's sampling
+    // pass re-runs the S×S class-mean cosine cross — S = source count,
+    // corpus-size-independent metadata (≤ S² trivially small rows)
     "qe22_source_affinity" -> ((s, d) =>
       graft.functions.Clustering.sourceAffinity(
           Tables.documents(s, d), "doc_id", "source",
@@ -2552,6 +2567,9 @@ object SparkEntry {
           emb.filter(col("vec_id") >= 20).unionByName(jit), "vec_id", "embedding",
           bench, "vec_id", "embedding", minCosine = 0.99)
         .select(col("vec_id"), col("bench_id"), col("max_cos"), col("contaminated"))
+        // the corpus leg is a union (hoisting a sort through union does
+        // not preserve global order): boundary-exchange, max-cos once
+        .repartition(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
 
@@ -2601,6 +2619,9 @@ object SparkEntry {
           outDim = 16, dim = 64)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "p_val")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"), col("p_val"))
+        // derived sort key (i from the explode): boundary-exchange,
+        // project once
+        .repartition(col("vec_id"))
         .orderBy(col("vec_id"), col("i"))),
 
     // oracle-checked: the full hybrid SERVING stack over one corpus
@@ -2977,6 +2998,9 @@ object SparkEntry {
         .select(col("media_id"), col("feature").cast("array<double>").as("embedding"))
       Similarity.embeddingNearDups(feats, "media_id", "embedding",
           minCosine = 0.999, nPlanes = 4, dim = 16)
+        // derived sort keys: boundary-exchange so the decode+feature
+        // chain runs once (the qm06-adjacent decode-duplication shape)
+        .repartition(col("id_a"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3012,6 +3036,8 @@ object SparkEntry {
             .as("embedding"))
       Similarity.embeddingNearDups(emb.unionByName(jittered), "vec_id",
         "embedding", minCosine = 0.95, nPlanes = 8, dim = 64)
+        // derived sort keys: boundary-exchange, verify-cosine once
+        .repartition(col("id_a"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3045,6 +3071,9 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
         .filter(col("cosine") >= 0.95)
+        // derived sort keys: boundary-exchange so the all-pairs cosine
+        // scan (the documented brute-force baseline) runs once
+        .repartition(col("id_a"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3141,6 +3170,11 @@ object SparkEntry {
       Similarity.mrlSearch(emb.filter(col("vec_id") < 5), emb, "vec_id",
           "embedding", dPrefix = 16, k = 3, rerankFactor = 4)
         .withColumnRenamed("rank", "rnk")
+        // SortAuditProbe adjudicated exemption: the segment the final
+        // sort's sampling pass re-runs is the post-window rerank cosine
+        // over k·rerankFactor rows PER QUERY — funnel-bounded serving
+        // constants, not corpus-sized (a boundary exchange on query_id
+        // elides as redundant against the window's own partitioning)
         .orderBy(col("query_id"), col("rnk"), col("neighbor_id"))
     }),
 
@@ -3277,8 +3311,9 @@ object SparkEntry {
     "qd31_wordpiece" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val vocab = TextAnalysis.topVocab(docs, "text", 10)
-      TextAnalysis.tokenizerFertility(docs, "doc_id", "text", vocab)
-        .orderBy(col("doc_id"))
+      // sort-below-derivation (SortAuditProbe): encode once, not twice
+      TextAnalysis.tokenizerFertility(docs.orderBy(col("doc_id")),
+        "doc_id", "text", vocab)
     }),
 
     // oracle-checked: cross-document duplicated-passage profile (the

@@ -159,6 +159,49 @@ class CatalogAndPlanSpec extends SparkSpec {
       plan.contains("l_suppkey:"), plan) // pruned read schema, not all columns
   }
 
+  test("sort-audit detector re-finds the qe28 knee shape and respects materialization boundaries") {
+    import graft.functions.{NativeExpressions, Similarity}
+    import graft.tools.SortAuditProbe
+    // the detector walks explicit Exchange nodes, which AQE hides
+    // inside adaptive stages — audit under AQE off, as the probe does
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // no limit() here: GlobalLimit plans its own single-partition
+      // Exchange, which would (correctly) bound the narrow segment and
+      // make the knee fixture vacuous
+      val emb = graft.sources.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // the ORIGINAL qe28 shape: global orderBy directly above a heavy
+      // narrow kernel chain → the RangePartitioner sampling pass would
+      // execute the chain twice → MUST flag
+      val knee = emb
+        .withColumn("d", Similarity.dot(col("v"), col("v")))
+        .orderBy(col("d"))
+      assert(SortAuditProbe.audit(knee).nonEmpty, "detector blind to the qe28 shape")
+      // the qe28 FIX shape: sort the cheap projection, heavy work below
+      // an aggregation Exchange → clean
+      val fixed = emb
+        .withColumn("d", Similarity.dot(col("v"), col("v")))
+        .groupBy(col("vec_id")).agg(sum(col("d")).as("d"))
+        .orderBy(col("d"))
+      assert(SortAuditProbe.audit(fixed).isEmpty,
+        "Exchange must bound the recomputed segment")
+      // a checkpoint boundary also protects the chain
+      val ckpt = emb
+        .withColumn("d", NativeExpressions.vecDot(col("v"), col("v")))
+        .localCheckpoint(true)
+        .orderBy(col("d"))
+      assert(SortAuditProbe.audit(ckpt).isEmpty,
+        "checkpointed RDD scan must bound the recomputed segment")
+      // TakeOrderedAndProject (orderBy+limit) is not a global sort — no
+      // sampling pass, no knee
+      val topk = emb
+        .withColumn("d", Similarity.dot(col("v"), col("v")))
+        .orderBy(col("d")).limit(5)
+      assert(SortAuditProbe.audit(topk).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("flagship standings stays whole-stage-codegen'd up to the sort") {
     val df = SparkEntry.queries("q01_standings")(spark, sf0001)
     df.collect() // materialize so AQE settles on the final plan
