@@ -591,6 +591,21 @@ object Bench {
       // per-task key cardinality genuinely exceeds memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
+      // Round-18, measured (CurProbe same-window A/B, verdict #5): on a
+      // local filesystem without libhadoop, RawLocalFileSystem FORKS
+      // `chmod` once per created file — 22% of the sf1 capstone CPU
+      // profile. BareLocalFileSystem is stock LocalFileSystem with
+      // setPermission as a no-op (permissions are meaningless on
+      // single-user bench dirs; exactly-once rests on rename, not
+      // modes): batch-body replay 36.3 → 20.8 s and 76.7 → 27.0 s in
+      // interleaved A/B pairs, write stage 19.5 → 5.3 s. LOCAL conf
+      // only — cluster deployments talk to HDFS/object stores where
+      // this class never engages. Kill switch: SPARK_GRAFT_BARE_FS=0.
+      // Keeper-identity gate: full StreamingSpec green under
+      // GRAFT_TEST_BARE_FS=1 (SCALE.md round 18).
+    if (!sys.env.get("SPARK_GRAFT_BARE_FS").contains("0"))
+      builder.config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.BareLocalFileSystem].getName)
     // dev: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies confs before the
     // sweep — the A/B lever for conf-gated physical experiments
     // (e.g. spark.graft.curation.compactWrites) without recompiling.

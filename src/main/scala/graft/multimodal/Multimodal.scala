@@ -467,16 +467,24 @@ object Multimodal {
 
   /** (offset, length) of each video SAMPLE in an MJPEG-in-MP4: walk the
     * ISO boxes to the first VIDEO trak (nonzero `tkhd` dims — the
-    * [[parseMp4Meta]] audio-trak discipline), read its `stsz` per-sample
-    * sizes and `stco` chunk offsets, and accept only the 1-sample-per-
-    * chunk layout (every `stsc` entry `samples_per_chunk == 1`, or no
-    * `stsc` with matching counts) — the layout MJPEG-in-MP4 writers
-    * emit and the only one where `stco` alone locates every sample.
-    * Anything else (interleaved multi-sample chunks, compressed-offset
-    * `co64`, v1 boxes) returns empty → one `decode_ok=false` row, never
-    * a guess. Iterative walk (explicit stack), offsets guarded against
-    * the payload length: untrusted bytes can never loop, overflow, or
-    * recurse a task to death.
+    * [[parseMp4Meta]] audio-trak discipline), read its `stsz`
+    * per-sample sizes, `stco` chunk offsets, and `stsc` sample-to-chunk
+    * runs, then expand the run-length table the way the spec defines
+    * it: entry (first_chunk, samples_per_chunk) applies to every chunk
+    * until the next entry's first_chunk; samples are CONTIGUOUS within
+    * a chunk, so sample i's offset is its chunk's `stco` offset plus
+    * the sizes of the samples before it in that chunk. Round 18
+    * (verdict #8) generalized this from the 1-sample-per-chunk
+    * fast-path layout to arbitrary stsc tables — real muxers
+    * interleave several samples per chunk. The expansion is strictly
+    * validated (first entry at chunk 1, first_chunk strictly
+    * increasing, spc ≥ 1, and the run table must consume EXACTLY the
+    * stsz sample count over EXACTLY the stco chunk count) — anything
+    * inconsistent, plus still-unsupported layouts (`co64` 64-bit
+    * offsets, v1 boxes), returns empty → one `decode_ok=false` row,
+    * never a guess. Iterative walk (explicit stack), offsets guarded
+    * against the payload length: untrusted bytes can never loop,
+    * overflow, or recurse a task to death.
     */
   private[graft] def mp4FrameChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
@@ -486,17 +494,55 @@ object Multimodal {
     var tw = 0; var th = 0
     var sizes: Array[Int] = null
     var offs: Array[Int] = null
-    var stscOk = true // no stsc seen yet = acceptable iff counts match
+    var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+    var stscBad = false // a malformed/oversized stsc box refuses the trak
     var found: Seq[(Int, Int)] = Seq.empty
+    // expand (stsz, stco, stsc) to per-sample (offset, length); null on
+    // any inconsistency — the caller treats that as "cannot locate"
+    def expand(): Array[(Int, Int)] = {
+      if (stsc == null || stsc.isEmpty) {
+        // no (or empty) stsc: acceptable iff the layout is trivially
+        // 1 sample per chunk (counts match) — the pre-round-18 rule
+        if (sizes.length != offs.length) return null
+        return offs.zip(sizes)
+      }
+      if (stsc.head._1 != 1) return null
+      var e = 0
+      while (e < stsc.length) {
+        if (stsc(e)._2 < 1) return null
+        if (e > 0 && stsc(e)._1 <= stsc(e - 1)._1) return null
+        e += 1
+      }
+      val out = new Array[(Int, Int)](sizes.length)
+      var si = 0
+      var run = 0
+      var ci = 0
+      while (ci < offs.length) {
+        while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1) run += 1
+        val spc = stsc(run)._2
+        if (si.toLong + spc > sizes.length) return null // run overruns stsz
+        var off = offs(ci)
+        var j = 0
+        while (j < spc) {
+          out(si) = (off, sizes(si))
+          off += sizes(si)
+          si += 1
+          j += 1
+        }
+        ci += 1
+      }
+      if (si != sizes.length) return null // chunks ran out before samples
+      out
+    }
     def closeTrak(): Unit = {
       if (found.isEmpty && tw > 0 && th > 0 && sizes != null && offs != null &&
-          sizes.length == offs.length && stscOk && sizes.nonEmpty) {
-        val chunks = offs.zip(sizes)
-        if (chunks.forall { case (o, s) =>
+          !stscBad && sizes.nonEmpty) {
+        val chunks = expand()
+        if (chunks != null && chunks.forall { case (o, s) =>
             o >= 0 && s > 0 && o.toLong + s <= bytes.length })
           found = chunks.toSeq
       }
-      tw = 0; th = 0; sizes = null; offs = null; stscOk = true
+      tw = 0; th = 0; sizes = null; offs = null; stsc = null; stscBad = false
     }
     def u32at(p: Int): Long = u32be(bytes, p)
     def intList(p: Int, n: Long, end: Int): Array[Int] =
@@ -540,8 +586,18 @@ object Multimodal {
               case "stsc" if p + 8 <= end =>
                 val n = u32at(p + 4)
                 val entryEnd = math.min(end.toLong, off + size).toInt
-                stscOk = n >= 0 && n <= (entryEnd - p - 8) / 12 &&
-                  (0L until n).forall(i => u32at(p + 8 + 12 * i.toInt + 4) == 1L)
+                if (n < 0 || n > (entryEnd - p - 8) / 12) { stsc = null; stscBad = true }
+                else {
+                  stscBad = false
+                  stsc = Array.tabulate(n.toInt) { i =>
+                    val fc = u32at(p + 8 + 12 * i)
+                    val spc = u32at(p + 8 + 12 * i + 4)
+                    // clamp into Int range; expand() re-validates — an
+                    // absurd value just fails the consistency checks
+                    (math.min(fc, Int.MaxValue).toInt,
+                      math.min(spc, Int.MaxValue).toInt)
+                  }
+                }
               case _ => ()
             }
             if (next <= off || next > end) walking = false
@@ -893,11 +949,22 @@ object Multimodal {
     * mid-bin grays, so decoded histograms stay exactly one-hot.
     */
   def syntheticMjpegMp4(width: Int, height: Int, timescale: Int,
-      duration: Long, grays: Seq[Int]): Array[Byte] = {
+      duration: Long, grays: Seq[Int], samplesPerChunk: Int = 1): Array[Byte] = {
     require(grays.nonEmpty)
+    require(samplesPerChunk >= 1)
     val frames = grays.map(grayJpeg(width, height, _))
     val n = frames.size
-    def fileFor(offsets: Seq[Int]): Array[Byte] = {
+    // chunk layout: full chunks of `samplesPerChunk`, plus (per the ISO
+    // run-length semantics — a chunk holds EXACTLY its run's count) a
+    // second stsc entry for the final partial chunk when n % spc != 0
+    val nFull = n / samplesPerChunk
+    val rem = n % samplesPerChunk
+    val nChunks = nFull + (if (rem > 0) 1 else 0)
+    val runs: Seq[(Int, Int)] =
+      if (rem == 0) Seq((1, samplesPerChunk))
+      else if (nFull == 0) Seq((1, rem))
+      else Seq((1, samplesPerChunk), (nFull + 1, rem))
+    def fileFor(chunkOffsets: Seq[Int]): Array[Byte] = {
       val stsz = {
         val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
         b.putInt(0).putInt(0).putInt(n) // v/flags, sample_size=0 (per-sample), count
@@ -905,15 +972,15 @@ object Multimodal {
         b.array()
       }
       val stsc = {
-        val b = java.nio.ByteBuffer.allocate(8 + 12)
-        b.putInt(0).putInt(1) // v/flags, entry_count=1
-          .putInt(1).putInt(1).putInt(1) // first_chunk, samples_per_chunk, sdi
+        val b = java.nio.ByteBuffer.allocate(8 + 12 * runs.size)
+        b.putInt(0).putInt(runs.size) // v/flags, entry_count
+        runs.foreach { case (fc, spc) => b.putInt(fc).putInt(spc).putInt(1) }
         b.array()
       }
       val stco = {
-        val b = java.nio.ByteBuffer.allocate(8 + 4 * n)
-        b.putInt(0).putInt(n)
-        offsets.foreach(b.putInt)
+        val b = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+        b.putInt(0).putInt(nChunks)
+        chunkOffsets.foreach(b.putInt)
         b.array()
       }
       val stbl = isoBox("stbl",
@@ -926,9 +993,11 @@ object Multimodal {
     }
     // two passes: stco is fixed-width, so the mdat payload position is
     // independent of the offset VALUES — measure with zeros, then fill
-    val probe = fileFor(Seq.fill(n)(0))
+    val probe = fileFor(Seq.fill(nChunks)(0))
     val base = probe.length - frames.map(_.length).sum
-    fileFor(frames.scanLeft(base)((acc, f) => acc + f.length).init)
+    val sampleOffs = frames.scanLeft(base)((acc, f) => acc + f.length).init
+    val chunkOffs = (0 until nChunks).map(c => sampleOffs(c * samplesPerChunk))
+    fileFor(chunkOffs)
   }
 
   /** Synthetic MP4 with BOTH a video trak and an audio trak (0×0 tkhd

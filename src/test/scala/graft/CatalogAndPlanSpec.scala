@@ -159,6 +159,27 @@ class CatalogAndPlanSpec extends SparkSpec {
       plan.contains("l_suppkey:"), plan) // pruned read schema, not all columns
   }
 
+  test("BareLocalFileSystem: stock LocalFileSystem behavior with setPermission a no-op") {
+    val fs = new graft.sources.BareLocalFileSystem()
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.getRawFileSystem.isInstanceOf[graft.sources.NoChmodRawLocalFileSystem])
+    val dir = tmpDir("barefs")
+    val p = new org.apache.hadoop.fs.Path(s"file:$dir/x.txt")
+    val out = fs.create(p)
+    out.write(42)
+    out.close()
+    assert(fs.exists(p))
+    // rename — the primitive exactly-once sinks rest on — works
+    val p2 = new org.apache.hadoop.fs.Path(s"file:$dir/y.txt")
+    assert(fs.rename(p, p2))
+    // the permission call is a no-op: file stays readable afterwards
+    fs.setPermission(p2, new org.apache.hadoop.fs.permission.FsPermission("000"))
+    val in = fs.open(p2)
+    assert(in.read() === 42)
+    in.close()
+  }
+
   test("sort-audit detector re-finds the qe28 knee shape and respects materialization boundaries") {
     import graft.functions.{NativeExpressions, Similarity}
     import graft.tools.SortAuditProbe

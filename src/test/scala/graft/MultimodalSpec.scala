@@ -347,11 +347,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out2.count(_.decode_ok) === 3 && !out2(2).decode_ok)
   }
 
-  test("mp4FrameChunks refuses layouts it cannot locate samples in (multi-sample chunks)") {
+  test("mp4FrameChunks refuses INCONSISTENT sample-to-chunk tables, never guesses") {
     val mp4 = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, Seq(8, 40))
-    // find the stsc box and patch samples_per_chunk 1 -> 2: stco alone
-    // no longer locates every sample, so the walk must return empty
-    // (decode_ok=false), never guess offsets
+    // patch samples_per_chunk 1 -> 2: the run table now declares 2
+    // samples for EACH of the 2 stco chunks (4 total) against stsz's 2
+    // — since round 18 the walker expands general stsc runs, so this is
+    // detected as an overrun, not as "multi-sample unsupported"; the
+    // answer is still empty (decode_ok=false), never guessed offsets
     def be(p: Int): Int = java.nio.ByteBuffer.wrap(mp4, p, 4).getInt
     val stscAt = (0 until mp4.length - 4)
       .find(i => new String(mp4, i, 4, "US-ASCII") == "stsc").get
@@ -365,6 +367,67 @@ class MultimodalSpec extends SparkSpec {
         Seq(MediaRow(0L, "video", patched, None, None, None, None)).toDS(), 8)
       .collect()
     assert(out.length === 1 && !out.head.decode_ok)
+    // and a first_chunk run that does not start at chunk 1 also refuses
+    val fcOff = stscAt + 4 + 8
+    val patched2 = mp4.clone()
+    patched2(fcOff + 3) = 2
+    assert(Multimodal.mp4FrameChunks(patched2).isEmpty)
+  }
+
+  test("mp4FrameChunks walks real multi-sample stsc runs (round-18 general layout)") {
+    // 5 frames at 2 samples/chunk → chunks of 2,2,1 and an stsc run
+    // table [(1,2),(3,1)] — the layout real muxers emit. The general
+    // walk must locate every sample (chunk offset + intra-chunk
+    // cumulative sizes) and decode the same one-hot histograms as the
+    // 1-sample-per-chunk layout of the same grays.
+    val grays = Seq(8, 40, 136, 200, 248)
+    val multi = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, grays,
+      samplesPerChunk = 2)
+    val single = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, grays)
+    val cm = Multimodal.mp4FrameChunks(multi)
+    val cs = Multimodal.mp4FrameChunks(single)
+    assert(cm.size === 5 && cs.size === 5)
+    // same SAMPLE bytes under both layouts
+    def sliceAll(b: Array[Byte], cks: Seq[(Int, Int)]) =
+      cks.map { case (o, s) => b.slice(o, o + s).toSeq }
+    assert(sliceAll(multi, cm) === sliceAll(single, cs))
+    val out = Multimodal.decodeVideoFrames(
+        Seq(MediaRow(0L, "video", multi, None, None, None, None)).toDS(), 8)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length === 5 && out.forall(_.decode_ok))
+    for ((g, f) <- grays.zip(out)) {
+      val bin = f.feature.indexOf(f.feature.max)
+      assert(bin === g / 16 && f.feature(bin) === 1.0f)
+    }
+    // exact-division layout too (4 frames, spc=2 → one run entry)
+    val even = Multimodal.syntheticMjpegMp4(16, 12, 600, 600,
+      Seq(8, 40, 136, 248), samplesPerChunk = 2)
+    assert(Multimodal.mp4FrameChunks(even).size === 4)
+    // spc larger than the sample count → a single partial chunk
+    val tiny = Multimodal.syntheticMjpegMp4(16, 12, 600, 600, Seq(8, 40),
+      samplesPerChunk = 8)
+    assert(Multimodal.mp4FrameChunks(tiny).size === 2)
+  }
+
+  test("stsc mutation fuzz: random byte edits in the stsc box never throw, never go out of bounds") {
+    val base = Multimodal.syntheticMjpegMp4(16, 12, 600, 600,
+      Seq(8, 40, 136, 200, 248), samplesPerChunk = 2)
+    val stscAt = (0 until base.length - 4)
+      .find(i => new String(base, i, 4, "US-ASCII") == "stsc").get
+    // stsc box payload: 8 header + 2 runs × 12
+    val rnd = new scala.util.Random(18)
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = stscAt + 4 + rnd.nextInt(8 + 24)
+        b(at) = rnd.nextInt(256).toByte
+      }
+      val chunks = Multimodal.mp4FrameChunks(b) // must not throw
+      chunks.foreach { case (o, s) =>
+        assert(o >= 0 && s > 0 && o.toLong + s <= b.length,
+          s"out-of-bounds chunk ($o,$s)")
+      }
+    }
   }
 
   test("deeply nested LIST headers (crafted ~100KB AVI) walk without stack growth") {
