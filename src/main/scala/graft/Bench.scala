@@ -127,9 +127,12 @@ object Bench {
     * `floor_placement` object. Re-pinning floors on a new placement
     * means updating this id in the same commit.
     *
-    * Round-18 pin: boot 60f5b14a — the post-reboot placement whose
-    * first quiet windows re-confirmed the round-17 continuation
-    * floors (see SCALE.md round 18).
+    * Round-18 pin: boot 60f5b14a — the post-reboot placement. Two
+    * same-day full-suite windows (steal 31/44 ticks/s — co-tenant
+    * load, not quiet) read vs_floor_total 1.04 with ZERO reproducible
+    * breaches (w1's two marginal confirms died in w2), i.e. the
+    * round-17 floor calibration carries to this placement; the
+    * streaming/new-query pins below were re-taken here directly.
     */
   val floorPlacementBootId: Option[String] =
     Some("60f5b14a-9e14-4cce-8b2f-268c2dd05862")
@@ -173,7 +176,11 @@ object Bench {
     "qd39_gopher_filter" -> 1.633, "qd40_corpus_datacard" -> 1.184,
     "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.328,
     "qd43_source_overlap_fast" -> 1.266, "qd45_fuzzy_decontaminate" -> 1.419,
-    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.438,
+    // qd49/qd51 re-pinned round 18 (downward): the sort-audit boundary
+    // exchange stops the range-sampling pass from running the deflate/
+    // winnow kernels twice — 0.354/0.359 and 0.435/0.487 s (per-query
+    // steal 0/0 and 0/42), min x 1.10
+    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.39,
     "qd50_temperature_mix" -> 0.507, "qd44_source_overlap_sketch" -> 2.13,
     "qr01_bm25_topk" -> 1.812, "qr02_bm25_sidecar" -> 0.794,
     "qr03_hybrid_sidecar" -> 1.152, "qe01_cosine_topk" -> 0.215,
@@ -187,7 +194,7 @@ object Bench {
     "qe21_class_mean" -> 0.371, "qe22_source_affinity" -> 0.544,
     "qe23_kmeans_ivf" -> 0.636, "qe24_semantic_decontaminate" -> 0.455,
     "qe25_cell_stats" -> 0.591, "qe26_random_projection" -> 0.94,
-    "qe27_embedding_outliers" -> 0.634, "qd51_winnowing" -> 0.496,
+    "qe27_embedding_outliers" -> 0.634, "qd51_winnowing" -> 0.48,
     "qd52_corpus_diff" -> 0.322, "qd53_containment" -> 7.791,
     "qd54_min_k_prob" -> 1.374, "qd55_ngram_diversity" -> 3.691,
     "qd56_source_containment" -> 4.348, "qd57_stream_packing" -> 0.782,
@@ -196,9 +203,11 @@ object Bench {
     "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 6.824,
     "qd63_quality_keepers" -> 2.654, "qd64_zipf_fit" -> 0.607,
     "qd66_curriculum_packing" -> 1.918, "qe28_int4_fidelity" -> 1.034,
-    // qd67/qd68 pinned this round: min of three subset windows
-    // (steal 29/216/32 ticks) x 1.10 — 1.50/1.76 s observed
-    "qd67_bpe_train" -> 1.65, "qd68_bpe_encode" -> 1.94,
+    // qd67/qd68 re-pinned round 18 (downward): min of the two full-suite
+    // windows x 1.10 — 1.440/1.585 and 1.452/1.550 s, per-query steal
+    // 51/7 and 1/14 ticks (quiet at the query even in dirty suites).
+    // qd68's drop carries the BpeCountExpr kernel encode
+    "qd67_bpe_train" -> 1.58, "qd68_bpe_encode" -> 1.60,
     // q44 pinned this round: two near-zero-steal subset windows
     // (1.07/1.069 s at steal 4/6) x 1.10
     "q44_range_count" -> 1.18,
@@ -215,9 +224,16 @@ object Bench {
     // qe29 pinned this round: two near-zero-steal subset windows
     // (1.448/1.492 s at steal 8/10) x 1.10
     "qe29_ann_recall_probe" -> 1.59,
-    // qd73 pinned this round: two near-zero-steal subset windows
-    // (2.228/2.092 s at steal 8/8) x 1.10
-    "qd73_bpe_packing" -> 2.30,
+    // qd73 re-pinned round 18 (downward, 2.3x): the composition now
+    // runs trainFast + the kernel encode — 0.897/0.904 s at 0/0
+    // per-query steal in the two full-suite windows, x 1.10
+    "qd73_bpe_packing" -> 0.99,
+    // round-18 additions, pinned from the same two windows (min x 1.10;
+    // per-query steal shown): qd74 0.319/1 0.265/0, qd75 0.576/0
+    // 0.473/1, qe30 1.681/0 1.566/6
+    "qd74_bpe_train_fast" -> 0.29,
+    "qd75_temperature_waterfill" -> 0.52,
+    "qe30_ivf_size_nprobe" -> 1.72,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,
@@ -307,7 +323,13 @@ object Bench {
   // tiny-job/scheduling-latency profile, invisible to steal ticks;
   // fsync probed healthy at 0.33 ms). min × 1.10 = 27.2 (was 17.1 on
   // the old placement — floors are per-placement calibration).
-  val curationSinkFloorSec: Option[Double] = Some(27.2)
+  //
+  // Round-18 re-pin DOWNWARD after the BareLocalFileSystem bench conf
+  // (chmod forks were 22% of the profile; CurProbe A/B in the builder
+  // note) on the post-reboot placement: two quiet warm replays 18.92 s
+  // (15 ticks/s) and 22.44 s (36/s), zero stage breaches, zero warm
+  // Janino compiles — min × 1.10 = 20.8 (was 27.2).
+  val curationSinkFloorSec: Option[Double] = Some(20.8)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -331,9 +353,13 @@ object Bench {
   // Continuation re-pin with the total (stage minima across the five
   // quiet new-placement windows × 1.25): gate 4.23, band 2.04,
   // winnow 0.66, assign 2.93, cell 6.61, write 5.35.
+  //
+  // Round-18 re-pin with the total (stage minima across the two quiet
+  // bare-fs windows × 1.25): gate 3.23, band 1.74, winnow 0.60,
+  // assign 2.09, cell 5.09, write 3.58 — write carries the chmod win.
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 5.3, "band" -> 2.55, "winnow" -> 0.83,
-    "assign" -> 3.7, "cell" -> 8.3, "write" -> 6.7)
+    "gate" -> 4.04, "band" -> 2.18, "winnow" -> 0.75,
+    "assign" -> 2.61, "cell" -> 6.36, "write" -> 4.48)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
@@ -363,7 +389,13 @@ object Bench {
   // 615–652 docs/s — min × 1.10 = 33.7 (was 15.7). The sf1 wall still
   // tracks the sf0.1 wall on 10× the docs (the scale shape survives
   // the placement; only the per-tiny-job constant moved).
-  val curationSinkFloorSecSf1: Option[Double] = Some(33.7)
+  //
+  // Round-18 re-pin DOWNWARD (BareLocalFileSystem conf + post-reboot
+  // placement): two quiet warm replays 15.52 s (21 ticks/s) and
+  // 15.70 s (28/s), 20k docs → 1273–1288 docs/s, zero warm compiles —
+  // min × 1.10 = 17.1 (was 33.7). The sf1 wall again reads BELOW the
+  // sf0.1 wall on 10× the docs.
+  val curationSinkFloorSecSf1: Option[Double] = Some(17.1)
 
   /** sf1 twin of [[curationStageFloorsSec]]: per-stage minima across
     * the same two quiet round-17 windows × the stage margin 1.25
@@ -374,9 +406,13 @@ object Bench {
   // Continuation re-pin with the sf1 total (stage minima across the
   // two new-placement windows × 1.25): gate 6.98, band 3.71,
   // winnow 1.10, assign 4.02, cell 4.67, write 5.49.
+  //
+  // Round-18 re-pin with the sf1 total (stage minima across the two
+  // quiet bare-fs windows × 1.25): gate 3.56, band 1.57, winnow 0.51,
+  // assign 1.53, cell 1.97, write 3.17.
   val curationStageFloorsSecSf1: Map[String, Double] = Map(
-    "gate" -> 8.7, "band" -> 4.6, "winnow" -> 1.4,
-    "assign" -> 5.0, "cell" -> 5.8, "write" -> 6.9)
+    "gate" -> 4.45, "band" -> 1.96, "winnow" -> 0.64,
+    "assign" -> 1.91, "cell" -> 2.46, "write" -> 3.96)
 
   /** Micro-batch count for the capstone replay: enough restarts to pay
     * the AvailableNow production cadence (query start + ensure/
