@@ -148,11 +148,11 @@ object Bpe {
     * makes each merge O(words containing the pair) — so s/merge is
     * SUBLINEAR in K (early merges touch most words once; later merges
     * touch ever-fewer). Measured (BpeProbe, 100k-distinct-word corpus):
-    * 0.152 → 0.048 → 0.022 s/merge at K = 256/1024/4096 vs the
-    * distributed loop's FLAT ~0.9 s/merge — ~40× at K=1024 and
-    * widening, with marginal s/merge past rank 1024 at ~0.014
-    * (≈ 60×); the 31-word template corpus reads 0.004 vs 0.20.
-    * See SCALE.md round 18.
+    * 0.152 → 0.059 → 0.021 → 0.0098 s/merge at K = 256/1024/4096/16384
+    * vs the distributed loop's FLAT ~0.9 s/merge — K=16384 trains in
+    * 161 s total, marginal s/merge past rank 4096 ≈ 0.006 (~150×,
+    * widening with K); the 31-word template corpus reads 0.004 vs
+    * 0.20. See SCALE.md round 18.
     *
     * Exactness contract: same pair counting (adjacent positions,
     * overlap-counted, freq-weighted), same argmax (count desc, then
