@@ -3486,6 +3486,21 @@ object SparkEntry {
       graft.functions.Bpe.trainFast(Tables.documents(s, d), "text",
         numMerges = 8)),
 
+    // oracle-checked: the token-ID stream a data loader consumes —
+    // qd68 reports the fertility METRIC, this emits per-doc (pos,
+    // piece, token_id) under the canonical vocab layout (seed chars by
+    // binary order, then merges by rank; MIN id on spelling
+    // collisions). trainFast + the kernel segment end to end; the
+    // oracle chains qd67's merge CTEs into the vocab/position walk.
+    "qd76_bpe_encode_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = graft.functions.Bpe.trainFast(docs, "text", numMerges = 8)
+        .select("lhs", "rhs").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.functions.Bpe.encodeIds(docs, "doc_id", "text", m)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // oracle-checked: per-doc fertility under the qd67-trained BPE —
     // qd31's metric with LEARNED merges in place of the fixed wordpiece
     // vocab. Encode applies merges to the DISTINCT-word table only
@@ -5768,6 +5783,11 @@ object SparkEntry {
     // in-memory merge loop is machine-proved ≡ the distributed one
     // (and ≡ the reference algorithm) every round
     "qd74_bpe_train_fast" -> graft.functions.Bpe.trainOracleSql(8),
+
+    // the token-ID stream: merge CTEs → vocab (binary-ordered seed
+    // chars + rank-ordered merges, MIN on collisions) → positional
+    // (word, piece) walk → per-doc ROW_NUMBER positions
+    "qd76_bpe_encode_ids" -> graft.functions.Bpe.encodeIdsOracleSql(8),
 
     // the encode leg: the same unrolled merges, per-word piece counts
     // from the final segmentation, per-doc join + fertility arithmetic

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer training and encoding (Sennrich, Haddow &
@@ -406,6 +407,63 @@ object Bpe {
     encodeFertility(df, idCol, textCol, m)
   }
 
+  /** Per-document token-ID stream under a learned merge list — the leg
+    * a data loader actually consumes (qd68 reports the fertility
+    * METRIC; training consumes token IDS): one row per subword piece,
+    * `(id, pos, piece, token_id)` with `pos` the 0-based position in
+    * the doc's piece stream. Vocabulary ids follow the canonical BPE
+    * vocab-file layout: the corpus's seed characters first (UTF-8
+    * binary order, ids 0..C−1), then the merged tokens in RANK order
+    * (ids C..C+K−1); if two merges spell the same string the FIRST id
+    * wins (MIN — deterministic; rank-1 semantics). A piece outside the
+    * vocabulary (only possible for text foreign to the training
+    * corpus) gets id −1, the explicit UNK the caller must handle.
+    *
+    * Scale shape: the kernel segments the DISTINCT-word table once
+    * (per-word cost), the vocab (chars + K merges) broadcasts, and the
+    * only per-occurrence work is the piece explode + one window per
+    * doc for positions — the same partition-local shape as qd13/qd24
+    * chunking. The vocab-chars count is the one driver action
+    * (vocab-sized, the qd31 discipline).
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docWords = df
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__wi", "word")))
+      .filter(length(col("word")) > 0)
+    val distinctWords = docWords.select("word").distinct()
+    val segmented = distinctWords.select(col("word"),
+      split(NativeExpressions.bpeSegment(col("word"), merges), " ").as("__pieces"))
+    // seed characters of the corpus (code points — the `(.)` unit),
+    // ids by UTF-8 binary order; the table is alphabet-sized, so the
+    // single-partition window is a constant
+    val chars = distinctWords
+      .select(explode(split(regexp_replace(col("word"), "(.)", "$1 "),
+        " ")).as("piece"))
+      .filter(length(col("piece")) > 0).distinct()
+    val wChar = Window.orderBy(col("piece"))
+    val vocabChars = chars
+      .select(col("piece"), (row_number().over(wChar) - 1).as("token_id"))
+    val nChars = vocabChars.count().toInt // vocab-sized driver action
+    val vocabMerges = merges.zipWithIndex
+      .map { case ((l, r), i) => (l + r, nChars + i) }
+      .toDF("piece", "token_id")
+    val vocab = vocabChars.unionByName(vocabMerges)
+      .groupBy(col("piece")).agg(min(col("token_id")).as("token_id"))
+    val wPos = Window.partitionBy(col(idCol)).orderBy(col("__wi"), col("__pi"))
+    docWords.join(broadcast(segmented), "word")
+      .select(col(idCol), col("__wi"),
+        posexplode(col("__pieces")).as(Seq("__pi", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .withColumn("token_id",
+        coalesce(col("token_id"), lit(-1)).cast("int"))
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("int"))
+      .select(col(idCol), col("pos"), col("piece"), col("token_id"))
+  }
+
   /** The qd67/qd68 oracle SQL: the training loop unrolled to
     * `numMerges` DuckDB CTE iterations (pair counts from positional
     * list indexing, argmax with the count-desc/lexicographic tie
@@ -443,6 +501,48 @@ object Bpe {
       s"SELECT CAST(${i + 1} AS BIGINT) AS rank, l AS lhs, r AS rhs, l || r AS merged, cnt FROM m$i"
     ).mkString("\nUNION ALL ")
     s"WITH ${oracleCtes(numMerges)}\nSELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
+  /** qd76's oracle: the token-ID stream — seed-char ids by binary
+    * order, merge ids by rank, MIN on spelling collisions, per-doc
+    * positions from the (word, piece) positional walk.
+    */
+  def encodeIdsOracleSql(numMerges: Int): String = {
+    val mm = (0 until numMerges).map(i =>
+      s"SELECT ${i + 1} AS rank, l, r FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH ${oracleCtes(numMerges)},
+      |wchars AS (
+      |  SELECT DISTINCT substr(word, i, 1) AS piece FROM
+      |    (SELECT word, unnest(range(1, len(word)+1)) AS i FROM toks0)),
+      |vchars AS (SELECT piece,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY piece) - 1 AS INTEGER) AS token_id
+      |  FROM wchars),
+      |nch AS (SELECT CAST(COUNT(*) AS INTEGER) AS c FROM vchars),
+      |mm AS ($mm),
+      |vmerges AS (SELECT l || r AS piece,
+      |    CAST((SELECT c FROM nch) + rank - 1 AS INTEGER) AS token_id
+      |  FROM mm),
+      |vocab AS (SELECT piece, CAST(MIN(token_id) AS INTEGER) AS token_id FROM
+      |    (SELECT * FROM vchars UNION ALL SELECT * FROM vmerges)
+      |  GROUP BY piece),
+      |docw AS (
+      |  SELECT doc_id, i AS wi, lst[i] AS word FROM (
+      |    SELECT doc_id, lst, unnest(range(1, len(lst)+1)) AS i FROM
+      |      (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS lst
+      |       FROM documents))
+      |  WHERE len(lst[i]) > 0),
+      |wp AS (
+      |  SELECT word, pl[j] AS piece, j AS pi FROM (
+      |    SELECT word, pl, unnest(range(1, len(pl)+1)) AS j FROM
+      |      (SELECT word, str_split(trim(toks), '  ') AS pl FROM toks$numMerges))),
+      |tok AS (SELECT d.doc_id, d.wi, w.pi, w.piece
+      |        FROM docw d JOIN wp w USING (word))
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, pi) - 1
+      |    AS INTEGER) AS pos,
+      |  piece, v.token_id
+      |FROM tok JOIN vocab v USING (piece)
+      |ORDER BY doc_id, pos""".stripMargin
   }
 
   /** qd68's oracle: per-doc fertility under the learned merges. */
