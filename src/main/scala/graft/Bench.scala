@@ -234,6 +234,9 @@ object Bench {
     "qd74_bpe_train_fast" -> 0.29,
     "qd75_temperature_waterfill" -> 0.52,
     "qe30_ivf_size_nprobe" -> 1.72,
+    // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
+    // quiet subset window (2.541 s at steal 1) — min x 1.10
+    "qd76_bpe_encode_ids" -> 2.43,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,
