@@ -256,6 +256,42 @@ class BpeSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("merge kernel ≡ the naive sequential chain on fuzzed words and merge lists") {
+    import graft.functions.NativeExpressions
+    // the definition: seed per code point, each merge applied fully
+    // (greedy left-to-right non-overlapping) in list order
+    def naiveChain(word: String, merges: Seq[(String, String)]): String = {
+      var syms = word.map(_.toString).toVector // BMP-only fuzz alphabet
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.mkString(" ")
+    }
+    // random merge lists INCLUDING duplicates, self-pairs, colliding
+    // spellings, and merges over symbols that only exist mid-chain —
+    // the rank-jump loop's hard cases
+    for (seed <- 0 until 400) {
+      val rnd = new scala.util.Random(seed)
+      def sym(): String =
+        (0 until (1 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val merges = Seq.fill(rnd.nextInt(10))((sym(), sym()))
+      val word = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val kernel = new NativeExpressions.BpeMergeKernel(merges)
+      val expect = naiveChain(word, merges)
+      assert(kernel.segment(word) === expect,
+        s"seed=$seed word=$word merges=$merges")
+      assert(kernel.count(word) ===
+        (if (expect.isEmpty) 0L else expect.split(" ").length.toLong))
+    }
+  }
+
   test("encodeIds: canonical vocab layout, pieces reassemble the text, UNK is explicit") {
     import graft.functions.NativeExpressions
     // Sennrich merges: es, est, lo, low on a known corpus
