@@ -329,10 +329,11 @@ object Bench {
   //
   // Round-18 re-pin DOWNWARD after the BareLocalFileSystem bench conf
   // (chmod forks were 22% of the profile; CurProbe A/B in the builder
-  // note) on the post-reboot placement: two quiet warm replays 18.92 s
-  // (15 ticks/s) and 22.44 s (36/s), zero stage breaches, zero warm
-  // Janino compiles — min × 1.10 = 20.8 (was 27.2).
-  val curationSinkFloorSec: Option[Double] = Some(20.8)
+  // note) on the post-reboot placement: quiet warm replays 18.92 s
+  // (15 ticks/s) and 22.44 s (36/s) → 20.8; tightened once more from
+  // the round's closing near-zero-steal window (15.92 s at 5 ticks/s,
+  // paired with the 18.92) — min × 1.10 = 17.5 (was 27.2).
+  val curationSinkFloorSec: Option[Double] = Some(17.5)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -357,12 +358,13 @@ object Bench {
   // quiet new-placement windows × 1.25): gate 4.23, band 2.04,
   // winnow 0.66, assign 2.93, cell 6.61, write 5.35.
   //
-  // Round-18 re-pin with the total (stage minima across the two quiet
-  // bare-fs windows × 1.25): gate 3.23, band 1.74, winnow 0.60,
-  // assign 2.09, cell 5.09, write 3.58 — write carries the chmod win.
+  // Round-18 re-pin with the total (stage minima across the three
+  // quiet bare-fs windows incl. the closing 5-ticks/s one × 1.25):
+  // gate 2.58, band 1.56, winnow 0.51, assign 1.73, cell 4.21,
+  // write 3.27 — write carries the chmod win.
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 4.04, "band" -> 2.18, "winnow" -> 0.75,
-    "assign" -> 2.61, "cell" -> 6.36, "write" -> 4.48)
+    "gate" -> 3.23, "band" -> 1.95, "winnow" -> 0.64,
+    "assign" -> 2.16, "cell" -> 5.26, "write" -> 4.09)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
