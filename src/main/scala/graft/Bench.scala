@@ -51,6 +51,7 @@ object Bench {
     "qd72_lsh_recall_probe", "qe29_ann_recall_probe", "qd73_bpe_packing",
     "qd74_bpe_train_fast", "qe30_ivf_size_nprobe",
     "qd75_temperature_waterfill", "qd76_bpe_encode_ids",
+    "qd77_unigram_encode_ids",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -237,6 +238,9 @@ object Bench {
     // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
     // quiet subset window (2.541 s at steal 1) — min x 1.10
     "qd76_bpe_encode_ids" -> 2.43,
+    // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
+    // 2.684 s at steal 2) — min x 1.10
+    "qd77_unigram_encode_ids" -> 2.48,
     "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
     "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
     "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,

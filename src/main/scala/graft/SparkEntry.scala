@@ -3555,6 +3555,18 @@ object SparkEntry {
           "doc_id", "text", maxPieceLen = 4, topM = 40, iters = 2)
         .orderBy(col("doc_id"))),
 
+    // oracle-checked: the unigram token-ID stream — qd76's twin for the
+    // SentencePiece family: per-doc (pos, piece, token_id) with ids in
+    // the model's published (cnt desc, piece) order; Viterbi kernel on
+    // the distinct-word table, broadcast vocab, one position window.
+    "qd77_unigram_encode_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.functions.UnigramLm.trainVocab(docs, "text",
+        maxPieceLen = 4, topM = 40, iters = 2)
+      graft.functions.UnigramLm.encodeIds(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -5903,6 +5915,10 @@ object SparkEntry {
     // model, per-word piece counts, per-doc join + fertility arithmetic
     "qd70_unigram_fertility" ->
       graft.functions.UnigramLm.fertilityOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
+
+    // the unigram token-ID stream: model-order ids + positional walk
+    "qd77_unigram_encode_ids" ->
+      graft.functions.UnigramLm.encodeIdsOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
 
     // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
     // rank, 6-dp decimal ln moments summed exactly, and the identical

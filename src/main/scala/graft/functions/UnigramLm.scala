@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenizer training via Viterbi hard-EM (Kudo
@@ -156,6 +157,54 @@ object UnigramLm {
     fertility(df, idCol, textCol,
       trainVocab(df, textCol, maxPieceLen, topM, iters))
 
+  /** Per-document token-ID stream under a trained model —
+    * [[graft.functions.Bpe.encodeIds]]'s unigram twin (the loader-facing
+    * leg: qd70 reports the fertility METRIC, a trainer consumes IDS):
+    * one row per piece, `(id, pos, piece, token_id)`, ids in the
+    * SentencePiece vocab-file order — (count desc, piece ascending in
+    * UTF-8 binary), exactly qd69's published model order, so the id of
+    * a piece is its row number in the qd69 output. A Viterbi
+    * char-fallback piece outside the vocabulary (foreign text only —
+    * the trainer's keep-alive floor covers every training-corpus
+    * character) gets the explicit −1 UNK.
+    *
+    * Scale shape: the Viterbi kernel segments the DISTINCT-word table
+    * once, the model-sized vocab broadcasts, and the per-occurrence
+    * work is the piece explode + one per-doc position window — the
+    * qd76 shape with the DP kernel in place of the merge kernel.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = scores(vocab)
+    val docWords = df
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__wi", "word")))
+      .filter(length(col("word")) > 0)
+    val segmented = docWords.select("word").distinct()
+      .select(col("word"),
+        split(NativeExpressions.unigramViterbi(col("word"), sc), " ")
+          .as("__pieces"))
+    // (cnt desc, piece UTF-8-binary asc) — Java String.compareTo is
+    // UTF-16 order, so the tie goes through the binary comparator
+    val ordered = vocab.sortWith { (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && Bpe.utf8Cmp(a._1, b._1) < 0)
+    }
+    val vocabDf = ordered.zipWithIndex
+      .map { case ((p, _), i) => (p, i) }
+      .toDF("piece", "token_id")
+    val wPos = Window.partitionBy(col(idCol)).orderBy(col("__wi"), col("__pi"))
+    docWords.join(broadcast(segmented), "word")
+      .select(col(idCol), col("__wi"),
+        posexplode(col("__pieces")).as(Seq("__pi", "piece")))
+      .join(broadcast(vocabDf), Seq("piece"), "left")
+      .withColumn("token_id",
+        coalesce(col("token_id"), lit(-1)).cast("int"))
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("int"))
+      .select(col(idCol), col("pos"), col("piece"), col("token_id"))
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** Shared CTE prefix: word table, seed vocabulary `v0`, then per
@@ -233,6 +282,36 @@ object UnigramLm {
       |  (CAST(ROUND(ROUND(ln(cnt), 6) * 1000000) AS BIGINT) - (SELECT st FROM tot)) / 1e6
       |    AS logprob
       |FROM v$iters ORDER BY cnt DESC, piece""".stripMargin
+
+  /** qd77's oracle: the token-ID stream — ids are row numbers of the
+    * final model in (cnt desc, piece) order (qd69's published order),
+    * pieces from the all-paths best segmentations, per-doc positions
+    * from the positional (word, piece) walk.
+    */
+  def encodeIdsOracleSql(maxPieceLen: Int, topM: Int, iters: Int): String =
+    s"""WITH RECURSIVE ${oracleCtes(maxPieceLen, topM, iters)},
+      |${scoreCte(iters)},
+      |${viterbiCtes(iters)},
+      |vocab AS (SELECT piece,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) - 1 AS INTEGER) AS token_id
+      |  FROM v$iters),
+      |docw AS (
+      |  SELECT doc_id, i AS wi, lst[i] AS word FROM (
+      |    SELECT doc_id, lst, unnest(range(1, len(lst)+1)) AS i FROM
+      |      (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS lst
+      |       FROM documents))
+      |  WHERE len(lst[i]) > 0),
+      |wp AS (
+      |  SELECT word, pl[j] AS piece, j AS pi FROM (
+      |    SELECT word, pl, unnest(range(1, len(pl)+1)) AS j FROM
+      |      (SELECT word, str_split(seg, ' ') AS pl FROM best$iters)))
+      |SELECT d.doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY d.wi, w.pi) - 1
+      |    AS INTEGER) AS pos,
+      |  w.piece, COALESCE(v.token_id, -1) AS token_id
+      |FROM docw d JOIN wp w USING (word)
+      |LEFT JOIN vocab v USING (piece)
+      |ORDER BY d.doc_id, pos""".stripMargin
 
   /** qd70's oracle: per-doc fertility under the final model — one more
     * all-paths Viterbi under `s$iters`, piece counts per word, doc join.

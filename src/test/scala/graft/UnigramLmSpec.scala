@@ -111,6 +111,35 @@ class UnigramLmSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("encodeIds: model-order ids, dense positions, reassembly, explicit UNK") {
+    val vocab = Seq(("lo", 10L), ("w", 5L), ("l", 1L), ("o", 1L))
+    val rows = UnigramLm.encodeIds(
+        Seq((1L, "low lo"), (2L, "w")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "pos", "piece", "token_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    // ids in (cnt desc, piece asc) order: lo=0, w=1, l=2, o=3
+    // doc 1: low → lo w; lo → lo. doc 2: w.
+    assert(rows === Seq(
+      (1L, 0, "lo", 0), (1L, 1, "w", 1), (1L, 2, "lo", 0),
+      (2L, 0, "w", 1)))
+    // a tie on cnt breaks to the lexicographically smaller piece
+    val tied = UnigramLm.encodeIds(
+        Seq((1L, "ba")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", 3L), ("b", 3L)))
+      .orderBy("pos").select("piece", "token_id")
+      .as[(String, Int)].collect().toSeq
+    assert(tied === Seq(("b", 1), ("a", 0)))
+    // char-fallback pieces outside the vocab are explicit -1, not drops
+    val unk = UnigramLm.encodeIds(
+        Seq((1L, "az")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", 3L)))
+      .orderBy("pos").select("piece", "token_id")
+      .as[(String, Int)].collect().toSeq
+    assert(unk === Seq(("a", 0), ("z", -1)))
+  }
+
   test("fertility: segmentation piece counts roll up per doc") {
     val vocab = Seq(("lo", 10L), ("w", 5L), ("l", 1L), ("o", 1L))
     val got = UnigramLm.fertility(
