@@ -51,7 +51,7 @@ object Bench {
     "qd72_lsh_recall_probe", "qe29_ann_recall_probe", "qd73_bpe_packing",
     "qd74_bpe_train_fast", "qe30_ivf_size_nprobe",
     "qd75_temperature_waterfill", "qd76_bpe_encode_ids",
-    "qd77_unigram_encode_ids",
+    "qd77_unigram_encode_ids", "qd78_kn_bigram_nll",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",

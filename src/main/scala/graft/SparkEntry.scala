@@ -3567,6 +3567,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // oracle-checked: interpolated Kneser–Ney bigram scoring — the
+    // smoothing the production perplexity-filter stack uses (KenLM /
+    // CCNet), beside qd62's add-one baseline: fixed 0.75 discount on
+    // seen bigrams, reclaimed mass redistributed over the continuation
+    // distribution (distinct-predecessor counts), unseen contexts back
+    // off to it entirely. Threshold 3.44 ≈ the fixture's p70 — both
+    // keep outcomes present at every SF (measured sf0.001/0.01/0.1).
+    "qd78_kn_bigram_nll" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.knBigramNll(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text",
+          discount = 0.75, threshold = 3.44)
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -5919,6 +5934,48 @@ object SparkEntry {
     // the unigram token-ID stream: model-order ids + positional walk
     "qd77_unigram_encode_ids" ->
       graft.functions.UnigramLm.encodeIdsOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
+
+    // the interpolated-KN model replayed: bigram/context/continuation
+    // tables from the en slice, the same CASE (unseen-context backoff /
+    // discount-plus-interpolation) probability, 6-dp decimal NLL sums
+    "qd78_kn_bigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |refbg AS (
+        |  SELECT bg, COUNT(*) AS cab FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    FROM tok WHERE lang = 'en') GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca,
+        |        CAST(COUNT(*) AS BIGINT) AS n1f FROM refbg GROUP BY 1),
+        |cont AS (SELECT split_part(bg, ' ', 2) AS b, CAST(COUNT(*) AS BIGINT) AS n1b
+        |         FROM refbg GROUP BY 1),
+        |s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM refbg),
+        |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+        |  SELECT unnest(w) AS tk FROM tok WHERE lang = 'en')),
+        |docbg AS (
+        |  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |    FROM tok) GROUP BY doc_id, bg),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(ROUND(-ln(
+        |      CASE WHEN c.ca IS NULL
+        |        THEN (COALESCE(ct.n1b, 0) + 1) / CAST(s.n1all + v.v + 1 AS DOUBLE)
+        |      ELSE (GREATEST(CAST(COALESCE(rb.cab, 0) AS DOUBLE) - 0.75, 0.0)
+        |            + CAST(0.75 AS DOUBLE) * c.n1f
+        |              * ((COALESCE(ct.n1b, 0) + 1) / CAST(s.n1all + v.v + 1 AS DOUBLE)))
+        |           / CAST(c.ca AS DOUBLE) END), 6) AS DECIMAL(18,6)) * d.cnt) AS ssum
+        |  FROM docbg d
+        |  LEFT JOIN refbg rb USING (bg)
+        |  LEFT JOIN ctx c ON c.a = split_part(d.bg, ' ', 1)
+        |  LEFT JOIN cont ct ON ct.b = split_part(d.bg, ' ', 2)
+        |  CROSS JOIN s0 s CROSS JOIN vv v
+        |  GROUP BY d.doc_id)
+        |SELECT t.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(CAST(sc.ssum AS DOUBLE) / sc.n_bigrams, 4) AS avg_nll,
+        |  COALESCE(ROUND(CAST(sc.ssum AS DOUBLE) / sc.n_bigrams, 4) <= 3.44, false) AS keep
+        |FROM tok t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // the Zipf OLS replayed: per-source token counts, (freq DESC, token)
     // rank, 6-dp decimal ln moments summed exactly, and the identical

@@ -525,6 +525,118 @@ object TextAnalysis {
     out
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing the
+    * production perplexity-filter stack actually uses (KenLM: Heafield
+    * 2011; CCNet filters on a KenLM 5-gram: Wenzek et al. 2020).
+    * [[bigramNllGate]] is the add-one baseline; add-one systematically
+    * over-taxes frequent contexts (it gives the V−1 unseen successors
+    * the same mass whether the context was seen 3 or 3M times), while
+    * KN (Kneser & Ney 1995) subtracts a fixed discount D from every
+    * seen bigram and redistributes exactly the reclaimed D·N1+(a,·)
+    * mass over a CONTINUATION distribution — P_cont(b) ∝ how many
+    * distinct contexts precede b, not how often b occurs — the classic
+    * "San Francisco" fix ("Francisco" is frequent but predictable, so
+    * it should get little unseen-context mass).
+    *
+    * Model (reference slice → tables):
+    *   c(a,b)       bigram occurrence counts
+    *   c(a)         = Σ_b c(a,b)                 (context totals)
+    *   N1+(a,·)     distinct successors of a      (discount mass)
+    *   N1+(·,b)     distinct predecessors of b    (continuation counts)
+    *   N1+(··)      distinct bigram types
+    *   P_cont(b)    = (N1+(·,b) + 1) / (N1+(··) + V + 1)
+    *   P(b|a)       = (max(c(a,b) − D, 0) + D·N1+(a,·)·P_cont(b)) / c(a)
+    * with P_cont Laplace-floored so out-of-vocabulary successors (and
+    * hence every doc bigram) score finitely — the +V+1 denominator
+    * reserves one merged-UNK type, the continuation analog of
+    * [[bigramNllGate]]'s add-one. A context unseen in the reference
+    * backs off to P_cont(b) entirely (the standard lower-order
+    * fallback). D is the fixed Ney et al. absolute discount (0.75
+    * default); 0 < D ≤ 1 keeps every seen-context probability positive.
+    *
+    * Determinism across engines: per-bigram −ln P is rounded to 6 dp
+    * DECIMAL before the count-weighted sum ([[unigramLogProb]]'s
+    * discipline) — everything upstream of the ln is integer-derived
+    * double arithmetic with one division, identical IEEE on both
+    * engines. Output (id, n_bigrams, avg_nll, keep): avg 4 dp,
+    * keep = avg ≤ threshold (docs with no bigram: n=0, null avg,
+    * keep=false — [[bigramNllGate]]'s contract).
+    *
+    * Scale shape — [[bigramNllGate]]'s plus one join: ONE reference
+    * tokenization fills the persisted bigram-count seam; the context
+    * table (c(a), N1+(a,·) in one grouped pass), continuation table,
+    * and the two scalars all derive from it; V is one distinct-count
+    * over the persisted token seam. Doc side is one grouped bigram
+    * pass + three equi-joins (bigram / context / successor — all
+    * model-vocabulary-sized, correctly NOT broadcast at corpus scale)
+    * + a 1-row scalar crossJoin. The doc-sized result is the one eager
+    * checkpoint; seams unpersist on return.
+    */
+  def knBigramNll(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      discount: Double = 0.75, threshold: Double = 3.0): DataFrame = {
+    require(discount > 0.0 && discount <= 1.0,
+      s"absolute discount must be in (0, 1], got $discount")
+    val refTok = reference
+      .select(tokens(col(refTextCol)).as("__toks"),
+        bigrams(col(refTextCol)).as("__bgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBi = refTok
+      .select(explode(col("__bgs")).as("__bg"))
+      .groupBy(col("__bg")).agg(count(lit(1)).cast("long").as("__cab"))
+      .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
+      .withColumn("__w2", split(col("__bg"), " ").getItem(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c(a) and N1+(a,·) in ONE grouped pass over the bigram-type table
+    val ctxTab = refBi.groupBy(col("__ctx"))
+      .agg(sum(col("__cab")).cast("long").as("__ca"),
+        count(lit(1)).cast("long").as("__n1f"))
+    val contTab = refBi.groupBy(col("__w2"))
+      .agg(count(lit(1)).cast("long").as("__n1b"))
+    // both scalars are 1-row metadata: distinct bigram types + vocab size
+    val scalars = broadcast(
+      refBi.agg(count(lit(1)).cast("long").as("__n1all")).crossJoin(
+        refTok.select(explode(col("__toks")).as("__tk"))
+          .agg(countDistinct(col("__tk")).cast("long").as("__v"))))
+    val docBi = df
+      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("__bg"))
+      .groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).cast("long").as("__cnt"))
+      .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
+      .withColumn("__w2", split(col("__bg"), " ").getItem(1))
+    val d = lit(discount)
+    val scored = docBi
+      .join(refBi.select(col("__bg"), col("__cab")), Seq("__bg"), "left")
+      .join(ctxTab, Seq("__ctx"), "left")
+      .join(contTab, Seq("__w2"), "left")
+      .crossJoin(scalars)
+      .withColumn("__pcont",
+        (coalesce(col("__n1b"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__n1all") + col("__v") + lit(1L)).cast("double"))
+      .withColumn("__p",
+        when(col("__ca").isNull, col("__pcont"))
+          .otherwise(
+            (greatest(coalesce(col("__cab"), lit(0L)).cast("double") - d,
+              lit(0.0)) +
+              d * col("__n1f").cast("double") * col("__pcont")) /
+              col("__ca").cast("double")))
+      .withColumn("__nll",
+        round(-log(col("__p")), 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(when(col("__bg").isNotNull, col("__cnt"))), lit(0L))
+          .cast("long").as("n_bigrams"),
+        sum(when(col("__bg").isNotNull, col("__nll") * col("__cnt"))).as("__sum"))
+      .withColumn("avg_nll", when(col("n_bigrams") > 0L,
+        round(col("__sum").cast("double") / col("n_bigrams").cast("double"), 4)))
+    val out = scored
+      .select(col(idCol), col("n_bigrams"), col("avg_nll"),
+        coalesce(col("avg_nll") <= threshold, lit(false)).as("keep"))
+      .localCheckpoint(true)
+    refBi.unpersist(false)
+    refTok.unpersist(false)
+    out
+  }
+
   /** Min-K% Prob membership/memorization score (Shi et al. 2023,
     * "Detecting Pretraining Data from Large Language Models": a text the
     * model has SEEN has anomalously few low-probability tokens, so score

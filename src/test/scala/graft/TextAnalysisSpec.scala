@@ -430,6 +430,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(2L).getAs[Boolean]("keep"))
   }
 
+  test("knBigramNll: hand-computed interpolated KN; unseen context backs off to continuation; short docs keep=false") {
+    // reference "a b a b c": bigram types ab(cab=2) ba(1) bc(1) → N1+(··)=3;
+    // contexts a(ca=2, N1+f=1) b(ca=2, N1+f=2); continuation counts
+    // N1+(·,a)=1 N1+(·,b)=1 N1+(·,c)=1; V=3 → pcont(x) = (n1b+1)/7
+    val ref = Seq(Tuple1("a b a b c")).toDF("text")
+    val docs = Seq(
+      (1L, "a b c"),      // ab seen(2), bc seen(1) — the discounted path
+      (2L, "z z"),        // unseen context AND successor → pcont(unk) = 1/7
+      (3L, "a"),          // no bigram
+      (4L, "c a"),        // c in vocab but never a context → backoff to pcont(a)
+      (5L, "b z")         // seen context, unseen successor → pure interpolation mass
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramNll(docs, "doc_id", "text", ref, "text",
+        discount = 0.75, threshold = 1.1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def pcont(n1b: Long): Double = (n1b + 1.0) / 7.0
+    def pkn(cab: Long, ca: Long, n1f: Long, pc: Double): Double =
+      (math.max(cab - 0.75, 0.0) + 0.75 * n1f * pc) / ca
+    def nll(p: Double): Double =
+      BigDecimal(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def avg(xs: Double*): Double =
+      BigDecimal(xs.sum / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L).getAs[Double]("avg_nll") ===
+      avg(nll(pkn(2, 2, 1, pcont(1))), nll(pkn(1, 2, 2, pcont(1)))))
+    assert(got(2L).getAs[Double]("avg_nll") === avg(nll(pcont(0))))
+    assert(got(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("avg_nll")))
+    assert(!got(3L).getAs[Boolean]("keep"), "no-bigram docs must not pass the gate")
+    assert(got(4L).getAs[Double]("avg_nll") === avg(nll(pcont(1))))
+    assert(got(5L).getAs[Double]("avg_nll") === avg(nll(pkn(0, 2, 2, pcont(0)))))
+    // seen bigrams must score better than interpolation-only mass
+    assert(got(1L).getAs[Double]("avg_nll") < got(5L).getAs[Double]("avg_nll"))
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("keep"))
+  }
+
   test("zipfFit: perfect power law recovers slope and r2=1; degenerate sources yield NULL fits") {
     // freq = round(1000 / rank): an exact Zipf sample up to rounding
     val zipf = (1 to 20).flatMap { r =>
