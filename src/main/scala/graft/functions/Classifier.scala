@@ -1,0 +1,329 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based quality classification trained IN-ENGINE — the
+  * fastText-family linear classifier modern curation stacks train to
+  * replace/distill rule batteries (CCNet trains a linear LM-vs-crawl
+  * filter: Wenzek et al. 2020; DCLM's strongest single signal is a
+  * fastText quality classifier: Li et al. 2024). Features are hashed
+  * bag-of-words (length-normalized token counts over `dim` md5 buckets
+  * — the hashing trick, Weinberger et al. 2009) plus an inverse-length
+  * term and a bias; the model is logistic regression fit by full-batch
+  * gradient descent.
+  *
+  * Distributed shape (the Lloyd/kmeansFit discipline): the featurized
+  * frame is built ONCE, labels attached, and persisted PRE-PARTITIONED
+  * on the doc id; each GD iteration is ONE job over it — weights arrive
+  * as a broadcast (dim+2)-row join (narrow), margins as a per-doc
+  * window sum that reuses the cached partitioning (NO exchange),
+  * residuals a narrow map, gradients a (dim+2)-key partial aggregation
+  * (the only shuffle, metadata-sized) — collecting exactly dim+2 rows
+  * to the driver. The weight vector is metadata (like IVF centroids);
+  * the corpus never re-tokenizes after featurization. At 100 TB:
+  * T exchange-free passes over a persisted feature frame; nothing
+  * driver-bound grows with the corpus.
+  *
+  * Engine-portable determinism (every step either exact or rounded at a
+  * pinned point):
+  *   - features x = round(cnt/len, 6) DECIMAL(10,6) — exact both engines;
+  *   - weights DECIMAL(20,10); margins Σ w·x are EXACT decimal sums
+  *     (order-independent — float dot products are not);
+  *   - p = round(sigmoid(margin), 6) DECIMAL(8,6) — the one
+  *     transcendental, 6-dp-rounded like every ln/exp in this library;
+  *   - step = round(eta · grad, 10) with eta = round(lr/N, 12)
+  *     DECIMAL(14,12) and grad the exact decimal Σ x·(p−y): a
+  *     decimal×decimal product rounded as a DECIMAL (half away from
+  *     zero in both engines) — never a double midpoint;
+  *   - w' = w − step exact.
+  * Oracle-exact whenever lr/N terminates within 12 dp (all fixture
+  * SFs: N ∈ {500, 5000, 50000} with lr 5.0 → eta exact); the recipe is
+  * spec-pinned on hand fixtures for arbitrary N.
+  */
+object Classifier {
+
+  val WeightScale = 10
+  val FeatScale = 6
+
+  /** Hashed bag-of-words features: (id, feat, x DECIMAL(10,6)).
+    * feat ∈ [0, dim): md5 token buckets with x = round(count/len, 6);
+    * feat = dim: inverse length x = round(1/len, 6) (lets the model see
+    * the length rules a pure ratio representation hides);
+    * feat = dim+1: bias, x = 1. One narrow tokenize + explode + grouped
+    * count — the featurize never shuffles more than (doc, bucket) rows.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0)
+    val base = df.select(col(idCol),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__len", greatest(size(col("__toks")), lit(1)))
+    val bow = base
+      .select(col(idCol), col("__len"), explode(col("__toks")).as("__tk"))
+      .withColumn("feat", NativeExpressions.md5Bucket(col("__tk"), dim)
+        .cast("int"))
+      .groupBy(col(idCol), col("feat"), col("__len"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .select(col(idCol), col("feat"),
+        round(col("__cnt") / col("__len").cast("double"), FeatScale)
+          .cast(DecimalType(10, FeatScale)).as("x"))
+    val invLen = base.select(col(idCol), lit(dim).as("feat"),
+      round(lit(1.0) / col("__len").cast("double"), FeatScale)
+        .cast(DecimalType(10, FeatScale)).as("x"))
+    val bias = base.select(col(idCol), lit(dim + 1).as("feat"),
+      lit(new java.math.BigDecimal("1.000000"))
+        .cast(DecimalType(10, FeatScale)).as("x"))
+    bow.unionByName(invLen).unionByName(bias)
+  }
+
+  /** Full-batch logistic GD over [[hashedFeatures]]. `labels` carries
+    * (idCol, labelCol: Boolean); N is the labeled-set size (docs without
+    * a label never contribute — inner joins throughout). Returns the
+    * final (feat → weight) vector, scale 10, feats 0..dim+1.
+    */
+  def trainHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, labelCol: String,
+      dim: Int = 64, iters: Int = 24, lr: Double = 5.0): Seq[(Int, BigDecimal)] = {
+    require(iters > 0 && lr > 0.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // labels attach ONCE (inner join = unlabeled docs never contribute),
+    // and the frame persists PRE-PARTITIONED on the doc id: each GD
+    // iteration's margin window then needs NO exchange over the cached
+    // frame — per iteration the only shuffle is the (dim+2)-key partial
+    // gradient aggregation (metadata-sized). The pre-restructure form
+    // (groupBy-margins + two joins back) paid three corpus-sized
+    // exchanges per iteration — 3× this plan's work at any scale.
+    val feats = hashedFeatures(docs, idCol, textCol, dim)
+      .join(labels.select(col(idCol),
+        when(col(labelCol), lit(1)).otherwise(lit(0))
+          .cast(DecimalType(8, FeatScale)).as("__y")), Seq(idCol))
+      .repartition(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.select(col(idCol)).distinct().count()
+    require(n > 0, "empty labeled set")
+    // eta mirrors the oracle's ROUND(CAST(lr AS DOUBLE)/N, 12): exact for
+    // terminating lr/N (all fixture SFs), shortest-repr rounded otherwise
+    val eta = BigDecimal(java.lang.Double.toString(lr / n))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    var w: Map[Int, BigDecimal] =
+      (0 until dim + 2).map(_ -> BigDecimal(0).setScale(WeightScale)).toMap
+    for (_ <- 0 until iters) {
+      val wDf = broadcast(w.toSeq.sortBy(_._1).toDF("feat", "__w")
+        .select(col("feat"), col("__w").cast(DecimalType(20, WeightScale)).as("__w")))
+      val grads = feats.join(wDf, "feat")
+        .withColumn("__m", sum(col("__w") * col("x")).over(win))
+        .withColumn("__r",
+          round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), FeatScale)
+            .cast(DecimalType(8, FeatScale)) - col("__y"))
+        .groupBy(col("feat"))
+        .agg(sum(col("x") * col("__r")).as("__g"))
+        .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+      w = w.map { case (f, wf) =>
+        val g = grads.getOrElse(f, BigDecimal(0))
+        val step = (eta * g).setScale(WeightScale, BigDecimal.RoundingMode.HALF_UP)
+        f -> (wf - step)
+      }
+    }
+    feats.unpersist(false)
+    (0 until dim + 2).map(f => f -> w(f))
+  }
+
+  /** The trained vector as a (feat, weight) frame — the model artifact a
+    * deployment persists beside the corpus (like the BPE merge table).
+    */
+  def weightsDf(spark: SparkSession, weights: Seq[(Int, BigDecimal)]): DataFrame = {
+    import spark.implicits._
+    weights.toDF("feat", "weight")
+      .select(col("feat"), col("weight").cast(DecimalType(20, WeightScale)).as("weight"))
+  }
+
+  /** Score docs under a trained vector: (id, score DECIMAL(8,6),
+    * pred = score ≥ threshold). The weight join is an explicit broadcast
+    * (dim+2 rows — metadata); scoring is one grouped decimal sum per doc
+    * — no corpus shuffle beyond the (doc, bucket) featurize rows.
+    * `threshold` is the calibrated operating point (a GD run this short
+    * separates scores around the base rate, not around 0.5 — pick the
+    * target keep-rate quantile; the qd80 fixture uses 0.73 = the
+    * sf0.01 training base rate).
+    */
+  def scoreHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(Int, BigDecimal)], dim: Int,
+      threshold: java.math.BigDecimal): DataFrame = {
+    val spark = docs.sparkSession
+    val wDf = broadcast(weightsDf(spark, weights)
+      .withColumnRenamed("weight", "__w"))
+    hashedFeatures(docs, idCol, textCol, dim)
+      .join(wDf, "feat")
+      .groupBy(col(idCol))
+      .agg(sum(col("__w") * col("x")).as("__m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), FeatScale)
+          .cast(DecimalType(8, FeatScale)).as("score"))
+      .withColumn("pred",
+        col("score") >= lit(threshold).cast(DecimalType(8, FeatScale)))
+  }
+
+  /** ROC-AUC of a score column against a boolean label — the standard
+    * quality-classifier eval, computed as the Mann–Whitney U statistic
+    * with AVERAGE ranks over tied scores (the sklearn/trec convention).
+    * Exact integer arithmetic throughout: scores group to ≤ 10^6+1
+    * distinct 6-dp values, ranks double through ×2 so tie midpoints
+    * stay integral, and the single division rounds at 6 dp. Scale
+    * shape: one grouped count on the score key + ONE window over the
+    * DISTINCT-score frame (bounded by score cardinality, not corpus
+    * rows) + a 1-row rollup. Returns (auc, n_pos, n_neg).
+    */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val grouped = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = grouped
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      // 2·avgRank = 2·cumBefore + cnt + 1 (integral even on ties)
+      .withColumn("__r2", lit(2L) * col("__before") + col("__cnt") + lit(1L))
+    ranked.agg(
+        sum(col("__pos") * col("__r2")).cast("long").as("__sum2"),
+        sum(col("__pos")).cast("long").as("n_pos"),
+        (sum(col("__cnt")) - sum(col("__pos"))).cast("long").as("n_neg"))
+      .select(
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round((col("__sum2") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  // ---- oracle SQL (DuckDB replay of the exact recipe) -----------------
+
+  /** Gopher keep as the training label (qd39's oracle verbatim, reshaped
+    * to a CTE): lab(doc_id, y DECIMAL(8,6)).
+    */
+  def labelCtes: String =
+    """lt AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |lsig AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    ROUND(length(regexp_replace(text, '\s+', '', 'g')) / GREATEST(len(w), 1), 4) AS avg_token_len,
+      |    ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+      |          / GREATEST(len(w), 1), 4) AS stopword_ratio
+      |  FROM lt),
+      |le AS (SELECT doc_id, unnest(w) AS tok FROM lt),
+      |lcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM le GROUP BY 1, 2),
+      |lttf AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 4) AS top_token_frac
+      |        FROM lcnt GROUP BY doc_id),
+      |lpos1 AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM lt),
+      |lpspans AS (SELECT doc_id, i - 1 AS pos, w[i+0] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM lpos1),
+      |lrep AS (SELECT doc_id, g FROM lpspans GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+      |lcov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+      |        FROM (SELECT p.doc_id, p.pos, unnest(range(0, 3)) AS j
+      |              FROM lpspans p JOIN lrep USING (doc_id, g))),
+      |lcovn AS (SELECT doc_id, COUNT(*) AS nc FROM lcov GROUP BY doc_id),
+      |ldupf AS (SELECT lt.doc_id, ROUND(COALESCE(c.nc, 0) / GREATEST(len(lt.w), 1), 4) AS dup_ngram_frac
+      |         FROM lt LEFT JOIN lcovn c USING (doc_id)),
+      |lab AS MATERIALIZED (
+      |  SELECT s.doc_id, CAST(CASE WHEN
+      |    (s.n_tokens >= 30 AND s.n_tokens <= 100000
+      |     AND s.avg_token_len >= 3.0 AND s.avg_token_len <= 10.0
+      |     AND s.stopword_ratio >= 0.02
+      |     AND COALESCE(f.top_token_frac, 0.0) <= 0.15
+      |     AND COALESCE(d.dup_ngram_frac, 0.0) <= 0.8) THEN 1 ELSE 0 END
+      |    AS DECIMAL(8,6)) AS y
+      |  FROM lsig s LEFT JOIN lttf f USING (doc_id) LEFT JOIN ldupf d USING (doc_id))""".stripMargin
+
+  /** feats(doc_id, feat, x): the hashed-BOW + inverse-length + bias frame. */
+  def featuresCtes(dim: Int): String =
+    s"""ft AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |ftk AS (SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ft),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER) AS feat,
+       |    CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(ln) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x
+       |  FROM ftk GROUP BY doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER)
+       |  UNION ALL
+       |  SELECT doc_id, $dim AS feat,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / GREATEST(len(w), 1), 6) AS DECIMAL(10,6)) AS x
+       |  FROM ft
+       |  UNION ALL
+       |  SELECT doc_id, ${dim + 1} AS feat, CAST(1 AS DECIMAL(10,6)) AS x
+       |  FROM ft)""".stripMargin
+
+  /** w0..w<iters>: the unrolled GD chain over feats+lab. */
+  def trainCtes(dim: Int, iters: Int, lr: Double): String = {
+    val init =
+      s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+         |eta AS (SELECT CAST(ROUND(CAST($lr AS DOUBLE) / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS e),
+         |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${dim + 2})) AS INTEGER) AS feat,
+         |       CAST(0 AS DECIMAL(20,10)) AS w)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""m$i AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
+         |  FROM feats f JOIN w$i w USING (feat) GROUP BY f.doc_id),
+         |r$i AS (SELECT m.doc_id,
+         |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-m.m)), 6) AS DECIMAL(8,6)) - l.y AS r
+         |  FROM m$i m JOIN lab l USING (doc_id)),
+         |g$i AS (SELECT f.feat, CAST(SUM(f.x * r.r) AS DECIMAL(24,12)) AS g
+         |  FROM feats f JOIN r$i r USING (doc_id) GROUP BY f.feat),
+         |w${i + 1} AS MATERIALIZED (SELECT w.feat,
+         |    CAST(w.w - ROUND((SELECT e FROM eta) * COALESCE(g.g, CAST(0 AS DECIMAL(24,12))), 10)
+         |      AS DECIMAL(20,10)) AS w
+         |  FROM w$i w LEFT JOIN g$i g USING (feat))""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** qd79's oracle: the trained weight vector. */
+  def trainOracleSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)}
+       |SELECT feat, w AS weight FROM w$iters ORDER BY feat""".stripMargin
+
+  /** qd80's oracle: every doc scored under the trained vector. */
+  def scoreOracleSql(dim: Int, iters: Int, lr: Double, threshold: String): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |sm AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
+       |  FROM feats f JOIN w$iters w USING (feat) GROUP BY f.doc_id),
+       |sp AS (SELECT doc_id,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-m)), 6) AS DECIMAL(8,6)) AS score
+       |  FROM sm)
+       |SELECT s.doc_id, s.score, s.score >= CAST($threshold AS DECIMAL(8,6)) AS pred,
+       |  l.y = CAST(1 AS DECIMAL(8,6)) AS label,
+       |  (s.score >= CAST($threshold AS DECIMAL(8,6))) = (l.y = CAST(1 AS DECIMAL(8,6))) AS correct
+       |FROM sp s JOIN lab l USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
+  /** qd81's oracle: average-rank Mann–Whitney AUC of the scores. */
+  def aucOracleSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |sm AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
+       |  FROM feats f JOIN w$iters w USING (feat) GROUP BY f.doc_id),
+       |sp AS (SELECT s.doc_id,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-s.m)), 6) AS DECIMAL(8,6)) AS score,
+       |    l.y = CAST(1 AS DECIMAL(8,6)) AS label
+       |  FROM sm s JOIN lab l USING (doc_id)),
+       |grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |rk AS (SELECT score, cnt, pos,
+       |    COALESCE(SUM(cnt) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+       |    2 * COALESCE(SUM(cnt) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2
+       |  FROM grp),
+       |agg AS (SELECT CAST(SUM(pos * r2) AS BIGINT) AS sum2,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg
+       |  FROM rk)
+       |SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ROUND(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       |  END AS auc, n_pos, n_neg
+       |FROM agg""".stripMargin
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Classifier
+
+/** In-engine quality-classifier semantics: feature construction, one
+  * hand-computed GD step, learnability on a separable fixture, replay
+  * determinism, and the average-rank AUC against hand values.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucketOf(tok: String, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    // lower 64 bits of the md5, unsigned mod (md5Bucket's contract,
+    // DuckDB md5_number_lower parity — pinned in PropertySpec for ids)
+    val lo = java.nio.ByteBuffer.wrap(d, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    java.lang.Long.remainderUnsigned(lo, dim.toLong).toInt
+  }
+
+  test("hashedFeatures: bias + inverse-length rows per doc; bucket mass sums to ~1; bucket ids match md5Bucket") {
+    val docs = Seq((1L, "a a b c"), (2L, "x")).toDF("doc_id", "text")
+    val dim = 16
+    val f = Classifier.hashedFeatures(docs, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+    val d1 = f.filter(_._1 == 1L)
+    // bias
+    assert(d1.exists(t => t._2 == dim + 1 && t._3 == BigDecimal("1.000000")))
+    // inverse length: 1/4
+    assert(d1.exists(t => t._2 == dim && t._3 == BigDecimal("0.250000")))
+    // bucket rows: a→2/4, b→1/4, c→1/4 at their md5 buckets
+    assert(d1.exists(t => t._2 == bucketOf("a", dim) && t._3 == BigDecimal("0.500000")))
+    val bowMass = d1.filter(_._2 < dim).map(_._3).sum
+    assert(bowMass == BigDecimal("1.000000"))
+    // every feat in range
+    assert(f.forall(t => t._2 >= 0 && t._2 <= dim + 1))
+  }
+
+  test("trainHashedLogistic: one iteration from zero weights matches the hand-computed exact-decimal step") {
+    // two docs, one feature dimension collision-free by construction
+    val docs = Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "keep")
+    val dim = 16
+    val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = dim, iters = 1, lr = 5.0).toMap
+    // zero weights → margin 0 → p = 0.500000 → r = ±0.5
+    // x(a in doc1) = 1.0, x(b in doc2) = 1.0; grad(a) = 1.0·(0.5−1) = −0.5
+    // eta = round(5/2, 12) = 2.5; step(a) = round(2.5·(−0.5), 10) = −1.25
+    val eta = BigDecimal("2.5")
+    val stepA = (eta * BigDecimal("-0.5")).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    assert(w(bucketOf("a", dim)) == -stepA)
+    assert(w(bucketOf("b", dim)) == stepA) // grad(b) = +0.5, symmetric
+    // bias sees both docs: grad = (0.5−1) + (0.5−0) = 0 → weight stays 0
+    assert(w(dim + 1) == BigDecimal(0).setScale(10))
+    // inverse-length: both docs len 2 → x = 0.5 each: grad = 0.5·(−0.5) + 0.5·0.5 = 0
+    assert(w(dim) == BigDecimal(0).setScale(10))
+  }
+
+  test("trainHashedLogistic learns a separable fixture; scoring separates and replays deterministically") {
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "good solid prose here")
+      else (i.toLong, "junk junk junk spam")
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val w1 = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    val w2 = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    assert(w1 == w2, "replay must be bit-identical")
+    val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+        w1, 32, new java.math.BigDecimal("0.500000"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val posMin = (0 until 20 by 2).map(i => scored(i.toLong)).min
+    val negMax = (1 until 20 by 2).map(i => scored(i.toLong)).max
+    assert(posMin > negMax, s"separable fixture must separate: $posMin vs $negMax")
+    // perfectly separated scores → AUC exactly 1
+    val auc = Classifier.binaryAuc(
+      Classifier.scoreHashedLogistic(docs, "doc_id", "text", w1, 32,
+        new java.math.BigDecimal("0.500000")).join(labels, "doc_id"),
+      "score", "keep").collect()(0)
+    assert(auc.getDouble(0) === 1.0)
+    assert(auc.getLong(1) === 10L && auc.getLong(2) === 10L)
+  }
+
+  test("GD iteration plan: margin window reuses the cached doc partitioning — exactly one Exchange (the gradient agg)") {
+    val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "a a")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false), (3L, true)).toDF("doc_id", "keep")
+    val feats = Classifier.hashedFeatures(docs, "doc_id", "text", 16)
+      .join(labels.select(col("doc_id"),
+        when(col("keep"), lit(1)).otherwise(lit(0))
+          .cast(DecimalType(8, 6)).as("__y")), Seq("doc_id"))
+      .repartition(col("doc_id"))
+      .persist()
+    feats.count() // materialize the cache so the scan reports its partitioning
+    val wDf = broadcast(Seq((0, BigDecimal(0))).toDF("feat", "__w")
+      .select(col("feat"), col("__w").cast(DecimalType(20, 10)).as("__w")))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val grads = feats.join(wDf, "feat")
+      .withColumn("__m", sum(col("__w") * col("x")).over(win))
+      .withColumn("__r",
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), 6)
+          .cast(DecimalType(8, 6)) - col("__y"))
+      .groupBy(col("feat")).agg(sum(col("x") * col("__r")).as("__g"))
+    // the InMemoryRelation's stringified BUILD plan (run once at persist)
+    // carries its own exchanges — count only the per-iteration plan above
+    // the cache boundary
+    val plan = grads.queryExecution.executedPlan.toString
+      .split("InMemoryRelation")(0)
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"iteration must shuffle exactly once (gradient agg):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+    assert(plan.contains("Window"), s"margins must be the window form:\n$plan")
+    feats.unpersist()
+  }
+
+  test("binaryAuc: average-rank tie handling, degenerate inputs") {
+    def auc(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
+      Classifier.binaryAuc(
+        rows.toDF("s", "y").select(
+          col("s").cast(DecimalType(8, 6)).as("s"), col("y")),
+        "s", "y").collect()(0)
+    // ties across classes: scores .9(+) .8(+) .8(−) .1(−)
+    // ranks: .1→1, .8→2.5 each, .9→4 → U = (4+2.5) − 3 = 3.5 → AUC 0.875
+    val tied = auc(Seq((0.9, true), (0.8, true), (0.8, false), (0.1, false)))
+    assert(tied.getDouble(0) === 0.875)
+    // all-identical scores → AUC exactly 0.5 at any class mix
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, false))).getDouble(0) === 0.5)
+    // anti-separation → 0
+    assert(auc(Seq((0.1, true), (0.9, false))).getDouble(0) === 0.0)
+    // single-class input → NULL auc, counts still reported
+    val mono = auc(Seq((0.3, true), (0.7, true)))
+    assert(mono.isNullAt(0) && mono.getLong(1) === 2L && mono.getLong(2) === 0L)
+  }
+}
