@@ -53,7 +53,8 @@ object Bench {
     "qd75_temperature_waterfill", "qd76_bpe_encode_ids",
     "qd77_unigram_encode_ids", "qd78_kn_bigram_nll",
     "qd79_quality_classifier_train", "qd80_quality_classifier_score",
-    "qd81_quality_classifier_auc",
+    "qd81_quality_classifier_auc", "qd82_classifier_calibration",
+    "qd83_classifier_calib_metrics",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",

@@ -3633,6 +3633,40 @@ object SparkEntry {
       Classifier.binaryAuc(scored, "score", "keep")
     }),
 
+    // oracle-checked: the classifier's reliability table (Guo et al.
+    // 2017 calibration diagnostic) — equal-width score bins, per-bin
+    // count/positives/mean-prediction/observed-fraction. Every ratio is
+    // an integer half-up division over scaled exact sums: bin fractions
+    // are small-integer rationals, the one place round(double, 4)
+    // genuinely diverges between engines.
+    "qd82_classifier_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.calibrationReport(scored, "score", "keep", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // oracle-checked: scalar calibration metrics — ECE (bin-weighted
+    // |observed − predicted| from qd82's 4-dp integers) and the Brier
+    // score (exact decimal squared error, half-up at 6 dp). One row.
+    "qd83_classifier_calib_metrics" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.calibrationMetrics(scored, "score", "keep", nBins = 10)
+    }),
+
     // oracle-checked: per-source Zipf rank-frequency fit — OLS of
     // ln(freq) on ln(rank) over each source's top-100 types; slope ≈ −1
     // is natural language, flat is templated text. The datacard health
@@ -6001,6 +6035,15 @@ object SparkEntry {
     // ranks, one integer rollup and a single rounded division
     "qd81_quality_classifier_auc" ->
       Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the reliability table replayed: same trained vector, bin by
+    // exact decimal floor, integer half-up divisions throughout
+    "qd82_classifier_calibration" ->
+      Classifier.calibrationOracleSql(dim = 64, iters = 24, lr = 5.0, nBins = 10),
+
+    // ECE + Brier replayed on the same integer discipline
+    "qd83_classifier_calib_metrics" ->
+      Classifier.calibrationMetricsOracleSql(dim = 64, iters = 24, lr = 5.0, nBins = 10),
 
     // the interpolated-KN model replayed: bigram/context/continuation
     // tables from the en slice, the same CASE (unseen-context backoff /

@@ -200,6 +200,76 @@ object Classifier {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Reliability table — the calibration diagnostic published next to
+    * AUC for every production quality classifier (Guo et al. 2017):
+    * scores bucket into `nBins` equal-width bins; per bin the count,
+    * positives, mean predicted score and observed positive fraction.
+    * A calibrated model has mean_pred ≈ frac_pos per bin.
+    *
+    * Every ratio is computed by INTEGER half-up division
+    * ((2·num + den) div (2·den) over scaled integers), never a rounded
+    * double: bin fractions are small-integer rationals (npos/n), and
+    * those land on 4-dp midpoints often enough that the usual
+    * round(double, 4) would diverge across engines (shortest-repr
+    * HALF_UP vs multiply-then-std::round). Scale shape: one grouped
+    * aggregation on the bin key (≤ nBins groups, map-side partials).
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val agg = scored
+      .withColumn("bin",
+        least(floor(col(scoreCol) * lit(nBins)).cast("int"), lit(nBins - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        // exact integer numerator of the score sum (scale 6)
+        sum(col(scoreCol) * lit(1000000L)).cast("long").as("__s6"))
+    agg.select(col("bin"), col("n"), col("n_pos"),
+        // mean_pred@4dp = half_up(s6 / (n·100)); frac_pos@4dp = half_up(npos·1e4 / n)
+        expr("(2 * __s6 + n * 100) div (2 * n * 100)").as("__m4"),
+        expr("(2 * n_pos * 10000 + n) div (2 * n)").as("__f4"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__m4").cast("double") / 10000.0).as("mean_pred"),
+        (col("__f4").cast("double") / 10000.0).as("frac_pos"))
+  }
+
+  /** Scalar calibration metrics: ECE (expected calibration error — the
+    * bin-weighted |frac_pos − mean_pred| from [[calibrationReport]]'s
+    * 4-dp integers) and the Brier score (mean squared error of the
+    * probabilistic forecast, exact decimal squares, half-up at 6 dp).
+    * Same integer-division discipline; one row (ece, brier, n).
+    */
+  def calibrationMetrics(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val perBin = scored
+      .withColumn("bin",
+        least(floor(col(scoreCol) * lit(nBins)).cast("int"), lit(nBins - 1)))
+      .withColumn("__yd",
+        when(col(labelCol), lit(1)).otherwise(lit(0)).cast(DecimalType(8, FeatScale)))
+      .withColumn("__sq", (col(scoreCol) - col("__yd")) * (col(scoreCol) - col("__yd")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(col(scoreCol) * lit(1000000L)).cast("long").as("__s6"),
+        // exact scale-12 integer numerator of Σ (score − y)²
+        sum(col("__sq") * lit(1000000000000L)).cast("long").as("__q12"))
+      .select(col("n"),
+        expr("(2 * __s6 + n * 100) div (2 * n * 100)").as("__m4"),
+        expr("(2 * n_pos * 10000 + n) div (2 * n)").as("__f4"),
+        col("__q12"))
+    perBin.agg(
+        sum(col("n") * abs(col("__f4") - col("__m4"))).as("__w4"),
+        sum(col("__q12")).as("__q"),
+        sum(col("n")).as("__n"))
+      .select(
+        (expr("(2 * __w4 + __n) div (2 * __n)").cast("double") / 10000.0).as("ece"),
+        (expr("(2 * __q + __n * 1000000) div (2 * __n * 1000000)").cast("double")
+          / 1000000.0).as("brier"),
+        col("__n").cast("long").as("n"))
+  }
+
   // ---- oracle SQL (DuckDB replay of the exact recipe) -----------------
 
   /** Gopher keep as the training label (qd39's oracle verbatim, reshaped
@@ -296,6 +366,53 @@ object Classifier {
        |  l.y = CAST(1 AS DECIMAL(8,6)) AS label,
        |  (s.score >= CAST($threshold AS DECIMAL(8,6))) = (l.y = CAST(1 AS DECIMAL(8,6))) AS correct
        |FROM sp s JOIN lab l USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
+  /** Shared oracle tail: scores + labels under the trained vector. */
+  private def scoredCtes(iters: Int): String =
+    s"""sm AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
+       |  FROM feats f JOIN w$iters w USING (feat) GROUP BY f.doc_id),
+       |sp AS (SELECT s.doc_id,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-s.m)), 6) AS DECIMAL(8,6)) AS score,
+       |    l.y = CAST(1 AS DECIMAL(8,6)) AS label
+       |  FROM sm s JOIN lab l USING (doc_id))""".stripMargin
+
+  /** qd82's oracle: the reliability table, integer half-up divisions. */
+  def calibrationOracleSql(dim: Int, iters: Int, lr: Double, nBins: Int): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |b AS (SELECT LEAST(CAST(FLOOR(score * $nBins) AS INTEGER), ${nBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(score * 1000000) AS BIGINT) AS s6
+       |  FROM sp GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |  CAST((2 * s6 + n * 100) // (2 * n * 100) AS DOUBLE) / 10000.0 AS mean_pred,
+       |  CAST((2 * n_pos * 10000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS frac_pos
+       |FROM b ORDER BY bin""".stripMargin
+
+  /** qd83's oracle: ECE + Brier by the same integer discipline. */
+  def calibrationMetricsOracleSql(dim: Int, iters: Int, lr: Double, nBins: Int): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |b AS (SELECT LEAST(CAST(FLOOR(score * $nBins) AS INTEGER), ${nBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(score * 1000000) AS BIGINT) AS s6,
+       |    CAST(SUM((score - CAST(CASE WHEN label THEN 1 ELSE 0 END AS DECIMAL(8,6)))
+       |      * (score - CAST(CASE WHEN label THEN 1 ELSE 0 END AS DECIMAL(8,6)))
+       |      * 1000000000000) AS BIGINT) AS q12
+       |  FROM sp GROUP BY 1),
+       |pb AS (SELECT n, (2 * s6 + n * 100) // (2 * n * 100) AS m4,
+       |    (2 * n_pos * 10000 + n) // (2 * n) AS f4, q12
+       |  FROM b),
+       |ag AS (SELECT SUM(n * abs(f4 - m4)) AS w4, SUM(q12) AS q, SUM(n) AS nn FROM pb)
+       |SELECT CAST((2 * w4 + nn) // (2 * nn) AS DOUBLE) / 10000.0 AS ece,
+       |  CAST((2 * q + nn * 1000000) // (2 * nn * 1000000) AS DOUBLE) / 1000000.0 AS brier,
+       |  CAST(nn AS BIGINT) AS n FROM ag""".stripMargin
 
   /** qd81's oracle: average-rank Mann–Whitney AUC of the scores. */
   def aucOracleSql(dim: Int, iters: Int, lr: Double): String =

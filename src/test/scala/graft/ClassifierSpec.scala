@@ -117,6 +117,30 @@ class ClassifierSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("calibrationReport/Metrics: hand-computed bins, ECE and Brier; score 1.0 clamps to the top bin") {
+    val rows = Seq((0.95, true), (0.85, true), (0.85, false), (0.05, false))
+      .toDF("s", "y")
+      .select(col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+    val rep = Classifier.calibrationReport(rows, "s", "y", nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rep(0) === ((1L, 0L, 0.05, 0.0)))
+    assert(rep(8) === ((2L, 1L, 0.85, 0.5)))
+    assert(rep(9) === ((1L, 1L, 0.95, 1.0)))
+    val m = Classifier.calibrationMetrics(rows, "s", "y", nBins = 10).collect()(0)
+    // ECE = (1·|0−.05| + 2·|.5−.85| + 1·|1−.95|)/4 = 0.2
+    assert(m.getDouble(0) === 0.2)
+    // Brier = (.0025 + .0225 + .7225 + .0025)/4 = 0.1875
+    assert(m.getDouble(1) === 0.1875)
+    assert(m.getLong(2) === 4L)
+    // exact top score lands in the last bin, not past it
+    val one = Seq((1.0, true)).toDF("s", "y")
+      .select(col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+    val b = Classifier.calibrationReport(one, "s", "y", nBins = 10).collect()(0)
+    assert(b.getInt(0) === 9 && b.getDouble(3) === 1.0)
+  }
+
   test("binaryAuc: average-rank tie handling, degenerate inputs") {
     def auc(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
       Classifier.binaryAuc(
