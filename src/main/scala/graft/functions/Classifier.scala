@@ -200,6 +200,38 @@ object Classifier {
         col("n_pos"), col("n_neg"))
   }
 
+  /** NARROW per-row score — the serving path. The batch scorer
+    * ([[scoreHashedLogistic]]) goes through the exploded feature frame
+    * (exact, oracle-replayable); this one computes the same margin in a
+    * single codegen'd projection with the weight vector riding as an
+    * ARRAY LITERAL (dim+2 doubles — metadata, like IVF centroids):
+    * Σ_tokens w[bucket(t)]/len + w_invlen/len + w_bias. NO explode, NO
+    * shuffle — at 100 TB scoring is a pure map over the scan, and on a
+    * stream it is micro-batch-state-free.
+    *
+    * Divergence from the exact path: the batch features round cnt/len
+    * at 6 dp per DISTINCT token; this form skips that rounding, so
+    * |Δmargin| ≤ (#distinct tokens + 1)·max|w|·5e-7 — orders below any
+    * operating threshold (spec-pinned ≤ 1e-4 on the fixtures). Use the
+    * exact path where cross-engine replay matters; this where
+    * throughput does.
+    */
+  def narrowScore(text: Column, weights: Seq[(Int, BigDecimal)],
+      dim: Int): Column = {
+    val wArr = array((0 until dim + 2).map(f =>
+      lit(weights.toMap.getOrElse(f, BigDecimal(0)).toDouble)): _*)
+    val toks = filter(TextAnalysis.tokens(text), t => length(t) > 0)
+    val len = greatest(size(toks), lit(1)).cast("double")
+    val sumw = aggregate(
+      transform(toks, t =>
+        element_at(wArr, NativeExpressions.md5Bucket(t, dim) + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val margin = sumw / len +
+      element_at(wArr, dim + 1) / len + element_at(wArr, dim + 2)
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), FeatScale)
+      .cast(DecimalType(8, FeatScale))
+  }
+
   /** Reliability table — the calibration diagnostic published next to
     * AUC for every production quality classifier (Guo et al. 2017):
     * scores bucket into `nBins` equal-width bins; per bin the count,

@@ -117,6 +117,30 @@ class ClassifierSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("narrowScore (serving path) tracks the exact scorer within the feature-rounding bound") {
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "good solid prose here and more words")
+      else (i.toLong, "junk junk junk spam spam")
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    val exact = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+        w, 32, new java.math.BigDecimal("0.500000"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val narrow = docs.select(col("doc_id"),
+        Classifier.narrowScore(col("text"), w, 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    exact.foreach { case (id, e) =>
+      assert(math.abs(e - narrow(id)) <= 1e-4,
+        s"doc $id: exact $e vs narrow ${narrow(id)}")
+    }
+    // and the narrow plan is genuinely narrow: zero Exchange
+    val plan = docs.select(Classifier.narrowScore(col("text"), w, 32))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow scorer shuffled:\n$plan")
+  }
+
   test("calibrationReport/Metrics: hand-computed bins, ECE and Brier; score 1.0 clamps to the top bin") {
     val rows = Seq((0.95, true), (0.85, true), (0.85, false), (0.05, false))
       .toDF("s", "y")

@@ -2945,6 +2945,63 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("score-drift monitor: low-quality flood fires one edge-triggered alert under frozen qd79 weights; recovery re-arms") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // train the classifier on a separable fixture, freeze the weights
+      val goodText = "good solid prose here and more words"
+      val badText = "junk junk junk spam spam"
+      val trainDocs = (0 until 20).map { i =>
+        if (i % 2 == 0) (i.toLong, goodText) else (i.toLong, badText)
+      }.toDF("doc_id", "text")
+      val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+      val w = graft.functions.Classifier.trainHashedLogistic(trainDocs,
+        "doc_id", "text", labels, "keep", dim = 32, iters = 12, lr = 5.0)
+      // baseline = training-time mean score over the KEPT slice
+      val baseline = graft.functions.Classifier.scoreHashedLogistic(
+          trainDocs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          w, 32, new java.math.BigDecimal("0.500000"))
+        .agg(avg(col("score").cast("double"))).as[Double].head()
+      val tol = 0.05
+      // precondition making the walk deterministic: the bad slice's mean
+      // really sits below the alert threshold
+      val badMean = graft.functions.Classifier.scoreHashedLogistic(
+          trainDocs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          w, 32, new java.math.BigDecimal("0.500000"))
+        .agg(avg(col("score").cast("double"))).as[Double].head()
+      assert(badMean < baseline * (1.0 - tol),
+        s"fixture must separate: bad $badMean vs baseline $baseline")
+
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.ScoreDrift.scoreDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text",
+          w, 32, baseline, tolFrac = tol, minDocs = 5L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("sdrift").start()
+      def feed(texts: String*): Unit = {
+        ms.addData(texts.map(t => ("web", t)): _*)
+        q.processAllAvailable()
+      }
+      feed(Seq.fill(6)(goodText): _*)   // in-distribution → quiet
+      feed(Seq.fill(6)(badText): _*)    // score sag → ALERT
+      feed(Seq.fill(6)(badText): _*)    // still drifted → latched
+      feed(badText)                     // sub-minDocs trickle: no re-arm
+      feed(Seq(null, goodText, goodText, goodText, goodText, goodText): _*) // null-safe recovery → re-arm
+      feed(Seq.fill(6)(badText): _*)    // second sag → ALERT
+      q.stop()
+      val rows = spark.table("sdrift")
+        .as[graft.streaming.ScoreDrift.ScoreReport].collect()
+      assert(rows.count(_.alert) === 2, rows.mkString("\n"))
+      val quiet = rows.filter(r => !r.alert && r.batch_docs >= 5L)
+      assert(quiet.exists(_.mean_score >= baseline * (1.0 - tol)), rows.mkString("\n"))
+      assert(rows.filter(_.alert).forall(_.mean_score < baseline * (1.0 - tol)),
+        rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- streaming capstone: the composed curation sink -------------------
 
   /** Quality-passing synthetic text: 50 tokens, every 5th a stopword
