@@ -54,7 +54,7 @@ object Bench {
     "qd77_unigram_encode_ids", "qd78_kn_bigram_nll",
     "qd79_quality_classifier_train", "qd80_quality_classifier_score",
     "qd81_quality_classifier_auc", "qd82_classifier_calibration",
-    "qd83_classifier_calib_metrics",
+    "qd83_classifier_calib_metrics", "qd84_heldout_auc",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -137,9 +137,19 @@ object Bench {
     * breaches (w1's two marginal confirms died in w2), i.e. the
     * round-17 floor calibration carries to this placement; the
     * streaming/new-query pins below were re-taken here directly.
+    *
+    * Round-18 continuation pin: boot 531f5c45 — the host re-placed
+    * again mid-round. Two full-suite windows on the new placement
+    * (steal 77/88 ticks/s — dirty, but uniform) read vs_floor_total
+    * 1.06 and 1.10 with ZERO confirmed breaches (every candidate died
+    * on its confirm or in the other window) — the carried calibration
+    * measures as placement-equivalent, so the floors stand and the
+    * fingerprint moves with them. The six qd78–qd83 pins below are
+    * cross-window minima × 1.10 from these (dirty) windows — biased
+    * HIGH by the weather; re-pin DOWN at the next clean window.
     */
   val floorPlacementBootId: Option[String] =
-    Some("60f5b14a-9e14-4cce-8b2f-268c2dd05862")
+    Some("531f5c45-c767-4e33-bd64-f117cf317620")
 
   /** /proc/sys/kernel/random/boot_id — None when unreadable (non-Linux
     * dev box), which disables staleness routing rather than guessing.
@@ -241,6 +251,18 @@ object Bench {
     // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
     // quiet subset window (2.541 s at steal 1) — min x 1.10
     "qd76_bpe_encode_ids" -> 2.43,
+    // qd78–qd83 pinned on the 531f5c45 placement from the two
+    // round-18-continuation full-suite windows (steal 77/88 ticks/s —
+    // dirty; minima × 1.10, biased high, re-pin down on a clean window)
+    "qd78_kn_bigram_nll" -> 7.31,
+    "qd79_quality_classifier_train" -> 8.24,
+    "qd80_quality_classifier_score" -> 8.18,
+    "qd81_quality_classifier_auc" -> 8.10,
+    "qd82_classifier_calibration" -> 7.58,
+    "qd83_classifier_calib_metrics" -> 7.82,
+    // qd84 pinned from a subset window only (11.13 s at ~19 ticks/s;
+    // subset windows under-read — re-base at the next full clean sweep)
+    "qd84_heldout_auc" -> 12.24,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 2.48,

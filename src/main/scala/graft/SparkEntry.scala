@@ -3633,6 +3633,28 @@ object SparkEntry {
       Classifier.binaryAuc(scored, "score", "keep")
     }),
 
+    // oracle-checked: HELD-OUT evaluation — train on the md5 train
+    // split only (the qd11 deterministic split), score the whole
+    // corpus, AUC per split via the grouped Mann–Whitney: the
+    // train-vs-val AUC gap IS the generalization check every deployed
+    // quality filter publishes. Non-vacuous: all three splits carry
+    // both classes at every SF.
+    "qd84_heldout_auc" -> ((s, d) => {
+      val docs = Curation.withSplit(Tables.documents(s, d), "doc_id",
+        trainPct = 70, valPct = 15)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(
+        docs.filter(col("split") === "train"), "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+        .join(docs.select(col("doc_id"), col("split")), "doc_id")
+      Classifier.binaryAucBy(scored, "score", "keep", "split")
+        .orderBy(col("split"))
+    }),
+
     // oracle-checked: the classifier's reliability table (Guo et al.
     // 2017 calibration diagnostic) — equal-width score bins, per-bin
     // count/positives/mean-prediction/observed-fraction. Every ratio is
@@ -6035,6 +6057,13 @@ object SparkEntry {
     // ranks, one integer rollup and a single rounded division
     "qd81_quality_classifier_auc" ->
       Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the held-out walk replayed: train-slice features feed the same
+    // GD CTEs (N = the slice size), a second all-docs feature frame
+    // feeds scoring, split-partitioned average ranks
+    "qd84_heldout_auc" ->
+      Classifier.heldoutAucOracleSql(dim = 64, iters = 24, lr = 5.0,
+        trainPct = 70, valPct = 15),
 
     // the reliability table replayed: same trained vector, bin by
     // exact decimal floor, integer half-up divisions throughout

@@ -302,6 +302,39 @@ object Classifier {
         col("__n").cast("long").as("n"))
   }
 
+  /** Per-group ROC-AUC — [[binaryAuc]] with the rank computation
+    * partitioned by `groupCol` (one row per group). The held-out
+    * evaluation primitive: train on the train split, score everything,
+    * and the val-split AUC vs train-split AUC gap IS the
+    * generalization check. Same exact integer arithmetic; the window
+    * partitions by group so ranks never cross splits; the windowed
+    * frame is the grouped DISTINCT (group, score) table — bounded by
+    * |groups|·10^6, not corpus rows.
+    */
+  def binaryAucBy(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val grouped = df.groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__before") + col("__cnt") + lit(1L))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__pos") * col("__r2")).cast("long").as("__sum2"),
+        sum(col("__pos")).cast("long").as("n_pos"),
+        (sum(col("__cnt")) - sum(col("__pos"))).cast("long").as("n_neg"))
+      .select(col(groupCol),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round((col("__sum2") - col("n_pos") * (col("n_pos") + 1L))
+            .cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   // ---- oracle SQL (DuckDB replay of the exact recipe) -----------------
 
   /** Gopher keep as the training label (qd39's oracle verbatim, reshaped
@@ -338,37 +371,51 @@ object Classifier {
       |    AS DECIMAL(8,6)) AS y
       |  FROM lsig s LEFT JOIN lttf f USING (doc_id) LEFT JOIN ldupf d USING (doc_id))""".stripMargin
 
-  /** feats(doc_id, feat, x): the hashed-BOW + inverse-length + bias frame. */
-  def featuresCtes(dim: Int): String =
-    s"""ft AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-       |ftk AS (SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ft),
-       |feats AS MATERIALIZED (
+  /** feats(doc_id, feat, x): the hashed-BOW + inverse-length + bias
+    * frame. `name` lets one oracle carry two feature frames (qd84:
+    * train-slice `feats` + all-docs `sfeats`); `docsWhere` filters the
+    * source docs (SQL condition over `documents` columns, empty = all).
+    */
+  def featuresCtes(dim: Int, name: String = "feats",
+      docsWhere: String = ""): String = {
+    val where = if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"
+    s"""${name}_ft AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents$where),
+       |${name}_tk AS (SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ${name}_ft),
+       |$name AS MATERIALIZED (
        |  SELECT doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER) AS feat,
        |    CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(ln) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x
-       |  FROM ftk GROUP BY doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER)
+       |  FROM ${name}_tk GROUP BY doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER)
        |  UNION ALL
        |  SELECT doc_id, $dim AS feat,
        |    CAST(ROUND(CAST(1 AS DOUBLE) / GREATEST(len(w), 1), 6) AS DECIMAL(10,6)) AS x
-       |  FROM ft
+       |  FROM ${name}_ft
        |  UNION ALL
        |  SELECT doc_id, ${dim + 1} AS feat, CAST(1 AS DECIMAL(10,6)) AS x
-       |  FROM ft)""".stripMargin
+       |  FROM ${name}_ft)""".stripMargin
+  }
 
-  /** w0..w<iters>: the unrolled GD chain over feats+lab. */
-  def trainCtes(dim: Int, iters: Int, lr: Double): String = {
+  /** w0..w<iters>: the unrolled GD chain over `featsName`+lab. N is the
+    * labeled-feature-frame doc count (= the Spark side's distinct-id
+    * count after the inner label join — identical to |lab| when the
+    * frame covers every labeled doc, and the train-slice size when it
+    * does not, e.g. qd84).
+    */
+  def trainCtes(dim: Int, iters: Int, lr: Double,
+      featsName: String = "feats"): String = {
     val init =
-      s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+      s"""nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM
+         |  (SELECT DISTINCT doc_id FROM $featsName JOIN lab USING (doc_id))),
          |eta AS (SELECT CAST(ROUND(CAST($lr AS DOUBLE) / (SELECT n FROM nn), 12) AS DECIMAL(14,12)) AS e),
          |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${dim + 2})) AS INTEGER) AS feat,
          |       CAST(0 AS DECIMAL(20,10)) AS w)""".stripMargin
     val steps = (0 until iters).map { i =>
       s"""m$i AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
-         |  FROM feats f JOIN w$i w USING (feat) GROUP BY f.doc_id),
+         |  FROM $featsName f JOIN w$i w USING (feat) GROUP BY f.doc_id),
          |r$i AS (SELECT m.doc_id,
          |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-m.m)), 6) AS DECIMAL(8,6)) - l.y AS r
          |  FROM m$i m JOIN lab l USING (doc_id)),
          |g$i AS (SELECT f.feat, CAST(SUM(f.x * r.r) AS DECIMAL(24,12)) AS g
-         |  FROM feats f JOIN r$i r USING (doc_id) GROUP BY f.feat),
+         |  FROM $featsName f JOIN r$i r USING (doc_id) GROUP BY f.feat),
          |w${i + 1} AS MATERIALIZED (SELECT w.feat,
          |    CAST(w.w - ROUND((SELECT e FROM eta) * COALESCE(g.g, CAST(0 AS DECIMAL(24,12))), 10)
          |      AS DECIMAL(20,10)) AS w
@@ -400,13 +447,46 @@ object Classifier {
        |FROM sp s JOIN lab l USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
   /** Shared oracle tail: scores + labels under the trained vector. */
-  private def scoredCtes(iters: Int): String =
+  private def scoredCtes(iters: Int, featsName: String = "feats"): String =
     s"""sm AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS DOUBLE) AS m
-       |  FROM feats f JOIN w$iters w USING (feat) GROUP BY f.doc_id),
+       |  FROM $featsName f JOIN w$iters w USING (feat) GROUP BY f.doc_id),
        |sp AS (SELECT s.doc_id,
        |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-s.m)), 6) AS DECIMAL(8,6)) AS score,
        |    l.y = CAST(1 AS DECIMAL(8,6)) AS label
        |  FROM sm s JOIN lab l USING (doc_id))""".stripMargin
+
+  /** qd84's oracle: train on the md5 train split, score ALL docs, AUC
+    * per split — the held-out generalization check replayed end to end.
+    */
+  def heldoutAucOracleSql(dim: Int, iters: Int, lr: Double,
+      trainPct: Int, valPct: Int): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim, "feats",
+         s"CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) < $trainPct")},
+       |${trainCtes(dim, iters, lr)},
+       |${featuresCtes(dim, "sfeats")},
+       |${scoredCtes(iters, "sfeats")},
+       |spl AS (SELECT sp.doc_id, sp.score, sp.label,
+       |    CASE WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) < $trainPct THEN 'train'
+       |         WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS INTEGER) < ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM sp),
+       |grp AS (SELECT split, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM spl GROUP BY split, score),
+       |rk AS (SELECT split, cnt, pos,
+       |    2 * COALESCE(SUM(cnt) OVER (PARTITION BY split ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2
+       |  FROM grp),
+       |agg AS (SELECT split, CAST(SUM(pos * r2) AS BIGINT) AS sum2,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg
+       |  FROM rk GROUP BY split)
+       |SELECT split, CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ROUND(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       |  END AS auc, n_pos, n_neg
+       |FROM agg ORDER BY split""".stripMargin
 
   /** qd82's oracle: the reliability table, integer half-up divisions. */
   def calibrationOracleSql(dim: Int, iters: Int, lr: Double, nBins: Int): String =

@@ -165,6 +165,23 @@ class ClassifierSpec extends SparkSpec {
     assert(b.getInt(0) === 9 && b.getDouble(3) === 1.0)
   }
 
+  test("binaryAucBy: per-group AUC equals binaryAuc run on each slice; ranks never cross groups") {
+    val rows = Seq(("a", 0.9, true), ("a", 0.8, true), ("a", 0.8, false), ("a", 0.1, false),
+        ("b", 0.3, true), ("b", 0.7, false), ("b", 0.5, true))
+      .toDF("g", "s", "y")
+      .select(col("g"), col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+    val by = Classifier.binaryAucBy(rows, "s", "y", "g").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    Seq("a", "b").foreach { g =>
+      val solo = Classifier.binaryAuc(rows.filter(col("g") === g), "s", "y")
+        .collect()(0)
+      val exp = if (solo.isNullAt(0)) None else Some(solo.getDouble(0))
+      assert(by(g) === exp, s"group $g")
+    }
+    assert(by("a") === Some(0.875))
+  }
+
   test("binaryAuc: average-rank tie handling, degenerate inputs") {
     def auc(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
       Classifier.binaryAuc(
