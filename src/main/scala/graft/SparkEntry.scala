@@ -3633,6 +3633,35 @@ object SparkEntry {
       Classifier.binaryAuc(scored, "score", "keep")
     }),
 
+    // oracle-checked: data-constrained EPOCH allocation (Muennighoff
+    // et al. 2023) — when unique supply binds, repeat good sources at
+    // diminishing value (decay 0.5/epoch, 3 epochs max) instead of
+    // widening into junk. Weight = the per-source mean stopword ratio
+    // (qd40's quality signal) by integer half-up division; budget =
+    // 160% of total supply, so epoch 1 fills everywhere and epoch 2
+    // goes to the best sources with one fractional cut — all three
+    // outcomes (1.0 / fractional / 2.0 epochs) present at every SF.
+    "qd85_epoch_allocation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sw = docs.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
+        (round(TextAnalysis.stopwordRatio(col("text")), 4)
+          .cast(DecimalType(18, 4)) * lit(10000L)).cast("long").as("__sw4"))
+      val src = sw.groupBy(col("source"))
+        .agg(sum(col("__nt")).cast("long").as("u"),
+          sum(col("__sw4")).cast("long").as("__s4"),
+          count(lit(1)).cast("long").as("__n"))
+        .withColumn("w4", expr("(2 * __s4 + __n) div (2 * __n)"))
+        .withColumn("weight", col("w4").cast(DecimalType(18, 4)) *
+          lit(new java.math.BigDecimal("0.0001")))
+      val total = src.agg(sum(col("u"))).head.getLong(0)
+      Curation.epochAllocate(src, "source", "u", "weight",
+          tokenBudget = total * 8L / 5L, maxEpochs = 3,
+          decay = new java.math.BigDecimal("0.5"))
+        .withColumn("weight", col("weight").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // oracle-checked: HELD-OUT evaluation — train on the md5 train
     // split only (the qd11 deterministic split), score the whole
     // corpus, AUC per split via the grouped Mann–Whitney: the
@@ -6057,6 +6086,43 @@ object SparkEntry {
     // ranks, one integer rollup and a single rounded division
     "qd81_quality_classifier_auc" ->
       Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the epoch greedy replayed: integer-half-up source weights, exact
+    // decimal marginals over the (source, epoch) grid, one global
+    // cumulative-supply window, integer takes and epoch arithmetic
+    "qd85_epoch_allocation" ->
+      """WITH sw AS (
+        |  SELECT source, CAST(len(w) AS BIGINT) AS nt,
+        |    CAST(CAST(ROUND(len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is','it','for')))
+        |      / GREATEST(len(w), 1), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sw4
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)),
+        |src AS (
+        |  SELECT source, CAST(SUM(nt) AS BIGINT) AS u,
+        |    (2 * CAST(SUM(sw4) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS w4
+        |  FROM sw GROUP BY source),
+        |bgt AS (SELECT (CAST(SUM(u) AS BIGINT) * 8) // 5 AS b FROM src),
+        |grid AS (
+        |  SELECT s.source, s.u,
+        |    CAST(s.w4 AS DECIMAL(18,4)) * CAST(0.0001 AS DECIMAL(5,4)) AS w,
+        |    e.k, CAST(s.w4 AS DECIMAL(18,4)) * CAST(0.0001 AS DECIMAL(5,4)) * e.dk AS m
+        |  FROM src s CROSS JOIN (VALUES
+        |    (1, CAST(1.00 AS DECIMAL(12,2))),
+        |    (2, CAST(0.50 AS DECIMAL(12,2))),
+        |    (3, CAST(0.25 AS DECIMAL(12,2)))) e(k, dk)),
+        |cum AS (
+        |  SELECT *, COALESCE(SUM(u) OVER (ORDER BY m DESC, source, k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM grid),
+        |tk AS (SELECT source, u, w, m,
+        |    GREATEST(LEAST(u, (SELECT b FROM bgt) - bef), 0) AS take
+        |  FROM cum)
+        |SELECT source, ANY_VALUE(u) AS unique_tokens,
+        |  CAST(ANY_VALUE(w) AS DOUBLE) AS weight,
+        |  CAST(SUM(take) AS BIGINT) AS tokens_taken,
+        |  CAST((2 * CAST(SUM(take) AS BIGINT) * 10000 + ANY_VALUE(u))
+        |    // (2 * ANY_VALUE(u)) AS DOUBLE) / 10000.0 AS epochs,
+        |  CAST(ROUND(SUM(m * take), 4) AS DOUBLE) AS effective_value
+        |FROM tk GROUP BY source ORDER BY source""".stripMargin,
 
     // the held-out walk replayed: train-slice features feed the same
     // GD CTEs (N = the slice size), a second all-docs feature frame

@@ -728,6 +728,68 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Data-constrained EPOCH allocation — the repetition-aware mixing
+    * recipe (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": when unique data is the binding constraint,
+    * repeat good sources for a few epochs at diminishing value rather
+    * than widen into junk; LLaMA's per-source epoch table is this
+    * decision made by hand). Each source s offers up to `maxEpochs`
+    * epochs of its `tokensCol` supply u_s; epoch k carries marginal
+    * value weight_s · decay^(k−1). The allocation is the greedy over
+    * the (source, epoch) grid in (marginal DESC, source, epoch) order
+    * — optimal for a concave per-source value (decay < 1 makes epoch
+    * values non-increasing), and the final grid cell takes the
+    * fractional remainder.
+    *
+    * Exactness: decay^(k−1) is an exact BigDecimal power rendered as a
+    * plan literal; marginal = weight·decay^(k−1) is exact decimal (so
+    * the ORDER BY never compares rounded doubles); the cumulative
+    * supply is an integer window; take = clamp(B − cumBefore, 0, u_s)
+    * integer; epochs@4dp by integer half-up division; effective value
+    * = round(Σ marginal·take, 4) — a DECIMAL rounding, never a double
+    * midpoint. Scale shape: the grid is |sources|·maxEpochs rows
+    * (metadata); ONE global window over it (bounded by design — the
+    * [[waterFillMix]] class of driver-sized solves, kept relational so
+    * the oracle replays it without unrolling).
+    *
+    * Output per source: (source, unique_tokens, weight, tokens_taken,
+    * epochs, effective_value).
+    */
+  def epochAllocate(sources: DataFrame, sourceCol: String, tokensCol: String,
+      weightCol: String, tokenBudget: Long, maxEpochs: Int = 4,
+      decay: java.math.BigDecimal = new java.math.BigDecimal("0.5")): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    require(tokenBudget >= 0, s"tokenBudget must be non-negative, got $tokenBudget")
+    require(decay.signum > 0 && decay.compareTo(java.math.BigDecimal.ONE) <= 0,
+      s"decay must be in (0,1], got $decay")
+    val grid = sources.select(col(sourceCol).as("source"),
+        col(tokensCol).cast("long").as("__u"),
+        col(weightCol).as("__w"))
+      .filter(col("__u") > 0L)
+      .withColumn("__e", explode(array((1 to maxEpochs).map { k =>
+        struct(lit(k).as("k"), lit(decay.pow(k - 1)).as("dk"))
+      }: _*)))
+      .select(col("source"), col("__u"), col("__w"),
+        col("__e.k").as("__k"), (col("__w") * col("__e.dk")).as("__m"))
+    val w = Window.orderBy(col("__m").desc, col("source"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("__before", coalesce(sum(col("__u")).over(w), lit(0L)))
+      .withColumn("__take",
+        greatest(least(col("__u"), lit(tokenBudget) - col("__before")), lit(0L)))
+      .groupBy(col("source"))
+      .agg(first(col("__u")).as("unique_tokens"),
+        first(col("__w")).as("weight"),
+        sum(col("__take")).cast("long").as("tokens_taken"),
+        round(sum(col("__m") * col("__take")), 4).cast("double")
+          .as("effective_value"))
+      .withColumn("epochs",
+        expr("(2 * tokens_taken * 10000 + unique_tokens) div (2 * unique_tokens)")
+          .cast("double") / 10000.0)
+      .select(col("source"), col("unique_tokens"), col("weight"),
+        col("tokens_taken"), col("epochs"), col("effective_value"))
+  }
+
   /** The water-level solve behind [[waterFillMix]], over collected
     * (source, token-mass) rows with mass > 0 — returns
     * (source, a, weightMicroUnits, capped, take). Exactness discipline

@@ -430,6 +430,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(2L).getAs[Boolean]("keep"))
   }
 
+  test("epochAllocate: hand-computed greedy over the epoch grid; caps, fractional cut, tie-break, degenerate budgets") {
+    val src = Seq(("a", 100L, new java.math.BigDecimal("0.2000")),
+        ("b", 100L, new java.math.BigDecimal("0.1500")))
+      .toDF("source", "u", "weight")
+    def run(budget: Long) =
+      Curation.epochAllocate(src, "source", "u", "weight", budget,
+          maxEpochs = 3, decay = new java.math.BigDecimal("0.5"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // budget 250: a1(.2)=100, b1(.15)=100, a2(.1)=50 fractional, rest 0
+    val m = run(250L)
+    assert(m("a") === ((150L, 1.5, 25.0)))   // ev = .2·100 + .1·50
+    assert(m("b") === ((100L, 1.0, 15.0)))
+    // budget beyond supply: everything capped at maxEpochs
+    val full = run(10000L)
+    assert(full("a")._1 === 300L && full("a")._2 === 3.0)
+    assert(full("b")._3 === 0.15 * 100 + 0.075 * 100 + 0.0375 * 100)
+    // zero budget: nothing allocated
+    val zero = run(0L)
+    assert(zero("a") === ((0L, 0.0, 0.0)) && zero("b") === ((0L, 0.0, 0.0)))
+    // weight tie: source name breaks it (a's epoch fills before b's)
+    val tied = Seq(("a", 100L, new java.math.BigDecimal("0.2000")),
+        ("b", 100L, new java.math.BigDecimal("0.2000")))
+      .toDF("source", "u", "weight")
+    val t = Curation.epochAllocate(tied, "source", "u", "weight", 150L,
+        maxEpochs = 2, decay = new java.math.BigDecimal("0.5"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("a") === 100L && t("b") === 50L)
+  }
+
   test("knBigramNll: hand-computed interpolated KN; unseen context backs off to continuation; short docs keep=false") {
     // reference "a b a b c": bigram types ab(cab=2) ba(1) bc(1) → N1+(··)=3;
     // contexts a(ca=2, N1+f=1) b(ca=2, N1+f=2); continuation counts
