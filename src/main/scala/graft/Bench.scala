@@ -55,7 +55,8 @@ object Bench {
     "qd79_quality_classifier_train", "qd80_quality_classifier_score",
     "qd81_quality_classifier_auc", "qd82_classifier_calibration",
     "qd83_classifier_calib_metrics", "qd84_heldout_auc",
-    "qd85_epoch_allocation",
+    "qd85_epoch_allocation", "qd86_classifier_pr_curve",
+    "qd87_classifier_avg_precision",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -266,6 +267,10 @@ object Bench {
     "qd84_heldout_auc" -> 12.24,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
     "qd85_epoch_allocation" -> 1.58,
+    // qd86/qd87 pinned from one subset window (8.43/9.76 s at ~2660
+    // ticks over ~60 s wall — moderate steal; re-base at a clean sweep)
+    "qd86_classifier_pr_curve" -> 9.28,
+    "qd87_classifier_avg_precision" -> 10.73,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 2.48,

@@ -3633,6 +3633,38 @@ object SparkEntry {
       Classifier.binaryAuc(scored, "score", "keep")
     }),
 
+    // oracle-checked: the classifier's precision–recall curve — the
+    // imbalanced-class eval (a quality filter operates at a keep-rate
+    // point, not 0.5): per distinct threshold descending, tp/fp and
+    // integer-half-up precision/recall.
+    "qd86_classifier_pr_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.prCurve(scored, "score", "keep").orderBy(col("score"))
+    }),
+
+    // oracle-checked: average precision (the PR curve's step-sum
+    // scalar, sklearn convention) — per-threshold contributions
+    // rounded half-up at 1e-8 as integers before the sum, so the
+    // different-denominator rationals never meet a double.
+    "qd87_classifier_avg_precision" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.averagePrecision(scored, "score", "keep")
+    }),
+
     // oracle-checked: data-constrained EPOCH allocation (Muennighoff
     // et al. 2023) — when unique supply binds, repeat good sources at
     // diminishing value (decay 0.5/epoch, 3 epochs max) instead of
@@ -6086,6 +6118,15 @@ object SparkEntry {
     // ranks, one integer rollup and a single rounded division
     "qd81_quality_classifier_auc" ->
       Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the PR curve replayed: descending-threshold cumulative windows,
+    // integer half-up precision/recall
+    "qd86_classifier_pr_curve" ->
+      Classifier.prCurveOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // average precision replayed: 1e-8 integer step terms
+    "qd87_classifier_avg_precision" ->
+      Classifier.apOracleSql(dim = 64, iters = 24, lr = 5.0),
 
     // the epoch greedy replayed: integer-half-up source weights, exact
     // decimal marginals over the (source, epoch) grid, one global

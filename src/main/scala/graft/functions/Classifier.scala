@@ -335,6 +335,67 @@ object Classifier {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Precision–recall curve at every distinct score threshold
+    * (descending-threshold convention: a point's tp/fp include all rows
+    * scoring ≥ its score, ties grouped) — the eval that matters when
+    * classes are imbalanced and the filter's operating point is a
+    * keep-rate, not 0.5. Ratios by the [[calibrationReport]] integer
+    * half-up discipline. Scale shape: one grouped count on the score
+    * key + one bounded window over the distinct-score frame + a 1-row
+    * totals broadcast.
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val grouped = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = broadcast(grouped.agg(
+      sum(col("__pos")).cast("long").as("__p")))
+    grouped
+      .withColumn("tp", sum(col("__pos")).over(w))
+      .withColumn("fp", sum(col("__cnt")).over(w) - col("tp"))
+      .crossJoin(totals)
+      .select(col("score"), col("tp"), col("fp"),
+        (expr("(2 * tp * 10000 + (tp + fp)) div (2 * (tp + fp))")
+          .cast("double") / 10000.0).as("precision"),
+        when(col("__p") > 0L,
+          expr("(2 * tp * 10000 + __p) div (2 * __p)")
+            .cast("double") / 10000.0).as("recall"))
+  }
+
+  /** Average precision — the PR curve's summary scalar (the sklearn
+    * step-sum convention: AP = Σ_t ΔR_t · P_t over distinct thresholds
+    * descending). Each threshold's contribution
+    * pos_t · tp_t / ((tp_t + fp_t) · P) is rounded half-up at 1e-8 as
+    * an INTEGER before the sum (deterministic cross-engine; ≤ 5e-9 per
+    * threshold from the unrounded value). Returns (ap, n_pos, n_neg).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val grouped = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).cast("long").as("__cnt"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = broadcast(grouped.agg(
+      sum(col("__pos")).cast("long").as("__p"),
+      (sum(col("__cnt")) - sum(col("__pos"))).cast("long").as("__n")))
+    grouped
+      .withColumn("__tp", sum(col("__pos")).over(w))
+      .withColumn("__all", sum(col("__cnt")).over(w))
+      .crossJoin(totals)
+      .withColumn("__term8", when(col("__p") > 0L,
+        expr("(2 * __pos * __tp * 100000000 + __all * __p) div (2 * __all * __p)"))
+        .otherwise(lit(0L)))
+      .agg(sum(col("__term8")).cast("long").as("__ap8"),
+        first(col("__p")).as("n_pos"), first(col("__n")).as("n_neg"))
+      .select(
+        when(col("n_pos") > 0L,
+          col("__ap8").cast("double") / 100000000.0).as("ap"),
+        col("n_pos"), col("n_neg"))
+  }
+
   // ---- oracle SQL (DuckDB replay of the exact recipe) -----------------
 
   /** Gopher keep as the training label (qd39's oracle verbatim, reshaped
@@ -525,6 +586,54 @@ object Classifier {
        |SELECT CAST((2 * w4 + nn) // (2 * nn) AS DOUBLE) / 10000.0 AS ece,
        |  CAST((2 * q + nn * 1000000) // (2 * nn * 1000000) AS DOUBLE) / 1000000.0 AS brier,
        |  CAST(nn AS BIGINT) AS n FROM ag""".stripMargin
+
+  /** qd86's oracle: the PR curve over the trained scores. */
+  def prCurveOracleSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM grp),
+       |cum AS (SELECT score,
+       |    CAST(SUM(pos) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(cnt) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS al
+       |  FROM grp)
+       |SELECT c.score, c.tp, c.al - c.tp AS fp,
+       |  CAST((2 * c.tp * 10000 + c.al) // (2 * c.al) AS DOUBLE) / 10000.0 AS precision,
+       |  CASE WHEN t.p > 0 THEN
+       |    CAST((2 * c.tp * 10000 + t.p) // (2 * t.p) AS DOUBLE) / 10000.0 END AS recall
+       |FROM cum c CROSS JOIN tot t ORDER BY c.score""".stripMargin
+
+  /** qd87's oracle: average precision by the same 1e-8 integer terms. */
+  def apOracleSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+       |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n FROM grp),
+       |cum AS (SELECT pos,
+       |    CAST(SUM(pos) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(cnt) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS al
+       |  FROM grp),
+       |terms AS (SELECT CASE WHEN t.p > 0 THEN
+       |    (2 * c.pos * c.tp * 100000000 + c.al * t.p) // (2 * c.al * t.p)
+       |    ELSE 0 END AS term8
+       |  FROM cum c CROSS JOIN tot t)
+       |SELECT CASE WHEN t.p > 0 THEN
+       |    CAST((SELECT SUM(term8) FROM terms) AS DOUBLE) / 100000000.0
+       |  END AS ap, t.p AS n_pos, t.n AS n_neg
+       |FROM tot t""".stripMargin
 
   /** qd81's oracle: average-rank Mann–Whitney AUC of the scores. */
   def aucOracleSql(dim: Int, iters: Int, lr: Double): String =

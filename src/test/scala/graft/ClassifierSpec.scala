@@ -182,6 +182,32 @@ class ClassifierSpec extends SparkSpec {
     assert(by("a") === Some(0.875))
   }
 
+  test("prCurve/averagePrecision: hand-computed thresholds, sklearn step-sum AP, degenerate inputs") {
+    def mk(rows: Seq[(Double, Boolean)]) =
+      rows.toDF("s", "y").select(col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+    val df = mk(Seq((0.9, true), (0.8, false), (0.7, true), (0.6, false)))
+    val curve = Classifier.prCurve(df, "s", "y").orderBy(col("score").desc)
+      .collect().map(r => (r.getDecimal(0).doubleValue(), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(curve.toSeq === Seq(
+      (0.9, 1L, 0L, 1.0, 0.5),
+      (0.8, 1L, 1L, 0.5, 0.5),
+      (0.7, 2L, 1L, 0.6667, 1.0),
+      (0.6, 2L, 2L, 0.5, 1.0)))
+    val ap = Classifier.averagePrecision(df, "s", "y").collect()(0)
+    // AP = 1·(1/2) + 0 + (2/3)·(1/2) + 0 = 0.5 + 0.33333333 (1e-8 half-up)
+    assert(ap.getDouble(0) === 0.83333333)
+    assert(ap.getLong(1) === 2L && ap.getLong(2) === 2L)
+    // perfect ranking → AP 1.0
+    val perfect = Classifier.averagePrecision(
+      mk(Seq((0.9, true), (0.8, true), (0.2, false))), "s", "y").collect()(0)
+    assert(perfect.getDouble(0) === 1.0)
+    // single-class (no positives) → NULL ap
+    val mono = Classifier.averagePrecision(
+      mk(Seq((0.3, false), (0.7, false))), "s", "y").collect()(0)
+    assert(mono.isNullAt(0) && mono.getLong(1) === 0L)
+  }
+
   test("binaryAuc: average-rank tie handling, degenerate inputs") {
     def auc(rows: Seq[(Double, Boolean)]): org.apache.spark.sql.Row =
       Classifier.binaryAuc(
