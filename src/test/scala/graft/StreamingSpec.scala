@@ -3002,6 +3002,45 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("curation sink gates on a TRAINED classifier: narrowScore as qualityGate keeps good prose, drops junk") {
+    implicit val ctx = spark.sqlContext
+    // train on the separable fixture; freeze weights into the gate
+    val goodText = curText("golf")
+    val badText = Seq.fill(45)("junk junk spam").mkString(" ")
+    val trainDocs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, goodText) else (i.toLong, badText)
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val w = graft.functions.Classifier.trainHashedLogistic(trainDocs,
+      "doc_id", "text", labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    // threshold between the two fixture score levels
+    val scores = graft.functions.Classifier.scoreHashedLogistic(trainDocs,
+        "doc_id", "text", w, 32, new java.math.BigDecimal("0.500000"))
+      .select(col("doc_id"), col("score").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val thr = (scores(0L) + scores(1L)) / 2.0
+    val corpus = tmpDir("clf-gate-corpus")
+    val cents = curCents.toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(
+      (1L, goodText, Seq(1.0, 0.0, 0.0, 0.0)),             // passes the model gate
+      (2L, badText, Seq(0.0, 1.0, 0.0, 0.0)),              // model-dropped
+      // same bag-of-words as goodText (identical model score) but
+      // reversed order: not an exact/near/quote dup — only the gate
+      // decision is under test
+      (3L, goodText.split(" ").reverse.mkString(" "), Seq(0.0, 0.0, 1.0, 0.0)))
+    graft.streaming.CorpusIngest.startCurationSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir("clf-gate-cp"), cents,
+        qualityGate = t => graft.functions.Classifier.narrowScore(t, w, 32) >=
+          lit(new java.math.BigDecimal(thr.toString)).cast(
+            org.apache.spark.sql.types.DecimalType(8, 6)))
+      .awaitTermination()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L),
+      s"model gate must drop the junk doc and keep good prose: $kept")
+  }
+
   // ---- streaming capstone: the composed curation sink -------------------
 
   /** Quality-passing synthetic text: 50 tokens, every 5th a stopword
