@@ -56,7 +56,7 @@ object Bench {
     "qd81_quality_classifier_auc", "qd82_classifier_calibration",
     "qd83_classifier_calib_metrics", "qd84_heldout_auc",
     "qd85_epoch_allocation", "qd86_classifier_pr_curve",
-    "qd87_classifier_avg_precision",
+    "qd87_classifier_avg_precision", "qd88_classifier_disagreement",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -271,6 +271,8 @@ object Bench {
     // ticks over ~60 s wall — moderate steal; re-base at a clean sweep)
     "qd86_classifier_pr_curve" -> 9.28,
     "qd87_classifier_avg_precision" -> 10.73,
+    // qd88 pinned from a quiet subset window (7.94 s at 127 total ticks)
+    "qd88_classifier_disagreement" -> 8.73,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 2.48,

@@ -3633,6 +3633,38 @@ object SparkEntry {
       Classifier.binaryAuc(scored, "score", "keep")
     }),
 
+    // oracle-checked: model-vs-rule DISAGREEMENT audit — the error
+    // analysis a distilled filter gets before deployment: every doc
+    // where the classifier's keep decision contradicts the Gopher
+    // battery, with the battery's own signals and the FIRST rule the
+    // doc fails (rule order = the battery's declaration order), so
+    // each disagreement is attributable. False-keeps cluster on rules
+    // invisible to length-normalized BOW (the min-token rule) — the
+    // audit names the feature gap.
+    "qd88_classifier_disagreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val g = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+        g.select(col("doc_id"), col("keep")), "keep",
+        dim = 64, iters = 24, lr = 5.0)
+      Classifier.scoreHashedLogistic(docs, "doc_id", "text", w, 64,
+          new java.math.BigDecimal("0.730000"))
+        .join(g, "doc_id")
+        .filter(col("pred") =!= col("keep"))
+        .select(col("doc_id"), col("score"), col("pred"),
+          col("keep").as("label"), col("n_tokens"), col("avg_token_len"),
+          col("stopword_ratio"), col("top_token_frac"), col("dup_ngram_frac"),
+          when(col("n_tokens") < 30, lit("n_tokens_low"))
+            .when(col("n_tokens") > 100000, lit("n_tokens_high"))
+            .when(col("avg_token_len") < 3.0, lit("avg_len_low"))
+            .when(col("avg_token_len") > 10.0, lit("avg_len_high"))
+            .when(col("stopword_ratio") < 0.02, lit("stopword_low"))
+            .when(col("top_token_frac") > 0.15, lit("ttf_high"))
+            .when(col("dup_ngram_frac") > 0.8, lit("dup_high"))
+            .otherwise(lit("none")).as("fail_rule"))
+        .orderBy(col("doc_id"))
+    }),
+
     // oracle-checked: the classifier's precision–recall curve — the
     // imbalanced-class eval (a quality filter operates at a keep-rate
     // point, not 0.5): per distinct threshold descending, tp/fp and
@@ -6118,6 +6150,12 @@ object SparkEntry {
     // ranks, one integer rollup and a single rounded division
     "qd81_quality_classifier_auc" ->
       Classifier.aucOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // the disagreement audit replayed: label-CTE signals + scores +
+    // the first-failing-rule CASE
+    "qd88_classifier_disagreement" ->
+      Classifier.disagreementOracleSql(dim = 64, iters = 24, lr = 5.0,
+        threshold = "0.73"),
 
     // the PR curve replayed: descending-threshold cumulative windows,
     // integer half-up precision/recall

@@ -635,6 +635,36 @@ object Classifier {
        |  END AS ap, t.p AS n_pos, t.n AS n_neg
        |FROM tot t""".stripMargin
 
+  /** qd88's oracle: the disagreement audit — the label CTE's own
+    * signal tables (lsig/lttf/ldupf) resurface beside the scores, the
+    * first-failing-rule CASE in the battery's declaration order.
+    */
+  def disagreementOracleSql(dim: Int, iters: Int, lr: Double,
+      threshold: String): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |sig AS (SELECT s.doc_id, s.n_tokens, s.avg_token_len, s.stopword_ratio,
+       |    COALESCE(f.top_token_frac, 0.0) AS top_token_frac,
+       |    COALESCE(d.dup_ngram_frac, 0.0) AS dup_ngram_frac
+       |  FROM lsig s LEFT JOIN lttf f USING (doc_id) LEFT JOIN ldupf d USING (doc_id))
+       |SELECT p.doc_id, p.score,
+       |  p.score >= CAST($threshold AS DECIMAL(8,6)) AS pred,
+       |  p.label, g.n_tokens, g.avg_token_len, g.stopword_ratio,
+       |  g.top_token_frac, g.dup_ngram_frac,
+       |  CASE WHEN g.n_tokens < 30 THEN 'n_tokens_low'
+       |       WHEN g.n_tokens > 100000 THEN 'n_tokens_high'
+       |       WHEN g.avg_token_len < 3.0 THEN 'avg_len_low'
+       |       WHEN g.avg_token_len > 10.0 THEN 'avg_len_high'
+       |       WHEN g.stopword_ratio < 0.02 THEN 'stopword_low'
+       |       WHEN g.top_token_frac > 0.15 THEN 'ttf_high'
+       |       WHEN g.dup_ngram_frac > 0.8 THEN 'dup_high'
+       |       ELSE 'none' END AS fail_rule
+       |FROM sp p JOIN sig g USING (doc_id)
+       |WHERE (p.score >= CAST($threshold AS DECIMAL(8,6))) != p.label
+       |ORDER BY p.doc_id""".stripMargin
+
   /** qd81's oracle: average-rank Mann–Whitney AUC of the scores. */
   def aucOracleSql(dim: Int, iters: Int, lr: Double): String =
     s"""WITH $labelCtes,
