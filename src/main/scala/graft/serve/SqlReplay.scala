@@ -847,6 +847,51 @@ object SqlReplay {
     * scale (the cross join is docs × centroids — the probe the refit
     * itself runs as one broadcast argmin scan).
     */
+  /** The trained quality classifier's SCORING leg as pure `spark.sql`
+    * — the serving-surface twin of
+    * [[graft.functions.Classifier.scoreHashedLogistic]] (training is a
+    * driver-sequenced loop and stays API-side; a deployment ships the
+    * frozen vector, and THIS is the query it runs). The weight vector
+    * rides as a VALUES inline table of exact DECIMAL(20,10) literals;
+    * features, margin decimal sums, the 6-dp sigmoid and the decimal
+    * threshold compare are the API path's arithmetic verbatim
+    * (ServeSqlSpec asserts row-identity).
+    */
+  def classifierScoreSql(docsView: String,
+      weights: Seq[(Int, BigDecimal)], dim: Int, threshold: String): String = {
+    val values = weights.map { case (f, wv) =>
+      s"($f, CAST('${wv.bigDecimal.toPlainString}' AS DECIMAL(20,10)))"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, split(trim(text), '\\\\s+') AS toks FROM $docsView),
+       |b2 AS (SELECT doc_id, toks, GREATEST(size(toks), 1) AS len FROM base),
+       |bow AS (
+       |  SELECT doc_id, feat,
+       |    CAST(ROUND(CAST(COUNT(1) AS DOUBLE) / CAST(len AS DOUBLE), 6)
+       |      AS DECIMAL(10,6)) AS x
+       |  FROM (SELECT doc_id, len, CAST(md5_bucket(tk, $dim) AS INT) AS feat
+       |        FROM (SELECT doc_id, len, explode(toks) AS tk FROM b2))
+       |  GROUP BY doc_id, feat, len),
+       |feats AS (
+       |  SELECT * FROM bow
+       |  UNION ALL
+       |  SELECT doc_id, $dim AS feat,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / CAST(len AS DOUBLE), 6)
+       |      AS DECIMAL(10,6)) AS x FROM b2
+       |  UNION ALL
+       |  SELECT doc_id, ${dim + 1} AS feat, CAST(1 AS DECIMAL(10,6)) AS x FROM b2),
+       |w(feat, wv) AS (VALUES
+       |    $values),
+       |m AS (SELECT f.doc_id, SUM(w.wv * f.x) AS mm
+       |      FROM feats f JOIN w ON w.feat = f.feat GROUP BY f.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE))), 6)
+       |    AS DECIMAL(8,6)) AS score,
+       |  CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE))), 6)
+       |    AS DECIMAL(8,6)) >= CAST($threshold AS DECIMAL(8,6)) AS pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def refitChangedSql(view: String, centroidsView: String): String =
     s"""WITH v AS (
        |  SELECT doc_id, epoch, batch_id, cell,

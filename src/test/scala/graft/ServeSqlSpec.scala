@@ -519,4 +519,23 @@ class ServeSqlSpec extends SparkSpec {
       s"SQL refit twin diverged: sql=$sqlChanged actual=$actualChanged")
     graft.functions.Dedup.freeLocalCheckpoint(before)
   }
+
+  test("classifier scoring replays in SQL: scores and keep decisions row-identical to the API path") {
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(200).localCheckpoint(true)
+    val labels = graft.functions.TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("keep"))
+    val w = graft.functions.Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 4, lr = 5.0)
+    val api = graft.functions.Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+        w, 32, new java.math.BigDecimal("0.730000"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    docs.createOrReplaceTempView("clfsql_docs")
+    graft.GraftExtensions.register(spark)
+    val sql = SqlReplay.runText(spark,
+        SqlReplay.classifierScoreSql("clfsql_docs", w, 32, "0.73"))
+      .collect().map(_.toString).toSeq
+    assert(sql === api, "SQL scoring twin diverged from the API path")
+    graft.functions.Dedup.freeLocalCheckpoint(docs)
+  }
 }
