@@ -169,116 +169,116 @@ object Bench {
     // full-suite windows (136.0 s @ 8.9 ticks/s, 142.4 s @ 6.4/s) x 1.10
     // after the codegen-cache + artifact-isolation builder confs — 73 of
     // 106 floors tightened (qd36 0.62x, qd65 0.64x, qd59 0.65x ...).
-    "q01_standings" -> 1.003, "q02_points_ladder" -> 0.627,
+    "q01_standings" -> 0.988, "q02_points_ladder" -> 0.627,
     "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.323,
     "q18_rank_standings" -> 0.512, "q21_region_rollup" -> 1.015,
     "q22_window_monthly" -> 1.501, "q26_rollup" -> 1.667,
-    "q31_topk_per_group" -> 0.969, "q37_asof_join" -> 0.574,
-    "q38_sliding_window" -> 0.732, "q40_range_join" -> 2.81,
-    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.315,
-    "qd02_token_count" -> 0.287, "qd03_quality" -> 0.516,
-    "qd04_langid" -> 0.57, "qd05_fingerprint" -> 0.296,
-    "qd08_simhash" -> 0.212, "qd09_minhash_neardups" -> 1.969,
-    "qd10_corpus_pipeline" -> 0.693, "qd11_minhash_neardups_fast" -> 0.594,
-    "qd12_simhash_neardups" -> 0.525, "qd13_chunking" -> 0.319,
-    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.665,
-    "qd21_simhash_neardups_portable" -> 0.931, "qd22_decontaminate" -> 0.432,
-    "qd24_sequence_packing" -> 0.292, "qd26_incremental_dedup" -> 0.396,
-    "qd27_mix_pipeline" -> 0.821, "qd28_vocab" -> 0.237,
-    "qd29_unigram_logprob" -> 0.855, "qd30_dsir" -> 1.651,
-    "qd31_wordpiece" -> 0.552, "qd32_dup_passages" -> 0.91,
-    "qd33_curation_pipeline" -> 3.387, "qd34_scrub_spans" -> 1.354,
-    "qd35_dup_ngram_frac" -> 1.068, "qd36_dsir_fast" -> 0.935,
-    "qd37_incremental_neardup" -> 1.425, "qd38_contamination_report" -> 0.419,
-    "qd39_gopher_filter" -> 1.633, "qd40_corpus_datacard" -> 1.184,
+    "q31_topk_per_group" -> 0.969, "q37_asof_join" -> 0.557,
+    "q38_sliding_window" -> 0.717, "q40_range_join" -> 2.81,
+    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.295,
+    "qd02_token_count" -> 0.282, "qd03_quality" -> 0.516,
+    "qd04_langid" -> 0.57, "qd05_fingerprint" -> 0.254,
+    "qd08_simhash" -> 0.21, "qd09_minhash_neardups" -> 1.969,
+    "qd10_corpus_pipeline" -> 0.676, "qd11_minhash_neardups_fast" -> 0.554,
+    "qd12_simhash_neardups" -> 0.509, "qd13_chunking" -> 0.305,
+    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.59,
+    "qd21_simhash_neardups_portable" -> 0.931, "qd22_decontaminate" -> 0.414,
+    "qd24_sequence_packing" -> 0.265, "qd26_incremental_dedup" -> 0.371,
+    "qd27_mix_pipeline" -> 0.692, "qd28_vocab" -> 0.209,
+    "qd29_unigram_logprob" -> 0.855, "qd30_dsir" -> 1.628,
+    "qd31_wordpiece" -> 0.454, "qd32_dup_passages" -> 0.91,
+    "qd33_curation_pipeline" -> 3.325, "qd34_scrub_spans" -> 1.354,
+    "qd35_dup_ngram_frac" -> 0.955, "qd36_dsir_fast" -> 0.935,
+    "qd37_incremental_neardup" -> 1.369, "qd38_contamination_report" -> 0.401,
+    "qd39_gopher_filter" -> 1.53, "qd40_corpus_datacard" -> 1.121,
     "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.328,
-    "qd43_source_overlap_fast" -> 1.266, "qd45_fuzzy_decontaminate" -> 1.419,
+    "qd43_source_overlap_fast" -> 1.235, "qd45_fuzzy_decontaminate" -> 1.361,
     // qd49/qd51 re-pinned round 18 (downward): the sort-audit boundary
     // exchange stops the range-sampling pass from running the deflate/
     // winnow kernels twice — 0.354/0.359 and 0.435/0.487 s (per-query
     // steal 0/0 and 0/42), min x 1.10
-    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.39,
-    "qd50_temperature_mix" -> 0.507, "qd44_source_overlap_sketch" -> 2.13,
-    "qr01_bm25_topk" -> 1.812, "qr02_bm25_sidecar" -> 0.794,
-    "qr03_hybrid_sidecar" -> 1.152, "qe01_cosine_topk" -> 0.215,
-    "qe02_knn_join" -> 0.443, "qe03_ann_lsh" -> 0.349,
-    "qe08_ivf_ann_oracle" -> 0.405, "qe10_semantic_dedup" -> 1.138,
+    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.375,
+    "qd50_temperature_mix" -> 0.451, "qd44_source_overlap_sketch" -> 2.13,
+    "qr01_bm25_topk" -> 1.812, "qr02_bm25_sidecar" -> 0.685,
+    "qr03_hybrid_sidecar" -> 1.119, "qe01_cosine_topk" -> 0.196,
+    "qe02_knn_join" -> 0.344, "qe03_ann_lsh" -> 0.345,
+    "qe08_ivf_ann_oracle" -> 0.375, "qe10_semantic_dedup" -> 1.138,
     "qe11_quantized_ivf" -> 0.778, "qe12_pq_ann" -> 0.549,
-    "qe13_ivfpq_ann" -> 0.65, "qe14_pq_ann_learned" -> 1.223,
-    "qe15_mrl_rerank" -> 0.461, "qe16_hybrid_rrf" -> 2.336,
-    "qe17_cluster_cap_sample" -> 0.397, "qe18_ivf_mrl_funnel" -> 0.379,
-    "qe19_ann_sidecar" -> 0.58, "qe20_kmeans_fit" -> 0.649,
-    "qe21_class_mean" -> 0.371, "qe22_source_affinity" -> 0.544,
-    "qe23_kmeans_ivf" -> 0.636, "qe24_semantic_decontaminate" -> 0.455,
-    "qe25_cell_stats" -> 0.591, "qe26_random_projection" -> 0.94,
-    "qe27_embedding_outliers" -> 0.634, "qd51_winnowing" -> 0.48,
-    "qd52_corpus_diff" -> 0.322, "qd53_containment" -> 7.791,
-    "qd54_min_k_prob" -> 1.374, "qd55_ngram_diversity" -> 3.691,
-    "qd56_source_containment" -> 4.348, "qd57_stream_packing" -> 0.782,
-    "qd58_winsorize" -> 0.379, "qd59_containment_fast" -> 1.387,
-    "qd60_collocations" -> 3.429, "qd61_full_pipeline" -> 13.024,
+    "qe13_ivfpq_ann" -> 0.643, "qe14_pq_ann_learned" -> 1.122,
+    "qe15_mrl_rerank" -> 0.413, "qe16_hybrid_rrf" -> 2.224,
+    "qe17_cluster_cap_sample" -> 0.313, "qe18_ivf_mrl_funnel" -> 0.37,
+    "qe19_ann_sidecar" -> 0.559, "qe20_kmeans_fit" -> 0.539,
+    "qe21_class_mean" -> 0.354, "qe22_source_affinity" -> 0.494,
+    "qe23_kmeans_ivf" -> 0.54, "qe24_semantic_decontaminate" -> 0.398,
+    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.707,
+    "qe27_embedding_outliers" -> 0.56, "qd51_winnowing" -> 0.384,
+    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 7.386,
+    "qd54_min_k_prob" -> 1.277, "qd55_ngram_diversity" -> 3.622,
+    "qd56_source_containment" -> 4.129, "qd57_stream_packing" -> 0.758,
+    "qd58_winsorize" -> 0.379, "qd59_containment_fast" -> 1.302,
+    "qd60_collocations" -> 3.429, "qd61_full_pipeline" -> 12.718,
     "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 6.824,
-    "qd63_quality_keepers" -> 2.654, "qd64_zipf_fit" -> 0.607,
-    "qd66_curriculum_packing" -> 1.918, "qe28_int4_fidelity" -> 1.034,
+    "qd63_quality_keepers" -> 2.565, "qd64_zipf_fit" -> 0.56,
+    "qd66_curriculum_packing" -> 1.784, "qe28_int4_fidelity" -> 0.651,
     // qd67/qd68 re-pinned round 18 (downward): min of the two full-suite
     // windows x 1.10 — 1.440/1.585 and 1.452/1.550 s, per-query steal
     // 51/7 and 1/14 ticks (quiet at the query even in dirty suites).
     // qd68's drop carries the BpeCountExpr kernel encode
-    "qd67_bpe_train" -> 1.58, "qd68_bpe_encode" -> 1.60,
+    "qd67_bpe_train" -> 0.993, "qd68_bpe_encode" -> 1.214,
     // q44 pinned this round: two near-zero-steal subset windows
     // (1.07/1.069 s at steal 4/6) x 1.10
-    "q44_range_count" -> 1.18,
+    "q44_range_count" -> 0.654,
     // qd69/qd70 pinned this round: two quiet subset windows
     // (1.249/1.245 and 1.411/1.410 s at steal 95/22) x 1.10
-    "qd69_unigram_train" -> 1.37, "qd70_unigram_fertility" -> 1.55,
+    "qd69_unigram_train" -> 0.591, "qd70_unigram_fertility" -> 0.744,
     // qd71 pinned this round: two near-zero-steal subset windows
     // (0.673/0.745 s at steal 9/4) x 1.10
-    "qd71_mix_waterfill" -> 0.74,
+    "qd71_mix_waterfill" -> 0.262,
     // qd72 pinned this round: two quiet subset windows (3.774/3.454 s
     // at steal 16/25) x 1.10 — the probe's all-pairs truth over the
     // 50% sample (~3M sorted-merge jaccards at sf0.1) is the cost
-    "qd72_lsh_recall_probe" -> 3.80,
+    "qd72_lsh_recall_probe" -> 3.34,
     // qe29 pinned this round: two near-zero-steal subset windows
     // (1.448/1.492 s at steal 8/10) x 1.10
-    "qe29_ann_recall_probe" -> 1.59,
+    "qe29_ann_recall_probe" -> 0.667,
     // qd73 re-pinned round 18 (downward, 2.3x): the composition now
     // runs trainFast + the kernel encode — 0.897/0.904 s at 0/0
     // per-query steal in the two full-suite windows, x 1.10
-    "qd73_bpe_packing" -> 0.99,
+    "qd73_bpe_packing" -> 0.8,
     // round-18 additions, pinned from the same two windows (min x 1.10;
     // per-query steal shown): qd74 0.319/1 0.265/0, qd75 0.576/0
     // 0.473/1, qe30 1.681/0 1.566/6
-    "qd74_bpe_train_fast" -> 0.29,
-    "qd75_temperature_waterfill" -> 0.52,
-    "qe30_ivf_size_nprobe" -> 1.72,
+    "qd74_bpe_train_fast" -> 0.238,
+    "qd75_temperature_waterfill" -> 0.389,
+    "qe30_ivf_size_nprobe" -> 1.287,
     // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
     // quiet subset window (2.541 s at steal 1) — min x 1.10
-    "qd76_bpe_encode_ids" -> 2.43,
+    "qd76_bpe_encode_ids" -> 2.293,
     // qd78–qd89 re-pinned after the Md5BucketTokens kernel switch
     // (per-token getInstance gone: family 6–11 s → 4.5–5.7 s) from a
     // QUIET 11-query subset window (84 total ticks); minima × 1.10 —
     // subset pins, re-base at the next clean full sweep
     "qd78_kn_bigram_nll" -> 6.30,
     "qd79_quality_classifier_train" -> 5.03,
-    "qd80_quality_classifier_score" -> 5.71,
-    "qd81_quality_classifier_auc" -> 5.39,
-    "qd82_classifier_calibration" -> 5.41,
+    "qd80_quality_classifier_score" -> 5.665,
+    "qd81_quality_classifier_auc" -> 5.268,
+    "qd82_classifier_calibration" -> 5.235,
     "qd83_classifier_calib_metrics" -> 5.39,
     "qd84_heldout_auc" -> 5.70,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
-    "qd85_epoch_allocation" -> 1.58,
+    "qd85_epoch_allocation" -> 0.571,
     "qd86_classifier_pr_curve" -> 5.36,
     "qd87_classifier_avg_precision" -> 5.47,
-    "qd88_classifier_disagreement" -> 6.02,
-    "qd89_classifier_bigram_auc" -> 5.31,
+    "qd88_classifier_disagreement" -> 5.257,
+    "qd89_classifier_bigram_auc" -> 5.06,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
-    "qd77_unigram_encode_ids" -> 2.48,
-    "qr07_retrieval_eval_summary" -> 2.599, "qr08_retrieval_pipeline" -> 2.948,
-    "qr09_prf_expansion" -> 5.509, "qr10_mmr_rerank" -> 0.805,
-    "qr04_retrieval_eval" -> 1.981, "qr05_hard_negatives" -> 1.84,
-    "qr06_tfidf_keywords" -> 1.106, "qm03_audio_decode" -> 0.2,
-    "q42_zorder" -> 0.307, "qs01_hourly_events" -> 0.369,
+    "qd77_unigram_encode_ids" -> 1.95,
+    "qr07_retrieval_eval_summary" -> 2.29, "qr08_retrieval_pipeline" -> 2.418,
+    "qr09_prf_expansion" -> 5.036, "qr10_mmr_rerank" -> 0.645,
+    "qr04_retrieval_eval" -> 1.916, "qr05_hard_negatives" -> 1.84,
+    "qr06_tfidf_keywords" -> 1.035, "qm03_audio_decode" -> 0.2,
+    "q42_zorder" -> 0.299, "qs01_hourly_events" -> 0.355,
     "qs02_sessionize" -> 0.644, "qs03_session_window" -> 0.779
   )
 
