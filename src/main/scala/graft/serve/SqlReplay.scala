@@ -870,7 +870,8 @@ object SqlReplay {
        |    CAST(ROUND(CAST(COUNT(1) AS DOUBLE) / CAST(len AS DOUBLE), 6)
        |      AS DECIMAL(10,6)) AS x
        |  FROM (SELECT doc_id, len, CAST(md5_bucket(tk, $dim) AS INT) AS feat
-       |        FROM (SELECT doc_id, len, explode(toks) AS tk FROM b2))
+       |        FROM (SELECT doc_id, len, explode(toks) AS tk FROM b2)
+       |        WHERE length(tk) > 0)
        |  GROUP BY doc_id, feat, len),
        |feats AS (
        |  SELECT * FROM bow
@@ -885,10 +886,10 @@ object SqlReplay {
        |m AS (SELECT f.doc_id, SUM(w.wv * f.x) AS mm
        |      FROM feats f JOIN w ON w.feat = f.feat GROUP BY f.doc_id)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE))), 6)
-       |    AS DECIMAL(8,6)) AS score,
-       |  CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE))), 6)
-       |    AS DECIMAL(8,6)) >= CAST($threshold AS DECIMAL(8,6)) AS pred
+       |  CAST(CAST(FLOOR((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE)))) * 1000000 + 0.5) AS DECIMAL(14,0))
+       |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6)) AS score,
+       |  CAST(CAST(FLOOR((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-CAST(mm AS DOUBLE)))) * 1000000 + 0.5) AS DECIMAL(14,0))
+       |    * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(8,6)) >= CAST($threshold AS DECIMAL(8,6)) AS pred
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

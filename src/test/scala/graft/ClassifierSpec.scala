@@ -246,4 +246,113 @@ class ClassifierSpec extends SparkSpec {
     val mono = auc(Seq((0.3, true), (0.7, true)))
     assert(mono.isNullAt(0) && mono.getLong(1) === 2L && mono.getLong(2) === 0L)
   }
+
+  test("sigmoid6 discipline: scoring pins hand-computed 6-dp values and saturates exactly") {
+    // drive the IEEE-pinned sigmoid through scoreOnFeatures with a
+    // one-feature frame: margin = w·x, so the score IS sigmoid6(margin)
+    def scoreAt(w: BigDecimal): BigDecimal = {
+      val feats = Seq((1L, 0, new java.math.BigDecimal("1.000000")))
+        .toDF("doc_id", "feat", "x")
+        .select(col("doc_id"), col("feat"),
+          col("x").cast(DecimalType(10, 6)).as("x"))
+      val r = Classifier.scoreOnFeatures(feats, "doc_id", Seq(0 -> w))
+        .collect()(0)
+      BigDecimal(r.getDecimal(1))
+    }
+    assert(scoreAt(BigDecimal(0)) == BigDecimal("0.500000"))
+    // sigmoid(1.25) = 0.7772998... → floor(·1e6 + 0.5) = 777300
+    assert(scoreAt(BigDecimal("1.25")) == BigDecimal("0.777300"))
+    assert(scoreAt(BigDecimal("-1.25")) == BigDecimal("0.222700"))
+    // saturation: the 6-dp grid clamps to exactly 1 / 0, never beyond
+    assert(scoreAt(BigDecimal(40)) == BigDecimal("1.000000"))
+    assert(scoreAt(BigDecimal(-40)) == BigDecimal("0.000000"))
+  }
+
+  test("scoreAsDouble / weightAsDouble expose DECIMALs as exact float64") {
+    val df = Seq(("0.777300", "-1.6817500000"), ("0.000001", "0.0000000001"))
+      .toDF("s", "w")
+      .select(col("s").cast(DecimalType(8, 6)).as("s"),
+        col("w").cast(DecimalType(20, 10)).as("w"))
+    val rows = df.select(Classifier.scoreAsDouble(col("s")).as("sd"),
+      Classifier.weightAsDouble(col("w")).as("wd")).collect()
+    // scaled-int → one IEEE division: both engines emit this exact double
+    assert(rows(0).getDouble(0) === 777300L.toDouble / 1000000.0)
+    assert(rows(0).getDouble(1) === -16817500000L.toDouble / 1.0e10)
+    assert(rows(1).getDouble(0) === 1L.toDouble / 1000000.0)
+    assert(rows(1).getDouble(1) === 1L.toDouble / 1.0e10)
+  }
+
+  test("L2 weight decay: two hand-computed iterations; l2=0 is identical to the plain trainer") {
+    val docs = Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "keep")
+    val dim = 16
+    // iter 1 (w=0, shrink over w=0 is 0): w(a) = 1.25, w(b) = −1.25
+    // iter 2: m(doc1)=1.25 → p=0.777300, r=−0.222700; g(a)=−0.2227
+    //   step(a) = round(2.5·−0.2227, 10) = −0.55675
+    //   shrink(a) = round(0.1·1.25, 10) = 0.125
+    //   w(a) = 1.25 + 0.55675 − 0.125 = 1.68175 (symmetric for b)
+    val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = dim, iters = 2, lr = 5.0,
+      l2 = BigDecimal("0.1")).toMap
+    assert(w(bucketOf("a", dim)) == BigDecimal("1.6817500000"))
+    assert(w(bucketOf("b", dim)) == BigDecimal("-1.6817500000"))
+    // and without decay the same steps land at 1.80675
+    val w0 = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = dim, iters = 2, lr = 5.0).toMap
+    assert(w0(bucketOf("a", dim)) == BigDecimal("1.8067500000"))
+    // l2 = 0 must be the plain trainer bit-for-bit
+    val wz = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = dim, iters = 2, lr = 5.0, l2 = BigDecimal(0))
+    assert(wz.toMap == w0)
+  }
+
+  test("train-once memo: same key returns the cached vector; params are part of the key") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false)).toDF("doc_id", "keep")
+    val k = s"memo-spec-${System.nanoTime()}"
+    val w1 = Classifier.trainHashedLogisticMemo(k, docs, "doc_id", "text",
+      labels, "keep", dim = 16, iters = 2, lr = 5.0)
+    val w2 = Classifier.trainHashedLogisticMemo(k, docs, "doc_id", "text",
+      labels, "keep", dim = 16, iters = 2, lr = 5.0)
+    assert(w1 eq w2, "second call must return the memoized artifact")
+    // a different iter count is a different model, never a false hit
+    val w3 = Classifier.trainHashedLogisticMemo(k, docs, "doc_id", "text",
+      labels, "keep", dim = 16, iters = 3, lr = 5.0)
+    assert(!(w3 eq w1) && w3 != w1)
+    // the TRAIN query's Seed variant retrains (fresh object) and its
+    // artifact is what subsequent memo reads return
+    val ws = Classifier.trainHashedLogisticSeed(k, docs, "doc_id", "text",
+      labels, "keep", dim = 16, iters = 2, lr = 5.0)
+    assert(!(ws eq w1) && ws == w1, "retrain must be fresh and bit-identical")
+    val w4 = Classifier.trainHashedLogisticMemo(k, docs, "doc_id", "text",
+      labels, "keep", dim = 16, iters = 2, lr = 5.0)
+    assert(w4 eq ws, "memo must serve the seeded artifact")
+  }
+
+  test("ModelStore: save/load round-trip is exact; versions append; latest wins; missing model fails loudly") {
+    import graft.ops.ModelStore
+    val tbl = s"clf_spec_models_${System.nanoTime()}"
+    val v1Weights = Seq(0 -> BigDecimal("1.6817500000"),
+      1 -> BigDecimal("-0.0000000001"), 2 -> BigDecimal(0).setScale(10))
+    val v1 = ModelStore.save(spark, "m", v1Weights, tbl)
+    assert(v1 === 1)
+    // exact-decimal round trip: load ≡ saved, feat-ordered
+    assert(ModelStore.load(spark, "m", Some(1), tbl) == v1Weights)
+    // append a second version; latest wins, v1 still addressable
+    val v2Weights = Seq(0 -> BigDecimal("2.0000000000"))
+    assert(ModelStore.save(spark, "m", v2Weights, tbl) === 2)
+    assert(ModelStore.latestVersion(spark, "m", tbl) === Some(2))
+    assert(ModelStore.load(spark, "m", None, tbl) == v2Weights)
+    assert(ModelStore.load(spark, "m", Some(1), tbl) == v1Weights)
+    // versions are per model name
+    assert(ModelStore.save(spark, "other", v2Weights, tbl) === 1)
+    val fresh = ModelStore.freshness(spark, tbl).collect()
+    assert(fresh.map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSeq ==
+      Seq(("m", 2, 2L), ("other", 1, 1L)))
+    // serving must fail loudly on a missing artifact
+    intercept[IllegalStateException] {
+      ModelStore.load(spark, "nope", None, tbl)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -163,6 +163,37 @@ class SimilaritySpec extends SparkSpec {
     assert(none.forall(r => !r._1 && !r._2))
   }
 
+  test("chosenNProbe closes the sizing loop: search under the chosen config reproduces the sweep's winning row") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(200)
+    val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4)
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val sweep = Similarity.sizeNProbe(queries, emb, "vec_id", "embedding",
+      centroids, k = 5, targetRecall = 0.9, maxNProbe = 4)
+    val p = Similarity.chosenNProbe(sweep)
+    val winner = sweep.filter(col("chosen"))
+      .select("n_probe", "mean_recall", "min_recall")
+      .as[(Int, Double, Double)].collect()
+    assert(winner.length === 1 && winner(0)._1 === p)
+    // serving under the chosen config measures EXACTLY the recall the
+    // sweep promised for it — the sweep's fan-out candidate sets are
+    // the real per-config searches, not an approximation of them
+    val served = Similarity.annRecallProbe(queries, emb, "vec_id",
+        "embedding", centroids, k = 5, nProbe = p)
+      .select("recall").as[Double].collect()
+    val servedMean = (served.map(BigDecimal(_)).sum / served.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(servedMean - winner(0)._2) < 1e-9,
+      s"served $servedMean vs sweep ${winner(0)._2}")
+    assert(served.min === winner(0)._3)
+    // and the choice honors the target it was sized for
+    assert(winner(0)._2 >= 0.9)
+    // no-meeting sweep refuses to choose (serving would be silent garbage)
+    intercept[IllegalArgumentException] {
+      Similarity.chosenNProbe(Similarity.sizeNProbe(queries, emb, "vec_id",
+        "embedding", centroids, k = 5, targetRecall = 1.1, maxNProbe = 4))
+    }
+  }
+
   test("IVF fit on a sample still yields a usable full-coverage index") {
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
     val centroids = Similarity.Ivf.fit(emb, "embedding", nCells = 4,

@@ -2998,6 +2998,112 @@ class StreamingSpec extends SparkSpec {
       assert(quiet.exists(_.mean_score >= baseline * (1.0 - tol)), rows.mkString("\n"))
       assert(rows.filter(_.alert).forall(_.mean_score < baseline * (1.0 - tol)),
         rows.mkString("\n"))
+      // sags report the LOW direction (the two-sided monitor's label)
+      assert(rows.filter(_.alert).forall(_.direction == "low"), rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("score-drift is two-sided: quality inflation fires HIGH, a low↔high flip re-fires without recovery") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val goodText = "good solid prose here and more words"
+      val badText = "junk junk junk spam spam"
+      val trainDocs = (0 until 20).map { i =>
+        if (i % 2 == 0) (i.toLong, goodText) else (i.toLong, badText)
+      }.toDF("doc_id", "text")
+      val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+      val w = graft.functions.Classifier.trainHashedLogistic(trainDocs,
+        "doc_id", "text", labels, "keep", dim = 32, iters = 12, lr = 5.0)
+      def sliceMean(even: Boolean): Double =
+        graft.functions.Classifier.scoreHashedLogistic(
+            trainDocs.filter(col("doc_id") % 2 === (if (even) 0 else 1)),
+            "doc_id", "text", w, 32, new java.math.BigDecimal("0.500000"))
+          .agg(avg(col("score").cast("double"))).as[Double].head()
+      val (goodMean, badMean) = (sliceMean(true), sliceMean(false))
+      // baseline = the MIXTURE mean the filter was calibrated on; a
+      // pure-good flood (quality inflation) sits above the high band,
+      // a pure-bad flood below the low band
+      val baseline = (goodMean + badMean) / 2.0
+      val tol = 0.05
+      assert(goodMean > baseline * (1.0 + tol) && badMean < baseline * (1.0 - tol),
+        s"fixture must straddle the band: $badMean / $baseline / $goodMean")
+
+      val ms = MemoryStream[(String, String)]
+      val q = graft.streaming.ScoreDrift.scoreDriftStream(
+          ms.toDF().toDF("source", "text"), "source", "text",
+          w, 32, baseline, tolFrac = tol, minDocs = 5L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("sdrift2").start()
+      def feed(texts: String*): Unit = {
+        ms.addData(texts.map(t => ("web", t)): _*)
+        q.processAllAvailable()
+      }
+      val mixed = Seq(goodText, badText, goodText, badText, goodText, badText)
+      feed(mixed: _*)                   // calibration mixture → quiet
+      feed(Seq.fill(6)(goodText): _*)   // inflation → ALERT high
+      feed(Seq.fill(6)(goodText): _*)   // still inflated → latched
+      feed(Seq.fill(6)(badText): _*)    // direction FLIP → ALERT low (no recovery between)
+      feed(mixed: _*)                   // back in band → re-arm
+      feed(Seq.fill(6)(goodText): _*)   // second inflation → ALERT high
+      q.stop()
+      val rows = spark.table("sdrift2")
+        .as[graft.streaming.ScoreDrift.ScoreReport].collect()
+      assert(rows.filter(_.alert).map(_.direction).toSeq == Seq("high", "low", "high"),
+        rows.mkString("\n"))
+      // latched batches carry the direction without re-firing
+      assert(rows.count(r => r.direction == "high") === 3, rows.mkString("\n"))
+      assert(rows.filter(r => r.direction.isEmpty && r.batch_docs >= 5L)
+        .forall(!_.alert), rows.mkString("\n"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("calibration-drift monitor: label flips push batch ECE over the gate even with the mean score in band") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val goodText = "good solid prose here and more words"
+      val badText = "junk junk junk spam spam"
+      val trainDocs = (0 until 20).map { i =>
+        if (i % 2 == 0) (i.toLong, goodText) else (i.toLong, badText)
+      }.toDF("doc_id", "text")
+      val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+      val w = graft.functions.Classifier.trainHashedLogistic(trainDocs,
+        "doc_id", "text", labels, "keep", dim = 32, iters = 12, lr = 5.0)
+
+      val ms = MemoryStream[(String, String, Boolean)]
+      val q = graft.streaming.ScoreDrift.calibrationDriftStream(
+          ms.toDF().toDF("source", "text", "keep"), "source", "text", "keep",
+          w, 32, eceMax = 0.3, nBins = 10, minDocs = 5L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("cdrift").start()
+      def feed(rows: (String, Boolean)*): Unit = {
+        ms.addData(rows.map { case (t, y) => ("web", t, y) }: _*)
+        q.processAllAvailable()
+      }
+      val agree = Seq(goodText -> true, badText -> false,
+        goodText -> true, badText -> false, goodText -> true, badText -> false)
+      // the mixture with FLIPPED labels keeps the mean score identical —
+      // only the score→label mapping breaks (what the mean monitor
+      // cannot see)
+      val flipped = agree.map { case (t, y) => (t, !y) }
+      feed(agree: _*)    // well-calibrated → quiet
+      feed(flipped: _*)  // ECE ≈ 1 at in-band mean → ALERT
+      feed(flipped: _*)  // still broken → latched
+      feed(flipped.head) // sub-minDocs trickle: no re-arm
+      feed(agree: _*)    // recovery → re-arm
+      feed(flipped: _*)  // second break → ALERT
+      q.stop()
+      val rows = spark.table("cdrift")
+        .as[graft.streaming.ScoreDrift.CalibReport].collect()
+      assert(rows.count(_.alert) === 2, rows.mkString("\n"))
+      assert(rows.filter(_.alert).forall(_.ece > 0.3), rows.mkString("\n"))
+      assert(rows.filter(r => r.batch_docs >= 5L && r.ece <= 0.3)
+        .forall(!_.alert), rows.mkString("\n"))
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
