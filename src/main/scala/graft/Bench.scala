@@ -261,17 +261,28 @@ object Bench {
     // subset pins, re-base at the next clean full sweep
     "qd78_kn_bigram_nll" -> 6.30,
     "qd79_quality_classifier_train" -> 5.03,
-    "qd80_quality_classifier_score" -> 5.665,
-    "qd81_quality_classifier_auc" -> 5.268,
-    "qd82_classifier_calibration" -> 5.235,
-    "qd83_classifier_calib_metrics" -> 5.39,
-    "qd84_heldout_auc" -> 5.70,
+    // round-19 downward re-pin of the eval family: the train-once memo
+    // removed the shared 24-iter descent from the 8 eval queries
+    // (verdict #3 — they now price eval-only, like production serving
+    // under a frozen model), read in two quiet subset windows (per-query
+    // steal ≤ 64 ticks; pre-launch 20 s probe < 10 ticks) — min × 1.10.
+    // qd79 (honest Seed retrain) and qd89 (honest bigram descent) keep
+    // their r18 pins: both read within 1.05–1.26× in the same windows
+    "qd80_quality_classifier_score" -> 1.966,
+    "qd81_quality_classifier_auc" -> 2.00,
+    "qd82_classifier_calibration" -> 2.075,
+    "qd83_classifier_calib_metrics" -> 2.152,
+    "qd84_heldout_auc" -> 2.681,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
     "qd85_epoch_allocation" -> 0.571,
-    "qd86_classifier_pr_curve" -> 5.36,
-    "qd87_classifier_avg_precision" -> 5.47,
-    "qd88_classifier_disagreement" -> 5.257,
+    "qd86_classifier_pr_curve" -> 2.399,
+    "qd87_classifier_avg_precision" -> 2.402,
+    "qd88_classifier_disagreement" -> 2.135,
     "qd89_classifier_bigram_auc" -> 5.06,
+    // qd90/qd91 (round 19): persisted-model serving + L2 held-out —
+    // pinned from the same two quiet windows
+    "qd90_persisted_model_score" -> 2.594,
+    "qd91_l2_heldout_auc" -> 2.215,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 1.95,
@@ -322,7 +333,17 @@ object Bench {
     "qd56_source_containment" -> 45.43, "qd14_neardup_clusters" -> 16.57,
     "qd39_gopher_filter" -> 9.17, "qd44_source_overlap_sketch" -> 5.72,
     "qd33_curation_pipeline" -> 3.99, "qr08_retrieval_pipeline" -> 4.94,
-    "qe16_hybrid_rrf" -> 3.54, "qr04_retrieval_eval" -> 3.55)
+    "qe16_hybrid_rrf" -> 3.54, "qr04_retrieval_eval" -> 3.55,
+    // round-19 extension (verdict #7): the classifier family + KN gate
+    // pinned from two quiet sf1 windows (steal 2.4/s and 0.5/s on the
+    // heavy qd78; pre-launch 20 s steal probe < 1/s) — min-of-2 × 1.10.
+    // qd80/qd90/qd91 price the memo/persisted serving shape (no inline
+    // descent); qd79/qd89 keep the honest full-descent cost. Scale
+    // reads at pin time: qd78 8.7× for 10× (the family's grouped
+    // bigram explode, linear), qd79 2.4×, qd80 5.6×, qd89 4.4×
+    "qd78_kn_bigram_nll" -> 68.87, "qd79_quality_classifier_train" -> 19.92,
+    "qd80_quality_classifier_score" -> 13.33, "qd89_classifier_bigram_auc" -> 27.51,
+    "qd90_persisted_model_score" -> 12.94, "qd91_l2_heldout_auc" -> 12.83)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
