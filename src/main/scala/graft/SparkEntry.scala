@@ -3797,6 +3797,49 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // oracle-checked: operating-point sizing — qd86's PR curve turned
+    // into a DECISION (the qe30→qe06 pattern applied to the threshold):
+    // per candidate threshold the integer-disciplined precision/recall,
+    // meets_target vs the 4-dp precision floor, chosen = the minimal
+    // meeting threshold (= max recall subject to the floor — the
+    // deployment pick qd80's hand-chosen 0.73 came from). The sweep
+    // frame is the distinct-score table — bounded at any corpus size.
+    "qd92_threshold_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogisticMemo(d, docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.sizeThreshold(scored, "score", "keep",
+          new java.math.BigDecimal("0.9000"))
+        .select(Classifier.scoreAsDouble(col("threshold")).as("threshold"),
+          col("tp"), col("fp"), col("precision"), col("recall"),
+          col("meets_target"), col("chosen"))
+        .orderBy(col("threshold"))
+    }),
+
+    // oracle-checked: per-source calibration — qd83's ECE/Brier grouped
+    // by the corpus source column: the batch twin of the streaming
+    // calibration-drift monitor, and the diagnostic that names WHICH
+    // source broke the score→quality mapping when the global number
+    // moves. |sources|·nBins metadata rows; same integer discipline.
+    "qd93_calibration_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogisticMemo(d, docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      Classifier.calibrationMetricsBy(scored, "score", "keep", "source")
+        .orderBy(col("source"))
+    }),
+
     // oracle-checked: data-constrained EPOCH allocation (Muennighoff
     // et al. 2023) — when unique supply binds, repeat good sources at
     // diminishing value (decay 0.5/epoch, 3 epochs max) instead of
@@ -6337,6 +6380,18 @@ object SparkEntry {
     "qd91_l2_heldout_auc" ->
       Classifier.heldoutAucOracleSql(dim = 64, iters = 24, lr = 5.0,
         trainPct = 70, valPct = 15, l2 = "0.01"),
+
+    // the threshold sweep + choice replayed: the qd86 cumulative chain
+    // plus the 4-dp integer precision-floor compare and MIN-meeting pick
+    "qd92_threshold_sweep" ->
+      Classifier.sizeThresholdOracleSql(dim = 64, iters = 24, lr = 5.0,
+        targetPrecision = new java.math.BigDecimal("0.9000")),
+
+    // per-source calibration replayed: qd83's integer-bin arithmetic
+    // grouped by the documents source column
+    "qd93_calibration_by_source" ->
+      Classifier.calibrationBySourceOracleSql(dim = 64, iters = 24,
+        lr = 5.0, nBins = 10),
 
     // the interpolated-KN model replayed: bigram/context/continuation
     // tables from the en slice, the same CASE (unseen-context backoff /

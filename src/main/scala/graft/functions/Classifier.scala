@@ -586,6 +586,99 @@ object Classifier {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Operating-point sizing — qd86's PR curve turned into a DECISION
+    * (the [[Similarity.sizeNProbe]] pattern: a measurement with no
+    * consumer is a number, not a config): per candidate threshold
+    * (every distinct 6-dp score), precision/recall in [[prCurve]]'s
+    * integer discipline, `meets_target` = the 4-dp integer precision ≥
+    * the target, `chosen` = the MINIMAL meeting threshold. Recall is
+    * monotone non-increasing in the threshold, so the minimal meeting
+    * threshold is the max-recall operating point subject to the
+    * precision floor — the deployment default (qd80's 0.73 was picked
+    * by hand from the training base rate; this mechanizes the pick).
+    * The windowed frame is the distinct-score table (≤ 10⁶+1 rows at
+    * any corpus size — the single-partition window is bounded).
+    */
+  def sizeThreshold(scored: DataFrame, scoreCol: String, labelCol: String,
+      targetPrecision: java.math.BigDecimal): DataFrame = {
+    val t4 = targetPrecision4(targetPrecision)
+    val wMin = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    prCurve(scored, scoreCol, labelCol)
+      // precision is p4/10⁴ exactly (one IEEE division of the integer),
+      // so round(·10⁴) recovers the integer — never a truncation hazard
+      .withColumn("meets_target",
+        round(col("precision") * 10000).cast("long") >= lit(t4))
+      .withColumn("__best",
+        min(when(col("meets_target"), col("score"))).over(wMin))
+      .withColumn("chosen",
+        col("meets_target") && col("score") === col("__best"))
+      .withColumnRenamed("score", "threshold")
+      .drop("__best")
+  }
+
+  /** The target precision as its exact 4-dp integer — shared by the
+    * engine sweep and the oracle so both compare the SAME integer.
+    */
+  private def targetPrecision4(t: java.math.BigDecimal): Long = {
+    require(t.signum > 0 && t.compareTo(java.math.BigDecimal.ONE) <= 0 &&
+      t.stripTrailingZeros.scale <= 4,
+      s"targetPrecision must be a 4-dp decimal in (0, 1], got $t")
+    t.movePointRight(4).setScale(0).longValueExact
+  }
+
+  /** Read the deployment decision out of a [[sizeThreshold]] sweep —
+    * the minimal threshold meeting the precision floor, as the exact
+    * DECIMAL(8,6) a scorer's `score >= τ` gate takes. Fails loudly when
+    * no threshold meets the target (serving at a made-up operating
+    * point is the silent version of the same failure).
+    */
+  def chosenThreshold(sizing: DataFrame): java.math.BigDecimal = {
+    val rows = sizing.filter(col("chosen")).select(col("threshold")).collect()
+    require(rows.nonEmpty,
+      "sizeThreshold sweep: no threshold meets the precision target")
+    rows.map(r => BigDecimal(r.getDecimal(0))).min.bigDecimal
+  }
+
+  /** Per-group calibration — [[calibrationMetrics]] with the bins
+    * partitioned by `groupCol` (one (ece, brier, n) row per group): the
+    * batch twin of the streaming per-source calibration-drift monitor,
+    * and the diagnostic that finds WHICH source broke the score→quality
+    * mapping when the global qd83 number moves. Same exact integer
+    * discipline; the grouped frame is |groups|·nBins rows of metadata.
+    */
+  def calibrationMetricsBy(scored: DataFrame, scoreCol: String,
+      labelCol: String, groupCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val perBin = scored
+      .withColumn("bin",
+        least(floor(col(scoreCol) * lit(nBins)).cast("int"), lit(nBins - 1)))
+      .withColumn("__yd",
+        when(col(labelCol), lit(1)).otherwise(lit(0)).cast(DecimalType(8, FeatScale)))
+      .withColumn("__sq", (col(scoreCol) - col("__yd")) * (col(scoreCol) - col("__yd")))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(col(scoreCol) * lit(1000000L)).cast("long").as("__s6"),
+        sum((col("__sq") * lit(1000000000000L)).cast(DecimalType(38, 0)))
+          .as("__q12"))
+      .select(col(groupCol), col("n"),
+        expr("(2 * __s6 + n * 100) div (2 * n * 100)").as("__m4"),
+        expr("(2 * n_pos * 10000 + n) div (2 * n)").as("__f4"),
+        col("__q12"))
+    perBin.groupBy(col(groupCol))
+      .agg(sum(col("n") * abs(col("__f4") - col("__m4"))).as("__w4"),
+        sum(col("__q12")).as("__q"),
+        sum(col("n")).as("__n"))
+      .select(col(groupCol),
+        (expr("(2 * __w4 + __n) div (2 * __n)").cast("double") / 10000.0).as("ece"),
+        (expr("(2 * __q + CAST(__n AS DECIMAL(38,0)) * 1000000) div " +
+          "(2 * CAST(__n AS DECIMAL(38,0)) * 1000000)").cast("double")
+          / 1000000.0).as("brier"),
+        col("__n").cast("long").as("n"))
+  }
+
   // ---- oracle SQL (DuckDB replay of the exact recipe) -----------------
 
   /** Gopher keep as the training label (qd39's oracle verbatim, reshaped
@@ -870,6 +963,73 @@ object Classifier {
        |    CAST((SELECT SUM(term8) FROM terms) AS DOUBLE) / 100000000.0
        |  END AS ap, t.p AS n_pos, t.n AS n_neg
        |FROM tot t""".stripMargin
+
+  /** qd92's oracle: the threshold sweep + choice — the qd86 chain with
+    * the 4-dp integer precision compared against the SAME scaled target
+    * the engine uses, and `chosen` = the minimal meeting threshold.
+    */
+  def sizeThresholdOracleSql(dim: Int, iters: Int, lr: Double,
+      targetPrecision: java.math.BigDecimal): String = {
+    val t4 = targetPrecision4(targetPrecision)
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM grp),
+       |cum AS (SELECT score,
+       |    CAST(SUM(pos) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(cnt) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS al
+       |  FROM grp),
+       |mt AS (SELECT c.score, c.tp, c.al, t.p,
+       |    ((2 * c.tp * 10000 + c.al) // (2 * c.al)) >= $t4 AS meets
+       |  FROM cum c CROSS JOIN tot t),
+       |best AS (SELECT MIN(CASE WHEN meets THEN score END) AS b FROM mt)
+       |SELECT ${scoreAsDoubleSql("m.score")} AS threshold, m.tp,
+       |  m.al - m.tp AS fp,
+       |  CAST((2 * m.tp * 10000 + m.al) // (2 * m.al) AS DOUBLE) / 10000.0 AS precision,
+       |  CASE WHEN m.p > 0 THEN
+       |    CAST((2 * m.tp * 10000 + m.p) // (2 * m.p) AS DOUBLE) / 10000.0 END AS recall,
+       |  m.meets AS meets_target,
+       |  m.meets AND m.score = best.b AS chosen
+       |FROM mt m CROSS JOIN best ORDER BY m.score""".stripMargin
+  }
+
+  /** qd93's oracle: per-source calibration — the qd83 integer-bin
+    * arithmetic grouped by the documents table's source column.
+    */
+  def calibrationBySourceOracleSql(dim: Int, iters: Int, lr: Double,
+      nBins: Int): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |sps AS (SELECT sp.score, sp.label, d.source
+       |  FROM sp JOIN documents d USING (doc_id)),
+       |b AS (SELECT source,
+       |    LEAST(CAST(FLOOR(score * $nBins) AS INTEGER), ${nBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(score * 1000000) AS BIGINT) AS s6,
+       |    CAST(SUM((score - CAST(CASE WHEN label THEN 1 ELSE 0 END AS DECIMAL(8,6)))
+       |      * (score - CAST(CASE WHEN label THEN 1 ELSE 0 END AS DECIMAL(8,6)))
+       |      * 1000000000000) AS HUGEINT) AS q12
+       |  FROM sps GROUP BY 1, 2),
+       |pb AS (SELECT source, n, (2 * s6 + n * 100) // (2 * n * 100) AS m4,
+       |    (2 * n_pos * 10000 + n) // (2 * n) AS f4, q12
+       |  FROM b),
+       |ag AS (SELECT source, SUM(n * abs(f4 - m4)) AS w4, SUM(q12) AS q,
+       |    SUM(n) AS nn
+       |  FROM pb GROUP BY source)
+       |SELECT source,
+       |  CAST((2 * w4 + nn) // (2 * nn) AS DOUBLE) / 10000.0 AS ece,
+       |  CAST((2 * q + CAST(nn AS HUGEINT) * 1000000) // (2 * CAST(nn AS HUGEINT) * 1000000) AS DOUBLE) / 1000000.0 AS brier,
+       |  CAST(nn AS BIGINT) AS n
+       |FROM ag ORDER BY source""".stripMargin
 
   /** feats with the hashed-bigram block ([[hashedFeaturesBigram]]'s
     * layout) — qd89's feature frame.

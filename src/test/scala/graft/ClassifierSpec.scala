@@ -355,4 +355,68 @@ class ClassifierSpec extends SparkSpec {
     }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("sizeThreshold: hand-computed sweep, minimal meeting threshold chosen, serving under the choice matches the winning row") {
+    def sweep(target: String) = Classifier.sizeThreshold(
+      Seq((0.9, true), (0.8, true), (0.8, false), (0.1, false))
+        .toDF("s", "y")
+        .select(col("s").cast(DecimalType(8, 6)).as("s"), col("y")),
+      "s", "y", new java.math.BigDecimal(target))
+    // thresholds desc: 0.9 → tp1/al1 p4=10000; 0.8 → tp2/al3
+    // p4=(2·2·10⁴+3)//6=6667; 0.1 → tp2/al4 p4=5000
+    val rows = sweep("0.66")
+      .select(col("threshold").cast("double"), col("tp"), col("fp"),
+        col("precision"), col("recall"), col("meets_target"), col("chosen"))
+      .orderBy(col("threshold").desc)
+      .as[(Double, Long, Long, Double, Double, Boolean, Boolean)]
+      .collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._6)) === Seq(
+      (0.9, 1L, 0L, 1.0, true),
+      (0.8, 2L, 1L, 0.6667, true),
+      (0.1, 2L, 2L, 0.5, false)))
+    // chosen = MINIMAL meeting threshold (max recall under the floor)
+    assert(rows.filter(_._7).map(_._1) === Seq(0.8))
+    assert(Classifier.chosenThreshold(sweep("0.66"))
+      .compareTo(new java.math.BigDecimal("0.800000")) === 0)
+    // a tighter floor moves the choice up
+    assert(Classifier.chosenThreshold(sweep("0.8"))
+      .compareTo(new java.math.BigDecimal("0.900000")) === 0)
+    // serving under the chosen threshold reproduces the winning row's
+    // confusion counts exactly — the loop is closed, not approximated
+    val tau = Classifier.chosenThreshold(sweep("0.66"))
+    val served = Seq((0.9, true), (0.8, true), (0.8, false), (0.1, false))
+      .toDF("s", "y")
+      .select(col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+      .filter(col("s") >= lit(tau).cast(DecimalType(8, 6)))
+    assert(served.count() === 3L)
+    assert(served.filter(col("y")).count() === 2L) // tp of the winning row
+    // unreachable floor (the top score is a false positive, so NO
+    // threshold reaches 0.9 precision): sweep chooses nothing, the
+    // reader refuses — no silent fallback operating point
+    val noMeet = Classifier.sizeThreshold(
+      Seq((0.9, false), (0.8, true), (0.1, false)).toDF("s", "y")
+        .select(col("s").cast(DecimalType(8, 6)).as("s"), col("y")),
+      "s", "y", new java.math.BigDecimal("0.9"))
+    assert(noMeet.filter(col("chosen")).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Classifier.chosenThreshold(noMeet)
+    }
+  }
+
+  test("calibrationMetricsBy: per-group ECE/Brier equals calibrationMetrics run on each slice") {
+    val df = Seq(
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.3, false), ("a", 0.2, false),
+      ("b", 0.9, false), ("b", 0.7, false), ("b", 0.4, true))
+      .toDF("g", "s", "y")
+      .select(col("g"), col("s").cast(DecimalType(8, 6)).as("s"), col("y"))
+    val by = Classifier.calibrationMetricsBy(df, "s", "y", "g")
+      .orderBy(col("g"))
+      .as[(String, Double, Double, Long)].collect().toSeq
+    for ((g, ece, brier, n) <- by) {
+      val solo = Classifier.calibrationMetrics(df.filter(col("g") === g), "s", "y")
+        .as[(Double, Double, Long)].collect()(0)
+      assert((ece, brier, n) === solo, s"group $g")
+    }
+    assert(by.map(_._1) === Seq("a", "b"))
+  }
 }
