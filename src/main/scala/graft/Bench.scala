@@ -284,6 +284,10 @@ object Bench {
     // pinned from the same two quiet windows
     "qd90_persisted_model_score" -> 2.594,
     "qd91_l2_heldout_auc" -> 2.215,
+    // qd92/qd93 (round 19): threshold sweep + per-source calibration —
+    // two further quiet subset windows (per-query steal ≤ 32 ticks)
+    "qd92_threshold_sweep" -> 2.49,
+    "qd93_calibration_by_source" -> 2.297,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 1.95,
@@ -344,7 +348,10 @@ object Bench {
     // bigram explode, linear), qd79 2.4×, qd80 5.6×, qd89 4.4×
     "qd78_kn_bigram_nll" -> 68.87, "qd79_quality_classifier_train" -> 19.92,
     "qd80_quality_classifier_score" -> 13.33, "qd89_classifier_bigram_auc" -> 27.51,
-    "qd90_persisted_model_score" -> 12.94, "qd91_l2_heldout_auc" -> 12.83)
+    "qd90_persisted_model_score" -> 12.94, "qd91_l2_heldout_auc" -> 12.83,
+    // qd92/qd93 from two further quiet sf1 windows (4.8×/6.0× their
+    // sf0.1 readings for 10× docs — the descent-free eval shape)
+    "qd92_threshold_sweep" -> 13.223, "qd93_calibration_by_source" -> 14.166)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
