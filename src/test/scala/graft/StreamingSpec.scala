@@ -3108,6 +3108,54 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("production loop closed: persisted model + sized threshold gate the curation sink") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Classifier
+    import graft.ops.ModelStore
+    // 1. TRAIN on the separable fixture
+    val goodText = curText("loopx")
+    val badText = Seq.fill(45)("junk junk spam").mkString(" ")
+    val trainDocs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, goodText) else (i.toLong, badText)
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val w = Classifier.trainHashedLogistic(trainDocs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    // 2. PERSIST and reload — the artifact the deployment serves under
+    val tbl = s"clf_loop_models_${System.nanoTime()}"
+    val v = ModelStore.save(spark, "gate", w, tbl)
+    val loaded = ModelStore.load(spark, "gate", Some(v), tbl)
+    // 3. SIZE the operating point on the SERVING scorer's own scores
+    // (narrowScore — sizing on the scores the deployed path produces,
+    // so the chosen τ is exactly achievable at serve time), precision
+    // floor 1.0: chosen = the lowest perfect-precision threshold
+    val scored = trainDocs
+      .select(col("doc_id"),
+        Classifier.narrowScore(col("text"), loaded, 32).as("score"))
+      .join(labels, "doc_id")
+    val tau = Classifier.chosenThreshold(
+      Classifier.sizeThreshold(scored, "score", "keep",
+        new java.math.BigDecimal("1.0000")))
+    // 4. SERVE: the sink gated by the loaded model at the chosen τ
+    val corpus = tmpDir("loop-corpus")
+    val cents = curCents.toDF("cell_id", "centroid")
+    val ms = MemoryStream[(Long, String, Seq[Double])]
+    ms.addData(
+      (1L, goodText, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, badText, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, goodText.split(" ").reverse.mkString(" "), Seq(0.0, 0.0, 1.0, 0.0)))
+    graft.streaming.CorpusIngest.startCurationSink(
+        ms.toDF().toDF("doc_id", "text", "embedding"), corpus,
+        tmpDir("loop-cp"), cents,
+        qualityGate = t => Classifier.narrowScore(t, loaded, 32) >=
+          lit(tau).cast(org.apache.spark.sql.types.DecimalType(8, 6)))
+      .awaitTermination()
+    val kept = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L),
+      s"loop gate must keep good prose and drop junk: $kept")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("curation sink gates on a TRAINED classifier: narrowScore as qualityGate keeps good prose, drops junk") {
     implicit val ctx = spark.sqlContext
     // train on the separable fixture; freeze weights into the gate
