@@ -3840,6 +3840,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // oracle-checked: CHECKPOINTED descent resume — train 12
+    // iterations, persist the vector (ModelStore), load it and resume
+    // 12 MORE from the loaded artifact. The oracle is qd79's straight
+    // 24-iteration replay VERBATIM: the descent is a pure function of
+    // (weights, data), so resume ≡ straight-through bit-for-bit — the
+    // property that makes a multi-hour 100 TB descent checkpointable,
+    // machine-proven through a second engine here (a resume bug of any
+    // kind — scale drift, missing feature, stale artifact — breaks the
+    // hash). Exposed via the same exact-integer double discipline.
+    "qd94_resume_training" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w12 = Classifier.trainHashedLogisticMemo(s"$d|half", docs,
+        "doc_id", "text", labels, "keep", dim = 64, iters = 12, lr = 5.0)
+      val version = graft.ops.ModelStore.save(s, "quality_clf_64_ckpt", w12)
+      val resumed = Classifier.trainHashedLogisticFrom(
+        graft.ops.ModelStore.load(s, "quality_clf_64_ckpt", Some(version)),
+        docs, "doc_id", "text", labels, "keep",
+        dim = 64, iters = 12, lr = 5.0)
+      Classifier.weightsDf(s, resumed)
+        .select(col("feat"),
+          Classifier.weightAsDouble(col("weight")).as("weight"))
+        .orderBy(col("feat"))
+    }),
+
     // oracle-checked: data-constrained EPOCH allocation (Muennighoff
     // et al. 2023) — when unique supply binds, repeat good sources at
     // diminishing value (decay 0.5/epoch, 3 epochs max) instead of
@@ -6392,6 +6418,12 @@ object SparkEntry {
     "qd93_calibration_by_source" ->
       Classifier.calibrationBySourceOracleSql(dim = 64, iters = 24,
         lr = 5.0, nBins = 10),
+
+    // resume ≡ straight-through: the oracle is the UNSPLIT 24-iteration
+    // descent — the engine's 12+12 through a persisted checkpoint must
+    // hash-match it exactly
+    "qd94_resume_training" ->
+      Classifier.trainOracleSql(dim = 64, iters = 24, lr = 5.0),
 
     // the interpolated-KN model replayed: bigram/context/continuation
     // tables from the en slice, the same CASE (unseen-context backoff /

@@ -166,10 +166,13 @@ object Classifier {
     */
   private[functions] def gdTrain(featsRaw: DataFrame, idCol: String,
       labels: DataFrame, labelCol: String, nFeats: Int, iters: Int,
-      lr: Double, l2: BigDecimal = BigDecimal(0)): Seq[(Int, BigDecimal)] = {
+      lr: Double, l2: BigDecimal = BigDecimal(0),
+      init: Seq[(Int, BigDecimal)] = Seq.empty): Seq[(Int, BigDecimal)] = {
     require(iters > 0 && lr > 0.0 && nFeats > 0)
     require(l2.signum >= 0 && l2.scale <= FeatScale,
       s"l2 must be a non-negative decimal of scale <= $FeatScale, got $l2")
+    require(init.forall { case (f, _) => f >= 0 && f < nFeats },
+      s"init features must lie in [0, $nFeats)")
     val spark = featsRaw.sparkSession
     import spark.implicits._
     // labels attach ONCE (inner join = unlabeled docs never contribute),
@@ -209,8 +212,14 @@ object Classifier {
     val eta = BigDecimal(
       (lrE12 * 2 + BigInt(n)) / (BigInt(n) * 2), 12)
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // warm start: resume FROM a persisted vector (the checkpointed-
+    // descent shape — at 100 TB a multi-hour descent must be resumable);
+    // the descent is a pure function of (weights, data), so resume ≡
+    // straight-through bit-for-bit (spec- and oracle-pinned by qd94)
+    val initMap = init.toMap
     var w: Map[Int, BigDecimal] =
-      (0 until nFeats).map(_ -> BigDecimal(0).setScale(WeightScale)).toMap
+      (0 until nFeats).map(f => f ->
+        initMap.getOrElse(f, BigDecimal(0)).setScale(WeightScale)).toMap
     for (_ <- 0 until iters) {
       val wDf = broadcast(w.toSeq.sortBy(_._1).toDF("feat", "__w")
         .select(col("feat"), col("__w").cast(DecimalType(20, WeightScale)).as("__w")))
@@ -268,6 +277,22 @@ object Classifier {
     trainMemo.computeIfAbsent(s"$dataKey|uni|$dim|$iters|$lr|$l2",
       _ => trainHashedLogistic(docs, idCol, textCol, labels, labelCol,
         dim, iters, lr, l2))
+
+  /** Resume the descent FROM a persisted vector ([[ModelStore]]'s
+    * load): `iters` MORE exact-decimal GD iterations starting at
+    * `init` instead of zeros. The descent is a pure function of
+    * (weights, data), so resuming a 12-iteration checkpoint for 12
+    * more is bit-identical to the straight 24-iteration run — the
+    * property that makes a multi-hour 100 TB descent checkpointable
+    * at all, and the property qd94's oracle pins (its SQL is the
+    * straight-through 24-iteration replay, verbatim).
+    */
+  def trainHashedLogisticFrom(init: Seq[(Int, BigDecimal)], docs: DataFrame,
+      idCol: String, textCol: String, labels: DataFrame, labelCol: String,
+      dim: Int = 64, iters: Int = 24, lr: Double = 5.0,
+      l2: BigDecimal = BigDecimal(0)): Seq[(Int, BigDecimal)] =
+    gdTrain(hashedFeatures(docs, idCol, textCol, dim), idCol,
+      labels, labelCol, dim + 2, iters, lr, l2, init)
 
   /** Train UNCONDITIONALLY and seed the memo — what the TRAIN query
     * (qd79) calls: its benched time must measure the descent every run

@@ -356,6 +356,37 @@ class ClassifierSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("warm-start resume: 6+6 through a checkpoint is bit-identical to the straight 12; init is respected") {
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "good solid prose here")
+      else (i.toLong, "junk junk junk spam")
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val straight = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    val half = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 6, lr = 5.0)
+    val resumed = Classifier.trainHashedLogisticFrom(half, docs, "doc_id",
+      "text", labels, "keep", dim = 32, iters = 6, lr = 5.0)
+    assert(resumed == straight,
+      "resume through a checkpoint must be bit-identical to straight-through")
+    // a sparse init pads missing features with zero and is actually used:
+    // one iteration from a nonzero single-feature init differs from the
+    // one-iteration cold start at exactly that feature's influence
+    val cold = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 1, lr = 5.0).toMap
+    val warm = Classifier.trainHashedLogisticFrom(
+      Seq(33 -> BigDecimal("1.0000000000")), // feat 33 = bias (dim+1)
+      docs, "doc_id", "text", labels, "keep",
+      dim = 32, iters = 1, lr = 5.0).toMap
+    assert(warm != cold, "a nonzero init must change the descent")
+    // out-of-range init features fail loudly
+    intercept[IllegalArgumentException] {
+      Classifier.trainHashedLogisticFrom(Seq(34 -> BigDecimal(1)),
+        docs, "doc_id", "text", labels, "keep", dim = 32, iters = 1, lr = 5.0)
+    }
+  }
+
   test("sizeThreshold: hand-computed sweep, minimal meeting threshold chosen, serving under the choice matches the winning row") {
     def sweep(target: String) = Classifier.sizeThreshold(
       Seq((0.9, true), (0.8, true), (0.8, false), (0.1, false))
