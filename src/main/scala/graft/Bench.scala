@@ -60,7 +60,7 @@ object Bench {
     "qd89_classifier_bigram_auc",
     "qd90_persisted_model_score", "qd91_l2_heldout_auc",
     "qd92_threshold_sweep", "qd93_calibration_by_source",
-    "qd94_resume_training",
+    "qd94_resume_training", "qd95_isotonic_calibration",
     "qe28_int4_fidelity",
     "qr07_retrieval_eval_summary", "qr08_retrieval_pipeline",
     "qr09_prf_expansion", "qr10_mmr_rerank",

@@ -3840,6 +3840,29 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // oracle-checked: isotonic calibration (PAV, Zadrozny & Elkan
+    // 2002) — the nonparametric score→probability remap: exact
+    // integer-rational pooling on the driver over the DISTINCT-score
+    // table (bounded ≤ 10⁶+1 rows at any corpus size), 4-dp integer
+    // half-up block values; the oracle replays it through the minimax
+    // identity max_{j≤i} min_{k≥i} mean(j..k), exact because half-up
+    // rounding commutes with min/max (monotone). The mapping a scorer
+    // applies as a broadcast join.
+    "qd95_isotonic_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val w = Classifier.trainHashedLogisticMemo(d, docs, "doc_id", "text",
+        labels, "keep", dim = 64, iters = 24, lr = 5.0)
+      val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+          w, 64, new java.math.BigDecimal("0.730000"))
+        .join(labels, "doc_id")
+      Classifier.isotonicCalibrate(scored, "score", "keep")
+        .select(Classifier.scoreAsDouble(col("score")).as("score"),
+          col("n"), col("n_pos"), col("calibrated"))
+        .orderBy(col("score"))
+    }),
+
     // oracle-checked: CHECKPOINTED descent resume — train 12
     // iterations, persist the vector (ModelStore), load it and resume
     // 12 MORE from the loaded artifact. The oracle is qd79's straight
@@ -6424,6 +6447,13 @@ object SparkEntry {
     // hash-match it exactly
     "qd94_resume_training" ->
       Classifier.trainOracleSql(dim = 64, iters = 24, lr = 5.0),
+
+    // PAV replayed via the minimax identity over the distinct-score
+    // index (O(n²) interval means as 4-dp integers + one suffix-min
+    // window per j) — rounding commutes with min/max, so it is
+    // bit-equal to the engine's round-after-exact-PAV
+    "qd95_isotonic_calibration" ->
+      Classifier.isotonicOracleSql(dim = 64, iters = 24, lr = 5.0),
 
     // the interpolated-KN model replayed: bigram/context/continuation
     // tables from the en slice, the same CASE (unseen-context backoff /

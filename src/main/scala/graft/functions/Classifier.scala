@@ -666,6 +666,68 @@ object Classifier {
     rows.map(r => BigDecimal(r.getDecimal(0))).min.bigDecimal
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) — the
+    * nonparametric score→probability remap (Zadrozny & Elkan 2002)
+    * that Platt scaling's sigmoid shape cannot express: the monotone
+    * map minimizing squared error against the labels, which makes the
+    * remapped scores perfectly calibrated on their own level sets.
+    * Returns the mapping table (score, n, n_pos, calibrated) — one row
+    * per distinct 6-dp score; a scorer applies it as a broadcast
+    * range/equi join.
+    *
+    * Exactness: PAV runs on the DRIVER over the distinct-score frame
+    * (≤ 10⁶+1 rows at any corpus size — the BPE-word-table class of
+    * bounded collect) with block means as exact INTEGER rationals
+    * (Σpos, Σn) compared by cross-multiplication — never a double —
+    * and the final calibrated value is the qd82 integer half-up
+    * division at 4 dp. The oracle replays it through the classical
+    * minimax identity iso(i) = max_{j≤i} min_{k≥i} mean(j..k):
+    * half-up rounding is monotone, so rounding each interval mean at
+    * 4 dp BEFORE the minimax commutes with rounding the exact PAV
+    * value AFTER — the two engines never compare a double.
+    */
+  def isotonicCalibrate(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val grouped = scored.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"))
+      .orderBy(col("score"))
+      .collect()
+    // PAV: ascending scores, merge while the top block's mean exceeds
+    // the incoming one (exact rational compare p1·n2 > p2·n1 — in
+    // BigInt: the cross products are N²-class, the exact overflow
+    // family this round moved the eval metrics off LONG for)
+    final case class Block(var p: BigInt, var n: BigInt, var cnt: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    grouped.foreach { r =>
+      val b = Block(BigInt(r.getLong(2)), BigInt(r.getLong(1)), 1)
+      while (stack.nonEmpty &&
+          stack.last.p * b.n > b.p * stack.last.n) {
+        val t = stack.remove(stack.length - 1)
+        b.p += t.p; b.n += t.n; b.cnt += t.cnt
+      }
+      stack += b
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.math.BigDecimal, Long, Long, Double)]
+    var idx = 0
+    stack.foreach { b =>
+      // block value at 4 dp: integer half-up of the pooled rational
+      val c4 = ((b.p * 2 * 10000 + b.n) / (b.n * 2)).toLong
+      (0 until b.cnt).foreach { _ =>
+        val r = grouped(idx)
+        out += ((r.getDecimal(0), r.getLong(1), r.getLong(2),
+          c4.toDouble / 10000.0))
+        idx += 1
+      }
+    }
+    out.toSeq.toDF("score", "n", "n_pos", "calibrated")
+      .select(col("score").cast(DecimalType(8, FeatScale)).as("score"),
+        col("n"), col("n_pos"), col("calibrated"))
+  }
+
   /** Per-group calibration — [[calibrationMetrics]] with the bins
     * partitioned by `groupCol` (one (ece, brier, n) row per group): the
     * batch twin of the streaming per-source calibration-drift monitor,
@@ -1023,6 +1085,42 @@ object Classifier {
        |  m.meets AND m.score = best.b AS chosen
        |FROM mt m CROSS JOIN best ORDER BY m.score""".stripMargin
   }
+
+  /** qd95's oracle: isotonic calibration through the classical minimax
+    * identity — iso(i) = max_{j≤i} min_{k≥i} mean(j..k) over the
+    * distinct-score index, every interval mean an INTEGER half-up at
+    * 4 dp (half-up is monotone, so per-interval rounding commutes with
+    * the minimax — bit-equal to the engine's round-after-PAV). The
+    * O(n²) interval table is over DISTINCT scores (n ≤ 10⁶+1, and a
+    * few hundred at the gate SF) with a per-j suffix-min window, never
+    * over corpus rows.
+    */
+  def isotonicOracleSql(dim: Int, iters: Int, lr: Double): String =
+    s"""WITH $labelCtes,
+       |${featuresCtes(dim)},
+       |${trainCtes(dim, iters, lr)},
+       |${scoredCtes(iters)},
+       |grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sp GROUP BY score),
+       |idx AS MATERIALIZED (SELECT score, n, pos,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score) AS BIGINT) AS i,
+       |    CAST(SUM(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+       |    CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+       |  FROM grp),
+       |mjk AS (SELECT a.i AS j, b.i AS k,
+       |    (2 * CAST(b.cp - a.cp + a.pos AS HUGEINT) * 10000
+       |      + (b.cn - a.cn + a.n))
+       |      // (2 * CAST(b.cn - a.cn + a.n AS HUGEINT)) AS m4
+       |  FROM idx a JOIN idx b ON a.i <= b.i),
+       |sfx AS (SELECT j, k AS i,
+       |    MIN(m4) OVER (PARTITION BY j ORDER BY k DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a4
+       |  FROM mjk),
+       |iso AS (SELECT i, MAX(a4) AS c4 FROM sfx GROUP BY i)
+       |SELECT ${scoreAsDoubleSql("g.score")} AS score, g.n, g.pos AS n_pos,
+       |  CAST(o.c4 AS DOUBLE) / 10000.0 AS calibrated
+       |FROM idx g JOIN iso o ON o.i = g.i ORDER BY g.score""".stripMargin
 
   /** qd93's oracle: per-source calibration — the qd83 integer-bin
     * arithmetic grouped by the documents table's source column.

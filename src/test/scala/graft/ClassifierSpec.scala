@@ -434,6 +434,64 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("isotonicCalibrate: hand-computed PAV pools, monotone output, mass preserved, calibration improves") {
+    def iso(rows: Seq[(Double, Boolean)]): Seq[(Double, Long, Long, Double)] =
+      Classifier.isotonicCalibrate(
+        rows.toDF("s", "y").select(
+          col("s").cast(DecimalType(8, 6)).as("s"), col("y")),
+        "s", "y")
+        .select(col("score").cast("double"), col("n"), col("n_pos"),
+          col("calibrated"))
+        .orderBy(col("score"))
+        .as[(Double, Long, Long, Double)].collect().toSeq
+    // hand fixture: ascending means 0,1,0,1 → PAV pools the middle
+    // violator pair into 0.5: iso = [0, 0.5, 0.5, 1]
+    val r = iso(Seq((0.1, false), (0.2, true), (0.3, false), (0.4, true)))
+    assert(r.map(_._4) === Seq(0.0, 0.5, 0.5, 1.0))
+    // weighted violator pooling: (0.1: 3 neg), (0.2: 2 of 2 pos),
+    // (0.3: 0 of 1) → pool(0.2, 0.3) = 2/3 → 0.6667 half-up at 4 dp
+    val r2 = iso(Seq((0.1, false), (0.1, false), (0.1, false),
+      (0.2, true), (0.2, true), (0.3, false)))
+    assert(r2.map(_._4) === Seq(0.0, 0.6667, 0.6667))
+    // already-isotonic input is untouched (identity on sorted means)
+    val r3 = iso(Seq((0.2, false), (0.5, true), (0.5, false), (0.9, true)))
+    assert(r3.map(_._4) === Seq(0.0, 0.5, 1.0))
+    // properties on a trained fixture: monotone non-decreasing and
+    // label mass preserved (Σ n·iso = Σ pos, a PAV invariant — here in
+    // 4-dp arithmetic, so compare at 4-dp tolerance per block)
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "good solid prose here")
+      else (i.toLong, "junk junk junk spam")
+    }.toDF("doc_id", "text")
+    val labels = (0 until 20).map(i => (i.toLong, i % 2 == 0)).toDF("doc_id", "keep")
+    val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 32, iters = 12, lr = 5.0)
+    val scored = Classifier.scoreHashedLogistic(docs, "doc_id", "text",
+        w, 32, new java.math.BigDecimal("0.500000"))
+      .join(labels, "doc_id")
+    val m = Classifier.isotonicCalibrate(scored, "score", "keep")
+      .select(col("score").cast("double"), col("n"), col("n_pos"),
+        col("calibrated"))
+      .orderBy(col("score")).as[(Double, Long, Long, Double)].collect().toSeq
+    m.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._4, s"isotonic output must be monotone: $m")
+    }
+    val mass = m.map(x => x._2 * x._4).sum
+    val pos = m.map(_._3).sum
+    assert(math.abs(mass - pos) <= m.length * 0.00005 * m.map(_._2).max,
+      s"PAV must preserve label mass: $mass vs $pos")
+    // remapped scores calibrate at least as well as the raw ones
+    val mapped = scored.join(
+        Classifier.isotonicCalibrate(scored, "score", "keep")
+          .select(col("score"), col("calibrated")), Seq("score"))
+      .select(col("calibrated").cast(DecimalType(8, 6)).as("cs"), col("keep"))
+    val rawEce = Classifier.calibrationMetrics(scored, "score", "keep")
+      .select(col("ece")).as[Double].head()
+    val isoEce = Classifier.calibrationMetrics(mapped, "cs", "keep")
+      .select(col("ece")).as[Double].head()
+    assert(isoEce <= rawEce, s"isotonic must not worsen ECE: $isoEce vs $rawEce")
+  }
+
   test("calibrationMetricsBy: per-group ECE/Brier equals calibrationMetrics run on each slice") {
     val df = Seq(
       ("a", 0.9, true), ("a", 0.8, true), ("a", 0.3, false), ("a", 0.2, false),
