@@ -292,6 +292,8 @@ object Bench {
     // qd94 (round 19): memo'd 12-iter half + save/load + fresh 12-iter
     // resume — two quiet-gated windows (6.64/7.33 s)
     "qd94_resume_training" -> 7.308,
+    // qd95 (round 19): PAV calibration — two quiet-gated windows
+    "qd95_isotonic_calibration" -> 3.074,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 1.95,
@@ -356,7 +358,8 @@ object Bench {
     // qd92/qd93 from two further quiet sf1 windows (4.8×/6.0× their
     // sf0.1 readings for 10× docs — the descent-free eval shape)
     "qd92_threshold_sweep" -> 13.223, "qd93_calibration_by_source" -> 14.166,
-    "qd94_resume_training" -> 21.559)
+    "qd94_resume_training" -> 21.559,
+    "qd95_isotonic_calibration" -> 14.319)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
