@@ -250,18 +250,41 @@ object Dedup {
     * covered by an n-gram that occurs ≥ 2 times WITHIN the doc.
     * Returns (id, n_tokens, n_dup_covered, dup_ngram_frac).
     *
-    * Scale shape: positional-span explode → grouped count on the
-    * UNIFORM (id, span) key → join back for the repeated spans'
-    * positions → per-doc `collect_set` (bounded by the doc's own
-    * length) → narrow coverage-union map. A per-row HOF could do this
-    * with no shuffle but O(m²) per doc — quadratic in the 100k-token
-    * tail; the relational form stays O(m log m)-ish per doc and
-    * partitions evenly. Span keys: positional xxhash64 (production) or
+    * Scale shape (round 19): the production path is ONE zero-shuffle
+    * projection — [[NativeExpressions.DupNgramStatsExpr]] counts span
+    * multiplicities and coverage per row in O(m log m) over the doc's
+    * OWN spans (a JVM sort, not the O(m²) a SQL HOF would pay), so no
+    * span ever crosses an exchange. The `portable = true` path keeps
+    * the relational form (positional-span explode → grouped count on
+    * the UNIFORM (id, span) key → join back → per-doc `collect_set`):
+    * it keys by raw span STRINGS, which is what the SQL oracle
+    * replays. Span keys: positional xxhash64 (production kernel) or
     * raw strings (`portable = true`, the oracle form).
     */
   def intraDocDupNgramFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int, portable: Boolean = false): DataFrame = {
     require(n > 0)
+    // Production path (round 19): duplicate coverage is a doc-local
+    // property — the DupNgramStats kernel computes it in one per-row
+    // pass over the SAME positional XXH64 span chain, so the output is
+    // bit-identical to the relational form below (even under a 64-bit
+    // collision, which merges the same two span groups in both) while
+    // running ZERO exchanges instead of a positional-span explode
+    // shuffle + grouped count + join-back + per-doc collect_set. The
+    // portable (raw-string-keyed) path keeps the relational form: it
+    // exists for the SQL oracle, which replays the string spans.
+    if (!portable) {
+      val stats = NativeExpressions.dupNgramStats(col(textCol), n)
+      return df.select(col(idCol), col(textCol), stats.as("__dns"))
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col(textCol))).cast("long"))
+        .withColumn("n_dup_covered", coalesce(col("__dns"), lit(0L)))
+        .withColumn("dup_ngram_frac",
+          round(col("n_dup_covered").cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+        .select(col(idCol), col("n_tokens"), col("n_dup_covered"),
+          col("dup_ngram_frac"))
+    }
     // persisted for its two consumers (repeat count + coverage join),
     // eager + unpersist-on-return like scrubDuplicatedSpans
     val spans = df.select(col(idCol),

@@ -759,6 +759,161 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Per-doc top-token statistics in ONE per-row pass:
+    * [max multiplicity of any token, total token count], both under
+    * `split(trim(text), "\s+")` semantics (empty/whitespace-only text
+    * yields the single empty token, so both stats read 1 — matching the
+    * explode+groupBy formulation this kernel replaces byte-for-byte).
+    * Token identity is TRUE BYTE EQUALITY (a java HashMap keyed on the
+    * token's UTF8String — no hash-collision merge is possible), so the
+    * counts are exactly the relational explode→count's. Replaces the
+    * (id, token) explode shuffle + two grouped aggregations of
+    * [[TextAnalysis.topTokenFraction]] with a zero-shuffle projection:
+    * at corpus scale the explode shipped every token occurrence
+    * through an exchange to count something every doc can count
+    * locally. O(tokens) time and memory per row.
+    */
+  case class TopTokenStatsExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "top_token_stats"
+
+    def compute(s: UTF8String): ArrayData = {
+      // tokens(text) = split(trim(text), "\s+", -1). `trim` strips
+      // ASCII SPACES only, so a leading/trailing non-space whitespace
+      // run (tab, newline …) yields an EMPTY edge token — split keeps
+      // the leading empty and, at limit -1, the trailing one too.
+      // Replicated exactly: real tokens counted byte-for-byte, plus
+      // 0–2 empty edge tokens.
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      // all-space/empty text: trim → "" → [''] — one empty token
+      if (hi == lo) return new GenericArrayData(Array(1L, 1L))
+      val leading =
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo))) 1 else 0
+      val trailing =
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1))) 1 else 0
+      val emptyCnt = leading + trailing
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      var nReal = 0L
+      foreachToken(s) { (b, o, len) =>
+        val arr = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          b, o, arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        val t = UTF8String.fromBytes(arr)
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1 else prev + 1)
+        nReal += 1L
+      }
+      var max = emptyCnt
+      val it = counts.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > max) max = v }
+      new GenericArrayData(Array(max.toLong, nReal + emptyCnt))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("toptokenstats", this,
+        classOf[TopTokenStatsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Intra-doc duplicate-n-gram coverage in ONE per-row pass: the
+    * number of token positions covered by an n-gram occurring ≥ 2
+    * times within the doc. Span identity is the
+    * SAME positional XXH64 chain as [[PositionalShingleHashesExpr]]
+    * (so the output is bit-identical to the relational
+    * explode→count→join-back formulation of
+    * [[Dedup.intraDocDupNgramFraction]]'s production path — including
+    * under a 64-bit collision, which merges the same two span groups
+    * in both forms). Replaces a positional-span explode (corpus × ~n
+    * rows through an exchange), a grouped count, a join back and a
+    * per-doc collect_set with a zero-shuffle projection: duplicate
+    * coverage is a doc-local property. O(m log m) per row (one sort of
+    * the doc's own span hashes), bounded by the doc's length — the
+    * 100k-token tail sorts 100k longs, microseconds; the relational
+    * form's even-partitioning advantage only matters when single docs
+    * rival a partition, which the token-count gates upstream preclude.
+    */
+  case class DupNgramStatsExpr(child: Expression, shingleN: Int)
+      extends UnaryExpression {
+    require(shingleN > 0)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "dup_ngram_covered"
+
+    def compute(s: UTF8String): Long = {
+      var tokenHashes = new Array[Long](16)
+      var nTok = 0
+      foreachToken(s) { (base, off, len) =>
+        if (nTok == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTok * 2)
+        tokenHashes(nTok) = XXH64.hashUnsafeBytes(base, off, len, Seed)
+        nTok += 1
+      }
+      val nSh = nTok - shingleN + 1
+      if (nSh <= 0) return 0L
+      val h = new Array[Long](nSh)
+      var i = 0
+      while (i < nSh) {
+        var hh = Seed
+        var j = 0
+        while (j < shingleN) { hh = XXH64.hashLong(tokenHashes(i + j), hh); j += 1 }
+        h(i) = hh
+        i += 1
+      }
+      // sorted copy → the set of span hashes occurring >= 2 times
+      val sorted = h.clone()
+      java.util.Arrays.sort(sorted)
+      var w = 0
+      i = 0
+      while (i < nSh) {
+        var j = i + 1
+        while (j < nSh && sorted(j) == sorted(i)) j += 1
+        if (j - i >= 2) { sorted(w) = sorted(i); w += 1 }
+        i = j
+      }
+      if (w == 0) return 0L
+      val covered = new Array[Boolean](nTok)
+      i = 0
+      while (i < nSh) {
+        if (java.util.Arrays.binarySearch(sorted, 0, w, h(i)) >= 0) {
+          var k = i
+          val end = i + shingleN
+          while (k < end) { covered(k) = true; k += 1 }
+        }
+        i += 1
+      }
+      var c = 0L
+      i = 0
+      while (i < nTok) { if (covered(i)) c += 1L; i += 1 }
+      c
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dupngramstats", this,
+        classOf[DupNgramStatsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------------- sketches
 
   /** Membership probe against a serialized `org.apache.spark.util.sketch
@@ -1286,6 +1441,12 @@ object NativeExpressions {
 
   def xxBucketBigrams(c: Column, buckets: Int): Column =
     column(XxBucketBigramsExpr(expression(c), buckets))
+
+  def topTokenStats(c: Column): Column =
+    column(TopTokenStatsExpr(expression(c)))
+
+  def dupNgramStats(c: Column, shingleN: Int): Column =
+    column(DupNgramStatsExpr(expression(c), shingleN))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowExpr(expression(c), k, w))

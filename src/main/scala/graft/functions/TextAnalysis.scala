@@ -139,17 +139,25 @@ object TextAnalysis {
   /** Per-doc repetition signal: share of the doc taken by its most
     * frequent token (Gopher-family repetition filters — Rae et al. 2021
     * §A1.1 use duplicate-line and top-n-gram fractions; the top-token
-    * share is the unigram member of that family). Relational formulation:
-    * explode → count per (doc, token) → max/total per doc — shuffles on
-    * (doc_id, token), a uniform composite key, so it scales like any
-    * grouped count; no per-row O(n²) scan.
+    * share is the unigram member of that family). ZERO-SHUFFLE form
+    * (round 19): the max multiplicity of a token within a doc is a
+    * doc-local property, so the [[NativeExpressions.TopTokenStatsExpr]]
+    * kernel counts it in one per-row pass — the previous relational
+    * formulation (explode → grouped count on (doc, token) → per-doc
+    * max/total) shipped every token OCCURRENCE through an exchange to
+    * count something each row can count locally; at corpus scale that
+    * exchange was the whole cost. Values byte-identical (true
+    * byte-equality token counting, split(trim, \s+) semantics incl.
+    * the empty-token edge; null text yields no output row — the
+    * explode's behavior).
     */
   def topTokenFraction(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
-      .groupBy(col(idCol))
-      .agg(max(col("__cnt")).as("top_count"),
-        sum(col("__cnt")).cast("long").as("n_tokens"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        NativeExpressions.topTokenStats(col(textCol)).as("__tts"))
+      .select(col(idCol),
+        element_at(col("__tts"), 1).as("top_count"),
+        element_at(col("__tts"), 2).as("n_tokens"))
       .withColumn("top_token_frac",
         round(col("top_count").cast("double") / col("n_tokens"), 4))
 
@@ -171,50 +179,58 @@ object TextAnalysis {
     *
     * All comparisons are on the 4-dp ROUNDED signals (the same values
     * the per-signal oracles replay), so the keep decision is
-    * engine-portable. Scale shape: the corpus text is scanned and
-    * tokenized ONCE — the shared (id, text, tokens) projection is
-    * persisted and every signal (scalar stats, top-token explode,
-    * dup-n-gram spans AND its coverage join-back) derives from the
-    * cached frame, so the five signals cost one corpus pass plus
-    * grouped aggregations whose shuffles all key on ids or (id, token).
+    * engine-portable. Scale shape (round 19): ONE narrow projection —
+    * every signal is doc-local, so the scalar stats evaluate as HOFs
+    * over the per-row token array and the repetition signals in the
+    * TopTokenStats / DupNgramStats kernels; the battery runs ZERO
+    * exchanges and zero joins (the previous form paid three
+    * corpus-sized shuffles + two join-backs for the same values).
     * Eager like its constituents: the per-doc signal table (7 small
-    * columns, ≪ corpus) is checkpointed and the token cache freed on
-    * return.
+    * columns, ≪ corpus) is checkpointed so repeat consumers (every
+    * classifier eval joins the labels at least once) never re-scan.
     */
   def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 30, maxTokens: Int = 100000,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
       minStopwordRatio: Double = 0.02, maxTopTokenFrac: Double = 0.15,
       maxDupNgramFrac: Double = 0.8, dupN: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol), col(textCol),
-        tokens(col(textCol)).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ZERO-SHUFFLE battery (round 19): every signal is doc-local, so
+    // the whole filter is ONE narrow projection over the scan — the
+    // previous form paid a token-occurrence explode shuffle + two
+    // grouped aggregations (top-token share), a positional-span explode
+    // shuffle + grouped count + join-back (dup-n-gram coverage), and
+    // two left joins to reassemble, all to compute per-row properties.
+    // The TopTokenStats / DupNgramStats kernels count them in place;
+    // values are byte-identical (true byte-equality token counts; the
+    // dup kernel reuses the SAME positional XXH64 span chain, so even
+    // a 64-bit collision merges the same two groups in both forms).
+    // At 100 TB: zero exchanges instead of three corpus-sized ones.
     val nToks = greatest(size(col("__toks")), lit(1)).cast("double")
     val stopLits = EnglishStopwords.map(lit)
     // identical values to tokenCount/avgTokenLength/stopwordRatio over the
     // raw text: every non-whitespace char is in exactly one token, so the
     // summed token lengths equal length(regexp_replace(text, "\s+", ""))
-    val sig = base.select(col(idCol),
-      size(col("__toks")).cast("long").as("n_tokens"),
-      round(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / nToks, 4).as("avg_token_len"),
-      round(size(filter(col("__toks"), t => t.isin(stopLits: _*)))
-        .cast("double") / nToks, 4).as("stopword_ratio"))
-    val ttf = base.select(col(idCol), explode(col("__toks")).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
-      .groupBy(col(idCol))
-      .agg((max(col("__cnt")).cast("double") /
-        sum(col("__cnt")).cast("double")).as("__raw_ttf"))
-      .select(col(idCol), round(col("__raw_ttf"), 4).as("top_token_frac"))
-    // reads `base` from cache for BOTH its passes (span explode + the
-    // coverage join-back) — no further corpus scans
-    val dup = Dedup.intraDocDupNgramFraction(base, idCol, textCol, dupN)
-      .select(col(idCol), col("dup_ngram_frac"))
-    val out = sig
-      .join(ttf, Seq(idCol), "left")
-      .join(dup, Seq(idCol), "left")
-      .withColumn("top_token_frac", coalesce(col("top_token_frac"), lit(0.0)))
-      .withColumn("dup_ngram_frac", coalesce(col("dup_ngram_frac"), lit(0.0)))
+    val out = docs.select(col(idCol), col(textCol),
+        tokens(col(textCol)).as("__toks"),
+        NativeExpressions.topTokenStats(col(textCol)).as("__tts"),
+        NativeExpressions.dupNgramStats(col(textCol), dupN).as("__dns"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        round(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nToks, 4).as("avg_token_len"),
+        round(size(filter(col("__toks"), t => t.isin(stopLits: _*)))
+          .cast("double") / nToks, 4).as("stopword_ratio"),
+        // null text → kernel null → round null → coalesce 0.0 (the old
+        // left-join-miss behavior); otherwise max-count/total-count in
+        // the same double division the grouped form used
+        coalesce(round(element_at(col("__tts"), 1).cast("double") /
+          element_at(col("__tts"), 2).cast("double"), 4), lit(0.0))
+          .as("top_token_frac"),
+        // covered / greatest(size(tokens), 1) — the denominator the
+        // relational form used (split semantics incl. empty edge tokens)
+        coalesce(round(col("__dns").cast("double") /
+          greatest(size(col("__toks")), lit(1)).cast("double"), 4), lit(0.0))
+          .as("dup_ngram_frac"))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("avg_token_len") >= minAvgTokenLen &&
@@ -223,7 +239,6 @@ object TextAnalysis {
           col("top_token_frac") <= maxTopTokenFrac &&
           col("dup_ngram_frac") <= maxDupNgramFrac)
       .localCheckpoint(true)
-    base.unpersist(false)
     out
   }
 

@@ -74,6 +74,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed === "mail <EMAIL> and <URL> or <URL> done")
   }
 
+  test("topTokenFraction kernel ≡ explode formulation (round-19 zero-shuffle form)") {
+    // edge battery: empty text (split → [''], one token), whitespace-only
+    // (same), null (row dropped — the explode's behavior), single token,
+    // ties, and the fixture corpus end to end
+    val edges = Seq(
+      (0L, "a a b"), (1L, ""), (2L, "   \t "), (3L, "solo"),
+      (4L, "x y x y"), (5L, null.asInstanceOf[String]),
+      (6L, "  padded   runs\tof\nwhitespace padded  "))
+      .toDF("doc_id", "text")
+    def oldForm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("__tok"))
+        .groupBy(col("doc_id"), col("__tok")).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("__cnt")).as("top_count"),
+          sum(col("__cnt")).cast("long").as("n_tokens"))
+        .withColumn("top_token_frac",
+          round(col("top_count").cast("double") / col("n_tokens"), 4))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(TextAnalysis.topTokenFraction(edges, "doc_id", "text"))
+      === rows(oldForm(edges)))
+    // null text yields no output row in either form
+    assert(!TextAnalysis.topTokenFraction(edges, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().exists(_._1 == 5L))
+    val corpus = Tables.documents(spark, sf0001)
+    assert(rows(TextAnalysis.topTokenFraction(corpus, "doc_id", "text"))
+      === rows(oldForm(corpus)))
+  }
+
+  test("dupNgramStats kernel edges: empty/ws-only/short docs (round-19 form)") {
+    // portable(relational) path is the ground truth the DuckDB oracle
+    // replays; the kernel path must agree including degenerate docs
+    import graft.functions.Dedup
+    val edges = Seq(
+      (0L, ""), (1L, " \t "), (2L, "a b"), (3L, "a b a b a b"),
+      (4L, "one two three four"), (5L, "r r r r r"))
+      .toDF("doc_id", "text")
+    def rows(portable: Boolean) =
+      Dedup.intraDocDupNgramFraction(edges, "doc_id", "text", n = 3, portable)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(portable = false) === rows(portable = true))
+    // empty text: split(trim('')) = [''] — one token, nothing covered
+    val empty = rows(portable = false).find(_._1 == 0L).get
+    assert(empty === ((0L, 1L, 0L, 0.0)))
+  }
+
   test("curation: balanced sample caps per group, budget mix stops at the budget") {
     import graft.functions.Curation
     val df = Seq(
