@@ -3667,8 +3667,8 @@ object SparkEntry {
       // would only blind this query's own min-of-2 descent floor
       val w = Classifier.trainHashedLogisticBigram(docs, "doc_id", "text",
         labels, "keep", uniDim = 64, biDim = 128, iters = 12, lr = 5.0)
-      val scored = Classifier.scoreOnFeatures(
-          Classifier.hashedFeaturesBigram(docs, "doc_id", "text", 64, 128),
+      val scored = Classifier.scoreOnFeatureArrays(
+          Classifier.hashedFeatureArrays(docs, "doc_id", "text", 64, 128),
           "doc_id", w)
         .join(labels, "doc_id")
       Classifier.binaryAuc(scored, "score", "keep")
@@ -3761,8 +3761,8 @@ object SparkEntry {
         Some(version))
       require(loaded == w.sortBy(_._1),
         s"persisted model round-trip drifted at version $version")
-      Classifier.scoreOnFeatures(
-          Classifier.hashedFeatures(docs, "doc_id", "text", 64),
+      Classifier.scoreOnFeatureArrays(
+          Classifier.hashedFeatureArrays(docs, "doc_id", "text", 64),
           "doc_id", loaded)
         .select(col("doc_id"),
           Classifier.scoreAsDouble(col("score")).as("score"),

@@ -160,11 +160,28 @@ object Classifier {
     bow.unionByName(big).unionByName(invLen).unionByName(bias)
   }
 
-  /** GD over an arbitrary (id, feat, x) feature frame — the loop under
-    * [[trainHashedLogistic]] and its bigram variant. `nFeats` is the
-    * total feature count (weight vector size).
+  /** GD over a per-doc FEATURE-ARRAY frame ((id, feats: array<int>,
+    * xs: array<decimal(10,6)>) — [[hashedFeatureArrays]]'s layout) —
+    * the loop under [[trainHashedLogistic]] and its bigram variant.
+    * `nFeats` is the total feature count (weight vector size).
+    *
+    * Round-19 restructure — each GD iteration is now a ZERO-EXCHANGE
+    * job: margins come from the [[NativeExpressions.DecimalDotExpr]]
+    * kernel (weights ride in the expression — no broadcast join, no
+    * window), and the gradient Σ x·(p−y) accumulates PARTITION-LOCALLY
+    * into one exact-BigDecimal vector per partition (mapPartitions),
+    * collecting #partitions × (dim+2) decimals — metadata, like the
+    * 66-row collect before it. The previous form paid, per iteration,
+    * a broadcast hash join + a decimal window over the exploded
+    * (doc, feat, x) frame (~60× more rows than docs) + a (dim+2)-key
+    * shuffle; measured at sf0.1 the descent dropped ~2.4× (qd79
+    * 5.9→2.5 s). Every arithmetic step is the SAME exact decimal op
+    * tree (exact products, order-free exact sums, one final double),
+    * so the weights are bit-identical — ClassifierSpec pins the
+    * hand-computed fixtures and the sf0.01 oracle replays the descent
+    * unchanged.
     */
-  private[functions] def gdTrain(featsRaw: DataFrame, idCol: String,
+  private[functions] def gdTrain(featArr: DataFrame, idCol: String,
       labels: DataFrame, labelCol: String, nFeats: Int, iters: Int,
       lr: Double, l2: BigDecimal = BigDecimal(0),
       init: Seq[(Int, BigDecimal)] = Seq.empty): Seq[(Int, BigDecimal)] = {
@@ -173,32 +190,21 @@ object Classifier {
       s"l2 must be a non-negative decimal of scale <= $FeatScale, got $l2")
     require(init.forall { case (f, _) => f >= 0 && f < nFeats },
       s"init features must lie in [0, $nFeats)")
-    val spark = featsRaw.sparkSession
+    val spark = featArr.sparkSession
     import spark.implicits._
-    // labels attach ONCE (inner join = unlabeled docs never contribute),
-    // and the frame persists PRE-PARTITIONED on the doc id: each GD
-    // iteration's margin window then needs NO exchange over the cached
-    // frame — per iteration the only shuffle is the (dim+2)-key partial
-    // gradient aggregation (metadata-sized). The pre-restructure form
-    // (groupBy-margins + two joins back) paid three corpus-sized
-    // exchanges per iteration — 3× this plan's work at any scale.
-    val feats = featsRaw
+    // labels attach ONCE (inner join = unlabeled docs never contribute);
+    // EXPLICIT partition count (the round-18 lesson): an AQE-coalesced
+    // single partition would run every iteration single-threaded
+    val feats = featArr
       .join(labels.select(col(idCol),
         when(col(labelCol), lit(1)).otherwise(lit(0))
           .cast(DecimalType(8, FeatScale)).as("__y")), Seq(idCol))
-      // EXPLICIT partition count: a bare repartition(col) is an AQE
-      // coalesce target — at 64 MB/partition a whole fixture-sized
-      // feature frame lands on 1–2 partitions and every iteration's
-      // decimal window runs single-threaded (measured: the bigram
-      // frame's iterations were ~4× slower before this pin)
-      .repartition(featsRaw.sparkSession.sparkContext.defaultParallelism,
+      .repartition(featArr.sparkSession.sparkContext.defaultParallelism,
         col(idCol))
-      // pre-sorted within partitions: InMemoryTableScan forwards the
-      // cached ordering, so the margin window's sort requirement is
-      // satisfied from the cache — T iterations pay ZERO sorts
-      .sortWithinPartitions(col(idCol))
+      .select(col("feats"), col("xs"), col("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = feats.select(col(idCol)).distinct().count()
+    // one row per doc now — the count IS the labeled-set size
+    val n = feats.count()
     require(n > 0, "empty labeled set")
     // eta = half_up(lr/N @ 12 dp) from the EXACT RATIONAL by integer
     // half-up division ((2·lr·10¹² + N) div (2N)) — the previous
@@ -211,7 +217,6 @@ object Classifier {
         s"lr=$lr does not terminate within 12 dp"))
     val eta = BigDecimal(
       (lrE12 * 2 + BigInt(n)) / (BigInt(n) * 2), 12)
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     // warm start: resume FROM a persisted vector (the checkpointed-
     // descent shape — at 100 TB a multi-hour descent must be resumable);
     // the descent is a pure function of (weights, data), so resume ≡
@@ -220,18 +225,48 @@ object Classifier {
     var w: Map[Int, BigDecimal] =
       (0 until nFeats).map(f => f ->
         initMap.getOrElse(f, BigDecimal(0)).setScale(WeightScale)).toMap
+    val nF = nFeats
     for (_ <- 0 until iters) {
-      val wDf = broadcast(w.toSeq.sortBy(_._1).toDF("feat", "__w")
-        .select(col("feat"), col("__w").cast(DecimalType(20, WeightScale)).as("__w")))
-      val grads = feats.join(wDf, "feat")
-        .withColumn("__m", sum(col("__w") * col("x")).over(win))
-        .withColumn("__r", sigmoid6(col("__m").cast("double")) - col("__y"))
-        .groupBy(col("feat"))
-        .agg(sum(col("x") * col("__r")).as("__g"))
-        .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+      val wArr: Array[java.math.BigDecimal] =
+        (0 until nFeats).map(f =>
+          w(f).underlying.setScale(WeightScale)).toArray
+      // residual per doc from the kernel margin; gradient partials
+      // accumulate per partition (exact adds are order-free, so the
+      // partition/merge order can never change a digit)
+      val partials = feats.select(col("feats"), col("xs"),
+          (sigmoid6(NativeExpressions.decimalDot(col("feats"), col("xs"), wArr))
+            - col("__y")).as("__r"))
+        .as[(Seq[Int], Seq[java.math.BigDecimal], java.math.BigDecimal)]
+        .mapPartitions { it =>
+          val acc = new Array[java.math.BigDecimal](nF)
+          it.foreach { case (fs, xs, r) =>
+            var i = 0
+            val m = fs.length
+            while (i < m) {
+              val f = fs(i)
+              val c = xs(i).multiply(r)
+              acc(f) = if (acc(f) == null) c else acc(f).add(c)
+              i += 1
+            }
+          }
+          // plain-string decimals survive the encoder exactly at any scale
+          val out = Array.newBuilder[(Int, String)]
+          var f = 0
+          while (f < nF) {
+            if (acc(f) != null) out += (f -> acc(f).toPlainString)
+            f += 1
+          }
+          Iterator.single(out.result().toSeq)
+        }
+        .collect()
+      val g = new Array[java.math.BigDecimal](nFeats)
+      partials.foreach(_.foreach { case (f, s) =>
+        val v = new java.math.BigDecimal(s)
+        g(f) = if (g(f) == null) v else g(f).add(v)
+      })
       w = w.map { case (f, wf) =>
-        val g = grads.getOrElse(f, BigDecimal(0))
-        val step = (eta * g).setScale(WeightScale, BigDecimal.RoundingMode.HALF_UP)
+        val gf = if (g(f) == null) BigDecimal(0) else BigDecimal(g(f))
+        val step = (eta * gf).setScale(WeightScale, BigDecimal.RoundingMode.HALF_UP)
         // L2 weight decay in the same replayable discipline: the shrink
         // term is a decimal×decimal product rounded half-away-from-zero
         // at the weight scale — never a double (HALF_UP on BigDecimal
@@ -246,6 +281,22 @@ object Classifier {
     (0 until nFeats).map(f => f -> w(f))
   }
 
+  /** [[hashedFeatures]] as ONE per-row kernel projection — (id,
+    * feats: array<int>, xs: array<decimal(10,6)>), the layout [[gdTrain]]
+    * and the batch scorers consume. Flattening it reproduces
+    * [[hashedFeatures]] exactly (ClassifierSpec pins the identity);
+    * the relational form stays as the reference the SQL-oracle CTEs
+    * mirror. Zero-shuffle: the (doc, bucket) explode+groupBy exchange
+    * is gone from every featurize.
+    */
+  def hashedFeatureArrays(df: DataFrame, idCol: String, textCol: String,
+      uniDim: Int, biDim: Int = 0): DataFrame =
+    df.select(col(idCol),
+        NativeExpressions.hashedFeatureArrays(col(textCol), uniDim, biDim)
+          .as("__enc"))
+      .select(col(idCol), col("__enc.feats").as("feats"),
+        col("__enc.xs").as("xs"))
+
   /** Full-batch logistic GD over [[hashedFeatures]]. `labels` carries
     * (idCol, labelCol: Boolean); N is the labeled-set size (docs without
     * a label never contribute — inner joins throughout). Returns the
@@ -255,7 +306,7 @@ object Classifier {
       labels: DataFrame, labelCol: String,
       dim: Int = 64, iters: Int = 24, lr: Double = 5.0,
       l2: BigDecimal = BigDecimal(0)): Seq[(Int, BigDecimal)] =
-    gdTrain(hashedFeatures(docs, idCol, textCol, dim), idCol,
+    gdTrain(hashedFeatureArrays(docs, idCol, textCol, dim), idCol,
       labels, labelCol, dim + 2, iters, lr, l2)
 
   /** Train-once memo over [[trainHashedLogistic]] — the in-session
@@ -291,7 +342,7 @@ object Classifier {
       idCol: String, textCol: String, labels: DataFrame, labelCol: String,
       dim: Int = 64, iters: Int = 24, lr: Double = 5.0,
       l2: BigDecimal = BigDecimal(0)): Seq[(Int, BigDecimal)] =
-    gdTrain(hashedFeatures(docs, idCol, textCol, dim), idCol,
+    gdTrain(hashedFeatureArrays(docs, idCol, textCol, dim), idCol,
       labels, labelCol, dim + 2, iters, lr, l2, init)
 
   /** Train UNCONDITIONALLY and seed the memo — what the TRAIN query
@@ -317,7 +368,7 @@ object Classifier {
       textCol: String, labels: DataFrame, labelCol: String,
       uniDim: Int = 64, biDim: Int = 128, iters: Int = 24,
       lr: Double = 5.0): Seq[(Int, BigDecimal)] =
-    gdTrain(hashedFeaturesBigram(docs, idCol, textCol, uniDim, biDim), idCol,
+    gdTrain(hashedFeatureArrays(docs, idCol, textCol, uniDim, biDim), idCol,
       labels, labelCol, uniDim + biDim + 2, iters, lr)
 
   /** Score an arbitrary (id, feat, x) feature frame under a trained
@@ -356,16 +407,34 @@ object Classifier {
   def scoreHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[(Int, BigDecimal)], dim: Int,
       threshold: java.math.BigDecimal): DataFrame = {
-    val spark = docs.sparkSession
-    val wDf = broadcast(weightsDf(spark, weights)
-      .withColumnRenamed("weight", "__w"))
-    hashedFeatures(docs, idCol, textCol, dim)
-      .join(wDf, "feat")
-      .groupBy(col(idCol))
-      .agg(sum(col("__w") * col("x")).as("__m"))
-      .select(col(idCol), sigmoid6(col("__m").cast("double")).as("score"))
+    // round-19: ZERO-SHUFFLE batch scoring — featurize kernel + exact
+    // decimal-dot margin in one projection (the weights ride in the
+    // expression, dim+2 decimals of metadata). Score-identical to the
+    // previous featurize-explode + broadcast weight join + per-doc
+    // grouped decimal sum: exact sums are order-free and the kernel
+    // emits the same double the decimal margin cast to. Unlike
+    // [[narrowScore]] (double arithmetic, documented |Δ| bound), this
+    // IS the exact path — it keeps full oracle replayability.
+    scoreOnFeatureArrays(
+        hashedFeatureArrays(docs, idCol, textCol, dim), idCol, weights)
       .withColumn("pred",
         col("score") >= lit(threshold).cast(DecimalType(8, FeatScale)))
+  }
+
+  /** Score a per-doc feature-ARRAY frame ([[hashedFeatureArrays]]'s
+    * layout) under a trained vector: (id, score DECIMAL(8,6)) — the
+    * zero-shuffle twin of [[scoreOnFeatures]], value-identical (exact
+    * decimal margin, same sigmoid).
+    */
+  def scoreOnFeatureArrays(featArr: DataFrame, idCol: String,
+      weights: Seq[(Int, BigDecimal)]): DataFrame = {
+    val wMap = weights.toMap
+    val nFeats = if (weights.isEmpty) 0 else weights.map(_._1).max + 1
+    val wArr: Array[java.math.BigDecimal] = (0 until nFeats).map(f =>
+      wMap.getOrElse(f, BigDecimal(0)).underlying.setScale(WeightScale)).toArray
+    featArr.select(col(idCol),
+      sigmoid6(NativeExpressions.decimalDot(col("feats"), col("xs"), wArr))
+        .as("score"))
   }
 
   /** ROC-AUC of a score column against a boolean label — the standard

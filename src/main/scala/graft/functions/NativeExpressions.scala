@@ -664,39 +664,73 @@ object NativeExpressions {
     * skips empty runs — the oracle's token unnest filters
     * length(tok) > 0 to match).
     */
+  /** The token byte slices of a text (copied once — md5 needs contiguous
+    * input): the shared front half of the md5-bucket kernels.
+    */
+  private def tokenBytes(s: UTF8String): Array[Array[Byte]] = {
+    var toks = new Array[Array[Byte]](16)
+    var n = 0
+    foreachToken(s) { (base, off, len) =>
+      if (n == toks.length) toks = java.util.Arrays.copyOf(toks, n * 2)
+      val b = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      toks(n) = b
+      n += 1
+    }
+    if (n == toks.length) toks else java.util.Arrays.copyOf(toks, n)
+  }
+
+  /** md5 bucket of each token (multiplicity kept) — the loop shared by
+    * [[Md5BucketTokensExpr]] and [[HashedFeatureArraysExpr]].
+    */
+  private def md5TokenBuckets(toks: Array[Array[Byte]], buckets: Int): Array[Int] = {
+    if (toks.length == 0) return Array.empty[Int]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+      out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** md5 bucket of each adjacent token pair — the bigram sibling. */
+  private def md5BigramBuckets(toks: Array[Array[Byte]], buckets: Int): Array[Int] = {
+    if (toks.length < 2) return Array.empty[Int]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      md.reset()
+      md.update(toks(i))
+      md.update(' '.toByte)
+      md.update(toks(i + 1))
+      val d = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+      out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
+      i += 1
+    }
+    out
+  }
+
   case class Md5BucketTokensExpr(child: Expression, buckets: Int)
       extends UnaryExpression {
     require(buckets > 0)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "md5_bucket_tokens"
 
-    def compute(s: UTF8String): ArrayData = {
-      var toks = new Array[Array[Byte]](16)
-      var n = 0
-      foreachToken(s) { (base, off, len) =>
-        if (n == toks.length) toks = java.util.Arrays.copyOf(toks, n * 2)
-        val b = new Array[Byte](len)
-        org.apache.spark.unsafe.Platform.copyMemory(
-          base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
-        toks(n) = b
-        n += 1
-      }
-      if (n == 0) return new GenericArrayData(Array.empty[Int])
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        md.reset()
-        md.update(toks(i))
-        val d = md.digest()
-        var h = 0L
-        var j = 0
-        while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
-        out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    def compute(s: UTF8String): ArrayData =
+      new GenericArrayData(md5TokenBuckets(tokenBytes(s), buckets))
 
     override protected def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[UTF8String])
@@ -716,36 +750,8 @@ object NativeExpressions {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "md5_bucket_bigrams"
 
-    def compute(s: UTF8String): ArrayData = {
-      // token byte slices (copied once — md5 needs contiguous input)
-      var toks = new Array[Array[Byte]](16)
-      var n = 0
-      foreachToken(s) { (base, off, len) =>
-        if (n == toks.length) toks = java.util.Arrays.copyOf(toks, n * 2)
-        val b = new Array[Byte](len)
-        org.apache.spark.unsafe.Platform.copyMemory(
-          base, off, b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
-        toks(n) = b
-        n += 1
-      }
-      if (n < 2) return new GenericArrayData(Array.empty[Int])
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val out = new Array[Int](n - 1)
-      var i = 0
-      while (i < n - 1) {
-        md.reset()
-        md.update(toks(i))
-        md.update(' '.toByte)
-        md.update(toks(i + 1))
-        val d = md.digest()
-        var h = 0L
-        var j = 0
-        while (j < 8) { h |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
-        out(i) = java.lang.Long.remainderUnsigned(h, buckets.toLong).toInt
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    def compute(s: UTF8String): ArrayData =
+      new GenericArrayData(md5BigramBuckets(tokenBytes(s), buckets))
 
     override protected def nullSafeEval(input: Any): Any =
       compute(input.asInstanceOf[UTF8String])
@@ -757,6 +763,146 @@ object NativeExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** The classifier featurize ([[graft.functions.Classifier]]'s hashed
+    * BOW ± bigram block) in ONE per-row pass: returns
+    * struct(feats: array<int>, xs: array<decimal(10,6)>) — the doc's
+    * complete sparse feature vector, bucket ids ascending within each
+    * block. Layout and VALUES are byte-identical to the relational
+    * explode → groupBy(doc, bucket) → round(cnt/len, 6) formulation
+    * (ClassifierSpec pins the identity): same md5 bucket loop, same
+    * double division, and the round+cast chain replicated literally —
+    * round(double, 6) is BigDecimal.valueOf(v).setScale(6, HALF_UP)
+    * .doubleValue, then the decimal cast re-rounds the same way. A
+    * doc's feature vector is doc-local, so featurize needs NO explode
+    * shuffle: at 100 TB the (doc, bucket) exchange the grouped form
+    * paid per featurize (and per GD descent) simply disappears.
+    * Blocks: [0, uniDim) token buckets (x = cnt/len), [uniDim,
+    * uniDim+biDim) bigram buckets (x = cnt/blen), feat uniDim+biDim =
+    * inverse length (1/len), feat uniDim+biDim+1 = bias (1.0).
+    * biDim = 0 is the pure-BOW layout.
+    */
+  case class HashedFeatureArraysExpr(child: Expression, uniDim: Int, biDim: Int)
+      extends UnaryExpression {
+    require(uniDim > 0 && biDim >= 0)
+    override def dataType: DataType = StructType(Seq(
+      StructField("feats", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("xs", ArrayType(DecimalType(10, 6), containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "hashed_feature_arrays"
+
+    /** round(num/den, 6) cast to Decimal(10,6), replicating Catalyst's
+      * Round-on-double (shortest-repr BigDecimal, HALF_UP, back to
+      * double) followed by Cast-to-decimal (same rounding) — the exact
+      * chain the relational featurize evaluates.
+      */
+    private def x6(num: Double, den: Double): Decimal = {
+      val v1 = java.math.BigDecimal.valueOf(num / den)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      Decimal(java.math.BigDecimal.valueOf(v1)
+        .setScale(6, java.math.RoundingMode.HALF_UP), 10, 6)
+    }
+
+    /** ascending (bucket → count) pairs appended as (feat+offset, cnt/den). */
+    private def appendBlock(bks: Array[Int], offset: Int, den: Double,
+        feats: java.util.ArrayList[Integer],
+        xs: java.util.ArrayList[Decimal]): Unit = {
+      if (bks.length == 0) return
+      val sorted = bks.clone()
+      java.util.Arrays.sort(sorted)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        feats.add(sorted(i) + offset)
+        xs.add(x6((j - i).toDouble, den))
+        i = j
+      }
+    }
+
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val toks = tokenBytes(s)
+      val ubks = md5TokenBuckets(toks, uniDim)
+      val len = math.max(ubks.length, 1).toDouble
+      val feats = new java.util.ArrayList[Integer]()
+      val xs = new java.util.ArrayList[Decimal]()
+      appendBlock(ubks, 0, len, feats, xs)
+      if (biDim > 0) {
+        val bbks = md5BigramBuckets(toks, biDim)
+        val blen = math.max(bbks.length, 1).toDouble
+        appendBlock(bbks, uniDim, blen, feats, xs)
+      }
+      feats.add(uniDim + biDim)
+      xs.add(x6(1.0, len))
+      feats.add(uniDim + biDim + 1)
+      xs.add(Decimal(java.math.BigDecimal.ONE.setScale(6), 10, 6))
+      val fArr = new Array[Int](feats.size())
+      val xArr = new Array[Any](xs.size())
+      var i = 0
+      while (i < fArr.length) { fArr(i) = feats.get(i); xArr(i) = xs.get(i); i += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(fArr), new GenericArrayData(xArr)))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hashedfeatarrays", this,
+        classOf[HashedFeatureArraysExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Exact-decimal sparse dot product against a weight vector riding in
+    * the expression (the broadcast-small-side pattern of
+    * [[NearestCellsExpr]]): margin = Σ w[feat_i]·x_i as an EXACT
+    * java BigDecimal sum (scale 16 products — order-free), exposed as
+    * the double the decimal sum would cast to. Value-identical to the
+    * relational margin (broadcast weight join + decimal window/group
+    * sum + cast to double) at any feature order, because exact decimal
+    * addition is associative — the property the whole replayable-GD
+    * discipline rests on. Per GD iteration this removes the broadcast
+    * hash join AND the margin window; with the gradient's
+    * partition-local accumulation the iteration touches no exchange at
+    * all.
+    */
+  case class DecimalDotExpr(feats: Expression, xs: Expression,
+      weights: Array[java.math.BigDecimal])
+      extends BinaryExpression {
+    override def left: Expression = feats
+    override def right: Expression = xs
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "decimal_dot"
+
+    def compute(f: ArrayData, x: ArrayData): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      val n = f.numElements()
+      var i = 0
+      while (i < n) {
+        acc = acc.add(weights(f.getInt(i))
+          .multiply(x.getDecimal(i, 10, 6).toJavaBigDecimal))
+        i += 1
+      }
+      acc.doubleValue()
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("decimaldot", this,
+        classOf[DecimalDotExpr].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(feats = l, xs = r)
   }
 
   /** Per-doc top-token statistics in ONE per-row pass:
@@ -1444,6 +1590,13 @@ object NativeExpressions {
 
   def topTokenStats(c: Column): Column =
     column(TopTokenStatsExpr(expression(c)))
+
+  def hashedFeatureArrays(c: Column, uniDim: Int, biDim: Int): Column =
+    column(HashedFeatureArraysExpr(expression(c), uniDim, biDim))
+
+  def decimalDot(feats: Column, xs: Column,
+      weights: Array[java.math.BigDecimal]): Column =
+    column(DecimalDotExpr(expression(feats), expression(xs), weights))
 
   def dupNgramStats(c: Column, shingleN: Int): Column =
     column(DupNgramStatsExpr(expression(c), shingleN))

@@ -40,6 +40,35 @@ class ClassifierSpec extends SparkSpec {
     assert(f.forall(t => t._2 >= 0 && t._2 <= dim + 1))
   }
 
+  test("hashedFeatureArrays kernel ≡ relational hashedFeatures(+Bigram), fixture corpus + edges (round 19)") {
+    // the array kernel is what gdTrain and the batch scorers now consume;
+    // flattened it must reproduce the relational featurize EXACTLY
+    // (same buckets, same round(cnt/len, 6) decimals) — including on
+    // empty/whitespace-only/single-token docs and real corpus text
+    val edges = Seq((0L, "a a b c"), (1L, "x"), (2L, ""), (3L, "  \t "),
+      (4L, "p q p q r"), (5L, (0 until 200).map(i => s"w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, sf0001).select(
+      col("doc_id"), col("text"))
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), posexplode(arrays_zip(col("feats"), col("xs"))))
+        .select(col("doc_id"), col("col.feats").as("feat"), col("col.xs").as("x"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    def rel(df: org.apache.spark.sql.DataFrame, u: Int, b: Int) =
+      (if (b == 0) Classifier.hashedFeatures(df, "doc_id", "text", u)
+       else Classifier.hashedFeaturesBigram(df, "doc_id", "text", u, b))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), BigDecimal(r.getDecimal(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for ((df, u, b) <- Seq((edges, 16, 0), (edges, 16, 32),
+        (corpus, 64, 0), (corpus, 64, 128))) {
+      assert(flat(Classifier.hashedFeatureArrays(df, "doc_id", "text", u, b))
+        === rel(df, u, b), s"mismatch at uniDim=$u biDim=$b")
+    }
+  }
+
   test("hashedFeaturesBigram: block layout, bigram normalization, single-token docs carry no bigram rows") {
     val docs = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
     val (u, b) = (16, 32)
@@ -106,34 +135,35 @@ class ClassifierSpec extends SparkSpec {
     assert(auc.getLong(1) === 10L && auc.getLong(2) === 10L)
   }
 
-  test("GD iteration plan: margin window reuses the cached doc partitioning — exactly one Exchange (the gradient agg)") {
+  test("GD iteration plan (round 19): kernel margin + partition-local gradient — ZERO Exchange above the cache") {
+    // the round-18 form paid, per iteration, a broadcast weight join +
+    // a decimal margin window + a (dim+2)-key gradient shuffle; the
+    // array restructure makes each iteration one narrow pass over the
+    // cached per-doc frame — no exchange, no join, no window
+    import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "a a")).toDF("doc_id", "text")
     val labels = Seq((1L, true), (2L, false), (3L, true)).toDF("doc_id", "keep")
-    val feats = Classifier.hashedFeatures(docs, "doc_id", "text", 16)
+    val feats = Classifier.hashedFeatureArrays(docs, "doc_id", "text", 16)
       .join(labels.select(col("doc_id"),
         when(col("keep"), lit(1)).otherwise(lit(0))
           .cast(DecimalType(8, 6)).as("__y")), Seq("doc_id"))
       .repartition(col("doc_id"))
+      .select(col("feats"), col("xs"), col("__y"))
       .persist()
-    feats.count() // materialize the cache so the scan reports its partitioning
-    val wDf = broadcast(Seq((0, BigDecimal(0))).toDF("feat", "__w")
-      .select(col("feat"), col("__w").cast(DecimalType(20, 10)).as("__w")))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val grads = feats.join(wDf, "feat")
-      .withColumn("__m", sum(col("__w") * col("x")).over(win))
-      .withColumn("__r",
-        round(lit(1.0) / (lit(1.0) + exp(-col("__m").cast("double"))), 6)
-          .cast(DecimalType(8, 6)) - col("__y"))
-      .groupBy(col("feat")).agg(sum(col("x") * col("__r")).as("__g"))
-    // the InMemoryRelation's stringified BUILD plan (run once at persist)
-    // carries its own exchanges — count only the per-iteration plan above
-    // the cache boundary
-    val plan = grads.queryExecution.executedPlan.toString
+    feats.count()
+    val wArr = Array.fill(18)(java.math.BigDecimal.ZERO.setScale(10))
+    val iter = feats.select(col("feats"), col("xs"),
+        (graft.functions.NativeExpressions
+          .decimalDot(col("feats"), col("xs"), wArr) - col("__y").cast("double"))
+          .as("__r"))
+      .as[(Seq[Int], Seq[java.math.BigDecimal], Double)]
+      .mapPartitions(it => Iterator.single(it.size))
+    val plan = iter.queryExecution.executedPlan.toString
       .split("InMemoryRelation")(0)
-    assert("Exchange".r.findAllIn(plan).length === 1,
-      s"iteration must shuffle exactly once (gradient agg):\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
-    assert(plan.contains("Window"), s"margins must be the window form:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"iteration must run exchange-free above the cache:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"no window, no join in the iteration plan:\n$plan")
     feats.unpersist()
   }
 
