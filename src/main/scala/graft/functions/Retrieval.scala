@@ -312,7 +312,14 @@ object Retrieval {
   def evalRun(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"evalRun: k must be >= 1, got $k")
     val spark = run.sparkSession
-    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    // EXPLICIT broadcasts (round 19): every frame here is bounded by
+    // the JUDGED set (qrels pairs / distinct queries) or the top-k run
+    // (k·Q rows) — scale-independent metadata at any corpus size — but
+    // post-aggregation size estimates are unknown, so the planner fell
+    // back to SortMergeJoin (plan-verified: 2 SMJs + their exchanges
+    // and sorts per eval). Broadcasting the judged side is the
+    // deliberate, scale-correct choice; results unchanged.
+    val rel = broadcast(qrels.select(col("query_id"), col("doc_id")).distinct())
     // per-query judged-relevant counts — the evaluated query universe
     val nRel = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("long").as("n_rel"))
@@ -343,7 +350,7 @@ object Retrieval {
       broadcast(rows.toDF("ideal_i", "idcg"))
     }
     nRel
-      .join(perQuery, Seq("query_id"), "left")
+      .join(broadcast(perQuery), Seq("query_id"), "left")
       .na.fill(0L, Seq("hits"))
       .na.fill(0.0d, Seq("dcg"))
       .join(ideal, least(col("n_rel"), lit(k.toLong)) === col("ideal_i"))
