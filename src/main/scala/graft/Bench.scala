@@ -154,8 +154,30 @@ object Bench {
     * cross-window minima × 1.10 from these (dirty) windows — biased
     * HIGH by the weather; re-pin DOWN at the next clean window.
     */
+  /** Round-19 pin: boot ac147753 — the host re-placed again between
+    * sessions. Placement equivalence evidence before re-pinning: the
+    * round-start baseline sweep ON UNCHANGED CODE read vs_floor_total
+    * 0.88 at 2.4 steal ticks/s against the 531f5c45 floors (zero
+    * confirmed breaches, nine sub-second candidates all dead on
+    * confirm), i.e. this placement is as-fast-or-faster — so carrying
+    * the old pins downward-only is conservative. 65 sf0.1 floors then
+    * re-pinned DOWN from min of the round's TWO post-optimization
+    * full-suite windows (167.0 s at 2.0 ticks/s — genuinely clean —
+    * and 171.9 s at 17/s) × 1.10: the big movers are the round's two
+    * structural changes (zero-shuffle Gopher battery: qd39 0.22×,
+    * qd35 0.33×; zero-exchange GD: classifier family 0.26–0.66×), the
+    * rest single-digit placement tightenings. The 10 classifier-family
+    * sf1 floors re-pinned from two dedicated /tmp/sf1 windows
+    * (steal-gated launches; w1 per-query steal ≤ 8 ticks on everything
+    * but qd78) — min-of-2 × 1.10; qd79 19.92→5.61, qd94 21.56→5.26:
+    * the descent restructure compounds with scale (more rows per
+    * iteration job saved). Streaming floors: total UNCHANGED at 17.5
+    * (min window 16.03 × 1.10 = 17.6 — no downward room), band/assign/
+    * write stage floors tightened from the two windows' stage minima ×
+    * 1.25.
+    */
   val floorPlacementBootId: Option[String] =
-    Some("531f5c45-c767-4e33-bd64-f117cf317620")
+    Some("ac147753-9dd9-4d7d-9113-092cffd8a936")
 
   /** /proc/sys/kernel/random/boot_id — None when unreadable (non-Linux
     * dev box), which disables staleness routing rather than guessing.
@@ -172,57 +194,57 @@ object Bench {
     // full-suite windows (136.0 s @ 8.9 ticks/s, 142.4 s @ 6.4/s) x 1.10
     // after the codegen-cache + artifact-isolation builder confs — 73 of
     // 106 floors tightened (qd36 0.62x, qd65 0.64x, qd59 0.65x ...).
-    "q01_standings" -> 0.988, "q02_points_ladder" -> 0.627,
-    "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.323,
-    "q18_rank_standings" -> 0.512, "q21_region_rollup" -> 1.015,
-    "q22_window_monthly" -> 1.501, "q26_rollup" -> 1.667,
-    "q31_topk_per_group" -> 0.969, "q37_asof_join" -> 0.557,
-    "q38_sliding_window" -> 0.717, "q40_range_join" -> 2.81,
-    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.295,
-    "qd02_token_count" -> 0.282, "qd03_quality" -> 0.516,
-    "qd04_langid" -> 0.57, "qd05_fingerprint" -> 0.254,
-    "qd08_simhash" -> 0.21, "qd09_minhash_neardups" -> 1.969,
-    "qd10_corpus_pipeline" -> 0.676, "qd11_minhash_neardups_fast" -> 0.554,
-    "qd12_simhash_neardups" -> 0.509, "qd13_chunking" -> 0.305,
-    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.59,
-    "qd21_simhash_neardups_portable" -> 0.931, "qd22_decontaminate" -> 0.414,
-    "qd24_sequence_packing" -> 0.265, "qd26_incremental_dedup" -> 0.371,
+    "q01_standings" -> 0.902, "q02_points_ladder" -> 0.627,
+    "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.304,
+    "q18_rank_standings" -> 0.512, "q21_region_rollup" -> 0.985,
+    "q22_window_monthly" -> 1.417, "q26_rollup" -> 1.512,
+    "q31_topk_per_group" -> 0.921, "q37_asof_join" -> 0.53,
+    "q38_sliding_window" -> 0.597, "q40_range_join" -> 2.81,
+    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.291,
+    "qd02_token_count" -> 0.261, "qd03_quality" -> 0.396,
+    "qd04_langid" -> 0.526, "qd05_fingerprint" -> 0.245,
+    "qd08_simhash" -> 0.18, "qd09_minhash_neardups" -> 1.707,
+    "qd10_corpus_pipeline" -> 0.637, "qd11_minhash_neardups_fast" -> 0.554,
+    "qd12_simhash_neardups" -> 0.509, "qd13_chunking" -> 0.276,
+    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.587,
+    "qd21_simhash_neardups_portable" -> 0.865, "qd22_decontaminate" -> 0.414,
+    "qd24_sequence_packing" -> 0.265, "qd26_incremental_dedup" -> 0.365,
     "qd27_mix_pipeline" -> 0.692, "qd28_vocab" -> 0.209,
     "qd29_unigram_logprob" -> 0.855, "qd30_dsir" -> 1.628,
     "qd31_wordpiece" -> 0.454, "qd32_dup_passages" -> 0.91,
     "qd33_curation_pipeline" -> 3.325, "qd34_scrub_spans" -> 1.354,
-    "qd35_dup_ngram_frac" -> 0.955, "qd36_dsir_fast" -> 0.935,
+    "qd35_dup_ngram_frac" -> 0.315, "qd36_dsir_fast" -> 0.935,
     "qd37_incremental_neardup" -> 1.369, "qd38_contamination_report" -> 0.401,
-    "qd39_gopher_filter" -> 1.53, "qd40_corpus_datacard" -> 1.121,
-    "qd41_source_overlap" -> 4.818, "qd42_curriculum_buckets" -> 1.328,
-    "qd43_source_overlap_fast" -> 1.235, "qd45_fuzzy_decontaminate" -> 1.361,
+    "qd39_gopher_filter" -> 0.344, "qd40_corpus_datacard" -> 1.025,
+    "qd41_source_overlap" -> 4.48, "qd42_curriculum_buckets" -> 1.138,
+    "qd43_source_overlap_fast" -> 1.235, "qd45_fuzzy_decontaminate" -> 1.273,
     // qd49/qd51 re-pinned round 18 (downward): the sort-audit boundary
     // exchange stops the range-sampling pass from running the deflate/
     // winnow kernels twice — 0.354/0.359 and 0.435/0.487 s (per-query
     // steal 0/0 and 0/42), min x 1.10
-    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.375,
-    "qd50_temperature_mix" -> 0.451, "qd44_source_overlap_sketch" -> 2.13,
-    "qr01_bm25_topk" -> 1.812, "qr02_bm25_sidecar" -> 0.685,
+    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.347,
+    "qd50_temperature_mix" -> 0.451, "qd44_source_overlap_sketch" -> 2.052,
+    "qr01_bm25_topk" -> 1.625, "qr02_bm25_sidecar" -> 0.685,
     "qr03_hybrid_sidecar" -> 1.119, "qe01_cosine_topk" -> 0.196,
     "qe02_knn_join" -> 0.344, "qe03_ann_lsh" -> 0.345,
-    "qe08_ivf_ann_oracle" -> 0.375, "qe10_semantic_dedup" -> 1.138,
-    "qe11_quantized_ivf" -> 0.778, "qe12_pq_ann" -> 0.549,
+    "qe08_ivf_ann_oracle" -> 0.359, "qe10_semantic_dedup" -> 0.961,
+    "qe11_quantized_ivf" -> 0.67, "qe12_pq_ann" -> 0.549,
     "qe13_ivfpq_ann" -> 0.643, "qe14_pq_ann_learned" -> 1.122,
     "qe15_mrl_rerank" -> 0.413, "qe16_hybrid_rrf" -> 2.224,
     "qe17_cluster_cap_sample" -> 0.313, "qe18_ivf_mrl_funnel" -> 0.37,
-    "qe19_ann_sidecar" -> 0.559, "qe20_kmeans_fit" -> 0.539,
+    "qe19_ann_sidecar" -> 0.55, "qe20_kmeans_fit" -> 0.539,
     "qe21_class_mean" -> 0.354, "qe22_source_affinity" -> 0.494,
     "qe23_kmeans_ivf" -> 0.54, "qe24_semantic_decontaminate" -> 0.398,
-    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.707,
+    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.556,
     "qe27_embedding_outliers" -> 0.56, "qd51_winnowing" -> 0.384,
-    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 7.386,
-    "qd54_min_k_prob" -> 1.277, "qd55_ngram_diversity" -> 3.622,
-    "qd56_source_containment" -> 4.129, "qd57_stream_packing" -> 0.758,
+    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 7.061,
+    "qd54_min_k_prob" -> 1.277, "qd55_ngram_diversity" -> 3.423,
+    "qd56_source_containment" -> 4.129, "qd57_stream_packing" -> 0.75,
     "qd58_winsorize" -> 0.379, "qd59_containment_fast" -> 1.302,
     "qd60_collocations" -> 3.429, "qd61_full_pipeline" -> 12.718,
-    "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 6.824,
-    "qd63_quality_keepers" -> 2.565, "qd64_zipf_fit" -> 0.56,
-    "qd66_curriculum_packing" -> 1.784, "qe28_int4_fidelity" -> 0.651,
+    "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 5.835,
+    "qd63_quality_keepers" -> 2.548, "qd64_zipf_fit" -> 0.56,
+    "qd66_curriculum_packing" -> 1.784, "qe28_int4_fidelity" -> 0.618,
     // qd67/qd68 re-pinned round 18 (downward): min of the two full-suite
     // windows x 1.10 — 1.440/1.585 and 1.452/1.550 s, per-query steal
     // 51/7 and 1/14 ticks (quiet at the query even in dirty suites).
@@ -240,7 +262,7 @@ object Bench {
     // qd72 pinned this round: two quiet subset windows (3.774/3.454 s
     // at steal 16/25) x 1.10 — the probe's all-pairs truth over the
     // 50% sample (~3M sorted-merge jaccards at sf0.1) is the cost
-    "qd72_lsh_recall_probe" -> 3.34,
+    "qd72_lsh_recall_probe" -> 3.29,
     // qe29 pinned this round: two near-zero-steal subset windows
     // (1.448/1.492 s at steal 8/10) x 1.10
     "qe29_ann_recall_probe" -> 0.667,
@@ -262,7 +284,7 @@ object Bench {
     // QUIET 11-query subset window (84 total ticks); minima × 1.10 —
     // subset pins, re-base at the next clean full sweep
     "qd78_kn_bigram_nll" -> 6.30,
-    "qd79_quality_classifier_train" -> 5.03,
+    "qd79_quality_classifier_train" -> 2.616,
     // round-19 downward re-pin of the eval family: the train-once memo
     // removed the shared 24-iter descent from the 8 eval queries
     // (verdict #3 — they now price eval-only, like production serving
@@ -270,39 +292,39 @@ object Bench {
     // steal ≤ 64 ticks; pre-launch 20 s probe < 10 ticks) — min × 1.10.
     // qd79 (honest Seed retrain) and qd89 (honest bigram descent) keep
     // their r18 pins: both read within 1.05–1.26× in the same windows
-    "qd80_quality_classifier_score" -> 1.966,
-    "qd81_quality_classifier_auc" -> 2.00,
-    "qd82_classifier_calibration" -> 2.075,
-    "qd83_classifier_calib_metrics" -> 2.152,
-    "qd84_heldout_auc" -> 2.681,
+    "qd80_quality_classifier_score" -> 0.741,
+    "qd81_quality_classifier_auc" -> 0.712,
+    "qd82_classifier_calibration" -> 0.69,
+    "qd83_classifier_calib_metrics" -> 0.736,
+    "qd84_heldout_auc" -> 0.887,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
     "qd85_epoch_allocation" -> 0.571,
-    "qd86_classifier_pr_curve" -> 2.399,
-    "qd87_classifier_avg_precision" -> 2.402,
-    "qd88_classifier_disagreement" -> 2.135,
-    "qd89_classifier_bigram_auc" -> 5.06,
+    "qd86_classifier_pr_curve" -> 0.799,
+    "qd87_classifier_avg_precision" -> 0.697,
+    "qd88_classifier_disagreement" -> 0.902,
+    "qd89_classifier_bigram_auc" -> 2.137,
     // qd90/qd91 (round 19): persisted-model serving + L2 held-out —
     // pinned from the same two quiet windows
-    "qd90_persisted_model_score" -> 2.594,
-    "qd91_l2_heldout_auc" -> 2.215,
+    "qd90_persisted_model_score" -> 1.721,
+    "qd91_l2_heldout_auc" -> 0.831,
     // qd92/qd93 (round 19): threshold sweep + per-source calibration —
     // two further quiet subset windows (per-query steal ≤ 32 ticks)
-    "qd92_threshold_sweep" -> 2.49,
-    "qd93_calibration_by_source" -> 2.297,
+    "qd92_threshold_sweep" -> 0.756,
+    "qd93_calibration_by_source" -> 0.78,
     // qd94 (round 19): memo'd 12-iter half + save/load + fresh 12-iter
     // resume — two quiet-gated windows (6.64/7.33 s)
-    "qd94_resume_training" -> 7.308,
+    "qd94_resume_training" -> 2.538,
     // qd95 (round 19): PAV calibration — two quiet-gated windows
-    "qd95_isotonic_calibration" -> 3.074,
+    "qd95_isotonic_calibration" -> 0.784,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
     "qd77_unigram_encode_ids" -> 1.95,
-    "qr07_retrieval_eval_summary" -> 2.29, "qr08_retrieval_pipeline" -> 2.418,
-    "qr09_prf_expansion" -> 5.036, "qr10_mmr_rerank" -> 0.645,
-    "qr04_retrieval_eval" -> 1.916, "qr05_hard_negatives" -> 1.84,
-    "qr06_tfidf_keywords" -> 1.035, "qm03_audio_decode" -> 0.2,
-    "q42_zorder" -> 0.299, "qs01_hourly_events" -> 0.355,
-    "qs02_sessionize" -> 0.644, "qs03_session_window" -> 0.779
+    "qr07_retrieval_eval_summary" -> 2.087, "qr08_retrieval_pipeline" -> 2.414,
+    "qr09_prf_expansion" -> 4.662, "qr10_mmr_rerank" -> 0.645,
+    "qr04_retrieval_eval" -> 1.77, "qr05_hard_negatives" -> 1.801,
+    "qr06_tfidf_keywords" -> 0.923, "qm03_audio_decode" -> 0.2,
+    "q42_zorder" -> 0.299, "qs01_hourly_events" -> 0.341,
+    "qs02_sessionize" -> 0.644, "qs03_session_window" -> 0.756
   )
 
   /** Per-query sf1 floor seconds for the top headline queries — the
@@ -352,14 +374,14 @@ object Bench {
     // descent); qd79/qd89 keep the honest full-descent cost. Scale
     // reads at pin time: qd78 8.7× for 10× (the family's grouped
     // bigram explode, linear), qd79 2.4×, qd80 5.6×, qd89 4.4×
-    "qd78_kn_bigram_nll" -> 68.87, "qd79_quality_classifier_train" -> 19.92,
-    "qd80_quality_classifier_score" -> 13.33, "qd89_classifier_bigram_auc" -> 27.51,
-    "qd90_persisted_model_score" -> 12.94, "qd91_l2_heldout_auc" -> 12.83,
+    "qd78_kn_bigram_nll" -> 57.81, "qd79_quality_classifier_train" -> 5.61,
+    "qd80_quality_classifier_score" -> 4.67, "qd89_classifier_bigram_auc" -> 9.92,
+    "qd90_persisted_model_score" -> 5.63, "qd91_l2_heldout_auc" -> 3.48,
     // qd92/qd93 from two further quiet sf1 windows (4.8×/6.0× their
     // sf0.1 readings for 10× docs — the descent-free eval shape)
-    "qd92_threshold_sweep" -> 13.223, "qd93_calibration_by_source" -> 14.166,
-    "qd94_resume_training" -> 21.559,
-    "qd95_isotonic_calibration" -> 14.319)
+    "qd92_threshold_sweep" -> 3.38, "qd93_calibration_by_source" -> 3.26,
+    "qd94_resume_training" -> 5.26,
+    "qd95_isotonic_calibration" -> 3.42)
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
@@ -438,8 +460,8 @@ object Bench {
   // gate 2.58, band 1.56, winnow 0.51, assign 1.73, cell 4.21,
   // write 3.27 — write carries the chmod win.
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 3.23, "band" -> 1.95, "winnow" -> 0.64,
-    "assign" -> 2.16, "cell" -> 5.26, "write" -> 4.09)
+    "gate" -> 3.23, "band" -> 1.8, "winnow" -> 0.64,
+    "assign" -> 2.06, "cell" -> 5.26, "write" -> 4.01)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
