@@ -859,6 +859,176 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Per-doc BIGRAM multiplicity table in ONE per-row pass:
+    * struct(bgs: array<string>, cnts: array<long>) — every distinct
+    * word bigram of the doc with its occurrence count, byte-identical
+    * to exploding [[graft.functions.TextAnalysis.bigrams]] and grouping
+    * by (doc, bigram): bigram strings are built from the SPLIT-semantics
+    * token list (including the empty edge tokens a tab/newline edge
+    * yields — `concat_ws` keeps empty strings, so " a" is a real bigram
+    * there) joined with one space, and counted by true byte equality.
+    * Replaces the (doc, bigram-string) explode + grouped-count EXCHANGE
+    * of the bigram-LM scorers' doc side — the dominant shuffle of the
+    * qd62/qd78 family at corpus scale (the model joins already
+    * broadcast) — with a narrow kernel + in-place explode: counting a
+    * doc-local multiplicity needs no shuffle. First-occurrence order
+    * (deterministic per doc; order is irrelevant downstream — the rows
+    * feed equi-joins and exact decimal sums).
+    */
+  case class BigramCountsExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("bgs", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("cnts", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "bigram_counts"
+
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      // split-semantics token list, including empty edge tokens (the
+      // TopTokenStatsExpr analysis): trim strips ASCII spaces only
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      val toks = new java.util.ArrayList[UTF8String]()
+      if (hi == lo) {
+        toks.add(UTF8String.EMPTY_UTF8) // "" → [''] — one empty token
+      } else {
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo)))
+          toks.add(UTF8String.EMPTY_UTF8)
+        foreachToken(s) { (b, o, len) =>
+          val arr = new Array[Byte](len)
+          org.apache.spark.unsafe.Platform.copyMemory(
+            b, o, arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+          toks.add(UTF8String.fromBytes(arr))
+        }
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1)))
+          toks.add(UTF8String.EMPTY_UTF8)
+      }
+      val n = toks.size()
+      if (n < 2) return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](
+          new GenericArrayData(Array.empty[Any]),
+          new GenericArrayData(Array.empty[Long])))
+      val space = UTF8String.fromString(" ")
+      // first-occurrence order: LinkedHashMap keeps emission stable
+      val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+      var i = 0
+      while (i < n - 1) {
+        val bg = UTF8String.concat(toks.get(i), space, toks.get(i + 1))
+        val prev = counts.get(bg)
+        counts.put(bg, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+      val m = counts.size()
+      val bgs = new Array[Any](m)
+      val cnts = new Array[Long](m)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        bgs(j) = e.getKey
+        cnts(j) = e.getValue
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(bgs), new GenericArrayData(cnts)))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bigramcounts", this,
+        classOf[BigramCountsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-doc TOKEN multiplicity table in ONE per-row pass:
+    * struct(toks: array<string>, cnts: array<long>) — every distinct
+    * whitespace token with its occurrence count, byte-identical to
+    * exploding `tokens(text)` and grouping by (doc, token) (true
+    * byte-equality counting, split(trim, \s+) semantics including the
+    * empty edge tokens). The unigram sibling of [[BigramCountsExpr]]:
+    * replaces [[graft.functions.TextAnalysis.unigramTf]]'s
+    * (doc, token) explode + grouped-count exchange with a narrow
+    * kernel + in-place explode — the tf frame's OWN derivation stops
+    * shuffling; only the genuinely cross-doc aggregations over it
+    * (vocabulary counts) still exchange.
+    */
+  case class TokenCountsExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("toks", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("cnts", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "token_counts"
+
+    def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+      def add(t: UTF8String): Unit = {
+        val prev = counts.get(t)
+        counts.put(t, if (prev == null) 1L else prev + 1L)
+      }
+      if (hi == lo) add(UTF8String.EMPTY_UTF8) // "" → [''] — one empty token
+      else {
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo)))
+          add(UTF8String.EMPTY_UTF8)
+        foreachToken(s) { (b, o, len) =>
+          val arr = new Array[Byte](len)
+          org.apache.spark.unsafe.Platform.copyMemory(
+            b, o, arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+          add(UTF8String.fromBytes(arr))
+        }
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1)))
+          add(UTF8String.EMPTY_UTF8)
+      }
+      val m = counts.size()
+      val toks = new Array[Any](m)
+      val cnts = new Array[Long](m)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        toks(j) = e.getKey
+        cnts(j) = e.getValue
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(toks), new GenericArrayData(cnts)))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokencounts", this,
+        classOf[TokenCountsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Exact-decimal sparse dot product against a weight vector riding in
     * the expression (the broadcast-small-side pattern of
     * [[NearestCellsExpr]]): margin = Σ w[feat_i]·x_i as an EXACT
@@ -1600,6 +1770,12 @@ object NativeExpressions {
 
   def dupNgramStats(c: Column, shingleN: Int): Column =
     column(DupNgramStatsExpr(expression(c), shingleN))
+
+  def bigramCounts(c: Column): Column =
+    column(BigramCountsExpr(expression(c)))
+
+  def tokenCounts(c: Column): Column =
+    column(TokenCountsExpr(expression(c)))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowExpr(expression(c), k, w))

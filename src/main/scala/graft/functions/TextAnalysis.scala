@@ -318,8 +318,20 @@ object TextAnalysis {
     * equi-join on the token (the vocab side is grouped first — skew on
     * stopwords is bounded by the grouped count's map-side partials).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    unigramLogProbFromTf(unigramTf(df, idCol, textCol), idCol)
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the tf seam persists for its two consumers (vocab build + score
+    // join) — round 19: the old explode+groupBy tf carried an exchange
+    // that Spark's ReusedExchange deduplicated implicitly; the kernel
+    // form has no exchange to reuse, so the seam must persist
+    // explicitly or each consumer re-derives the corpus scan. Eager
+    // doc-sized output (the gopherFilter discipline) lets the seam
+    // free on return.
+    val tf = unigramTf(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = unigramLogProbFromTf(tf, idCol).localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
 
   /** Per-doc term frequencies `(idCol, __tok, __cnt)` — the featurize
     * seam under [[unigramLogProbFromTf]]. Grouping per (doc, token)
@@ -332,8 +344,19 @@ object TextAnalysis {
     * .curationPipeline]] does exactly that for its 2-pass budget).
     */
   def unigramTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__cnt"))
+    // per-ROW token counts (round 19): the (doc, token) multiplicity is
+    // doc-local, so the TokenCounts kernel emits it in place and the
+    // explode stays narrow — the previous explode + groupBy(id, __tok)
+    // shipped every distinct (doc, token) STRING through an exchange
+    // before any consumer even aggregated. Byte-identical counts
+    // (kernel-vs-explode identity spec-pinned on the fixture corpus).
+    df.select(col(idCol),
+        NativeExpressions.tokenCounts(col(textCol)).as("__tc"))
+      .select(col(idCol), explode(arrays_zip(
+        col("__tc").getField("toks").as("toks"),
+        col("__tc").getField("cnts").as("cnts"))).as("__z"))
+      .select(col(idCol), col("__z.toks").as("__tok"),
+        col("__z.cnts").as("__cnt"))
 
   /** [[unigramLogProb]] over a precomputed [[unigramTf]] frame. Scores
     * are bit-identical to the per-occurrence formulation: each token's
@@ -506,13 +529,23 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the V scalar reads the persisted context table — no third pass
     val vScalar = broadcast(refUni.agg(count(lit(1)).cast("long").as("__v")))
+    // doc-side bigram counts per ROW (round 19): the (doc, bigram)
+    // multiplicity is doc-local, so the BigramCounts kernel emits it in
+    // place and the explode stays NARROW — the previous
+    // explode_outer + groupBy(id, __bg) shipped every distinct
+    // (doc, bigram) STRING through an exchange before the (broadcast)
+    // model joins; that exchange was the family's dominant shuffle.
     // explode_OUTER keeps zero-bigram docs in the same pass (a null
-    // __bg row that the conditional sums skip), so the output covers
-    // every input doc WITHOUT a separate id-projection join back onto
-    // the corpus — one doc pass + one reference pass, total
+    // row the conditional sums skip), so the output still covers every
+    // input doc without a join back onto the corpus.
     val docBi = df
-      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("__bg"))
-      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).cast("long").as("__cnt"))
+      .select(col(idCol),
+        NativeExpressions.bigramCounts(col(textCol)).as("__bc"))
+      .select(col(idCol), explode_outer(arrays_zip(
+        col("__bc").getField("bgs").as("bgs"),
+        col("__bc").getField("cnts").as("cnts"))).as("__z"))
+      .select(col(idCol), col("__z.bgs").as("__bg"),
+        coalesce(col("__z.cnts"), lit(0L)).as("__cnt"))
       .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
     val scored = docBi
       .join(refBi, Seq("__bg"), "left")
@@ -613,10 +646,18 @@ object TextAnalysis {
       refBi.agg(count(lit(1)).cast("long").as("__n1all")).crossJoin(
         refTok.select(explode(col("__toks")).as("__tk"))
           .agg(countDistinct(col("__tk")).cast("long").as("__v"))))
+    // doc-side counts per ROW via the BigramCounts kernel (round 19 —
+    // the bigramNllGate rationale: the (doc, bigram) count is doc-local,
+    // so the old explode_outer + groupBy(id, __bg) string exchange is
+    // replaced by a narrow kernel + in-place explode)
     val docBi = df
-      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("__bg"))
-      .groupBy(col(idCol), col("__bg"))
-      .agg(count(lit(1)).cast("long").as("__cnt"))
+      .select(col(idCol),
+        NativeExpressions.bigramCounts(col(textCol)).as("__bc"))
+      .select(col(idCol), explode_outer(arrays_zip(
+        col("__bc").getField("bgs").as("bgs"),
+        col("__bc").getField("cnts").as("cnts"))).as("__z"))
+      .select(col(idCol), col("__z.bgs").as("__bg"),
+        coalesce(col("__z.cnts"), lit(0L)).as("__cnt"))
       .withColumn("__ctx", split(col("__bg"), " ").getItem(0))
       .withColumn("__w2", split(col("__bg"), " ").getItem(1))
     val d = lit(discount)
@@ -678,8 +719,14 @@ object TextAnalysis {
     * the 1-row total.
     */
   def minKProb(df: DataFrame, idCol: String, textCol: String,
-      kFrac: Double = 0.2): DataFrame =
-    minKProbFromTf(unigramTf(df, idCol, textCol), idCol, kFrac)
+      kFrac: Double = 0.2): DataFrame = {
+    // persisted tf seam + eager output — the unigramLogProb rationale
+    val tf = unigramTf(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minKProbFromTf(tf, idCol, kFrac).localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
 
   /** [[minKProb]] over a precomputed [[unigramTf]] frame — the same
     * persisted-seam pattern as [[unigramLogProbFromTf]]: the tf frame

@@ -103,6 +103,34 @@ class TextAnalysisSpec extends SparkSpec {
       === rows(oldForm(corpus)))
   }
 
+  test("bigramCounts kernel ≡ explode(bigrams)+groupBy, fixture corpus + edges (round 19)") {
+    // the kernel feeds the qd62/qd78 doc side; flattened it must equal
+    // the relational grouped count exactly — including the empty-edge-
+    // token bigrams a tab/newline edge produces (concat_ws keeps "")
+    val edges = Seq(
+      (0L, "a b a b c"), (1L, "solo"), (2L, ""), (3L, "  \t x y"),
+      (4L, "p p p"), (5L, null.asInstanceOf[String]),
+      (6L, "x\ty\nz  w "))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    def viaKernel(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          graft.functions.NativeExpressions.bigramCounts(col("text")).as("__bc"))
+        .select(col("doc_id"), explode(arrays_zip(
+          col("__bc").getField("bgs").as("bgs"),
+          col("__bc").getField("cnts").as("cnts"))).as("__z"))
+        .select(col("doc_id"), col("__z.bgs").as("bg"), col("__z.cnts").as("cnt"))
+        .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    def viaExplode(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(TextAnalysis.bigrams(col("text"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(viaKernel(edges) === viaExplode(edges))
+    assert(viaKernel(corpus) === viaExplode(corpus))
+  }
+
   test("dupNgramStats kernel edges: empty/ws-only/short docs (round-19 form)") {
     // portable(relational) path is the ground truth the DuckDB oracle
     // replays; the kernel path must agree including degenerate docs
