@@ -1038,8 +1038,18 @@ object Bench {
     // tail and "parsed": null. The line printed LAST is a SHORT summary
     // (total, errors, breach lists, streaming block, artifact path)
     // that always fits the window and always parses.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY_OUT", "bench_summary.json")
+    // per-run default names embed (cpus, sf) — round-19 verdict #3: the
+    // driver benches at two core counts back to back, and a fixed
+    // default name let the second run CLOBBER the first's per-query
+    // data (PERF_r19 ended with per_query:{} because the 8-core run
+    // overwrote the 32-core bench_full.json). The env overrides and the
+    // one-line summary contract (which names queries_path/summary_path,
+    // so consumers never guess) are unchanged.
+    val sfLabel = trimmed.split('/').lastOption.getOrElse("sf")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_full_c${cpus}_$sfLabel.json")
+    val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY_OUT",
+      s"bench_summary_c${cpus}_$sfLabel.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Exception => System.err.println(s"bench: could not write $outPath: $e") }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de/fr/…)

@@ -1772,12 +1772,26 @@ object SparkEntry {
       val hot = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0d)
         .select(col("o_orderkey"), col("o_orderdate").cast("date").as("w_start"),
           date_add(col("o_orderdate").cast("date"), 7).as("w_end"))
-      val pts = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("ship"))
-      graft.ops.TimeSeriesOps.pointInInterval(pts, hot, "ship",
+      // round-20 (guide §2.3 "aggregate before you shuffle"): the
+      // downstream only COUNTS matches per (order, window), so the
+      // point side pre-aggregates to per-DAY counts BEFORE the chunk
+      // join — the join then matches O(date-range) day rows instead of
+      // materializing every (lineitem, interval) pair through the hash
+      // aggregate (28.7 M pairs at sf0.1, quadratic in SF by the
+      // query's own semantics; the sf3 probe read 25.8 B). count(*)
+      // over pairs ≡ sum of matched day counts, null ship dates match
+      // nothing on either path, zero-point windows yield no row on
+      // either path (inner join) — same rows, same schema (sum of
+      // longs stays long), same oracle SQL. Unlike q44 (the explode-
+      // on-days rewrite), the range match itself stays pointInInterval's
+      // chunk equi-join + residual containment predicate.
+      val daily = Tables.lineitem(s, d)
+        .select(col("l_shipdate").cast("date").as("ship"))
+        .groupBy(col("ship")).agg(count(lit(1)).as("__day_n"))
+      graft.ops.TimeSeriesOps.pointInInterval(daily, hot, "ship",
           "w_start", "w_end", chunkDays = 7)
         .groupBy(col("o_orderkey"), col("w_start"))
-        .agg(count(lit(1)).as("n_shipped"))
+        .agg(sum(col("__day_n")).as("n_shipped"))
         .orderBy(col("o_orderkey"))
     }),
 

@@ -203,7 +203,12 @@ object Classifier {
         col(idCol))
       .select(col("feats"), col("xs"), col("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per doc now — the count IS the labeled-set size
+    // one row per doc now — the count IS the labeled-set size. Contract
+    // (ADVICE r19): idCol must be unique in BOTH frames — a duplicated
+    // doc id would inflate N (and hence eta) relative to the old
+    // distinct-id count; every caller feeds primary-key doc frames and
+    // label tables derived from them (a distinct-count pass per
+    // training call would price the contract check into every descent).
     val n = feats.count()
     require(n > 0, "empty labeled set")
     // eta = half_up(lr/N @ 12 dp) from the EXACT RATIONAL by integer
@@ -290,12 +295,26 @@ object Classifier {
     * is gone from every featurize.
     */
   def hashedFeatureArrays(df: DataFrame, idCol: String, textCol: String,
-      uniDim: Int, biDim: Int = 0): DataFrame =
+      uniDim: Int, biDim: Int = 0): DataFrame = {
+    // null text (ADVICE r19): the relational featurize EMITS rows for a
+    // null-text doc — explode(null buckets) yields no bow rows, but the
+    // invLen row (len = greatest(size(null),1) = 1 → x = 1.000000) and
+    // the bias row survive, so the doc trains and scores. The null-safe
+    // kernel returned a null struct instead (NPE in gdTrain's
+    // mapPartitions, null batch scores); reproduce the relational
+    // encoding explicitly. ClassifierSpec pins the identity on a
+    // null-text fixture row.
+    val one = lit(new java.math.BigDecimal("1.000000"))
+      .cast(DecimalType(10, FeatScale))
+    val nullEnc = struct(
+      array(lit(uniDim + biDim), lit(uniDim + biDim + 1)).as("feats"),
+      array(one, one).as("xs"))
+    val enc = NativeExpressions.hashedFeatureArrays(col(textCol), uniDim, biDim)
     df.select(col(idCol),
-        NativeExpressions.hashedFeatureArrays(col(textCol), uniDim, biDim)
-          .as("__enc"))
+        when(col(textCol).isNull, nullEnc).otherwise(enc).as("__enc"))
       .select(col(idCol), col("__enc.feats").as("feats"),
         col("__enc.xs").as("xs"))
+  }
 
   /** Full-batch logistic GD over [[hashedFeatures]]. `labels` carries
     * (idCol, labelCol: Boolean); N is the labeled-set size (docs without

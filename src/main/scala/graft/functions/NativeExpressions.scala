@@ -1029,6 +1029,144 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Whitespace token COUNT in one allocation-free byte pass —
+    * value- and type-identical to `size(split(trim(text), "\s+"))`
+    * (IntegerType, null → null), including the edge-token subtleties:
+    * `trim` strips ASCII spaces only, so a leading/trailing non-space
+    * whitespace run (tab, newline …) yields an empty edge token, and
+    * empty/all-space text yields the single empty token (count 1).
+    * Exists because `tokenCount` is the most widely composed per-doc
+    * signal (quality gates, packing budgets, BM25 doc lengths): the
+    * split form allocates the full token array — one UTF8String per
+    * token — just to take its length, which at 32 saturated threads is
+    * pure GC pressure (guide §4 "expressions and codegen").
+    */
+  case class TokenCountExpr(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_count"
+
+    def compute(s: UTF8String): Int = {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      if (hi == lo) return 1 // trim → "" → [''] — one empty token
+      var n = 0
+      if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo))) n += 1
+      if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1))) n += 1
+      foreachToken(s)((_, _, _) => n += 1)
+      n
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokencount", this,
+        classOf[TokenCountExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** The narrow quality-signal triple in ONE allocation-free byte pass:
+    * array<long> [token count, Σ token code-point lengths, stopword
+    * hits] under exact `split(trim(text), "\s+")` semantics (same edge
+    * tokens as [[TokenCountExpr]]; empty edge tokens contribute 0
+    * length and never match a stopword). Derivations stay in Catalyst
+    * (double division + `round(…, 4)`), so the exposed values are
+    * bit-identical to the HOF forms they replace:
+    *  - Σ token lengths ≡ `aggregate(toks, 0L, acc + length(t))` ≡
+    *    `length(regexp_replace(text, "\s+", ""))` (every non-whitespace
+    *    code point lies in exactly one token; `length` counts code
+    *    points = non-continuation UTF-8 bytes);
+    *  - stopword hits ≡ `size(filter(toks, t.isin(stops)))` — byte
+    *    equality against the list riding in the expression.
+    * Replaces the gate-path HOFs (`aggregate`, `filter`+`isin`), which
+    * do not codegen (CodegenFallback: one interpreted Expression eval
+    * per token × per stopword literal) and require the materialized
+    * token array — the measured 1.65×+ interpreted-island cost of the
+    * streaming quality gate (GateProbe, round 20) and the per-row tail
+    * of qd03/qd40/gopherFilter (guide §4).
+    */
+  case class QualityStatsExpr(child: Expression, stops: Seq[String])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "quality_stats"
+
+    @transient private lazy val stopBytes: Array[Array[Byte]] =
+      stops.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+    def compute(s: UTF8String): ArrayData = {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      // trim → "" → [''] — one empty token, zero length, zero stopwords
+      if (hi == lo) return new GenericArrayData(Array(1L, 0L, 0L))
+      var n = 0L
+      if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo))) n += 1
+      if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1))) n += 1
+      var sumLen = 0L
+      var nStop = 0L
+      val sw = stopBytes
+      foreachToken(s) { (b, o, len) =>
+        n += 1
+        var i = 0
+        while (i < len) {
+          // code points = non-continuation bytes (UTF8String.numChars)
+          if ((org.apache.spark.unsafe.Platform.getByte(b, o + i) & 0xC0) != 0x80)
+            sumLen += 1
+          i += 1
+        }
+        var k = 0
+        var hit = false
+        while (!hit && k < sw.length) {
+          val w = sw(k)
+          if (w.length == len) {
+            var j = 0
+            var eq = true
+            while (eq && j < len) {
+              if (org.apache.spark.unsafe.Platform.getByte(b, o + j) != w(j)) eq = false
+              j += 1
+            }
+            hit = eq
+          }
+          k += 1
+        }
+        if (hit) nStop += 1
+      }
+      new GenericArrayData(Array(n, sumLen, nStop))
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qualitystats", this,
+        classOf[QualityStatsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Exact-decimal sparse dot product against a weight vector riding in
     * the expression (the broadcast-small-side pattern of
     * [[NearestCellsExpr]]): margin = Σ w[feat_i]·x_i as an EXACT
@@ -1043,19 +1181,33 @@ object NativeExpressions {
     * all.
     */
   case class DecimalDotExpr(feats: Expression, xs: Expression,
-      weights: Array[java.math.BigDecimal])
-      extends BinaryExpression {
+      weights: IndexedSeq[java.math.BigDecimal])
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def left: Expression = feats
     override def right: Expression = xs
+    // pins the xs scale the kernel reads (ADVICE r19: getDecimal(i,10,6)
+    // over a differently-scaled decimal array would silently misread);
+    // mismatched inputs now fail analysis, never mid-stage
+    override def inputTypes: Seq[DataType] = Seq(
+      ArrayType(IntegerType), ArrayType(DecimalType(10, 6)))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "decimal_dot"
 
+    // IndexedSeq, not Array (ADVICE r19): an Array field compares by
+    // reference, so semantically equal expressions never canonicalize
+    // equal — defeating subexpression elimination of repeated margins
     def compute(f: ArrayData, x: ArrayData): Double = {
       var acc = java.math.BigDecimal.ZERO
       val n = f.numElements()
       var i = 0
       while (i < n) {
-        acc = acc.add(weights(f.getInt(i))
+        val fi = f.getInt(i)
+        if (fi < 0 || fi >= weights.length)
+          throw new IllegalArgumentException(
+            s"decimal_dot: feature index $fi outside the weight vector " +
+              s"[0, ${weights.length}) — the vector must be dense over the featurize dims")
+        acc = acc.add(weights(fi)
           .multiply(x.getDecimal(i, 10, 6).toJavaBigDecimal))
         i += 1
       }
@@ -1766,7 +1918,8 @@ object NativeExpressions {
 
   def decimalDot(feats: Column, xs: Column,
       weights: Array[java.math.BigDecimal]): Column =
-    column(DecimalDotExpr(expression(feats), expression(xs), weights))
+    column(DecimalDotExpr(expression(feats), expression(xs),
+      weights.toIndexedSeq))
 
   def dupNgramStats(c: Column, shingleN: Int): Column =
     column(DupNgramStatsExpr(expression(c), shingleN))
@@ -1776,6 +1929,12 @@ object NativeExpressions {
 
   def tokenCounts(c: Column): Column =
     column(TokenCountsExpr(expression(c)))
+
+  def tokenCountOf(c: Column): Column =
+    column(TokenCountExpr(expression(c)))
+
+  def qualityStats(c: Column, stops: Seq[String]): Column =
+    column(QualityStatsExpr(expression(c), stops))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowExpr(expression(c), k, w))

@@ -33,8 +33,7 @@ object Retrieval {
     * result is score-identical to the inline computation.
     */
   def bm25CorpusStats(docs: DataFrame, textCol: String): Bm25Stats = {
-    val dl = size(TextAnalysis.tokens(lower(col(textCol)))).cast("long")
-    val r = docs.select(dl.as("dl"))
+    val r = docs.select(docLen(col(textCol)).as("dl"))
       .agg(count(lit(1)).cast("long").as("n"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
       .head()
@@ -46,9 +45,18 @@ object Retrieval {
   /** Whitespace-lowercase token count — THE `dl` every BM25 path uses.
     * Token-less docs have dl = 0 and no postings rows, but still count
     * toward N (they can never match a term either way).
+    *
+    * Round 20: the allocation-free [[NativeExpressions.TokenCountExpr]]
+    * kernel, with the `lower` dropped — value-identical to
+    * `size(tokens(lower(text)))`: no Unicode lowercase mapping
+    * produces or removes whitespace (or edge spaces), so lowercasing
+    * never changes token boundaries or the count. The stats/dl passes
+    * stop paying a full lower+split+array per doc just to count
+    * (guide §2.3 "narrower types"/§4); the postings explode keeps its
+    * lowered token ARRAY — it needs the terms themselves.
     */
   def docLen(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(TextAnalysis.tokens(lower(text))).cast("long")
+    NativeExpressions.tokenCountOf(text).cast("long")
 
   /** The (doc_id, dl, term, tf) postings derivation every BM25 path
     * shares — [[bm25Search]] builds it inline (term-restricted first),
@@ -59,11 +67,17 @@ object Retrieval {
     */
   def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // round 20: tf via the per-row TokenCounts kernel — one row per
+    // distinct (doc, term) straight out of the explode, no groupBy
+    // exchange (tf is doc-local; kernel ≡ explode+groupBy spec-pinned).
+    // Same rows/values as the grouped form at any layout.
+    val tc = NativeExpressions.tokenCounts(lower(col(textCol)))
     docs.select(Seq(col(idCol).as("doc_id"), docLen(col(textCol)).as("dl"),
-        explode(toks).as("term")) ++ extraKeys.map(col): _*)
-      .groupBy((Seq("doc_id", "dl", "term") ++ extraKeys).map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+        explode(arrays_zip(
+          tc.getField("toks").as("toks"),
+          tc.getField("cnts").as("cnts"))).as("__z")) ++ extraKeys.map(col): _*)
+      .select((Seq(col("doc_id"), col("dl"), col("__z.toks").as("term"),
+        col("__z.cnts").as("tf")) ++ extraKeys.map(col)): _*)
   }
 
   /** Score queries against an ALREADY-BUILT postings frame
@@ -150,27 +164,37 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, termCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       corpusStats: Option[Bm25Stats] = None): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
     // distinct enforces the one-row-per-(query, term) contract — a
     // duplicated input row would otherwise double that term's partial
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(termCol).as("term")).distinct())
     val qTerms = broadcast(q.select(col("term")).distinct())
-    // postings restricted to query terms BEFORE the shuffle (the semi
-    // join sits under the groupBy, unlike postingsOf's unrestricted
-    // form); dl (total token count, with multiplicity) rides along as a
-    // grouping key
+    // postings restricted to query terms BEFORE any shuffle (the semi
+    // join is broadcast)
+    // round 20 (guide §2.4): (doc, term, tf) via the per-row
+    // TokenCounts kernel — tf is DOC-LOCAL, so the kernel emits each
+    // doc's (distinct token, count) table in place: the explode
+    // generates one row per distinct token (not per occurrence), the
+    // broadcast semi-join restricts to query terms as before, and the
+    // (doc, dl, term) groupBy EXCHANGE disappears entirely — tf rides
+    // out of the kernel. dl via the TokenCount kernel (value-identical,
+    // see [[docLen]]; `size(toks)` next to the explode was a second,
+    // separate split evaluation). Postings rows, values and the df
+    // window are identical (kernel ≡ explode+groupBy is spec-pinned).
+    val tc = NativeExpressions.tokenCounts(lower(col(textCol)))
     val postings = docs
-      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("term"))
+      .select(col(idCol).as("doc_id"), docLen(col(textCol)).as("dl"),
+        explode(arrays_zip(
+          tc.getField("toks").as("toks"),
+          tc.getField("cnts").as("cnts"))).as("__z"))
+      .select(col("doc_id"), col("dl"),
+        col("__z.toks").as("term"), col("__z.cnts").as("tf"))
       .join(qTerms, Seq("term"), "left_semi")
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     // corpus scalars: N docs, average doc length (integer sum / count —
     // deterministic double); precomputed stats skip this corpus pass
     val stats = corpusStats.fold(
-      docs.select(size(toks).cast("long").as("dl"))
+      docs.select(docLen(col(textCol)).as("dl"))
         .agg(count(lit(1)).cast("long").as("n"),
           (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))) { s =>
       docs.sparkSession.range(1)
@@ -266,9 +290,20 @@ object Retrieval {
       .agg(count(lit(1)).cast("long").as("tf"))
       .localCheckpoint(true)
     val cand = broadcast(ft.select(col("term")).distinct())
-    val dfv = docs.select(col(idCol).as("doc_id"), explode(toks).as("term"))
+    // candidate-term document frequency via the per-row TokenCounts
+    // kernel (round 20, guide §2.4): df counts DOCS per term, and
+    // "distinct terms of a doc" is doc-local — the kernel emits each
+    // doc's distinct token list in place, so the explode is already
+    // (doc, term)-deduped and the old corpus-sized
+    // explode→semi-join→distinct EXCHANGE disappears; only the final
+    // per-term count shuffles (map-side combined, candidate-vocabulary
+    // rows). Counts identical: per-doc-distinct explode ≡
+    // distinct(doc_id, term), same lowered split semantics incl. empty
+    // edge tokens, null text → no rows on both forms.
+    val dfv = docs
+      .select(explode(NativeExpressions.tokenCounts(lower(col(textCol)))
+        .getField("toks")).as("term"))
       .join(cand, Seq("term"), "left_semi")
-      .select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfq"))
     val wExp = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("term"))
@@ -386,11 +421,18 @@ object Retrieval {
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       m: Int, minDf: Long = 1L): DataFrame = {
     require(m >= 1, s"tfidfKeywords: m must be >= 1, got $m")
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // round 20: (doc, term, tf) via the per-row TokenCounts kernel —
+    // the (doc, term) groupBy exchange disappears (tf is doc-local) and
+    // the explode emits one row per DISTINCT token instead of per
+    // occurrence; the df window is the first (and only) shuffle.
+    // Rows/values identical (kernel ≡ explode+groupBy spec-pinned).
+    val tc = NativeExpressions.tokenCounts(lower(col(textCol)))
     val postings = docs
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col(idCol).as("doc_id"), explode(arrays_zip(
+        tc.getField("toks").as("toks"),
+        tc.getField("cnts").as("cnts"))).as("__z"))
+      .select(col("doc_id"), col("__z.toks").as("term"),
+        col("__z.cnts").as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .filter(col("df") >= minDf)
     val n = docs.agg(count(lit(1)).cast("long").as("n"))

@@ -21,8 +21,16 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count. Round 20: the
+    * [[NativeExpressions.TokenCountExpr]] kernel — value- and
+    * type-identical to `size(tokens(text))` (int, null → null,
+    * same empty-edge-token semantics; TextAnalysisSpec pins the
+    * identity), but counts in one allocation-free byte pass instead of
+    * materializing the token array to take its length. tokenCount is
+    * composed into most per-doc gates and budget columns, so the split
+    * allocation was paid corpus-wide (guide §4).
+    */
+  def tokenCount(text: Column): Column = NativeExpressions.tokenCountOf(text)
 
   /** Canonical text normalization for hash-based dedup: Unicode NFC
     * (composed form — "Café" typed with a combining accent becomes
@@ -61,15 +69,29 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
 
   /** Stopword ratio ∈ [0,1]: classic quality signal (natural prose has
-    * 0.2–0.5; keyword spam and boilerplate sit near 0).
+    * 0.2–0.5; keyword spam and boilerplate sit near 0). Round 20: via
+    * the [[NativeExpressions.QualityStatsExpr]] kernel — the HOF
+    * `filter`+`isin` form evaluated one interpreted Expression per
+    * token × stopword literal (HOF lambdas are CodegenFallback) over a
+    * materialized token array; values bit-identical (byte-equality
+    * hits, same greatest(count,1) double division).
     */
-  def stopwordRatio(text: Column, stops: Seq[String] = EnglishStopwords): Column =
-    wordHits(text, stops).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  def stopwordRatio(text: Column, stops: Seq[String] = EnglishStopwords): Column = {
+    val qs = NativeExpressions.qualityStats(text, stops)
+    element_at(qs, 3).cast("double") /
+      greatest(element_at(qs, 1), lit(1L)).cast("double")
+  }
 
-  /** Mean token length in characters (whitespace removed / token count). */
-  def avgTokenLength(text: Column): Column =
-    length(regexp_replace(text, "\\s+", "")).cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double")
+  /** Mean token length in characters (whitespace removed / token count).
+    * Round 20: kernel-derived — Σ token code-point lengths ≡
+    * `length(regexp_replace(text, "\s+", ""))` (every non-whitespace
+    * code point lies in exactly one token), same double division.
+    */
+  def avgTokenLength(text: Column): Column = {
+    val qs = NativeExpressions.qualityStats(text, EnglishStopwords)
+    element_at(qs, 2).cast("double") /
+      greatest(element_at(qs, 1), lit(1L)).cast("double")
+  }
 
   /** Ratio of non-alphanumeric, non-space characters — high values flag
     * markup/code/garbled docs.
@@ -205,20 +227,26 @@ object TextAnalysis {
     // dup kernel reuses the SAME positional XXH64 span chain, so even
     // a 64-bit collision merges the same two groups in both forms).
     // At 100 TB: zero exchanges instead of three corpus-sized ones.
-    val nToks = greatest(size(col("__toks")), lit(1)).cast("double")
-    val stopLits = EnglishStopwords.map(lit)
     // identical values to tokenCount/avgTokenLength/stopwordRatio over the
     // raw text: every non-whitespace char is in exactly one token, so the
-    // summed token lengths equal length(regexp_replace(text, "\s+", ""))
+    // summed token lengths equal length(regexp_replace(text, "\s+", "")).
+    // Round 20: the scalar triple comes from the QualityStats kernel —
+    // the previous HOF aggregate/filter forms ran interpreted
+    // (CodegenFallback lambdas) over a materialized token array; the
+    // kernel reads the text bytes once, allocation-free, and the battery
+    // no longer materializes __toks at all (guide §4). Values
+    // bit-identical: same long stats, same double divisions, same 4-dp
+    // rounds (TextAnalysisSpec pins kernel ≡ HOF on the edge fixtures).
+    val nToks = greatest(element_at(col("__qs"), 1), lit(1L)).cast("double")
     val out = docs.select(col(idCol), col(textCol),
-        tokens(col(textCol)).as("__toks"),
+        NativeExpressions.qualityStats(col(textCol), EnglishStopwords).as("__qs"),
         NativeExpressions.topTokenStats(col(textCol)).as("__tts"),
         NativeExpressions.dupNgramStats(col(textCol), dupN).as("__dns"))
       .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        round(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+        element_at(col("__qs"), 1).as("n_tokens"),
+        round(element_at(col("__qs"), 2)
           .cast("double") / nToks, 4).as("avg_token_len"),
-        round(size(filter(col("__toks"), t => t.isin(stopLits: _*)))
+        round(element_at(col("__qs"), 3)
           .cast("double") / nToks, 4).as("stopword_ratio"),
         // null text → kernel null → round null → coalesce 0.0 (the old
         // left-join-miss behavior); otherwise max-count/total-count in
@@ -228,8 +256,7 @@ object TextAnalysis {
           .as("top_token_frac"),
         // covered / greatest(size(tokens), 1) — the denominator the
         // relational form used (split semantics incl. empty edge tokens)
-        coalesce(round(col("__dns").cast("double") /
-          greatest(size(col("__toks")), lit(1)).cast("double"), 4), lit(0.0))
+        coalesce(round(col("__dns").cast("double") / nToks, 4), lit(0.0))
           .as("dup_ngram_frac"))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.functions.TextAnalysis
+import graft.functions.{NativeExpressions, TextAnalysis}
 
 /** Streaming corpus-quality drift monitor — the third monitor next to
   * [[TokenStats]] (vocabulary axis) and [[CentroidDrift]] (embedding
@@ -90,14 +90,21 @@ object QualityDrift {
   def keepNarrow(text: Column, minTokens: Int = 30, maxTokens: Int = 100000,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
       minStopwordRatio: Double = 0.02): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val nToks = greatest(size(toks), lit(1)).cast("double")
-    val avgLen = round(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks, 4)
-    val stopLits = TextAnalysis.EnglishStopwords.map(lit)
-    val stopRatio = round(
-      size(filter(toks, t => t.isin(stopLits: _*))).cast("double") / nToks, 4)
-    size(toks) >= minTokens && size(toks) <= maxTokens &&
+    // Round 20: the QualityStats kernel replaces the HOF forms — the
+    // aggregate/filter lambdas were CodegenFallback (one interpreted
+    // Expression eval per token, × stopword literals for the ratio)
+    // over a materialized token array, measured 1.65×+ slower than even
+    // a fused array form at 32 threads (GateProbe). Decision
+    // bit-identical: same long stats, same greatest(n,1) double
+    // divisions, same 4-dp rounds, null text → null (drop) on both
+    // forms — StreamingSpec's keeper sets and the gopherFilter
+    // value-identity hold unchanged.
+    val qs = NativeExpressions.qualityStats(text, TextAnalysis.EnglishStopwords)
+    val n = element_at(qs, 1)
+    val nToks = greatest(n, lit(1L)).cast("double")
+    val avgLen = round(element_at(qs, 2).cast("double") / nToks, 4)
+    val stopRatio = round(element_at(qs, 3).cast("double") / nToks, 4)
+    n >= minTokens && n <= maxTokens &&
       avgLen >= minAvgTokenLen && avgLen <= maxAvgTokenLen &&
       stopRatio >= minStopwordRatio
   }

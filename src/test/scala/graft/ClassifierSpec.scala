@@ -45,8 +45,12 @@ class ClassifierSpec extends SparkSpec {
     // flattened it must reproduce the relational featurize EXACTLY
     // (same buckets, same round(cnt/len, 6) decimals) — including on
     // empty/whitespace-only/single-token docs and real corpus text
+    // doc 6: NULL text (ADVICE r19) — the relational featurize emits
+    // invLen+bias rows for it (explode(null) drops only the bow block),
+    // and the array path must reproduce that, not a null struct
     val edges = Seq((0L, "a a b c"), (1L, "x"), (2L, ""), (3L, "  \t "),
-      (4L, "p q p q r"), (5L, (0 until 200).map(i => s"w${i % 7}").mkString(" ")))
+      (4L, "p q p q r"), (5L, (0 until 200).map(i => s"w${i % 7}").mkString(" ")),
+      (6L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val corpus = graft.sources.Tables.documents(spark, sf0001).select(
       col("doc_id"), col("text"))
@@ -67,6 +71,21 @@ class ClassifierSpec extends SparkSpec {
       assert(flat(Classifier.hashedFeatureArrays(df, "doc_id", "text", u, b))
         === rel(df, u, b), s"mismatch at uniDim=$u biDim=$b")
     }
+  }
+
+  test("null-text docs train and score on the array path (ADVICE r19, round 20)") {
+    // gdTrain used to NPE on a labeled null-text doc (null feats Seq in
+    // mapPartitions) and batch scoring emitted a null score; with the
+    // invLen+bias null encoding both behave like the relational path
+    val docs = Seq((1L, "a a b"), (2L, null.asInstanceOf[String]), (3L, "b c d"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, true), (2L, false), (3L, true)).toDF("doc_id", "keep")
+    val w = Classifier.trainHashedLogistic(docs, "doc_id", "text",
+      labels, "keep", dim = 8, iters = 2, lr = 1.0)
+    val scores = Classifier.scoreOnFeatureArrays(
+        Classifier.hashedFeatureArrays(docs, "doc_id", "text", 8), "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(scores.size === 3 && scores.values.forall(_ != null))
   }
 
   test("hashedFeaturesBigram: block layout, bigram normalization, single-token docs carry no bigram rows") {

@@ -103,6 +103,69 @@ class TextAnalysisSpec extends SparkSpec {
       === rows(oldForm(corpus)))
   }
 
+  test("tokenCount / qualityStats kernels ≡ split+HOF forms (round-20)") {
+    // the round-20 allocation-free kernels behind tokenCount,
+    // avgTokenLength, stopwordRatio, keepNarrow and the gopherFilter
+    // scalar triple: value- AND type-identical to the split/HOF forms,
+    // including the empty-edge-token subtleties (trim strips ASCII
+    // spaces only, so tab/newline edges yield empty tokens), null text,
+    // multi-byte code points (length counts code points, not bytes),
+    // and stopword matching by byte equality
+    val edges = Seq(
+      (0L, "the cat and a dog of it"), (1L, ""), (2L, "   \t "),
+      (3L, "solo"), (4L, null.asInstanceOf[String]),
+      (5L, "  padded   runs\tof\nwhitespace padded  "),
+      (6L, "\tleading and trailing\n"), (7L, "Café naïve 東京 la"),
+      (8L, "THE The the tHe"), (9L, " \t \n "), (10L, "a"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edges, corpus)) {
+      val oldCount = df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+        .as[(Long, Option[Int])].collect().toMap
+      val newCount = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+        .as[(Long, Option[Int])].collect().toMap
+      assert(newCount === oldCount)
+      val toks = split(trim(col("text")), "\\s+")
+      val nToks = greatest(size(toks), lit(1)).cast("double")
+      val stopLits = TextAnalysis.EnglishStopwords.map(lit)
+      val oldStats = df.select(col("doc_id"),
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nToks, 4).as("avg"),
+        round(size(filter(toks, t => t.isin(stopLits: _*)))
+          .cast("double") / nToks, 4).as("stop"))
+        .as[(Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val newStats = df.select(col("doc_id"),
+        round(TextAnalysis.avgTokenLength(col("text")), 4).as("avg"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop"))
+        .as[(Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(newStats === oldStats)
+    }
+    // keepNarrow decisions on the fixture corpus match the literal HOF
+    // gate shape (null-safe: null text → null → dropped by filter)
+    def hofKeep(text: org.apache.spark.sql.Column) = {
+      val toks = TextAnalysis.tokens(text)
+      val nToks = greatest(size(toks), lit(1)).cast("double")
+      val stopLits = TextAnalysis.EnglishStopwords.map(lit)
+      val avgLen = round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks, 4)
+      val stopRatio = round(
+        size(filter(toks, t => t.isin(stopLits: _*))).cast("double") / nToks, 4)
+      size(toks) >= 30 && size(toks) <= 100000 &&
+        avgLen >= 3.0 && avgLen <= 10.0 && stopRatio >= 0.02
+    }
+    val a = corpus.filter(
+      graft.streaming.QualityDrift.keepNarrow(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = corpus.filter(hofKeep(col("text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("bigramCounts kernel ≡ explode(bigrams)+groupBy, fixture corpus + edges (round 19)") {
     // the kernel feeds the qd62/qd78 doc side; flattened it must equal
     // the relational grouped count exactly — including the empty-edge-
