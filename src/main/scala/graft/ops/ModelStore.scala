@@ -53,6 +53,14 @@ object ModelStore {
     ensureTable(spark, table)
     val next = latestVersion(spark, modelName, table).getOrElse(0) + 1
     weights.toDF("feat", "weight")
+      // ONE file per version (round 20, guide §6 output sizing): a
+      // local Seq parallelizes to defaultParallelism partitions, so
+      // every save was appending ~32 sub-KB files for a (dim+2)-row
+      // vector — after a few hundred bench/verify runs the registry
+      // held 1600+ files and every latestVersion/load scan (twice per
+      // qd90 run) paid the listing + per-file open cost. Same rows,
+      // same schema, same round-trip identity.
+      .coalesce(1)
       .select(lit(modelName).as("model_name"), lit(next).as("version"),
         col("feat"), col("weight").cast(DecimalType(20, 10)).as("weight"),
         current_timestamp().as("saved_at"))
