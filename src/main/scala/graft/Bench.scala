@@ -190,79 +190,87 @@ object Bench {
     } catch { case _: Exception => None }
 
   val floors: Map[String, Double] = Map(
+    // Round-20 re-pin (downward only): min across the round's THREE
+    // full-suite 32-core windows on the pinned placement (143.60 s at
+    // 2.9 steal ticks/s, 133.39 s at 4.1/s, 143.19 s at 7.3/s — all
+    // zero-confirmed-breach) x 1.10. 110 floors tightened: the round-20
+    // structural movers (q40 0.19x, qr01 0.45x, qe16 0.46x, qr09 0.48x,
+    // qd03 0.48x, qd90 0.52x registry fix) plus the round-19 rewires'
+    // stale tripwires (qd78 0.44x, qd62 0.46x — verdict #2) and
+    // single-digit placement tightenings across the board.
     // round-17 re-pin (downward only): min across the round's two clean
     // full-suite windows (136.0 s @ 8.9 ticks/s, 142.4 s @ 6.4/s) x 1.10
     // after the codegen-cache + artifact-isolation builder confs — 73 of
     // 106 floors tightened (qd36 0.62x, qd65 0.64x, qd59 0.65x ...).
-    "q01_standings" -> 0.902, "q02_points_ladder" -> 0.627,
-    "q08_fact_dim_join" -> 0.476, "q09_dedup_first" -> 0.304,
-    "q18_rank_standings" -> 0.512, "q21_region_rollup" -> 0.985,
-    "q22_window_monthly" -> 1.417, "q26_rollup" -> 1.512,
-    "q31_topk_per_group" -> 0.921, "q37_asof_join" -> 0.53,
-    "q38_sliding_window" -> 0.597, "q40_range_join" -> 2.81,
-    "q41_topk_aggregator" -> 0.88, "qd01_exact_dedup" -> 0.291,
-    "qd02_token_count" -> 0.261, "qd03_quality" -> 0.396,
-    "qd04_langid" -> 0.526, "qd05_fingerprint" -> 0.245,
+    "q01_standings" -> 0.781, "q02_points_ladder" -> 0.595,
+    "q08_fact_dim_join" -> 0.394, "q09_dedup_first" -> 0.248,
+    "q18_rank_standings" -> 0.499, "q21_region_rollup" -> 0.903,
+    "q22_window_monthly" -> 1.302, "q26_rollup" -> 1.475,
+    "q31_topk_per_group" -> 0.831, "q37_asof_join" -> 0.53,
+    "q38_sliding_window" -> 0.597, "q40_range_join" -> 0.547,
+    "q41_topk_aggregator" -> 0.753, "qd01_exact_dedup" -> 0.291,
+    "qd02_token_count" -> 0.159, "qd03_quality" -> 0.191,
+    "qd04_langid" -> 0.526, "qd05_fingerprint" -> 0.244,
     "qd08_simhash" -> 0.18, "qd09_minhash_neardups" -> 1.707,
-    "qd10_corpus_pipeline" -> 0.637, "qd11_minhash_neardups_fast" -> 0.554,
+    "qd10_corpus_pipeline" -> 0.596, "qd11_minhash_neardups_fast" -> 0.534,
     "qd12_simhash_neardups" -> 0.509, "qd13_chunking" -> 0.276,
-    "qd14_neardup_clusters" -> 2.266, "qd19_pretraining_pipeline" -> 0.587,
-    "qd21_simhash_neardups_portable" -> 0.865, "qd22_decontaminate" -> 0.414,
-    "qd24_sequence_packing" -> 0.265, "qd26_incremental_dedup" -> 0.365,
+    "qd14_neardup_clusters" -> 2.216, "qd19_pretraining_pipeline" -> 0.531,
+    "qd21_simhash_neardups_portable" -> 0.855, "qd22_decontaminate" -> 0.414,
+    "qd24_sequence_packing" -> 0.234, "qd26_incremental_dedup" -> 0.359,
     "qd27_mix_pipeline" -> 0.692, "qd28_vocab" -> 0.209,
-    "qd29_unigram_logprob" -> 0.855, "qd30_dsir" -> 1.628,
-    "qd31_wordpiece" -> 0.454, "qd32_dup_passages" -> 0.91,
+    "qd29_unigram_logprob" -> 0.759, "qd30_dsir" -> 1.478,
+    "qd31_wordpiece" -> 0.407, "qd32_dup_passages" -> 0.823,
     "qd33_curation_pipeline" -> 3.325, "qd34_scrub_spans" -> 1.354,
-    "qd35_dup_ngram_frac" -> 0.315, "qd36_dsir_fast" -> 0.935,
-    "qd37_incremental_neardup" -> 1.369, "qd38_contamination_report" -> 0.401,
-    "qd39_gopher_filter" -> 0.344, "qd40_corpus_datacard" -> 1.025,
-    "qd41_source_overlap" -> 4.48, "qd42_curriculum_buckets" -> 1.138,
-    "qd43_source_overlap_fast" -> 1.235, "qd45_fuzzy_decontaminate" -> 1.273,
+    "qd35_dup_ngram_frac" -> 0.284, "qd36_dsir_fast" -> 0.876,
+    "qd37_incremental_neardup" -> 1.223, "qd38_contamination_report" -> 0.36,
+    "qd39_gopher_filter" -> 0.257, "qd40_corpus_datacard" -> 0.897,
+    "qd41_source_overlap" -> 4.059, "qd42_curriculum_buckets" -> 0.744,
+    "qd43_source_overlap_fast" -> 1.135, "qd45_fuzzy_decontaminate" -> 1.246,
     // qd49/qd51 re-pinned round 18 (downward): the sort-audit boundary
     // exchange stops the range-sampling pass from running the deflate/
     // winnow kernels twice — 0.354/0.359 and 0.435/0.487 s (per-query
     // steal 0/0 and 0/42), min x 1.10
-    "qd48_normalize_text" -> 0.36, "qd49_compression_ratio" -> 0.347,
-    "qd50_temperature_mix" -> 0.451, "qd44_source_overlap_sketch" -> 2.052,
-    "qr01_bm25_topk" -> 1.625, "qr02_bm25_sidecar" -> 0.685,
-    "qr03_hybrid_sidecar" -> 1.119, "qe01_cosine_topk" -> 0.196,
-    "qe02_knn_join" -> 0.344, "qe03_ann_lsh" -> 0.345,
-    "qe08_ivf_ann_oracle" -> 0.359, "qe10_semantic_dedup" -> 0.961,
-    "qe11_quantized_ivf" -> 0.67, "qe12_pq_ann" -> 0.549,
-    "qe13_ivfpq_ann" -> 0.643, "qe14_pq_ann_learned" -> 1.122,
-    "qe15_mrl_rerank" -> 0.413, "qe16_hybrid_rrf" -> 2.224,
+    "qd48_normalize_text" -> 0.33, "qd49_compression_ratio" -> 0.244,
+    "qd50_temperature_mix" -> 0.398, "qd44_source_overlap_sketch" -> 1.894,
+    "qr01_bm25_topk" -> 0.739, "qr02_bm25_sidecar" -> 0.685,
+    "qr03_hybrid_sidecar" -> 1.104, "qe01_cosine_topk" -> 0.173,
+    "qe02_knn_join" -> 0.307, "qe03_ann_lsh" -> 0.292,
+    "qe08_ivf_ann_oracle" -> 0.325, "qe10_semantic_dedup" -> 0.851,
+    "qe11_quantized_ivf" -> 0.67, "qe12_pq_ann" -> 0.527,
+    "qe13_ivfpq_ann" -> 0.593, "qe14_pq_ann_learned" -> 1.046,
+    "qe15_mrl_rerank" -> 0.396, "qe16_hybrid_rrf" -> 1.012,
     "qe17_cluster_cap_sample" -> 0.313, "qe18_ivf_mrl_funnel" -> 0.37,
-    "qe19_ann_sidecar" -> 0.55, "qe20_kmeans_fit" -> 0.539,
-    "qe21_class_mean" -> 0.354, "qe22_source_affinity" -> 0.494,
-    "qe23_kmeans_ivf" -> 0.54, "qe24_semantic_decontaminate" -> 0.398,
-    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.556,
-    "qe27_embedding_outliers" -> 0.56, "qd51_winnowing" -> 0.384,
-    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 7.061,
-    "qd54_min_k_prob" -> 1.277, "qd55_ngram_diversity" -> 3.423,
-    "qd56_source_containment" -> 4.129, "qd57_stream_packing" -> 0.75,
-    "qd58_winsorize" -> 0.379, "qd59_containment_fast" -> 1.302,
-    "qd60_collocations" -> 3.429, "qd61_full_pipeline" -> 12.718,
-    "qd65_full_pipeline_fast" -> 2.678, "qd62_bigram_nll_gate" -> 5.835,
-    "qd63_quality_keepers" -> 2.548, "qd64_zipf_fit" -> 0.56,
-    "qd66_curriculum_packing" -> 1.784, "qe28_int4_fidelity" -> 0.618,
+    "qe19_ann_sidecar" -> 0.55, "qe20_kmeans_fit" -> 0.516,
+    "qe21_class_mean" -> 0.309, "qe22_source_affinity" -> 0.494,
+    "qe23_kmeans_ivf" -> 0.518, "qe24_semantic_decontaminate" -> 0.398,
+    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.49,
+    "qe27_embedding_outliers" -> 0.56, "qd51_winnowing" -> 0.353,
+    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 6.8,
+    "qd54_min_k_prob" -> 0.91, "qd55_ngram_diversity" -> 2.978,
+    "qd56_source_containment" -> 3.554, "qd57_stream_packing" -> 0.555,
+    "qd58_winsorize" -> 0.297, "qd59_containment_fast" -> 1.276,
+    "qd60_collocations" -> 3.04, "qd61_full_pipeline" -> 10.704,
+    "qd65_full_pipeline_fast" -> 2.583, "qd62_bigram_nll_gate" -> 2.688,
+    "qd63_quality_keepers" -> 2.193, "qd64_zipf_fit" -> 0.56,
+    "qd66_curriculum_packing" -> 1.017, "qe28_int4_fidelity" -> 0.597,
     // qd67/qd68 re-pinned round 18 (downward): min of the two full-suite
     // windows x 1.10 — 1.440/1.585 and 1.452/1.550 s, per-query steal
     // 51/7 and 1/14 ticks (quiet at the query even in dirty suites).
     // qd68's drop carries the BpeCountExpr kernel encode
-    "qd67_bpe_train" -> 0.993, "qd68_bpe_encode" -> 1.214,
+    "qd67_bpe_train" -> 0.993, "qd68_bpe_encode" -> 1.136,
     // q44 pinned this round: two near-zero-steal subset windows
     // (1.07/1.069 s at steal 4/6) x 1.10
-    "q44_range_count" -> 0.654,
+    "q44_range_count" -> 0.621,
     // qd69/qd70 pinned this round: two quiet subset windows
     // (1.249/1.245 and 1.411/1.410 s at steal 95/22) x 1.10
-    "qd69_unigram_train" -> 0.591, "qd70_unigram_fertility" -> 0.744,
+    "qd69_unigram_train" -> 0.591, "qd70_unigram_fertility" -> 0.73,
     // qd71 pinned this round: two near-zero-steal subset windows
     // (0.673/0.745 s at steal 9/4) x 1.10
-    "qd71_mix_waterfill" -> 0.262,
+    "qd71_mix_waterfill" -> 0.247,
     // qd72 pinned this round: two quiet subset windows (3.774/3.454 s
     // at steal 16/25) x 1.10 — the probe's all-pairs truth over the
     // 50% sample (~3M sorted-merge jaccards at sf0.1) is the cost
-    "qd72_lsh_recall_probe" -> 3.29,
+    "qd72_lsh_recall_probe" -> 2.731,
     // qe29 pinned this round: two near-zero-steal subset windows
     // (1.448/1.492 s at steal 8/10) x 1.10
     "qe29_ann_recall_probe" -> 0.667,
@@ -273,18 +281,18 @@ object Bench {
     // round-18 additions, pinned from the same two windows (min x 1.10;
     // per-query steal shown): qd74 0.319/1 0.265/0, qd75 0.576/0
     // 0.473/1, qe30 1.681/0 1.566/6
-    "qd74_bpe_train_fast" -> 0.238,
-    "qd75_temperature_waterfill" -> 0.389,
-    "qe30_ivf_size_nprobe" -> 1.287,
+    "qd74_bpe_train_fast" -> 0.214,
+    "qd75_temperature_waterfill" -> 0.364,
+    "qe30_ivf_size_nprobe" -> 1.12,
     // qd76 pinned from full-suite window 3 (2.212 s at steal 2) and a
     // quiet subset window (2.541 s at steal 1) — min x 1.10
-    "qd76_bpe_encode_ids" -> 2.293,
+    "qd76_bpe_encode_ids" -> 2.005,
     // qd78–qd89 re-pinned after the Md5BucketTokens kernel switch
     // (per-token getInstance gone: family 6–11 s → 4.5–5.7 s) from a
     // QUIET 11-query subset window (84 total ticks); minima × 1.10 —
     // subset pins, re-base at the next clean full sweep
-    "qd78_kn_bigram_nll" -> 6.30,
-    "qd79_quality_classifier_train" -> 2.616,
+    "qd78_kn_bigram_nll" -> 2.768,
+    "qd79_quality_classifier_train" -> 2.229,
     // round-19 downward re-pin of the eval family: the train-once memo
     // removed the shared 24-iter descent from the 8 eval queries
     // (verdict #3 — they now price eval-only, like production serving
@@ -292,39 +300,39 @@ object Bench {
     // steal ≤ 64 ticks; pre-launch 20 s probe < 10 ticks) — min × 1.10.
     // qd79 (honest Seed retrain) and qd89 (honest bigram descent) keep
     // their r18 pins: both read within 1.05–1.26× in the same windows
-    "qd80_quality_classifier_score" -> 0.741,
-    "qd81_quality_classifier_auc" -> 0.712,
-    "qd82_classifier_calibration" -> 0.69,
-    "qd83_classifier_calib_metrics" -> 0.736,
-    "qd84_heldout_auc" -> 0.887,
+    "qd80_quality_classifier_score" -> 0.595,
+    "qd81_quality_classifier_auc" -> 0.55,
+    "qd82_classifier_calibration" -> 0.508,
+    "qd83_classifier_calib_metrics" -> 0.544,
+    "qd84_heldout_auc" -> 0.68,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
-    "qd85_epoch_allocation" -> 0.571,
-    "qd86_classifier_pr_curve" -> 0.799,
-    "qd87_classifier_avg_precision" -> 0.697,
-    "qd88_classifier_disagreement" -> 0.902,
-    "qd89_classifier_bigram_auc" -> 2.137,
+    "qd85_epoch_allocation" -> 0.467,
+    "qd86_classifier_pr_curve" -> 0.606,
+    "qd87_classifier_avg_precision" -> 0.544,
+    "qd88_classifier_disagreement" -> 0.677,
+    "qd89_classifier_bigram_auc" -> 1.927,
     // qd90/qd91 (round 19): persisted-model serving + L2 held-out —
     // pinned from the same two quiet windows
-    "qd90_persisted_model_score" -> 1.721,
-    "qd91_l2_heldout_auc" -> 0.831,
+    "qd90_persisted_model_score" -> 0.902,
+    "qd91_l2_heldout_auc" -> 0.652,
     // qd92/qd93 (round 19): threshold sweep + per-source calibration —
     // two further quiet subset windows (per-query steal ≤ 32 ticks)
-    "qd92_threshold_sweep" -> 0.756,
-    "qd93_calibration_by_source" -> 0.78,
+    "qd92_threshold_sweep" -> 0.625,
+    "qd93_calibration_by_source" -> 0.576,
     // qd94 (round 19): memo'd 12-iter half + save/load + fresh 12-iter
     // resume — two quiet-gated windows (6.64/7.33 s)
-    "qd94_resume_training" -> 2.538,
+    "qd94_resume_training" -> 1.673,
     // qd95 (round 19): PAV calibration — two quiet-gated windows
-    "qd95_isotonic_calibration" -> 0.784,
+    "qd95_isotonic_calibration" -> 0.607,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
-    "qd77_unigram_encode_ids" -> 1.95,
-    "qr07_retrieval_eval_summary" -> 2.087, "qr08_retrieval_pipeline" -> 2.414,
-    "qr09_prf_expansion" -> 4.662, "qr10_mmr_rerank" -> 0.645,
-    "qr04_retrieval_eval" -> 1.77, "qr05_hard_negatives" -> 1.801,
-    "qr06_tfidf_keywords" -> 0.923, "qm03_audio_decode" -> 0.2,
-    "q42_zorder" -> 0.299, "qs01_hourly_events" -> 0.341,
-    "qs02_sessionize" -> 0.644, "qs03_session_window" -> 0.756
+    "qd77_unigram_encode_ids" -> 1.742,
+    "qr07_retrieval_eval_summary" -> 1.269, "qr08_retrieval_pipeline" -> 2.356,
+    "qr09_prf_expansion" -> 2.248, "qr10_mmr_rerank" -> 0.644,
+    "qr04_retrieval_eval" -> 1.075, "qr05_hard_negatives" -> 0.87,
+    "qr06_tfidf_keywords" -> 0.599, "qm03_audio_decode" -> 0.175,
+    "q42_zorder" -> 0.277, "qs01_hourly_events" -> 0.329,
+    "qs02_sessionize" -> 0.594, "qs03_session_window" -> 0.671
   )
 
   /** Per-query sf1 floor seconds for the top headline queries — the
@@ -338,6 +346,35 @@ object Bench {
     * the full 100-query suite are an occasional, not per-round, cost).
     */
   val floorsSf1: Map[String, Double] = Map(
+    // Round-20 re-pin (downward only, verdict #7): two dedicated sf1
+    // windows over the touched set (w1 steal 69k ticks total but
+    // per-query ≤ 205 on the queries pinned from it — qd61 caught an
+    // 18k-tick burst and pins from w2; w2 genuinely clean at 1639
+    // ticks / ~7 min, per-query ≤ 45) — min-of-2 × 1.10. The big
+    // movers are the round-19 rewires finally sf1-measured (qd39
+    // 9.17→1.08: the zero-shuffle Gopher battery compounds at scale;
+    // qd62 69.9→26.6, qd78 57.8→25.9: the TokenCounts/BigramCounts
+    // doc-side kernels) and this round's BM25/tokenCount kernels
+    // (qr09 7.74→3.78, qe16 3.54→1.87, qr04 3.55→1.99, qr08
+    // 4.94→2.70) + the registry fix (qd90 5.63→3.52). Scale ratios at
+    // pin time (sf1/sf0.1 for 10× docs): qd39 4.3×, qd62 9.9×,
+    // qd78 9.1×, qr09 2.2×, qe16 2.3× — all sublinear-to-linear,
+    // nothing near the ~12× follow-up bar.
+    "qd61_full_pipeline" -> 19.542, "qd65_full_pipeline_fast" -> 5.380,
+    "qd62_bigram_nll_gate" -> 26.618, "qd63_quality_keepers" -> 14.123,
+    "qd39_gopher_filter" -> 1.080, "qd33_curation_pipeline" -> 2.936,
+    "qr08_retrieval_pipeline" -> 2.699, "qe16_hybrid_rrf" -> 1.865,
+    "qr04_retrieval_eval" -> 1.994, "qr09_prf_expansion" -> 3.775,
+    "qd78_kn_bigram_nll" -> 25.892,
+    "qd79_quality_classifier_train" -> 4.038,
+    "qd80_quality_classifier_score" -> 3.465,
+    "qd89_classifier_bigram_auc" -> 7.328,
+    "qd90_persisted_model_score" -> 3.521,
+    "qd91_l2_heldout_auc" -> 2.403,
+    "qd92_threshold_sweep" -> 2.517,
+    "qd93_calibration_by_source" -> 2.337,
+    "qd94_resume_training" -> 3.420,
+    "qd95_isotonic_calibration" -> 2.180,
     // round-15 re-pin (downward only — a too-high floor only loses
     // sensitivity, and an upward re-pin needs clean-window evidence
     // per the qe26 lesson): the sort-shuffle-writer change sped up the
@@ -349,24 +386,20 @@ object Bench {
     // round-17 re-pin of the carried ten (downward only): two quiet
     // sf1 windows (steal 5.9/s and 2.1/s) after the codegen-cache +
     // artifact-isolation confs — all ten tightened 3–33%
-    "qd61_full_pipeline" -> 22.74, "qd65_full_pipeline_fast" -> 6.33,
-    "qd62_bigram_nll_gate" -> 69.89, "qd63_quality_keepers" -> 17.86,
     // qe28 re-pinned again after the round-17 sort-first restructure
     // (orderBy used to range-sample the heavy quantize chain): sweep
     // windows read 1.49/1.02 s — a 1.46× spread on a ~1 s query, the
     // qe26 phantom-breach shape — so the pin takes the LESS lucky
     // clean window × 1.10 (1.64), not the absolute min
     "qd53_containment" -> 76.05, "qe28_int4_fidelity" -> 1.64,
-    "qd66_curriculum_packing" -> 6.25, "qr09_prf_expansion" -> 7.74,
+    "qd66_curriculum_packing" -> 6.25,
     "qe14_pq_ann_learned" -> 2.76, "qd41_source_overlap" -> 42.45,
     // round-17 extension to the top-20 (verdict #7): the next-heaviest
     // sf0.1 queries pinned from two quiet sf1 windows (steal 2.4/s and
     // 10.9/s; per-query pair spreads ≤ 10%) — min-of-2 × 1.10
     "qd55_ngram_diversity" -> 39.56, "qd60_collocations" -> 38.58,
     "qd56_source_containment" -> 45.43, "qd14_neardup_clusters" -> 16.57,
-    "qd39_gopher_filter" -> 9.17, "qd44_source_overlap_sketch" -> 5.72,
-    "qd33_curation_pipeline" -> 3.99, "qr08_retrieval_pipeline" -> 4.94,
-    "qe16_hybrid_rrf" -> 3.54, "qr04_retrieval_eval" -> 3.55,
+    "qd44_source_overlap_sketch" -> 5.72,
     // round-19 extension (verdict #7): the classifier family + KN gate
     // pinned from two quiet sf1 windows (steal 2.4/s and 0.5/s on the
     // heavy qd78; pre-launch 20 s steal probe < 1/s) — min-of-2 × 1.10.
@@ -374,14 +407,9 @@ object Bench {
     // descent); qd79/qd89 keep the honest full-descent cost. Scale
     // reads at pin time: qd78 8.7× for 10× (the family's grouped
     // bigram explode, linear), qd79 2.4×, qd80 5.6×, qd89 4.4×
-    "qd78_kn_bigram_nll" -> 57.81, "qd79_quality_classifier_train" -> 5.61,
-    "qd80_quality_classifier_score" -> 4.67, "qd89_classifier_bigram_auc" -> 9.92,
-    "qd90_persisted_model_score" -> 5.63, "qd91_l2_heldout_auc" -> 3.48,
     // qd92/qd93 from two further quiet sf1 windows (4.8×/6.0× their
     // sf0.1 readings for 10× docs — the descent-free eval shape)
-    "qd92_threshold_sweep" -> 3.38, "qd93_calibration_by_source" -> 3.26,
-    "qd94_resume_training" -> 5.26,
-    "qd95_isotonic_calibration" -> 3.42)
+    )
 
   /** sf0.1 floor for the streaming-capstone replay wall seconds
     * ([[curationReplay]] — the composed `startCurationSink` over the
@@ -430,7 +458,13 @@ object Bench {
   // (15 ticks/s) and 22.44 s (36/s) → 20.8; tightened once more from
   // the round's closing near-zero-steal window (15.92 s at 5 ticks/s,
   // paired with the 18.92) — min × 1.10 = 17.5 (was 27.2).
-  val curationSinkFloorSec: Option[Double] = Some(17.5)
+  // Round-20 re-pin DOWNWARD: the round's three full-suite windows on
+  // the pinned placement read the warm replay at 15.37 s (run steal
+  // 87), 16.65 s (145) and 18.70 s (317) with zero breaches and every
+  // stage <= 1.09x — min x 1.10 = 16.9 (was 17.5). The r19 driver
+  // artifact's 24.45 s / gate 2.24x reading adjudicates as co-tenant
+  // weather: same code, 0.88x in this round's first clean window.
+  val curationSinkFloorSec: Option[Double] = Some(16.9)
 
   /** Per-stage sf0.1 floor seconds for the capstone replay's
     * [[graft.streaming.CorpusIngest.StageClock]] attribution — the
@@ -459,9 +493,13 @@ object Bench {
   // quiet bare-fs windows incl. the closing 5-ticks/s one × 1.25):
   // gate 2.58, band 1.56, winnow 0.51, assign 1.73, cell 4.21,
   // write 3.27 — write carries the chmod win.
+  // Round-20 stage re-pin (downward only, same three windows x 1.25
+  // stage margin): band 1.39 -> 1.74, winnow 0.47 -> 0.59, cell
+  // 4.10 -> 5.13, write 3.10 -> 3.88; gate/assign minima (2.82 / 1.65)
+  // x 1.25 land above their current pins — unchanged.
   val curationStageFloorsSec: Map[String, Double] = Map(
-    "gate" -> 3.23, "band" -> 1.8, "winnow" -> 0.64,
-    "assign" -> 2.06, "cell" -> 5.26, "write" -> 4.01)
+    "gate" -> 3.23, "band" -> 1.74, "winnow" -> 0.59,
+    "assign" -> 2.06, "cell" -> 5.13, "write" -> 3.88)
 
   /** sf1 twin of [[curationSinkFloorSec]] — the 100×-scale tripwire the
     * round-15 verdict asked for: the sf0.1 floor cannot catch a
