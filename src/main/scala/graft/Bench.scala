@@ -179,6 +179,16 @@ object Bench {
   val floorPlacementBootId: Option[String] =
     Some("ac147753-9dd9-4d7d-9113-092cffd8a936")
 
+  /** Core count every floor above/below is calibrated at (the pinning
+    * windows all ran `local[32]`). Breach VERDICTS only fire when the
+    * run's `SPARK_GRAFT_CPUS` matches — a lower-core run reads
+    * compute-parallel queries legitimately over their 32-core floors
+    * (scaling, not regression), so its confirmed readings route to
+    * `floor_breaches_uncalibrated_cpus` the way foreign-placement
+    * verdicts route to `_stale_placement`.
+    */
+  val FloorCalibrationCpus: Int = 32
+
   /** /proc/sys/kernel/random/boot_id — None when unreadable (non-Linux
     * dev box), which disables staleness routing rather than guessing.
     */
@@ -919,12 +929,27 @@ object Bench {
     val bootNow = currentBootId
     val placementStale =
       floorPlacementBootId.exists(p => bootNow.exists(_ != p))
+    // cpu-calibration routing (round 20): every floor is pinned from
+    // full-suite windows at [[FloorCalibrationCpus]] cores, and the
+    // driver ALSO benches at a lower core count to measure scaling. At
+    // 8 cores compute-parallel queries legitimately read 2–6× their
+    // 32-core floor — BENCH_r19_c8 carried 17 candidates that died
+    // ONLY because its dirty window (34.5 steal ticks/s) made every
+    // confirm abstain; a QUIET low-core run would have "confirmed"
+    // dozens of phantom breaches. Same argument as placement
+    // staleness: a verdict against floors calibrated under different
+    // hardware parallelism is a calibration fact, not a regression —
+    // it ships under a _uncalibrated_cpus key, with vs_floor /
+    // candidates / confirms reported unchanged for scaling analysis.
+    val cpusCalibrated = cpus.trim.toIntOption.contains(FloorCalibrationCpus)
     val breachesArr = breachList.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val breaches = if (placementStale) "[]" else breachesArr
+    val breaches =
+      if (placementStale || !cpusCalibrated) "[]" else breachesArr
     val stalePart =
       if (placementStale) s""","floor_breaches_stale_placement":$breachesArr"""
+      else if (!cpusCalibrated) s""","floor_breaches_uncalibrated_cpus":$breachesArr"""
       else ""
-    val placementJson = s""","floor_placement":{"pinned":${floorPlacementBootId.map("\"" + _ + "\"").getOrElse("null")},"current":${bootNow.map("\"" + _ + "\"").getOrElse("null")},"stale":$placementStale}"""
+    val placementJson = s""","floor_placement":{"pinned":${floorPlacementBootId.map("\"" + _ + "\"").getOrElse("null")},"current":${bootNow.map("\"" + _ + "\"").getOrElse("null")},"stale":$placementStale,"calibration_cpus":$FloorCalibrationCpus,"run_cpus":${cpus.trim.toIntOption.getOrElse(-1)},"cpus_calibrated":$cpusCalibrated}"""
     val candJson = candidates.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a confirm run that CRASHED must be visible as such: its elapsed
     // time is time-to-exception, not a legit quiet sample, and reading
@@ -1009,7 +1034,10 @@ object Bench {
             val breachPart = if (nRuns < 2) "" else {
               val breach = r1._1 / f > 1.3 && r2._1 / f > 1.3 &&
                 quiet(r1) && quiet(r2)
-              val key = if (placementStale) "breach_stale_placement" else "breach"
+              val key =
+                if (placementStale) "breach_stale_placement"
+                else if (!cpusCalibrated) "breach_uncalibrated_cpus"
+                else "breach"
               s""","$key":$breach"""
             }
             s""","vs_floor":${fmt2(sec / f)}$breachPart"""
@@ -1046,6 +1074,7 @@ object Bench {
             }.toSeq.sorted
             val key =
               if (placementStale) "stage_breaches_stale_placement"
+              else if (!cpusCalibrated) "stage_breaches_uncalibrated_cpus"
               else "stage_breaches"
             s""","$key":${sb.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
           }
