@@ -1167,6 +1167,78 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Count of whitespace tokens byte-equal to any of `words`, in one
+    * allocation-free byte pass — value- and type-identical to
+    * `size(filter(tokens(text), t => t.isin(words)))` (IntegerType,
+    * null → null, split(trim, \s+) semantics incl. empty edge tokens:
+    * an empty word in `words` counts them, any other word never can).
+    * The kernel under [[TextAnalysis.wordHits]] — the language-marker
+    * scorer ([[TextAnalysis.langId]]/withLangId) evaluated the HOF
+    * filter + isin INTERPRETED per token × marker literal over a
+    * materialized token array (guide §4, the keepNarrow finding).
+    */
+  case class WordHitsExpr(child: Expression, words: Seq[String])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "word_hits"
+
+    @transient private lazy val wordBytes: Array[Array[Byte]] =
+      words.filter(_.nonEmpty).distinct
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    @transient private lazy val hasEmptyWord: Boolean = words.contains("")
+
+    def compute(s: UTF8String): Int = {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      var lo = 0
+      var hi = s.numBytes()
+      while (lo < hi &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + lo) == ' ') lo += 1
+      while (hi > lo &&
+        org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1) == ' ') hi -= 1
+      var hits = 0
+      if (hi == lo) return if (hasEmptyWord) 1 else 0 // trim → "" → ['']
+      if (hasEmptyWord) {
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + lo))) hits += 1
+        if (isSpace(org.apache.spark.unsafe.Platform.getByte(base, off + hi - 1))) hits += 1
+      }
+      val ws = wordBytes
+      foreachToken(s) { (b, o, len) =>
+        var k = 0
+        var hit = false
+        while (!hit && k < ws.length) {
+          val w = ws(k)
+          if (w.length == len) {
+            var j = 0
+            var eq = true
+            while (eq && j < len) {
+              if (org.apache.spark.unsafe.Platform.getByte(b, o + j) != w(j)) eq = false
+              j += 1
+            }
+            hit = eq
+          }
+          k += 1
+        }
+        if (hit) hits += 1
+      }
+      hits
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordhits", this,
+        classOf[WordHitsExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Exact-decimal sparse dot product against a weight vector riding in
     * the expression (the broadcast-small-side pattern of
     * [[NearestCellsExpr]]): margin = Σ w[feat_i]·x_i as an EXACT
@@ -1935,6 +2007,9 @@ object NativeExpressions {
 
   def qualityStats(c: Column, stops: Seq[String]): Column =
     column(QualityStatsExpr(expression(c), stops))
+
+  def wordHits(c: Column, words: Seq[String]): Column =
+    column(WordHitsExpr(expression(c), words))
 
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     column(WinnowExpr(expression(c), k, w))

@@ -57,13 +57,13 @@ object TextAnalysis {
     ceil(length(text).cast("double") / 4.0d).cast("long")
 
   /** Count of tokens that appear in `words` (used for stopword ratios and
-    * language scoring). Higher-order `filter` — evaluated per row, no
-    * shuffle, no UDF.
+    * language scoring). Round 20: the [[NativeExpressions.WordHitsExpr]]
+    * kernel — value-identical to `size(filter(tokens(text), isin))`
+    * (spec-pinned), but one allocation-free byte pass instead of an
+    * interpreted HOF filter over a materialized token array.
     */
-  def wordHits(text: Column, words: Seq[String]): Column = {
-    val lits = words.map(lit)
-    size(filter(tokens(text), t => t.isin(lits: _*)))
-  }
+  def wordHits(text: Column, words: Seq[String]): Column =
+    NativeExpressions.wordHits(text, words)
 
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
@@ -135,14 +135,17 @@ object TextAnalysis {
     * generated code stays small at any scale.
     */
   def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val toks = df.withColumn("__toks", tokens(lower(col(textCol))))
-    val scored = LangMarkers.foldLeft(toks) { case (acc, (lang, ws)) =>
-      val lits = ws.map(lit)
-      acc.withColumn(s"__s_$lang", size(filter(col("__toks"), t => t.isin(lits: _*))))
+    // round 20: per-language marker hits via the WordHits kernel — the
+    // token array and its four interpreted HOF filters are gone; four
+    // allocation-free byte passes (one per marker set) replace them,
+    // values identical (spec pins withLangId ≡ langId ≡ HOF form)
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, ws)) =>
+      acc.withColumn(s"__s_$lang",
+        NativeExpressions.wordHits(lower(col(textCol)), ws))
     }
     val scores = LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
     scored.withColumn(outCol, pickLang(scores))
-      .drop("__toks" +: LangMarkers.map(m => s"__s_${m._1}"): _*)
+      .drop(LangMarkers.map(m => s"__s_${m._1}"): _*)
   }
 
   /** Quality-score bundle appended as flat columns (flat > nested struct so

@@ -166,6 +166,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("wordHits kernel ≡ HOF filter+isin (round-20)") {
+    val edges = Seq(
+      (0L, "the cat THE the tHe"), (1L, ""), (2L, "   \t "),
+      (3L, null.asInstanceOf[String]), (4L, "\tthe and\n"),
+      (5L, "naïve café the 東京"), (6L, "le la les et the"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    // duplicate words in the list must not double-count a token; an
+    // empty word counts the empty edge tokens exactly like isin
+    for (words <- Seq(TextAnalysis.EnglishStopwords,
+        Seq("the", "the", "café"), Seq("", "the"),
+        TextAnalysis.LangMarkers.toMap.apply("fr"))) {
+      val lits = words.map(lit)
+      for (df <- Seq(edges, corpus)) {
+        val hof = df.select(col("doc_id"),
+          size(filter(TextAnalysis.tokens(col("text")),
+            t => t.isin(lits: _*))).as("h"))
+          .as[(Long, Option[Int])].collect().toMap
+        val kern = df.select(col("doc_id"),
+          TextAnalysis.wordHits(col("text"), words).as("h"))
+          .as[(Long, Option[Int])].collect().toMap
+        assert(kern === hof, s"mismatch for words=$words")
+      }
+    }
+  }
+
   test("bigramCounts kernel ≡ explode(bigrams)+groupBy, fixture corpus + edges (round 19)") {
     // the kernel feeds the qd62/qd78 doc side; flattened it must equal
     // the relational grouped count exactly — including the empty-edge-
