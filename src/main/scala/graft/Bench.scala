@@ -200,6 +200,10 @@ object Bench {
     } catch { case _: Exception => None }
 
   val floors: Map[String, Double] = Map(
+    // Round-20 final pass: two further full-suite windows (138.74 s at
+    // 22 ticks/s; 125.64 s at 1.6/s — the cleanest window of the round,
+    // zero candidates) fold into the same min x 1.10 — 58 more floors
+    // down, incl. the WordHits-kernel movers (qd04 0.44x, qd40 0.52x).
     // Round-20 re-pin (downward only): min across the round's THREE
     // full-suite 32-core windows on the pinned placement (143.60 s at
     // 2.9 steal ticks/s, 133.39 s at 4.1/s, 143.19 s at 7.3/s — all
@@ -214,63 +218,63 @@ object Bench {
     // 106 floors tightened (qd36 0.62x, qd65 0.64x, qd59 0.65x ...).
     "q01_standings" -> 0.781, "q02_points_ladder" -> 0.595,
     "q08_fact_dim_join" -> 0.394, "q09_dedup_first" -> 0.248,
-    "q18_rank_standings" -> 0.499, "q21_region_rollup" -> 0.903,
-    "q22_window_monthly" -> 1.302, "q26_rollup" -> 1.475,
+    "q18_rank_standings" -> 0.499, "q21_region_rollup" -> 0.882,
+    "q22_window_monthly" -> 1.261, "q26_rollup" -> 1.459,
     "q31_topk_per_group" -> 0.831, "q37_asof_join" -> 0.53,
-    "q38_sliding_window" -> 0.597, "q40_range_join" -> 0.547,
-    "q41_topk_aggregator" -> 0.753, "qd01_exact_dedup" -> 0.291,
-    "qd02_token_count" -> 0.159, "qd03_quality" -> 0.191,
-    "qd04_langid" -> 0.526, "qd05_fingerprint" -> 0.244,
-    "qd08_simhash" -> 0.18, "qd09_minhash_neardups" -> 1.707,
-    "qd10_corpus_pipeline" -> 0.596, "qd11_minhash_neardups_fast" -> 0.534,
+    "q38_sliding_window" -> 0.597, "q40_range_join" -> 0.493,
+    "q41_topk_aggregator" -> 0.699, "qd01_exact_dedup" -> 0.268,
+    "qd02_token_count" -> 0.15, "qd03_quality" -> 0.178,
+    "qd04_langid" -> 0.23, "qd05_fingerprint" -> 0.244,
+    "qd08_simhash" -> 0.18, "qd09_minhash_neardups" -> 1.641,
+    "qd10_corpus_pipeline" -> 0.465, "qd11_minhash_neardups_fast" -> 0.506,
     "qd12_simhash_neardups" -> 0.509, "qd13_chunking" -> 0.276,
-    "qd14_neardup_clusters" -> 2.216, "qd19_pretraining_pipeline" -> 0.531,
-    "qd21_simhash_neardups_portable" -> 0.855, "qd22_decontaminate" -> 0.414,
+    "qd14_neardup_clusters" -> 2.17, "qd19_pretraining_pipeline" -> 0.531,
+    "qd21_simhash_neardups_portable" -> 0.824, "qd22_decontaminate" -> 0.414,
     "qd24_sequence_packing" -> 0.234, "qd26_incremental_dedup" -> 0.359,
     "qd27_mix_pipeline" -> 0.692, "qd28_vocab" -> 0.209,
-    "qd29_unigram_logprob" -> 0.759, "qd30_dsir" -> 1.478,
-    "qd31_wordpiece" -> 0.407, "qd32_dup_passages" -> 0.823,
-    "qd33_curation_pipeline" -> 3.325, "qd34_scrub_spans" -> 1.354,
-    "qd35_dup_ngram_frac" -> 0.284, "qd36_dsir_fast" -> 0.876,
+    "qd29_unigram_logprob" -> 0.759, "qd30_dsir" -> 1.425,
+    "qd31_wordpiece" -> 0.355, "qd32_dup_passages" -> 0.823,
+    "qd33_curation_pipeline" -> 2.936, "qd34_scrub_spans" -> 1.354,
+    "qd35_dup_ngram_frac" -> 0.283, "qd36_dsir_fast" -> 0.876,
     "qd37_incremental_neardup" -> 1.223, "qd38_contamination_report" -> 0.36,
-    "qd39_gopher_filter" -> 0.257, "qd40_corpus_datacard" -> 0.897,
+    "qd39_gopher_filter" -> 0.257, "qd40_corpus_datacard" -> 0.463,
     "qd41_source_overlap" -> 4.059, "qd42_curriculum_buckets" -> 0.744,
-    "qd43_source_overlap_fast" -> 1.135, "qd45_fuzzy_decontaminate" -> 1.246,
+    "qd43_source_overlap_fast" -> 1.135, "qd45_fuzzy_decontaminate" -> 1.215,
     // qd49/qd51 re-pinned round 18 (downward): the sort-audit boundary
     // exchange stops the range-sampling pass from running the deflate/
     // winnow kernels twice — 0.354/0.359 and 0.435/0.487 s (per-query
     // steal 0/0 and 0/42), min x 1.10
     "qd48_normalize_text" -> 0.33, "qd49_compression_ratio" -> 0.244,
-    "qd50_temperature_mix" -> 0.398, "qd44_source_overlap_sketch" -> 1.894,
+    "qd50_temperature_mix" -> 0.381, "qd44_source_overlap_sketch" -> 1.757,
     "qr01_bm25_topk" -> 0.739, "qr02_bm25_sidecar" -> 0.685,
     "qr03_hybrid_sidecar" -> 1.104, "qe01_cosine_topk" -> 0.173,
     "qe02_knn_join" -> 0.307, "qe03_ann_lsh" -> 0.292,
-    "qe08_ivf_ann_oracle" -> 0.325, "qe10_semantic_dedup" -> 0.851,
-    "qe11_quantized_ivf" -> 0.67, "qe12_pq_ann" -> 0.527,
+    "qe08_ivf_ann_oracle" -> 0.322, "qe10_semantic_dedup" -> 0.851,
+    "qe11_quantized_ivf" -> 0.67, "qe12_pq_ann" -> 0.521,
     "qe13_ivfpq_ann" -> 0.593, "qe14_pq_ann_learned" -> 1.046,
-    "qe15_mrl_rerank" -> 0.396, "qe16_hybrid_rrf" -> 1.012,
-    "qe17_cluster_cap_sample" -> 0.313, "qe18_ivf_mrl_funnel" -> 0.37,
-    "qe19_ann_sidecar" -> 0.55, "qe20_kmeans_fit" -> 0.516,
-    "qe21_class_mean" -> 0.309, "qe22_source_affinity" -> 0.494,
+    "qe15_mrl_rerank" -> 0.38, "qe16_hybrid_rrf" -> 1.012,
+    "qe17_cluster_cap_sample" -> 0.313, "qe18_ivf_mrl_funnel" -> 0.342,
+    "qe19_ann_sidecar" -> 0.54, "qe20_kmeans_fit" -> 0.516,
+    "qe21_class_mean" -> 0.309, "qe22_source_affinity" -> 0.473,
     "qe23_kmeans_ivf" -> 0.518, "qe24_semantic_decontaminate" -> 0.398,
-    "qe25_cell_stats" -> 0.572, "qe26_random_projection" -> 0.49,
+    "qe25_cell_stats" -> 0.548, "qe26_random_projection" -> 0.475,
     "qe27_embedding_outliers" -> 0.56, "qd51_winnowing" -> 0.353,
-    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 6.8,
-    "qd54_min_k_prob" -> 0.91, "qd55_ngram_diversity" -> 2.978,
-    "qd56_source_containment" -> 3.554, "qd57_stream_packing" -> 0.555,
-    "qd58_winsorize" -> 0.297, "qd59_containment_fast" -> 1.276,
-    "qd60_collocations" -> 3.04, "qd61_full_pipeline" -> 10.704,
-    "qd65_full_pipeline_fast" -> 2.583, "qd62_bigram_nll_gate" -> 2.688,
+    "qd52_corpus_diff" -> 0.312, "qd53_containment" -> 6.479,
+    "qd54_min_k_prob" -> 0.796, "qd55_ngram_diversity" -> 2.657,
+    "qd56_source_containment" -> 3.49, "qd57_stream_packing" -> 0.529,
+    "qd58_winsorize" -> 0.284, "qd59_containment_fast" -> 1.276,
+    "qd60_collocations" -> 2.878, "qd61_full_pipeline" -> 10.55,
+    "qd65_full_pipeline_fast" -> 2.305, "qd62_bigram_nll_gate" -> 2.688,
     "qd63_quality_keepers" -> 2.193, "qd64_zipf_fit" -> 0.56,
     "qd66_curriculum_packing" -> 1.017, "qe28_int4_fidelity" -> 0.597,
     // qd67/qd68 re-pinned round 18 (downward): min of the two full-suite
     // windows x 1.10 — 1.440/1.585 and 1.452/1.550 s, per-query steal
     // 51/7 and 1/14 ticks (quiet at the query even in dirty suites).
     // qd68's drop carries the BpeCountExpr kernel encode
-    "qd67_bpe_train" -> 0.993, "qd68_bpe_encode" -> 1.136,
+    "qd67_bpe_train" -> 0.993, "qd68_bpe_encode" -> 1.131,
     // q44 pinned this round: two near-zero-steal subset windows
     // (1.07/1.069 s at steal 4/6) x 1.10
-    "q44_range_count" -> 0.621,
+    "q44_range_count" -> 0.569,
     // qd69/qd70 pinned this round: two quiet subset windows
     // (1.249/1.245 and 1.411/1.410 s at steal 95/22) x 1.10
     "qd69_unigram_train" -> 0.591, "qd70_unigram_fertility" -> 0.73,
@@ -287,7 +291,7 @@ object Bench {
     // qd73 re-pinned round 18 (downward, 2.3x): the composition now
     // runs trainFast + the kernel encode — 0.897/0.904 s at 0/0
     // per-query steal in the two full-suite windows, x 1.10
-    "qd73_bpe_packing" -> 0.8,
+    "qd73_bpe_packing" -> 0.797,
     // round-18 additions, pinned from the same two windows (min x 1.10;
     // per-query steal shown): qd74 0.319/1 0.265/0, qd75 0.576/0
     // 0.473/1, qe30 1.681/0 1.566/6
@@ -302,7 +306,7 @@ object Bench {
     // QUIET 11-query subset window (84 total ticks); minima × 1.10 —
     // subset pins, re-base at the next clean full sweep
     "qd78_kn_bigram_nll" -> 2.768,
-    "qd79_quality_classifier_train" -> 2.229,
+    "qd79_quality_classifier_train" -> 1.929,
     // round-19 downward re-pin of the eval family: the train-once memo
     // removed the shared 24-iter descent from the 8 eval queries
     // (verdict #3 — they now price eval-only, like production serving
@@ -310,38 +314,38 @@ object Bench {
     // steal ≤ 64 ticks; pre-launch 20 s probe < 10 ticks) — min × 1.10.
     // qd79 (honest Seed retrain) and qd89 (honest bigram descent) keep
     // their r18 pins: both read within 1.05–1.26× in the same windows
-    "qd80_quality_classifier_score" -> 0.595,
+    "qd80_quality_classifier_score" -> 0.492,
     "qd81_quality_classifier_auc" -> 0.55,
-    "qd82_classifier_calibration" -> 0.508,
-    "qd83_classifier_calib_metrics" -> 0.544,
+    "qd82_classifier_calibration" -> 0.499,
+    "qd83_classifier_calib_metrics" -> 0.527,
     "qd84_heldout_auc" -> 0.68,
     // qd85 pinned from a quiet subset window (1.44 s at 52 total ticks)
     "qd85_epoch_allocation" -> 0.467,
     "qd86_classifier_pr_curve" -> 0.606,
     "qd87_classifier_avg_precision" -> 0.544,
     "qd88_classifier_disagreement" -> 0.677,
-    "qd89_classifier_bigram_auc" -> 1.927,
+    "qd89_classifier_bigram_auc" -> 1.706,
     // qd90/qd91 (round 19): persisted-model serving + L2 held-out —
     // pinned from the same two quiet windows
-    "qd90_persisted_model_score" -> 0.902,
-    "qd91_l2_heldout_auc" -> 0.652,
+    "qd90_persisted_model_score" -> 0.745,
+    "qd91_l2_heldout_auc" -> 0.517,
     // qd92/qd93 (round 19): threshold sweep + per-source calibration —
     // two further quiet subset windows (per-query steal ≤ 32 ticks)
-    "qd92_threshold_sweep" -> 0.625,
+    "qd92_threshold_sweep" -> 0.55,
     "qd93_calibration_by_source" -> 0.576,
     // qd94 (round 19): memo'd 12-iter half + save/load + fresh 12-iter
     // resume — two quiet-gated windows (6.64/7.33 s)
-    "qd94_resume_training" -> 1.673,
+    "qd94_resume_training" -> 1.325,
     // qd95 (round 19): PAV calibration — two quiet-gated windows
-    "qd95_isotonic_calibration" -> 0.607,
+    "qd95_isotonic_calibration" -> 0.587,
     // qd77 pinned from two quiet subset windows (2.254 s at steal 11,
     // 2.684 s at steal 2) — min x 1.10
-    "qd77_unigram_encode_ids" -> 1.742,
-    "qr07_retrieval_eval_summary" -> 1.269, "qr08_retrieval_pipeline" -> 2.356,
-    "qr09_prf_expansion" -> 2.248, "qr10_mmr_rerank" -> 0.644,
-    "qr04_retrieval_eval" -> 1.075, "qr05_hard_negatives" -> 0.87,
+    "qd77_unigram_encode_ids" -> 1.729,
+    "qr07_retrieval_eval_summary" -> 1.176, "qr08_retrieval_pipeline" -> 2.039,
+    "qr09_prf_expansion" -> 2.11, "qr10_mmr_rerank" -> 0.644,
+    "qr04_retrieval_eval" -> 0.946, "qr05_hard_negatives" -> 0.87,
     "qr06_tfidf_keywords" -> 0.599, "qm03_audio_decode" -> 0.175,
-    "q42_zorder" -> 0.277, "qs01_hourly_events" -> 0.329,
+    "q42_zorder" -> 0.277, "qs01_hourly_events" -> 0.31,
     "qs02_sessionize" -> 0.594, "qs03_session_window" -> 0.671
   )
 
